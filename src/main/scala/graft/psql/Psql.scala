@@ -1,0 +1,123 @@
+package graft.psql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing entry point: `Psql(spark).sql(psqlQuery)`.
+  *
+  * Mirrors the reference's API of "submit PSQL text wherever SQL is
+  * accepted" (ywelsch/duckdb-psql `src/psql_extension.cpp:51-90`): input with
+  * pipe tokens is rewritten; anything else passes through to `spark.sql`
+  * verbatim (pass-through contract, `src/psql_extension.cpp:76-79`), except
+  * bare FROM-first queries which are normalized so DuckDB-style `from t`
+  * works too.
+  *
+  * File-path relations (`from 'data.csv'`, reference `README.md:8`) are
+  * resolved by registering a temp view per distinct path; format is chosen by
+  * extension (csv / parquet / json), with CSV using header + schema
+  * inference like DuckDB's sniffer. Remote http(s) URLs are fetched to a
+  * local temp file once per session (the reference delegates this to
+  * DuckDB's httpfs extension).
+  */
+class Psql(val spark: SparkSession) {
+
+  def sql(query: String): DataFrame = {
+    val rewritten = rewriteOnly(query)
+    val (finalSql, paths) = PathRelations.extractPaths(rewritten)
+    paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
+    spark.sql(finalSql)
+  }
+
+  /** The pure string rewrite (no execution) — exposed for tests/EXPLAIN. */
+  def rewriteOnly(query: String): String = {
+    if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
+    else {
+      val t = query.trim
+      // normalize bare FROM-first queries (DuckDB-ism) even without pipes
+      if (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from"))
+        PsqlRewriter.rewrite(t)
+      else t
+    }
+  }
+}
+
+object Psql {
+  def apply(spark: SparkSession): Psql = new Psql(spark)
+}
+
+/** Quoted-path FROM/JOIN sources → temp views backed by DataFrameReader. */
+object PathRelations {
+
+  /** Replace top-level-or-nested `FROM '<path>'` / `JOIN '<path>'` string
+    * literals in rewritten SQL with deterministic view names; returns the
+    * new SQL plus (viewName, path) pairs to register.
+    */
+  def extractPaths(sqlText: String): (String, Seq[(String, String)]) = {
+    val sc = SqlScanner.scan(sqlText)
+    val sb = new StringBuilder
+    val found = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < sqlText.length) {
+      var consumed = false
+      if (sc.code(i) && (SqlScanner.matchesWord(sqlText, i, "from") || SqlScanner.matchesWord(sqlText, i, "join"))) {
+        val kwLen = 4
+        val j = SqlScanner.nextCode(sqlText, sc, i + kwLen)
+        if (j >= 0 && sqlText.charAt(j) == '\'') {
+          // find end of the literal ('' escape)
+          var k = j + 1
+          var end = -1
+          while (k < sqlText.length && end < 0) {
+            if (sqlText.charAt(k) == '\'') {
+              if (k + 1 < sqlText.length && sqlText.charAt(k + 1) == '\'') k += 2
+              else end = k
+            } else k += 1
+          }
+          if (end > 0) {
+            val path = sqlText.substring(j + 1, end).replace("''", "'")
+            val view = viewNameFor(path)
+            found.getOrElseUpdate(view, path)
+            sb.append(sqlText.substring(i, i + kwLen)).append(' ').append(view)
+            i = end + 1
+            consumed = true
+          }
+        }
+      }
+      if (!consumed) { sb.append(sqlText.charAt(i)); i += 1 }
+    }
+    (sb.toString, found.toSeq)
+  }
+
+  def viewNameFor(path: String): String =
+    "psql_src_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path)).toLowerCase
+
+  def register(spark: SparkSession, view: String, path0: String): Unit = {
+    if (spark.catalog.tableExists(view)) return
+    val path = if (path0.matches("(?i)^https?://.*")) fetchToLocal(path0) else path0
+    val lower = path.toLowerCase
+    val df =
+      if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) spark.read.json(path)
+      else if (lower.endsWith(".tsv"))
+        spark.read.option("header", true).option("inferSchema", true).option("sep", "\t").csv(path)
+      else // default: CSV with header + inference, like DuckDB's sniffer
+        spark.read.option("header", true).option("inferSchema", true)
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
+          .csv(path)
+    df.createOrReplaceTempView(view)
+  }
+
+  /** One-shot HTTP(S) fetch to a session-lifetime temp file (the analog of
+    * the reference relying on DuckDB httpfs, `test/sql/psql.test:48-55`).
+    */
+  private def fetchToLocal(url: String): String = {
+    val suffix = url.reverse.takeWhile(_ != '.').reverse match {
+      case s if s.length <= 8 => "." + s
+      case _                  => ".dat"
+    }
+    val tmp = java.io.File.createTempFile("psql_http_", suffix)
+    tmp.deleteOnExit()
+    val in = new java.net.URI(url).toURL.openStream()
+    try java.nio.file.Files.copy(in, tmp.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.getAbsolutePath
+  }
+}

@@ -1,0 +1,120 @@
+package graft.psql
+
+import graft.SparkSpec
+
+/** End-to-end port of the reference test corpus
+  * (ywelsch/duckdb-psql `test/sql/psql.test`) plus the README golden result
+  * (`README.md:37-53`), executed on Spark via [[Psql]].
+  */
+class PsqlEndToEndSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // fixture: CREATE TABLE t1(i INTEGER, j INTEGER) — psql.test:6
+    spark.sql("SELECT CAST(id AS INT) AS i, CAST(id * 2 AS INT) AS j FROM range(5)")
+      .createOrReplaceTempView("t1")
+  }
+
+  test("from t1 |> order by i (psql.test:19)") {
+    val rows = psql.sql("from t1 |> order by i").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("trailing semicolon (psql.test:22-23)") {
+    assert(psql.sql("from t1 |> order by i;").count() == 5)
+  }
+
+  test("bad stage raises a parse/analysis error (psql.test:26-29)") {
+    intercept[Exception] { psql.sql("from t1 |> srt j").collect() }
+  }
+
+  test("|| not split (psql.test:31-33)") {
+    val rows = psql.sql("from t1 |> select i || ',' || j").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getString(0)).contains("1,2"))
+  }
+
+  test("as stage for named access (psql.test:35-37)") {
+    val rows = psql.sql("from t1 |> select i || ',' || j as bar |> as foo select foo.bar").collect()
+    assert(rows.length == 5)
+  }
+
+  test("scoped transform in CTAS (psql.test:39-41) via temp view") {
+    // Spark temp-view variant of CREATE TABLE ... AS (no warehouse in tests)
+    psql.sql("create temporary view t2_view as (| from t1 |> select i || ',' || j as bar |> as foo select foo.bar |)")
+    assert(spark.table("t2_view").count() == 5)
+    spark.catalog.dropTempView("t2_view")
+  }
+
+  test("multiple scoped transforms + CTE + union (psql.test:43-45)") {
+    val rows = psql.sql(
+      "with x as (| from t1 |> select i || ',' || j as bar |> as foo |), " +
+      "y as (| from t1 |> select i || ',' || j as bar |> as foo |) " +
+      "from x union from y").collect()
+    assert(rows.length == 5) // UNION dedups; x and y identical
+  }
+
+  test("plain SQL passes through untouched") {
+    assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+  }
+
+  test("full README pipeline matches golden result (README.md:37-53)") {
+    val inv = "/root/reference/example/invoices.csv"
+    val cus = "/root/reference/example/customers.csv"
+    val q =
+      s"""from '$inv' |>
+         |where invoice_date >= date '1970-01-16' |>
+         |select
+         |  *,
+         |  0.8 as transaction_fees,
+         |  total - transaction_fees as income |>
+         |where income > 1 |>
+         |select
+         |  customer_id,
+         |  avg(total),
+         |  sum(income) as sum_income,
+         |  count() as ct
+         |  group by customer_id |>
+         |order by sum_income desc |>
+         |limit 10 |>
+         |as invoices
+         |  join '$cus'
+         |    as customers
+         |  on invoices.customer_id = customers.customer_id |>
+         |select
+         |  customer_id,
+         |  last_name || ', ' || first_name as name,
+         |  sum_income""".stripMargin
+    val got = psql.sql(q).collect()
+      .map(r => (r.get(0).toString.toLong, r.getString(1),
+        math.rint(BigDecimal(r.get(2).toString).toDouble * 100) / 100))
+      .sortBy(_._1)
+    val expected = Seq( // README.md:41-50 golden rows
+      (6L, "Holý, Helena", 43.83),
+      (7L, "Gruber, Astrid", 36.83),
+      (24L, "Ralston, Frank", 37.83),
+      (25L, "Stevens, Victor", 36.83),
+      (26L, "Cunningham, Richard", 41.83),
+      (28L, "Barnett, Julia", 37.83),
+      (37L, "Zimmermann, Fynn", 37.83),
+      (45L, "Kovács, Ladislav", 39.83),
+      (46L, "O'Reilly, Hugh", 39.83),
+      (57L, "Rojas, Luis", 40.83)
+    )
+    assert(got.toSeq == expected)
+  }
+
+  test("qualify end-to-end") {
+    val rows = psql.sql("from t1 |> select i, j qualify row_number() over (order by i desc) = 1").collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 4)
+  }
+
+  test("set ops between pipelines via scoped blocks") {
+    assert(psql.sql("(| from t1 |> select i |) intersect (| from t1 |> where i > 2 |> select i |)").count() == 2)
+    assert(psql.sql("(| from t1 |> select i |) except (| from t1 |> where i > 2 |> select i |)").count() == 3)
+    assert(psql.sql("from t1 except from t1").count() == 0) // pipe-free set-op, FROM-first both sides
+  }
+}

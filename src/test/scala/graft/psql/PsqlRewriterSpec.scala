@@ -1,0 +1,135 @@
+package graft.psql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure string-level tests for the rewriter (no Spark needed). */
+class PsqlRewriterSpec extends AnyFunSuite {
+
+  test("pass-through detection: plain SQL is not psql") {
+    assert(!PsqlRewriter.isPsql("SELECT 1"))
+    assert(!PsqlRewriter.isPsql("select i || j from t1")) // || is not |>
+    assert(PsqlRewriter.isPsql("from t1 |> order by i"))
+    assert(PsqlRewriter.isPsql("create table t2 as (| from t1 |)"))
+  }
+
+  test("pipe token inside string literal does not split") {
+    assert(!PsqlRewriter.isPsql("select ' |> ' as s from t1"))
+  }
+
+  test("simple pipe chain rewrites to nested select") {
+    val r = PsqlRewriter.rewrite("from t1 |> order by i")
+    assert(r == "SELECT * FROM ( SELECT * FROM t1 ) ORDER BY i")
+  }
+
+  test("where stage") {
+    val r = PsqlRewriter.rewrite("from t1 |> where i > 1")
+    assert(r == "SELECT * FROM ( SELECT * FROM t1 ) WHERE i > 1")
+  }
+
+  test("|| concat not split (reference psql.test:31-33)") {
+    val r = PsqlRewriter.rewrite("from t1 |> select i || ',' || j")
+    assert(r == "SELECT i || ',' || j FROM ( SELECT * FROM t1 )")
+  }
+
+  test("as alias stage with trailing select (reference psql.test:35-37)") {
+    val r = PsqlRewriter.rewrite("from t1 |> select i || ',' || j as bar |> as foo select foo.bar")
+    assert(r == "SELECT foo.bar FROM ( SELECT i || ',' || j as bar FROM ( SELECT * FROM t1 ) ) as foo")
+  }
+
+  test("select with embedded group by") {
+    val r = PsqlRewriter.rewrite("from t |> select k, sum(v) as s group by k")
+    assert(r == "SELECT k, sum(v) as s FROM ( SELECT * FROM t ) GROUP BY k")
+  }
+
+  test("zero-arg count() becomes count(*)") {
+    val r = PsqlRewriter.rewrite("from t |> select count() as ct")
+    assert(r.contains("count(*) as ct"))
+    // count inside a string is untouched
+    val r2 = PsqlRewriter.rewrite("from t |> select 'count()' as s")
+    assert(r2.contains("'count()'"))
+  }
+
+  test("scoped block in CTAS (reference psql.test:39-41)") {
+    val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
+    assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
+  }
+
+  test("multiple blocks + CTE + union (reference psql.test:43-45)") {
+    val r = PsqlRewriter.rewrite(
+      "with x as (| from t1 |> as foo |), y as (| from t1 |> as foo |) from x union from y")
+    assert(r.contains("with x as ( SELECT * FROM ( SELECT * FROM t1 ) as foo )"))
+    assert(r.contains("UNION"))
+    assert(r.contains("SELECT * FROM x"))
+    assert(r.contains("SELECT * FROM y"))
+  }
+
+  test("qualify stage rewrites to filtered window column") {
+    val r = PsqlRewriter.rewrite("from t |> select i qualify row_number() over (order by i) = 1")
+    assert(r.contains("__qualify__"))
+    assert(r.contains("SELECT * EXCEPT (__qualify__)"))
+  }
+
+  test("limit + offset") {
+    val r = PsqlRewriter.rewrite("from t |> order by i |> limit 5 offset 2")
+    assert(r.endsWith("LIMIT 5 OFFSET 2"))
+  }
+
+  test("using sample translates to TABLESAMPLE") {
+    val r = PsqlRewriter.rewrite("from t |> using sample 10%")
+    assert(r.contains("TABLESAMPLE (10 PERCENT)"))
+  }
+
+  test("trailing semicolon stripped (reference psql.test:22-23)") {
+    val r = PsqlRewriter.rewrite("from t1 |> order by i;")
+    assert(r == "SELECT * FROM ( SELECT * FROM t1 ) ORDER BY i")
+  }
+
+  test("pipes spanning newlines") {
+    val r = PsqlRewriter.rewrite("from t1 |>\n  where i > 1 |>\n  select i")
+    assert(r == "SELECT i FROM ( SELECT * FROM ( SELECT * FROM t1 ) WHERE i > 1 )")
+  }
+
+  test("set-op EXCEPT vs star-EXCEPT disambiguation") {
+    val r = PsqlRewriter.rewrite("from t |> select * except (j)")
+    assert(r == "SELECT * except (j) FROM ( SELECT * FROM t )")
+    val r2 = PsqlRewriter.rewrite("from a except from b")
+    assert(r2 == "SELECT * FROM a EXCEPT SELECT * FROM b")
+  }
+
+  test("full README pipeline shape (reference README.md:7-33)") {
+    val q =
+      """from 'invoices.csv' |>
+        |where invoice_date >= date '1970-01-16' |>
+        |select *, 0.8 as transaction_fees, total - transaction_fees as income |>
+        |where income > 1 |>
+        |select customer_id, avg(total), sum(income) as sum_income, count() as ct group by customer_id |>
+        |order by sum_income desc |>
+        |limit 10 |>
+        |as invoices join 'customers.csv' as customers on invoices.customer_id = customers.customer_id |>
+        |select customer_id, last_name || ', ' || first_name as name, sum_income""".stripMargin
+    val r = PsqlRewriter.rewrite(q)
+    assert(r.startsWith("SELECT customer_id, last_name || ', ' || first_name as name, sum_income FROM"))
+    assert(r.contains("count(*) as ct"))
+    assert(r.contains("GROUP BY customer_id"))
+    assert(r.contains("LIMIT 10"))
+    assert(r.contains("join 'customers.csv' as customers USING (customer_id)"))
+  }
+
+  test("path extraction rewrites FROM/JOIN string literals") {
+    val (sqlText, paths) = PathRelations.extractPaths(
+      "SELECT * FROM ( SELECT * FROM 'a.csv' ) as l join 'b.csv' as r on l.x = r.x")
+    assert(paths.length == 2)
+    assert(!sqlText.contains("'a.csv'"))
+    assert(!sqlText.contains("'b.csv'"))
+    assert(paths.map(_._2).toSet == Set("a.csv", "b.csv"))
+    // but a plain string literal elsewhere is untouched
+    val (s2, p2) = PathRelations.extractPaths("SELECT 'x.csv' FROM t")
+    assert(p2.isEmpty && s2 == "SELECT 'x.csv' FROM t")
+  }
+
+  test("nested scoped blocks (beyond reference, README.md:91 limitation lifted)") {
+    val r = PsqlRewriter.rewrite("select * from (| from t1 |> where i in (select j from (| from t2 |> select j |)) |)")
+    assert(r.contains("FROM t2"))
+    assert(r.contains("WHERE i in"))
+  }
+}
