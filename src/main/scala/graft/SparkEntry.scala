@@ -1,13 +1,400 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.psql.Psql
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with an equivalent DuckDB oracle SQL where the semantics
+  * are SQL-expressible (driver hash-compares both at sf0.01).
+  *
+  * Numeric determinism notes (cross-engine hash matching):
+  *   - money columns (2-decimal doubles) are summed as DECIMAL(18,2) — exact,
+  *     order-independent — then cast back to double for a common result type;
+  *   - every ORDER BY feeding a LIMIT carries a unique tiebreak key;
+  *   - count()/aliases match between Spark and oracle columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The README
+    * pipeline shape (reference README.md:7-33) over the TPC-H-ish tables.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Tables.register(spark, "/root/testdata/sf0.001")
+    Psql(spark).sql(
+      """from lineitem |>
+        |where l_shipdate >= date '1995-01-01' |>
+        |select *, 0.05 as fee_rate, l_extendedprice * (1 - l_discount) as net |>
+        |select l_orderkey, sum(net) as revenue, count() as n_items group by l_orderkey |>
+        |as big join orders on big.l_orderkey = orders.o_orderkey |>
+        |select o_custkey, revenue, n_items, o_orderdate |>
+        |order by revenue desc |>
+        |limit 100""".stripMargin)
+  }
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def psql(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { Tables.register(s, dir); Psql(s).sql(text) }
+
+  /** Exact money aggregation: DECIMAL(18,2) keeps cross-engine sums
+    * bit-identical regardless of partitioning / add order.
+    */
+  private def dsum(col: String, alias: String): String =
+    s"cast(sum(cast($col as decimal(18,2))) as double) as $alias"
+
+  // ---------------------------------------------------------------------
+  // Core SQL surface (SURVEY §2.B / §2.C), expressed as PSQL pipelines.
+  // ---------------------------------------------------------------------
+  private val coreDefs: Vector[QueryDef] = Vector(
+    QueryDef(
+      "q01_pricing_summary",
+      psql(s"""from lineitem |>
+        |where l_shipdate <= date '1998-09-02' |>
+        |select l_returnflag, l_linestatus,
+        |  sum(l_quantity) as sum_qty,
+        |  ${dsum("l_extendedprice", "sum_base_price")},
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2))) as double) as sum_disc_price,
+        |  cast(avg(l_quantity) as double) as avg_qty,
+        |  count() as count_order
+        |  group by l_returnflag, l_linestatus |>
+        |order by l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2))) as double) AS sum_disc_price,
+        |  cast(avg(l_quantity) as double) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= date '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
+      "q02_lateral_project",
+      psql("""from lineitem |>
+        |select l_orderkey, l_linenumber, l_extendedprice, 0.9 as rate,
+        |  cast(l_extendedprice * rate as double) as discounted |>
+        |where discounted > 1000 |>
+        |select l_orderkey, l_linenumber, discounted |>
+        |order by discounted desc, l_orderkey, l_linenumber |>
+        |limit 100""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, discounted FROM (
+        |  SELECT l_orderkey, l_linenumber, cast(l_extendedprice * 0.9 as double) AS discounted
+        |  FROM lineitem) WHERE discounted > 1000
+        |ORDER BY discounted DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q03_join_revenue",
+      psql(s"""from customer |>
+        |as c join orders on c.c_custkey = orders.o_custkey |>
+        |join lineitem on o_orderkey = l_orderkey |>
+        |select c_custkey, c_name,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2))) as double) as revenue,
+        |  count() as n_items
+        |  group by c_custkey, c_name |>
+        |order by revenue desc, c_custkey |>
+        |limit 20""".stripMargin),
+      Some("""SELECT c_custkey, c_name,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2))) as double) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer c JOIN orders ON c.c_custkey = orders.o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    QueryDef(
+      "q04_multi_join_dims",
+      psql(s"""from supplier |>
+        |as s join nation on s.s_nationkey = nation.n_nationkey |>
+        |join region on n_regionkey = r_regionkey |>
+        |select r_name, n_name, count() as n_suppliers, ${dsum("s_acctbal", "total_bal")}
+        |  group by r_name, n_name |>
+        |order by r_name, n_name""".stripMargin),
+      Some("""SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS total_bal
+        |FROM supplier s JOIN nation ON s.s_nationkey = nation.n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef(
+      "q05_left_join",
+      psql("""from customer |>
+        |as c left join orders on c.c_custkey = orders.o_custkey |>
+        |select c_custkey, count(o_orderkey) as n_orders group by c_custkey |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders ON c.c_custkey = orders.o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q06_semi_join_in",
+      psql("""from customer |>
+        |where c_custkey in (select o_custkey from orders where o_orderstatus = 'F') |>
+        |select c_custkey, c_name |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q07_anti_join_exists",
+      psql("""from customer |>
+        |where not exists (select 1 from orders where o_custkey = c_custkey) |>
+        |select c_custkey, c_acctbal |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q08_window_rank_qualify",
+      psql("""from orders |>
+        |select o_custkey, o_orderkey, o_totalprice
+        |  qualify row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) <= 3 |>
+        |order by o_custkey, o_totalprice desc, o_orderkey""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q09_window_running_sum",
+      psql("""from events |>
+        |select user_id, event_id,
+        |  cast(sum(cast(value as decimal(18,2))) over (partition by user_id order by ts, event_id rows between unbounded preceding and current row) as double) as running_total |>
+        |order by user_id, event_id |>
+        |limit 1000""".stripMargin),
+      Some("""SELECT user_id, event_id,
+        |  cast(sum(cast(value as decimal(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+        |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin)),
+
+    QueryDef(
+      "q10_window_lead_lag",
+      psql("""from events |>
+        |select user_id, event_id,
+        |  lag(event_type) over (partition by user_id order by ts, event_id) as prev_type,
+        |  lead(event_type) over (partition by user_id order by ts, event_id) as next_type |>
+        |order by user_id, event_id |>
+        |limit 1000""".stripMargin),
+      Some("""SELECT user_id, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, event_id LIMIT 1000""".stripMargin)),
+
+    QueryDef(
+      "q11_grouping_sets",
+      psql(s"""from orders |>
+        |select o_orderstatus, o_orderpriority, count() as cnt, ${dsum("o_totalprice", "total")}
+        |  group by grouping sets ((o_orderstatus), (o_orderpriority), ()) |>
+        |order by o_orderstatus, o_orderpriority, cnt""".stripMargin),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority, cnt""".stripMargin)),
+
+    QueryDef(
+      "q12_rollup",
+      psql("""from lineitem |>
+        |select l_returnflag, l_linestatus, count() as cnt
+        |  group by rollup (l_returnflag, l_linestatus) |>
+        |order by l_returnflag, l_linestatus, cnt""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus, cnt""".stripMargin)),
+
+    QueryDef(
+      "q13_cube",
+      psql("""from lineitem |>
+        |select l_returnflag, l_linestatus, sum(l_quantity) as qty
+        |  group by cube (l_returnflag, l_linestatus) |>
+        |order by l_returnflag, l_linestatus, qty""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus, qty""".stripMargin)),
+
+    QueryDef(
+      "q14_distinct",
+      psql("from lineitem |> select distinct l_returnflag, l_linestatus |> order by 1, 2"),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2")),
+
+    QueryDef(
+      "q15_count_distinct",
+      psql("""from lineitem |>
+        |select count(distinct l_partkey) as n_parts, count(distinct l_suppkey) as n_supps, count() as n_rows""".stripMargin),
+      Some("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows FROM lineitem")),
+
+    QueryDef(
+      "q16_having",
+      psql("""from lineitem |>
+        |select l_partkey, sum(l_quantity) as qty group by l_partkey having sum(l_quantity) > 100 |>
+        |order by qty desc, l_partkey |>
+        |limit 50""".stripMargin),
+      Some("""SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem
+        |GROUP BY l_partkey HAVING sum(l_quantity) > 100
+        |ORDER BY qty DESC, l_partkey LIMIT 50""".stripMargin)),
+
+    QueryDef(
+      "q17_setops",
+      psql("""(| from orders |> where o_orderstatus = 'F' |> select o_custkey |)
+        |union
+        |(| from orders |> where o_totalprice > 100000 |> select o_custkey |)
+        |order by o_custkey""".stripMargin),
+      Some("""(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION
+        |(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "q18_intersect_except",
+      psql("""(| (| from orders |> where o_orderstatus = 'F' |> select o_custkey |)
+        |intersect
+        |(| from orders |> where o_orderstatus = 'O' |> select o_custkey |) |)
+        |except
+        |(| from orders |> where o_totalprice > 200000 |> select o_custkey |)
+        |order by o_custkey""".stripMargin),
+      Some("""((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |INTERSECT
+        |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |EXCEPT
+        |(SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef(
+      "q19_case_string_funcs",
+      psql("""from customer |>
+        |select c_custkey, upper(c_name) as uname,
+        |  case when c_acctbal < 0 then 'neg' when c_acctbal < 5000 then 'mid' else 'high' end as seg,
+        |  substr(c_mktsegment, 1, 3) as seg3,
+        |  length(c_name) as name_len,
+        |  c_name || '#' || c_mktsegment as tagged |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, upper(c_name) AS uname,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS seg,
+        |  substr(c_mktsegment, 1, 3) AS seg3,
+        |  length(c_name) AS name_len,
+        |  c_name || '#' || c_mktsegment AS tagged
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q20_date_funcs",
+      psql("""from orders |>
+        |select cast(date_trunc('month', o_orderdate) as date) as month,
+        |  cast(extract(year from o_orderdate) as int) as yr,
+        |  count() as cnt group by 1, 2 |>
+        |order by month, yr""".stripMargin),
+      Some("""SELECT cast(date_trunc('month', o_orderdate) as date) AS month,
+        |  cast(extract(year from o_orderdate) as int) AS yr,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY month, yr""".stripMargin)),
+
+    QueryDef(
+      "q21_math_funcs",
+      psql("""from lineitem |>
+        |select l_orderkey, l_linenumber,
+        |  cast(round(cast(l_extendedprice as decimal(18,2)), 1) as double) as r1,
+        |  abs(l_discount - 0.05) as ad,
+        |  ceil(l_quantity / 7.0) as c7,
+        |  floor(l_tax * 100) as f100,
+        |  mod(l_linenumber, 3) as m3 |>
+        |order by l_orderkey, l_linenumber |>
+        |limit 500""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  cast(round(cast(l_extendedprice as decimal(18,2)), 1) as double) AS r1,
+        |  abs(l_discount - 0.05) AS ad,
+        |  ceil(l_quantity / 7.0) AS c7,
+        |  floor(l_tax * 100) AS f100,
+        |  mod(l_linenumber, 3) AS m3
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)),
+
+    QueryDef(
+      "q22_topk",
+      psql("from orders |> order by o_totalprice desc, o_orderkey |> limit 10"),
+      Some("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    QueryDef(
+      "q23_limit_offset",
+      psql("from customer |> order by c_custkey |> limit 20 offset 5"),
+      Some("SELECT * FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 5")),
+
+    QueryDef(
+      "q24_cte_union_blocks",
+      psql("""with x as (| from lineitem |> where l_returnflag = 'A' |> select l_orderkey |),
+        |y as (| from lineitem |> where l_returnflag = 'R' |> select l_orderkey |)
+        |from x union from y order by l_orderkey""".stripMargin),
+      Some("""WITH x AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'),
+        |y AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT * FROM x UNION SELECT * FROM y ORDER BY l_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q25_scalar_subquery",
+      psql("""from orders |>
+        |where o_totalprice > (select avg(cast(o_totalprice as decimal(18,2))) from orders) |>
+        |select count() as n_above""".stripMargin),
+      Some("""SELECT count(*) AS n_above FROM orders
+        |WHERE o_totalprice > (SELECT avg(cast(o_totalprice as decimal(18,2))) FROM orders)""".stripMargin)),
+
+    QueryDef(
+      "q26_unnest_wordcount",
+      psql("""from documents |>
+        |select explode(split(text, ' ')) as word |>
+        |select word, count() as cnt group by word |>
+        |order by cnt desc, word |>
+        |limit 100""".stripMargin),
+      Some("""SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q27_list_agg",
+      psql("""from nation |>
+        |select n_regionkey, array_join(sort_array(collect_list(n_name)), ',') as names
+        |  group by n_regionkey |>
+        |order by n_regionkey""".stripMargin),
+      Some("""SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    QueryDef(
+      "q28_theta_join",
+      psql("""from nation |>
+        |as n1 join nation as n2 on n1.n_regionkey < n2.n_regionkey |>
+        |select count() as pairs""".stripMargin),
+      Some("SELECT count(*) AS pairs FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey")),
+
+    QueryDef(
+      "q29_qualify_latest",
+      psql("""from events |>
+        |select user_id, event_id, event_type, value
+        |  qualify row_number() over (partition by user_id order by ts desc, event_id desc) = 1 |>
+        |order by user_id""".stripMargin),
+      Some("""SELECT user_id, event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
+      "q30_filter_agg_clause",
+      psql("""from lineitem |>
+        |select l_returnflag,
+        |  count(*) filter (where l_quantity > 25) as big_cnt,
+        |  count(*) filter (where l_discount > 0.05) as disc_cnt,
+        |  count() as total group by l_returnflag |>
+        |order by l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS big_cnt,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS disc_cnt,
+        |  count(*) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // sampling is engine-specific randomness: rows-only check (no oracle)
+    QueryDef(
+      "q31_sample",
+      psql("from lineitem |> using sample 10% |> select l_orderkey, l_quantity"),
+      None)
+  )
+
+  def defs: Vector[QueryDef] = coreDefs ++ OpsEntry.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
 }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against DuckDB oracles and hash-compare (sorted rows, canonicalized floats).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import sys, json, glob, math, os
+import duckdb
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # ~9 significant digits, kills last-ulp noise
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+def table_rows(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(set(
+            os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*"))
+            if os.path.isdir(p))):
+        spark_path = os.path.join(out_dir, name)
+        try:
+            s_cols, s_rows = table_rows(con, f"SELECT * FROM '{spark_path}/*.parquet'")
+        except Exception as e:
+            results[name] = f"SPARK_READ_FAIL: {e}"
+            continue
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(s_rows)}" + ("" if s_rows else " (EMPTY!)")
+            continue
+        try:
+            o_cols, o_rows = table_rows(con, oracles[name])
+        except Exception as e:
+            results[name] = f"ORACLE_FAIL: {str(e)[:150]}"
+            continue
+        if s_cols != o_cols:
+            results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        elif len(s_rows) != len(o_rows):
+            results[name] = f"ROWCOUNT spark={len(s_rows)} oracle={len(o_rows)}"
+        elif s_rows != o_rows:
+            diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
+        else:
+            results[name] = f"MATCH rows={len(s_rows)}"
+    n_ok = sum(1 for v in results.values() if v.startswith(("MATCH", "ROWS_ONLY")))
+    for k, v in sorted(results.items()):
+        flag = "OK " if v.startswith(("MATCH", "ROWS_ONLY")) else "BAD"
+        print(f"{flag} {k}: {v[:300]}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
