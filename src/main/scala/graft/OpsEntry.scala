@@ -1,9 +1,221 @@
 package graft
 
-/** Custom-operator query inventory (as-of/positional joins, LLM-pipeline
-  * dedup/similarity/text ops) — populated operator by operator; see
-  * `graft.operators` / `graft.functions`.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry.QueryDef
+import graft.operators._
+import graft.functions.TextFunctions
+
+/** Custom-operator query inventory: as-of/positional joins (SURVEY §2.C ⚠️
+  * rows) and the north-star LLM-pipeline ops (dedup, similarity, text
+  * analysis, multimodal). Exact/deterministic ops carry DuckDB oracles;
+  * approximate ops (MinHash-LSH, SimHash, ANN-LSH) are rows-only here and
+  * recall-checked against their exact counterparts in the specs.
   */
 object OpsEntry {
-  def defs: Vector[SparkEntry.QueryDef] = Vector()
+
+  private def withTables(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => { Tables.register(s, dir); f(s, dir) }
+
+  def defs: Vector[QueryDef] = Vector(
+    QueryDef(
+      "a01_asof_join",
+      withTables { (s, _) =>
+        val events = s.table("events")
+        val purchases = events.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsofJoin.backward(
+          events.select("event_id", "user_id", "ts"),
+          purchases,
+          by = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("purchase_value"), joinType = "inner")
+          .select(col("event_id"), col("user_id"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, p.purchase_value
+        |FROM events e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "a02_positional_join",
+      withTables { (s, _) =>
+        val l = s.table("customer").select("c_custkey").orderBy(col("c_custkey").asc).limit(100)
+        val r = s.table("orders").select("o_orderkey").orderBy(col("o_orderkey").desc).limit(100)
+        PositionalJoin.join(l, r)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+        |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100)
+        |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
+
+    QueryDef(
+      "d01_dedup_exact",
+      withTables { (s, _) =>
+        Dedup.dedupExact(s.table("documents"), "text", "doc_id")
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "d02_minhash_lsh_dedup",
+      withTables { (s, _) =>
+        Dedup.minhashLshPairs(s.table("documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    QueryDef(
+      "d03_simhash_pairs",
+      withTables { (s, _) =>
+        Dedup.simhashPairs(s.table("documents"), "doc_id", "text", maxHamming = 6)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    QueryDef(
+      "d04_ngram_jaccard",
+      withTables { (s, _) =>
+        Dedup.ngramJaccardPairs(s.table("documents"), "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM s a, s b WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "d05_ann_cosine_topk",
+      withTables { (s, _) =>
+        val emb = s.table("embeddings")
+        Similarity.bruteForceTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS sim
+        |  FROM q JOIN c ON query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, cast(rank as int) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef(
+      "d06_ann_lsh_topk",
+      withTables { (s, _) =>
+        val emb = s.table("embeddings")
+        Similarity.lshTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, nPlanes = 6)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    QueryDef(
+      "t01_langid",
+      withTables { (s, _) =>
+        s.table("documents")
+          .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def hits(l: String) = {
+          val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_intersect(string_split_regex(lower(text), '\\s+'), [$words]))"
+        }
+        s"""SELECT doc_id,
+           |  CASE WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("zh")} THEN 'en'
+           |       WHEN ${hits("de")} >= ${hits("fr")} AND ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("zh")} THEN 'de'
+           |       WHEN ${hits("fr")} >= ${hits("es")} AND ${hits("fr")} >= ${hits("zh")} THEN 'fr'
+           |       WHEN ${hits("es")} >= ${hits("zh")} THEN 'es'
+           |       ELSE 'zh' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef(
+      "t02_quality_score",
+      withTables { (s, _) =>
+        val stats = TextFunctions.qualityStats(col("text"))
+        s.table("documents")
+          .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(string_split_regex(text, '\s+')) AS n_words,
+        |  (length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+        |    / len(string_split_regex(text, '\s+')) AS mean_word_len,
+        |  (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+        |  (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) AS digit_ratio,
+        |  least(1.0, len(string_split_regex(text, '\s+')) / 20.0)
+        |    * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text))
+        |    * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t03_token_counts",
+      withTables { (s, _) =>
+        val counts = TextFunctions.tokenCounts(col("text"))
+        s.table("documents")
+          .select(col("doc_id") +: counts.map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t04_fingerprint",
+      withTables { (s, _) =>
+        s.table("documents")
+          .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  list_sum(list_transform(range(len(w)),
+        |    i -> ('0x' || substr(md5(w[i+1]), 1, 7))::BIGINT * (i + 1)))
+        |    % 2147483647 AS fp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "m01_multimodal_features",
+      withTables { (s, _) =>
+        Multimodal.extractFeatures(Multimodal.documentsAsMedia(s.table("documents")))
+          .orderBy("media_id")
+      },
+      None),
+
+    QueryDef(
+      "q32_tumbling_window",
+      withTables { (s, _) =>
+        Psqlish(s, """from events |>
+          |select cast(date_trunc('hour', ts) as timestamp) as hour_start, event_type,
+          |  count() as n, cast(sum(cast(value as decimal(18,2))) as double) as total
+          |  group by 1, 2 |>
+          |order by hour_start, event_type""".stripMargin)
+      },
+      Some("""SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
+        |  count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin))
+  )
+
+  private def Psqlish(s: SparkSession, q: String): DataFrame = graft.psql.Psql(s).sql(q)
 }

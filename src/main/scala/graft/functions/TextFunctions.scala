@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (north-star scope): language ID, quality
+  * scoring, token counting, document fingerprinting. All pure Column
+  * expressions over Spark builtins/higher-order functions — codegen-capable,
+  * no UDFs — with arithmetic chosen to be portable (integer ratios, md5-based
+  * hashes) so DuckDB oracles can replicate results exactly.
+  */
+object TextFunctions {
+
+  /** Minimal per-language stopword evidence lists for the n-gram/stopword
+    * language-ID heuristic. Tiny by design: the heuristic is the operator;
+    * swap in fuller lists for production use.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不")
+  )
+
+  private def hits(words: Column, lang: String): Column =
+    size(array_intersect(words, array(stopwords(lang).map(lit): _*)))
+
+  /** Predicted language by max stopword hits, with a fixed priority order
+    * (en, de, fr, es, zh) breaking ties — deterministic and trivially
+    * portable to the oracle SQL.
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "\\s+")
+    val en = hits(words, "en"); val de = hits(words, "de")
+    val fr = hits(words, "fr"); val es = hits(words, "es")
+    val zh = hits(words, "zh")
+    when(en >= de && en >= fr && en >= es && en >= zh, "en")
+      .when(de >= fr && de >= es && de >= zh, "de")
+      .when(fr >= es && fr >= zh, "fr")
+      .when(es >= zh, "es")
+      .otherwise("zh")
+  }
+
+  /** Quality-score components: character/word counts, mean word length,
+    * punctuation/digit/whitespace ratios and a composite score in [0,1].
+    * Integer counts divided as doubles — identical cross-engine.
+    */
+  def qualityStats(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val words = split(text, "\\s+")
+    val nWords = size(words)
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))
+    val nDigit = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val nSpace = nChars - length(regexp_replace(text, " ", ""))
+    val meanWordLen = (nChars - nSpace).cast("double") / nWords
+    val punctRatio = nPunct.cast("double") / nChars
+    val digitRatio = nDigit.cast("double") / nChars
+    // crude composite: long-enough, low-punct, low-digit
+    val score = least(lit(1.0), nWords.cast("double") / 20) * (lit(1.0) - punctRatio) * (lit(1.0) - digitRatio)
+    Seq(
+      "n_chars_calc" -> nChars.cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "mean_word_len" -> meanWordLen,
+      "punct_ratio" -> punctRatio,
+      "digit_ratio" -> digitRatio,
+      "quality_score" -> score)
+  }
+
+  /** Whitespace token count and a BPE-ish regex token count
+    * (runs of letters | runs of digits | any other non-space char).
+    */
+  def tokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(split(text, "\\s+")).cast("long"),
+    "re_tokens" -> size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Order-sensitive document fingerprint:
+    * F = Σ_i (i+1)·wh(w_i) mod (2^31-1), with the per-word hash wh taken
+    * from the first 7 hex digits of md5 (28 bits — products stay well under
+    * int64). Portable: identical arithmetic is expressible in DuckDB SQL
+    * (`('0x' || substr(md5(w),1,7))::BIGINT`).
+    */
+  def fingerprint(text: Column): Column = {
+    val words = split(text, " ")
+    val wordHash = (w: Column) => conv(substring(md5(w), 1, 7), 16, 10).cast("long")
+    val weighted = transform(words, (w, i) => wordHash(w) * (i.cast("long") + 1L))
+    pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(2147483647L))
+  }
+}

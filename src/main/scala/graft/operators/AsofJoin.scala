@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF (temporal) join — an operator the reference dialect reaches through
+  * DuckDB's `ASOF JOIN` (delegated surface, SURVEY §2.C) that Spark SQL has
+  * no built-in for.
+  *
+  * Semantics (backward, matching DuckDB `ASOF JOIN … ON l.k = r.k AND l.t >=
+  * r.t`): each left row picks the right row with the greatest right-time <=
+  * left-time within the same key group; `inner` drops unmatched left rows,
+  * `left` keeps them with null payload.
+  *
+  * Implementation is the union+window plan, chosen for 100 TB behavior:
+  *   - ONE hash-partition shuffle on the key (both sides union first, so
+  *     left and right co-locate in the same exchange);
+  *   - a single linear window scan per key (no per-row range probe, no
+  *     broadcast, no O(left×right) nested loop);
+  *   - right payload travels as one struct column so `last(_, ignoreNulls)`
+  *     picks all payload fields from the SAME right row atomically.
+  * Skewed keys behave like any window skew: mitigate upstream by splitting
+  * hot keys on coarse time buckets (the operator itself stays correct).
+  */
+object AsofJoin {
+
+  /** @param by        equi-key columns present in both sides
+    * @param leftTime  left timestamp/numeric column name
+    * @param rightTime right timestamp/numeric column name
+    * @param rightPayload right columns to carry to the output (must not
+    *                     collide with left column names)
+    * @param joinType  "inner" or "left"
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"bad joinType $joinType")
+    val leftCols = left.columns.toSeq
+    val pay = struct(rightPayload.map(col): _*)
+
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rpay", lit(null).cast(right.select(rightPayload.map(col): _*)
+        .schema.fields.foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__rpay", pay)
+      .select(by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+        leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val unioned = l.select((by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+      leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
+
+    // right rows (__side=0) sort before left rows at equal time => `>=` ties
+    // match, like DuckDB ASOF.
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val base = if (joinType == "inner") matched.where(col("__match").isNotNull) else matched
+    base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  /** Forward as-of: smallest right-time >= left-time (DuckDB `l.t <= r.t`). */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    // mirror: negate the time ordering by sorting desc and reusing `last`
+    val leftCols = left.columns.toSeq
+    val pay = struct(rightPayload.map(col): _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__rpay", lit(null).cast(right.select(rightPayload.map(col): _*)
+        .schema.fields.foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
+    val r = right.withColumn("__t", col(rightTime)).withColumn("__side", lit(0)).withColumn("__rpay", pay)
+      .select(by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+        leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = l.select((by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+      leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val base = if (joinType == "inner") matched.where(col("__match").isNotNull) else matched
+    base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+}

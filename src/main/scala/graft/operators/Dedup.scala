@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (north-star scope,
+  * BASELINE.json): exact, n-gram Jaccard (exact, inverted-index join),
+  * MinHash+LSH (approximate, scale path), SimHash. All are expressed as
+  * declarative plans (codegen-friendly builtins + higher-order functions) —
+  * no UDFs, no driver-side loops — so Catalyst handles pushdown/AQE and the
+  * shuffles are the unavoidable ones (group-bys and the candidate join).
+  */
+object Dedup {
+
+  /** Word n-gram shingle set of a text column (deduplicated). Short texts
+    * (< n words) get an empty set rather than an error.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: keep one row per duplicate group (lowest `keepBy`), like
+    * `GROUP BY hash` with keep-first semantics. One shuffle on the group
+    * hash; md5 keeps the shuffle key narrow even for long texts.
+    */
+  def dedupExact(df: DataFrame, textCol: String, keepBy: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(keepBy).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** EXACT n-gram-Jaccard near-duplicate pairs with similarity >= threshold.
+    *
+    * Plan: explode shingles → self-equi-join on the shingle (inverted
+    * index — only docs sharing at least one shingle ever meet, never the
+    * full cross product) → count shared shingles per pair → Jaccard from
+    * |A|, |B|, |A∩B|.
+    *
+    * Scale: the shuffles are explode-groupBy sized by total shingle count
+    * (linear in corpus size). The quadratic danger is a "stop shingle"
+    * present in a large fraction of docs; `maxShingleDocFreq` drops such
+    * shingles from the index (makes the result approximate — lossy only for
+    * pairs whose entire overlap is stop-shingles). The lossless refinement
+    * at extreme scale is prefix filtering; not needed at test SFs.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val ex = maxShingleDocFreq match {
+      case Some(cap) =>
+        val freq = ex0.groupBy("s").agg(count("*").as("__df")).where(col("__df") <= cap)
+        ex0.join(freq.select("s"), Seq("s"))
+      case None => ex0
+    }
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // Affine MinHash parameters from a fixed seed — reproducible across runs.
+  // 31-bit modular space: base hash and multipliers < 2^31, so a*h + b
+  // stays < 2^63 and never overflows Long under ANSI arithmetic.
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private def hashParams(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
+    val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
+    (a, b)
+  }
+
+  /** MinHash signature (array of `numHashes` minima) over a shingle array.
+    * Base hash is xxhash64 (codegen'd) folded to 31 bits; each permutation
+    * is an affine transform mod the Mersenne prime 2^31-1.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val (a, b) = hashParams(numHashes)
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
+    array((0 until numHashes).map { i =>
+      array_min(transform(base, h => pmod(h * lit(a(i)) + lit(b(i)), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+    *
+    * Pipeline: signature → split into `bands` bands of `numHashes/bands`
+    * rows → hash each band → explode (id, band, bucket) → self-join on
+    * (band, bucket) to get candidates (this is the LSH trick: only docs
+    * agreeing on a full band collide — expected candidates ≈ true near-dups
+    * + controllable noise, not O(n²)) → distinct pairs → exact-Jaccard
+    * verify on the shingle sets.
+    *
+    * Approximate by design (recall < 1 for borderline pairs) — hence no SQL
+    * oracle; the spec checks recall against [[ngramJaccardPairs]].
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws("_", slice(col("sig"), bnd * rows + 1, lit(rows)))))))
+      .toDF("id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact-Jaccard verification of the candidates
+    val sets = sh.select(col("id"), col("sh"))
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per row over word features: bit j of the
+    * result is the sign of Σ_words (bit j of xxhash64(word) ? +1 : -1).
+    * Computed as 64 conditional-sum aggregates after an explode — one
+    * shuffle, map-side partial aggregation keeps it linear.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: block on 4×16-bit bands (a pair within
+    * Hamming distance <=3 of each other must agree on at least one band —
+    * pigeonhole), then verify `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "simhash", "band", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}
