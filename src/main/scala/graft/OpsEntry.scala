@@ -122,7 +122,7 @@ object OpsEntry {
       withTables { (s, _) =>
         val emb = s.table("embeddings")
         Similarity.lshTopK(
-          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, nPlanes = 6)
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, nPlanes = 4, nTables = 8)
           .orderBy("query_id", "rank")
       },
       None),

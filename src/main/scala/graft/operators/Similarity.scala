@@ -39,29 +39,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the index pair, scaled to [-1, 1). Fixed by construction —
-    * every executor computes the same planes with no broadcast state.
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): xxhash64 of the index triple, scaled to [-1, 1). Fixed by
+    * construction — every executor computes the same planes with no
+    * broadcast state.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(concat_ws(":", lit(plane), dim)).cast("double") / lit(Long.MaxValue.toDouble))
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (xxhash64(concat_ws(":", lit(table), lit(plane), dim)).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** Sign-bit bucket id from `nPlanes` random hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column = {
+  /** Sign-bit bucket id from `nPlanes` random hyperplanes of table `t`. */
+  def lshBucket(vec: Column, t: Int, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val dotp = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(t, p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Approximate top-k: bucket corpus and queries with hyperplane LSH, only
-    * compare within the same bucket. Recall measured in the spec against
-    * [[bruteForceTopK]]. `nPlanes` trades recall vs candidate count
-    * (buckets ≈ 2^nPlanes).
+  /** Approximate top-k: multi-table hyperplane LSH. Each of `nTables`
+    * independent plane sets buckets both sides; candidates are the union of
+    * same-(table, bucket) collisions — recall ≈ 1-(1-p^nPlanes)^nTables for
+    * per-plane agreement p — then exact cosine ranks the candidates.
+    *
+    * Scale: candidate set shrinks with corpus clustering; the join is an
+    * equi-join on (table, bucket), never a cross product. `nPlanes` shrinks
+    * buckets (precision), `nTables` buys recall linearly in cost.
     */
   def lshTopK(
       queries: DataFrame,
@@ -69,13 +74,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
-    val scored = q.join(c, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      nPlanes: Int = 4,
+      nTables: Int = 8): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String) =
+      df.select(col(id), col(v),
+        posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes)): _*)))
+        .toDF(id, v, "table", "bucket")
+    val q = banded(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")), "query_id", "qv")
+    val c = banded(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")), "neighbor_id", "cv")
+    val cand = q.join(c, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))

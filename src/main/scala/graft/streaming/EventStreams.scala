@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value) — additive north-star scope
+  * (BASELINE.json; the reference has no streaming surface at all).
+  *
+  * Every transform takes a DataFrame and works identically on a batch frame
+  * or a `readStream` frame — the Spark way to keep one definition for
+  * backfill and live paths. Watermarks bound state (late rows beyond the
+  * watermark are dropped, state for closed windows is evicted), which is
+  * what makes these runnable indefinitely on an unbounded stream.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def tumblingStats(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionStats(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState: a running per-user
+    * event count + value sum that emits the updated state on every trigger.
+    * (The hand-rolled-state escape hatch for semantics windowed aggs can't
+    * express; state here is O(1) per user.)
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: wire a streaming frame to an in-memory sink for tests or
+    * a console sink for demos; caller stops the query.
+    */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Append)
+      .start()
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def l = Seq(
+    (1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 30L), (4L, "u2", 15L), (5L, "u3", 5L)
+  ).toDF("id", "k", "t")
+  private def r = Seq(
+    ("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 99L, "x")
+  ).toDF("k", "rt", "v")
+
+  test("backward inner: latest right <= left time, ties match (>= semantics)") {
+    val out = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // id=1 t=10 matches rt=10 (tie); id=2 t=20 matches rt=10; id=3 t=30 matches rt=25
+    assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b"))
+  }
+
+  test("backward left keeps unmatched rows with null payload") {
+    val out = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "left")
+    assert(out.count() == 5)
+    val nulls = out.where(col("v").isNull).select("id").as[Long].collect().toSet
+    assert(nulls == Set(4L, 5L)) // u2 has only rt=99 > 15; u3 has no right rows
+  }
+
+  test("forward inner: earliest right >= left time") {
+    val out = AsofJoin.forward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // id=1 t=10 -> rt=10; id=2 t=20 -> rt=25; id=3 t=30 -> none; id=4 t=15 -> rt=99
+    assert(out == Map(1L -> "a", 2L -> "b", 4L -> "x"))
+  }
+}
+
+class PositionalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zips rows in order and pads the shorter side with nulls") {
+    val l = Seq("a", "b", "c").toDF("x").orderBy("x")
+    val r = Seq(1, 2).toDF("y").orderBy(col("y").desc)
+    val out = PositionalJoin.join(l, r).collect()
+    assert(out.length == 3)
+    assert(out(0) == Row("a", 2))
+    assert(out(1) == Row("b", 1))
+    assert(out(2) == Row("c", null))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "entirely different text about spark and scala engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "short")
+  ).toDF("id", "text")
+
+  test("dedupExact keeps lowest id per exact duplicate group") {
+    val out = Dedup.dedupExact(docs, "text", "id").select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("wordShingles: n-grams, distinct, short-text safe") {
+    val sh = docs.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .where(col("sh").isNotNull).collect()
+    val first = sh(0).getSeq[String](0)
+    assert(first.contains("the quick brown") && first.contains("over the lazy"))
+    assert(sh(4).getSeq[String](0).isEmpty) // "short" has < 3 words
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates at threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup => jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs recall equals exact pairs on the documents testdata") {
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(documents, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(documents, "doc_id", "text", 3, 128, 32, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step guarantees precision; bands/rows chosen for ~1.0
+    // recall at J>=0.5
+    assert(lsh.subsetOf(exact))
+    assert(exact == lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
+  }
+
+  test("simhashPairs: exact dup is hamming 0; unrelated text is not paired") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+    val asMap = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(asMap((1L, 4L)) == 0)
+    assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    ).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9)).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic ties") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    // ranks are 1..5 per query and sims non-increasing
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to 5))
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("lshTopK recall vs brute force is usable (> 0.5, multi-table)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, nPlanes = 4, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall $recall too low")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("extractFeatures: schema, determinism, null-safety") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.documentsAsMedia(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").limit(5).collect()
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getSeq[Float](3).length == 8))
+    // histogram sums to byte count
+    assert(rows.forall(r => r.getSeq[Float](3).map(_.toLong).sum == r.getLong(1)))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").limit(5).collect()
+    assert(rows.zip(again).forall { case (a, b) => a == b })
+  }
+
+  test("extractFeatures handles null media bytes") {
+    import spark.implicits._
+    val media = Seq((1L, Option.empty[Array[Byte]])).toDF("media_id", "media")
+    val out = Multimodal.extractFeatures(media).collect()
+    assert(out.head.getLong(1) == 0L)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingStats over a MemoryStream aggregates per window and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = tumblingStats(input.toDF(), "10 minutes", "5 minutes")
+    val q = toMemorySink(agg, "tumbling_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 1, "click", 2.0),
+        Event(3, ts(11), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData(Event(4, ts(40), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a very late event for the first (closed) window: must be dropped
+      input.addData(Event(5, ts(1), 9, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(55), 1, "click", 1.0)) // push watermark past 40
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n", "total").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0))) // late row NOT counted
+      assert(rows.contains(("2024-01-01 10:10:00.0", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionStats groups events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = sessionStats(input.toDF(), "5 minutes", "10 minutes")
+    val q = toMemorySink(agg, "session_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(3), 1, "view", 2.0),  // same session (gap 3 < 5)
+        Event(3, ts(20), 1, "click", 4.0) // new session
+      )
+      q.processAllAvailable()
+      input.addData(Event(4, ts(59), 2, "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)))
+      assert(rows.contains((1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals keeps per-user state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val running = runningUserTotals(input.toDS())
+    val q = running.writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.5))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(1), 1, "view", 2.5))
+      q.processAllAvailable()
+      val latest = spark.table("running_test")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(latest == Set((1L, 2L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("same transform works on a batch frame (backfill path)") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 2.0),
+      Event(3, ts(11), 2, "view", 3.0)).toDF()
+    val out = tumblingStats(batch, "10 minutes", "5 minutes")
+      .orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2L && out(0).getDouble(3) == 3.0)
+  }
+}
