@@ -39,20 +39,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): xxhash64 of the index triple, scaled to [-1, 1). Fixed by
-    * construction — every executor computes the same planes with no
-    * broadcast state.
+  /** Deterministic pseudo-random hyperplane for (table, plane): components
+    * from a seeded PRNG, embedded in the plan as an array literal — every
+    * executor sees the same planes with no broadcast state and no per-row
+    * hashing. `maxDim` components are generated; vectors shorter than that
+    * zip with a prefix.
     */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (xxhash64(concat_ws(":", lit(table), lit(plane), dim)).cast("double") / lit(Long.MaxValue.toDouble))
+  private def plane(table: Int, plane: Int, maxDim: Int): Seq[Double] = {
+    val rnd = new scala.util.Random(42 + table * 1009 + plane * 97)
+    Seq.fill(maxDim)(rnd.nextDouble() * 2 - 1)
+  }
 
-  /** Sign-bit bucket id from `nPlanes` random hyperplanes of table `t`. */
-  def lshBucket(vec: Column, t: Int, nPlanes: Int): Column = {
+  /** Sign-bit bucket id from `nPlanes` random hyperplanes of table `t`.
+    * `dim` must equal the vector length (zip_with pads the shorter side
+    * with nulls, which would poison the dot product).
+    */
+  def lshBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(t, p, i)),
+        zip_with(vec, typedLit(plane(t, p, dim)), (x, c) => x * c),
         lit(0.0), (acc, v) => acc + v)
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -76,9 +81,12 @@ object Similarity {
       k: Int,
       nPlanes: Int = 4,
       nTables: Int = 8): DataFrame = {
+    // embedding dimension, resolved once at plan time (plane literals are
+    // sized to it)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(id), col(v),
-        posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes)): _*)))
+        posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes, dim)): _*)))
         .toDF(id, v, "table", "bucket")
     val q = banded(queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")), "query_id", "qv")
