@@ -128,6 +128,30 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d07_embedding_neardup",
+      withTables { (s, _) =>
+        Dedup.embeddingNearDupPairs(s.table("embeddings"), "vec_id", "embedding", threshold = 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "d08_ann_ivf_topk",
+      withTables { (s, _) =>
+        val emb = s.table("embeddings")
+        Similarity.ivfTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    QueryDef(
       "t01_langid",
       withTables { (s, _) =>
         s.table("documents")

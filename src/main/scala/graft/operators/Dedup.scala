@@ -197,6 +197,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT embedding-cosine near-duplicate pairs: all pairs with
+    * cosine(vec_a, vec_b) >= threshold. All-pairs self-join — correct at any
+    * threshold, quadratic in corpus size; the verification baseline for
+    * [[embeddingNearDupPairsLsh]], and fine when one side fits a broadcast.
+    * Similarity is rounded to 6 digits before thresholding so the cut is
+    * reproducible across engines.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup, LSH-blocked (the 100 TB path): candidates
+    * come from agreement in any of `nTables` hyperplane-LSH bucket tables
+    * (equi-join on (table, bucket) — never a cross product), then exact
+    * cosine verifies. Precision is exact; recall is the LSH collision
+    * probability (high for near-identical vectors, tunable via
+    * nPlanes/nTables).
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 8,
+      nTables: Int = 8): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val banded = v.select(col("id"), col("v"),
+      posexplode(array((0 until nTables).map(t =>
+        Similarity.lshBucket(col("v"), t, nPlanes, dim)): _*)))
+      .toDF("id", "v", "table", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** 64-bit SimHash fingerprint per row over word features: bit j of the
     * result is the sign of Σ_words (bit j of xxhash64(word) ? +1 : -1).
     * Computed as 64 conditional-sum aggregates after an explode — one

@@ -64,6 +64,103 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** K-means centroids trained driver-side on a bounded deterministic sample
+    * of the corpus (ordered by id, first `sampleN` rows — at 100 TB you train
+    * on a sample regardless; only the sample is ever collected). Lloyd
+    * iterations with cosine assignment on L2-normalized vectors; empty
+    * clusters keep their previous centroid. Returns `nCentroids` unit
+    * vectors.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      sampleN: Int = 2048,
+      iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(normalize)
+    // deterministic spread-out init: every (len/k)-th point of the sample
+    val stride = math.max(1, pts.length / nCentroids)
+    var cents = (0 until nCentroids).map(i => pts(math.min(i * stride, pts.length - 1))).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](pts.head.length))
+      val cnt = new Array[Int](nCentroids)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < nCentroids) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        cnt(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) == 0) old else normalize(sums(c))
+      }
+    }
+    cents
+  }
+
+  /** Approximate top-k: IVF (inverted-file) ANN. Centroids are trained on a
+    * driver-side sample and embedded as plan literals — no broadcast state,
+    * every executor evaluates the same codebook. Corpus rows are assigned to
+    * their nearest centroid (one int per row); each query probes its
+    * `nProbe` nearest centroids; candidates meet in an equi-join on the
+    * centroid id, then exact cosine ranks them.
+    *
+    * Scale: the corpus side shuffles once on centroid id (narrow rows), the
+    * probe join fans each query out `nProbe`× instead of corpus-size×.
+    * Recall is governed by nProbe/nCentroids; the spec checks it against
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids)
+    // per-row array of (cosine-to-centroid, centroid-id) structs; struct
+    // ordering is lexicographic, so array_max picks the nearest centroid
+    def centSims(v: Column): Column = array(cents.zipWithIndex.map { case (cv, ci) =>
+      struct(
+        aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => x * c),
+          lit(0.0), (acc, x) => acc + x).as("s"),
+        lit(ci).as("cid"))
+    }: _*)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid", array_max(centSims(col("cv"))).getField("cid"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cid",
+        explode(transform(
+          slice(reverse(array_sort(centSims(col("qv")))), 1, nProbe),
+          s => s.getField("cid"))))
+    val cand = q.join(c, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Approximate top-k: multi-table hyperplane LSH. Each of `nTables`
     * independent plane sets buckets both sides; candidates are the union of
     * same-(table, bucket) collisions — recall ≈ 1-(1-p^nPlanes)^nTables for

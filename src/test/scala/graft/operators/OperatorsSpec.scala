@@ -94,6 +94,21 @@ class DedupSpec extends SparkSpec {
     assert(exact == lsh, s"LSH missed ${(exact -- lsh).size} of ${exact.size} exact pairs")
   }
 
+  test("embeddingNearDupPairs: exact pairs above threshold; LSH variant is a high-recall subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => a < b })
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.4,
+      nPlanes = 4, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification makes precision exact; candidates bound recall
+    assert(lsh.subsetOf(exact))
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH near-dup recall $recall too low")
+  }
+
   test("simhashPairs: exact dup is hamming 0; unrelated text is not paired") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").collect()
@@ -129,6 +144,20 @@ class SimilaritySpec extends SparkSpec {
       val sims = sorted.map(_.getDouble(2)).toSeq
       assert(sims == sims.sorted.reverse)
     }
+  }
+
+  test("ivfTopK recall vs brute force is usable (> 0.5 at nProbe=4/16)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"IVF recall $recall too low")
+    // every query still yields k ranked results
+    val perQuery = ivf.groupBy(_._1).values.map(_.size).toSet
+    assert(perQuery == Set(5))
   }
 
   test("lshTopK recall vs brute force is usable (> 0.5, multi-table)") {
