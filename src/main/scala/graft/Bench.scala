@@ -27,6 +27,14 @@ object Bench {
     Tables.register(spark, sfDir)
     Tables.all.foreach(t => spark.table(t).limit(1000).write.format("noop").mode("overwrite").save())
     spark.table("lineitem").groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    // per-query untimed warmup at the target SF: janino-compiles every
+    // generated stage (including the AQE-chosen join variants, which differ
+    // by data size) and warms JIT, so the timed pass below measures
+    // steady-state execution rather than compiler latency
+    SparkEntry.defs.foreach { d =>
+      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()

@@ -155,7 +155,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      numHashes: Int = 128,
+      numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")

@@ -12,13 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns (cast upstream). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity between two array<double> columns (cast upstream).
+    * Backed by a native codegen'd expression ([[graft.functions.CosineSimilarityExpr]])
+    * — a tight primitive loop inside whole-stage codegen, not an interpreted
+    * higher-order-function fold.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * Queries × corpus join; fine when queries are few or either side is
@@ -56,9 +55,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      val dotp = aggregate(
-        zip_with(vec, typedLit(plane(t, p, dim)), (x, c) => x * c),
-        lit(0.0), (acc, v) => acc + v)
+      val dotp = graft.functions.VectorFunctions.dotProduct(vec, typedLit(plane(t, p, dim)))
       when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
@@ -138,8 +135,7 @@ object Similarity {
     // ordering is lexicographic, so array_max picks the nearest centroid
     def centSims(v: Column): Column = array(cents.zipWithIndex.map { case (cv, ci) =>
       struct(
-        aggregate(zip_with(v, typedLit(cv.toSeq), (x, c) => x * c),
-          lit(0.0), (acc, x) => acc + x).as("s"),
+        graft.functions.VectorFunctions.dotProduct(v, typedLit(cv.toSeq)).as("s"),
         lit(ci).as("cid"))
     }: _*)
     val c = corpus

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters. Lives in an
+  * `org.apache.spark.sql` subpackage solely to satisfy the access modifier —
+  * the only sanctioned way for an external library to wrap a custom Catalyst
+  * `Expression` as a user-facing `Column` in Spark 4.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -86,7 +86,7 @@ class DedupSpec extends SparkSpec {
     val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(documents, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minhashLshPairs(documents, "doc_id", "text", 3, 128, 32, 0.5)
+    val lsh = Dedup.minhashLshPairs(documents, "doc_id", "text", 3, 64, 32, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // verification step guarantees precision; bands/rows chosen for ~1.0
     // recall at J>=0.5
