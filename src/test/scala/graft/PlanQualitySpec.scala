@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans Catalyst produces for our operators
+  * must be the ones that survive a 100 TB scale-up — filters pushed into the
+  * parquet scan, columns pruned at the reader, dimension joins broadcast,
+  * sort+limit as top-k, aggregates with map-side partial combine, and the
+  * custom vector expressions inside whole-stage codegen. A correctness-green
+  * operator with the wrong plan fails here.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private lazy val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.register(spark, sf)
+  }
+
+  test("filter + narrow projection reaches the parquet scan (pushdown + pruning)") {
+    val df = spark.table("lineitem")
+      .where(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"), p)
+    // reader schema carries only the two referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"), readSchema)
+  }
+
+  test("fact-to-dimension join broadcasts the small side") {
+    val df = spark.table("lineitem")
+      .join(spark.table("supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("order by + limit compiles to top-k, not a global sort") {
+    val df = spark.table("orders").orderBy(col("o_totalprice").desc).limit(10)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("+- Sort "), p)
+  }
+
+  test("groupBy aggregation has map-side partial combine") {
+    val df = spark.table("lineitem").groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    // two HashAggregate nodes (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"), p)
+  }
+
+  test("psql pipeline stages collapse — no stacked projections, filter pushed down") {
+    val df = graft.psql.Psql(spark).sql(
+      "from lineitem |> where l_quantity > 40 |> select l_orderkey, l_quantity |> limit 5")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"), p)
+    // the nested-FROM tower must flatten to scan->filter->project->limit:
+    // exactly one Project above the scan, no Exchange at all
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("native cosine expression runs inside whole-stage codegen") {
+    val emb = spark.table("embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val df = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(operators.Similarity.cosine(col("a.v"), col("b.v")).as("sim"))
+    // run it so AQE finalizes the plan and codegen stages are visible
+    // (collect drives this DataFrame's own QueryExecution)
+    df.collect()
+    val p = plan(df)
+    // the projection evaluating cosine must sit inside a codegen span (no
+    // interpreted-eval fallback on the hot path)
+    // '*(n)' marks operators fused into whole-stage-codegen stage n
+    assert("""\*\(\d+\) Project \[cosine_similarity""".r.findFirstIn(p).isDefined,
+      s"cosine projection not codegen'd:\n$p")
+  }
+
+  test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
+    Tables.register(spark, sf)
+    val events = spark.table("events")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val df = operators.AsofJoin.backward(
+      events.select("event_id", "user_id", "ts"), purchases,
+      Seq("user_id"), "ts", "ts", Seq("value"), "inner")
+    val p = plan(df)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+}
