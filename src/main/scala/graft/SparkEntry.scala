@@ -387,7 +387,49 @@ object SparkEntry {
     QueryDef(
       "q31_sample",
       psql("from lineitem |> using sample 10% |> select l_orderkey, l_quantity"),
-      None)
+      None),
+
+    // files-as-tables (reference README.md:8): the README pipeline shape over
+    // the reference's own example CSVs, scanned by quoted path with schema
+    // inference — exercises PathRelations end-to-end inside the gate
+    QueryDef(
+      "q33_csv_scan",
+      psql("""from '/root/reference/example/invoices.csv' |>
+        |where invoice_date >= date '2010-01-01' |>
+        |select *, 0.8 as transaction_fees, total - transaction_fees as income |>
+        |select customer_id, cast(avg(total) as double) as avg_total,
+        |  cast(sum(income) as double) as sum_income, count() as ct
+        |  group by customer_id |>
+        |order by sum_income desc, customer_id |>
+        |limit 10""".stripMargin),
+      Some("""WITH inv AS (SELECT * FROM read_csv_auto('/root/reference/example/invoices.csv')),
+        |base AS (SELECT customer_id, total, total - 0.8 AS income
+        |  FROM inv WHERE invoice_date >= DATE '2010-01-01')
+        |SELECT customer_id, cast(avg(total) as double) AS avg_total,
+        |  cast(sum(income) as double) AS sum_income, count(*) AS ct
+        |FROM base GROUP BY customer_id
+        |ORDER BY sum_income DESC, customer_id LIMIT 10""".stripMargin)),
+
+    QueryDef(
+      "q34_json_funcs",
+      psql("""from documents |>
+        |select doc_id, concat('{"lang":"', lang, '","n":', cast(n_chars as string), '}') as j |>
+        |select doc_id, get_json_object(j, '$.lang') as jlang,
+        |  cast(get_json_object(j, '$.n') as bigint) as jn |>
+        |order by doc_id""".stripMargin),
+      Some("""WITH j AS (SELECT doc_id, '{"lang":"' || lang || '","n":' || n_chars || '}' AS j
+        |  FROM documents)
+        |SELECT doc_id, json_extract_string(j, '$.lang') AS jlang,
+        |  CAST(json_extract(j, '$.n') AS BIGINT) AS jn
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // table function as pipeline head (DuckDB range/generate_series)
+    QueryDef(
+      "q35_range_series",
+      psql("""from range(1, 11) |>
+        |select id as n, id * id as sq |>
+        |order by n""".stripMargin),
+      Some("SELECT range AS n, range * range AS sq FROM range(1, 11) ORDER BY n"))
   )
 
   def defs: Vector[QueryDef] = coreDefs ++ OpsEntry.defs

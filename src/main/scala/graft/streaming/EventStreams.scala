@@ -58,6 +58,67 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon. State is bounded by the watermark (keys
+    * older than it are evicted), which is what makes dedup runnable on an
+    * unbounded stream — the streaming counterpart of
+    * [[graft.operators.Dedup.dedupExact]] for ingest pipelines.
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+
+  final case class SessionSummary(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: accumulates an
+    * open session per user and EMITS it (zero or one row) only when the
+    * event-time timeout fires — i.e. the user went quiet for `gapMs`. The
+    * flatMap variant is what allows emitting nothing while a session is
+    * still open; state is one small struct per active user, evicted on
+    * timeout.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionSummary]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // user went quiet: close and emit the session
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val cur = state.getOption
+            var out = List.empty[SessionSummary]
+            var open = cur
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                  open = Some(s.copy(session_end = e.ts,
+                    n_events = s.n_events + 1, total_value = s.total_value + e.value))
+                case Some(s) => // gap exceeded inside the batch: emit, start anew
+                  out ::= s
+                  open = Some(SessionSummary(uid, e.ts, e.ts, 1L, e.value))
+                case None =>
+                  open = Some(SessionSummary(uid, e.ts, e.ts, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** Convenience: wire a streaming frame to an in-memory sink for tests or
     * a console sink for demos; caller stops the query.
     */

@@ -80,6 +80,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val dedup = dedupWithinWatermark(input.toDF(), "10 minutes", "event_id")
+    val q = toMemorySink(dedup, "dedup_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // duplicate key within horizon
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 1, "click", 1.0)) // still within horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect().toList
+      assert(ids.sorted == List(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a session only after the user goes quiet for the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessionize_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(3), 1, "view", 2.0)) // one open session for user 1
+      q.processAllAvailable()
+      assert(spark.table("sessionize_test").isEmpty) // still open: nothing emitted
+      input.addData(Event(3, ts(30), 2, "click", 0.5)) // watermark passes the gap
+      q.processAllAvailable()
+      input.addData(Event(4, ts(59), 3, "click", 0.0)) // one more advance to fire timeout
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_test")
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("same transform works on a batch frame (backfill path)") {
     import spark.implicits._
     val batch = Seq(
