@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry.QueryDef
 import graft.operators._
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TopKTokens}
 
 /** Custom-operator query inventory: as-of/positional joins (SURVEY §2.C ⚠️
   * rows) and the north-star LLM-pipeline ops (dedup, similarity, text
@@ -48,6 +48,30 @@ object OpsEntry {
       Some("""SELECT c_custkey, o_orderkey
         |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100)
         |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
+
+    QueryDef(
+      "a03_range_join",
+      withTables { (s, _) =>
+        // events landing inside the 10-minute window after each purchase,
+        // binned on 600s epoch buckets to avoid the n×m nested loop
+        val ev = s.table("events")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("p"))
+        val win = s.table("events").where(col("event_type") === "purchase")
+          .where(col("event_id") % 50 === 0)
+          .select(col("event_id").as("purchase_id"), unix_timestamp(col("ts")).as("lo"))
+          .withColumn("hi", col("lo") + 600)
+        RangeJoin.binned(ev, win, "p", "lo", "hi", binWidth = 600)
+          .groupBy("purchase_id").agg(count(lit(1)).as("n_events"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, count(*) AS n_events
+        |FROM (SELECT event_id AS purchase_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS lo
+        |      FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0) w
+        |JOIN (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS p
+        |      FROM events) e
+        |  ON e.p >= w.lo AND e.p <= w.lo + 600
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
 
     QueryDef(
       "d01_dedup_exact",
@@ -221,6 +245,26 @@ object OpsEntry {
         |    % 2147483647 AS fp
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t05_heavy_hitters",
+      withTables { (s, _) =>
+        val tokens = s.table("documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        tokens.groupBy("lang")
+          .agg(TopKTokens.topK(col("tok"), k = 10).as("toks"))
+          .select(col("lang"), posexplode(col("toks")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+            col("col._1").as("token"), col("col._2").as("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY lang, token),
+        |r AS (SELECT lang, token, cnt,
+        |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        |      FROM c)
+        |SELECT lang, CAST(rk AS INT) AS rank, token, cnt
+        |FROM r WHERE rk <= 10 ORDER BY lang, rank""".stripMargin)),
 
     QueryDef(
       "m01_multimodal_features",

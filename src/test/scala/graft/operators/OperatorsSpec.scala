@@ -118,6 +118,47 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join equals the naive theta join for any bin width") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 100L)).toDF("pid", "p")
+    val ranges = Seq((10L, 3L, 9L), (20L, 10L, 10L), (30L, 15L, 40L)).toDF("rid", "lo", "hi")
+    val expect = RangeJoin.naive(points, ranges, "p", "lo", "hi")
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(expect == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.binned(points, ranges, "p", "lo", "hi", w)
+        .select("pid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"binWidth=$w")
+    }
+  }
+}
+
+class TopKTokensSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TopKTokens
+
+  test("exact top-k counts when capacity exceeds distinct keys") {
+    val toks = Seq("a", "b", "a", "c", "a", "b", "d").toDF("tok")
+    val out = toks.agg(TopKTokens.topK($"tok", 3, capacity = 100).as("t"))
+      .select(explode($"t")).select("col._1", "col._2")
+      .as[(String, Long)].collect().toList
+    assert(out == List(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("bounded buffer: counts are overestimates within N/capacity when full") {
+    // 6 distinct keys, capacity 3: sketch must still surface the true heavy
+    // hitter and never undercount it
+    val data = List.fill(50)("hot") ++ List("x1", "x2", "x3", "x4", "x5")
+    val out = data.toDF("tok").coalesce(1)
+      .agg(TopKTokens.topK($"tok", 1, capacity = 3).as("t"))
+      .select(explode($"t")).select("col._1", "col._2")
+      .as[(String, Long)].collect().toList
+    assert(out.head._1 == "hot" && out.head._2 >= 50L)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
