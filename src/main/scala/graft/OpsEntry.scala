@@ -275,6 +275,15 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "m02_frame_sample",
+      withTables { (s, _) =>
+        Multimodal.sampleFrames(Multimodal.documentsAsMedia(s.table("documents")), 4)
+          .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n"), col("frame_checksum"))
+          .orderBy("media_id", "frame_idx")
+      },
+      None),
+
+    QueryDef(
       "q32_tumbling_window",
       withTables { (s, _) =>
         Psqlish(s, """from events |>

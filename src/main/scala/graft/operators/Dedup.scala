@@ -210,7 +210,11 @@ object Dedup {
       vecCol: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    // the corpus usually arrives in a handful of input splits; spread the
+    // stream side of the nested-loop join across all cores (the broadcast
+    // side is unaffected) so the O(n²) cosine work parallelizes
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    v.repartition(n).as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))

@@ -64,6 +64,67 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
   ))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = true),
+    StructField("frame_checksum", LongType, nullable = false)
+  ))
+
+  /** Frame sampling: split each media blob into `nFrames` equal byte chunks
+    * (the stub stand-in for video keyframe extraction) and emit one row per
+    * frame. flatMap keeps it streaming — no per-row list materialization on
+    * the driver, and downstream frame work parallelizes past the per-media
+    * grain.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    require(nFrames > 0)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val bytes = if (row.isNullAt(mediaIdx)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](mediaIdx)
+        val step = math.max(1, bytes.length / nFrames)
+        (0 until nFrames).iterator.map { f =>
+          val from = math.min(f * step, bytes.length)
+          val until = if (f == nFrames - 1) bytes.length else math.min(from + step, bytes.length)
+          val frame = java.util.Arrays.copyOfRange(bytes, from, until)
+          var ck = 7L
+          frame.foreach(b => ck = (ck * 31 + (b & 0xFF)) % 2147483647L)
+          Row(id, f, frame, ck)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(frameSchema))
+  }
+
+  /** "Resize" stub: deterministic byte subsampling to `targetBytes`, with
+    * meta dims rewritten — the plumbing (binary in, smaller binary + new
+    * metadata out, batched per partition) is what a real image resize
+    * drops into.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes > 0)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        val bytes = if (row.isNullAt(mediaIdx)) Array.emptyByteArray
+          else row.getAs[Array[Byte]](mediaIdx)
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else {
+            val step = bytes.length.toDouble / targetBytes
+            Array.tabulate(targetBytes)(i => bytes((i * step).toInt))
+          }
+        val side = math.sqrt(out.length.toDouble).toInt
+        Row(id, out, Row("application/octet-stream", side, side))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   /** Partition-local feature extraction over binary media columns. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")

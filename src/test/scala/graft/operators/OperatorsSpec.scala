@@ -230,6 +230,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("sampleFrames splits bytes into n frames covering the whole blob") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val media = Multimodal.documentsAsMedia(docs)
+    val frames = Multimodal.sampleFrames(media, 4)
+    val agg = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), sum(length(col("frame"))).as("total"))
+      .join(media.select(col("media_id"), length(col("media")).as("orig")), Seq("media_id"))
+      .collect()
+    assert(agg.nonEmpty)
+    agg.foreach { r =>
+      assert(r.getLong(1) == 4L) // 4 frames each
+      assert(r.getLong(2) == r.getInt(3).toLong) // frames cover all bytes
+    }
+  }
+
+  test("resize bounds media to targetBytes and rewrites meta dims") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val media = Multimodal.documentsAsMedia(docs)
+    val out = Multimodal.resize(media, 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes.length <= 64)
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) == math.sqrt(bytes.length.toDouble).toInt)
+    }
+    // deterministic
+    val again = Multimodal.resize(media, 64).collect()
+    assert(out.map(_.getAs[Array[Byte]](1).toSeq).toSeq ==
+      again.map(_.getAs[Array[Byte]](1).toSeq).toSeq)
+  }
+
   test("extractFeatures handles null media bytes") {
     import spark.implicits._
     val media = Seq((1L, Option.empty[Array[Byte]])).toDF("media_id", "media")
