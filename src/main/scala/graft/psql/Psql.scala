@@ -21,10 +21,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class Psql(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = {
+    rejectMultiStatement(query)
     val rewritten = rewriteOnly(query)
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     spark.sql(finalSql)
+  }
+
+  /** The reference silently keeps only `statements[0]` of a multi-statement
+    * script (`src/psql_extension.cpp:85-89`) — a footgun SURVEY §7 says to
+    * handle explicitly. We reject instead: a top-level `;` with content after
+    * it is an error (a trailing semicolon stays legal, `psql.test:22-23`).
+    */
+  private def rejectMultiStatement(query: String): Unit = {
+    val sc = SqlScanner.scan(query)
+    var i = 0
+    while (i < query.length) {
+      if (sc.topLevel(i) && query.charAt(i) == ';') {
+        val next = SqlScanner.nextCode(query, sc, i + 1)
+        if (next >= 0 && query.charAt(next) != ';')
+          throw new IllegalArgumentException(
+            "multi-statement input is not supported: submit one PSQL statement at a time " +
+              s"(found a second statement starting at offset $next)")
+      }
+      i += 1
+    }
   }
 
   /** The pure string rewrite (no execution) — exposed for tests/EXPLAIN. */

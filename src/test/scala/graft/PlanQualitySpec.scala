@@ -83,6 +83,32 @@ class PlanQualitySpec extends SparkSpec {
       s"cosine projection not codegen'd:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import org.apache.spark.sql.SaveMode
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a fresh metastore won't know about last JVM's managed locations
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    spark.table("orders").select("o_orderkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    spark.table("lineitem").select("l_orderkey", "l_quantity")
+      .write.mode(SaveMode.Overwrite).bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+    val p = plan(joined)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffles:\n" + p)
+  }
+
   test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
     Tables.register(spark, sf)
     val events = spark.table("events")

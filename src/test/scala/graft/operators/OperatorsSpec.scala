@@ -135,6 +135,32 @@ class RangeJoinSpec extends SparkSpec {
   }
 }
 
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedEquiJoin equals the plain equi-join, spread over salt keys") {
+    val left = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
+      .toDF("k", "v") // 90% of rows share one hot key
+    val right = (Seq("HOT") ++ (1 to 1000).map("cold" + _)).map(k => (k, k.length))
+      .toDF("k", "len")
+    val expect = left.join(right, Seq("k")).select("k", "v", "len")
+      .as[(String, Int, Int)].collect().toSet
+    val got = SkewJoin.saltedEquiJoin(left, right, "k", saltFactor = 8)
+      .select("k", "v", "len").as[(String, Int, Int)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("saltedCountSum equals plain groupBy count/sum") {
+    val df = (1 to 500).map(i => (if (i % 5 == 0) "hot" else "k" + i, i.toLong))
+      .toDF("k", "v")
+    val expect = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .as[(String, Long, Long)].collect().toSet
+    val got = SkewJoin.saltedCountSum(df, "k", "v", saltFactor = 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+}
+
 class TopKTokensSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKTokens

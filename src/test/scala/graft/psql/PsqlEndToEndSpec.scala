@@ -61,6 +61,15 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("multi-statement input is rejected with a clear error (trailing ; stays legal)") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("select 1; select 2")
+    }
+    assert(e.getMessage.contains("multi-statement"))
+    // semicolons inside literals are not statement separators
+    assert(psql.sql("select 'a;b' as s").collect().head.getString(0) == "a;b")
+  }
+
   test("full README pipeline matches golden result (README.md:37-53)") {
     val inv = "/root/reference/example/invoices.csv"
     val cus = "/root/reference/example/customers.csv"
