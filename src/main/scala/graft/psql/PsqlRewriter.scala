@@ -309,9 +309,29 @@ object PsqlRewriter {
     }
   }
 
+  /** DuckDB → Spark function-name aliases, applied only where the Spark
+    * function has identical argument order and semantics for the common
+    * cases. (`string_split` note: Spark's `split` treats the separator as a
+    * regex; single-character non-meta separators — the overwhelmingly common
+    * case — behave identically.)
+    */
+  private val functionAliases: Map[String, String] = Map(
+    "list_distinct" -> "array_distinct",
+    "list_sort" -> "array_sort",
+    "list_contains" -> "array_contains",
+    "list_intersect" -> "array_intersect",
+    "list_transform" -> "transform",
+    "list_filter" -> "filter",
+    "regexp_matches" -> "regexp_like",
+    "string_split" -> "split",
+    "str_split" -> "split",
+    "strlen" -> "length"
+  )
+
   /** Expression-level dialect shims applied to clause texts (string-aware):
     *   - zero-arg `count()` → `count(*)` (DuckDB allows it, `README.md:19`)
     *   - `* EXCLUDE (…)`   → `* EXCEPT (…)` (DuckDB star-exclude)
+    *   - DuckDB function names → Spark equivalents ([[functionAliases]])
     */
   private[psql] def shims(text: String): String = {
     val sc = scan(text)
@@ -331,7 +351,19 @@ object PsqlRewriter {
       } else if (sc.code(i) && matchesWord(text, i, "exclude")) {
         sb.append("EXCEPT")
         i += 7
-      } else { sb.append(text.charAt(i)); i += 1 }
+      } else {
+        // function-name aliases: word followed by '(' at a code position
+        val alias = functionAliases.collectFirst {
+          case (from, to) if sc.code(i) && matchesWord(text, i, from) && {
+              val j = nextCode(text, sc, i + from.length)
+              j >= 0 && text.charAt(j) == '('
+            } => (from, to)
+        }
+        alias match {
+          case Some((from, to)) => sb.append(to); i += from.length
+          case None             => sb.append(text.charAt(i)); i += 1
+        }
+      }
     }
     sb.toString
   }

@@ -61,6 +61,27 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("Dataset.pipe extension applies stages like Psql.sql") {
+    import graft.psql.implicits._
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("i", "g")
+    val out = df.pipe("where i > 1")
+      .pipe("select g, count() as n group by g |> order by g")
+      .as[(String, Long)].collect().toList
+    assert(out == List(("a", 1L), ("b", 1L)))
+  }
+
+  test("DuckDB function aliases resolve in stages (list_*/regexp_matches/string_split)") {
+    import spark.implicits._
+    Seq("a b c b").toDF("s").createOrReplaceTempView("alias_t")
+    val row = psql.sql(
+      "from alias_t |> select list_distinct(string_split(s, ' ')) as d, " +
+        "list_contains(string_split(s, ' '), 'c') as has_c, " +
+        "regexp_matches(s, '^a') as starts_a").collect().head
+    assert(row.getSeq[String](0).sorted == Seq("a", "b", "c"))
+    assert(row.getBoolean(1) && row.getBoolean(2))
+  }
+
   test("multi-statement input is rejected with a clear error (trailing ; stays legal)") {
     val e = intercept[IllegalArgumentException] {
       psql.sql("select 1; select 2")
