@@ -21,11 +21,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class Psql(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = {
+    val finalSql = Psql.preprocess(spark, query)
+    spark.sql(finalSql)
+  }
+
+  /** The pure string rewrite (no execution) — exposed for tests/EXPLAIN. */
+  def rewriteOnly(query: String): String = Psql.rewriteOnly(query)
+}
+
+object Psql {
+  def apply(spark: SparkSession): Psql = new Psql(spark)
+
+  /** Full front-end preprocessing: multi-statement guard → pipe/block
+    * rewrite → quoted-path relation registration. Shared by the library
+    * entry point ([[Psql.sql]]) and the parser injection
+    * ([[PsqlSparkExtension]]).
+    */
+  private[psql] def preprocess(spark: SparkSession, query: String): String = {
     rejectMultiStatement(query)
     val rewritten = rewriteOnly(query)
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
-    spark.sql(finalSql)
+    finalSql
+  }
+
+  private[psql] def rewriteOnly(query: String): String = {
+    if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
+    else {
+      val t = query.trim
+      // normalize bare FROM-first queries (DuckDB-ism) even without pipes
+      if (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from"))
+        PsqlRewriter.rewrite(t)
+      else t
+    }
   }
 
   /** The reference silently keeps only `statements[0]` of a multi-statement
@@ -47,22 +75,6 @@ class Psql(val spark: SparkSession) {
       i += 1
     }
   }
-
-  /** The pure string rewrite (no execution) — exposed for tests/EXPLAIN. */
-  def rewriteOnly(query: String): String = {
-    if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
-    else {
-      val t = query.trim
-      // normalize bare FROM-first queries (DuckDB-ism) even without pipes
-      if (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from"))
-        PsqlRewriter.rewrite(t)
-      else t
-    }
-  }
-}
-
-object Psql {
-  def apply(spark: SparkSession): Psql = new Psql(spark)
 }
 
 /** Quoted-path FROM/JOIN sources → temp views backed by DataFrameReader. */

@@ -1,0 +1,61 @@
+package graft.psql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The true analog of the reference's parser-extension registration
+  * (ywelsch/duckdb-psql `src/psql_extension.cpp:17-25`): inject PSQL into
+  * the session's SQL parser so pipe syntax works in plain `spark.sql`:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new PsqlSparkExtension)          // or:
+  *   .config("spark.sql.extensions", "graft.psql.PsqlSparkExtension")
+  *   .getOrCreate()
+  * spark.sql("from t |> where x > 1 |> select y, count() as n group by y")
+  * }}}
+  *
+  * Unlike the reference's two-phase plan/bind hook trampoline (needed
+  * because DuckDB parser extensions can't re-enter the binder,
+  * `psql_extension.cpp:92-125`), a Spark parser wraps the delegate
+  * directly: PSQL text is rewritten to canonical SQL and handed to the
+  * downstream parser; everything else passes through verbatim — the same
+  * pass-through contract (`psql_extension.cpp:76-79`).
+  */
+class PsqlSparkExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((session, delegate) => new PsqlParser(session, delegate))
+}
+
+/** Delegating parser: `parsePlan`/`parseQuery` preprocess PSQL (rewrite +
+  * quoted-path relation registration); all other entry points (expressions,
+  * identifiers, types) can never contain pipe syntax and delegate directly.
+  */
+class PsqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
+
+  /** Rewrite pipe queries and bare FROM-first queries (both would fail in
+    * vanilla Spark, so intercepting them is strictly additive); every other
+    * statement — including SQL scripting — passes through untouched.
+    */
+  private def pre(text: String): String = {
+    val t = text.trim
+    if (PsqlRewriter.isPsql(text) || (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from")))
+      Psql.preprocess(session, text)
+    else text
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(pre(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(pre(sqlText))
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}

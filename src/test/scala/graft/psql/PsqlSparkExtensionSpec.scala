@@ -1,0 +1,61 @@
+package graft.psql
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** Parser-injection path: `spark.sql` itself understands PSQL when the
+  * session is built with [[PsqlSparkExtension]] — the analog of the
+  * reference's `LOAD psql` (`test/sql/psql.test:15`).
+  */
+class PsqlSparkExtensionSpec extends SparkSpec {
+
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    spark // force the shared base session (and its SparkContext) first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new PsqlSparkExtension)
+        .getOrCreate() // reuses the JVM's SparkContext, new SessionState
+      f(s)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("spark.sql runs pipe queries directly with the extension installed") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq((1, "a"), (2, "b"), (3, "a")).toDF("i", "g").createOrReplaceTempView("ext_t")
+      val out = s.sql(
+        "from ext_t |> where i > 1 |> select g, count() as n group by g |> order by g")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+      assert(out == List(("a", 1L), ("b", 1L)))
+    }
+  }
+
+  test("bare FROM-first works; plain SQL and expressions pass through") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq(5, 6).toDF("i").createOrReplaceTempView("ext_t2")
+      assert(s.sql("from ext_t2").count() == 2)
+      assert(s.sql("SELECT 41 + 1 AS x").collect().head.getInt(0) == 42)
+      // non-plan parser paths still work (expression / identifier parsing)
+      assert(s.table("ext_t2").filter("i > 5").count() == 1)
+    }
+  }
+
+  test("quoted-path scan works through spark.sql") {
+    withExtendedSession { s =>
+      val n = s.sql("from '/root/reference/example/customers.csv' |> select count() as n")
+        .collect().head.getLong(0)
+      assert(n == 59L)
+    }
+  }
+}
