@@ -27,16 +27,15 @@ object Bench {
     Tables.register(spark, sfDir)
     Tables.all.foreach(t => spark.table(t).limit(1000).write.format("noop").mode("overwrite").save())
     spark.table("lineitem").groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    // per-query untimed warmup at the target SF: janino-compiles every
-    // generated stage (including the AQE-chosen join variants, which differ
-    // by data size) and warms JIT, so the timed pass below measures
-    // steady-state execution rather than compiler latency
-    SparkEntry.defs.foreach { d =>
+    // warm-then-time PER QUERY, adjacently: the untimed run janino-compiles
+    // the query's generated stages (incl. the AQE-chosen join variants) and
+    // warms JIT; timing immediately after keeps those classes in Spark's
+    // bounded codegen cache (~100 entries — warming all 50+ queries first
+    // would evict the early ones again). The timed run measures steady-state
+    // execution, not compiler latency.
+    val results = SparkEntry.defs.map { d =>
       try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    }
-
-    val results = SparkEntry.defs.map { d =>
       val t0 = System.nanoTime()
       val ok =
         try { d.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
