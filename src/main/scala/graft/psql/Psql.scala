@@ -49,8 +49,10 @@ object Psql {
     if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
     else {
       val t = query.trim
-      // normalize bare FROM-first queries (DuckDB-ism) even without pipes
-      if (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from"))
+      // normalize bare FROM-first queries and COPY sinks (DuckDB-isms)
+      // even without pipes
+      if (t.nonEmpty &&
+          (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isCopy(t)))
         PsqlRewriter.rewrite(t)
       else t
     }

@@ -43,11 +43,66 @@ object PsqlRewriter {
   /** Rewrite a full PSQL statement to Spark SQL. Handles `(| … |)` scoped
     * blocks (each becomes a parenthesized subquery), then pipe-rewrites the
     * surrounding text — mirroring `src/psql_extension.cpp:55-73` but with
-    * proper nesting support.
+    * proper nesting support. DuckDB-style `COPY … TO` sinks become
+    * `INSERT OVERWRITE DIRECTORY` so the statement stays declarative in
+    * both the library path and the injected parser.
     */
   def rewrite(query: String): String = {
     val q = stripTrailingSemicolon(query)
-    rewriteBlocks(q)
+    copyToInsertDirectory(rewriteBlocks(q))
+  }
+
+  /** True when the trimmed statement starts with the COPY keyword — the
+    * DuckDB sink form `COPY (<query>|<table>) TO '<path>' (opts)`, which
+    * vanilla Spark has no syntax for (intercepting is strictly additive).
+    */
+  def isCopy(query: String): Boolean = {
+    val t = query.trim
+    t.nonEmpty && matchesWord(t, 0, "copy")
+  }
+
+  /** `COPY <source> TO '<path>' [(FORMAT f, HEADER [b], DELIMITER 'c')]`
+    * → `INSERT OVERWRITE DIRECTORY '<path>' USING f [OPTIONS (…)] <query>`.
+    * Source is a parenthesized (already pipe-rewritten) query or a table
+    * name; format defaults from the path extension (parquet otherwise).
+    */
+  private def copyToInsertDirectory(s0: String): String = {
+    val s = s0.trim
+    if (!matchesWord(s, 0, "copy")) return s0
+    val sc = scan(s)
+    val toPositions = topLevelKeyword(s, sc, Seq("to"))
+    if (toPositions.isEmpty) return s0
+    val toPos = toPositions.head
+    val source = s.substring(4, toPos).trim
+    // target path literal
+    val q1 = nextCode(s, sc, toPos + 2)
+    if (q1 < 0 || s.charAt(q1) != '\'') return s0
+    val q2 = s.indexOf('\'', q1 + 1)
+    if (q2 < 0) return s0
+    val path = s.substring(q1 + 1, q2)
+    // options block
+    val rest = s.substring(q2 + 1).trim
+    val opts: Map[String, String] =
+      if (rest.startsWith("(") && rest.endsWith(")"))
+        rest.drop(1).dropRight(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { o =>
+          val parts = o.split("\\s+", 2)
+          (parts(0).toLowerCase, if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else "true")
+        }.toMap
+      else Map.empty
+    val lower = path.toLowerCase
+    val format = opts.getOrElse("format",
+      if (lower.endsWith(".csv")) "csv"
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) "json"
+      else "parquet")
+    val writerOpts = Seq(
+      opts.get("header").map(v => s"'header' '${if (v == "true" || v.isEmpty) "true" else v}'"),
+      (opts.get("delimiter") orElse opts.get("delim") orElse opts.get("sep")).map(v => s"'sep' '$v'")
+    ).flatten
+    val optsSql = if (writerOpts.nonEmpty) writerOpts.mkString(" OPTIONS (", ", ", ")") else ""
+    val innerQuery =
+      if (source.startsWith("(") && source.endsWith(")")) source.drop(1).dropRight(1).trim
+      else s"SELECT * FROM $source"
+    s"INSERT OVERWRITE DIRECTORY '$path' USING $format$optsSql $innerQuery"
   }
 
   private def stripTrailingSemicolon(s: String): String = {

@@ -37,13 +37,15 @@ class PsqlSparkExtension extends (SparkSessionExtensions => Unit) {
   */
 class PsqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
-  /** Rewrite pipe queries and bare FROM-first queries (both would fail in
-    * vanilla Spark, so intercepting them is strictly additive); every other
-    * statement — including SQL scripting — passes through untouched.
+  /** Rewrite pipe queries, bare FROM-first queries, and COPY sinks (all
+    * would fail in vanilla Spark, so intercepting them is strictly
+    * additive); every other statement — including SQL scripting — passes
+    * through untouched.
     */
   private def pre(text: String): String = {
     val t = text.trim
-    if (PsqlRewriter.isPsql(text) || (t.nonEmpty && SqlScanner.matchesWord(t, 0, "from")))
+    if (PsqlRewriter.isPsql(text) ||
+        (t.nonEmpty && (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isCopy(t))))
       Psql.preprocess(session, text)
     else text
   }

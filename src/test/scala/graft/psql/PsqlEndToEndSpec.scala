@@ -61,6 +61,19 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("COPY pipeline TO parquet/csv writes files readable back") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("i", "s").createOrReplaceTempView("copy_t")
+    val dir = java.nio.file.Files.createTempDirectory("psql_copy").toFile
+    val pq = new java.io.File(dir, "out.parquet").getAbsolutePath
+    psql.sql(s"copy (| from copy_t |> where i > 1 |) to '$pq'")
+    assert(spark.read.parquet(pq).as[(Int, String)].collect().toSet == Set((2, "y"), (3, "z")))
+    val csv = new java.io.File(dir, "out.csv").getAbsolutePath
+    psql.sql(s"copy copy_t to '$csv' (format csv, header)")
+    val back = spark.read.option("header", true).option("inferSchema", true).csv(csv)
+    assert(back.as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y"), (3, "z")))
+  }
+
   test("Dataset.pipe extension applies stages like Psql.sql") {
     import graft.psql.implicits._
     import spark.implicits._
