@@ -21,6 +21,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class Psql(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = {
+    val t = query.trim
+    // DuckDB `SUMMARIZE <table or query>`: column-statistics profile of the
+    // relation — mapped to Dataset.summary() over the summarized relation
+    if (SqlScanner.matchesWord(t, 0, "summarize")) {
+      val inner = Psql.preprocess(spark, t.substring("summarize".length).trim.stripSuffix(";"))
+      val src =
+        if (inner.isEmpty) throw new IllegalArgumentException("SUMMARIZE needs a table or query")
+        else if (SqlScanner.matchesWord(inner, 0, "select") || inner.startsWith("(")) spark.sql(inner)
+        else spark.table(inner)
+      return src.summary()
+    }
     val finalSql = Psql.preprocess(spark, query)
     spark.sql(finalSql)
   }

@@ -352,15 +352,25 @@ object PsqlRewriter {
     else fromSuffix
   }
 
-  /** DuckDB `USING SAMPLE n% / n ROWS` → Spark TABLESAMPLE. */
+  /** DuckDB `USING SAMPLE n% / n ROWS [(method[, seed])]` → Spark
+    * TABLESAMPLE, carrying the seed through as REPEATABLE for deterministic
+    * samples.
+    */
   private def translateSample(spec: String): String = {
-    val t = spec.trim.stripSuffix(")").stripPrefix("(").trim
+    val t0 = spec.trim.stripSuffix(")").stripPrefix("(").trim
+    // optional trailing method/seed: `10% (bernoulli, 42)` / `10 percent (system)`
+    val methodSeed = "(?is)^(.*?)\\s*\\(\\s*\\w+\\s*(?:,\\s*([0-9]+)\\s*)?$".r
+    val (t, seed) = t0 match {
+      case methodSeed(body, s) => (body.trim, Option(s))
+      case _                   => (t0, None)
+    }
+    val rep = seed.map(s => s" REPEATABLE ($s)").getOrElse("")
     val pct = "(?i)^([0-9.]+)\\s*(%|percent)$".r
     val rows = "(?i)^([0-9]+)(\\s+rows?)?$".r
     t match {
-      case pct(n, _)    => s"TABLESAMPLE ($n PERCENT)"
-      case rows(n, _)   => s"TABLESAMPLE ($n ROWS)"
-      case other        => s"TABLESAMPLE ($other)"
+      case pct(n, _)    => s"TABLESAMPLE ($n PERCENT)$rep"
+      case rows(n, _)   => s"TABLESAMPLE ($n ROWS)$rep"
+      case other        => s"TABLESAMPLE ($other)$rep"
     }
   }
 

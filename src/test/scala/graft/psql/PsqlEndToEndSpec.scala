@@ -61,6 +61,27 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("SUMMARIZE profiles a table or a pipeline") {
+    import spark.implicits._
+    Seq(1, 2, 3, 4).toDF("v").createOrReplaceTempView("sum_t")
+    val byTable = psql.sql("summarize sum_t").collect()
+    assert(byTable.map(_.getString(0)).contains("max"))
+    val byPipe = psql.sql("summarize from sum_t |> where v > 1").collect()
+    val maxRow = byPipe.find(_.getString(0) == "max").get
+    assert(maxRow.getString(1) == "4")
+    val cntRow = byPipe.find(_.getString(0) == "count").get
+    assert(cntRow.getString(1) == "3")
+  }
+
+  test("USING SAMPLE with seed is deterministic across runs (REPEATABLE)") {
+    val q = "from lineitem_small |> using sample 50% (bernoulli, 42) |> select l_orderkey"
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("lineitem_small")
+    val a = psql.sql(q).collect().length
+    val b = psql.sql(q).collect().length
+    assert(a == b && a > 0)
+  }
+
   test("COPY pipeline TO parquet/csv writes files readable back") {
     import spark.implicits._
     Seq((1, "x"), (2, "y"), (3, "z")).toDF("i", "s").createOrReplaceTempView("copy_t")
