@@ -99,6 +99,78 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Ids of the `k` nearest codebook centroids by dot product, descending —
+  * the IVF assignment/probe kernel. One expression regardless of codebook
+  * size: the codebook rides along as a codegen reference object and the
+  * generated code is two tight loops plus a k-element insertion sort, so
+  * whole-stage codegen never bails on method size (64 separate dot-product
+  * expressions in an `array(struct(...))` did, falling back to interpreted
+  * eval — ~50× slower corpus assignment).
+  */
+case class TopCentroidsExpr(child: Expression, codebook: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1 && k <= codebook.length)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val sims = new Array[Double](codebook.length)
+    var c = 0
+    while (c < codebook.length) {
+      val cv = codebook(c)
+      val n = math.min(v.numElements(), cv.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += v.getDouble(i) * cv(i); i += 1 }
+      sims(c) = d
+      c += 1
+    }
+    // k largest by sim desc, ties by centroid id
+    val best = Array.tabulate(sims.length)(identity).sortBy(i => (-sims(i), i)).take(k)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebook", codebook, "double[][]")
+    val sims = ctx.freshName("sims"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+    val d = ctx.freshName("d"); val n = ctx.freshName("n")
+    val best = ctx.freshName("best"); val r = ctx.freshName("r"); val s = ctx.freshName("s")
+    val pos = ctx.freshName("pos")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |double[] $sims = new double[$cb.length];
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  int $n = java.lang.Math.min($v.numElements(), $cb[$c].length);
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $d += $v.getDouble($i) * $cb[$c][$i]; }
+         |  $sims[$c] = $d;
+         |}
+         |int[] $best = new int[$k];
+         |for (int $r = 0; $r < $k; $r++) {
+         |  int $pos = -1; double $s = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    boolean taken = false;
+         |    for (int $i = 0; $i < $r; $i++) if ($best[$i] == $c) taken = true;
+         |    if (!taken && $sims[$c] > $s) { $s = $sims[$c]; $pos = $c; }
+         |  }
+         |  $best[$r] = $pos;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($best);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API over the native expressions. */
   def cosineSim(a: Column, b: Column): Column =
@@ -108,6 +180,10 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Ids of the k nearest codebook rows by dot product, descending. */
+  def topCentroids(v: Column, codebook: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(TopCentroidsExpr(ColumnBridge.expression(v), codebook, k))
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {

@@ -131,27 +131,23 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCentroids)
-    // per-row array of (cosine-to-centroid, centroid-id) structs; struct
-    // ordering is lexicographic, so array_max picks the nearest centroid
-    def centSims(v: Column): Column = array(cents.zipWithIndex.map { case (cv, ci) =>
-      struct(
-        graft.functions.VectorFunctions.dotProduct(v, typedLit(cv.toSeq)).as("s"),
-        lit(ci).as("cid"))
-    }: _*)
+    import graft.functions.VectorFunctions.topCentroids
+    // assignment/probing via one native expression — the codebook is a
+    // codegen reference object, so the generated code stays two tight loops
+    // no matter how many centroids (an array of per-centroid dot-product
+    // expressions blows past codegen method limits and interprets)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cid", array_max(centSims(col("cv"))).getField("cid"))
+      .withColumn("cid", element_at(topCentroids(col("cv"), cents, 1), 1))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cid",
-        explode(transform(
-          slice(reverse(array_sort(centSims(col("qv")))), 1, nProbe),
-          s => s.getField("cid"))))
-    val cand = q.join(c, Seq("cid"))
+      .withColumn("cid", explode(topCentroids(col("qv"), cents, nProbe)))
+    // score in the join projection and keep only narrow rows downstream:
+    // each corpus row lives in exactly one centroid, so no pair dedup needed
+    val scored = q.join(c, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -185,11 +181,15 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv")), "query_id", "qv")
     val c = banded(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv")), "neighbor_id", "cv")
-    val cand = q.join(c, Seq("table", "bucket"))
+    // score inside the join projection, then dedup on NARROW rows — a pair
+    // colliding in several tables scores identically, and dropping the
+    // vectors first keeps the dedup/top-k shuffles at a few dozen bytes per
+    // row instead of 2×dim doubles
+    val scored = q.join(c, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
