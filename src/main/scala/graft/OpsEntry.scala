@@ -284,6 +284,15 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "p01_curation_pipeline",
+      withTables { (s, _) =>
+        TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8)
+          .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    QueryDef(
       "q32_tumbling_window",
       withTables { (s, _) =>
         Psqlish(s, """from events |>

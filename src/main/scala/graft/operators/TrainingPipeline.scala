@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** End-to-end training-corpus curation — the composition the individual
+  * operators exist for: annotate → quality-filter → exact dedup → near-dup
+  * removal → per-doc stats. Every step is a declarative transform over the
+  * same DataFrame, so the whole pipeline is one Catalyst plan per action and
+  * scales with its worst stage (the MinHash-LSH candidate join), not the
+  * number of steps.
+  */
+object TrainingPipeline {
+
+  /** Curate a document table:
+    *  1. annotate language, quality stats, token counts;
+    *  2. drop docs below `minQuality`;
+    *  3. exact-dedup on text (keep lowest id);
+    *  4. near-dup removal via MinHash-LSH at `jaccardThreshold`: for each
+    *     verified near-dup pair, the higher id is dropped (keep-lowest
+    *     pair-pruning — the standard cheap alternative to full
+    *     connected-components, correct for keep-one-per-cluster whenever
+    *     clusters are pairwise-connected to their minimum).
+    * Returns surviving docs with their annotations.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.2,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val stats = TextFunctions.qualityStats(col(textCol))
+    val annotated = docs
+      .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
+      .withColumns(stats.map { case (n, c) => n -> c }.toMap)
+    val filtered = annotated.where(col("quality_score") >= minQuality)
+    val exact = Dedup.dedupExact(filtered, textCol, idCol)
+    val nearDupLosers = Dedup
+      .minhashLshPairs(exact, idCol, textCol, threshold = jaccardThreshold)
+      .select(col("id_b").as(idCol)) // keep the lower id of each pair
+      .distinct()
+    exact.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+}

@@ -118,6 +118,25 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate filters by quality, removes exact and near duplicates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TrainingPipeline.curate(docs, minQuality = 0.2, jaccardThreshold = 0.8)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // no doc below the quality cut survives
+    assert(out.where(col("quality_score") < 0.2).isEmpty)
+    // no surviving exact duplicates
+    val dupTexts = out.groupBy("text").count().where(col("count") > 1)
+    assert(dupTexts.isEmpty)
+    // no surviving near-dup pair at the threshold
+    val pairs = Dedup.minhashLshPairs(out.toDF(), "doc_id", "text", threshold = 0.8)
+    assert(pairs.isEmpty)
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
