@@ -27,6 +27,9 @@ class TopKTokensAgg(k: Int, capacity: Int)
       case None =>
         if (b.size < capacity) b.update(tok, 1L)
         else {
+          // O(capacity) min scan per eviction — fine while overflow is rare
+          // (size capacity for the expected vocabulary); a count-ordered
+          // bucket structure is the upgrade if eviction becomes hot
           val (mk, mv) = b.minBy(_._2)
           b.remove(mk)
           b.update(tok, mv + 1)
@@ -35,17 +38,25 @@ class TopKTokensAgg(k: Int, capacity: Int)
     b
   }
 
+  /** Metwally-style sketch merge: a key absent from a FULL side may have
+    * been evicted there with a count up to that side's minimum, so it
+    * inherits that minimum (keeping every count an overestimate within the
+    * documented bound). The combined map is then truncated to the
+    * `capacity` largest; dropped keys had counts ≤ both sides' minima.
+    */
   override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (tok, c) =>
-      a.update(tok, a.getOrElse(tok, 0L) + c)
+    val minA = if (a.size >= capacity) a.values.min else 0L
+    val minB = if (b.size >= capacity) b.values.min else 0L
+    val out = mutable.HashMap.empty[String, Long]
+    a.foreach { case (tok, c) => out.update(tok, c + b.getOrElse(tok, minB)) }
+    b.foreach { case (tok, c) => if (!a.contains(tok)) out.update(tok, c + minA) }
+    if (out.size <= capacity) out
+    else {
+      val keep = out.toSeq.sortBy { case (t, c) => (-c, t) }.take(capacity)
+      val trimmed = mutable.HashMap.empty[String, Long]
+      keep.foreach { case (t, c) => trimmed.update(t, c) }
+      trimmed
     }
-    if (a.size > capacity) {
-      // keep the `capacity` largest (count desc, key asc for determinism)
-      val keep = a.toSeq.sortBy { case (t, c) => (-c, t) }.take(capacity)
-      a.clear()
-      keep.foreach { case (t, c) => a.update(t, c) }
-    }
-    a
   }
 
   override def finish(b: mutable.HashMap[String, Long]): Seq[(String, Long)] =

@@ -117,27 +117,6 @@ object Dedup {
     (a, b)
   }
 
-  /** MinHash signature (array of `numHashes` minima) over a shingle array.
-    * Base hash is xxhash64 (codegen'd) folded to 31 bits; each permutation
-    * is an affine transform mod the Mersenne prime 2^31-1.
-    *
-    * Single-pass: one fold over the shingle hashes updating all `numHashes`
-    * minima per element (the multiplier/offset families ride along as array
-    * literals), instead of `numHashes` separate array traversals each
-    * re-hashing the shingles — ~7× faster at 128 hashes.
-    */
-  def minhashSignature(shingles: Column, numHashes: Int): Column = {
-    val (a, b) = hashParams(numHashes)
-    val aLit = typedLit(a.toSeq)
-    val bLit = typedLit(b.toSeq)
-    val base = transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
-    aggregate(
-      base,
-      array_repeat(lit(MersennePrime), numHashes),
-      (acc, h) => transform(acc, (accv, i) =>
-        least(accv, pmod(h * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(MersennePrime)))))
-  }
-
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     *
     * Pipeline: signature → split into `bands` bands of `numHashes/bands`
@@ -234,7 +213,9 @@ object Dedup {
       threshold: Double,
       nPlanes: Int = 8,
       nTables: Int = 8): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = df.select(size(col(vecCol))).take(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "embeddingNearDupPairsLsh: empty input — cannot size LSH planes")).getInt(0)
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val banded = v.select(col("id"), col("v"),
       posexplode(array((0 until nTables).map(t =>

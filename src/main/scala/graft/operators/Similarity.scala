@@ -171,8 +171,10 @@ object Similarity {
       nPlanes: Int = 4,
       nTables: Int = 8): DataFrame = {
     // embedding dimension, resolved once at plan time (plane literals are
-    // sized to it)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // sized to it); note this fires one small job during plan construction
+    val dim = corpus.select(size(col(vecCol))).take(1).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        "lshTopK: empty corpus — cannot size LSH planes")).getInt(0)
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(id), col(v),
         posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes, dim)): _*)))

@@ -28,10 +28,13 @@ object SkewJoin {
       key: String,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
-    // deterministic per-row salt: hash of the whole row modulo the factor
-    // (xxhash64 over all columns — no rand(), so retries/speculation agree)
+    // per-row salt from the row's position (partition id + offset), NOT a
+    // content hash: byte-identical duplicate rows — the normal shape of a
+    // hot key — must still spread over all saltFactor reducers. Position is
+    // stable under task retry for deterministic inputs (same partition,
+    // same order), unlike rand().
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
@@ -55,7 +58,7 @@ object SkewJoin {
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))

@@ -83,12 +83,21 @@ object PsqlRewriter {
     // options block
     val rest = s.substring(q2 + 1).trim
     val opts: Map[String, String] =
-      if (rest.startsWith("(") && rest.endsWith(")"))
-        rest.drop(1).dropRight(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map { o =>
+      if (rest.startsWith("(") && rest.endsWith(")")) {
+        val body = rest.drop(1).dropRight(1)
+        // split on commas OUTSIDE string literals (DELIMITER ',' is the
+        // common case) — reuse the scanner's literal awareness
+        val bsc = scan(body)
+        val pieces = scala.collection.mutable.ListBuffer.empty[String]
+        var start = 0
+        for (i <- 0 until body.length)
+          if (bsc.code(i) && body.charAt(i) == ',') { pieces += body.substring(start, i); start = i + 1 }
+        pieces += body.substring(start)
+        pieces.iterator.map(_.trim).filter(_.nonEmpty).map { o =>
           val parts = o.split("\\s+", 2)
           (parts(0).toLowerCase, if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else "true")
         }.toMap
-      else Map.empty
+      } else Map.empty
     val lower = path.toLowerCase
     val format = opts.getOrElse("format",
       if (lower.endsWith(".csv")) "csv"

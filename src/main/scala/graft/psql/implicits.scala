@@ -26,7 +26,12 @@ object implicits {
     def pipe(stages: String): DataFrame = {
       val view = s"__psql_pipe_${counter.incrementAndGet()}"
       ds.createOrReplaceTempView(view)
-      Psql(ds.sparkSession).sql(s"from $view |> $stages")
+      try Psql(ds.sparkSession).sql(s"from $view |> $stages")
+      finally
+        // Dataset construction analyzes eagerly, so the resolved plan no
+        // longer needs the catalog entry — drop it to keep long-lived
+        // sessions from accumulating views
+        ds.sparkSession.catalog.dropTempView(view)
     }
   }
 }

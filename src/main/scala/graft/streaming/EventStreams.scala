@@ -101,7 +101,11 @@ object EventStreams {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
-                  open = Some(s.copy(session_end = e.ts,
+                  // out-of-order rows within the watermark must never move
+                  // the session boundaries backwards
+                  val newEnd = if (e.ts.after(s.session_end)) e.ts else s.session_end
+                  val newStart = if (e.ts.before(s.session_start)) e.ts else s.session_start
+                  open = Some(s.copy(session_start = newStart, session_end = newEnd,
                     n_events = s.n_events + 1, total_value = s.total_value + e.value))
                 case Some(s) => // gap exceeded inside the batch: emit, start anew
                   out ::= s

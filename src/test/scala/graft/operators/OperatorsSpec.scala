@@ -217,6 +217,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(0.0, 1.0, -1.0))
   }
 
+  test("cosine propagates NULL for corrupt vectors (null element or null array)") {
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(0.0)), Seq[Option[Double]](Some(1.0), Some(0.0)))
+    ).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("sim")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 1.0)
+  }
+
   test("bruteForceTopK ranks by similarity with deterministic ties") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, "vec_id", "embedding", 5)
