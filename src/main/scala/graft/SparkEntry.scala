@@ -429,7 +429,23 @@ object SparkEntry {
       psql("""from range(1, 11) |>
         |select id as n, id * id as sq |>
         |order by n""".stripMargin),
-      Some("SELECT range AS n, range * range AS sq FROM range(1, 11) ORDER BY n"))
+      Some("SELECT range AS n, range * range AS sq FROM range(1, 11) ORDER BY n")),
+
+    // struct/array construction + field access (dialect-specific builders,
+    // same relational result)
+    QueryDef(
+      "q36_struct_array",
+      psql("""from documents |>
+        |select doc_id, named_struct('l', lang, 'n', n_chars) as s,
+        |  array(n_chars, n_chars + 1) as arr |>
+        |select doc_id, s.l as sl, s.n as sn,
+        |  element_at(arr, 2) as a2, size(arr) as alen |>
+        |order by doc_id""".stripMargin),
+      Some("""SELECT doc_id, s.l AS sl, s.n AS sn, arr[2] AS a2, len(arr) AS alen
+        |FROM (SELECT doc_id, struct_pack(l := lang, n := n_chars) AS s,
+        |        [n_chars, n_chars + 1] AS arr
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   def defs: Vector[QueryDef] = coreDefs ++ OpsEntry.defs

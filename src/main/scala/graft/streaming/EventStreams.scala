@@ -58,6 +58,29 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream join: attribute each purchase to the same
+    * user's clicks in the preceding `windowSeconds`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's state buffer is evicted once the other side's watermark passes
+    * the window — the canonical bounded-state stream-stream inner join.
+    */
+  def purchaseAttribution(events: DataFrame, watermark: String, windowSeconds: Int): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen
     * within the watermark horizon. State is bounded by the watermark (keys
     * older than it are evicted), which is what makes dedup runnable on an

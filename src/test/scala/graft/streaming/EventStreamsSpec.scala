@@ -80,6 +80,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution joins purchases to preceding clicks only, within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val joined = purchaseAttribution(input.toDF(), "10 minutes", windowSeconds = 5 * 60)
+    val q = toMemorySink(joined, "attr_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(3), 1, "purchase", 9.99), // click 3 min earlier: attributed
+        Event(3, ts(10), 1, "purchase", 5.0), // click 10 min earlier: outside 5-min window
+        Event(4, ts(2), 2, "purchase", 1.0))  // other user, no click
+      q.processAllAvailable()
+      input.addData(Event(5, ts(59), 3, "click", 0.0)) // advance watermarks
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
