@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Differential fuzzer for the PSQL front-end.
+
+Generates random pipe pipelines from a grammar restricted to the
+Spark ∩ DuckDB shared SQL surface, runs them through graft (via
+`graft.FuzzRun`), then runs DuckDB on the *reference's own rewrite* of the
+same text (`A |> B |> C` → `FROM ( FROM ( A ) B ) C`, per
+ywelsch/duckdb-psql README.md:70-87) and hash-compares results.
+
+Usage: python3 tools/fuzz.py <sfDir> <workDir> [n] [seed]
+(the script invokes sbt itself)
+"""
+import json, math, os, random, subprocess, sys
+import duckdb
+
+SF, WORK = sys.argv[1], sys.argv[2]
+N = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+rnd = random.Random(SEED)
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+KEY_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+DATES = ["1993-06-17", "1994-01-01", "1995-03-15", "1996-12-01", "1997-07-04"]
+
+
+def filter_stage():
+    kind = rnd.randrange(4)
+    if kind == 0:
+        return f"where {rnd.choice(NUM_COLS)} > {rnd.randrange(1, 40)}"
+    if kind == 1:
+        return f"where l_shipdate >= date '{rnd.choice(DATES)}'"
+    if kind == 2:
+        return f"where {rnd.choice(STR_COLS)} <> 'zz'"
+    return f"where {rnd.choice(KEY_COLS)} % {rnd.randrange(2, 7)} = 0"
+
+
+def project_stage():
+    a, b = rnd.sample(NUM_COLS, 2)
+    return (f"select l_orderkey, l_linenumber, {a}, {b}, "
+            f"cast({a} * (1 - {b}) as double) as expr1")
+
+
+def agg_stage():
+    g = rnd.choice(STR_COLS)
+    a = rnd.choice(NUM_COLS)
+    return (f"select {g}, cast(sum(cast({a} as decimal(18,2))) as double) as s, "
+            f"cast(avg({a}) as double) as m, count(*) as c group by {g}")
+
+
+def pipeline():
+    stages = ["from lineitem"]
+    for _ in range(rnd.randrange(1, 4)):
+        stages.append(filter_stage())
+    shape = rnd.randrange(3)
+    if shape == 0:
+        stages.append(agg_stage())
+        stages.append("order by 1")
+    elif shape == 1:
+        stages.append(project_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+    else:
+        stages.append(
+            "as l join orders on l.l_orderkey = orders.o_orderkey")
+        stages.append("select l_orderkey, l_linenumber, o_orderdate, "
+                      "cast(o_totalprice as double) as tp")
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+    return " |> ".join(stages)
+
+
+def reference_rewrite(q):
+    parts = q.split(" |> ")
+    acc = parts[0]
+    for stage in parts[1:]:
+        acc = f"FROM ( {acc} ) {stage}"
+    return acc
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main():
+    queries = [{"name": f"f{i:03d}", "psql": pipeline()} for i in range(N)]
+    os.makedirs(os.path.join(WORK, "out"), exist_ok=True)
+    with open(os.path.join(WORK, "queries.json"), "w") as f:
+        json.dump(queries, f)
+    subprocess.run(["sbt", "-batch", f"runMain graft.FuzzRun {SF} {WORK}"],
+                   cwd="/root/repo", check=True, capture_output=True)
+
+    con = duckdb.connect()
+    for t in ["lineitem", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    fails = 0
+    for q in queries:
+        name, ref_sql = q["name"], reference_rewrite(q["psql"])
+        err = os.path.join(WORK, "out", name + ".error")
+        if os.path.exists(err):
+            print(f"ERR  {name}: spark-side: {open(err).read()[:100]}")
+            print(f"     psql: {q['psql']}")
+            fails += 1
+            continue
+        cur = con.execute(ref_sql)
+        cols = [d[0] for d in cur.description]
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        want = sorted("|".join(canon(r[i]) for i in order) for r in cur.fetchall())
+        gcur = con.execute(
+            f"SELECT * FROM '{os.path.join(WORK, 'out', name + '.parquet')}/*.parquet'")
+        gcols = [d[0] for d in gcur.description]
+        gorder = sorted(range(len(gcols)), key=lambda i: gcols[i])
+        got = sorted("|".join(canon(r[i]) for i in gorder) for r in gcur.fetchall())
+        if sorted(map(str.lower, cols)) != sorted(map(str.lower, gcols)):
+            print(f"COLS {name}: {sorted(cols)} vs {sorted(gcols)}")
+            print(f"     psql: {q['psql']}")
+            fails += 1
+        elif want != got:
+            print(f"DIFF {name}: {len(want)} vs {len(got)} rows")
+            print(f"     psql: {q['psql']}")
+            fails += 1
+    print(f"{N - fails}/{N} fuzz queries match (seed={SEED})")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
