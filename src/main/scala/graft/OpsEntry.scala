@@ -284,6 +284,19 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "t06_group_sample",
+      withTables { (s, _) =>
+        TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)
+          .select("lang", "doc_id")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('42-' || doc_id), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
+
+    QueryDef(
       "p01_curation_pipeline",
       withTables { (s, _) =>
         TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8)

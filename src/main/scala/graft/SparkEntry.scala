@@ -445,7 +445,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, struct_pack(l := lang, n := n_chars) AS s,
         |        [n_chars, n_chars + 1] AS arr
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+    QueryDef(
+      "q37_percentiles",
+      psql("""from lineitem |>
+        |select l_returnflag,
+        |  cast(percentile(l_quantity, 0.5) as double) as p50,
+        |  cast(percentile(l_quantity, 0.95) as double) as p95,
+        |  cast(percentile(l_extendedprice, 0.25) as double) as p25_price
+        |  group by l_returnflag |>
+        |order by l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+        |  cast(quantile_cont(l_quantity, 0.5) as double) AS p50,
+        |  cast(quantile_cont(l_quantity, 0.95) as double) AS p95,
+        |  cast(quantile_cont(l_extendedprice, 0.25) as double) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 
   def defs: Vector[QueryDef] = coreDefs ++ OpsEntry.defs

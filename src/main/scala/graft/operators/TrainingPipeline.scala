@@ -13,6 +13,27 @@ import graft.functions.TextFunctions
   */
 object TrainingPipeline {
 
+  /** Deterministic per-group sample: exactly `k` rows per group (fewer if
+    * the group is smaller), chosen by ranking on a salted md5 of the id —
+    * i.e. a reproducible pseudo-random sample with bounded output per
+    * group. One shuffle (the window partition); no reservoir state, no
+    * rand() nondeterminism across retries. md5 (not xxhash64) so the
+    * selection is identical across engines, not just across runs. The
+    * standard "k examples per class" primitive for training-set balancing.
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(concat(lit(s"$seed-"), col(idCol).cast("string")).cast("binary")).asc,
+        col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
+  }
+
   /** Curate a document table:
     *  1. annotate language, quality stats, token counts;
     *  2. drop docs below `minQuality`;

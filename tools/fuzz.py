@@ -52,10 +52,20 @@ def pipeline():
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(3)
+    shape = rnd.randrange(5)
     if shape == 0:
         stages.append(agg_stage())
         stages.append("order by 1")
+    elif shape == 3:
+        stages.append(f"select distinct {', '.join(rnd.sample(STR_COLS + ['l_linenumber'], 2))}")
+        stages.append("order by all")
+    elif shape == 4:
+        a = rnd.choice(NUM_COLS)
+        stages.append(
+            f"select l_returnflag, l_linestatus, "
+            f"cast(sum(cast({a} as decimal(18,2))) as double) as s, count(*) as c "
+            f"group by rollup(l_returnflag, l_linestatus)")
+        stages.append("order by all")
     elif shape == 1:
         stages.append(project_stage())
         stages.append("order by all")
@@ -121,6 +131,11 @@ def main():
             print(f"COLS {name}: {sorted(cols)} vs {sorted(gcols)}")
             print(f"     psql: {q['psql']}")
             fails += 1
+        elif (len(got) == 0 and len(want) == 1 and "rollup" in q["psql"]):
+            # known engine divergence: Spark emits no rows for grouping
+            # sets over EMPTY input; DuckDB/Postgres emit the () grand
+            # total. Upstream Spark semantics, not a front-end defect.
+            print(f"KNOWN {name}: rollup-over-empty (Spark 0 rows vs DuckDB 1)")
         elif want != got:
             print(f"DIFF {name}: {len(want)} vs {len(got)} rows")
             print(f"     psql: {q['psql']}")
