@@ -48,7 +48,19 @@ def agg_stage():
             f"cast(avg({a}) as double) as m, count(*) as c group by {g}")
 
 
+def block_pipeline():
+    # scoped (| … |) blocks as CTE bodies + set op between them
+    f1, f2 = filter_stage(), filter_stage()
+    op = rnd.choice(["union", "union all", "intersect", "except"])
+    cols = "l_orderkey, l_linenumber, l_returnflag"
+    return (f"with a as (| from lineitem |> {f1} |> select {cols} |), "
+            f"b as (| from lineitem |> {f2} |> select {cols} |) "
+            f"from a {op} from b")
+
+
 def pipeline():
+    if rnd.random() < 0.25:
+        return block_pipeline()
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
@@ -81,11 +93,26 @@ def pipeline():
 
 
 def reference_rewrite(q):
-    parts = q.split(" |> ")
-    acc = parts[0]
-    for stage in parts[1:]:
-        acc = f"FROM ( {acc} ) {stage}"
-    return acc
+    # replicate the reference's two regex passes (psql_extension.cpp:28-73):
+    # each (| body |) block becomes "( <pipe-rewritten body> )", surrounding
+    # text is pipe-rewritten too
+    import re
+
+    def pipe(s):
+        parts = s.split(" |> ")
+        acc = parts[0]
+        for stage in parts[1:]:
+            acc = f"FROM ( {acc} ) {stage}"
+        return acc
+
+    out = ""
+    while True:
+        m = re.search(r"\(\|(.*?)\|\)", q, re.S)
+        if not m:
+            break
+        out += pipe(q[:m.start()]) + " ( " + pipe(m.group(1).strip()) + " ) "
+        q = q[m.end():]
+    return out + pipe(q)
 
 
 def canon(v):
