@@ -141,6 +141,7 @@ object PathRelations {
     val lower = path.toLowerCase
     val df =
       if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
+      else if (lower.endsWith(".orc")) spark.read.orc(path)
       else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) spark.read.json(path)
       else if (lower.endsWith(".tsv"))
         spark.read.option("header", true).option("inferSchema", true).option("sep", "\t").csv(path)

@@ -61,6 +61,19 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
   }
 
+  test("path scans resolve parquet, orc, and json by extension") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("psql_scan").toFile
+    val df = Seq((1, "a"), (2, "b")).toDF("i", "s")
+    for (fmt <- Seq("parquet", "orc", "json")) {
+      val p = new java.io.File(dir, s"t.$fmt").getAbsolutePath
+      df.write.format(fmt).save(p)
+      val n = psql.sql(s"from '$p' |> where i > 0 |> select count() as n")
+        .collect().head.getLong(0)
+      assert(n == 2, fmt)
+    }
+  }
+
   test("SUMMARIZE profiles a table or a pipeline") {
     import spark.implicits._
     Seq(1, 2, 3, 4).toDF("v").createOrReplaceTempView("sum_t")
