@@ -239,10 +239,12 @@ object OpsEntry {
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id")
       },
+      // list_sum returns HUGEINT in DuckDB; the driver's pandas path renders
+      // int128 differently than Spark's int64 — cast to BIGINT for hash parity.
       Some("""SELECT doc_id,
-        |  list_sum(list_transform(range(len(w)),
+        |  cast(list_sum(list_transform(range(len(w)),
         |    i -> ('0x' || substr(md5(w[i+1]), 1, 7))::BIGINT * (i + 1)))
-        |    % 2147483647 AS fp
+        |    % 2147483647 AS BIGINT) AS fp
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
@@ -269,7 +271,10 @@ object OpsEntry {
     QueryDef(
       "m01_multimodal_features",
       withTables { (s, _) =>
+        // gate entry stringifies the array<float> column: the driver's pandas
+        // canonicalizer cannot sort/hash numpy arrays (round-1 harness err)
         Multimodal.extractFeatures(Multimodal.documentsAsMedia(s.table("documents")))
+          .withColumn("features", concat_ws(",", col("features").cast("array<string>")))
           .orderBy("media_id")
       },
       None),

@@ -288,22 +288,26 @@ object SparkEntry {
 
     QueryDef(
       "q21_math_funcs",
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+      // (11.8k dup groups at sf0.01), so the LIMIT boundary needs the full
+      // output tuple as tiebreaker or the two engines pick different rows.
+      // ceil/floor: Spark returns BIGINT, DuckDB DOUBLE — cast both to bigint.
       psql("""from lineitem |>
         |select l_orderkey, l_linenumber,
         |  cast(round(cast(l_extendedprice as decimal(18,2)), 1) as double) as r1,
         |  abs(l_discount - 0.05) as ad,
-        |  ceil(l_quantity / 7.0) as c7,
-        |  floor(l_tax * 100) as f100,
+        |  cast(ceil(l_quantity / 7.0) as bigint) as c7,
+        |  cast(floor(l_tax * 100) as bigint) as f100,
         |  mod(l_linenumber, 3) as m3 |>
-        |order by l_orderkey, l_linenumber |>
+        |order by l_orderkey, l_linenumber, r1, ad, c7, f100, m3 |>
         |limit 500""".stripMargin),
       Some("""SELECT l_orderkey, l_linenumber,
         |  cast(round(cast(l_extendedprice as decimal(18,2)), 1) as double) AS r1,
         |  abs(l_discount - 0.05) AS ad,
-        |  ceil(l_quantity / 7.0) AS c7,
-        |  floor(l_tax * 100) AS f100,
+        |  cast(ceil(l_quantity / 7.0) as bigint) AS c7,
+        |  cast(floor(l_tax * 100) as bigint) AS f100,
         |  mod(l_linenumber, 3) AS m3
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)),
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, ad, c7, f100, m3 LIMIT 500""".stripMargin)),
 
     QueryDef(
       "q22_topk",
