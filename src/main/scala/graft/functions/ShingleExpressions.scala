@@ -1,0 +1,252 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shingle/MinHash kernels shared by interpreted eval and generated code.
+  *
+  * Why this exists: the round-1 shingling plan (`posexplode` + `lead()` over
+  * a per-doc window) put every (id, pos, token) row through an Exchange
+  * before any aggregate could combine — at corpus scale that shuffle IS the
+  * corpus. Computing the hashed-shingle array (and the whole MinHash
+  * signature) per row, map-side, removes that Exchange entirely: the only
+  * shuffles left in MinHash-LSH dedup are the band-bucket candidate join and
+  * the verify join, both linear in near-dup density.
+  *
+  * The generated code calls these static methods — one JIT-compiled call per
+  * row (not per element), so it costs the same as inlining the loops while
+  * keeping eval and codegen byte-identical.
+  */
+object ShingleHash {
+
+  private val TokenSeed = 42L
+  // FNV-64 prime for the order-sensitive window combine; murmur3 fmix64
+  // avalanches the result so the low 31 bits (used by MinHash mod 2^31-1)
+  // carry full entropy.
+  private val Poly = 0x100000001b3L
+
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Hashed word n-gram shingles of a UTF-8 string, in document order.
+    * Tokenization matches `split(text, " ")` with limit -1: segments between
+    * 0x20 bytes, keeping empty segments from leading/trailing/consecutive
+    * spaces (0x20 never occurs inside a multi-byte UTF-8 sequence, so a byte
+    * scan is exact). Texts with fewer than n tokens yield an empty array.
+    * May contain duplicates; set consumers `array_distinct` downstream.
+    */
+  /** Per-token xxhash64 of the space-separated tokens of `s`, in order. */
+  private def tokenHashes(s: UTF8String): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val tokenHash = new Array[Long](spaces + 1)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || Platform.getByte(base, off + i) == 0x20) {
+        tokenHash(t) = XXH64.hashUnsafeBytes(base, off + start, i - start, TokenSeed)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    tokenHash
+  }
+
+  def compute(s: UTF8String, n: Int): Array[Long] = {
+    val tokenHash = tokenHashes(s)
+    val nTok = tokenHash.length
+    if (nTok < n) return Array.emptyLongArray
+    val out = new Array[Long](nTok - n + 1)
+    var p = 0
+    while (p < out.length) {
+      var h = TokenSeed
+      var k = 0
+      while (k < n) { h = h * Poly + tokenHash(p + k); k += 1 }
+      out(p) = fmix64(h)
+      p += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over the distinct space-separated tokens: bit j of the
+    * result is set iff Σ_distinct-words (bit j of hash(w) ? +1 : -1) > 0.
+    * One pass per row — the round-1 formulation exploded distinct words into
+    * a 64-sum aggregate whose Exchange carried the word stream.
+    */
+  def simhash(s: UTF8String): Long = {
+    val th = tokenHashes(s)
+    java.util.Arrays.sort(th) // distinct via sort + skip-equal, no hash set
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      if (i == 0 || th(i) != th(i - 1)) {
+        val h = th(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** MinHash signature over an array of shingle hashes: sig(j) =
+    * min_h pmod(a(j) * pmod(h, P) + b(j), P) with P = 2^31-1. a/b < 2^31 so
+    * the products stay under 2^63 — no overflow under ANSI arithmetic.
+    * Returns null for an empty array (doc too short to shingle), mirroring
+    * the row-based formulation where such docs produced no signature row.
+    */
+  def minhashSig(hashes: ArrayData, a: Array[Long], b: Array[Long]): Array[Long] = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val sig = Array.fill(a.length)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      val hm = ((h % MersennePrime) + MersennePrime) % MersennePrime
+      var j = 0
+      while (j < a.length) {
+        val v = (a(j) * hm + b(j)) % MersennePrime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** `shingle_hashes(text, n)`: array<long> of hashed word n-gram shingles,
+  * computed in one pass per row inside whole-stage codegen — no explode, no
+  * window, no shuffle.
+  */
+case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHash.compute(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHash.compute($v, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_signature(hashes)`: numHashes-wide MinHash signature computed
+  * per row. The affine parameters ride along as codegen reference objects.
+  * NULL for empty input arrays (short docs carry no signature).
+  */
+case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  require(a.length == b.length && a.nonEmpty)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = ShingleHash.minhashSig(input.asInstanceOf[ArrayData], a, b)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""long[] $sig = graft.functions.ShingleHash.minhashSig($v, $aRef, $bRef);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)`: the 64-bit SimHash fingerprint, one pass per row
+  * inside whole-stage codegen.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleHash.simhash($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  /** Hashed word n-gram shingles of a text column, in document order. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(text), n))
+
+  /** 64-bit SimHash fingerprint of a text column. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+
+  /** MinHash signature (length = a.length) over a shingle-hash array column;
+    * NULL when the array is empty.
+    */
+  def minhashSignature(hashes: Column, a: Array[Long], b: Array[Long]): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), a, b))
+}

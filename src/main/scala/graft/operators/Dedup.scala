@@ -25,31 +25,25 @@ object Dedup {
   }
 
   /** Hashed word n-gram shingles as flat rows (id, h) — the workhorse
-    * representation for Jaccard/MinHash at scale. Fully codegen'd: explode
-    * words with position, `lead` the next n-1 words over a per-doc window,
-    * hash the n words directly with xxhash64 (no string concatenation, no
-    * interpreted higher-order functions — ~5× faster than building shingle
-    * strings). May contain duplicate (id, h) rows; MIN-based consumers
-    * don't care, set-based consumers aggregate with collect_set.
-    * The window and the downstream per-id aggregates share the same hash
-    * partitioning, so the whole thing costs one shuffle of narrow rows.
+    * representation for Jaccard/MinHash at scale. The shingle array is
+    * computed per row by the codegen'd [[graft.functions.ShingleHashExpr]]
+    * (one byte-scan pass, no string concatenation) and exploded in place —
+    * a narrow map-side operation with NO shuffle, unlike the round-1
+    * posexplode+window formulation whose per-doc window Exchange carried
+    * the entire token stream. May contain duplicate (id, h) rows;
+    * MIN-based consumers don't care, set consumers dedup in the array.
     */
-  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy("id").orderBy("pos")
-    val exploded = df.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
-    val withLeads = (1 until n).foldLeft(exploded) { (d, k) =>
-      d.withColumn(s"w$k", lead(col("w0"), k).over(w))
-    }
-    withLeads
-      .where(col(s"w${n - 1}").isNotNull)
-      .select(col("id"), xxhash64((0 until n).map(k => col(s"w$k")): _*).as("h"))
-  }
+  def hashedShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("h"))
 
-  /** Per-doc hashed shingle sets: (id, hs array<long>, sz). */
+  /** Per-doc hashed shingle sets: (id, hs array<long>, sz). Entirely
+    * map-side — `array_distinct` over the per-row shingle array replaces the
+    * round-1 explode + collect_set groupBy and its full-corpus shuffle.
+    */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    hashedShingleRows(df, idCol, textCol, n)
-      .groupBy("id").agg(collect_set(col("h")).as("hs"))
+    df.select(col(idCol).as("id"),
+        array_distinct(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
 
   /** Exact dedup: keep one row per duplicate group (lowest `keepBy`), like
@@ -139,20 +133,20 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    // signature via hashed-shingle rows + numHashes MIN aggregates: a
-    // codegen'd HashAggregate with map-side partial combine (the shuffle
-    // carries one numHashes-wide row per doc). Duplicate (id, h) rows are
-    // harmless — MIN over a multiset equals MIN over its set — so no dedup
-    // pass is needed at all.
+    // the whole numHashes-wide signature is computed per row, map-side, by
+    // the codegen'd MinHashSigExpr — zero shuffle (round 1 exploded shingle
+    // rows into a groupBy of numHashes MIN aggregates, whose Exchange —
+    // though partially combined — still sorted/hashed the exploded stream).
+    // Duplicate shingles in the array are harmless: MIN over a multiset
+    // equals MIN over its set.
     val (a, b) = hashParams(numHashes)
-    val ex = hashedShingleRows(df, idCol, textCol, shingleSize)
-      .select(col("id"), pmod(col("h"), lit(MersennePrime)).as("h"))
-    val minAggs = (0 until numHashes).map { i =>
-      min(pmod(col("h") * lit(a(i)) + lit(b(i)), lit(MersennePrime))).as(s"m$i")
-    }
-    val sig = ex.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val sig = df.select(col(idCol).as("id"),
+        graft.functions.ShingleFunctions.minhashSignature(
+          graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
+          .as("sig"))
+      .where(col("sig").isNotNull) // docs too short to shingle carry no signature
     val bandCols = (0 until bands).map { bd =>
-      xxhash64(concat_ws("_", (bd * rows until (bd + 1) * rows).map(i => col(s"m$i")): _*))
+      xxhash64(slice(col("sig"), bd * rows + 1, rows))
     }
     val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band", "bucket")
@@ -233,23 +227,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per row over word features: bit j of the
-    * result is the sign of Σ_words (bit j of xxhash64(word) ? +1 : -1).
-    * Computed as 64 conditional-sum aggregates after an explode — one
-    * shuffle, map-side partial aggregation keeps it linear.
+    * result is the sign of Σ_distinct-words (bit j of hash(word) ? +1 : -1).
+    * Computed per row by the codegen'd [[graft.functions.SimHash64Expr]] —
+    * no explode, no aggregate, no shuffle (round 1 exploded distinct words
+    * into a 64-conditional-sum groupBy whose Exchange carried the word
+    * stream).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-duplicate pairs: block on 4×16-bit bands (a pair within
     * Hamming distance <=3 of each other must agree on at least one band —

@@ -109,6 +109,31 @@ class PlanQualitySpec extends SparkSpec {
       "bucketed join still shuffles:\n" + p)
   }
 
+  test("shingle sets and minhash signatures compute map-side — zero Exchange") {
+    val docs = spark.table("documents")
+    // per-doc shingle sets: array_distinct over the codegen'd shingle array,
+    // straight off the scan — the round-1 explode+window+collect_set pipeline
+    // shuffled the whole token stream
+    val sets = operators.Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    assert(!plan(sets).contains("Exchange"), "shingle sets shuffle:\n" + plan(sets))
+    // full 64-wide MinHash signature is a per-row expression
+    val (a, b) = {
+      val rnd = new scala.util.Random(42)
+      (Array.fill(64)(math.abs(rnd.nextLong()) % (2147483646L) + 1),
+        Array.fill(64)(math.abs(rnd.nextLong()) % 2147483647L))
+    }
+    val sig = docs.select(
+      functions.ShingleFunctions.minhashSignature(
+        functions.ShingleFunctions.shingleHashes(col("text"), 3), a, b).as("sig"))
+      .where(col("sig").isNotNull)
+    val p = plan(sig)
+    assert(!p.contains("Exchange"), "minhash signature shuffles:\n" + p)
+    assert(p.contains("*("), "not inside whole-stage codegen:\n" + p)
+    // simhash fingerprints likewise compute per row off the scan
+    val sh = operators.Dedup.simhash(docs, "doc_id", "text")
+    assert(!plan(sh).contains("Exchange"), "simhash shuffles:\n" + plan(sh))
+  }
+
   test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
     Tables.register(spark, sf)
     val events = spark.table("events")
