@@ -149,7 +149,8 @@ object OpsEntry {
       withTables { (s, _) =>
         val emb = s.table("embeddings")
         Similarity.lshTopK(
-          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, nPlanes = 4, nTables = 8)
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5, nPlanes = 4, nTables = 8,
+          dimension = Some(64))
           .orderBy("query_id", "rank")
       },
       None),
@@ -166,6 +167,18 @@ object OpsEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "d09_embedding_neardup_lsh",
+      withTables { (s, _) =>
+        // the 100 TB path for embedding near-dup: LSH-bucketed candidates +
+        // exact-cosine verify (precision exact, recall spec-checked vs d07's
+        // all-pairs baseline). rows-only: candidate recall is approximate.
+        Dedup.embeddingNearDupPairsLsh(s.table("embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 4, nTables = 8, dim = Some(64))
+          .orderBy("id_a", "id_b")
+      },
+      None),
 
     QueryDef(
       "d08_ann_ivf_topk",

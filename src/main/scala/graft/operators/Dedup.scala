@@ -206,14 +206,16 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       nPlanes: Int = 8,
-      nTables: Int = 8): DataFrame = {
-    val dim = df.select(size(col(vecCol))).take(1).headOption.getOrElse(
+      nTables: Int = 8,
+      dim: Option[Int] = None): DataFrame = {
+    // pass `dim` when known — probing fires a one-row job at plan time
+    val d = dim.getOrElse(df.select(size(col(vecCol))).take(1).headOption.getOrElse(
       throw new IllegalArgumentException(
-        "embeddingNearDupPairsLsh: empty input — cannot size LSH planes")).getInt(0)
+        "embeddingNearDupPairsLsh: empty input — cannot size LSH planes")).getInt(0))
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val banded = v.select(col("id"), col("v"),
       posexplode(array((0 until nTables).map(t =>
-        Similarity.lshBucket(col("v"), t, nPlanes, dim)): _*)))
+        Similarity.lshBucket(col("v"), t, nPlanes, d)): _*)))
       .toDF("id", "v", "table", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

@@ -169,12 +169,13 @@ object Similarity {
       vecCol: String,
       k: Int,
       nPlanes: Int = 4,
-      nTables: Int = 8): DataFrame = {
-    // embedding dimension, resolved once at plan time (plane literals are
-    // sized to it); note this fires one small job during plan construction
-    val dim = corpus.select(size(col(vecCol))).take(1).headOption.getOrElse(
+      nTables: Int = 8,
+      dimension: Option[Int] = None): DataFrame = {
+    // embedding dimension (plane literals are sized to it): pass it when
+    // known — the probe fallback fires one small job at plan construction
+    val dim = dimension.getOrElse(corpus.select(size(col(vecCol))).take(1).headOption.getOrElse(
       throw new IllegalArgumentException(
-        "lshTopK: empty corpus — cannot size LSH planes")).getInt(0)
+        "lshTopK: empty corpus — cannot size LSH planes")).getInt(0))
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(id), col(v),
         posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes, dim)): _*)))
