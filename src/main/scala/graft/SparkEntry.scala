@@ -465,7 +465,69 @@ object SparkEntry {
         |  cast(quantile_cont(l_quantity, 0.5) as double) AS p50,
         |  cast(quantile_cont(l_quantity, 0.95) as double) AS p95,
         |  cast(quantile_cont(l_extendedprice, 0.25) as double) AS p25_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // outer-join variants beyond LEFT (q05): right, full, cross — delegated
+    // semantics, gated so a dialect-shim regression (e.g. dedupJoinOn firing
+    // on an outer join) cannot pass silently
+    QueryDef(
+      "q38_right_join",
+      psql("""from orders |>
+        |as o right join customer on o.o_custkey = customer.c_custkey |>
+        |select c_custkey, o_orderkey |>
+        |order by c_custkey, o_orderkey""".stripMargin),
+      Some("""SELECT c_custkey, o_orderkey
+        |FROM orders o RIGHT JOIN customer ON o.o_custkey = customer.c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "q39_full_join",
+      psql("""from orders |>
+        |as o full join customer on o.o_custkey = customer.c_custkey |>
+        |select c_custkey, count(o_orderkey) as n_orders,
+        |  count() as n_rows group by c_custkey |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders, count(*) AS n_rows
+        |FROM orders o FULL JOIN customer ON o.o_custkey = customer.c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q40_cross_join",
+      psql("""from region |>
+        |as r cross join nation |>
+        |select r_name, n_name |>
+        |order by r_name, n_name""".stripMargin),
+      Some("""SELECT r_name, n_name FROM region r CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin)),
+
+    // explicit NULLS FIRST under a LIMIT: null placement decides which rows
+    // survive the cut (Spark's ASC default is nulls-first, DuckDB's is
+    // nulls-last — only the explicit form is portable)
+    QueryDef(
+      "q41_nulls_ordering",
+      psql("""from customer |>
+        |select c_custkey,
+        |  case when c_custkey % 7 = 0 then null else cast(c_acctbal as double) end as bal |>
+        |order by bal desc nulls first, c_custkey |>
+        |limit 250""".stripMargin),
+      Some("""SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE cast(c_acctbal as double) END AS bal
+        |FROM customer ORDER BY bal DESC NULLS FIRST, c_custkey LIMIT 250""".stripMargin)),
+
+    // map construction + lookup + keys (flattened to scalars/strings: the
+    // driver's canonicalizer hashes strings, not nested objects). DuckDB 1.0
+    // map extraction returns a single-element LIST — hence [1].
+    QueryDef(
+      "q42_map_funcs",
+      psql("""from documents |>
+        |select doc_id, map('l', lang, 'n', cast(n_chars as string)) as m |>
+        |select doc_id, element_at(m, 'l') as ml,
+        |  concat_ws(',', map_keys(m)) as mk, cast(size(m) as int) as msz |>
+        |order by doc_id""".stripMargin),
+      Some("""SELECT doc_id, m['l'][1] AS ml,
+        |  array_to_string(map_keys(m), ',') AS mk, cast(cardinality(m) as int) AS msz
+        |FROM (SELECT doc_id, map(['l','n'], [lang, n_chars::VARCHAR]) AS m FROM documents)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   def defs: Vector[QueryDef] = coreDefs ++ OpsEntry.defs
