@@ -174,8 +174,10 @@ object OpsEntry {
         // the 100 TB path for embedding near-dup: LSH-bucketed candidates +
         // exact-cosine verify (precision exact, recall spec-checked vs d07's
         // all-pairs baseline). rows-only: candidate recall is approximate.
+        // 8 planes × 40 tables: ~1/6 of all pairs scored (vs 52% at 4×8),
+        // banded/dedup shuffles carry no vectors (ADVICE r2).
         Dedup.embeddingNearDupPairsLsh(s.table("embeddings"), "vec_id", "embedding",
-          threshold = 0.4, nPlanes = 4, nTables = 8, dim = Some(64))
+          threshold = 0.4, nPlanes = 8, nTables = 40, dim = Some(64))
           .orderBy("id_a", "id_b")
       },
       None),

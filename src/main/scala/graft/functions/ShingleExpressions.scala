@@ -177,10 +177,18 @@ case class ShingleHashExpr(child: Expression, n: Int) extends UnaryExpression {
 /** `minhash_signature(hashes)`: numHashes-wide MinHash signature computed
   * per row. The affine parameters ride along as codegen reference objects.
   * NULL for empty input arrays (short docs carry no signature).
+  *
+  * Parameters are held as `IndexedSeq`s (value equality), not `Array`s —
+  * `Array` fields compare by reference, so two expressions built from equal
+  * parameter sets would fail `semanticEquals` and silently defeat
+  * subexpression elimination and plan canonicalization.
   */
-case class MinHashSigExpr(child: Expression, a: Array[Long], b: Array[Long])
+case class MinHashSigExpr(child: Expression, aSeq: IndexedSeq[Long], bSeq: IndexedSeq[Long])
     extends UnaryExpression {
-  require(a.length == b.length && a.nonEmpty)
+  require(aSeq.length == bSeq.length && aSeq.nonEmpty)
+
+  @transient private lazy val a: Array[Long] = aSeq.toArray
+  @transient private lazy val b: Array[Long] = bSeq.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -248,5 +256,6 @@ object ShingleFunctions {
     * NULL when the array is empty.
     */
   def minhashSignature(hashes: Column, a: Array[Long], b: Array[Long]): Column =
-    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), a, b))
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
+      a.toIndexedSeq, b.toIndexedSeq))
 }

@@ -118,11 +118,18 @@ case class DotProductExpr(left: Expression, right: Expression)
   * whole-stage codegen never bails on method size (64 separate dot-product
   * expressions in an `array(struct(...))` did, falling back to interpreted
   * eval — ~50× slower corpus assignment).
+  *
+  * The codebook is held as `IndexedSeq`s (value equality) so two plans built
+  * from equal codebooks are `semanticEquals` — `Array` fields compare by
+  * reference and silently defeat subexpression elimination.
   */
-case class TopCentroidsExpr(child: Expression, codebook: Array[Array[Double]], k: Int)
+case class TopCentroidsExpr(child: Expression, codebookSeq: IndexedSeq[IndexedSeq[Double]], k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(k >= 1 && k <= codebook.length)
+  require(k >= 1 && k <= codebookSeq.length)
+
+  @transient private lazy val codebook: Array[Array[Double]] =
+    codebookSeq.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -183,6 +190,84 @@ case class TopCentroidsExpr(child: Expression, codebook: Array[Array[Double]], k
     copy(child = newChild)
 }
 
+/** Static kernel shared by [[LshBucketsExpr]]'s interpreted eval and
+  * generated code — one JIT-compiled call per row, eval/codegen
+  * byte-identical.
+  */
+object LshKernel {
+  /** Sign-bit bucket per hyperplane table: bucket(t) has bit p set iff
+    * vec · planes(t*nPlanes + p) >= 0. Fails fast on a dimension mismatch —
+    * a silently truncated dot product would collapse bucketing (and recall)
+    * without any visible error.
+    */
+  def buckets(v: ArrayData, planes: Array[Array[Double]], nPlanes: Int): Array[Long] = {
+    val dim = planes(0).length
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"lsh_buckets: vector length ${v.numElements()} != plane dimension $dim")
+    val nTables = planes.length / nPlanes
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val pl = planes(t * nPlanes + p)
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += v.getDouble(i) * pl(i); i += 1 }
+        if (d >= 0) bucket |= 1L << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+}
+
+/** `lsh_buckets(vec)`: the hyperplane-LSH bucket id of `vec` in each of the
+  * expression's plane tables, as `array<long>` (index = table). One
+  * expression for all tables: the planes ride along as a codegen reference
+  * object and the generated code is a tight triple loop — nTables × nPlanes
+  * separate dot-product expressions blow past the janino method-size limit
+  * and fall back to interpreted eval.
+  *
+  * Planes are held as `IndexedSeq`s (value equality) for the same
+  * `semanticEquals` reason as [[TopCentroidsExpr]].
+  */
+case class LshBucketsExpr(child: Expression, planesSeq: IndexedSeq[IndexedSeq[Double]], nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+  require(planesSeq.nonEmpty && planesSeq.length % nPlanes == 0,
+    "planes length must be a positive multiple of nPlanes")
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    planesSeq.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      LshKernel.buckets(input.asInstanceOf[ArrayData], planes, nPlanes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pl = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LshKernel.buckets($v, $pl, $nPlanes));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API over the native expressions. */
   def cosineSim(a: Column, b: Column): Column =
@@ -195,7 +280,14 @@ object VectorFunctions {
 
   /** Ids of the k nearest codebook rows by dot product, descending. */
   def topCentroids(v: Column, codebook: Array[Array[Double]], k: Int): Column =
-    ColumnBridge.column(TopCentroidsExpr(ColumnBridge.expression(v), codebook, k))
+    ColumnBridge.column(TopCentroidsExpr(ColumnBridge.expression(v),
+      codebook.map(_.toIndexedSeq).toIndexedSeq, k))
+
+  /** Per-table hyperplane-LSH bucket ids; `planes` is the concatenation of
+    * all tables' planes, `nPlanes` per table.
+    */
+  def lshBuckets(v: Column, planes: IndexedSeq[IndexedSeq[Double]], nPlanes: Int): Column =
+    ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(v), planes, nPlanes))
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {

@@ -40,10 +40,13 @@ object Dedup {
   /** Per-doc hashed shingle sets: (id, hs array<long>, sz). Entirely
     * map-side — `array_distinct` over the per-row shingle array replaces the
     * round-1 explode + collect_set groupBy and its full-corpus shuffle.
+    * Docs too short to shingle (< n tokens, or null text) yield NO row —
+    * every sz is >= 1, so downstream Jaccard denominators never hit 0/0.
     */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         array_distinct(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("hs"))
+      .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
 
   /** Exact dedup: keep one row per duplicate group (lowest `keepBy`), like
@@ -197,8 +200,27 @@ object Dedup {
     * come from agreement in any of `nTables` hyperplane-LSH bucket tables
     * (equi-join on (table, bucket) — never a cross product), then exact
     * cosine verifies. Precision is exact; recall is the LSH collision
-    * probability (high for near-identical vectors, tunable via
-    * nPlanes/nTables).
+    * probability 1-(1-p^nPlanes)^nTables for per-plane agreement
+    * p = 1 - angle/π — tunable via nPlanes (bucket size / candidate count)
+    * and nTables (recall, linear in cost).
+    *
+    * Scale shape (mirrors [[minhashLshPairs]]): the banded rows carry only
+    * (id, table, bucket) — ~24 bytes — so the candidate self-join and the
+    * pair dedup shuffle narrow rows, never vectors. Candidates are deduped
+    * BEFORE the vector fetch (a pair colliding in m tables appears m times;
+    * deduping first means vectors move exactly once per unique candidate,
+    * through the two verify equi-joins — broadcast when the corpus side
+    * fits, shuffled-on-id otherwise), and the cosine is evaluated in that
+    * join's projection. The round-2 formulation carried both vectors
+    * through a dropDuplicates Exchange before thresholding — ~1 KB/row ×
+    * the full candidate set, 12× slower at sf0.1 and quadratic in shuffle
+    * bytes at scale.
+    *
+    * Defaults (8 planes × 40 tables) admit ~15% of all pairs as candidates
+    * on the testdata embeddings (vs 52% at the round-2 4×8) at measured
+    * recall 0.68 for pairs near cosine 0.4 — this corpus's near-dups sit at
+    * 0.40–0.60, where per-plane agreement is only ~0.64; recall rises
+    * steeply with similarity (~1.0 at 0.9).
     */
   def embeddingNearDupPairsLsh(
       df: DataFrame,
@@ -206,26 +228,27 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       nPlanes: Int = 8,
-      nTables: Int = 8,
+      nTables: Int = 40,
       dim: Option[Int] = None): DataFrame = {
     // pass `dim` when known — probing fires a one-row job at plan time
     val d = dim.getOrElse(df.select(size(col(vecCol))).take(1).headOption.getOrElse(
       throw new IllegalArgumentException(
         "embeddingNearDupPairsLsh: empty input — cannot size LSH planes")).getInt(0))
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val banded = v.select(col("id"), col("v"),
-      posexplode(array((0 until nTables).map(t =>
-        Similarity.lshBucket(col("v"), t, nPlanes, d)): _*)))
-      .toDF("id", "v", "table", "bucket")
-    banded.as("a").join(banded.as("b"),
+    val banded = v.select(col("id"),
+        posexplode(Similarity.lshAllBuckets(col("v"), nTables, nPlanes, d)))
+      .toDF("id", "table", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
       .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** 64-bit SimHash fingerprint per row over word features: bit j of the

@@ -49,17 +49,18 @@ object Similarity {
     Seq.fill(maxDim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit bucket id from `nPlanes` random hyperplanes of table `t`.
-    * `dim` must equal the vector length (zip_with pads the shorter side
-    * with nulls, which would poison the dot product).
+  /** Per-table hyperplane-LSH bucket ids (array<long>, index = table) for
+    * all `nTables` tables at once, via one native codegen'd expression
+    * ([[graft.functions.LshBucketsExpr]]) — nTables × nPlanes separate
+    * dot-product expressions would blow the janino method-size limit and
+    * fall back to interpreted eval. `dim` must equal the vector length; the
+    * kernel fails fast on a mismatch (a silently truncated dot product
+    * would collapse bucketing and recall with no visible error).
     */
-  def lshBucket(vec: Column, t: Int, nPlanes: Int, dim: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dotp = graft.functions.VectorFunctions.dotProduct(vec, typedLit(plane(t, p, dim)))
-      when(dotp >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def lshAllBuckets(vec: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.lshBuckets(vec,
+      (0 until nTables).flatMap(t => (0 until nPlanes).map(p => plane(t, p, dim).toIndexedSeq)),
+      nPlanes)
 
   /** K-means centroids trained driver-side on a bounded deterministic sample
     * of the corpus (ordered by id, first `sampleN` rows — at 100 TB you train
@@ -178,7 +179,7 @@ object Similarity {
         "lshTopK: empty corpus — cannot size LSH planes")).getInt(0))
     def banded(df: DataFrame, id: String, v: String) =
       df.select(col(id), col(v),
-        posexplode(array((0 until nTables).map(t => lshBucket(col(v), t, nPlanes, dim)): _*)))
+        posexplode(lshAllBuckets(col(v), nTables, nPlanes, dim)))
         .toDF(id, v, "table", "bucket")
     val q = banded(queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")), "query_id", "qv")

@@ -134,6 +134,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan(sh).contains("Exchange"), "simhash shuffles:\n" + plan(sh))
   }
 
+  test("embedding near-dup LSH: no shuffle carries vector columns") {
+    // the candidate join and pair dedup must shuffle narrow (id, table,
+    // bucket) / (id_a, id_b) rows; vectors move only through the verify
+    // joins (broadcast here). AQE hides the plan tree behind a leaf node,
+    // so pin with it off.
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val emb = spark.table("embeddings")
+      val df = operators.Dedup.embeddingNearDupPairsLsh(
+        emb, "vec_id", "embedding", 0.4, nPlanes = 8, nTables = 40, dim = Some(64))
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.ArrayType
+      val shuffles = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected at least the candidate-join shuffle")
+      shuffles.foreach { e =>
+        val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty,
+          s"shuffle carries vector columns ${wide.map(_.name).mkString(", ")}:\n$e")
+      }
+    }
+  }
+
+  private def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
     Tables.register(spark, sf)
     val events = spark.table("events")

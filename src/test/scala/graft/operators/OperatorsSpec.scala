@@ -101,7 +101,7 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(exact.forall { case (a, b) => a < b })
     val lsh = Dedup.embeddingNearDupPairsLsh(emb, "vec_id", "embedding", 0.4,
-      nPlanes = 4, nTables = 8)
+      nPlanes = 8, nTables = 40, dim = Some(64))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // verification makes precision exact; candidates bound recall
     assert(lsh.subsetOf(exact))
