@@ -32,6 +32,13 @@ class Psql(val spark: SparkSession) {
         else spark.table(inner)
       return src.summary()
     }
+    // DuckDB `UNION [ALL] BY NAME` has no Spark SQL text form: lift it into
+    // a Catalyst byName Union plan (sides parsed recursively as PSQL)
+    Psql.byNamePlan(spark, query, s => spark.sql(s).queryExecution.logical) match {
+      case Some(plan) =>
+        return org.apache.spark.sql.graftbridge.ColumnBridge.dataFrame(spark, plan)
+      case None => ()
+    }
     val finalSql = Psql.preprocess(spark, query)
     spark.sql(finalSql)
   }
@@ -60,12 +67,33 @@ object Psql {
     if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
     else {
       val t = query.trim
-      // normalize bare FROM-first queries and COPY sinks (DuckDB-isms)
-      // even without pipes
+      // normalize bare FROM-first queries (with or without a plain-paren
+      // CTE prefix) and COPY sinks (DuckDB-isms) even without pipes
       if (t.nonEmpty &&
-          (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isCopy(t)))
+          (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isFromFirstWith(t) ||
+            PsqlRewriter.isCopy(t)))
         PsqlRewriter.rewrite(t)
       else t
+    }
+  }
+
+  /** Lift a top-level `UNION [ALL|DISTINCT] BY NAME` (DuckDB dialect; no
+    * Spark SQL text form) into `Union(byName = true, allowMissingCol =
+    * true)` — missing columns null-fill, like DuckDB. Plain UNION BY NAME
+    * deduplicates, so it wraps in Distinct. Sides are full PSQL and parse
+    * through `parse` (recursing for by-name chains).
+    */
+  private[psql] def byNamePlan(
+      spark: SparkSession,
+      query: String,
+      parse: String => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Union}
+    PsqlRewriter.splitUnionByName(query).map { case (left, isAll, right) =>
+      def side(s: String) =
+        byNamePlan(spark, s, parse).getOrElse(parse(preprocess(spark, s)))
+      val u = Union(Seq(side(left), side(right)), byName = true, allowMissingCol = true)
+      if (isAll) u else Distinct(u)
     }
   }
 

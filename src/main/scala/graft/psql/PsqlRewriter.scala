@@ -155,12 +155,54 @@ object PsqlRewriter {
     out.toString.trim
   }
 
+  /** If the fragment begins with a top-level WITH clause whose CTE bodies
+    * are plain parentheses, return (withPrefix, rest) where rest starts
+    * right after the last CTE's closing paren. Scans `name [(cols)] AS
+    * [NOT MATERIALIZED] ( body )` CTEs separated by commas — the body paren
+    * match uses the scanner's depth so nested parens/strings are safe.
+    */
+  private[psql] def splitWithPrefix(frag: String): Option[(String, String)] = {
+    val sc = scan(frag)
+    val st = nextCode(frag, sc, 0)
+    if (st < 0 || !matchesWord(frag, st, "with")) return None
+    var pos = st + 4
+    while (true) {
+      // the AS of this CTE, then its body parens (the first top-level '('
+      // after AS — skips MATERIALIZED/NOT MATERIALIZED modifiers)
+      val asPos = topLevelKeyword(frag, sc, Seq("as")).find(_ >= pos).getOrElse(return None)
+      var open = asPos + 2
+      while (open < frag.length && !(sc.topLevel(open) && frag.charAt(open) == '(')) open += 1
+      if (open >= frag.length) return None
+      var close = open + 1
+      while (close < frag.length && !(sc.code(close) && sc.depth(close) == 0 && frag.charAt(close) == ')')) close += 1
+      if (close >= frag.length) return None
+      val next = nextCode(frag, sc, close + 1)
+      if (next >= 0 && frag.charAt(next) == ',') pos = next + 1
+      else return Some((frag.substring(0, close + 1).trim, frag.substring(close + 1)))
+    }
+    None
+  }
+
   /** Convert a block-free fragment: split on pipes and fold; handle
     * top-level set operations; normalize FROM-first heads.
     */
   private[psql] def convertFragment(frag0: String): String = {
     val frag = frag0.trim
     if (frag.isEmpty) return frag
+    // DuckDB plain-paren CTE head: `with x as (select …) from x |> …` — the
+    // reference's regex rewrite handles this shape
+    // (/root/reference/src/psql_extension.cpp:55-73). Hoist the WITH prefix,
+    // convert the FROM-first tail, re-prefix, keeping the CTEs at the top
+    // level of the emitted statement.
+    splitWithPrefix(frag) match {
+      case Some((withPrefix, rest)) =>
+        val restTrim = rest.trim
+        val rsc = scan(restTrim)
+        val rst = nextCode(restTrim, rsc, 0)
+        if (rst >= 0 && matchesWord(restTrim, rst, "from"))
+          return s"$withPrefix ${convertFragment(restTrim)}"
+      case None => ()
+    }
     val stages = splitPipes(frag)
     if (stages.length > 1) {
       val head = convertFragment(stages.head)
@@ -177,6 +219,48 @@ object PsqlRewriter {
           else shims(frag)
       }
     }
+  }
+
+  /** True for `with x as (…)[, …] from …` — a plain-paren CTE prefix whose
+    * body is FROM-first (DuckDB accepts this; vanilla Spark has no bare
+    * FROM-first tail, so normalizing it is strictly additive).
+    */
+  def isFromFirstWith(t: String): Boolean =
+    splitWithPrefix(t).exists { case (_, rest) =>
+      val r = rest.trim
+      val rsc = scan(r)
+      val i = nextCode(r, rsc, 0)
+      i >= 0 && matchesWord(r, i, "from")
+    }
+
+  /** Detect a top-level DuckDB `UNION [ALL|DISTINCT] BY NAME` in raw PSQL
+    * text and return (leftRaw, isAll, rightRaw) for the FIRST occurrence —
+    * the sides are raw PSQL (possibly containing pipes/blocks or further
+    * by-name unions; [[Psql.byNamePlan]] recurses). Spark SQL has no textual
+    * BY NAME set operation, so the entry points lift this into a Catalyst
+    * `Union(byName = true)` plan instead of string SQL. Chains associate to
+    * the right here; by-name union is associative in both ALL and DISTINCT
+    * flavors, so the result is unchanged.
+    */
+  def splitUnionByName(query: String): Option[(String, Boolean, String)] = {
+    val s = stripTrailingSemicolon(query)
+    val sc = scan(s)
+    for (pos <- topLevelKeyword(s, sc, Seq("union"))) {
+      // a set-op needs a non-empty left side
+      val hasLeft = (pos - 1 to 0 by -1).exists(k => !Character.isWhitespace(s.charAt(k)))
+      if (hasLeft) {
+        var i = nextCode(s, sc, pos + "union".length)
+        var isAll = false
+        if (i >= 0 && matchesWord(s, i, "all")) { isAll = true; i = nextCode(s, sc, i + 3) }
+        else if (i >= 0 && matchesWord(s, i, "distinct")) i = nextCode(s, sc, i + 8)
+        if (i >= 0 && matchesWord(s, i, "by")) {
+          val nm = nextCode(s, sc, i + 2)
+          if (nm >= 0 && matchesWord(s, nm, "name"))
+            return Some((s.substring(0, pos).trim, isAll, s.substring(nm + 4).trim))
+        }
+      }
+    }
+    None
   }
 
   /** Split on the FIRST top-level set operation (UNION [ALL|DISTINCT] /
@@ -200,18 +284,26 @@ object PsqlRewriter {
           val rsc = scan(rest)
           val nx = nextCode(rest, rsc, 0)
           if (nx >= 0) {
-            for (mod <- Seq("all", "distinct", "by")) {
+            for (mod <- Seq("all", "distinct")) {
               if (matchesWord(rest, nx, mod)) {
-                if (mod == "by") { /* DuckDB UNION BY NAME */
-                  val after = nextCode(rest, rsc, nx + 2)
-                  if (after >= 0 && matchesWord(rest, after, "name")) {
-                    opText += " ALL" // approximation; BY NAME not in Spark SQL text
-                  }
-                } else {
-                  opText += " " + mod.toUpperCase
-                  rest = rest.substring(0, nx) + rest.substring(nx + mod.length)
-                }
+                opText += " " + mod.toUpperCase
+                rest = rest.substring(0, nx) + rest.substring(nx + mod.length)
               }
+            }
+            // DuckDB `UNION [ALL] BY NAME`: Spark SQL has no textual form;
+            // top-level occurrences are lifted to a byName Union plan by the
+            // entry points (see splitUnionByName / Psql.byNamePlan) before
+            // the rewrite runs, so reaching one here means it sits nested
+            // inside a subquery or scoped block — reject it rather than emit
+            // SQL that silently drops the by-name (and dedup) semantics.
+            val afterMod = nextCode(rest, scan(rest), 0)
+            if (afterMod >= 0 && matchesWord(rest, afterMod, "by")) {
+              val rsc2 = scan(rest)
+              val nmPos = nextCode(rest, rsc2, afterMod + 2)
+              if (nmPos >= 0 && matchesWord(rest, nmPos, "name"))
+                throw new IllegalArgumentException(
+                  "UNION BY NAME is only supported at the top level of a PSQL statement " +
+                    "(nested by-name set operations inside subqueries or (| … |) blocks are not)")
             }
           }
           return Some((left, opText, rest))

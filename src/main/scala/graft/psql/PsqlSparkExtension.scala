@@ -45,13 +45,18 @@ class PsqlParser(session: SparkSession, delegate: ParserInterface) extends Parse
   private def pre(text: String): String = {
     val t = text.trim
     if (PsqlRewriter.isPsql(text) ||
-        (t.nonEmpty && (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isCopy(t))))
+        (t.nonEmpty && (SqlScanner.matchesWord(t, 0, "from") ||
+          PsqlRewriter.isFromFirstWith(t) || PsqlRewriter.isCopy(t))))
       Psql.preprocess(session, text)
     else text
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(pre(sqlText))
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(pre(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan =
+    Psql.byNamePlan(session, sqlText, s => delegate.parsePlan(s))
+      .getOrElse(delegate.parsePlan(pre(sqlText)))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    Psql.byNamePlan(session, sqlText, s => delegate.parseQuery(s))
+      .getOrElse(delegate.parseQuery(pre(sqlText)))
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)

@@ -194,4 +194,42 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql("(| from t1 |> select i |) except (| from t1 |> where i > 2 |> select i |)").count() == 3)
     assert(psql.sql("from t1 except from t1").count() == 0) // pipe-free set-op, FROM-first both sides
   }
+
+  test("plain-paren CTE head: with x as (select …) from x |> …") {
+    val rows = psql.sql("with x as (select 1 as i union all select 2 as i) from x |> where i > 1").collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 2)
+    // two CTEs, pipe tail referencing both (join suffix + select in one stage)
+    val r2 = psql.sql(
+      "with a as (select 1 as i), b as (select 2 as k) from a |> join b on i < k select i, k").collect()
+    assert(r2.length == 1)
+    // CTE + FROM-first tail without pipes also normalizes
+    assert(psql.sql("with x as (select 1 as i) from x").count() == 1)
+  }
+
+  test("union by name: reorders columns, null-fills missing, dedups unless ALL") {
+    // reordered columns meet by name, not position
+    val r = psql.sql(
+      "from t1 |> select i, j union by name from t1 |> select j, i").collect()
+    assert(r.length == 5) // identical by name => dedup to 5
+    // ALL keeps duplicates
+    val rAll = psql.sql(
+      "from t1 |> select i, j union all by name from t1 |> select j, i").collect()
+    assert(rAll.length == 10)
+    // missing column null-fills (DuckDB BY NAME semantics)
+    val rMiss = psql.sql("from t1 |> select i union by name from t1 |> select i, j")
+    assert(rMiss.columns.toSeq == Seq("i", "j"))
+    val nulls = rMiss.collect().count(_.isNullAt(1))
+    assert(nulls == 5)
+    // chain of three sides
+    assert(psql.sql(
+      "from t1 |> select i union by name from t1 |> select i union by name from t1 |> select i")
+      .count() == 5)
+  }
+
+  test("union by name nested in a scoped block raises a clear unsupported error") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("with x as (| from t1 union by name from t1 |) from x |> select i").collect()
+    }
+    assert(e.getMessage.contains("UNION BY NAME"))
+  }
 }

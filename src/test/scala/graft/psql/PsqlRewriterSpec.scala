@@ -132,4 +132,44 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r.contains("FROM t2"))
     assert(r.contains("WHERE i in"))
   }
+
+  test("splitWithPrefix: plain-paren CTE prefixes") {
+    assert(PsqlRewriter.splitWithPrefix("with x as (select 1) from x")
+      .contains(("with x as (select 1)", " from x")))
+    // multiple CTEs, nested parens and a string containing ')'
+    val multi = "with a as (select f(')') as s), b as (select 2) from a"
+    val Some((pre, rest)) = PsqlRewriter.splitWithPrefix(multi)
+    assert(pre == "with a as (select f(')') as s), b as (select 2)" && rest.trim == "from a")
+    // not a WITH → None
+    assert(PsqlRewriter.splitWithPrefix("select 1").isEmpty)
+    assert(PsqlRewriter.isFromFirstWith("with x as (select 1) from x"))
+    assert(!PsqlRewriter.isFromFirstWith("with x as (select 1) select * from x"))
+  }
+
+  test("plain-paren CTE head rewrites to top-level WITH + SELECT-first tail") {
+    val r = PsqlRewriter.rewrite("with x as (select 1 as i) from x |> where i > 0")
+    assert(r.startsWith("with x as (select 1 as i)"))
+    assert(r.contains("SELECT * FROM"))
+    assert(r.toUpperCase.contains("WHERE I > 0"))
+  }
+
+  test("splitUnionByName: top-level detection, ALL flag, nested left alone") {
+    assert(PsqlRewriter.splitUnionByName("from a union by name from b")
+      .contains(("from a", false, "from b")))
+    assert(PsqlRewriter.splitUnionByName("from a union all by name from b")
+      .contains(("from a", true, "from b")))
+    // plain union is not by-name
+    assert(PsqlRewriter.splitUnionByName("from a union all from b").isEmpty)
+    // inside parens → not top level
+    assert(PsqlRewriter.splitUnionByName("from (select 1 union by name select 2)").isEmpty)
+    // no left side (leading union is not a set-op)
+    assert(PsqlRewriter.splitUnionByName("union by name from b").isEmpty)
+  }
+
+  test("by-name set op in a fragment rejects with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      PsqlRewriter.rewrite("with x as (| from a union by name from b |) from x")
+    }
+    assert(e.getMessage.contains("UNION BY NAME"))
+  }
 }

@@ -58,4 +58,17 @@ class PsqlSparkExtensionSpec extends SparkSpec {
       assert(n == 59L)
     }
   }
+
+  test("union by name and plain-paren CTE heads work through spark.sql") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq((1, 10), (2, 20)).toDF("i", "j").createOrReplaceTempView("ext_t3")
+      // by-name: reordered projections meet by name and dedup
+      assert(s.sql("from ext_t3 |> select i, j union by name from ext_t3 |> select j, i").count() == 2)
+      assert(s.sql("from ext_t3 |> select i, j union all by name from ext_t3 |> select j, i").count() == 4)
+      // plain-paren CTE head with a pipe tail
+      val r = s.sql("with x as (select * from ext_t3) from x |> where i = 2 |> select j").collect()
+      assert(r.length == 1 && r.head.getInt(0) == 20)
+    }
+  }
 }
