@@ -325,6 +325,37 @@ object OpsEntry {
       },
       None),
 
+    // skew-mitigation operators on the deliberately skewed events.user_id:
+    // semantics must equal the plain join / plain groupBy (the oracle), so a
+    // salting regression (lost rows, double-counted partials) fails the gate
+    QueryDef(
+      "s01_salted_join",
+      withTables { (s, _) =>
+        val ev = s.table("events")
+        val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+        SkewJoin.saltedEquiJoin(ev.select("event_id", "user_id"), dim, "user_id", saltFactor = 8)
+          .select("event_id", "user_id", "user_total")
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.user_total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "s02_salted_agg",
+      withTables { (s, _) =>
+        // decimal partials keep the two-phase sum exact and order-independent
+        val ev = s.table("events")
+          .select(col("user_id"), col("value").cast("decimal(18,2)").as("v"))
+        SkewJoin.saltedCountSum(ev, "user_id", "v", saltFactor = 8)
+          .select(col("user_id"), col("n"), col("total").cast("double").as("total"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     QueryDef(
       "q32_tumbling_window",
       withTables { (s, _) =>

@@ -467,6 +467,23 @@ object SparkEntry {
         |  cast(quantile_cont(l_extendedprice, 0.25) as double) AS p25_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // the 100 TB percentile path: approx_percentile is a bounded mergeable
+    // sketch (map-side partial + merge), unlike q37's exact percentile whose
+    // final-stage buffer holds every value of a group. Sketch outputs are
+    // engine-specific (Spark GK vs DuckDB t-digest) → rows-only gate check;
+    // PlanQualitySpec bounds the error against the exact result and pins the
+    // partial-merge plan shape.
+    QueryDef(
+      "q43_approx_percentiles",
+      psql("""from lineitem |>
+        |select l_returnflag,
+        |  cast(approx_percentile(l_quantity, 0.5, 10000) as double) as p50,
+        |  cast(approx_percentile(l_quantity, 0.95, 10000) as double) as p95,
+        |  cast(approx_percentile(l_extendedprice, 0.25, 10000) as double) as p25_price
+        |  group by l_returnflag |>
+        |order by l_returnflag""".stripMargin),
+      None),
+
     // outer-join variants beyond LEFT (q05): right, full, cross — delegated
     // semantics, gated so a dialect-shim regression (e.g. dedupJoinOn firing
     // on an outer join) cannot pass silently

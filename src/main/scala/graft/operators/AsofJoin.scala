@@ -60,9 +60,13 @@ object AsofJoin {
       leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
 
     // right rows (__side=0) sort before left rows at equal time => `>=` ties
-    // match, like DuckDB ASOF.
+    // match, like DuckDB ASOF. `__rpay` is the final sort key: duplicate
+    // right rows at the same (key, time) with different payloads would
+    // otherwise leave `last(...)` picking a partition-order-dependent winner;
+    // ordering by the payload struct makes the winner the greatest payload —
+    // deterministic across runs and retries.
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rpay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
@@ -93,8 +97,10 @@ object AsofJoin {
         leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = l.select((by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
       leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
+    // payload tiebreak mirrors backward: at equal (key, time) the winner is
+    // the greatest payload struct, not whichever row the scan saw last
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").asc)
+      .orderBy(col("__t").desc, col("__side").asc, col("__rpay").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))

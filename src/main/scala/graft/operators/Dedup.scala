@@ -262,15 +262,31 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash"))
 
-  /** SimHash near-duplicate pairs: block on 4×16-bit bands (a pair within
-    * Hamming distance <=3 of each other must agree on at least one band —
-    * pigeonhole), then verify `bit_count(xor) <= maxHamming`.
+  /** SimHash near-duplicate pairs: block on `maxHamming + 1` contiguous bit
+    * bands of the 64-bit fingerprint, then verify `bit_count(xor) <=
+    * maxHamming`. The band count is DERIVED from the radius so the blocking
+    * is pigeonhole-complete at any requested distance: a pair within Hamming
+    * distance d has at most d differing bits, which can touch at most d of
+    * the d+1 bands, leaving at least one band where the two fingerprints
+    * agree exactly — so every qualifying pair meets in some band's equi-join
+    * bucket and recall is 1.0 (the round-3 fixed 4×16 banding silently
+    * dropped distance-4..6 pairs when called with maxHamming = 6).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): got $maxHamming (bands need >= 2 bits each)")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Array.tabulate(bands)(b => base + (if (b < rem) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val fp = simhash(df, idCol, textCol)
     val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until bands).map { b =>
+        // arithmetic shift is fine: the mask clears any sign-extended bits
+        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+        shiftright(col("simhash"), starts(b)).bitwiseAND(mask)
+      }: _*)))
       .toDF("id", "simhash", "band", "key")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -20,7 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class Psql(val spark: SparkSession) {
 
+  private lazy val engineFns: Unit = Psql.registerEngineFunctions(spark)
+
   def sql(query: String): DataFrame = {
+    engineFns
     val t = query.trim
     // DuckDB `SUMMARIZE <table or query>`: column-statistics profile of the
     // relation — mapped to Dataset.summary() over the summarized relation
@@ -50,6 +53,19 @@ class Psql(val spark: SparkSession) {
 object Psql {
   def apply(spark: SparkSession): Psql = new Psql(spark)
 
+  /** Engine version string surfaced by `version()` — the reference's README
+    * pipeline selects `version()` and gets the engine's own version back
+    * (`/root/reference/README.md:31,41-50`), so the PSQL entry points shadow
+    * Spark's builtin with this string for the session.
+    */
+  val versionString: String = s"graft 0.4.0 (Apache Spark ${org.apache.spark.SPARK_VERSION})"
+
+  /** Session-scoped function shims. `spark.udf.register` replaces the
+    * session registry's entry for the name, shadowing the builtin.
+    */
+  private[psql] def registerEngineFunctions(spark: SparkSession): Unit =
+    spark.udf.register("version", () => versionString)
+
   /** Full front-end preprocessing: multi-statement guard → pipe/block
     * rewrite → quoted-path relation registration. Shared by the library
     * entry point ([[Psql.sql]]) and the parser injection
@@ -77,24 +93,66 @@ object Psql {
     }
   }
 
-  /** Lift a top-level `UNION [ALL|DISTINCT] BY NAME` (DuckDB dialect; no
-    * Spark SQL text form) into `Union(byName = true, allowMissingCol =
-    * true)` — missing columns null-fill, like DuckDB. Plain UNION BY NAME
-    * deduplicates, so it wraps in Distinct. Sides are full PSQL and parse
-    * through `parse` (recursing for by-name chains).
+  /** Lift a statement containing a top-level `UNION [ALL|DISTINCT] BY NAME`
+    * (DuckDB dialect; no Spark SQL text form) into a Catalyst plan:
+    * `Union(byName = true, allowMissingCol = true)` — missing columns
+    * null-fill, like DuckDB; the non-ALL flavor wraps in Distinct.
+    *
+    * The split happens at the LAST top-level UNION/EXCEPT link, recursing on
+    * the left — SQL set operations at that precedence level are
+    * left-associative, so a mixed chain like `a UNION BY NAME b UNION ALL c`
+    * builds `Union(Distinct(UnionByName(a, b)), c)`; INTERSECT binds tighter
+    * and stays within a side. Sides without any by-name operator go back
+    * through the string rewrite path. Returns None (and the string path handles the
+    * statement) when no top-level by-name union is present, or when the
+    * statement is not query-headed (DDL like `CREATE VIEW … UNION BY NAME …`
+    * must not be cut mid-command).
     */
   private[psql] def byNamePlan(
       spark: SparkSession,
       query: String,
       parse: String => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Union}
-    PsqlRewriter.splitUnionByName(query).map { case (left, isAll, right) =>
-      def side(s: String) =
-        byNamePlan(spark, s, parse).getOrElse(parse(preprocess(spark, s)))
-      val u = Union(Seq(side(left), side(right)), byName = true, allowMissingCol = true)
-      if (isAll) u else Distinct(u)
-    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Except, Intersect, LogicalPlan, Union}
+    val q = PsqlRewriter.stripTrailingSemicolon(query)
+    val ops = PsqlRewriter.topLevelSetOps(q)
+    if (!ops.exists(_.byName)) return None
+    if (!isQueryHead(q))
+      throw new IllegalArgumentException(
+        "UNION BY NAME is only supported in query statements (SELECT/FROM/WITH/VALUES/TABLE " +
+          "or parenthesized heads), not inside DDL commands — create the view/table from a " +
+          "separate by-name query instead")
+    // split only at UNION/EXCEPT/MINUS links: INTERSECT binds tighter (SQL
+    // precedence), so it stays inside a side and the side's parse applies it
+    val splitOps = ops.filterNot(_.op == "intersect")
+    val last = splitOps.last // nonEmpty: a by-name op is itself a union
+    val left = q.substring(0, last.pos).trim
+    val right = q.substring(last.end).trim
+    def side(s: String): LogicalPlan =
+      byNamePlan(spark, s, parse).getOrElse(parse(preprocess(spark, s)))
+    val (l, r) = (side(left), side(right))
+    Some(last.op match {
+      case "union" if last.byName =>
+        val u = Union(Seq(l, r), byName = true, allowMissingCol = true)
+        if (last.isAll) u else Distinct(u)
+      case "union" =>
+        val u = Union(Seq(l, r))
+        if (last.isAll) u else Distinct(u)
+      case _ => Except(l, r, last.isAll) // except / minus
+    })
+  }
+
+  /** True when the statement starts like a query (SELECT/FROM/WITH/VALUES/
+    * TABLE or a parenthesized/scoped-block head) — the only shapes where a
+    * top-level set operation belongs to the statement itself rather than to
+    * a DDL command's body.
+    */
+  private def isQueryHead(query: String): Boolean = {
+    val t = query.trim
+    if (t.isEmpty) false
+    else if (t.startsWith("(")) true // includes `(| … |)` scoped blocks
+    else Seq("select", "from", "with", "values", "table")
+      .exists(w => SqlScanner.matchesWord(t, 0, w))
   }
 
   /** The reference silently keeps only `statements[0]` of a multi-statement

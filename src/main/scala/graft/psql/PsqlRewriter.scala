@@ -114,7 +114,7 @@ object PsqlRewriter {
     s"INSERT OVERWRITE DIRECTORY '$path' USING $format$optsSql $innerQuery"
   }
 
-  private def stripTrailingSemicolon(s: String): String = {
+  private[psql] def stripTrailingSemicolon(s: String): String = {
     val t = s.trim
     if (t.endsWith(";")) t.dropRight(1).trim else t
   }
@@ -233,34 +233,45 @@ object PsqlRewriter {
       i >= 0 && matchesWord(r, i, "from")
     }
 
-  /** Detect a top-level DuckDB `UNION [ALL|DISTINCT] BY NAME` in raw PSQL
-    * text and return (leftRaw, isAll, rightRaw) for the FIRST occurrence —
-    * the sides are raw PSQL (possibly containing pipes/blocks or further
-    * by-name unions; [[Psql.byNamePlan]] recurses). Spark SQL has no textual
-    * BY NAME set operation, so the entry points lift this into a Catalyst
-    * `Union(byName = true)` plan instead of string SQL. Chains associate to
-    * the right here; by-name union is associative in both ALL and DISTINCT
-    * flavors, so the result is unchanged.
+  /** One top-level set operation in raw PSQL text: keyword span
+    * [pos, end) (end is past any ALL/DISTINCT/BY NAME modifiers), operator
+    * name (`union`/`intersect`/`except`/`minus`), and flags.
     */
-  def splitUnionByName(query: String): Option[(String, Boolean, String)] = {
+  final case class TopSetOp(pos: Int, end: Int, op: String, isAll: Boolean, byName: Boolean)
+
+  /** All top-level set operations in raw PSQL text, in textual order.
+    * `* EXCEPT (cols)` select-list syntax is excluded (preceding non-space
+    * char is `*`), as is a keyword with an empty left side. Used by
+    * [[Psql.byNamePlan]] to lift DuckDB `UNION [ALL] BY NAME` — which has no
+    * Spark SQL text form — into a Catalyst `Union(byName = true)` plan:
+    * splitting at the LAST top-level operator gives the left-associative
+    * grouping SQL prescribes, so mixed chains like
+    * `a UNION BY NAME b UNION ALL c` become `(a ⋃ᴮᴺ b) ⋃ᴬᴸᴸ c`, never
+    * `a ⋃ᴮᴺ (b ⋃ᴬᴸᴸ c)`.
+    */
+  def topLevelSetOps(query: String): Seq[TopSetOp] = {
     val s = stripTrailingSemicolon(query)
     val sc = scan(s)
-    for (pos <- topLevelKeyword(s, sc, Seq("union"))) {
-      // a set-op needs a non-empty left side
-      val hasLeft = (pos - 1 to 0 by -1).exists(k => !Character.isWhitespace(s.charAt(k)))
-      if (hasLeft) {
-        var i = nextCode(s, sc, pos + "union".length)
-        var isAll = false
-        if (i >= 0 && matchesWord(s, i, "all")) { isAll = true; i = nextCode(s, sc, i + 3) }
-        else if (i >= 0 && matchesWord(s, i, "distinct")) i = nextCode(s, sc, i + 8)
-        if (i >= 0 && matchesWord(s, i, "by")) {
-          val nm = nextCode(s, sc, i + 2)
-          if (nm >= 0 && matchesWord(s, nm, "name"))
-            return Some((s.substring(0, pos).trim, isAll, s.substring(nm + 4).trim))
+    Seq("union", "intersect", "except", "minus").flatMap { op =>
+      topLevelKeyword(s, sc, Seq(op)).flatMap { pos =>
+        val prevIdx = (pos - 1 to 0 by -1).find(k => !Character.isWhitespace(s.charAt(k)))
+        val isStarExcept = op == "except" && prevIdx.exists(k => s.charAt(k) == '*')
+        if (prevIdx.isEmpty || isStarExcept) None
+        else {
+          var end = pos + op.length
+          var isAll = false
+          var i = nextCode(s, sc, end)
+          if (i >= 0 && matchesWord(s, i, "all")) { isAll = true; end = i + 3; i = nextCode(s, sc, end) }
+          else if (i >= 0 && matchesWord(s, i, "distinct")) { end = i + 8; i = nextCode(s, sc, end) }
+          var byName = false
+          if (op == "union" && i >= 0 && matchesWord(s, i, "by")) {
+            val nm = nextCode(s, sc, i + 2)
+            if (nm >= 0 && matchesWord(s, nm, "name")) { byName = true; end = nm + 4 }
+          }
+          Some(TopSetOp(pos, end, op, isAll, byName))
         }
       }
-    }
-    None
+    }.sortBy(_.pos)
   }
 
   /** Split on the FIRST top-level set operation (UNION [ALL|DISTINCT] /
@@ -514,7 +525,13 @@ object PsqlRewriter {
             i = close + 1
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
-      } else if (sc.code(i) && matchesWord(text, i, "exclude")) {
+      } else if (sc.code(i) && matchesWord(text, i, "exclude") && {
+          // only in DuckDB's one legal context — `* EXCLUDE (…)` — so a
+          // column or alias literally named `exclude` is left alone
+          var k = i - 1
+          while (k >= 0 && Character.isWhitespace(text.charAt(k))) k -= 1
+          k >= 0 && sc.code(k) && text.charAt(k) == '*'
+        }) {
         sb.append("EXCEPT")
         i += 7
       } else {

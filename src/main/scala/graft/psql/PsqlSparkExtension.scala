@@ -37,6 +37,13 @@ class PsqlSparkExtension extends (SparkSessionExtensions => Unit) {
   */
 class PsqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
+  // engine function shims (version()) — registered on first statement parse,
+  // NOT at construction: the parser is built while the SessionState is still
+  // being wired up, when touching session.udf would re-enter initialization
+  @volatile private var engineFnsDone = false
+  private def ensureEngineFns(): Unit =
+    if (!engineFnsDone) { Psql.registerEngineFunctions(session); engineFnsDone = true }
+
   /** Rewrite pipe queries, bare FROM-first queries, and COPY sinks (all
     * would fail in vanilla Spark, so intercepting them is strictly
     * additive); every other statement — including SQL scripting — passes
@@ -51,12 +58,16 @@ class PsqlParser(session: SparkSession, delegate: ParserInterface) extends Parse
     else text
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    ensureEngineFns()
     Psql.byNamePlan(session, sqlText, s => delegate.parsePlan(s))
       .getOrElse(delegate.parsePlan(pre(sqlText)))
-  override def parseQuery(sqlText: String): LogicalPlan =
+  }
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    ensureEngineFns()
     Psql.byNamePlan(session, sqlText, s => delegate.parseQuery(s))
       .getOrElse(delegate.parseQuery(pre(sqlText)))
+  }
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)

@@ -165,6 +165,30 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile: mergeable-sketch plan (partial agg) with bounded error vs exact") {
+    val approx = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"))
+    val p = plan(approx)
+    // the sketch aggregates map-side (partial) before the exchange and merges
+    // after — the property that makes it survive low-cardinality groups at
+    // 100 TB, where q37's exact percentile buffers every value per group
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("(?i)partial".r.findFirstIn(p).isDefined, p)
+    val exact = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.25)").as("e25"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.collect().foreach { r =>
+      val (e50, e25) = exact(r.getString(0))
+      // approx returns a dataset element at rank within n/accuracy of the
+      // target; exact interpolates between elements — allow one quantity
+      // step and 1% relative on the continuous price column
+      assert(math.abs(r.getDouble(1) - e50) <= 1.0, s"${r.getString(0)}: p50 ${r.getDouble(1)} vs $e50")
+      assert(math.abs(r.getDouble(2) - e25) <= 0.01 * e25, s"${r.getString(0)}: p25 ${r.getDouble(2)} vs $e25")
+    }
+  }
+
   test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
     Tables.register(spark, sf)
     val events = spark.table("events")

@@ -28,6 +28,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(nulls == Set(4L, 5L)) // u2 has only rt=99 > 15; u3 has no right rows
   }
 
+  test("duplicate right rows at the same (key, time) pick a stable winner (max payload)") {
+    // three right rows tie at (u1, 10); the deterministic tie-break must pick
+    // the greatest payload ("z") on every run regardless of partition order
+    val left = Seq((1L, "u1", 15L)).toDF("id", "k", "t")
+    val payloads = Seq("a", "z", "m", "q", "b")
+    for (i <- 0 until 5) {
+      // rotate input order and fragment across partitions to vary the
+      // physical row order the window scan would otherwise depend on
+      val rot = payloads.drop(i) ++ payloads.take(i)
+      val right = rot.map(v => ("u1", 10L, v)).toDF("k", "rt", "v").repartition(4)
+      val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"), "inner")
+        .select("v").as[String].collect().toList
+      assert(out == List("z"), s"run $i picked $out")
+      val fwd = AsofJoin.forward(left.withColumn("t", lit(5L)), right,
+        Seq("k"), "t", "rt", Seq("v"), "inner")
+        .select("v").as[String].collect().toList
+      assert(fwd == List("z"), s"forward run $i picked $fwd")
+    }
+  }
+
   test("forward inner: earliest right >= left time") {
     val out = AsofJoin.forward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
       .select("id", "v").as[(Long, String)].collect().toMap
@@ -106,7 +126,10 @@ class DedupSpec extends SparkSpec {
     // verification makes precision exact; candidates bound recall
     assert(lsh.subsetOf(exact))
     val recall = (exact intersect lsh).size.toDouble / exact.size
-    assert(recall > 0.5, s"LSH near-dup recall $recall too low")
+    // 0.6 pins the documented 8×40 operating point (measured 0.68 for pairs
+    // near cosine 0.4, Dedup.embeddingNearDupPairsLsh scaladoc): a silent
+    // regression toward ~0.5 must fail here, since the gate has no oracle
+    assert(recall > 0.6, s"LSH near-dup recall $recall below the 8×40 operating point")
   }
 
   test("simhashPairs: exact dup is hamming 0; unrelated text is not paired") {
@@ -115,6 +138,28 @@ class DedupSpec extends SparkSpec {
     val asMap = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(asMap((1L, 4L)) == 0)
     assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs banding is pigeonhole-complete: equals brute force at each radius") {
+    // bands = maxHamming + 1 must yield EVERY pair within the radius — the
+    // round-3 fixed 4-band blocking lost distance-4..6 pairs at maxHamming=6.
+    // Brute-force all C(500,2) fingerprint pairs on the driver as the oracle.
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = Dedup.simhash(documents, "doc_id", "text")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    for (maxHamming <- Seq(3, 6)) {
+      val expected = (for {
+        i <- fps.indices.iterator
+        j <- (i + 1) until fps.length
+        d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+        if d <= maxHamming
+      } yield (fps(i)._1, fps(j)._1, d)).toSet
+      val got = Dedup.simhashPairs(documents, "doc_id", "text", maxHamming)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"maxHamming=$maxHamming: missed ${(expected -- got).size}, extra ${(got -- expected).size}")
+      assert(expected.nonEmpty, s"vacuous at maxHamming=$maxHamming")
+    }
   }
 }
 

@@ -31,6 +31,25 @@ class PsqlEndToEndSpec extends SparkSpec {
     intercept[Exception] { psql.sql("from t1 |> srt j").collect() }
   }
 
+  test("without the front-end, PSQL-only syntax is a plain syntax error (psql.test:9-12)") {
+    // the reference's pre-LOAD behavior: DuckDB reports `syntax error at or
+    // near "|>"`. Spark 4 natively parses `|>` pipe stages, so the
+    // dialect-only shapes — scoped `(| … |)` blocks and DuckDB-isms like
+    // zero-arg count() — are what must fail in vanilla spark.sql (no Psql,
+    // no injected parser), proving nothing leaks into stock SQL.
+    val e = intercept[Exception] { spark.sql("(| from t1 |> order by i |)") }
+    assert(e.getMessage.toLowerCase.contains("syntax"), e.getMessage)
+    val e2 = intercept[Exception] { spark.sql("from t1 |> select count() as n").collect() }
+    assert(e2.getMessage.toLowerCase.contains("count"), e2.getMessage)
+  }
+
+  test("in-stage garbage surfaces the offending token, like the reference (psql.test:26-29)") {
+    // DuckDB: `Parser Error: syntax error at or near "j"` — the rewritten
+    // statement must fail at the same token, not somewhere misleading
+    val e = intercept[Exception] { psql.sql("from t1 |> srt j").collect() }
+    assert(e.getMessage.contains("'j'"), e.getMessage)
+  }
+
   test("|| not split (psql.test:31-33)") {
     val rows = psql.sql("from t1 |> select i || ',' || j").collect()
     assert(rows.length == 5)
@@ -47,6 +66,19 @@ class PsqlEndToEndSpec extends SparkSpec {
     psql.sql("create temporary view t2_view as (| from t1 |> select i || ',' || j as bar |> as foo select foo.bar |)")
     assert(spark.table("t2_view").count() == 5)
     spark.catalog.dropTempView("t2_view")
+  }
+
+  test("CREATE TABLE AS scoped transform executes against the warehouse (psql.test:39-41)") {
+    spark.sql("DROP TABLE IF EXISTS ctas_t2")
+    psql.sql("create table ctas_t2 as (| from t1 |> select i || ',' || j as bar |> as foo select foo.bar |)")
+    try {
+      // read back through the catalog (a real parquet table in the warehouse
+      // dir, not a temp view), both via the catalog API and fresh SQL
+      assert(spark.catalog.tableExists("ctas_t2"))
+      val vals = spark.table("ctas_t2").collect().map(_.getString(0)).toSet
+      assert(vals == Set("0,0", "1,2", "2,4", "3,6", "4,8"))
+      assert(spark.sql("SELECT count(*) FROM ctas_t2").head.getLong(0) == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS ctas_t2")
   }
 
   test("multiple scoped transforms + CTE + union (psql.test:43-45)") {
@@ -224,6 +256,45 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql(
       "from t1 |> select i union by name from t1 |> select i union by name from t1 |> select i")
       .count() == 5)
+  }
+
+  test("mixed set-op chains with by-name associate left, like DuckDB") {
+    // a UNION BY NAME b UNION ALL c = (a ∪ b) ∪ᵃˡˡ c: dedup happens BEFORE
+    // the ALL link, so identical singletons yield 2 rows, not 1
+    assert(psql.sql(
+      "select 1 as i union by name select 1 as i union all select 1 as i").count() == 2)
+    // (a ∪ᵇʸⁿᵃᵐᵉ b) EXCEPT c over identical singletons is empty
+    assert(psql.sql(
+      "select 1 as i union by name select 1 as i except select 1 as i").count() == 0)
+    // by-name on the RIGHT of a plain link: (a ∪ᵃˡˡ b) ∪ᵇʸⁿᵃᵐᵉ c dedups at
+    // the end — three identical singletons collapse to 1
+    assert(psql.sql(
+      "select 1 as i union all select 1 as i union by name select 1 as i").count() == 1)
+    // INTERSECT binds tighter than UNION (SQL precedence): this is
+    // 1 ∪ᵇʸⁿᵃᵐᵉ ({2} ∩ {2}) = {1, 2}, not ({1} ∪ {2}) ∩ {2}
+    assert(psql.sql(
+      "select 1 as i union by name select 2 as i intersect select 2 as i").count() == 2)
+  }
+
+  test("version() returns the engine's own version string (README.md:31)") {
+    val v = psql.sql("select version() as db_version").head.getString(0)
+    assert(v == Psql.versionString, v)
+    // also inside a pipeline stage
+    val p = psql.sql("from t1 |> select i, version() as db_version |> limit 1").head.getString(1)
+    assert(p == Psql.versionString, p)
+  }
+
+  test("a column or alias named `exclude` survives; `* exclude (…)` still rewrites") {
+    import spark.implicits._
+    Seq((1, 2, 3)).toDF("a", "exclude", "c").createOrReplaceTempView("excl_t")
+    // bare column reference named exclude must NOT become EXCEPT
+    val r = psql.sql("from excl_t |> select a, exclude |> order by a").collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+    // alias position
+    assert(psql.sql("from excl_t |> select a as exclude").columns.toSeq == Seq("exclude"))
+    // the legal DuckDB star-exclude context still translates
+    val cols = psql.sql("from excl_t |> select * exclude (c)").columns.toSeq
+    assert(cols == Seq("a", "exclude"))
   }
 
   test("union by name nested in a scoped block raises a clear unsupported error") {

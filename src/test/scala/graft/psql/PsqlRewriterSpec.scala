@@ -153,17 +153,23 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r.toUpperCase.contains("WHERE I > 0"))
   }
 
-  test("splitUnionByName: top-level detection, ALL flag, nested left alone") {
-    assert(PsqlRewriter.splitUnionByName("from a union by name from b")
-      .contains(("from a", false, "from b")))
-    assert(PsqlRewriter.splitUnionByName("from a union all by name from b")
-      .contains(("from a", true, "from b")))
-    // plain union is not by-name
-    assert(PsqlRewriter.splitUnionByName("from a union all from b").isEmpty)
+  test("topLevelSetOps: detection, modifier spans, star-except and nesting excluded") {
+    val one = PsqlRewriter.topLevelSetOps("from a union by name from b")
+    assert(one.map(o => (o.op, o.isAll, o.byName)) == Seq(("union", false, true)))
+    assert(one.head.pos == "from a ".length)
+    assert("from a union by name from b".substring(one.head.end).trim == "from b")
+    assert(PsqlRewriter.topLevelSetOps("from a union all by name from b")
+      .map(o => (o.op, o.isAll, o.byName)) == Seq(("union", true, true)))
+    // mixed chain reported in textual order with per-op flags
+    val mixed = PsqlRewriter.topLevelSetOps("from a union by name from b union all from c except from d")
+    assert(mixed.map(o => (o.op, o.isAll, o.byName)) ==
+      Seq(("union", false, true), ("union", true, false), ("except", false, false)))
     // inside parens → not top level
-    assert(PsqlRewriter.splitUnionByName("from (select 1 union by name select 2)").isEmpty)
+    assert(PsqlRewriter.topLevelSetOps("from (select 1 union by name select 2)").isEmpty)
     // no left side (leading union is not a set-op)
-    assert(PsqlRewriter.splitUnionByName("union by name from b").isEmpty)
+    assert(PsqlRewriter.topLevelSetOps("union by name from b").isEmpty)
+    // select-list `* except (…)` is not a set operation
+    assert(PsqlRewriter.topLevelSetOps("select * except (a) from t").isEmpty)
   }
 
   test("by-name set op in a fragment rejects with a clear error") {

@@ -59,6 +59,29 @@ class PsqlSparkExtensionSpec extends SparkSpec {
     }
   }
 
+  test("DDL statements are never cut at a by-name union (clear error, not a mangled plan)") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq(1).toDF("i").createOrReplaceTempView("ext_ddl_t")
+      // plain DDL keeps working through the injected parser
+      s.sql("create temporary view ext_ddl_v as select i from ext_ddl_t")
+      assert(s.table("ext_ddl_v").count() == 1)
+      s.catalog.dropTempView("ext_ddl_v")
+      // DDL containing a top-level by-name union must raise the explicit
+      // unsupported error, not split mid-command into Union(CreateView, …)
+      val e = intercept[IllegalArgumentException] {
+        s.sql("create view ext_bad_v as select 1 as i union by name select 2 as i")
+      }
+      assert(e.getMessage.contains("UNION BY NAME"), e.getMessage)
+    }
+  }
+
+  test("version() resolves to the engine version through spark.sql") {
+    withExtendedSession { s =>
+      assert(s.sql("select version() as v").head.getString(0) == Psql.versionString)
+    }
+  }
+
   test("union by name and plain-paren CTE heads work through spark.sql") {
     withExtendedSession { s =>
       import s.implicits._
