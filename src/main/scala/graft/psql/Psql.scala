@@ -126,12 +126,29 @@ object Psql {
     // precedence), so it stays inside a side and the side's parse applies it
     val splitOps = ops.filterNot(_.op == "intersect")
     val last = splitOps.last // nonEmpty: a by-name op is itself a union
-    val left = q.substring(0, last.pos).trim
-    val right = q.substring(last.end).trim
+    // a statement-level trailing ORDER BY / LIMIT / OFFSET binds to the WHOLE
+    // set operation (SQL grammar; an unparenthesized order-by before a set op
+    // is a syntax error, so the first top-level occurrence after the last
+    // link is the statement's). Only unambiguous for pipe-free text — inside
+    // a pipeline those clauses belong to their stage and stay in the side.
+    val (q2, trailing) =
+      if (PsqlRewriter.isPsql(q)) (q, None)
+      else {
+        val sc = SqlScanner.scan(q)
+        val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
+          SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
+          SqlScanner.topLevelKeyword(q, sc, Seq("offset"))).filter(_ >= last.end).sorted.headOption
+        cut match {
+          case Some(p) => (q.substring(0, p).trim, Some(q.substring(p).trim))
+          case None    => (q, None)
+        }
+      }
+    val left = q2.substring(0, last.pos).trim
+    val right = q2.substring(last.end).trim
     def side(s: String): LogicalPlan =
       byNamePlan(spark, s, parse).getOrElse(parse(preprocess(spark, s)))
     val (l, r) = (side(left), side(right))
-    Some(last.op match {
+    val combined = last.op match {
       case "union" if last.byName =>
         val u = Union(Seq(l, r), byName = true, allowMissingCol = true)
         if (last.isAll) u else Distinct(u)
@@ -139,6 +156,20 @@ object Psql {
         val u = Union(Seq(l, r))
         if (last.isAll) u else Distinct(u)
       case _ => Except(l, r, last.isAll) // except / minus
+    }
+    Some(trailing match {
+      case None => combined
+      case Some(t) =>
+        // reuse the host parser for the sort/limit grammar: parse the clause
+        // over a stub relation (WITHOUT analysis — the library path's `parse`
+        // analyzes eagerly and would fail on the stub), then graft the set-op
+        // plan in its place before the analyzer ever sees it
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        val stub = "__graft_by_name_body__"
+        org.apache.spark.sql.graftbridge.ColumnBridge
+          .parsePlan(spark, s"SELECT * FROM $stub $t").transformUp {
+            case u: UnresolvedRelation if u.multipartIdentifier == Seq(stub) => combined
+          }
     })
   }
 

@@ -20,4 +20,13 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's SQL parser without analysis (`sessionState` is
+    * `private[sql]`): needed when a hand-built plan must be grafted into a
+    * parsed-but-unresolved tree before the analyzer runs.
+    */
+  def parsePlan(spark: org.apache.spark.sql.SparkSession, sqlText: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sqlText)
 }

@@ -276,6 +276,17 @@ class PsqlEndToEndSpec extends SparkSpec {
       "select 1 as i union by name select 2 as i intersect select 2 as i").count() == 2)
   }
 
+  test("trailing ORDER BY / LIMIT after a by-name union binds to the whole union") {
+    val rows = psql.sql(
+      "select 2 as i union by name select 1 as i union by name select 3 as i order by i")
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2, 3), rows)
+    val lim = psql.sql(
+      "select 2 as i union all by name select 1 as i order by i desc limit 1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(lim == Seq(2), lim)
+  }
+
   test("version() returns the engine's own version string (README.md:31)") {
     val v = psql.sql("select version() as db_version").head.getString(0)
     assert(v == Psql.versionString, v)

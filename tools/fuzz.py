@@ -48,6 +48,49 @@ def agg_stage():
             f"cast(avg({a}) as double) as m, count(*) as c group by {g}")
 
 
+def qualify_stage():
+    # ties on the (non-unique) order key project to identical output tuples,
+    # so the surviving multiset is engine-independent; select ONLY key cols
+    k = rnd.randrange(1, 4)
+    return ("select l_returnflag, l_orderkey, l_linenumber "
+            "qualify row_number() over (partition by l_returnflag "
+            "order by l_orderkey, l_linenumber) <= " + str(k))
+
+
+def window_stage():
+    # rank (not row_number): ties on a duplicate order key share the rank, so
+    # per-row values stay deterministic across engines
+    return ("select l_orderkey, l_linenumber, l_returnflag, "
+            "rank() over (partition by l_returnflag order by l_orderkey) as rn")
+
+
+def cte_head_pipeline():
+    # DuckDB plain-paren CTE whose tail is FROM-first (reference regex shape)
+    f = rnd.choice([f"l_quantity > {rnd.randrange(1, 40)}",
+                    f"l_orderkey % {rnd.randrange(2, 7)} = 0"])
+    g = rnd.randrange(1, 30)
+    return (f"with a as (select l_orderkey, l_linenumber, l_returnflag, l_quantity "
+            f"from lineitem where {f}) "
+            f"from a |> where l_quantity > {g} |> "
+            f"select l_returnflag, count(*) as c group by l_returnflag |> order by 1")
+
+
+def by_name_pipeline():
+    # top-level UNION [ALL] BY NAME between a pipeline and a scoped block:
+    # columns meet by NAME (permuted projections), missing columns null-fill
+    f1, f2 = filter_stage(), filter_stage()
+    op = rnd.choice(["union by name", "union all by name"])
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag"]
+    left = list(cols)
+    rnd.shuffle(left)
+    right = list(cols)
+    rnd.shuffle(right)
+    if rnd.random() < 0.3:
+        right = right[:-1]  # missing column → null-filled on that side
+    return (f"from lineitem |> {f1} |> select {', '.join(left)} {op} "
+            f"(| from lineitem |> {f2} |> select {', '.join(right)} |)")
+
+
 def block_pipeline():
     # scoped (| … |) blocks as CTE bodies + set op between them
     f1, f2 = filter_stage(), filter_stage()
@@ -59,13 +102,25 @@ def block_pipeline():
 
 
 def pipeline():
-    if rnd.random() < 0.25:
+    r = rnd.random()
+    if r < 0.15:
         return block_pipeline()
+    if r < 0.30:
+        return by_name_pipeline()
+    if r < 0.40:
+        return cte_head_pipeline()
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(5)
-    if shape == 0:
+    shape = rnd.randrange(7)
+    if shape == 5:
+        stages.append(qualify_stage())
+        stages.append("order by all")
+    elif shape == 6:
+        stages.append(window_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+    elif shape == 0:
         stages.append(agg_stage())
         stages.append("order by 1")
     elif shape == 3:
@@ -145,7 +200,14 @@ def main():
             print(f"     psql: {q['psql']}")
             fails += 1
             continue
-        cur = con.execute(ref_sql)
+        try:
+            cur = con.execute(ref_sql)
+        except Exception as e:
+            print(f"ORACLE_ERR {name}: {str(e)[:120]}")
+            print(f"     psql: {q['psql']}")
+            print(f"     ref:  {ref_sql[:200]}")
+            fails += 1
+            continue
         cols = [d[0] for d in cur.description]
         order = sorted(range(len(cols)), key=lambda i: cols[i])
         want = sorted("|".join(canon(r[i]) for i in order) for r in cur.fetchall())
