@@ -17,6 +17,29 @@ object OpsEntry {
   private def withTables(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { Tables.register(s, dir); f(s, dir) }
 
+  /** DuckDB SQL mirroring [[TextFunctions.langId]] (stopword-hit argmax with
+    * the same precedence order) — shared by the t01 and p01 oracles.
+    */
+  private lazy val langIdCaseSql: String = {
+    def hits(l: String) = {
+      val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(string_split_regex(lower(text), '\\s+'), [$words]))"
+    }
+    s"""CASE WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("zh")} THEN 'en'
+       |     WHEN ${hits("de")} >= ${hits("fr")} AND ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("zh")} THEN 'de'
+       |     WHEN ${hits("fr")} >= ${hits("es")} AND ${hits("fr")} >= ${hits("zh")} THEN 'fr'
+       |     WHEN ${hits("es")} >= ${hits("zh")} THEN 'es'
+       |     ELSE 'zh' END""".stripMargin
+  }
+
+  /** DuckDB SQL for [[TextFunctions.qualityStats]]' quality_score (the t02
+    * oracle's formula) — shared by the p01 oracle.
+    */
+  private val qualityScoreSql: String =
+    """least(1.0, len(string_split_regex(text, '\s+')) / 20.0)
+      |  * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text))
+      |  * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))""".stripMargin
+
   def defs: Vector[QueryDef] = Vector(
     QueryDef(
       "a01_asof_join",
@@ -200,19 +223,7 @@ object OpsEntry {
           .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
           .orderBy("doc_id")
       },
-      Some {
-        def hits(l: String) = {
-          val words = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_intersect(string_split_regex(lower(text), '\\s+'), [$words]))"
-        }
-        s"""SELECT doc_id,
-           |  CASE WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("zh")} THEN 'en'
-           |       WHEN ${hits("de")} >= ${hits("fr")} AND ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("zh")} THEN 'de'
-           |       WHEN ${hits("fr")} >= ${hits("es")} AND ${hits("fr")} >= ${hits("zh")} THEN 'fr'
-           |       WHEN ${hits("es")} >= ${hits("zh")} THEN 'es'
-           |       ELSE 'zh' END AS pred_lang
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"SELECT doc_id, $langIdCaseSql AS pred_lang FROM documents ORDER BY doc_id")),
 
     QueryDef(
       "t02_quality_score",
@@ -323,7 +334,32 @@ object OpsEntry {
           .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 6).as("q"))
           .orderBy("doc_id")
       },
-      None),
+      // the full pipeline IS SQL-expressible: the engine's MinHash-LSH
+      // candidate step is verified with exact Jaccard and its measured recall
+      // at J>=0.8 equals the exact pair set on this corpus (DedupSpec), so
+      // the exact-pair oracle hash-matches — a silent recall regression in
+      // the LSH path now fails the gate, not just the spec
+      Some(s"""WITH annotated AS (
+        |  SELECT doc_id, text, $langIdCaseSql AS pred_lang, $qualityScoreSql AS quality_score
+        |  FROM documents),
+        |filtered AS (SELECT * FROM annotated WHERE quality_score >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, text, pred_lang, quality_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+        |  WHERE len(w) >= 3),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)
+        |SELECT doc_id, pred_lang, round(quality_score, 6) AS q
+        |FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin)),
 
     // skew-mitigation operators on the deliberately skewed events.user_id:
     // semantics must equal the plain join / plain groupBy (the oracle), so a

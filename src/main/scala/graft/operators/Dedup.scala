@@ -262,35 +262,78 @@ object Dedup {
     df.select(col(idCol).as("id"),
       graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash"))
 
-  /** SimHash near-duplicate pairs: block on `maxHamming + 1` contiguous bit
-    * bands of the 64-bit fingerprint, then verify `bit_count(xor) <=
-    * maxHamming`. The band count is DERIVED from the radius so the blocking
-    * is pigeonhole-complete at any requested distance: a pair within Hamming
-    * distance d has at most d differing bits, which can touch at most d of
-    * the d+1 bands, leaving at least one band where the two fingerprints
-    * agree exactly — so every qualifying pair meets in some band's equi-join
-    * bucket and recall is 1.0 (the round-3 fixed 4×16 banding silently
-    * dropped distance-4..6 pairs when called with maxHamming = 6).
+  /** SimHash near-duplicate pairs: LSH-block the 64-bit fingerprints so that
+    * every pair within Hamming distance `maxHamming` meets in some band's
+    * equi-join bucket (recall 1.0 — pigeonhole-complete), then verify
+    * `bit_count(xor) <= maxHamming` exactly.
+    *
+    * Two complete blocking schemes, picked by radius:
+    *   - `maxHamming <= 3`: exact banding on `maxHamming + 1` contiguous
+    *     bands — d differing bits touch at most d of the d+1 bands, so one
+    *     band agrees exactly. Band keys stay >= 16 bits wide.
+    *   - `maxHamming > 3`: HmSearch-style 1-flip ball enumeration on
+    *     `ceil((d+1)/2)` bands — if every band differed in >= 2 bits the
+    *     total would exceed d, so some band differs in <= 1 bit, and that
+    *     band's key on one side lies inside the other side's radius-1 ball
+    *     (the exact key plus one row per flipped bit). Costs ~64 + bands
+    *     rows/doc instead of d+1, but keeps 16-bit keys.
+    *
+    * Why not exact banding at every radius: width is 64/(d+1), and SimHash
+    * bits on a real corpus are heavily correlated, so narrow keys produce
+    * giant buckets — measured on the 5k-doc sf0.1 testdata at maxHamming=6,
+    * 9-bit exact bands put 3.1k docs in ONE bucket (13M candidate pairs,
+    * effectively quadratic), while the 16-bit ball scheme stays linear.
+    * The verify step keeps precision exact under either scheme.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming must be in [0, 32): got $maxHamming (bands need >= 2 bits each)")
-    val bands = maxHamming + 1
-    val base = 64 / bands
-    val rem = 64 % bands
-    val widths = Array.tabulate(bands)(b => base + (if (b < rem) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
+      s"maxHamming must be in [0, 32): got $maxHamming")
     val fp = simhash(df, idCol, textCol)
-    val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until bands).map { b =>
-        // arithmetic shift is fine: the mask clears any sign-extended bits
-        val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
-        shiftright(col("simhash"), starts(b)).bitwiseAND(mask)
-      }: _*)))
-      .toDF("id", "simhash", "band", "key")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    // band layout for `bands` contiguous bands over 64 bits
+    def layout(bands: Int): (Array[Int], Array[Int]) = {
+      val base = 64 / bands
+      val rem = 64 % bands
+      val widths = Array.tabulate(bands)(b => base + (if (b < rem) 1 else 0))
+      (widths, widths.scanLeft(0)(_ + _))
+    }
+    // arithmetic shift is fine: the mask clears any sign-extended bits
+    def bandKey(starts: Array[Int], widths: Array[Int])(b: Int): Column = {
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      shiftright(col("simhash"), starts(b)).bitwiseAND(mask)
+    }
+    val candidates =
+      if (maxHamming <= 3) {
+        val bands = maxHamming + 1
+        val (widths, starts) = layout(bands)
+        val key = bandKey(starts, widths) _
+        val banded = fp.select(col("id"), col("simhash"),
+          posexplode(array((0 until bands).map(key): _*)))
+          .toDF("id", "simhash", "band", "key")
+        banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+      } else {
+        val bands = (maxHamming + 2) / 2 // ceil((d+1)/2): some band has <= 1 error
+        val (widths, starts) = layout(bands)
+        val key = bandKey(starts, widths) _
+        // radius-1 ball: per band, the exact key plus every 1-bit flip.
+        // (band, key) packs into ONE long (width <= 22 bits here) so the
+        // exploded rows and the join key stay as narrow as possible
+        def packed(b: Int, k: Column): Column = k.bitwiseOR(lit(b.toLong << 32))
+        val ballKeys = (0 until bands).flatMap { b =>
+          val base = key(b)
+          (base +: (0 until widths(b)).map(j => base.bitwiseXOR(lit(1L << j))))
+            .map(packed(b, _))
+        }
+        val ball = fp.select(col("id"), col("simhash"), explode(array(ballKeys: _*)).as("key"))
+        val exactPacked = fp.select(col("id"), col("simhash"),
+          explode(array((0 until bands).map(b => packed(b, key(b))): _*)).as("key"))
+        // exact side ⋈ ball side: a band differing in <= 1 bit matches
+        // whichever side carries the flip, because the ball covers both
+        exactPacked.as("a").join(ball.as("b"),
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      }
+    candidates
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()

@@ -81,6 +81,22 @@ class PsqlEndToEndSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ctas_t2")
   }
 
+  test("CREATE VIEW over a scoped block (README.md:59-66)") {
+    // a persistent view may not reference temp views, so source from a
+    // catalog table (same constraint exists in any warehouse deployment)
+    spark.sql("DROP VIEW IF EXISTS block_view")
+    spark.sql("DROP TABLE IF EXISTS view_src")
+    psql.sql("create table view_src as (| from t1 |> select i, j |)")
+    try {
+      psql.sql("create view block_view as (| from view_src |> where i > 2 |> select i, j |)")
+      assert(spark.table("block_view").count() == 2)
+      assert(spark.sql("SELECT max(j) FROM block_view").head.getInt(0) == 8)
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS block_view")
+      spark.sql("DROP TABLE IF EXISTS view_src")
+    }
+  }
+
   test("multiple scoped transforms + CTE + union (psql.test:43-45)") {
     val rows = psql.sql(
       "with x as (| from t1 |> select i || ',' || j as bar |> as foo |), " +
