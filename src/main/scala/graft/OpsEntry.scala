@@ -315,6 +315,18 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "m03_resize",
+      withTables { (s, _) =>
+        // deterministic byte-level "resize" (stub codec): bound media bytes
+        // and rewrite dims — gate checks the plumbing, spec checks semantics
+        Multimodal.resize(Multimodal.documentsAsMedia(s.table("documents")), 64)
+          .select(col("media_id"), length(col("media")).as("n_bytes"),
+            col("meta.width").as("w"), col("meta.height").as("h"))
+          .orderBy("media_id")
+      },
+      None),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

@@ -484,6 +484,24 @@ object SparkEntry {
         |order by l_returnflag""".stripMargin),
       None),
 
+    // distribution window functions + a named WINDOW clause (B12 stage form):
+    // ntile/percent_rank/cume_dist over a unique ordering are deterministic
+    QueryDef(
+      "q44_window_dist",
+      psql("""from orders |>
+        |select o_custkey, o_orderkey,
+        |  cast(ntile(4) over w as int) as quartile,
+        |  cast(percent_rank() over w as double) as pr,
+        |  cast(cume_dist() over w as double) as cd
+        |  window w as (partition by o_orderstatus order by o_totalprice, o_orderkey) |>
+        |order by o_orderkey""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey,
+        |  cast(ntile(4) OVER w as int) AS quartile,
+        |  cast(percent_rank() OVER w as double) AS pr,
+        |  cast(cume_dist() OVER w as double) AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // outer-join variants beyond LEFT (q05): right, full, cross — delegated
     // semantics, gated so a dialect-shim regression (e.g. dedupJoinOn firing
     // on an outer join) cannot pass silently
