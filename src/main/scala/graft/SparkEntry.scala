@@ -502,6 +502,65 @@ object SparkEntry {
         |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // PIVOT as a pipe stage: the clause legally follows `FROM (sub)`, so the
+    // stage assembler emits it as a from-suffix; oracle is the equivalent
+    // conditional aggregation (DuckDB 1.0 PIVOT syntax differs — the manual
+    // form is the portable one)
+    QueryDef(
+      "q45_pivot",
+      psql("""from lineitem |>
+        |select l_returnflag, l_linestatus |>
+        |pivot (count(l_linestatus) for l_linestatus in ('O' as n_open, 'F' as n_filled)) |>
+        |select l_returnflag, coalesce(n_open, 0) as n_open, coalesce(n_filled, 0) as n_filled |>
+        |order by l_returnflag""".stripMargin),
+      // Spark PIVOT yields NULL for empty cells (even under count) — the
+      // coalesce stage normalizes to the conditional-aggregation oracle's 0
+      Some("""SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // UNPIVOT stage (wide → long); oracle via UNION ALL
+    QueryDef(
+      "q46_unpivot",
+      psql("""from lineitem |>
+        |select l_orderkey, l_linenumber, l_quantity, l_discount, l_tax |>
+        |unpivot (val for measure in (l_quantity, l_discount, l_tax)) |>
+        |order by l_orderkey, l_linenumber, measure, val |>
+        |limit 300""".stripMargin),
+      // (l_orderkey, l_linenumber) duplicates exist in the synthetic data, so
+      // the LIMIT boundary carries the full output tuple as tiebreak (cf q21)
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 300""".stripMargin)),
+
+    // LATERAL correlated subquery in a join stage (per-customer top order)
+    QueryDef(
+      "q47_lateral_join",
+      psql("""from customer |>
+        |as c join lateral (select max(o_totalprice) as max_price
+        |  from orders where o_custkey = c.c_custkey) as t on true |>
+        |select c_custkey, cast(max_price as double) as max_price |>
+        |order by c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, cast(max_price as double) AS max_price
+        |FROM customer c JOIN LATERAL (SELECT max(o_totalprice) AS max_price
+        |  FROM orders WHERE o_custkey = c.c_custkey) t ON true
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // DuckDB DISTINCT ON (no Spark equivalent — rewritten to a row_number
+    // window over unprojected rows); oracle runs the native DuckDB form
+    QueryDef(
+      "q48_distinct_on",
+      psql("""from events |>
+        |select distinct on (user_id) user_id, event_id, event_type
+        |  order by user_id, ts desc, event_id desc""".stripMargin),
+      Some("""SELECT DISTINCT ON (user_id) user_id, event_id, event_type
+        |FROM events ORDER BY user_id, ts DESC, event_id DESC""".stripMargin)),
+
     // outer-join variants beyond LEFT (q05): right, full, cross — delegated
     // semantics, gated so a dialect-shim regression (e.g. dedupJoinOn firing
     // on an outer join) cannot pass silently

@@ -370,6 +370,25 @@ object PsqlRewriter {
     StageClauses(fromSuffix, clauses)
   }
 
+  /** `DISTINCT ON (exprs) rest-of-select-list` at the head of a select
+    * clause (DuckDB/Postgres; Spark has no equivalent): returns (onExprs,
+    * restList). `DISTINCT` without ON is left to the engine.
+    */
+  private[psql] def splitDistinctOn(sel: String): Option[(String, String)] = {
+    val sc = scan(sel)
+    val st = nextCode(sel, sc, 0)
+    if (st < 0 || !matchesWord(sel, st, "distinct")) return None
+    val on = nextCode(sel, sc, st + 8)
+    if (on < 0 || !matchesWord(sel, on, "on")) return None
+    val open = nextCode(sel, sc, on + 2)
+    if (open < 0 || sel.charAt(open) != '(') return None
+    var close = open + 1
+    while (close < sel.length &&
+      !(sc.code(close) && sc.depth(close) == sc.depth(open) && sel.charAt(close) == ')')) close += 1
+    if (close >= sel.length) return None
+    Some((sel.substring(open + 1, close).trim, sel.substring(close + 1).trim))
+  }
+
   /** Assemble one stage into SELECT-first SQL over `prev` (None for a head
     * FROM-first fragment, where the stage text itself starts with FROM).
     */
@@ -400,6 +419,31 @@ object PsqlRewriter {
     val fromWithSample = sample match {
       case Some(ts) => s"$fromPart $ts"
       case None     => fromPart
+    }
+
+    // DuckDB `SELECT DISTINCT ON (exprs) list … ORDER BY o`: keep the first
+    // row per group under o (group-pick order AND output order — Postgres
+    // semantics, which DuckDB follows). Spark has no DISTINCT ON, so rewrite
+    // to a row_number window over the UNPROJECTED rows (the ON exprs and o
+    // may reference columns outside the select list), filter, then project.
+    st.clauses.get("select").flatMap(splitDistinctOn) match {
+      case Some((onExprs, rest)) =>
+        if (Seq("qualify", "groupBy", "having", "window").exists(st.clauses.contains))
+          throw new IllegalArgumentException(
+            "DISTINCT ON cannot be combined with GROUP BY/HAVING/QUALIFY/WINDOW in one stage — " +
+              "split the pipeline into separate stages")
+        val pickOrder = orderBy.getOrElse(shims(onExprs))
+        val pred = s"row_number() OVER (PARTITION BY ${shims(onExprs)} ORDER BY $pickOrder) = 1"
+        val inner = new StringBuilder(s"SELECT *, ($pred) AS __distinct_on__ FROM $fromWithSample")
+        where.foreach(w => inner.append(s" WHERE $w"))
+        val proj = if (rest.isEmpty) "* EXCEPT (__distinct_on__)" else shims(rest)
+        val outer = new StringBuilder(
+          s"SELECT $proj FROM ( ${inner.toString} ) WHERE __distinct_on__")
+        orderBy.foreach(o => outer.append(s" ORDER BY $o"))
+        limit.foreach(l => outer.append(s" LIMIT $l"))
+        offset.foreach(o => outer.append(s" OFFSET $o"))
+        return outer.toString
+      case None => ()
     }
 
     qualify match {

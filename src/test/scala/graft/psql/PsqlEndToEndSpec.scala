@@ -232,6 +232,22 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("DISTINCT ON keeps the first row per group under the stage's ORDER BY") {
+    // groups by parity: evens {4,2,0} pick 4 (i desc), odds {3,1} pick 3
+    val r = psql.sql("from t1 |> select distinct on (i % 2) i, j order by i % 2, i desc")
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r == Seq((4, 8), (3, 6)), r)
+    // ON exprs / pick order may reference columns outside the select list
+    val r2 = psql.sql("from t1 |> select distinct on (i % 2) j order by i % 2, j asc")
+      .collect().map(_.getInt(0)).toSeq
+    assert(r2 == Seq(0, 2), r2)
+    // GROUP BY in the same stage is rejected with a clear error
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("from t1 |> select distinct on (i) i, count(*) as c group by i")
+    }
+    assert(e.getMessage.contains("DISTINCT ON"), e.getMessage)
+  }
+
   test("qualify end-to-end") {
     val rows = psql.sql("from t1 |> select i, j qualify row_number() over (order by i desc) = 1").collect()
     assert(rows.length == 1 && rows.head.getInt(0) == 4)
