@@ -62,6 +62,29 @@ object OpsEntry {
         |ORDER BY e.event_id""".stripMargin)),
 
     QueryDef(
+      "a04_asof_join_sql",
+      withTables { (s, _) =>
+        // the SQL-text face of a01: the `asof join` stage is parsed by
+        // AsofSql and executed through the same union+window plan. Right
+        // side pre-aggregated per (user_id, ts) like a01, time column
+        // renamed so it survives as payload-adjacent rather than colliding
+        s.table("events").where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+          .withColumnRenamed("ts", "pts")
+          .createOrReplaceTempView("purchases_v")
+        Psqlish(s,
+          """from events |> select event_id, user_id, ts |>
+            |as e asof join purchases_v as p on e.user_id = p.user_id and e.ts >= p.pts |>
+            |select event_id, user_id, purchase_value |>
+            |order by event_id""".stripMargin)
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, p.purchase_value
+        |FROM events e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
       "a02_positional_join",
       withTables { (s, _) =>
         val l = s.table("customer").select("c_custkey").orderBy(col("c_custkey").asc).limit(100)

@@ -77,6 +77,19 @@ object AsofJoin {
     base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
   }
 
+  /** Direction-dispatch convenience (used by the SQL front-end's ASOF stage). */
+  def backwardOrForward(
+      backward: Boolean,
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      joinType: String): DataFrame =
+    if (backward) this.backward(left, right, by, leftTime, rightTime, rightPayload, joinType)
+    else forward(left, right, by, leftTime, rightTime, rightPayload, joinType)
+
   /** Forward as-of: smallest right-time >= left-time (DuckDB `l.t <= r.t`). */
   def forward(
       left: DataFrame,

@@ -1,0 +1,152 @@
+package graft.psql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import SqlScanner._
+
+/** DuckDB `ASOF JOIN` in PSQL text — delegated surface the host engine has
+  * no grammar for (DuckDB v1.4 `ASOF JOIN`, reference scope via
+  * `README.md:91`). A pipe stage of the form
+  *
+  *   [as <lAlias>] asof [left] join <relation> [[as] <rAlias>]
+  *     on <key equalities AND one time inequality>
+  *
+  * is executed through [[graft.operators.AsofJoin]] (the union+window plan:
+  * one hash shuffle per side, linear scan per key — no per-row range probe),
+  * because no string rewrite can express it in Spark SQL without schema
+  * knowledge. The pipeline prefix before the stage runs through the normal
+  * front-end to a DataFrame; the remaining stages fold on via the same
+  * machinery as `Dataset.pipe`.
+  *
+  * Semantics: `l.t >= r.t` (either operand order) → backward as-of (greatest
+  * right time <= left time, ties match); `l.t <= r.t` → forward. Strict
+  * `<`/`>` inequalities are rejected (DuckDB allows them; the window plan
+  * here implements the tie-inclusive forms — rewrite with an epsilon if the
+  * strict form is really wanted). Output columns are the left columns plus
+  * the right side's non-key columns, with key columns deduplicated like a
+  * USING join; a right column whose name collides with a left column
+  * (typically the right time column) is dropped rather than duplicated —
+  * rename upstream if it's needed.
+  */
+object AsofSql {
+
+  private final case class Stage(
+      lAlias: Option[String],
+      rel: String,
+      rAlias: Option[String],
+      conds: String,
+      leftJoin: Boolean)
+
+  /** If `query` is a pipe chain containing an `asof join` stage, execute it
+    * and return the DataFrame; None → not ours, use the normal path.
+    */
+  def tryPipeline(spark: SparkSession, query: String): Option[DataFrame] = {
+    if (!PsqlRewriter.isPsql(query)) return None
+    val q = PsqlRewriter.stripTrailingSemicolon(query)
+    val stages = splitPipes(q)
+    if (stages.length < 2) return None
+    val hit = stages.indices.drop(1)
+      .flatMap(i => matchStage(stages(i)).map(i -> _)).headOption
+    hit.map { case (i, st) =>
+      val left = Psql(spark).sql(stages.take(i).mkString(" |> "))
+      val joined = execute(spark, left, st)
+      val rest = stages.drop(i + 1)
+      if (rest.isEmpty) joined
+      else {
+        import graft.psql.implicits._
+        joined.pipe(rest.mkString(" |> "))
+      }
+    }
+  }
+
+  private def matchStage(stage0: String): Option[Stage] = {
+    val stage = stage0.trim
+    val sc = scan(stage)
+    val asofPos = topLevelKeyword(stage, sc, Seq("asof")).headOption.getOrElse(return None)
+    // anything before `asof` must be exactly `as <alias>` (or nothing)
+    val lAlias = {
+      val prefix = stage.substring(0, asofPos).trim
+      if (prefix.isEmpty) None
+      else {
+        val p = prefix.split("\\s+")
+        if (p.length == 2 && p(0).equalsIgnoreCase("as")) Some(p(1)) else return None
+      }
+    }
+    var i = nextCode(stage, sc, asofPos + 4)
+    var leftJoin = false
+    if (i >= 0 && matchesWord(stage, i, "left")) { leftJoin = true; i = nextCode(stage, sc, i + 4) }
+    if (i < 0 || !matchesWord(stage, i, "join")) return None
+    val onPos = topLevelKeyword(stage, sc, Seq("on")).find(_ > i).getOrElse(return None)
+    val relText = stage.substring(i + 4, onPos).trim
+    val relParts = relText.split("\\s+").toList
+    val (rel, rAlias) = relParts match {
+      case r :: Nil           => (r, None)
+      case r :: a :: Nil      => (r, Some(a))
+      case r :: as :: a :: Nil if as.equalsIgnoreCase("as") => (r, Some(a))
+      case _                  => return None
+    }
+    Some(Stage(lAlias, rel, rAlias, stage.substring(onPos + 2).trim, leftJoin))
+  }
+
+  private def execute(spark: SparkSession, left: DataFrame, st: Stage): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val right =
+      if (st.rel.startsWith("'")) {
+        val path = st.rel.stripPrefix("'").stripSuffix("'")
+        val view = PathRelations.viewNameFor(path)
+        PathRelations.register(spark, view, path)
+        spark.table(view)
+      } else spark.table(st.rel)
+    val rightQual = st.rAlias.getOrElse(st.rel.split("\\.").last).toLowerCase
+    // conjuncts: qualified col (=|>=|<=|>|<) qualified col
+    val csc = scan(st.conds)
+    val andPos = topLevelKeyword(st.conds, csc, Seq("and"))
+    val bounds = (0 +: andPos.map(_ + 3)).zip(andPos :+ st.conds.length)
+    val conjs = bounds.map { case (a, b) => st.conds.substring(a, b).trim }
+    val pat = "^([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)\\s*(>=|<=|=|>|<)\\s*([A-Za-z_][\\w]*)\\.([A-Za-z_][\\w]*)$".r
+    var keys = List.empty[(String, String)] // (leftCol, rightCol)
+    var time: Option[(String, String, String)] = None // (leftCol, rightCol, op normalized to left-op-right)
+    conjs.foreach {
+      case pat(q1, c1, op, q2, c2) =>
+        // orient each conjunct as left-side ⊗ right-side by the qualifiers
+        val flip = Map("=" -> "=", ">=" -> "<=", "<=" -> ">=", ">" -> "<", "<" -> ">")
+        val (lc, rc, nop) =
+          if (q2.toLowerCase == rightQual) (c1, c2, op)
+          else if (q1.toLowerCase == rightQual) (c2, c1, flip(op))
+          else throw new IllegalArgumentException(
+            s"asof join condition '$q1.$c1 $op $q2.$c2' references neither side's alias " +
+              s"('${st.rAlias.getOrElse(st.rel)}' expected on one side)")
+        if (nop == "=") keys ::= (lc, rc)
+        else time match {
+          case Some(_) => throw new IllegalArgumentException(
+            "asof join needs exactly ONE time inequality; found more than one")
+          case None =>
+            if (nop == ">" || nop == "<") throw new IllegalArgumentException(
+              s"asof join supports the tie-inclusive forms >= and <= (got '$nop')")
+            time = Some((lc, rc, nop))
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported asof join conjunct '$other' — use qualified equalities and one " +
+          "qualified time inequality")
+    }
+    val (lt, rt, op) = time.getOrElse(throw new IllegalArgumentException(
+      "asof join needs a time inequality (l.t >= r.t or l.t <= r.t)"))
+    if (keys.isEmpty) throw new IllegalArgumentException(
+      "asof join needs at least one key equality alongside the time inequality")
+    // align right key column names with the left (AsofJoin joins by name)
+    val renamed = keys.foldLeft(right) { case (df, (lc, rc)) =>
+      if (lc == rc) df else df.withColumnRenamed(rc, lc)
+    }
+    val byCols = keys.map(_._1)
+    val leftCols = left.columns.map(_.toLowerCase).toSet
+    val payload = renamed.columns.toSeq
+      .filterNot(c => byCols.exists(_.equalsIgnoreCase(c)))
+      .filterNot(c => c.equalsIgnoreCase(rt) && leftCols.contains(c.toLowerCase))
+      .filterNot(c => leftCols.contains(c.toLowerCase))
+    if (payload.isEmpty) throw new IllegalArgumentException(
+      "asof join right side carries no payload columns after key dedup and collision drops")
+    graft.operators.AsofJoin.backwardOrForward(
+      backward = op == ">=",
+      left, renamed, byCols, lt, rt, payload,
+      if (st.leftJoin) "left" else "inner")
+  }
+}

@@ -35,6 +35,12 @@ class Psql(val spark: SparkSession) {
         else spark.table(inner)
       return src.summary()
     }
+    // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
+    // (no Spark grammar for it; needs schemas, so no string rewrite)
+    AsofSql.tryPipeline(spark, query) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB `UNION [ALL] BY NAME` has no Spark SQL text form: lift it into
     // a Catalyst byName Union plan (sides parsed recursively as PSQL)
     Psql.byNamePlan(spark, query, s => spark.sql(s).queryExecution.logical) match {

@@ -58,14 +58,20 @@ class PsqlParser(session: SparkSession, delegate: ParserInterface) extends Parse
     else text
   }
 
+  // AsofSql returns a fully-built DataFrame; hand back its ANALYZED plan —
+  // the stage fold registers ephemeral temp views that are dropped once the
+  // frame is analyzed, so the raw parsed plan would re-resolve against
+  // already-dropped names when the session re-analyzes the parser's output
   override def parsePlan(sqlText: String): LogicalPlan = {
     ensureEngineFns()
-    Psql.byNamePlan(session, sqlText, s => delegate.parsePlan(s))
+    AsofSql.tryPipeline(session, sqlText).map(_.queryExecution.analyzed)
+      .orElse(Psql.byNamePlan(session, sqlText, s => delegate.parsePlan(s)))
       .getOrElse(delegate.parsePlan(pre(sqlText)))
   }
   override def parseQuery(sqlText: String): LogicalPlan = {
     ensureEngineFns()
-    Psql.byNamePlan(session, sqlText, s => delegate.parseQuery(s))
+    AsofSql.tryPipeline(session, sqlText).map(_.queryExecution.analyzed)
+      .orElse(Psql.byNamePlan(session, sqlText, s => delegate.parseQuery(s)))
       .getOrElse(delegate.parseQuery(pre(sqlText)))
   }
 

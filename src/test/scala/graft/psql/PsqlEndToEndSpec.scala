@@ -248,6 +248,38 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(e.getMessage.contains("DISTINCT ON"), e.getMessage)
   }
 
+  test("asof join as a pipe stage (backward, forward, left, errors)") {
+    import spark.implicits._
+    Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 30L), (4L, "u2", 15L))
+      .toDF("id", "k", "t").createOrReplaceTempView("asof_l")
+    Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 99L, "x"))
+      .toDF("k", "rt", "v").createOrReplaceTempView("asof_r")
+    // backward: latest right <= left time, ties match
+    val back = psql.sql(
+      "from asof_l |> as l asof join asof_r as r on l.k = r.k and l.t >= r.rt |> order by id")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "a", 2L -> "a", 3L -> "b"), back)
+    // forward + left keeps unmatched rows with null payload
+    val fwd = psql.sql(
+      "from asof_l |> as l asof left join asof_r as r on l.k = r.k and l.t <= r.rt |> order by id")
+      .select("id", "v").collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fwd == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None, 4L -> Some("x")), fwd)
+    // stages after the asof stage keep folding through the front-end
+    val n = psql.sql("from asof_l |> as l asof join asof_r as r on l.k = r.k and l.t >= r.rt |> " +
+      "select k, count() as n group by k |> order by k")
+      .as[(String, Long)].collect().toList
+    assert(n == List(("u1", 3L)), n)
+    // strict inequality and missing key equality are rejected clearly
+    val e1 = intercept[IllegalArgumentException] {
+      psql.sql("from asof_l |> as l asof join asof_r as r on l.k = r.k and l.t > r.rt")
+    }
+    assert(e1.getMessage.contains("tie-inclusive"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      psql.sql("from asof_l |> as l asof join asof_r as r on l.t >= r.rt")
+    }
+    assert(e2.getMessage.contains("key equality"), e2.getMessage)
+  }
+
   test("qualify end-to-end") {
     val rows = psql.sql("from t1 |> select i, j qualify row_number() over (order by i desc) = 1").collect()
     assert(rows.length == 1 && rows.head.getInt(0) == 4)

@@ -76,6 +76,20 @@ class PsqlSparkExtensionSpec extends SparkSpec {
     }
   }
 
+  test("asof join stage works through the injected parser") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq((1L, "u1", 10L), (2L, "u1", 25L)).toDF("id", "k", "t")
+        .createOrReplaceTempView("ext_asof_l")
+      Seq(("u1", 10L, "a"), ("u1", 20L, "b")).toDF("k", "rt", "v")
+        .createOrReplaceTempView("ext_asof_r")
+      val out = s.sql(
+        "from ext_asof_l |> as l asof join ext_asof_r as r on l.k = r.k and l.t >= r.rt |> order by id")
+        .select("id", "v").as[(Long, String)].collect().toList
+      assert(out == List((1L, "a"), (2L, "b")), out)
+    }
+  }
+
   test("version() resolves to the engine version through spark.sql") {
     withExtendedSession { s =>
       assert(s.sql("select version() as v").head.getString(0) == Psql.versionString)
