@@ -96,6 +96,21 @@ object OpsEntry {
         |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
 
     QueryDef(
+      "a05_positional_join_sql",
+      withTables { (s, _) =>
+        // SQL-text face of a02: the `positional join` stage zips the piped
+        // result with the named view row-by-row
+        s.table("customer").select("c_custkey").orderBy(col("c_custkey").asc).limit(100)
+          .createOrReplaceTempView("pos_l_v")
+        s.table("orders").select("o_orderkey").orderBy(col("o_orderkey").desc).limit(100)
+          .createOrReplaceTempView("pos_r_v")
+        Psqlish(s, "from pos_l_v |> order by c_custkey |> positional join pos_r_v")
+      },
+      Some("""SELECT c_custkey, o_orderkey
+        |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100)
+        |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
+
+    QueryDef(
       "a03_range_join",
       withTables { (s, _) =>
         // events landing inside the 10-minute window after each purchase,

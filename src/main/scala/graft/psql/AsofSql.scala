@@ -36,19 +36,26 @@ object AsofSql {
       conds: String,
       leftJoin: Boolean)
 
-  /** If `query` is a pipe chain containing an `asof join` stage, execute it
-    * and return the DataFrame; None → not ours, use the normal path.
+  /** If `query` is a pipe chain containing an `asof join` or `positional
+    * join` stage, execute it and return the DataFrame; None → not ours, use
+    * the normal path.
     */
   def tryPipeline(spark: SparkSession, query: String): Option[DataFrame] = {
     if (!PsqlRewriter.isPsql(query)) return None
     val q = PsqlRewriter.stripTrailingSemicolon(query)
     val stages = splitPipes(q)
     if (stages.length < 2) return None
-    val hit = stages.indices.drop(1)
-      .flatMap(i => matchStage(stages(i)).map(i -> _)).headOption
-    hit.map { case (i, st) =>
-      val left = Psql(spark).sql(stages.take(i).mkString(" |> "))
-      val joined = execute(spark, left, st)
+    val hit = stages.indices.drop(1).flatMap { i =>
+      matchStage(stages(i)).map(st => (i, () => {
+        val left = Psql(spark).sql(stages.take(i).mkString(" |> "))
+        execute(spark, left, st)
+      })).orElse(matchPositional(stages(i)).map { rel => (i, () => {
+        val left = Psql(spark).sql(stages.take(i).mkString(" |> "))
+        graft.operators.PositionalJoin.join(left, resolveRel(spark, rel))
+      })})
+    }.headOption
+    hit.map { case (i, build) =>
+      val joined = build()
       val rest = stages.drop(i + 1)
       if (rest.isEmpty) joined
       else {
@@ -57,6 +64,30 @@ object AsofSql {
       }
     }
   }
+
+  /** DuckDB `POSITIONAL JOIN <rel>` stage (row-by-row zip; Spark has no
+    * grammar and no contiguous row ids — executed via
+    * [[graft.operators.PositionalJoin]]'s zipWithIndex plan). Only a bare
+    * relation is supported (`as` aliases are pointless for a zip).
+    */
+  private def matchPositional(stage0: String): Option[String] = {
+    val stage = stage0.trim
+    val sc = scan(stage)
+    val pos = topLevelKeyword(stage, sc, Seq("positional")).headOption.getOrElse(return None)
+    if (stage.substring(0, pos).trim.nonEmpty) return None
+    val j = nextCode(stage, sc, pos + "positional".length)
+    if (j < 0 || !matchesWord(stage, j, "join")) return None
+    val rel = stage.substring(j + 4).trim
+    if (rel.isEmpty || rel.exists(Character.isWhitespace)) None else Some(rel)
+  }
+
+  private def resolveRel(spark: SparkSession, rel: String): DataFrame =
+    if (rel.startsWith("'")) {
+      val path = rel.stripPrefix("'").stripSuffix("'")
+      val view = PathRelations.viewNameFor(path)
+      PathRelations.register(spark, view, path)
+      spark.table(view)
+    } else spark.table(rel)
 
   private def matchStage(stage0: String): Option[Stage] = {
     val stage = stage0.trim
@@ -88,14 +119,7 @@ object AsofSql {
   }
 
   private def execute(spark: SparkSession, left: DataFrame, st: Stage): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val right =
-      if (st.rel.startsWith("'")) {
-        val path = st.rel.stripPrefix("'").stripSuffix("'")
-        val view = PathRelations.viewNameFor(path)
-        PathRelations.register(spark, view, path)
-        spark.table(view)
-      } else spark.table(st.rel)
+    val right = resolveRel(spark, st.rel)
     val rightQual = st.rAlias.getOrElse(st.rel.split("\\.").last).toLowerCase
     // conjuncts: qualified col (=|>=|<=|>|<) qualified col
     val csc = scan(st.conds)

@@ -112,7 +112,14 @@ def pipeline():
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(7)
+    shape = rnd.randrange(8)
+    if shape == 7:
+        # DISTINCT ON: graft rewrites to a row_number window; DuckDB runs the
+        # stage natively. Deterministic: picks min (okey, lineno) per flag,
+        # ties project to identical tuples
+        stages.append("select distinct on (l_returnflag) l_returnflag, l_orderkey, l_linenumber "
+                      "order by l_returnflag, l_orderkey, l_linenumber")
+        return " |> ".join(stages)
     if shape == 5:
         stages.append(qualify_stage())
         stages.append("order by all")
