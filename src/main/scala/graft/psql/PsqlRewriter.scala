@@ -142,7 +142,11 @@ object PsqlRewriter {
             if (level == 0) end = j else j += 2
           } else j += 1
         }
-        if (end < 0) { i += 1 } // unterminated block: leave as-is
+        if (end < 0)
+          // an opened-but-never-closed scoped block can only produce a
+          // baffling downstream parse error — fail here with the offset
+          throw new IllegalArgumentException(
+            s"unterminated scoped block: '(|' at offset $i has no matching '|)'")
         else {
           out.append(convertFragment(s.substring(segStart, i)))
           out.append(" ( ").append(rewriteBlocks(s.substring(i + 2, end))).append(" ) ")

@@ -120,6 +120,20 @@ class PsqlEndToEndSpec extends SparkSpec {
         .collect().head.getLong(0)
       assert(n == 2, fmt)
     }
+    // glob patterns pass straight through to the reader (multi-file scans)
+    val g = new java.io.File(dir, "parts")
+    df.write.parquet(new java.io.File(g, "a.parquet").getAbsolutePath)
+    df.write.parquet(new java.io.File(g, "b.parquet").getAbsolutePath)
+    val n = psql.sql(s"from '${g.getAbsolutePath}/*.parquet' |> select count() as n")
+      .collect().head.getLong(0)
+    assert(n == 4, "glob scan")
+  }
+
+  test("unterminated scoped block raises a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("with x as (| from t1 |> select i from x")
+    }
+    assert(e.getMessage.contains("unterminated"), e.getMessage)
   }
 
   test("SUMMARIZE profiles a table or a pipeline") {
