@@ -525,7 +525,7 @@ object SparkEntry {
       "q46_unpivot",
       psql("""from lineitem |>
         |select l_orderkey, l_linenumber, l_quantity, l_discount, l_tax |>
-        |unpivot (val for measure in (l_quantity, l_discount, l_tax)) |>
+        |unpivot include nulls (val for measure in (l_quantity, l_discount, l_tax)) |>
         |order by l_orderkey, l_linenumber, measure, val |>
         |limit 300""".stripMargin),
       // (l_orderkey, l_linenumber) duplicates exist in the synthetic data, so

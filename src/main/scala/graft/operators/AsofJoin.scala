@@ -64,9 +64,13 @@ object AsofJoin {
     // right rows at the same (key, time) with different payloads would
     // otherwise leave `last(...)` picking a partition-order-dependent winner;
     // ordering by the payload struct makes the winner the greatest payload —
-    // deterministic across runs and retries.
+    // deterministic across runs and retries. (Skipped when the payload holds
+    // a non-orderable type like a map — Spark can't sort those, and neither
+    // could any deterministic rule.)
+    val sortKeys = Seq(col("__t").asc, col("__side").asc) ++
+      (if (orderablePayload(right, rightPayload)) Seq(col("__rpay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__rpay").asc_nulls_first)
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = unioned
@@ -75,6 +79,18 @@ object AsofJoin {
 
     val base = if (joinType == "inner") matched.where(col("__match").isNotNull) else matched
     base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
+  /** Whether the payload struct can be a sort key (maps are not orderable). */
+  private def orderablePayload(right: DataFrame, rightPayload: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType      => false
+      case a: ArrayType    => ok(a.elementType)
+      case s: StructType   => s.fields.forall(f => ok(f.dataType))
+      case _               => true
+    }
+    rightPayload.forall(p => ok(right.schema(p).dataType))
   }
 
   /** Direction-dispatch convenience (used by the SQL front-end's ASOF stage). */
@@ -112,8 +128,10 @@ object AsofJoin {
       leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
     // payload tiebreak mirrors backward: at equal (key, time) the winner is
     // the greatest payload struct, not whichever row the scan saw last
+    val sortKeys = Seq(col("__t").desc, col("__side").asc) ++
+      (if (orderablePayload(right, rightPayload)) Seq(col("__rpay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").desc, col("__side").asc, col("__rpay").asc_nulls_first)
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))

@@ -42,6 +42,10 @@ object AsofSql {
     */
   def tryPipeline(spark: SparkSession, query: String): Option[DataFrame] = {
     if (!PsqlRewriter.isPsql(query)) return None
+    // a DDL-headed statement must NOT take this path: the prefix would be
+    // executed eagerly (running the DDL with the wrong contents) before the
+    // join stage even resolves — let the normal rewrite path fail cleanly
+    if (!Psql.isQueryHead(query)) return None
     val q = PsqlRewriter.stripTrailingSemicolon(query)
     val stages = splitPipes(q)
     if (stages.length < 2) return None
@@ -164,7 +168,6 @@ object AsofSql {
     val leftCols = left.columns.map(_.toLowerCase).toSet
     val payload = renamed.columns.toSeq
       .filterNot(c => byCols.exists(_.equalsIgnoreCase(c)))
-      .filterNot(c => c.equalsIgnoreCase(rt) && leftCols.contains(c.toLowerCase))
       .filterNot(c => leftCols.contains(c.toLowerCase))
     if (payload.isEmpty) throw new IllegalArgumentException(
       "asof join right side carries no payload columns after key dedup and collision drops")

@@ -151,8 +151,17 @@ object Psql {
       }
     val left = q2.substring(0, last.pos).trim
     val right = q2.substring(last.end).trim
-    def side(s: String): LogicalPlan =
+    // a statement-level WITH scopes its CTEs over the WHOLE set operation
+    // (DuckDB/SQL semantics); sides parse standalone here, so re-prefix the
+    // CTE clause onto any side that doesn't already carry it
+    val withPre = PsqlRewriter.splitWithPrefix(q2).map(_._1)
+    def side(s0: String): LogicalPlan = {
+      val s = withPre match {
+        case Some(pre) if !s0.startsWith(pre) => s"$pre $s0"
+        case _                                => s0
+      }
       byNamePlan(spark, s, parse).getOrElse(parse(preprocess(spark, s)))
+    }
     val (l, r) = (side(left), side(right))
     val combined = last.op match {
       case "union" if last.byName =>
@@ -182,14 +191,15 @@ object Psql {
   /** True when the statement starts like a query (SELECT/FROM/WITH/VALUES/
     * TABLE or a parenthesized/scoped-block head) — the only shapes where a
     * top-level set operation belongs to the statement itself rather than to
-    * a DDL command's body.
+    * a DDL command's body. Leading comments are skipped (scanner-aware).
     */
-  private def isQueryHead(query: String): Boolean = {
-    val t = query.trim
-    if (t.isEmpty) false
-    else if (t.startsWith("(")) true // includes `(| … |)` scoped blocks
+  private[psql] def isQueryHead(query: String): Boolean = {
+    val sc = SqlScanner.scan(query)
+    val i = SqlScanner.nextCode(query, sc, 0)
+    if (i < 0) false
+    else if (query.charAt(i) == '(') true // includes `(| … |)` scoped blocks
     else Seq("select", "from", "with", "values", "table")
-      .exists(w => SqlScanner.matchesWord(t, 0, w))
+      .exists(w => SqlScanner.matchesWord(query, i, w))
   }
 
   /** The reference silently keeps only `statements[0]` of a multi-statement

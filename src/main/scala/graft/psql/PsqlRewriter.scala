@@ -272,7 +272,11 @@ object PsqlRewriter {
             val nm = nextCode(s, sc, i + 2)
             if (nm >= 0 && matchesWord(s, nm, "name")) { byName = true; end = nm + 4 }
           }
-          Some(TopSetOp(pos, end, op, isAll, byName))
+          // a set op needs a non-empty right side too: a trailing identifier
+          // that merely SPELLS union/except/minus (e.g. `… as minus`) is an
+          // alias, not an operator
+          if (nextCode(s, sc, end) < 0) None
+          else Some(TopSetOp(pos, end, op, isAll, byName))
         }
       }
     }.sortBy(_.pos)

@@ -48,6 +48,15 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("non-orderable payloads (maps) still join — tie-break degrades gracefully") {
+    val left = Seq((1L, "u1", 15L)).toDF("id", "k", "t")
+    val right = Seq(("u1", 10L, Map("a" -> 1)))
+      .toDF("k", "rt", "m")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("m"), "inner")
+      .select("id", "m").collect()
+    assert(out.length == 1 && out.head.getMap[String, Int](1)("a") == 1)
+  }
+
   test("forward inner: earliest right >= left time") {
     val out = AsofJoin.forward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
       .select("id", "v").as[(Long, String)].collect().toMap

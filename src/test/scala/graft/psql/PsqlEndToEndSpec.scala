@@ -386,6 +386,27 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(cols == Seq("a", "exclude"))
   }
 
+  test("by-name edge shapes: leading comment, statement-level CTE scope, alias spelling an op") {
+    // leading comment must not defeat the query-head check
+    assert(psql.sql("-- daily rollup\nselect 1 as i union by name select 2 as i").count() == 2)
+    // a statement-level WITH scopes its CTEs over the whole set operation
+    val r = psql.sql(
+      "with t as (select 1 as i) select * from t union by name select i + 1 as i from t")
+      .collect().map(_.getInt(0)).toSet
+    assert(r == Set(1, 2), r)
+    // an alias that merely spells a set-op keyword is not an operator
+    assert(psql.sql("select 1 as minus union by name select 2 as minus").count() == 2)
+  }
+
+  test("DDL head never routes through the asof pipeline path (no side effects)") {
+    spark.sql("DROP TABLE IF EXISTS asof_ddl_t")
+    intercept[Exception] {
+      psql.sql("create table asof_ddl_t as from t1 |> as l asof join t1 as r on l.i = r.i and l.j >= r.j")
+    }
+    // the failed statement must not have created (or partially filled) the table
+    assert(!spark.catalog.tableExists("asof_ddl_t"))
+  }
+
   test("union by name nested in a scoped block raises a clear unsupported error") {
     val e = intercept[IllegalArgumentException] {
       psql.sql("with x as (| from t1 union by name from t1 |) from x |> select i").collect()
