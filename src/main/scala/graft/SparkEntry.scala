@@ -561,6 +561,19 @@ object SparkEntry {
       Some("""SELECT DISTINCT ON (user_id) user_id, event_id, event_type
         |FROM events ORDER BY user_id, ts DESC, event_id DESC""".stripMargin)),
 
+    // DuckDB arg_max/arg_min → Spark max_by/min_by (function-name shim);
+    // event_id is unique so the argmax picks are deterministic
+    QueryDef(
+      "q49_arg_max",
+      psql("""from events |>
+        |select user_id, arg_max(event_type, event_id) as last_type,
+        |  arg_min(event_type, event_id) as first_type,
+        |  count() as n group by user_id |>
+        |order by user_id""".stripMargin),
+      Some("""SELECT user_id, arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // outer-join variants beyond LEFT (q05): right, full, cross — delegated
     // semantics, gated so a dialect-shim regression (e.g. dedupJoinOn firing
     // on an outer join) cannot pass silently

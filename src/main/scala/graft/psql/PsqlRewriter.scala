@@ -554,7 +554,12 @@ object PsqlRewriter {
     "regexp_matches" -> "regexp_like",
     "string_split" -> "split",
     "str_split" -> "split",
-    "strlen" -> "length"
+    "strlen" -> "length",
+    // DuckDB argmax family ≡ Spark max_by/min_by (same arg order/semantics)
+    "arg_max" -> "max_by",
+    "argmax" -> "max_by",
+    "arg_min" -> "min_by",
+    "argmin" -> "min_by"
   )
 
   /** Expression-level dialect shims applied to clause texts (string-aware):
