@@ -49,7 +49,15 @@ class Psql(val spark: SparkSession) {
       case None => ()
     }
     val finalSql = Psql.preprocess(spark, query)
-    spark.sql(finalSql)
+    // fallback for Spark 4's NATIVE pipe syntax (`|> AGGREGATE …`): a stage
+    // that is not a PSQL stage rewrites to unparseable SQL — retry the
+    // original text, surfacing the PSQL-path error if both fail
+    try spark.sql(finalSql)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException if finalSql != query =>
+        try spark.sql(query)
+        catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => throw e }
+    }
   }
 
   /** The pure string rewrite (no execution) — exposed for tests/EXPLAIN. */

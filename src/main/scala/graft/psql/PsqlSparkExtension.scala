@@ -62,17 +62,34 @@ class PsqlParser(session: SparkSession, delegate: ParserInterface) extends Parse
   // the stage fold registers ephemeral temp views that are dropped once the
   // frame is analyzed, so the raw parsed plan would re-resolve against
   // already-dropped names when the session re-analyzes the parser's output
+  /** Parse the rewritten text; if the PSQL rewrite produced something the
+    * host parser rejects, retry the ORIGINAL text — Spark 4 has its own
+    * native pipe syntax (`\|> AGGREGATE …`, SPARK-49555) whose stages are
+    * not PSQL stages, and the fallback keeps them usable through this
+    * parser. If both fail, surface the PSQL-path error (reference error
+    * parity: the failure points at the offending stage token).
+    */
+  private def parseWithFallback(sqlText: String, p: String => LogicalPlan): LogicalPlan = {
+    val rewritten = pre(sqlText)
+    try p(rewritten)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException if rewritten != sqlText =>
+        try p(sqlText)
+        catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => throw e }
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     ensureEngineFns()
     AsofSql.tryPipeline(session, sqlText).map(_.queryExecution.analyzed)
       .orElse(Psql.byNamePlan(session, sqlText, s => delegate.parsePlan(s)))
-      .getOrElse(delegate.parsePlan(pre(sqlText)))
+      .getOrElse(parseWithFallback(sqlText, delegate.parsePlan))
   }
   override def parseQuery(sqlText: String): LogicalPlan = {
     ensureEngineFns()
     AsofSql.tryPipeline(session, sqlText).map(_.queryExecution.analyzed)
       .orElse(Psql.byNamePlan(session, sqlText, s => delegate.parseQuery(s)))
-      .getOrElse(delegate.parseQuery(pre(sqlText)))
+      .getOrElse(parseWithFallback(sqlText, delegate.parseQuery))
   }
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)

@@ -189,6 +189,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("asof SQL stage produces the union+window plan (no nested loop)") {
+    spark.table("events").where(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      .withColumnRenamed("ts", "pts")
+      .createOrReplaceTempView("pq_purchases_v")
+    val df = graft.psql.Psql(spark).sql(
+      "from events |> select event_id, user_id, ts |> " +
+        "as e asof join pq_purchases_v as p on e.user_id = p.user_id and e.ts >= p.pts")
+    val p = plan(df)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("asof join plans a single shuffle per side (union strategy, no nested loop)") {
     Tables.register(spark, sf)
     val events = spark.table("events")

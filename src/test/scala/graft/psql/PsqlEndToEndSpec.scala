@@ -294,6 +294,17 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(e2.getMessage.contains("key equality"), e2.getMessage)
   }
 
+  test("Spark-native pipe stages (|> AGGREGATE) still work via the parse fallback") {
+    // not a PSQL stage shape — the rewrite produces unparseable SQL, and the
+    // fallback hands the original text to Spark's own pipe-syntax grammar
+    val out = psql.sql("from t1 |> where i > 0 |> aggregate count(*) as n")
+      .collect().head.getLong(0)
+    assert(out == 4L, out)
+    // genuinely-bad stages still surface the PSQL-path error token
+    val e = intercept[Exception] { psql.sql("from t1 |> srt j").collect() }
+    assert(e.getMessage.contains("'j'"), e.getMessage)
+  }
+
   test("qualify end-to-end") {
     val rows = psql.sql("from t1 |> select i, j qualify row_number() over (order by i desc) = 1").collect()
     assert(rows.length == 1 && rows.head.getInt(0) == 4)
