@@ -254,6 +254,26 @@ object OpsEntry {
       },
       None),
 
+    // q37's answers via the scale-safe exact-percentile operator: same
+    // oracle, but the plan survives low-cardinality groups at 100 TB
+    // (global range sort + zipWithIndex + broadcast rank-pick), where
+    // Spark's `percentile` buffers every group value on one executor
+    QueryDef(
+      "q50_percentiles_scale",
+      withTables { (s, _) =>
+        val li = s.table("lineitem")
+        val qty = Percentiles.exactByGroup(li, "l_returnflag", "l_quantity",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        val price = Percentiles.exactByGroup(li, "l_returnflag", "l_extendedprice",
+          Seq("p25_price" -> 0.25))
+        qty.join(price, Seq("l_returnflag")).orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |  cast(quantile_cont(l_quantity, 0.5) as double) AS p50,
+        |  cast(quantile_cont(l_quantity, 0.95) as double) AS p95,
+        |  cast(quantile_cont(l_extendedprice, 0.25) as double) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef(
       "t01_langid",
       withTables { (s, _) =>

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT interpolated percentiles (`quantile_cont`) per group.
+  *
+  * Both obvious formulations collapse at 100 TB when group cardinality is
+  * low (the common analytics case — e.g. 3 `l_returnflag` groups):
+  *   - Spark's `percentile` is a `TypedImperativeAggregate` whose FINAL
+  *     buffer holds EVERY value of the group on one executor;
+  *   - a window (`row_number` over `partition by g order by v`) sorts each
+  *     group inside ONE task — same single-machine bottleneck.
+  *
+  * This operator computes the same exact answer with nothing larger than a
+  * partition anywhere (the TeraSort-style distributed selection):
+  *   1. global range-partitioned sort on (group, value) — Spark's `orderBy`
+  *     spreads the sort across the cluster regardless of group count;
+  *   2. contiguous global row index (`zipWithIndex`: one count job, no data
+  *     movement);
+  *   3. per-group offsets/counts — an ordinary hash aggregate, rows = one
+  *     per group;
+  *   4. each requested percentile p needs the group-local ranks
+  *     `floor/ceil(p*(n-1))`, i.e. two GLOBAL indexes per (group, p) —
+  *     a tiny broadcast join picks those rows off the indexed data;
+  *   5. linear interpolation `v_lo + (v_hi − v_lo)·frac` (the
+  *     `quantile_cont` / Spark `percentile` formula), pivoted to one row
+  *     per group.
+  *
+  * NULL values are excluded, like both engines' aggregate semantics; a
+  * group whose values are all NULL yields no row (Spark's percentile would
+  * yield NULL — filter upstream if that distinction matters).
+  */
+object Percentiles {
+
+  /** @param ps (outputColumn, fraction) pairs, e.g. Seq("p50" -> 0.5) */
+  def exactByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    val sorted = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .orderBy("__g", "__v")
+    val indexed = PositionalJoin.withRowIndex(sorted, "__idx")
+    val groups = indexed.groupBy("__g")
+      .agg(min("__idx").as("__off"), count(lit(1)).as("__n"))
+    // one target row per (group, percentile): the two bracketing global
+    // indexes and the interpolation fraction
+    val targets = ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      groups.select(
+        col("__g"), lit(name).as("__p"),
+        (col("__off") + floor(pos).cast("long")).as("__lo"),
+        (col("__off") + ceil(pos).cast("long")).as("__hi"),
+        (pos - floor(pos)).as("__frac"))
+    }.reduce(_ union _)
+    // rows-per-target is 2 of the whole dataset: broadcast the tiny target
+    // set into two equi-joins against the indexed data
+    val vals = indexed.select(col("__idx"), col("__v"))
+    val picked = targets
+      .join(vals.withColumnRenamed("__idx", "__lo").withColumnRenamed("__v", "__vlo"), Seq("__lo"))
+      .join(vals.withColumnRenamed("__idx", "__hi").withColumnRenamed("__v", "__vhi"), Seq("__hi"))
+      .withColumn("__val", col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac"))
+    picked.groupBy(col("__g").as(groupCol))
+      .pivot("__p", ps.map(_._1))
+      .agg(first("__val"))
+  }
+}

@@ -234,6 +234,34 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactByGroup equals Spark's exact percentile for every fraction incl. 0 and 1") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
+    val got = Percentiles.exactByGroup(li, "l_returnflag", "l_quantity", ps)
+      .collect().map(r => r.getString(0) -> ps.indices.map(i => r.getDouble(i + 1))).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.0, 0.25, 0.5, 0.95, 1.0))").as("a"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, vs) =>
+      vs.zip(want(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$g: $a vs $b")
+      }
+    }
+  }
+
+  test("exactByGroup handles single-value groups and excludes NULLs") {
+    val df = Seq(("a", Some(5.0)), ("b", Some(1.0)), ("b", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val out = Percentiles.exactByGroup(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 5.0, "b" -> 2.0), out)
+  }
+}
+
 class TopKTokensSpec extends SparkSpec {
   import spark.implicits._
   import graft.functions.TopKTokens
