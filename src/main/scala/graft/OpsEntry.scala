@@ -185,6 +185,34 @@ object OpsEntry {
         |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
+      "d10_neardup_clusters",
+      withTables { (s, _) =>
+        // transitive near-dup clusters: exact-Jaccard pairs → connected
+        // components (min-label propagation); oracle closes the same pair
+        // graph with a recursive CTE
+        val docs = s.table("documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(docs.select("doc_id"), pairs)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d05_ann_cosine_topk",
       withTables { (s, _) =>
         val emb = s.table("embeddings")

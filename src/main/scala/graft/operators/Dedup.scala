@@ -251,6 +251,57 @@ object Dedup {
       .where(col("sim") >= threshold)
   }
 
+  /** Connected components over an undirected pair graph — the transitive
+    * closure step that turns near-dup PAIRS into dedup CLUSTERS (keep one
+    * doc per component, not merely one per pair: pairwise keep-lowest
+    * pruning under-deletes when a cluster is chained a–b, b–c without a–c).
+    *
+    * Algorithm: iterative min-label propagation (Pregel-style). Each round
+    * every node takes the min of its own label and its neighbors' labels —
+    * a join + groupBy, all distributed, nothing per-component on one
+    * machine. Each round ALSO pointer-jumps (a node's label becomes its
+    * label's label), which halves chain depth per round — rounds are
+    * O(log n) even on path graphs, not O(diameter), the same idea as
+    * large-star contraction (Kiveris et al.).
+    *
+    * @param nodes single-column frame of node ids (name preserved)
+    * @param edges two-column frame of undirected edges
+    * @return (idCol, component) — component = min node id in the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val e0 = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    // localCheckpoint (not cache): each round's frame must TRUNCATE lineage,
+    // or the nested logical plan doubles per iteration and the driver dies
+    // building plan strings long before any data is large
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min("component").as("nbr"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+      // pointer jumping: follow component → that node's component
+      val next = stepped.as("a")
+        .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
+          col("a.component") === col("jid"))
+        .select(col("a.id").as("id"), least(col("a.component"), col("jcomp")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") < col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("component"))
+  }
+
   /** 64-bit SimHash fingerprint per row over word features: bit j of the
     * result is the sign of Σ_distinct-words (bit j of hash(word) ? +1 : -1).
     * Computed per row by the codegen'd [[graft.functions.SimHash64Expr]] —

@@ -141,6 +141,25 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.6, s"LSH near-dup recall $recall below the 8×40 operating point")
   }
 
+  test("connectedComponents equals driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 200
+    val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // driver union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = Dedup.connectedComponents(
+      (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want,
+      s"mismatch on ${got.count { case (k, v) => want(k) != v }} nodes")
+  }
+
   test("simhashPairs: exact dup is hamming 0; unrelated text is not paired") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").collect()
