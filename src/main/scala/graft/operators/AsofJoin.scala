@@ -81,17 +81,17 @@ object AsofJoin {
     base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
   }
 
-  /** Whether the payload struct can be a sort key (maps are not orderable). */
-  private def orderablePayload(right: DataFrame, rightPayload: Seq[String]): Boolean = {
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-    def ok(dt: DataType): Boolean = dt match {
-      case _: MapType      => false
-      case a: ArrayType    => ok(a.elementType)
-      case s: StructType   => s.fields.forall(f => ok(f.dataType))
-      case _               => true
+  /** Whether the payload struct can be a window sort key. Delegates to
+    * Catalyst's own orderability rules (maps, intervals, variants, …) —
+    * hand-rolling the type walk would drift from the engine's. Field lookup
+    * is case-insensitive to match column resolution; a payload name that
+    * doesn't resolve here is left for Spark's own error path.
+    */
+  private def orderablePayload(right: DataFrame, rightPayload: Seq[String]): Boolean =
+    rightPayload.forall { p =>
+      right.schema.fields.find(_.name.equalsIgnoreCase(p)).forall(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
     }
-    rightPayload.forall(p => ok(right.schema(p).dataType))
-  }
 
   /** Direction-dispatch convenience (used by the SQL front-end's ASOF stage). */
   def backwardOrForward(

@@ -280,25 +280,38 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var prevStepped: Option[DataFrame] = None
     while (iter < maxIter && !converged) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("component").as("nbr"))
+      // checkpoint the propagate step: it feeds BOTH sides of the jump join
+      // and would otherwise run its join+aggregate twice per round
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"), least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint(true)
       // pointer jumping: follow component → that node's component
       val next = stepped.as("a")
         .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
           col("a.component") === col("jid"))
         .select(col("a.id").as("id"), least(col("a.component"), col("jcomp")).as("component"))
-        .localCheckpoint(true)
+        .cache()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") < col("old")).limit(1).count()
       labels.unpersist()
+      prevStepped.foreach(_.unpersist())
+      prevStepped = Some(stepped)
       labels = next
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      // a silent partial result would split true clusters and make the
+      // downstream dedup under-delete with no signal — fail loudly instead
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(propagate+jump halves chain depth per round, so this needs a component " +
+          s"of diameter > ~2^$maxIter or a mid-job data change); raise maxIter")
     labels.select(col("id").as(idCol), col("component"))
   }
 

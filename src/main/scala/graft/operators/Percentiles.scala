@@ -44,19 +44,26 @@ object Percentiles {
       .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
       .where(col("__v").isNotNull)
       .orderBy("__g", "__v")
-    val indexed = PositionalJoin.withRowIndex(sorted, "__idx")
+    // materialized once (localCheckpoint): the indexed data is scanned by
+    // the group aggregation and by both rank-pick joins — without it each
+    // reference would re-read the sorted shuffle and recompute
+    val indexed = PositionalJoin.withRowIndex(sorted, "__idx").localCheckpoint(true)
     val groups = indexed.groupBy("__g")
       .agg(min("__idx").as("__off"), count(lit(1)).as("__n"))
-    // one target row per (group, percentile): the two bracketing global
-    // indexes and the interpolation fraction
-    val targets = ps.map { case (name, p) =>
-      val pos = lit(p) * (col("__n") - 1).cast("double")
-      groups.select(
-        col("__g"), lit(name).as("__p"),
+    // one target row per (group, percentile) from a SINGLE pass over the
+    // group aggregates: explode a literal (name, fraction) array rather
+    // than unioning one aggregation subplan per percentile
+    val psLit = array(ps.map { case (name, p) =>
+      struct(lit(name).as("name"), lit(p).as("p"))
+    }: _*)
+    val pos = col("pp.p") * (col("__n") - 1).cast("double")
+    val targets = groups
+      .select(col("__g"), col("__off"), col("__n"), explode(psLit).as("pp"))
+      .select(
+        col("__g"), col("pp.name").as("__p"),
         (col("__off") + floor(pos).cast("long")).as("__lo"),
         (col("__off") + ceil(pos).cast("long")).as("__hi"),
         (pos - floor(pos)).as("__frac"))
-    }.reduce(_ union _)
     // rows-per-target is 2 of the whole dataset: broadcast the tiny target
     // set into two equi-joins against the indexed data
     val vals = indexed.select(col("__idx"), col("__v"))

@@ -272,11 +272,14 @@ object PsqlRewriter {
             val nm = nextCode(s, sc, i + 2)
             if (nm >= 0 && matchesWord(s, nm, "name")) { byName = true; end = nm + 4 }
           }
-          // a set op needs a non-empty right side too: a trailing identifier
-          // that merely SPELLS union/except/minus (e.g. `… as minus`) is an
-          // alias, not an operator
-          if (nextCode(s, sc, end) < 0) None
-          else Some(TopSetOp(pos, end, op, isAll, byName))
+          // the right side of a real set op starts like a query; an
+          // identifier that merely SPELLS union/except/minus (e.g.
+          // `… as minus`, `… as minus order by 1`) is an alias, not an
+          // operator — whatever follows it is not a query head
+          val nxt = nextCode(s, sc, end)
+          if (nxt >= 0 && Psql.isQueryHead(s.substring(nxt)))
+            Some(TopSetOp(pos, end, op, isAll, byName))
+          else None
         }
       }
     }.sortBy(_.pos)

@@ -405,8 +405,10 @@ class PsqlEndToEndSpec extends SparkSpec {
       "with t as (select 1 as i) select * from t union by name select i + 1 as i from t")
       .collect().map(_.getInt(0)).toSet
     assert(r == Set(1, 2), r)
-    // an alias that merely spells a set-op keyword is not an operator
+    // an alias that merely spells a set-op keyword is not an operator —
+    // including when trailed by further clauses
     assert(psql.sql("select 1 as minus union by name select 2 as minus").count() == 2)
+    assert(psql.sql("select 1 as i union by name select 2 as minus order by 1").count() == 2)
   }
 
   test("DDL head never routes through the asof pipeline path (no side effects)") {
