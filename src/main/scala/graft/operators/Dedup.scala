@@ -305,14 +305,25 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    if (!converged)
+    if (!converged) {
       // a silent partial result would split true clusters and make the
       // downstream dedup under-delete with no signal — fail loudly instead
+      // (but still release the iteration frames: repeated calls must not
+      // accumulate executor storage on the failure path either)
+      labels.unpersist()
+      prevStepped.foreach(_.unpersist())
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(propagate+jump halves chain depth per round, so this needs a component " +
           s"of diameter > ~2^$maxIter or a mid-job data change); raise maxIter")
-    labels.select(col("id").as(idCol), col("component"))
+    }
+    // materialize the result OFF the cached iteration frames, then release
+    // them — otherwise every call (e.g. periodic batch compaction) pins the
+    // final round's `next` cache and last `stepped` checkpoint forever
+    val result = labels.select(col("id").as(idCol), col("component")).localCheckpoint(true)
+    labels.unpersist()
+    prevStepped.foreach(_.unpersist())
+    result
   }
 
   /** 64-bit SimHash fingerprint per row over word features: bit j of the

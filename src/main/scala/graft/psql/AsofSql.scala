@@ -124,7 +124,15 @@ object AsofSql {
 
   private def execute(spark: SparkSession, left: DataFrame, st: Stage): DataFrame = {
     val right = resolveRel(spark, st.rel)
-    val rightQual = st.rAlias.getOrElse(st.rel.split("\\.").last).toLowerCase
+    // a quoted path has no usable name part to qualify columns with (the
+    // filename stem would silently differ from what the user wrote), so an
+    // explicit alias is mandatory there
+    val rightQual = st.rAlias.getOrElse {
+      if (st.rel.startsWith("'")) throw new IllegalArgumentException(
+        s"asof join on a quoted path needs an explicit alias to qualify its columns — " +
+          s"write `asof join ${st.rel} r on l.k = r.k and …`")
+      st.rel.split("\\.").last
+    }.toLowerCase
     // conjuncts: qualified col (=|>=|<=|>|<) qualified col
     val csc = scan(st.conds)
     val andPos = topLevelKeyword(st.conds, csc, Seq("and"))
@@ -160,9 +168,19 @@ object AsofSql {
       "asof join needs a time inequality (l.t >= r.t or l.t <= r.t)"))
     if (keys.isEmpty) throw new IllegalArgumentException(
       "asof join needs at least one key equality alongside the time inequality")
-    // align right key column names with the left (AsofJoin joins by name)
+    // align right key column names with the left (AsofJoin joins by name);
+    // refuse up front when the target name already exists on the right — the
+    // rename would create a duplicate and fail later with an opaque
+    // ambiguous-column AnalysisException deep inside the join plan
     val renamed = keys.foldLeft(right) { case (df, (lc, rc)) =>
-      if (lc == rc) df else df.withColumnRenamed(rc, lc)
+      if (lc == rc) df
+      else {
+        if (df.columns.exists(c => c.equalsIgnoreCase(lc) && !c.equalsIgnoreCase(rc)))
+          throw new IllegalArgumentException(
+            s"asof join cannot align right key '$rc' to left name '$lc': the right side " +
+              s"already has a column named '$lc' — rename it upstream or alias the key")
+        df.withColumnRenamed(rc, lc)
+      }
     }
     val byCols = keys.map(_._1)
     val leftCols = left.columns.map(_.toLowerCase).toSet

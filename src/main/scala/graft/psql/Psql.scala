@@ -149,12 +149,25 @@ object Psql {
       if (PsqlRewriter.isPsql(q)) (q, None)
       else {
         val sc = SqlScanner.scan(q)
+        // a keyword-spelled token right after '.' or ',' is a column
+        // reference (`t.offset`, `select a, "limit"` …), not the
+        // statement's trailing clause — cutting there would split a valid
+        // side mid-expression
+        def midExpression(p: Int): Boolean = {
+          var j = p - 1
+          while (j >= 0 && Character.isWhitespace(q.charAt(j))) j -= 1
+          j >= 0 && (q.charAt(j) == '.' || q.charAt(j) == ',')
+        }
         val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
           SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
-          SqlScanner.topLevelKeyword(q, sc, Seq("offset"))).filter(_ >= last.end).sorted.headOption
-        cut match {
-          case Some(p) => (q.substring(0, p).trim, Some(q.substring(p).trim))
-          case None    => (q, None)
+          SqlScanner.topLevelKeyword(q, sc, Seq("offset")))
+          .filter(p => p >= last.end && !midExpression(p)).sorted.headOption
+        // commit the cut only if the clause actually parses as a trailing
+        // sort/limit — an unquoted column merely spelling a keyword would
+        // otherwise leave both fragments unparseable
+        cut.map(p => (q.substring(0, p).trim, q.substring(p).trim)) match {
+          case Some((body, t)) if parsesAsTrailingClause(spark, t) => (body, Some(t))
+          case _                                                   => (q, None)
         }
       }
     val left = q2.substring(0, last.pos).trim
@@ -195,6 +208,18 @@ object Psql {
           }
     })
   }
+
+  /** True when `t` parses as a trailing ORDER BY/LIMIT/OFFSET clause over a
+    * stub relation — the probe [[byNamePlan]] uses before committing a cut,
+    * so a column that merely spells a clause keyword falls back to no-cut
+    * instead of producing two unparseable fragments.
+    */
+  private def parsesAsTrailingClause(spark: SparkSession, t: String): Boolean =
+    try {
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .parsePlan(spark, s"SELECT * FROM __graft_by_name_probe__ $t")
+      true
+    } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => false }
 
   /** True when the statement starts like a query (SELECT/FROM/WITH/VALUES/
     * TABLE or a parenthesized/scoped-block head) — the only shapes where a

@@ -294,6 +294,34 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(e2.getMessage.contains("key equality"), e2.getMessage)
   }
 
+  test("asof join: quoted-path right side requires an explicit alias") {
+    import spark.implicits._
+    Seq((1L, "u1", 10L)).toDF("id", "k", "t").createOrReplaceTempView("asof_l2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-path").toString
+    Seq(("u1", 5L, "a")).toDF("k", "rt", "v").write.mode("overwrite").parquet(s"$dir/r.parquet")
+    val e = intercept[IllegalArgumentException] {
+      psql.sql(s"from asof_l2 |> as l asof join '$dir/r.parquet' on l.k = r.k and l.t >= r.rt")
+    }
+    assert(e.getMessage.contains("explicit alias"), e.getMessage)
+    // with the alias it executes
+    val ok = psql.sql(
+      s"from asof_l2 |> as l asof join '$dir/r.parquet' as r on l.k = r.k and l.t >= r.rt")
+    assert(ok.select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("asof join: key-rename collision on the right raises a clear error") {
+    import spark.implicits._
+    Seq((1L, "u1", 10L)).toDF("id", "k", "t").createOrReplaceTempView("asof_l3")
+    // right has BOTH `rk` (the key to align to `k`) and its own `k` — the
+    // blind rename would produce two `k` columns and an opaque
+    // ambiguous-column failure later
+    Seq(("u1", "zzz", 5L, "a")).toDF("rk", "k", "rt", "v").createOrReplaceTempView("asof_r3")
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("from asof_l3 |> as l asof join asof_r3 as r on l.k = r.rk and l.t >= r.rt")
+    }
+    assert(e.getMessage.contains("already has a column named 'k'"), e.getMessage)
+  }
+
   test("Spark-native pipe stages (|> AGGREGATE) still work via the parse fallback") {
     // not a PSQL stage shape — the rewrite produces unparseable SQL, and the
     // fallback hands the original text to Spark's own pipe-syntax grammar
@@ -345,6 +373,17 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(psql.sql(
       "from t1 |> select i union by name from t1 |> select i union by name from t1 |> select i")
       .count() == 5)
+  }
+
+  test("by-name union: a qualified column spelling a clause keyword is not cut") {
+    // `t.offset` after the by-name link spells the OFFSET keyword at top
+    // level; cutting there would split the right side mid-select into an
+    // unparseable fragment
+    val r = psql.sql(
+      "select 1 as i, 0 as o union by name " +
+        "select i, t.offset as o from (select 2 as i, 7 as offset) t order by i")
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    assert(r == Seq((1, 0), (2, 7)), r.toString)
   }
 
   test("mixed set-op chains with by-name associate left, like DuckDB") {
