@@ -273,33 +273,48 @@ object Dedup {
     val e0 = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // Only nodes that touch an edge can ever change label, and in a
+    // near-dup corpus that's a small fraction of |V| — iterate over those
+    // alone and stitch the isolated majority back as component = id at the
+    // end. At 100 TB this shrinks every round's joins from the full corpus
+    // to the near-dup subgraph. The semi join keeps the original contract
+    // that ids appearing only in `edges` (not in `nodes`) don't take part.
+    //
     // localCheckpoint (not cache): each round's frame must TRUNCATE lineage,
     // or the nested logical plan doubles per iteration and the driver dies
     // building plan strings long before any data is large
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    var prevStepped: Option[DataFrame] = None
     while (iter < maxIter && !converged) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("component").as("nbr"))
       // checkpoint the propagate step: it feeds BOTH sides of the jump join
-      // and would otherwise run its join+aggregate twice per round
+      // and would otherwise run its join+aggregate twice per round. The
+      // pre-propagate label rides along as `old` so convergence below is a
+      // local scan of the checkpointed frame, not another labels join.
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint(true)
       // pointer jumping: follow component → that node's component
       val next = stepped.as("a")
         .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
           col("a.component") === col("jid"))
-        .select(col("a.id").as("id"), least(col("a.component"), col("jcomp")).as("component"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") < col("old")).limit(1).count()
+        .select(col("a.id").as("id"),
+          least(col("a.component"), col("jcomp")).as("component"), col("a.old").as("old"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so ANY change this round shows up as
+      // component < old — no join needed, and limit(1) short-circuits
+      val changed = next.where(col("component") < col("old")).limit(1).count()
       labels.unpersist()
-      prevStepped.foreach(_.unpersist())
-      prevStepped = Some(stepped)
+      stepped.unpersist()
+      // keep the checkpointed frame itself as `labels` (a projection would
+      // not release the underlying storage on unpersist); the stray `old`
+      // column is dropped by the explicit selects that consume it
       labels = next
       converged = changed == 0
       iter += 1
@@ -311,18 +326,22 @@ object Dedup {
       // (but still release the iteration frames: repeated calls must not
       // accumulate executor storage on the failure path either)
       labels.unpersist()
-      prevStepped.foreach(_.unpersist())
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(propagate+jump halves chain depth per round, so this needs a component " +
           s"of diameter > ~2^$maxIter or a mid-job data change); raise maxIter")
     }
-    // materialize the result OFF the cached iteration frames, then release
-    // them — otherwise every call (e.g. periodic batch compaction) pins the
-    // final round's `next` cache and last `stepped` checkpoint forever
-    val result = labels.select(col("id").as(idCol), col("component")).localCheckpoint(true)
+    // stitch the isolated nodes back (their component is themselves); the
+    // active-label side is the near-dup subgraph — small, so this join
+    // broadcasts at scale. Materialize OFF the cached iteration frames,
+    // then release them — otherwise every call (e.g. periodic batch
+    // compaction) pins the final round's `next` cache and last `stepped`
+    // checkpoint forever
+    val result = nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+      .localCheckpoint(true)
     labels.unpersist()
-    prevStepped.foreach(_.unpersist())
     result
   }
 
