@@ -65,12 +65,21 @@ object Percentiles {
         (col("__off") + floor(pos).cast("long")).as("__lo"),
         (col("__off") + ceil(pos).cast("long")).as("__hi"),
         (pos - floor(pos)).as("__frac"))
-    // rows-per-target is 2 of the whole dataset: broadcast the tiny target
-    // set into two equi-joins against the indexed data
-    val vals = indexed.select(col("__idx"), col("__v"))
-    val picked = targets
-      .join(vals.withColumnRenamed("__idx", "__lo").withColumnRenamed("__v", "__vlo"), Seq("__lo"))
-      .join(vals.withColumnRenamed("__idx", "__hi").withColumnRenamed("__v", "__vhi"), Seq("__hi"))
+    // rows-per-target is 2 of the whole dataset: explode each target into
+    // its lo and hi global indexes and broadcast that tiny frame into ONE
+    // equi-join pass over the indexed data (two separate lo/hi joins would
+    // scan it twice), then fold the pair back together in a pea-sized agg
+    val sides = targets.select(col("__g"), col("__p"), col("__frac"),
+        explode(array(
+          struct(col("__lo").as("__idx"), lit(true).as("__isLo")),
+          struct(col("__hi").as("__idx"), lit(false).as("__isLo")))).as("t"))
+      .select(col("__g"), col("__p"), col("__frac"),
+        col("t.__idx").as("__idx"), col("t.__isLo").as("__isLo"))
+    val picked = indexed.select(col("__idx"), col("__v"))
+      .join(broadcast(sides), Seq("__idx"))
+      .groupBy("__g", "__p", "__frac")
+      .agg(min(when(col("__isLo"), col("__v"))).as("__vlo"),
+        min(when(!col("__isLo"), col("__v"))).as("__vhi"))
       .withColumn("__val", col("__vlo") + (col("__vhi") - col("__vlo")) * col("__frac"))
     picked.groupBy(col("__g").as(groupCol))
       .pivot("__p", ps.map(_._1))
