@@ -426,6 +426,51 @@ object OpsEntry {
         |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
 
     QueryDef(
+      "c01_decontaminate",
+      withTables { (s, _) =>
+        // every 20th doc plays the benchmark/eval set; the rest is corpus
+        val docs = s.table("documents")
+        TrainingPipeline.decontaminate(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0), n = 3)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      // oracle works on exact shingle STRINGS where the engine joins on
+      // 64-bit shingle hashes — equal absent hash collisions, like d04
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0)
+        |  WHERE len(w) >= 3),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |  WHERE len(w) >= 3),
+        |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (s))
+        |SELECT d.doc_id, d.lang FROM corpus d
+        |  LEFT JOIN bad USING (doc_id) WHERE bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "c02_pack_sequences",
+      withTables { (s, _) =>
+        val docs = s.table("documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        TrainingPipeline.packSequences(
+          docs, "doc_id", col("n_tokens"), pmod(col("doc_id"), lit(8)), budget = 2048L)
+          .select("doc_id", "shard", "pack", "off")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard, (start // 2048)::BIGINT AS pack, (start % 2048)::BIGINT AS off
+        |FROM (SELECT doc_id, shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+        |  FROM (SELECT doc_id, doc_id % 8 AS shard,
+        |      len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents))
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "p01_curation_pipeline",
       withTables { (s, _) =>
         TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8)

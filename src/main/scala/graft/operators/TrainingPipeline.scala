@@ -34,6 +34,64 @@ object TrainingPipeline {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Benchmark decontamination: drop every corpus document that shares at
+    * least one word `n`-gram with the benchmark/eval set — the standard
+    * defense against test-set leakage into training data (GPT-3 App. C /
+    * The Pile style n-gram overlap).
+    *
+    * Plan: both sides map to hashed shingle rows (codegen'd, no shuffle),
+    * the benchmark's distinct hashes BROADCAST into a semi-join against the
+    * corpus shingles (eval sets are MBs — tiny next to a 100 TB corpus, so
+    * nothing large ever shuffles), then one narrow distinct on contaminated
+    * ids feeds a left-anti join back against the full rows. Docs too short
+    * to shingle are never contaminated and are kept.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      benchTextCol: String = "text"): DataFrame = {
+    val bh = Dedup.hashedShingleRows(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)), "__bid", benchTextCol, n)
+      .select("h").distinct()
+    val dh = Dedup.hashedShingleRows(docs, idCol, textCol, n)
+    val contaminated = dh.join(broadcast(bh), Seq("h"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Greedy concat-and-chunk sequence packing: lay documents end to end in
+    * a deterministic order and cut packs every `budget` tokens — the
+    * standard way LLM training data is packed into fixed-length sequences
+    * (docs may straddle a boundary; `off` says where each doc starts in its
+    * pack). A single global sequence would serialize on one task, so the
+    * corpus is sharded first (`shardCol`, e.g. `id % numShards`) and each
+    * shard packs independently — one window shuffle, parallelism =
+    * numShards; size shards to executor-chunk volume at scale.
+    *
+    * Output adds: `shard`, `start` (exclusive prefix tokens in shard),
+    * `pack` (= start / budget), `off` (= start % budget).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      shardCol: org.apache.spark.sql.Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("shard", shardCol.cast("long"))
+      .withColumn("start", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("pack", floor(col("start") / budget))
+      .withColumn("off", col("start") % budget)
+      .drop("__tok")
+  }
+
   /** Curate a document table:
     *  1. annotate language, quality stats, token counts;
     *  2. drop docs below `minQuality`;

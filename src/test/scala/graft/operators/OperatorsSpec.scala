@@ -208,6 +208,52 @@ class TrainingPipelineSpec extends SparkSpec {
     val pairs = Dedup.minhashLshPairs(out.toDF(), "doc_id", "text", threshold = 0.8)
     assert(pairs.isEmpty)
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
+      (2L, "a completely different sentence entirely"),
+      (3L, "short"),                            // too short to shingle -> kept
+      (4L, "quick brown dog runs away now"))    // no shared trigram -> kept
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "benchmark text with the quick brown fox inside")).toDF("doc_id", "text")
+    val kept = TrainingPipeline.decontaminate(corpus, bench, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), kept.toString)
+    // the benchmark side must reach the corpus join as a BROADCAST (eval
+    // sets are tiny next to the corpus — nothing large may shuffle)
+    val plan = TrainingPipeline.decontaminate(corpus, bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("packSequences: greedy concat-and-chunk invariants per shard") {
+    val docs = (1L to 200L).map(i => (i, ("w " * ((i % 37).toInt + 1)).trim)).toDF("doc_id", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val out = TrainingPipeline.packSequences(
+      docs, "doc_id", col("n_tokens"), pmod(col("doc_id"), lit(4)), budget = 64L)
+      .select("doc_id", "n_tokens", "shard", "start", "pack", "off")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    // per shard: start is the exclusive prefix sum over doc_id order
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).foreach { case (_, tok, _, start, pack, off) =>
+        assert(start == acc, s"start $start != prefix $acc")
+        assert(pack == start / 64 && off == start % 64)
+        acc += tok
+      }
+    }
+    // pack ids are dense per shard: every pack below the max is non-empty
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val packs = rows.map(_._5).toSet
+      assert((0L until packs.max).forall(p => packs.contains(p) || {
+        // a doc longer than the budget may straddle and skip a pack id —
+        // only legal when some doc spans it
+        rows.exists { case (_, tok, _, start, _, _) => start < p * 64 && start + tok > p * 64 }
+      }))
+    }
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
