@@ -426,6 +426,28 @@ object OpsEntry {
         |  FROM documents) WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin)),
 
     QueryDef(
+      "t07_redact_pii",
+      withTables { (s, _) =>
+        // deterministically inject an email, phone and IP per row so the
+        // redaction regexes are genuinely exercised (the synthetic corpus
+        // carries none), identically in both engines
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555 0100 from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ok"))
+        s.table("documents")
+          .select(col("doc_id"), TextFunctions.redactPii(aug).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id::VARCHAR ||
+        |      '@example.com or +1 555 0100 from 10.0.' || (doc_id % 256)::VARCHAR || '.7 ok',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "c01_decontaminate",
       withTables { (s, _) =>
         // every 20th doc plays the benchmark/eval set; the rest is corpus

@@ -86,4 +86,21 @@ object TextFunctions {
     val weighted = transform(words, (w, i) => wordHash(w) * (i.cast("long") + 1L))
     pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(2147483647L))
   }
+
+  /** PII redaction for training text: emails, long digit runs (phone-ish),
+    * and IPv4 literals become typed placeholder tokens. Pure codegen'd
+    * regexp chain — one pass per pattern, applied in this order so an email
+    * is consumed whole before the digit rule can chew its local part.
+    * Deliberately aggressive (any 9+-char digit/space/hyphen run counts as
+    * phone-like): for pre-training scrubbing, false positives are cheap and
+    * misses are not. Patterns stay in the RE2 ∩ Java-regex dialect so the
+    * identical expression runs in DuckDB (`regexp_replace(…, 'g')`).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d -]{7,}\\d" -> "<PHONE>")
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
 }

@@ -209,6 +209,23 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("redactPii replaces emails, phone-like runs and IPv4 literals") {
+    val rows = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "call +1 555 010 3344 now",
+      "server at 192.168.0.17 is up",
+      "order 1995-09-02 12345678 mixed",  // aggressive: digit runs redact
+      "clean text with no pii at all")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.redactPii(col("text")).as("clean"))
+      .as[String].collect()
+    assert(rows(0) == "mail me at <EMAIL> today", rows(0))
+    assert(rows(1) == "call <PHONE> now", rows(1))
+    assert(rows(2) == "server at <IP> is up", rows(2))
+    assert(rows(3) == "order <PHONE> mixed", rows(3))
+    assert(rows(4) == "clean text with no pii at all", rows(4))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
