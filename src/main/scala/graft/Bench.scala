@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Results are materialized through the `noop` sink — unlike `count()`,
   * which lets Catalyst prune the whole projection, noop forces every output
   * column to be computed while writing nothing.
+  *
+  * Protocol notes:
+  *   - each query is timed 3 times after one untimed warm-up; the MEDIAN is
+  *     reported (single runs swung ±4× on unchanged code between rounds);
+  *   - `gc_ms` in the output is total JVM GC time across the whole bench —
+  *     80 queries share one driver JVM (heap = SPARK_DRIVER_MEM, default 8g
+  *     from build.sbt), so late queries can inherit heap pressure from
+  *     earlier ones; a large gc_ms flags that the wall-clock numbers are
+  *     GC-polluted and SPARK_DRIVER_MEM should be raised before comparing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,17 +40,45 @@ object Bench {
     // the query's generated stages (incl. the AQE-chosen join variants) and
     // warms JIT; timing immediately after keeps those classes in Spark's
     // bounded codegen cache (~100 entries — warming all 50+ queries first
-    // would evict the early ones again). The timed run measures steady-state
-    // execution, not compiler latency.
+    // would evict the early ones again).
+    //
+    // MEDIAN OF 3 timed runs per query: a single timed run proved
+    // noise-dominated round over round (±4× swings on untouched queries —
+    // GC pauses, JIT deopt, OS jitter all land on whichever query is
+    // running). The median suppresses one-off stalls while still counting
+    // systematic cost; ~2 extra minutes at sf0.1 buys comparable numbers.
+    // Warm-up failures print loudly — they are the first signal of a broken
+    // query, and the timed runs will fail the same way.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime.max(0L)).sum
+    }
+    val gc0 = gcMs
+    val timedRuns = 3
     val results = SparkEntry.defs.map { d =>
-      try d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val ok =
+      val warmOk =
         try { d.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] ${d.name}: ${e.getMessage}"); false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      d.name -> (if (ok) sec else -1.0)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name} warm-up FAILED: $e")
+            false
+        }
+      val times = (1 to timedRuns).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${d.name}: ${e.getMessage}")
+            None
+        }
+      }
+      val sec =
+        if (times.isEmpty || !warmOk) -1.0
+        else times.sorted.apply(times.size / 2) // median (middle of 3)
+      d.name -> sec
     }
     // Locale.ROOT: the output line must be machine-parseable JSON on any JVM
     // default locale (no comma decimal separators)
@@ -49,7 +86,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"median_of_$timedRuns","gc_ms":${gcMs - gc0}}""")
     spark.stop()
   }
 }

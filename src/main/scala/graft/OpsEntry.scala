@@ -17,6 +17,9 @@ object OpsEntry {
   private def withTables(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { Tables.register(s, dir); f(s, dir) }
 
+  private def psqlish(text: String): (SparkSession, String) => DataFrame =
+    withTables { (s, _) => Psqlish(s, text) }
+
   /** DuckDB SQL mirroring [[TextFunctions.langId]] (stopword-hit argmax with
     * the same precedence order) — shared by the t01 and p01 oracles.
     */
@@ -495,7 +498,11 @@ object OpsEntry {
     QueryDef(
       "p01_curation_pipeline",
       withTables { (s, _) =>
-        TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8)
+        // clusterDedup = false: this entry gates the keep-lowest
+        // PAIR-pruning mode against its exact-pair oracle; p02 gates the
+        // default connected-components cluster mode
+        TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8,
+          clusterDedup = false)
           .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 6).as("q"))
           .orderBy("doc_id")
       },
@@ -525,6 +532,99 @@ object OpsEntry {
         |SELECT doc_id, pred_lang, round(quality_score, 6) AS q
         |FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "p02_curation_clusters",
+      withTables { (s, _) =>
+        // default mode: near-dup pairs closed to transitive clusters via
+        // connectedComponents, exactly one survivor (min id) per cluster —
+        // the semantics pair-pruning (p01) only approximates. Oracle closes
+        // the same pair graph with a recursive CTE (d10's shape) composed
+        // with p01's annotate/filter/exact stages.
+        TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8,
+          clusterDedup = true)
+          .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE annotated AS (
+        |  SELECT doc_id, text, $langIdCaseSql AS pred_lang, $qualityScoreSql AS quality_score
+        |  FROM documents),
+        |filtered AS (SELECT * FROM annotated WHERE quality_score >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, text, pred_lang, quality_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+        |  WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM exact
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT e.doc_id, e.pred_lang, round(e.quality_score, 6) AS q
+        |FROM exact e JOIN comp c USING (doc_id)
+        |WHERE c.component = e.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // streaming operators in batch mode: every EventStreams transform works
+    // identically on a batch frame (watermarks are no-ops), so the SAME
+    // function the streaming specs exercise gets a DuckDB-oracle gate row —
+    // a semantics regression in the streaming ops now fails the driver gate,
+    // not just the spec suites.
+    QueryDef(
+      "st01_stream_dedup",
+      withTables { (s, _) =>
+        // which physical row survives dedup is arrival-order-dependent (in
+        // streaming: first arrival; in batch: partition order), so the gate
+        // checks the deterministic contract — exactly the distinct key set
+        // survives, no key lost, no duplicate kept
+        graft.streaming.EventStreams.dedupWithinWatermark(
+          s.table("events"), "1 hour", "user_id", "event_type")
+          .select("user_id", "event_type")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      "st02_purchase_attribution",
+      withTables { (s, _) =>
+        // fully deterministic in batch: an inner join on user + a bounded
+        // event-time window (the stream-stream join's exact semantics)
+        graft.streaming.EventStreams.purchaseAttribution(
+          s.table("events"), "1 hour", windowSeconds = 600)
+          .select("purchase_id", "user_id", "click_id", "value")
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, p.value
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 600 SECONDS
+        |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // the 100 TB distinct-count path: HyperLogLog++ is a fixed-size
+    // mergeable sketch (map-side partial + merge), where q15's exact
+    // count(distinct) expands every distinct key through the shuffle.
+    // Sketch estimates are engine-specific → rows-only gate; the spec
+    // bounds the error against q15's exact counts and pins the
+    // partial+merge plan shape.
+    QueryDef(
+      "q51_approx_distinct",
+      psqlish("""from lineitem |>
+        |select l_returnflag,
+        |  approx_count_distinct(l_partkey) as n_parts,
+        |  approx_count_distinct(l_suppkey) as n_supps,
+        |  count() as n_rows group by l_returnflag |>
+        |order by l_returnflag""".stripMargin),
+      None),
 
     // skew-mitigation operators on the deliberately skewed events.user_id:
     // semantics must equal the plain join / plain groupBy (the oracle), so a

@@ -125,6 +125,15 @@ object Dedup {
     *
     * Approximate by design (recall < 1 for borderline pairs) — hence no SQL
     * oracle; the spec checks recall against [[ngramJaccardPairs]].
+    *
+    * `maxBucketSize`: a (band, bucket) holding C docs yields C² candidate
+    * pairs — on a corpus with heavy verbatim replication one hot bucket
+    * becomes a quadratic straggler task at scale. The cap DROPS buckets
+    * larger than it before the candidate self-join (the per-bucket freq is
+    * a narrow count over the banded rows, like [[ngramJaccardPairs]]'
+    * `maxShingleDocFreq`). Lossy by intent: pairs whose every agreeing band
+    * is oversized are missed — at dedup thresholds such docs are verbatim
+    * copies, which exact dedup upstream should have removed first.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -133,7 +142,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // the whole numHashes-wide signature is computed per row, map-side, by
@@ -151,8 +161,15 @@ object Dedup {
     val bandCols = (0 until bands).map { bd =>
       xxhash64(slice(col("sig"), bd * rows + 1, rows))
     }
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
+    val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band", "bucket")
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val ok = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= cap)
+        banded0.join(ok.select("band", "bucket"), Seq("band", "bucket"))
+      case None => banded0
+    }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -379,9 +396,28 @@ object Dedup {
     * effectively quadratic), while the 16-bit ball scheme stays linear.
     * The verify step keeps precision exact under either scheme.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): got $maxHamming")
+    // `maxBucketSize` guards the C² hot-bucket blow-up on verbatim-heavy
+    // corpora, like [[minhashLshPairs]]: a bucket = the docs sharing an
+    // exact band key, and buckets over the cap are dropped from BOTH join
+    // sides before candidates form (verbatim copies share every band key,
+    // so their quadratic candidate set never materializes). Lossy by
+    // intent; exact dedup upstream is the right tool for verbatim copies.
+    def capBuckets(frame: DataFrame, keyCols: Seq[String]): DataFrame =
+      maxBucketSize match {
+        case Some(cap) =>
+          val ok = frame.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+            .where(col("__n") <= cap)
+          frame.join(ok.select(keyCols.map(col): _*), keyCols)
+        case None => frame
+      }
     val fp = simhash(df, idCol, textCol)
     // band layout for `bands` contiguous bands over 64 bits
     def layout(bands: Int): (Array[Int], Array[Int]) = {
@@ -400,9 +436,11 @@ object Dedup {
         val bands = maxHamming + 1
         val (widths, starts) = layout(bands)
         val key = bandKey(starts, widths) _
-        val banded = fp.select(col("id"), col("simhash"),
-          posexplode(array((0 until bands).map(key): _*)))
-          .toDF("id", "simhash", "band", "key")
+        val banded = capBuckets(
+          fp.select(col("id"), col("simhash"),
+            posexplode(array((0 until bands).map(key): _*)))
+            .toDF("id", "simhash", "band", "key"),
+          Seq("band", "key"))
         banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.id") < col("b.id"))
@@ -420,11 +458,20 @@ object Dedup {
             .map(packed(b, _))
         }
         val ball = fp.select(col("id"), col("simhash"), explode(array(ballKeys: _*)).as("key"))
-        val exactPacked = fp.select(col("id"), col("simhash"),
-          explode(array((0 until bands).map(b => packed(b, key(b))): _*)).as("key"))
+        val exactPacked = capBuckets(
+          fp.select(col("id"), col("simhash"),
+            explode(array((0 until bands).map(b => packed(b, key(b))): _*)).as("key")),
+          Seq("key"))
+        // ball rows for a dropped bucket can only ever meet that bucket's
+        // exact rows, so the cap semi-filters the ball side through the
+        // surviving exact keys (a no-op when the cap is off)
+        val ballCapped =
+          if (maxBucketSize.isDefined)
+            ball.join(exactPacked.select("key").distinct(), Seq("key"), "left_semi")
+          else ball
         // exact side ⋈ ball side: a band differing in <= 1 bit matches
         // whichever side carries the flip, because the ball covers both
-        exactPacked.as("a").join(ball.as("b"),
+        exactPacked.as("a").join(ballCapped.as("b"),
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       }
     candidates

@@ -96,11 +96,17 @@ object TrainingPipeline {
     *  1. annotate language, quality stats, token counts;
     *  2. drop docs below `minQuality`;
     *  3. exact-dedup on text (keep lowest id);
-    *  4. near-dup removal via MinHash-LSH at `jaccardThreshold`: for each
-    *     verified near-dup pair, the higher id is dropped (keep-lowest
-    *     pair-pruning — the standard cheap alternative to full
-    *     connected-components, correct for keep-one-per-cluster whenever
-    *     clusters are pairwise-connected to their minimum).
+    *  4. near-dup removal via MinHash-LSH at `jaccardThreshold`.
+    *
+    * `clusterDedup` picks how verified near-dup PAIRS become deletions:
+    *   - `true` (default, the correct semantics): close the pair graph with
+    *     [[Dedup.connectedComponents]] and keep exactly the minimum id of
+    *     every component — one survivor per transitive near-dup CLUSTER,
+    *     even when it is chained (a–c, b–c with no a–b edge).
+    *   - `false` (keep-lowest pair-pruning): drop the higher id of each
+    *     pair. Cheaper (no iterative closure) but under-deletes chained
+    *     clusters — a doc connected to the cluster minimum only transitively
+    *     survives alongside it.
     * Returns surviving docs with their annotations.
     */
   def curate(
@@ -108,17 +114,26 @@ object TrainingPipeline {
       idCol: String = "doc_id",
       textCol: String = "text",
       minQuality: Double = 0.2,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      clusterDedup: Boolean = true): DataFrame = {
     val stats = TextFunctions.qualityStats(col(textCol))
     val annotated = docs
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumns(stats.map { case (n, c) => n -> c }.toMap)
     val filtered = annotated.where(col("quality_score") >= minQuality)
     val exact = Dedup.dedupExact(filtered, textCol, idCol)
-    val nearDupLosers = Dedup
+    val pairs = Dedup
       .minhashLshPairs(exact, idCol, textCol, threshold = jaccardThreshold)
-      .select(col("id_b").as(idCol)) // keep the lower id of each pair
-      .distinct()
-    exact.join(nearDupLosers, Seq(idCol), "left_anti")
+      .select("id_a", "id_b")
+    val losers =
+      if (clusterDedup)
+        // components iterate only the edge-touching subgraph; losers = every
+        // non-minimum member, a small frame that anti-joins (broadcast at
+        // scale) against the corpus
+        Dedup.connectedComponents(exact.select(col(idCol)), pairs)
+          .where(col(idCol) =!= col("component"))
+          .select(col(idCol))
+      else pairs.select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -88,9 +88,16 @@ object EventStreams {
     * [[graft.operators.Dedup.dedupExact]] for ingest pipelines.
     */
   def dedupWithinWatermark(events: DataFrame, watermark: String, keyCols: String*): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols.toSeq)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols.toSeq)
+    else
+      // batch backfill of the same pipeline (Spark rejects
+      // dropDuplicatesWithinWatermark on batch frames): on a bounded input
+      // the watermark horizon covers everything, so within-horizon dedup is
+      // plain global dedup on the keys
+      events.dropDuplicates(keyCols.toSeq)
 
   final case class SessionSummary(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,

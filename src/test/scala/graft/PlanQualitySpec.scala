@@ -189,6 +189,67 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct: mergeable HLL sketch plan (partial+merge) with bounded error vs exact") {
+    val approx = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(expr("approx_count_distinct(l_partkey)").as("a_parts"),
+        expr("approx_count_distinct(l_suppkey)").as("a_supps"))
+    val p = plan(approx)
+    // HLL++ is a fixed-size sketch that aggregates map-side and MERGES after
+    // the exchange — the 100 TB distinct-count shape; exact count(distinct)
+    // instead expands every distinct key through the shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_approx_count_distinct"), p)
+    val exact = spark.table("lineitem").groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("e_parts"), countDistinct("l_suppkey").as("e_supps"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // default relativeSD = 0.05; 3 sigma ≈ 15%, and at these cardinalities
+    // HLL++ uses its near-exact small-range path — 10% is a loose ceiling
+    approx.collect().foreach { r =>
+      val (ep, es) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - ep) <= math.max(1L, (0.1 * ep).toLong),
+        s"${r.getString(0)}: parts ${r.getLong(1)} vs exact $ep")
+      assert(math.abs(r.getLong(2) - es) <= math.max(1L, (0.1 * es).toLong),
+        s"${r.getString(0)}: supps ${r.getLong(2)} vs exact $es")
+    }
+  }
+
+  test("exact percentile operator: the range sort shuffles the data exactly once") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // exactByGroup's indexed frame feeds three consumers through an RDD
+    // boundary (df.rdd → zipWithIndex); correctness of the cost model relies
+    // on the DAGScheduler reusing the sort's shuffle map output across those
+    // jobs (same RDD ⇒ same ShuffleDependency ⇒ skipped stages). Pin it by
+    // counting shuffle RECORDS WRITTEN across the whole action: every input
+    // row must cross a shuffle exactly once (the range sort); a re-planned
+    // or re-built RDD would write the data again and trip the 1.5× bound.
+    val n = spark.table("lineitem").count()
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          written.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.Percentiles.exactByGroup(spark.table("lineitem"), "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)).collect()
+      // the listener bus is async — wait until the counter stabilizes
+      var last = -1L
+      var stable = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val cur = written.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val w = written.get()
+    assert(w >= n, s"sort shuffle should write every row once: wrote $w of $n")
+    assert(w < 1.5 * n,
+      s"data crossed a shuffle more than once (wrote $w records for $n input rows) — " +
+        "exactByGroup's single-sort + stage-reuse contract is broken")
+  }
+
   test("asof SQL stage produces the union+window plan (no nested loop)") {
     spark.table("events").where(col("event_type") === "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))

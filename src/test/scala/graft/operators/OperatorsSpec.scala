@@ -168,6 +168,40 @@ class DedupSpec extends SparkSpec {
     assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxBucketSize bounds the hot-bucket candidate blow-up on a verbatim-replicated corpus") {
+    // 200 verbatim copies: every LSH bucket they touch holds all 200 docs,
+    // so the uncapped candidate set is the full C(200,2) — the quadratic
+    // straggler BASELINE.md documents. The cap drops those buckets before
+    // the self-join; the two unique docs are unaffected.
+    val copy = (1 to 30).map(i => s"copy$i").mkString(" ")
+    val corpus = ((1L to 200L).map(i => (i, copy)) ++ Seq(
+      (201L, (1 to 30).map(i => s"uniq$i").mkString(" ")),
+      (202L, (1 to 30).map(i => s"vern$i").mkString(" ")))).toDF("id", "text")
+    val uncapped = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.9)
+    assert(uncapped.count() == 200L * 199 / 2, "expected the full quadratic pair set")
+    val capped = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.9,
+      maxBucketSize = Some(10L))
+    assert(capped.count() == 0, "capped run must drop the oversized buckets entirely")
+    // simhash: identical docs share every band key on both blocking schemes
+    for (radius <- Seq(3, 6)) {
+      val s0 = Dedup.simhashPairs(corpus, "id", "text", maxHamming = radius)
+      assert(s0.where(col("id_a") <= 200 && col("id_b") <= 200).count() == 200L * 199 / 2)
+      val s1 = Dedup.simhashPairs(corpus, "id", "text", maxHamming = radius,
+        maxBucketSize = Some(10L))
+      assert(s1.where(col("id_a") <= 200 && col("id_b") <= 200).count() == 0,
+        s"radius $radius: capped run still pairs the replicated block")
+    }
+    // the cap must not lose small-bucket pairs: a genuine near-dup pair in
+    // an un-replicated corpus survives with the cap on
+    val small = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight twice"),
+      (3L, "entirely different text about spark and scala engines")).toDF("id", "text")
+    val kept = Dedup.minhashLshPairs(small, "id", "text", threshold = 0.5,
+      maxBucketSize = Some(10L)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L)), kept.toString)
+  }
+
   test("simhashPairs banding is pigeonhole-complete: equals brute force at each radius") {
     // bands = maxHamming + 1 must yield EVERY pair within the radius — the
     // round-3 fixed 4-band blocking lost distance-4..6 pairs at maxHamming=6.
@@ -193,6 +227,27 @@ class DedupSpec extends SparkSpec {
 
 class TrainingPipelineSpec extends SparkSpec {
   import spark.implicits._
+
+  test("curate clusterDedup keeps exactly one doc from a chained cluster; pair-pruning under-deletes") {
+    // similarity structure (3-gram Jaccard over 30-word docs):
+    //   J(1,3) = J(2,3) = 27/29 ≈ 0.931  >= 0.9 (each differs from base in
+    //     one edge word, touching a single shingle)
+    //   J(1,2) = 26/30 ≈ 0.867           <  0.9 (differ in two words)
+    // so the near-dup graph is the chain 1–3, 2–3 with NO 1–2 edge.
+    val words = (1 to 30).map(i => s"alpha$i")
+    val base = words.mkString(" ")
+    val d1 = ("zed0" +: words.tail).mkString(" ")
+    val d2 = (words.init :+ "zed31").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, base)).toDF("doc_id", "text")
+    val cluster = TrainingPipeline.curate(docs, minQuality = 0.0, jaccardThreshold = 0.9,
+      clusterDedup = true).select("doc_id").as[Long].collect().toSet
+    assert(cluster == Set(1L), s"cluster mode kept $cluster — want exactly the component minimum")
+    // pair-pruning drops only id_b of each pair: losers {3}, so 2 survives
+    // alongside 1 even though they are in the same transitive cluster
+    val pairPruned = TrainingPipeline.curate(docs, minQuality = 0.0, jaccardThreshold = 0.9,
+      clusterDedup = false).select("doc_id").as[Long].collect().toSet
+    assert(pairPruned == Set(1L, 2L), s"pair mode kept $pairPruned")
+  }
 
   test("curate filters by quality, removes exact and near duplicates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
