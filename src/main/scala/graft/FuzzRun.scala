@@ -23,6 +23,20 @@ object FuzzRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.register(spark, sfDir)
+    // auxiliary deterministic views for the asof/positional fuzz shapes —
+    // tools/fuzz.py creates the SAME views in DuckDB, so both engines join
+    // against identical relations (right sides need unique (key, time) rows
+    // for asof-payload determinism and a total order for positional zip)
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.table("events").where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        .withColumnRenamed("ts", "pts")
+        .createOrReplaceTempView("purchases_f")
+      spark.table("orders").select("o_orderkey")
+        .orderBy(col("o_orderkey").desc).limit(100)
+        .createOrReplaceTempView("pos_r")
+    }
     val psql = Psql(spark)
     // minimal JSON parsing (name/psql string fields, no nesting)
     val text = new String(java.nio.file.Files.readAllBytes(

@@ -143,33 +143,39 @@ object Psql {
     // a statement-level trailing ORDER BY / LIMIT / OFFSET binds to the WHOLE
     // set operation (SQL grammar; an unparenthesized order-by before a set op
     // is a syntax error, so the first top-level occurrence after the last
-    // link is the statement's). Only unambiguous for pipe-free text — inside
-    // a pipeline those clauses belong to their stage and stay in the side.
-    val (q2, trailing) =
-      if (PsqlRewriter.isPsql(q)) (q, None)
-      else {
-        val sc = SqlScanner.scan(q)
-        // a keyword-spelled token right after '.' or ',' is a column
-        // reference (`t.offset`, `select a, "limit"` …), not the
-        // statement's trailing clause — cutting there would split a valid
-        // side mid-expression
-        def midExpression(p: Int): Boolean = {
-          var j = p - 1
-          while (j >= 0 && Character.isWhitespace(q.charAt(j))) j -= 1
-          j >= 0 && (q.charAt(j) == '.' || q.charAt(j) == ',')
-        }
-        val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
-          SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
-          SqlScanner.topLevelKeyword(q, sc, Seq("offset")))
-          .filter(p => p >= last.end && !midExpression(p)).sorted.headOption
-        // commit the cut only if the clause actually parses as a trailing
-        // sort/limit — an unquoted column merely spelling a keyword would
-        // otherwise leave both fragments unparseable
-        cut.map(p => (q.substring(0, p).trim, q.substring(p).trim)) match {
-          case Some((body, t)) if parsesAsTrailingClause(spark, t) => (body, Some(t))
-          case _                                                   => (q, None)
-        }
+    // link is the statement's). Inside a pipeline the cut additionally
+    // requires that no top-level `|>` follows the candidate: the reference's
+    // nested-FROM rewrite makes a PURE sort/limit tail bind to the whole set
+    // operation too (`… union by name X order by c limit k` rewrites with the
+    // union inside the FROM parens), whereas clauses with a later pipe stage
+    // belong to their stage and stay in the side.
+    val (q2, trailing) = locally {
+      val sc = SqlScanner.scan(q)
+      // a keyword-spelled token right after '.' or ',' is a column
+      // reference (`t.offset`, `select a, "limit"` …), not the
+      // statement's trailing clause — cutting there would split a valid
+      // side mid-expression
+      def midExpression(p: Int): Boolean = {
+        var j = p - 1
+        while (j >= 0 && Character.isWhitespace(q.charAt(j))) j -= 1
+        j >= 0 && (q.charAt(j) == '.' || q.charAt(j) == ',')
       }
+      def pipeFollows(p: Int): Boolean =
+        (p until q.length - 1).exists(i =>
+          sc.topLevel(i) && q.charAt(i) == '|' && q.charAt(i + 1) == '>')
+      val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
+        SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
+        SqlScanner.topLevelKeyword(q, sc, Seq("offset")))
+        .filter(p => p >= last.end && !midExpression(p) && !pipeFollows(p))
+        .sorted.headOption
+      // commit the cut only if the clause actually parses as a trailing
+      // sort/limit — an unquoted column merely spelling a keyword would
+      // otherwise leave both fragments unparseable
+      cut.map(p => (q.substring(0, p).trim, q.substring(p).trim)) match {
+        case Some((body, t)) if parsesAsTrailingClause(spark, t) => (body, Some(t))
+        case _                                                   => (q, None)
+      }
+    }
     val left = q2.substring(0, last.pos).trim
     val right = q2.substring(last.end).trim
     // a statement-level WITH scopes its CTEs over the WHOLE set operation

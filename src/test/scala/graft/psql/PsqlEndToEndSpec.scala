@@ -375,6 +375,26 @@ class PsqlEndToEndSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("by-name union inside a pipeline: trailing order/limit binds to the WHOLE union") {
+    // fuzz-found (r6 seed 101): the reference's nested-FROM rewrite puts the
+    // union inside the FROM parens, so a pure sort/limit tail after the
+    // scoped block limits the UNION result — not the right side alone
+    // (which would return all left rows plus k right rows)
+    val df = psql.sql(
+      "from t1 |> select i, j union all by name (| from t1 |> select j, i |) order by i, j limit 7")
+    assert(df.count() == 7)
+    // same tail on an unparenthesized right pipeline — equivalent to a final
+    // `|> order by … limit …` stage over the union under the pipe rewrite
+    val df2 = psql.sql(
+      "from t1 |> select i union all by name from t1 |> select i order by i limit 3")
+    assert(df2.count() == 3)
+    // a clause with a FOLLOWING pipe stage is NOT a statement tail — the
+    // in-block limit stays the right side's stage (5 left + 2 right rows)
+    val df3 = psql.sql(
+      "from t1 |> select i union all by name (| from t1 |> select i |> limit 2 |) |> where i >= 0")
+    assert(df3.count() == 7, df3.count().toString)
+  }
+
   test("by-name union: a qualified column spelling a clause keyword is not cut") {
     // `t.offset` after the by-name link spells the OFFSET keyword at top
     // level; cutting there would split the right side mid-select into an

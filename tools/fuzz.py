@@ -85,10 +85,19 @@ def by_name_pipeline():
     rnd.shuffle(left)
     right = list(cols)
     rnd.shuffle(right)
-    if rnd.random() < 0.3:
+    truncated = rnd.random() < 0.3
+    if truncated:
         right = right[:-1]  # missing column → null-filled on that side
+    # trailing clauses after the by-name block exercise the probe-parsed
+    # clause cut; limit only when no null-fill (Spark orders nulls first
+    # ASC, DuckDB last — a null-crossing limit boundary would diverge)
+    tail = ""
+    if rnd.random() < 0.5:
+        tail = " order by all"
+        if not truncated and rnd.random() < 0.6:
+            tail += f" limit {rnd.randrange(10, 60)}"
     return (f"from lineitem |> {f1} |> select {', '.join(left)} {op} "
-            f"(| from lineitem |> {f2} |> select {', '.join(right)} |)")
+            f"(| from lineitem |> {f2} |> select {', '.join(right)} |){tail}")
 
 
 def block_pipeline():
@@ -101,14 +110,76 @@ def block_pipeline():
             f"from a {op} from b")
 
 
+def asof_pipeline():
+    # asof SQL stage (AsofSql scanner path): vary join type, conjunct order,
+    # inequality direction and operand order, optional `as` on the right
+    # alias. purchases_f is unique per (user_id, pts), so the payload pick is
+    # deterministic in both engines; the final stage projects only
+    # unambiguous names (DuckDB's subquery carries both sides' user_id).
+    filt = rnd.choice(["where event_type <> 'zz'",
+                       f"where user_id % {rnd.randrange(2, 5)} = 0",
+                       f"where event_id % {rnd.randrange(2, 4)} = 0"])
+    fwd = rnd.random() < 0.4
+    if rnd.random() < 0.3:  # flipped operand order, same semantics
+        time_cond = "p.pts >= e.ts" if fwd else "p.pts <= e.ts"
+    else:
+        time_cond = "e.ts <= p.pts" if fwd else "e.ts >= p.pts"
+    jt = rnd.choice(["asof join", "asof left join"])
+    ralias = rnd.choice(["as p", "p"])
+    conds = ["e.user_id = p.user_id", time_cond]
+    if rnd.random() < 0.3:
+        conds.reverse()  # time inequality before the key equality
+    return (f"from events |> {filt} |> select event_id, user_id, ts |> "
+            f"as e {jt} purchases_f {ralias} on {' and '.join(conds)} |> "
+            f"select event_id, purchase_value, pts")
+
+
+def positional_pipeline():
+    # positional join stage: left is totally ordered + limited, right is the
+    # pos_r view (100 sorted unique keys); the shorter side null-pads, and
+    # the limit above/below 100 exercises padding in both directions
+    k = rnd.randrange(30, 160)
+    return (f"from lineitem |> {filter_stage()} |> select l_orderkey, l_linenumber |> "
+            f"order by all |> limit {k} |> positional join pos_r")
+
+
+def pivot_pipeline():
+    # PIVOT stage as a from-suffix; cells for absent combinations are NULL in
+    # Spark and 0 in DuckDB's count, so a coalesce stage normalizes both
+    if rnd.random() < 0.5:
+        g, p, vals = "l_returnflag", "l_linestatus", [("O", "n_o"), ("F", "n_f")]
+    else:
+        g, p, vals = "l_linestatus", "l_returnflag", rnd.sample(
+            [("A", "c_a"), ("N", "c_n"), ("R", "c_r")], 2)
+    invals = ", ".join(f"'{v}' as {a}" for v, a in vals)
+    coal = ", ".join(f"coalesce({a}, 0) as {a}" for _, a in vals)
+    return (f"from lineitem |> {filter_stage()} |> select {g}, {p} |> "
+            f"pivot (count({p}) for {p} in ({invals})) |> select {g}, {coal}")
+
+
+def unpivot_pipeline():
+    m = rnd.sample(NUM_COLS, rnd.choice([2, 3]))
+    return (f"from lineitem |> {filter_stage()} |> "
+            f"select l_orderkey, l_linenumber, {', '.join(m)} |> "
+            f"unpivot include nulls (val for measure in ({', '.join(m)}))")
+
+
 def pipeline():
     r = rnd.random()
-    if r < 0.15:
+    if r < 0.12:
         return block_pipeline()
-    if r < 0.30:
+    if r < 0.24:
         return by_name_pipeline()
-    if r < 0.40:
+    if r < 0.32:
         return cte_head_pipeline()
+    if r < 0.42:
+        return asof_pipeline()
+    if r < 0.49:
+        return positional_pipeline()
+    if r < 0.56:
+        return pivot_pipeline()
+    if r < 0.62:
+        return unpivot_pipeline()
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
@@ -196,8 +267,15 @@ def main():
                    cwd="/root/repo", check=True, capture_output=True)
 
     con = duckdb.connect()
-    for t in ["lineitem", "orders"]:
+    for t in ["lineitem", "orders", "events"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # auxiliary views mirroring graft.FuzzRun's Spark-side temp views (the
+    # asof/positional right sides); definitions must stay in lockstep
+    con.execute("CREATE VIEW purchases_f AS SELECT user_id, ts AS pts, "
+                "max(value) AS purchase_value FROM events "
+                "WHERE event_type = 'purchase' GROUP BY user_id, ts")
+    con.execute("CREATE VIEW pos_r AS SELECT o_orderkey FROM orders "
+                "ORDER BY o_orderkey DESC LIMIT 100")
     fails = 0
     for q in queries:
         name, ref_sql = q["name"], reference_rewrite(q["psql"])
