@@ -451,6 +451,37 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "t08_repetition_ratio",
+      withTables { (s, _) =>
+        s.table("documents")
+          .select(col("doc_id"), TextFunctions.repetitionRatio(col("text"), 3).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      // oracle counts distinct n-gram STRINGS where the engine counts
+      // distinct 64-bit hashes — equal absent collisions, like d04/c01
+      Some("""SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |    1.0 - len(list_distinct(list_transform(range(len(w)-2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])))::DOUBLE / (len(w)-2)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "c03_chunk_documents",
+      withTables { (s, _) =>
+        TrainingPipeline.chunkDocuments(s.table("documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_id")
+      },
+      // stride = 64 - 16 = 48; DuckDB list slice is 1-based inclusive and
+      // clamps at the end, exactly like Spark's slice(arr, start, length)
+      Some("""SELECT doc_id, t.u // 48 AS chunk_id, t.u AS start,
+        |  array_to_string(w[t.u+1 : t.u+64], ' ') AS chunk_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  unnest(range(0, len(w), 48)) AS t(u)
+        |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    QueryDef(
       "c01_decontaminate",
       withTables { (s, _) =>
         // every 20th doc plays the benchmark/eval set; the rest is corpus

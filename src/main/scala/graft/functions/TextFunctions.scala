@@ -103,4 +103,19 @@ object TextFunctions {
 
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Repeated-n-gram ratio — the Gopher/C4-style repetition quality signal:
+    * `1 − |distinct n-grams| / |n-grams|` (0.0 for docs too short to have
+    * an n-gram). High values flag boilerplate/spam that should be filtered
+    * before training. Computed per row from the codegen'd shingle-hash
+    * array ([[ShingleFunctions.shingleHashes]]) — map-side, no shuffle;
+    * 64-bit hashes stand in for the n-gram strings (counts equal w.h.p.,
+    * the same trade as the d04 inverted index).
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = ShingleFunctions.shingleHashes(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

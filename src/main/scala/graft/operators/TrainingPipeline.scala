@@ -92,6 +92,33 @@ object TrainingPipeline {
       .drop("__tok")
   }
 
+  /** Fixed-window document chunking with overlap — context-window prep for
+    * LLM training: token windows of `chunkTokens`, a new window starting
+    * every `chunkTokens - overlap` tokens (the standard sliding split, so no
+    * span shorter than the window is ever cut by a boundary). One narrow
+    * map-side sequence+explode off the scan — rows multiply by the chunk
+    * count but nothing shuffles, so the op scales with output volume alone.
+    * Output: (idCol, chunk_id, start, chunk_text); the final chunk may be
+    * shorter than `chunkTokens`.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens: got chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start"),
+        array_join(slice(col("__w"), col("col") + 1, lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Curate a document table:
     *  1. annotate language, quality stats, token counts;
     *  2. drop docs below `minQuality`;

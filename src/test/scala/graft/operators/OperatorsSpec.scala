@@ -299,6 +299,45 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("chunkDocuments: sliding windows cover the doc with the exact overlap, map-side only") {
+    val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
+    val out = TrainingPipeline.chunkDocuments(docs, "doc_id", "text", chunkTokens = 10, overlap = 4)
+      .select("doc_id", "chunk_id", "start", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(t => (t._1, t._2))
+    // doc 1: 25 tokens, stride 6 → starts 0,6,12,18,24
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 6L, 12L, 18L, 24L))
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // chunks fully inside the doc are exactly 10 tokens; tail chunks clamp
+    val lens = d1.map(_._4.split(" ").length)
+    assert(lens.toSeq == Seq(10, 10, 10, 7, 1), lens.toSeq.toString)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(d1(0)._4.split(" ").drop(6).toSeq == d1(1)._4.split(" ").take(4).toSeq)
+    // reconstruction: stride-prefixes concatenated = original token stream
+    val rebuilt = d1.flatMap(_._4.split(" ").take(6)).toSeq
+    assert(rebuilt == (1 to 25).map(i => s"t$i"))
+    // short doc → one partial chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, "a b")))
+    // map-side only: the chunking itself must not shuffle
+    val plan = TrainingPipeline.chunkDocuments(docs, "doc_id", "text", 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("repetitionRatio: known values, short-doc zero, no shuffle") {
+    val rows = Seq(
+      (1L, "a b a b a b a"),        // 5 trigrams, 2 distinct -> 0.6
+      (2L, "w1 w2 w3 w4 w5"),       // all distinct -> 0.0
+      (3L, "x y"),                  // too short -> 0.0
+      (4L, "c c c c c c"))          // 4 trigrams, 1 distinct -> 0.75
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(rows(1L) - 0.6) < 1e-9, rows(1L).toString)
+    assert(rows(2L) == 0.0 && rows(3L) == 0.0)
+    assert(math.abs(rows(4L) - 0.75) < 1e-9, rows(4L).toString)
+  }
+
   test("packSequences: greedy concat-and-chunk invariants per shard") {
     val docs = (1L to 200L).map(i => (i, ("w " * ((i % 37).toInt + 1)).trim)).toDF("doc_id", "text")
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
