@@ -641,6 +641,28 @@ object OpsEntry {
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 600 SECONDS
         |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    QueryDef(
+      "st03_stream_curate",
+      withTables { (s, _) =>
+        // batch face of the live document-ingest curation; which physical
+        // row survives the (fp, n_chars) dedup is arrival-order-dependent,
+        // so the gate checks the deterministic contract: exactly the
+        // distinct key set of quality-passing docs survives
+        val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
+        graft.streaming.DocumentStreams.curateStream(docs, "1 hour", minQuality = 0.2)
+          .select("fp", "n_chars_calc")
+          .orderBy("fp", "n_chars_calc")
+      },
+      Some(s"""WITH annotated AS (
+        |  SELECT doc_id, length(text) AS n_chars_calc,
+        |    cast(list_sum(list_transform(range(len(string_split(text, ' '))),
+        |      i -> ('0x' || substr(md5(string_split(text, ' ')[i+1]), 1, 7))::BIGINT * (i + 1)))
+        |      % 2147483647 AS BIGINT) AS fp,
+        |    $qualityScoreSql AS quality_score
+        |  FROM documents)
+        |SELECT DISTINCT fp, n_chars_calc FROM annotated
+        |WHERE quality_score >= 0.2 ORDER BY fp, n_chars_calc""".stripMargin)),
+
     // the 100 TB distinct-count path: HyperLogLog++ is a fixed-size
     // mergeable sketch (map-side partial + merge), where q15's exact
     // count(distinct) expands every distinct key through the shuffle.

@@ -43,11 +43,18 @@ object DocumentStreams {
       docs: DataFrame,
       watermark: String,
       minQuality: Double,
-      textCol: String = "text"): DataFrame =
-    annotate(docs, textCol)
-      .where(col("quality_score") >= minQuality)
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp", "n_chars_calc")
+      textCol: String = "text"): DataFrame = {
+    val filtered = annotate(docs, textCol).where(col("quality_score") >= minQuality)
+    if (docs.isStreaming)
+      filtered
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("fp", "n_chars_calc")
+    else
+      // batch backfill of the same pipeline (Spark rejects
+      // dropDuplicatesWithinWatermark on batch frames): the horizon covers
+      // the whole bounded input → plain dedup on the same keys
+      filtered.dropDuplicates("fp", "n_chars_calc")
+  }
 
   /** Tumbling-window corpus statistics per detected language: doc counts,
     * total/mean document length — the live monitoring aggregate for an
