@@ -527,6 +527,40 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "c04_sample_mixture",
+      withTables { (s, _) =>
+        // data-mixture sampling: 50% of en, all of de, 10% of fr, drop the
+        // rest — deterministic md5-threshold, identical in both engines
+        TrainingPipeline.sampleFraction(s.table("documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.1))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('42-' || doc_id), 1, 7))::BIGINT / 268435456.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.1 ELSE -1.0 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "c05_budget_select",
+      withTables { (s, _) =>
+        // fill a 5000-token budget per language with the longest docs first
+        val docs = s.table("documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        TrainingPipeline.selectUnderBudget(docs, "lang", "doc_id",
+          col("n_tokens"), col("n_chars"), budget = 5000L)
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |      len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents))
+        |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "p01_curation_pipeline",
       withTables { (s, _) =>
         // clusterDedup = false: this entry gates the keep-lowest

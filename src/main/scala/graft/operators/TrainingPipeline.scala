@@ -34,6 +34,55 @@ object TrainingPipeline {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic per-group FRACTION sampling — the data-mixture primitive
+    * (sample 10% of web, 100% of books, …): keep a row when the uniform
+    * hash of its id falls under its group's fraction. Pure map-side filter
+    * off the scan — no shuffle, no count pass, no rand() (retry/engine
+    * stable: md5 arithmetic is reproducible everywhere, cf. [[groupSample]]).
+    * Groups absent from `fractions` are DROPPED (explicit mixture spec).
+    * Expected sample size is fraction×|group| with binomial concentration —
+    * the right trade at 100 TB, where an exact-count quota would need a
+    * per-group total first.
+    */
+  def sampleFraction(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1))
+    // first 7 md5 hex digits → uniform in [0, 1) with 2^-28 granularity
+    val u = conv(substring(md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0) // 16^7
+    val fracCol = fractions.foldLeft(lit(-1.0)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    df.where(u < fracCol)
+  }
+
+  /** Greedy token-budget selection per group: in priority order (highest
+    * `priorityCol` first, id tiebreak), keep rows while the group's running
+    * token total stays within `budget` — the standard way a fixed training
+    * budget is filled with the best available data. One window shuffle per
+    * call (partition by group); rows past the budget are cut by the running
+    * sum, so a single over-large doc cannot blow the cap.
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      priorityCol: org.apache.spark.sql.Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(priorityCol.desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(tokensCol.cast("long")).over(w))
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one word `n`-gram with the benchmark/eval set — the standard
     * defense against test-set leakage into training data (GPT-3 App. C /

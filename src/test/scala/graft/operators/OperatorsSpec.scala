@@ -299,6 +299,52 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sampleFraction: mixture rates hold, deterministic across runs, map-side only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fr = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.1)
+    val out = TrainingPipeline.sampleFraction(docs, "lang", "doc_id", fr)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // groups not in the mixture are dropped entirely
+    assert(counts.keySet.subsetOf(fr.keySet), counts.toString)
+    // full-fraction group keeps everything; rates land near the target
+    assert(counts.get("de") == totals.get("de"))
+    for ((g, f) <- fr if totals.getOrElse(g, 0L) > 50) {
+      val rate = counts.getOrElse(g, 0L).toDouble / totals(g)
+      assert(math.abs(rate - f) < 0.15, s"$g: rate $rate vs fraction $f")
+    }
+    // identical id set on re-evaluation (no rand() nondeterminism)
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = TrainingPipeline.sampleFraction(docs, "lang", "doc_id", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // a filter off the scan: no Exchange in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("selectUnderBudget: greedy prefix in priority order, cap never exceeded") {
+    val docs = (1L to 100L).map(i => (i, s"g${i % 3}", (i % 17) + 1)).toDF("id", "g", "tok")
+    val out = TrainingPipeline.selectUnderBudget(docs, "g", "id", col("tok"), col("tok"), budget = 50L)
+      .select("id", "g", "tok").as[(Long, String, Long)].collect()
+    val byGroup = out.groupBy(_._2)
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_._3).sum <= 50L, s"$g over budget")
+    }
+    // prefix property: every kept row has priority >= any dropped row of its
+    // group, up to the id tiebreak at equal priority
+    import scala.math.Ordering.Implicits._
+    val kept = out.map(r => (r._1, r._2)).toSet
+    val all = docs.select("id", "g", "tok").as[(Long, String, Long)].collect()
+    byGroup.foreach { case (g, rows) =>
+      val minKept = rows.map(r => (-r._3, r._1)).max // lowest-priority kept
+      val dropped = all.filter(r => r._2 == g && !kept.contains((r._1, r._2)))
+      dropped.foreach { d =>
+        assert((-d._3, d._1) > minKept,
+          s"$g: dropped ${d._1} (tok ${d._3}) outranks kept ${minKept}")
+      }
+    }
+  }
+
   test("chunkDocuments: sliding windows cover the doc with the exact overlap, map-side only") {
     val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
     val out = TrainingPipeline.chunkDocuments(docs, "doc_id", "text", chunkTokens = 10, overlap = 4)
