@@ -745,6 +745,26 @@ object OpsEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     QueryDef(
+      "q52_hopping_window",
+      withTables { (s, _) =>
+        // batch face of the sliding-window aggregate: 1h windows every 30min,
+        // each event in exactly 2 windows; decimal partials for exact sums
+        graft.streaming.EventStreams.hoppingStats(
+          s.table("events").withColumn("value", col("value").cast("decimal(18,2)")),
+          "1 hour", "30 minutes", "1 hour")
+          .select(col("window_start"), col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+          .orderBy("window_start", "event_type")
+      },
+      // window starts for (len 1h, slide 30min): the two 30-min grid points
+      // at and before each event's timestamp, same epoch alignment as Spark
+      Some("""SELECT cast(to_timestamp(s) as timestamp) AS window_start, event_type,
+        |  count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS total
+        |FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, value FROM events),
+        |  unnest([(e // 1800) * 1800, (e // 1800) * 1800 - 1800]) AS t(s)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       "q32_tumbling_window",
       withTables { (s, _) =>
         Psqlish(s, """from events |>

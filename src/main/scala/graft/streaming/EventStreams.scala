@@ -25,6 +25,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** Hopping (sliding) window counts/sums per event type: overlapping
+    * windows of `windowLen` starting every `slide` — each event lands in
+    * windowLen/slide windows. Same watermark-bounded state story as
+    * [[tumblingStats]]; works identically on batch frames (backfill).
+    */
+  def hoppingStats(events: DataFrame, windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
   /** Session windows (gap-based) per user. */
   def sessionStats(events: DataFrame, gap: String, watermark: String): DataFrame =
     events

@@ -38,6 +38,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hoppingStats: each event counts in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = hoppingStats(input.toDF(), "10 minutes", "5 minutes", "5 minutes")
+    val q = toMemorySink(agg, "hopping_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(7), 1, "click", 1.0), // windows [10:00,10:10) and [10:05,10:15)
+        Event(2, ts(12), 1, "click", 2.0)) // windows [10:05,10:15) and [10:10,10:20)
+      input.addData(Event(3, ts(40), 2, "view", 0.0)) // close them
+      q.processAllAvailable()
+      val rows = spark.table("hopping_test")
+        .select("window_start", "event_type", "n", "total").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 1L, 1.0)), rows.toString)
+      assert(rows.contains(("2024-01-01 10:05:00.0", "click", 2L, 3.0)), rows.toString) // both events overlap here
+      assert(rows.contains(("2024-01-01 10:10:00.0", "click", 1L, 2.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("sessionStats groups events within the gap into one session") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
