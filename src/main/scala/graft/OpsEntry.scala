@@ -745,6 +745,21 @@ object OpsEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     QueryDef(
+      "q53_parquet_path_scan",
+      // quoted-PATH parquet scan (PathRelations format sniffing), not the
+      // registered catalog table — the oracle reads the same file; the gate
+      // always runs at sf0.01, so the oracle path is fixed like q33's
+      withTables { (s, dir) =>
+        Psqlish(s,
+          s"""from '$dir/documents.parquet' |>
+             |where lang = 'en' |>
+             |select doc_id, n_chars |>
+             |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, n_chars FROM '/root/testdata/sf0.01/documents.parquet'
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q52_hopping_window",
       withTables { (s, _) =>
         // batch face of the sliding-window aggregate: 1h windows every 30min,
