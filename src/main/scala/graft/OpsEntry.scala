@@ -285,6 +285,24 @@ object OpsEntry {
       },
       None),
 
+    QueryDef(
+      "d11_quantize_embeddings",
+      withTables { (s, _) =>
+        // int8 array stringified for the driver's canonicalizer (cf. m01);
+        // scale compared as a raw double (canon = 9 significant digits)
+        Similarity.quantizeEmbeddings(s.table("embeddings"), "vec_id", "embedding")
+          .select(col("vec_id"), col("scale"),
+            concat_ws(",", col("qvec").cast("array<string>")).as("qv"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, s AS scale,
+        |  array_to_string(list_transform(v,
+        |    x -> CASE WHEN s = 0 THEN 0 ELSE floor(x / s + 0.5)::BIGINT END), ',') AS qv
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin)),
+
     // q37's answers via the scale-safe exact-percentile operator: same
     // oracle, but the plan survives low-cardinality groups at 100 TB
     // (global range sort + zipWithIndex + broadcast rank-pick), where

@@ -572,6 +572,43 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantizeEmbeddings: int8 range, bounded dequantization error, near-perfect cosine, no shuffle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+    val joined = q.join(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), Seq("vec_id"))
+      .select(col("vec_id"), col("scale"), col("qvec"), col("v"))
+      .as[(Long, Double, Seq[Long], Seq[Double])].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, scale, qv, v) =>
+      assert(qv.length == v.length)
+      assert(qv.forall(x => x >= -127 && x <= 127), s"$id out of int8 range")
+      // per-element dequantization error <= scale/2 (+ulp slack)
+      v.zip(qv).foreach { case (orig, qx) =>
+        assert(math.abs(orig - qx * scale) <= scale / 2 + 1e-12, s"$id: $orig vs ${qx * scale}")
+      }
+      // cosine between original and dequantized stays ~1
+      val deq = qv.map(_ * scale)
+      val dot = v.zip(deq).map { case (a, b) => a * b }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(deq.map(x => x * x).sum))
+      assert(cos > 0.999, s"$id: cosine after quantization $cos")
+    }
+    // map-side expression only
+    assert(!Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("quantizeEmbeddings: zero vector quantizes to zeros with scale 0") {
+    val df = Seq((1L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeEmbeddings(df, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Long])].collect().head
+    assert(r._2 == 0.0 && r._3 == Seq(0L, 0L, 0L))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   test("extractFeatures: schema, determinism, null-safety") {
