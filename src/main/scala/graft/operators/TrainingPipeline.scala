@@ -66,6 +66,13 @@ object TrainingPipeline {
     * budget is filled with the best available data. One window shuffle per
     * call (partition by group); rows past the budget are cut by the running
     * sum, so a single over-large doc cannot blow the cap.
+    *
+    * Scale note: the window sorts each group inside one task (the q37-style
+    * low-cardinality hazard). Fine whenever groups fit a partition; at
+    * corpus scale with few groups, pre-prune first — estimate the priority
+    * cutoff with `approx_percentile(priority, budget/groupTokens)` and
+    * filter before windowing, so only ~the budget's worth of rows reaches
+    * the sort. The greedy-prefix semantics are unchanged by pre-pruning.
     */
   def selectUnderBudget(
       df: DataFrame,
