@@ -88,6 +88,28 @@ object OpsEntry {
         |ORDER BY e.event_id""".stripMargin)),
 
     QueryDef(
+      "a06_asof_join_strict",
+      withTables { (s, _) =>
+        // strict backward as-of (`>` — equal-time right rows do NOT match),
+        // through the SQL stage; DuckDB runs its native strict ASOF JOIN.
+        // Right side unique per (user_id, pts) so the payload is determined.
+        s.table("events").where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+          .withColumnRenamed("ts", "pts")
+          .createOrReplaceTempView("purchases_strict_v")
+        Psqlish(s,
+          """from events |> select event_id, user_id, ts |>
+            |as e asof left join purchases_strict_v as p on e.user_id = p.user_id and e.ts > p.pts |>
+            |select event_id, user_id, purchase_value |>
+            |order by event_id""".stripMargin)
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, p.purchase_value
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.pts
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
       "a02_positional_join",
       withTables { (s, _) =>
         val l = s.table("customer").select("c_custkey").orderBy(col("c_custkey").asc).limit(100)

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * Semantics (backward, matching DuckDB `ASOF JOIN … ON l.k = r.k AND l.t >=
   * r.t`): each left row picks the right row with the greatest right-time <=
   * left-time within the same key group; `inner` drops unmatched left rows,
-  * `left` keeps them with null payload.
+  * `left` keeps them with null payload. `strict = true` gives the `>` / `<`
+  * forms (equal-time right rows do not match) — in the union+window plan
+  * that is only a flip of the equal-time sort tiebreak.
   *
   * Implementation is the union+window plan, chosen for 100 TB behavior:
   *   - ONE hash-partition shuffle on the key (both sides union first, so
@@ -39,7 +41,8 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      strict: Boolean = false): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"bad joinType $joinType")
     val leftCols = left.columns.toSeq
     val pay = struct(rightPayload.map(col): _*)
@@ -60,14 +63,17 @@ object AsofJoin {
       leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
 
     // right rows (__side=0) sort before left rows at equal time => `>=` ties
-    // match, like DuckDB ASOF. `__rpay` is the final sort key: duplicate
+    // match, like DuckDB ASOF; strict (`>`) flips the tiebreak so equal-time
+    // right rows fall OUTSIDE the left row's frame. `__rpay` is the final
+    // sort key: duplicate
     // right rows at the same (key, time) with different payloads would
     // otherwise leave `last(...)` picking a partition-order-dependent winner;
     // ordering by the payload struct makes the winner the greatest payload —
     // deterministic across runs and retries. (Skipped when the payload holds
     // a non-orderable type like a map — Spark can't sort those, and neither
     // could any deterministic rule.)
-    val sortKeys = Seq(col("__t").asc, col("__side").asc) ++
+    val sortKeys = Seq(col("__t").asc,
+      if (strict) col("__side").desc else col("__side").asc) ++
       (if (orderablePayload(right, rightPayload)) Seq(col("__rpay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(sortKeys: _*)
@@ -102,11 +108,13 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      joinType: String): DataFrame =
-    if (backward) this.backward(left, right, by, leftTime, rightTime, rightPayload, joinType)
-    else forward(left, right, by, leftTime, rightTime, rightPayload, joinType)
+      joinType: String,
+      strict: Boolean = false): DataFrame =
+    if (backward) this.backward(left, right, by, leftTime, rightTime, rightPayload, joinType, strict)
+    else forward(left, right, by, leftTime, rightTime, rightPayload, joinType, strict)
 
-  /** Forward as-of: smallest right-time >= left-time (DuckDB `l.t <= r.t`). */
+  /** Forward as-of: smallest right-time >= left-time (DuckDB `l.t <= r.t`);
+    * `strict` gives the `<` form. */
   def forward(
       left: DataFrame,
       right: DataFrame,
@@ -114,7 +122,8 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      strict: Boolean = false): DataFrame = {
     // mirror: negate the time ordering by sorting desc and reusing `last`
     val leftCols = left.columns.toSeq
     val pay = struct(rightPayload.map(col): _*)
@@ -128,7 +137,8 @@ object AsofJoin {
       leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
     // payload tiebreak mirrors backward: at equal (key, time) the winner is
     // the greatest payload struct, not whichever row the scan saw last
-    val sortKeys = Seq(col("__t").desc, col("__side").asc) ++
+    val sortKeys = Seq(col("__t").desc,
+      if (strict) col("__side").desc else col("__side").asc) ++
       (if (orderablePayload(right, rightPayload)) Seq(col("__rpay").asc_nulls_first) else Nil)
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(sortKeys: _*)

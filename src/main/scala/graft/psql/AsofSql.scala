@@ -18,10 +18,9 @@ import SqlScanner._
   * machinery as `Dataset.pipe`.
   *
   * Semantics: `l.t >= r.t` (either operand order) → backward as-of (greatest
-  * right time <= left time, ties match); `l.t <= r.t` → forward. Strict
-  * `<`/`>` inequalities are rejected (DuckDB allows them; the window plan
-  * here implements the tie-inclusive forms — rewrite with an epsilon if the
-  * strict form is really wanted). Output columns are the left columns plus
+  * right time <= left time, ties match); `l.t <= r.t` → forward; the strict
+  * `>`/`<` forms exclude equal-time matches, like DuckDB's. Output columns
+  * are the left columns plus
   * the right side's non-key columns, with key columns deduplicated like a
   * USING join; a right column whose name collides with a left column
   * (typically the right time column) is dropped rather than duplicated —
@@ -155,10 +154,7 @@ object AsofSql {
         else time match {
           case Some(_) => throw new IllegalArgumentException(
             "asof join needs exactly ONE time inequality; found more than one")
-          case None =>
-            if (nop == ">" || nop == "<") throw new IllegalArgumentException(
-              s"asof join supports the tie-inclusive forms >= and <= (got '$nop')")
-            time = Some((lc, rc, nop))
+          case None => time = Some((lc, rc, nop))
         }
       case other => throw new IllegalArgumentException(
         s"unsupported asof join conjunct '$other' — use qualified equalities and one " +
@@ -190,8 +186,9 @@ object AsofSql {
     if (payload.isEmpty) throw new IllegalArgumentException(
       "asof join right side carries no payload columns after key dedup and collision drops")
     graft.operators.AsofJoin.backwardOrForward(
-      backward = op == ">=",
+      backward = op == ">=" || op == ">",
       left, renamed, byCols, lt, rt, payload,
-      if (st.leftJoin) "left" else "inner")
+      if (st.leftJoin) "left" else "inner",
+      strict = op == ">" || op == "<")
   }
 }

@@ -21,6 +21,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(1L -> "a", 2L -> "a", 3L -> "b"))
   }
 
+  test("strict backward/forward: equal-time right rows are excluded") {
+    // id=1 t=10 ties rt=10: inclusive matches "a", strict falls back to none
+    val strictB = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "left", strict = true)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(strictB(1L) == null && strictB(2L) == "a" && strictB(3L) == "b")
+    // forward: id=1 t=10 inclusive matches rt=10 "a"; strict skips to rt=25 "b"
+    val fwd = AsofJoin.forward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    val strictF = AsofJoin.forward(l, r, Seq("k"), "t", "rt", Seq("v"), "inner", strict = true)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(fwd(1L) == "a" && strictF(1L) == "b")
+    // SQL stage accepts the strict forms now
+    l.createOrReplaceTempView("asof_strict_l")
+    r.withColumnRenamed("rt", "rts").createOrReplaceTempView("asof_strict_r")
+    val viaSql = graft.psql.Psql(spark).sql(
+      "from asof_strict_l |> as a asof join asof_strict_r as b on a.k = b.k and a.t > b.rts |> select id, v")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql == Map(2L -> "a", 3L -> "b"), viaSql.toString)
+  }
+
   test("backward left keeps unmatched rows with null payload") {
     val out = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "left")
     assert(out.count() == 5)

@@ -283,11 +283,12 @@ class PsqlEndToEndSpec extends SparkSpec {
       "select k, count() as n group by k |> order by k")
       .as[(String, Long)].collect().toList
     assert(n == List(("u1", 3L)), n)
-    // strict inequality and missing key equality are rejected clearly
-    val e1 = intercept[IllegalArgumentException] {
-      psql.sql("from asof_l |> as l asof join asof_r as r on l.k = r.k and l.t > r.rt")
-    }
-    assert(e1.getMessage.contains("tie-inclusive"), e1.getMessage)
+    // strict inequality: the equal-time row no longer matches (id=1 drops
+    // under inner; id=2/3 unchanged) — DuckDB's `>` ASOF semantics
+    val strict = psql.sql(
+      "from asof_l |> as l asof join asof_r as r on l.k = r.k and l.t > r.rt |> order by id")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(strict == Map(2L -> "a", 3L -> "b"), strict)
     val e2 = intercept[IllegalArgumentException] {
       psql.sql("from asof_l |> as l asof join asof_r as r on l.t >= r.rt")
     }
