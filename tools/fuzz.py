@@ -119,11 +119,12 @@ def asof_pipeline():
     filt = rnd.choice(["where event_type <> 'zz'",
                        f"where user_id % {rnd.randrange(2, 5)} = 0",
                        f"where event_id % {rnd.randrange(2, 4)} = 0"])
-    fwd = rnd.random() < 0.4
+    op = rnd.choice([">=", "<=", ">", "<"])  # incl. strict forms
     if rnd.random() < 0.3:  # flipped operand order, same semantics
-        time_cond = "p.pts >= e.ts" if fwd else "p.pts <= e.ts"
+        flip = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+        time_cond = f"p.pts {flip[op]} e.ts"
     else:
-        time_cond = "e.ts <= p.pts" if fwd else "e.ts >= p.pts"
+        time_cond = f"e.ts {op} p.pts"
     jt = rnd.choice(["asof join", "asof left join"])
     ralias = rnd.choice(["as p", "p"])
     conds = ["e.user_id = p.user_id", time_cond]
