@@ -238,6 +238,34 @@ object OpsEntry {
         |SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d12_cross_dedup",
+      withTables { (s, _) =>
+        // dedup the "new crawl" (odd doc ids) against the kept corpus (even
+        // ids) at J >= 0.5 — exact bipartite inverted-index join
+        val docs = s.table("documents")
+        Dedup.crossDedup(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |bad AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |  LEFT JOIN bad USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 AND bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d05_ann_cosine_topk",
       withTables { (s, _) =>
         val emb = s.table("embeddings")

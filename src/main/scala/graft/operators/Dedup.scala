@@ -103,6 +103,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dedup: drop every `corpus` doc whose n-gram Jaccard
+    * against ANY `reference` doc reaches `threshold` — deduping a new crawl
+    * against an already-kept corpus (the incremental-ingest counterpart of
+    * [[ngramJaccardPairs]]; exact precision/recall, same inverted-index
+    * plan shape, bipartite so the candidate join is corpus×reference only
+    * — never corpus², never a cross product). `maxShingleDocFreq` caps
+    * stop-shingles across BOTH sides, like d04. Returns surviving corpus
+    * rows. At extreme scale swap the verify step for the MinHash-banded
+    * candidates of [[minhashLshPairs]] — the anti-join tail is identical.
+    */
+  def crossDedup(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    val ca = hashedShingleSets(corpus, idCol, textCol, n)
+      .select(col("id"), col("sz"), explode(col("hs")).as("s"))
+    val cb0 = hashedShingleSets(reference, idCol, textCol, n)
+      .select(col("id").as("rid"), col("sz").as("rsz"), explode(col("hs")).as("s"))
+    val cb = maxShingleDocFreq match {
+      case Some(cap) =>
+        val freq = ca.select(col("s")).union(cb0.select(col("s")))
+          .groupBy("s").agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+        cb0.join(freq.select("s"), Seq("s"))
+      case None => cb0
+    }
+    // capping only the reference side suffices: a corpus shingle row whose
+    // hash was dropped from `cb` simply finds no join partner
+    val losers = ca.join(cb.hint("shuffle_hash"), Seq("s"))
+      .groupBy(col("id"), col("rid"), col("sz"), col("rsz"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter").cast("double") / (col("sz") + col("rsz") - col("inter")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   // Affine MinHash parameters from a fixed seed — reproducible across runs.
   // 31-bit modular space: base hash and multipliers < 2^31, so a*h + b
   // stays < 2^63 and never overflows Long under ANSI arithmetic.

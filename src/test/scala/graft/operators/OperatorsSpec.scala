@@ -188,6 +188,28 @@ class DedupSpec extends SparkSpec {
     assert(!asMap.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("crossDedup drops corpus docs near a reference doc, keeps the rest") {
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "totally unrelated reference material here today")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 100
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 100
+      (3L, "entirely different text about spark and scala engines"),
+      (4L, "short")).toDF("id", "text") // too short to shingle -> kept
+    val kept = Dedup.crossDedup(corpus, reference, "id", "text", n = 3, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), kept.toString)
+    // corpus-internal duplicates are NOT each other's references: a corpus
+    // pair untouched by the reference survives intact (bipartite semantics)
+    val corpus2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val kept2 = Dedup.crossDedup(corpus2, reference, "id", "text", 3, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L))
+  }
+
   test("maxBucketSize bounds the hot-bucket candidate blow-up on a verbatim-replicated corpus") {
     // 200 verbatim copies: every LSH bucket they touch holds all 200 docs,
     // so the uncapped candidate set is the full C(200,2) — the quadratic
