@@ -266,6 +266,21 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d13_cross_dedup_lsh",
+      withTables { (s, _) =>
+        // scale path of d12: banded-candidate bipartite join + exact verify;
+        // approximate recall → rows-only (spec pins recall vs d12's exact)
+        val docs = s.table("documents")
+        Dedup.crossDedupLsh(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      None),
+
+    QueryDef(
       "d05_ann_cosine_topk",
       withTables { (s, _) =>
         val emb = s.table("embeddings")

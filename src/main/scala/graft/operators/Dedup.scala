@@ -142,6 +142,59 @@ object Dedup {
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The 100 TB path for [[crossDedup]]: MinHash-banded candidates between
+    * corpus and reference (equi-join on (band, bucket) — candidate count ≈
+    * true near-dups + tunable noise instead of every shingle co-occurrence),
+    * then exact-Jaccard verify on the candidate pairs only, then the same
+    * anti-join tail. Precision exact; recall is the LSH collision curve at
+    * the chosen bands×rows (spec-checked against [[crossDedup]]).
+    * `maxBucketSize` drops oversized buckets like [[minhashLshPairs]].
+    */
+  def crossDedupLsh(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Long] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val (a, b) = hashParams(numHashes)
+    def banded(df: DataFrame): DataFrame = {
+      val sig = df.select(col(idCol).as("id"),
+          graft.functions.ShingleFunctions.minhashSignature(
+            graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
+            .as("sig"))
+        .where(col("sig").isNotNull)
+      val bandCols = (0 until bands).map(bd => xxhash64(slice(col("sig"), bd * rows + 1, rows)))
+      sig.select(col("id"), posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
+    }
+    val ca = banded(corpus)
+    val cb0 = banded(reference).withColumnRenamed("id", "rid")
+    val cb = maxBucketSize match {
+      case Some(cap) =>
+        val ok = cb0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= cap)
+        cb0.join(ok.select("band", "bucket"), Seq("band", "bucket"))
+      case None => cb0
+    }
+    val cand = ca.join(cb, Seq("band", "bucket"))
+      .select(col("id"), col("rid")).distinct()
+    val setsA = hashedShingleSets(corpus, idCol, textCol, shingleSize)
+      .select(col("id"), col("hs").as("sh_a"))
+    val setsB = hashedShingleSets(reference, idCol, textCol, shingleSize)
+      .select(col("id").as("rid"), col("hs").as("sh_b"))
+    val losers = cand.join(setsA, Seq("id")).join(setsB, Seq("rid"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .where(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   // Affine MinHash parameters from a fixed seed — reproducible across runs.
   // 31-bit modular space: base hash and multipliers < 2^31, so a*h + b
   // stays < 2^63 and never overflows Long under ANSI arithmetic.

@@ -210,6 +210,22 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L))
   }
 
+  test("crossDedupLsh equals exact crossDedup on the documents testdata") {
+    // 64/32×2 banding collides w.p. ~1 at J>=0.5 (same operating point d02
+    // pins), so the LSH scale path keeps exactly the exact path's survivors
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = documents.where(col("doc_id") % 2 === 1)
+    val reference = documents.where(col("doc_id") % 2 === 0)
+    val exact = Dedup.crossDedup(corpus, reference, "doc_id", "text", 3, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val lsh = Dedup.crossDedupLsh(corpus, reference, "doc_id", "text", 3, 64, 32, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // precision exact ⇒ lsh keeps a superset (missed candidates only ADD
+    // survivors); at this operating point they must be equal
+    assert(exact.subsetOf(lsh))
+    assert(lsh == exact, s"LSH kept ${(lsh -- exact).size} docs the exact path drops")
+  }
+
   test("maxBucketSize bounds the hot-bucket candidate blow-up on a verbatim-replicated corpus") {
     // 200 verbatim copies: every LSH bucket they touch holds all 200 docs,
     // so the uncapped candidate set is the full C(200,2) — the quadratic
