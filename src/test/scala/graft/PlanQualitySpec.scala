@@ -250,6 +250,20 @@ class PlanQualitySpec extends SparkSpec {
         "exactByGroup's single-sort + stage-reuse contract is broken")
   }
 
+  test("cross-corpus dedup: bipartite inverted-index join is shuffle-hash, never a cross product") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val docs = spark.table("documents")
+      val df = operators.Dedup.crossDedup(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      // the shingle-hash equi-join builds a hash map (narrow rows, small
+      // per-shingle groups) rather than sorting both exploded streams
+      assert(p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
   test("asof SQL stage produces the union+window plan (no nested loop)") {
     spark.table("events").where(col("event_type") === "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
