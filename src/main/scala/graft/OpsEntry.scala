@@ -780,6 +780,89 @@ object OpsEntry {
         |SELECT DISTINCT fp, n_chars_calc FROM annotated
         |WHERE quality_score >= 0.2 ORDER BY fp, n_chars_calc""".stripMargin)),
 
+    // stateful streaming ops in batch mode (r7): session_window aggregation,
+    // mapGroupsWithState running totals and flatMapGroupsWithState
+    // sessionization each get a DuckDB-oracle row, closing the last
+    // spec-only streaming gap — a semantics regression in ANY streaming
+    // operator now fails the driver gate.
+    QueryDef(
+      "st04_session_stats",
+      withTables { (s, _) =>
+        // decimal partials make the per-session sum exact/order-independent;
+        // session_window end = last event ts + gap (Spark merge semantics)
+        graft.streaming.EventStreams.sessionStats(
+          s.table("events").withColumn("value", col("value").cast("decimal(18,2)")),
+          "600 seconds", "1 hour")
+          .select(col("session_start"), col("session_end"), col("user_id"),
+            col("n_events"), col("total_value").cast("double").as("total_value"))
+          .orderBy("user_id", "session_start")
+      },
+      // a new session starts when the gap since the previous event reaches
+      // the 600s window (Spark merges only strictly-overlapping windows);
+      // timestamps are continuous microseconds, so >= vs > never ties
+      Some("""WITH o AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 600 SECONDS
+        |      THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT min(ts) AS session_start, max(ts) + INTERVAL 600 SECONDS AS session_end,
+        |  user_id, count(*) AS n_events,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
+      "st05_running_totals",
+      withTables { (s, _) =>
+        import s.implicits._
+        val ev = s.table("events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+        // batch execution of mapGroupsWithState: one pass per group from
+        // empty state → the final running totals = per-user aggregate. The
+        // in-state double accumulates in row order, so the gate compares
+        // ROUNDED sums (2dp inputs; accumulated fp error ≪ 0.005)
+        graft.streaming.EventStreams.runningUserTotals(ev)
+          .toDF()
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
+      "st06_sessionize",
+      withTables { (s, _) =>
+        import s.implicits._
+        val ev = s.table("events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+        // batch face of flatMapGroupsWithState sessionization (the
+        // isStreaming branch inside sessionize): session_end here is the
+        // LAST EVENT's ts, not +gap — the closed-session contract
+        graft.streaming.EventStreams.sessionize(ev, gapMs = 600000L)
+          .toDF()
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id", "session_start")
+      },
+      // gap comparison at MILLISECOND resolution (epoch_ms), matching the
+      // streaming path's Timestamp.getTime arithmetic; same-session iff
+      // diff <= gap (sessionize's inclusive rule)
+      Some("""WITH o AS (SELECT user_id, ts, value, epoch_ms(ts) AS tms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 600000
+        |  THEN 1 ELSE 0 END AS new_s FROM o),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)),
+
     // the 100 TB distinct-count path: HyperLogLog++ is a fixed-size
     // mergeable sketch (map-side partial + merge), where q15's exact
     // count(distinct) expands every distinct key through the shuffle.
@@ -830,8 +913,10 @@ object OpsEntry {
     QueryDef(
       "q53_parquet_path_scan",
       // quoted-PATH parquet scan (PathRelations format sniffing), not the
-      // registered catalog table — the oracle reads the same file; the gate
-      // always runs at sf0.01, so the oracle path is fixed like q33's
+      // registered catalog table — the oracle reads the same file via the
+      // {SF_DIR} placeholder, which Verify substitutes with the sfDir it was
+      // invoked with, so engine and oracle stay on the same dataset at any
+      // scale factor
       withTables { (s, dir) =>
         Psqlish(s,
           s"""from '$dir/documents.parquet' |>
@@ -839,7 +924,7 @@ object OpsEntry {
              |select doc_id, n_chars |>
              |order by doc_id""".stripMargin)
       },
-      Some("""SELECT doc_id, n_chars FROM '/root/testdata/sf0.01/documents.parquet'
+      Some("""SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet'
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
     QueryDef(

@@ -211,6 +211,27 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus, qty""".stripMargin)),
 
+    // ROLLUP over EMPTY input must still emit the `()` grand-total row (SQL
+    // standard; DuckDB conforms). Vanilla Spark returns zero rows — the
+    // dialect's empty-guard rewrite (PsqlRewriter.emptyGroupingKeys) unions
+    // a HAVING count(*)=0 global-aggregate branch to restore it. The filter
+    // is empty at every scale factor (quantities are positive).
+    QueryDef(
+      "q54_rollup_empty",
+      psql("""from lineitem |>
+        |where l_quantity < 0 |>
+        |select l_returnflag, l_linestatus, count() as c,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as s,
+        |  cast(grouping(l_returnflag) as int) as g1, cast(grouping(l_linestatus) as int) as g2
+        |  group by rollup (l_returnflag, l_linestatus) |>
+        |order by g1, g2, l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS c,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS s,
+        |  cast(grouping(l_returnflag) as int) AS g1, cast(grouping(l_linestatus) as int) AS g2
+        |FROM lineitem WHERE l_quantity < 0
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag, l_linestatus""".stripMargin)),
+
     QueryDef(
       "q14_distinct",
       psql("from lineitem |> select distinct l_returnflag, l_linestatus |> order by 1, 2"),
@@ -642,6 +663,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
 
-  def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
+  /** Driver-contract form: oracles at the gate's fixed sf0.01 dataset. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** Oracles with the `{SF_DIR}` placeholder bound to the given data dir —
+    * keeps path-scanning oracles (q53) on the SAME dataset as the engine
+    * side at any scale factor instead of silently pinning sf0.01.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    defs.flatMap(d => d.oracle.map(o => d.name -> o.replace("{SF_DIR}", sfDir))).toMap
 }

@@ -172,14 +172,23 @@ object Dedup {
       val bandCols = (0 until bands).map(bd => xxhash64(slice(col("sig"), bd * rows + 1, rows)))
       sig.select(col("id"), posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
     }
-    val ca = banded(corpus)
+    val ca0 = banded(corpus)
     val cb0 = banded(reference).withColumnRenamed("id", "rid")
-    val cb = maxBucketSize match {
+    // cap BOTH sides' bucket occupancy (like simhashPairs): the bipartite
+    // candidate volume of a (band, bucket) is |corpus ∩ bucket| ×
+    // |reference ∩ bucket|, so a verbatim-replicated hot bucket on EITHER
+    // side would emit occupancy × cap rows per band if only one side were
+    // capped. Keeping a bucket only when both occupancies are within the
+    // cap bounds it at cap² regardless of which side carries the skew.
+    val (ca, cb) = maxBucketSize match {
       case Some(cap) =>
-        val ok = cb0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= cap)
-        cb0.join(ok.select("band", "bucket"), Seq("band", "bucket"))
-      case None => cb0
+        def within(df: DataFrame) =
+          df.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+            .where(col("__n") <= cap).select("band", "bucket")
+        val keep = within(ca0).join(within(cb0), Seq("band", "bucket"))
+        (ca0.join(keep, Seq("band", "bucket")),
+          cb0.join(keep, Seq("band", "bucket")))
+      case None => (ca0, cb0)
     }
     val cand = ca.join(cb, Seq("band", "bucket"))
       .select(col("id"), col("rid")).distinct()

@@ -140,17 +140,25 @@ object Psql {
     // precedence), so it stays inside a side and the side's parse applies it
     val splitOps = ops.filterNot(_.op == "intersect")
     val last = splitOps.last // nonEmpty: a by-name op is itself a union
-    // a statement-level trailing ORDER BY / LIMIT / OFFSET binds to the WHOLE
-    // set operation (SQL grammar; an unparenthesized order-by before a set op
-    // is a syntax error, so the first top-level occurrence after the last
-    // link is the statement's). Inside a pipeline the cut additionally
-    // requires that no top-level `|>` follows the candidate: the reference's
-    // nested-FROM rewrite makes a PURE sort/limit tail bind to the whole set
-    // operation too (`… union by name X order by c limit k` rewrites with the
-    // union inside the FROM parens), whereas clauses with a later pipe stage
-    // belong to their stage and stay in the side.
+    // The reference's rewrite splits pipes BEFORE the parser ever sees the
+    // set operation (`src/psql_extension.cpp:28-49` rewrites `A union … B |>
+    // S` to `FROM ( A union … B ) S`), so a top-level pipe token after the
+    // last link ends the right side and everything from the pipe onward is a
+    // stage pipeline applied to the WHOLE set operation — sort/limit tails,
+    // filters, projections alike. Cutting at the pipe (not after it) also
+    // means the body can never retain a dangling `|>`. Without any pipe, a
+    // statement-level trailing ORDER BY / LIMIT / OFFSET binds to the whole
+    // set operation (SQL grammar; an unparenthesized order-by before a set
+    // op is a syntax error, so the first top-level occurrence after the
+    // last link is the statement's).
     val (q2, trailing) = locally {
       val sc = SqlScanner.scan(q)
+      val pipeCut = (last.end until q.length - 1).find { i =>
+        // same whitespace-guarded token rule as SqlScanner.splitPipes
+        sc.topLevel(i) && q.charAt(i) == '|' && q.charAt(i + 1) == '>' &&
+        i > 0 && Character.isWhitespace(q.charAt(i - 1)) &&
+        (i + 2 >= q.length || Character.isWhitespace(q.charAt(i + 2)))
+      }
       // a keyword-spelled token right after '.' or ',' is a column
       // reference (`t.offset`, `select a, "limit"` …), not the
       // statement's trailing clause — cutting there would split a valid
@@ -160,20 +168,21 @@ object Psql {
         while (j >= 0 && Character.isWhitespace(q.charAt(j))) j -= 1
         j >= 0 && (q.charAt(j) == '.' || q.charAt(j) == ',')
       }
-      def pipeFollows(p: Int): Boolean =
-        (p until q.length - 1).exists(i =>
-          sc.topLevel(i) && q.charAt(i) == '|' && q.charAt(i + 1) == '>')
-      val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
-        SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
-        SqlScanner.topLevelKeyword(q, sc, Seq("offset")))
-        .filter(p => p >= last.end && !midExpression(p) && !pipeFollows(p))
-        .sorted.headOption
-      // commit the cut only if the clause actually parses as a trailing
-      // sort/limit — an unquoted column merely spelling a keyword would
-      // otherwise leave both fragments unparseable
-      cut.map(p => (q.substring(0, p).trim, q.substring(p).trim)) match {
-        case Some((body, t)) if parsesAsTrailingClause(spark, t) => (body, Some(t))
-        case _                                                   => (q, None)
+      pipeCut match {
+        case Some(p) => (q.substring(0, p).trim, Some(q.substring(p).trim))
+        case None =>
+          val cut = (SqlScanner.topLevelKeyword(q, sc, Seq("order", "by")) ++
+            SqlScanner.topLevelKeyword(q, sc, Seq("limit")) ++
+            SqlScanner.topLevelKeyword(q, sc, Seq("offset")))
+            .filter(p => p >= last.end && !midExpression(p))
+            .sorted.headOption
+          // commit the cut only if the clause actually parses as a trailing
+          // sort/limit — an unquoted column merely spelling a keyword would
+          // otherwise leave both fragments unparseable
+          cut.map(p => (q.substring(0, p).trim, q.substring(p).trim)) match {
+            case Some((body, t)) if parsesAsTrailingClause(spark, t) => (body, Some(t))
+            case _                                                   => (q, None)
+          }
       }
     }
     val left = q2.substring(0, last.pos).trim
@@ -202,14 +211,25 @@ object Psql {
     Some(trailing match {
       case None => combined
       case Some(t) =>
-        // reuse the host parser for the sort/limit grammar: parse the clause
-        // over a stub relation (WITHOUT analysis — the library path's `parse`
+        // reuse the host parser for the tail grammar: parse the tail over a
+        // stub relation (WITHOUT analysis — the library path's `parse`
         // analyzes eagerly and would fail on the stub), then graft the set-op
-        // plan in its place before the analyzer ever sees it
+        // plan in its place before the analyzer ever sees it. A pipe tail
+        // (`|> stage |> …`) goes through the full stage rewrite so every
+        // stage — filters and projections included — applies to the whole
+        // set operation, exactly as the reference's nested-FROM rewrite has
+        // it.
         import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         val stub = "__graft_by_name_body__"
+        val stubSql =
+          if (t.startsWith("|>")) {
+            val rewritten = PsqlRewriter.rewrite(s"from $stub $t")
+            val (fin, paths) = PathRelations.extractPaths(rewritten)
+            paths.foreach { case (v, p) => PathRelations.register(spark, v, p) }
+            fin
+          } else s"SELECT * FROM $stub $t"
         org.apache.spark.sql.graftbridge.ColumnBridge
-          .parsePlan(spark, s"SELECT * FROM $stub $t").transformUp {
+          .parsePlan(spark, stubSql).transformUp {
             case u: UnresolvedRelation if u.multipartIdentifier == Seq(stub) => combined
           }
     })

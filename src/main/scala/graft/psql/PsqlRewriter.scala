@@ -459,11 +459,32 @@ object PsqlRewriter {
 
     qualify match {
       case None =>
-        val sb = new StringBuilder(s"SELECT $sel FROM $fromWithSample")
-        where.foreach(w => sb.append(s" WHERE $w"))
-        groupBy.foreach(g => sb.append(s" GROUP BY $g"))
-        having.foreach(h => sb.append(s" HAVING $h"))
-        window.foreach(w => sb.append(s" WINDOW $w"))
+        val base = new StringBuilder(s"SELECT $sel FROM $fromWithSample")
+        where.foreach(w => base.append(s" WHERE $w"))
+        groupBy.foreach(g => base.append(s" GROUP BY $g"))
+        having.foreach(h => base.append(s" HAVING $h"))
+        window.foreach(w => base.append(s" WINDOW $w"))
+        // SQL-standard `()` grouping set over EMPTY input: DuckDB/Postgres
+        // emit one global-aggregate row where Spark emits none (grouping
+        // sets lower to Expand+grouped-agg, and a grouped agg over zero rows
+        // has zero groups). When the stage's GROUP BY is a bare ROLLUP/CUBE/
+        // GROUPING SETS-with-() over identifier keys, union an empty-guarded
+        // global-aggregate branch that produces exactly that row (fuzz f040).
+        val guarded = for {
+          g <- groupBy if window.isEmpty
+          keys <- emptyGroupingKeys(g)
+          gsel <- emptyGuardRewrite(sel, keys)
+        } yield {
+          val gb = new StringBuilder(s"SELECT $gsel FROM $fromWithSample")
+          where.foreach(w => gb.append(s" WHERE $w"))
+          // a global aggregate over empty input yields one row with
+          // count(*)=0 — the HAVING keeps it ONLY when the input is empty,
+          // so on non-empty input this branch contributes nothing
+          gb.append(" HAVING count(*) = 0")
+          having.foreach(h => gb.append(s" AND (${emptyGuardRewrite(h, keys).getOrElse(h)})"))
+          s"SELECT * FROM ( ( ${base.toString} ) UNION ALL ( ${gb.toString} ) )"
+        }
+        val sb = new StringBuilder(guarded.getOrElse(base.toString))
         orderBy.foreach(o => sb.append(s" ORDER BY $o"))
         limit.foreach(l => sb.append(s" LIMIT $l"))
         offset.foreach(o => sb.append(s" OFFSET $o"))
@@ -483,6 +504,139 @@ object PsqlRewriter {
         offset.foreach(o => outer.append(s" OFFSET $o"))
         outer.toString
     }
+  }
+
+  /** When a GROUP BY clause consists of exactly one top-level `ROLLUP(…)`,
+    * `CUBE(…)`, or `GROUPING SETS (…)` whose set list contains the empty set
+    * `()`, return the distinct grouping-key expressions. These are the
+    * clauses whose result over EMPTY input must still contain the global
+    * `()` row (SQL standard; DuckDB conforms, Spark does not — see the
+    * empty-guard rewrite in [[assembleStage]]). Any other clause shape
+    * (plain keys, mixed `a, rollup(b)`, trailing items) returns None: there
+    * every grouping set contains a key, so empty input → zero rows in both
+    * engines and no guard is needed.
+    */
+  private[psql] def emptyGroupingKeys(g0: String): Option[Seq[String]] = {
+    val g = g0.trim
+    val sc = scan(g)
+    val st = nextCode(g, sc, 0)
+    if (st < 0) return None
+    def parenSpan(from: Int): Option[(Int, Int)] = {
+      val open = nextCode(g, sc, from)
+      if (open < 0 || g.charAt(open) != '(') return None
+      var close = open + 1
+      while (close < g.length &&
+        !(sc.code(close) && sc.depth(close) == sc.depth(open) && g.charAt(close) == ')')) close += 1
+      if (close >= g.length) None else Some((open, close))
+    }
+    def splitTop(body: String): Seq[String] = {
+      val bsc = scan(body)
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      var start = 0
+      for (i <- 0 until body.length)
+        if (bsc.topLevel(i) && body.charAt(i) == ',') { parts += body.substring(start, i); start = i + 1 }
+      parts += body.substring(start)
+      parts.map(_.trim).toSeq
+    }
+    if (matchesWord(g, st, "rollup") || matchesWord(g, st, "cube")) {
+      val kwLen = if (matchesWord(g, st, "rollup")) 6 else 4
+      parenSpan(st + kwLen).flatMap { case (open, close) =>
+        if (nextCode(g, sc, close + 1) >= 0) None // trailing items → sets never empty
+        else Some(splitTop(g.substring(open + 1, close)).filter(_.nonEmpty).distinct)
+      }
+    } else if (matchesWord(g, st, "grouping")) {
+      val setsPos = nextCode(g, sc, st + 8)
+      if (setsPos < 0 || !matchesWord(g, setsPos, "sets")) None
+      else parenSpan(setsPos + 4).flatMap { case (open, close) =>
+        if (nextCode(g, sc, close + 1) >= 0) None
+        else {
+          val sets = splitTop(g.substring(open + 1, close))
+          if (!sets.exists(_.matches("\\(\\s*\\)"))) None // no () set → no global row
+          else Some(sets.flatMap { s =>
+            if (s.startsWith("(") && s.endsWith(")"))
+              splitTop(s.drop(1).dropRight(1)).filter(_.nonEmpty)
+            else if (s.isEmpty) Nil
+            else Seq(s)
+          }.distinct)
+        }
+      }
+    } else None
+  }
+
+  /** Rewrite a select/having clause for the empty-input global-aggregate
+    * guard branch: `grouping(…)` → 1, `grouping_id(…)` → all-ones constant,
+    * and every (possibly qualified) reference whose last component names a
+    * grouping key → NULL. The branch only ever emits rows over EMPTY input
+    * (the HAVING count(*)=0 guard), where any aggregate yields the same
+    * result regardless of argument, so nulling key references inside
+    * aggregates is safe; outside aggregates a valid grouping-sets query can
+    * only reference grouping keys, which is exactly what gets nulled. Keys
+    * that are not simple (optionally dot-qualified) identifiers return None
+    * and the caller skips the guard (conservative: better to keep the known
+    * Spark empty-rollup divergence than to emit a branch that cannot
+    * resolve).
+    */
+  private[psql] def emptyGuardRewrite(text: String, keys: Seq[String]): Option[String] = {
+    val identPat = "^[A-Za-z_][\\w$]*(\\.[A-Za-z_][\\w$]*)?$"
+    if (!keys.forall(_.matches(identPat))) return None
+    val keyLasts = keys.map(k => k.substring(k.lastIndexOf('.') + 1).toLowerCase).toSet
+    val sc = scan(text)
+    val sb = new StringBuilder
+    var i = 0
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    while (i < text.length) {
+      var consumed = false
+      if (sc.code(i) && isWordChar(text.charAt(i)) &&
+          (i == 0 || (!isWordChar(text.charAt(i - 1)) && text.charAt(i - 1) != '.'))) {
+        if (matchesWord(text, i, "grouping_id") || matchesWord(text, i, "grouping")) {
+          val kwLen = if (matchesWord(text, i, "grouping_id")) 11 else 8
+          val open = nextCode(text, sc, i + kwLen)
+          if (open >= 0 && text.charAt(open) == '(') {
+            var close = open + 1
+            while (close < text.length &&
+              !(sc.code(close) && sc.depth(close) == sc.depth(open) && text.charAt(close) == ')')) close += 1
+            if (close < text.length) {
+              // for the () grouping set every grouping() bit is 1; the
+              // grouping_id over m listed keys is therefore 2^m - 1
+              val inner = text.substring(open + 1, close).trim
+              val nArgs =
+                if (inner.isEmpty) keys.size
+                else {
+                  val isc = scan(inner)
+                  1 + (0 until inner.length).count(j => isc.topLevel(j) && inner.charAt(j) == ',')
+                }
+              val const = if (kwLen == 8) "1" else ((1L << nArgs) - 1).toString
+              sb.append(const)
+              i = close + 1
+              consumed = true
+            }
+          }
+        }
+        if (!consumed) {
+          // read the full dotted identifier chain and null it if its last
+          // component is a grouping key
+          var j = i
+          while (j < text.length && sc.code(j) &&
+            (isWordChar(text.charAt(j)) || text.charAt(j) == '.')) j += 1
+          val chain = text.substring(i, j)
+          val last = chain.substring(chain.lastIndexOf('.') + 1)
+          // an alias position (`… AS l_returnflag`) names the OUTPUT column
+          // after a key — it must survive, only key REFERENCES become NULL
+          val isAliasPos = locally {
+            var k = i - 1
+            while (k >= 0 && Character.isWhitespace(text.charAt(k))) k -= 1
+            k >= 1 && sc.code(k) && matchesWord(text, k - 1, "as")
+          }
+          if (keyLasts.contains(last.toLowerCase) && !isAliasPos) {
+            sb.append("NULL")
+            i = j
+            consumed = true
+          }
+        }
+      }
+      if (!consumed) { sb.append(text.charAt(i)); i += 1 }
+    }
+    Some(sb.toString)
   }
 
   /** DuckDB ≥1.2 treats same-named columns equated in a join's ON clause as

@@ -124,6 +124,30 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    if (!events.isStreaming) {
+      // batch backfill: batch execution of flatMapGroupsWithState never
+      // fires event-time timeouts, so each user's FINAL open session would
+      // never be emitted. The same gap semantics are SQL-expressible — lag +
+      // cumulative session flag — and on bounded input "the user went quiet"
+      // eventually holds for every session, so this window-function plan
+      // equals the streaming output once all timeouts have fired. Gap
+      // comparison is at MILLISECOND resolution (unix_millis), matching the
+      // streaming path's Timestamp.getTime arithmetic exactly.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      return events.toDF()
+        .withColumn("__prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("__new_session",
+          when(col("__prev_ms").isNull ||
+            unix_millis(col("ts")) - col("__prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("__sid", sum("__new_session")
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .as[SessionSummary]
+    }
     events
       .withWatermark("ts", s"${gapMs / 1000} seconds")
       .groupByKey(_.user_id)

@@ -260,6 +260,64 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, 2L)), kept.toString)
   }
 
+  test("crossDedupLsh recall floor at borderline similarity (J in [0.5, 0.6))") {
+    import spark.implicits._
+    // controlled word-trigram Jaccard just above the 0.5 threshold:
+    // 60-token docs sharing a p-token prefix have J = (p-2)/(116-(p-2));
+    // p ∈ 41..45 lands J ∈ [0.506, 0.589]. Tokens are unique per pair, so
+    // no cross-pair candidates exist.
+    val nPairs = 40
+    val rows = (0 until nPairs).map { i =>
+      val p = 41 + (i % 5)
+      val shared = (0 until p).map(j => s"t${i}_$j")
+      val corpusDoc = (shared ++ (p until 60).map(j => s"u${i}_$j")).mkString(" ")
+      val refDoc = (shared ++ (p until 60).map(j => s"v${i}_$j")).mkString(" ")
+      (i.toLong, corpusDoc, refDoc)
+    }
+    val corpus = rows.map(r => (r._1, r._2)).toDF("id", "text")
+    val reference = rows.map(r => (r._1 + 1000L, r._3)).toDF("id", "text")
+    val exactKept = Dedup.crossDedup(corpus, reference, "id", "text", 3, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(exactKept.isEmpty,
+      s"construction check: the exact path must drop every borderline doc, kept $exactKept")
+    val lshKept = Dedup.crossDedupLsh(corpus, reference, "id", "text", 3, 64, 32, 0.5)
+      .select("id").as[Long].collect().toSet
+    // the verify step is exact Jaccard → precision 1: LSH can only MISS
+    // drops (keep a superset), never drop a survivor
+    val recall = (nPairs - lshKept.size).toDouble / nPairs
+    // 64-hash / 32-band × 2-row banding collides w.p. 1-(1-J²)^32 ≈ 0.9998
+    // at J=0.5; the documented operating point leaves margin for
+    // signature variance on 58-shingle docs
+    assert(recall >= 0.85, s"d13 recall $recall below the 0.85 floor at J∈[0.5,0.6)")
+  }
+
+  test("crossDedupLsh caps hot buckets on the CORPUS side too") {
+    import spark.implicits._
+    // 100 verbatim corpus copies vs one reference copy: with only the
+    // reference side capped (pre-r7), every band still emitted
+    // 100 × 1 candidate rows; the two-sided cap drops the bucket outright
+    val copy = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = ((1L to 100L).map(i => (i, copy)) :+
+      (200L, (1 to 30).map(i => s"u$i").mkString(" "))).toDF("id", "text")
+    val reference = Seq((9000L, copy)).toDF("id", "text")
+    val uncapped = Dedup.crossDedupLsh(corpus, reference, "id", "text", 3, 64, 32, 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(uncapped == Set(200L), uncapped.toString)
+    // capped at 10: the corpus-side occupancy (100) exceeds the cap, the
+    // bucket is dropped before the join — lossy by intent (exact dedup
+    // upstream owns verbatim copies), bounded candidate volume
+    val capped = Dedup.crossDedupLsh(corpus, reference, "id", "text", 3, 64, 32, 0.5,
+      maxBucketSize = Some(10L)).count()
+    assert(capped == 101, capped.toString)
+    // small buckets are untouched: a genuine borderline pair still dedups
+    // with the cap on (reference-side path unchanged)
+    val small = Seq((1L, "the quick brown fox jumps over the lazy dog tonight again")).toDF("id", "text")
+    val smallRef = Seq((2L, "the quick brown fox jumps over the lazy dog tonight twice")).toDF("id", "text")
+    val keptSmall = Dedup.crossDedupLsh(small, smallRef, "id", "text", 3, 64, 32, 0.5,
+      maxBucketSize = Some(10L)).count()
+    assert(keptSmall == 0, "the near-dup corpus doc must still be dropped under the cap")
+  }
+
   test("simhashPairs banding is pigeonhole-complete: equals brute force at each radius") {
     // bands = maxHamming + 1 must yield EVERY pair within the radius — the
     // round-3 fixed 4-band blocking lost distance-4..6 pairs at maxHamming=6.

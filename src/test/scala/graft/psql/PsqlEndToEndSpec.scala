@@ -370,9 +370,16 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(rMiss.columns.toSeq == Seq("i", "j"))
     val nulls = rMiss.collect().count(_.isNullAt(1))
     assert(nulls == 5)
-    // chain of three sides
+    // chain with PIPELINE sides: the reference splits pipes BEFORE set ops,
+    // so each `|> select i` stage applies to the union built so far and the
+    // bare `from t1` right sides carry BOTH columns into the by-name merge —
+    // DuckDB returns 10 under its own rewrite (verified), not 5
     assert(psql.sql(
       "from t1 |> select i union by name from t1 |> select i union by name from t1 |> select i")
+      .count() == 10)
+    // chain of three pipe-free sides dedups to the 5 distinct values
+    assert(psql.sql(
+      "select i from t1 union by name select i from t1 union by name select i from t1")
       .count() == 5)
   }
 
@@ -394,6 +401,29 @@ class PsqlEndToEndSpec extends SparkSpec {
     val df3 = psql.sql(
       "from t1 |> select i union all by name (| from t1 |> select i |> limit 2 |) |> where i >= 0")
     assert(df3.count() == 7, df3.count().toString)
+  }
+
+  test("pipe stages after a by-name union apply to the WHOLE union (reference pipe-first split)") {
+    // the reference rewrites `A union … B |> S` to `FROM ( A union … B ) S`
+    // (pipes split before the set op), so EVERY tail stage — not just pure
+    // sort/limit — binds to the whole union. A WHERE tail distinguishes the
+    // bindings: whole-union → 4 rows (3,4 twice); right-side-only → 7.
+    val w = psql.sql(
+      "from t1 |> select i union all by name (| from t1 |> select i |) |> where i >= 3")
+    assert(w.count() == 4, w.count().toString)
+    // multi-stage pipe tail: order then limit over the whole union
+    val ml = psql.sql(
+      "from t1 |> select i union all by name (| from t1 |> select i |) |> order by i |> limit 3")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ml == Seq(0, 0, 1), ml)
+    // the ADVICE shape: a single pure order-by pipe stage after an
+    // unparenthesized by-name union — cut at the pipe, no dangling token
+    val rows = psql.sql("select 2 as i union by name select 1 as i |> order by i")
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(1, 2), rows)
+    // projection tail narrows the UNION's columns, not the right side's
+    assert(psql.sql(
+      "from t1 |> select i, j union all by name from t1 |> select i").columns.toSeq == Seq("i"))
   }
 
   test("by-name union: a qualified column spelling a clause keyword is not cut") {
@@ -485,5 +515,34 @@ class PsqlEndToEndSpec extends SparkSpec {
       psql.sql("with x as (| from t1 union by name from t1 |) from x |> select i").collect()
     }
     assert(e.getMessage.contains("UNION BY NAME"))
+  }
+
+  test("rollup/cube/grouping-sets over EMPTY input emit the () grand-total row (fuzz f040)") {
+    // DuckDB (SQL standard): the empty grouping set is a GLOBAL aggregate —
+    // one row even over zero input rows. Vanilla Spark emits none; the
+    // dialect's empty-guard rewrite restores it.
+    val r = psql.sql(
+      "from t1 |> where i < 0 |> select i, j, count() as c, sum(j) as s group by rollup(i, j)").collect()
+    assert(r.length == 1)
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).getLong(2) == 0L && r(0).isNullAt(3))
+    // cube over empty: same single row
+    assert(psql.sql("from t1 |> where i < 0 |> select i, count() as c group by cube(i)").count() == 1)
+    // grouping sets WITH (): the guard applies; grouping() reports 1
+    val g = psql.sql(
+      "from t1 |> where i < 0 |> select i, cast(grouping(i) as int) as gr, count() as c " +
+        "group by grouping sets ((i), ())").collect()
+    assert(g.length == 1 && g(0).getInt(1) == 1 && g(0).getLong(2) == 0L)
+    // grouping sets WITHOUT (): every set has a key → 0 rows in both engines
+    assert(psql.sql(
+      "from t1 |> where i < 0 |> select i, count() as c group by grouping sets ((i))").count() == 0)
+    // HAVING filters the grand-total row too (count(*)=0 fails count(*) > 2)
+    assert(psql.sql(
+      "from t1 |> where i < 0 |> select i, count() as c group by rollup(i) having count() > 2").count() == 0)
+    // NON-empty input: the guard branch contributes nothing (3 + 1 rollup rows)
+    assert(psql.sql("from t1 |> where i < 3 |> select i, count() as c group by rollup(i)").count() == 4)
+    // aggregate aliased to a key name survives the guard surgery
+    val a = psql.sql(
+      "from t1 |> where i < 0 |> select i, sum(j) as j group by rollup(i)").collect()
+    assert(a.length == 1 && a(0).isNullAt(0) && a(0).isNullAt(1))
   }
 }

@@ -178,4 +178,33 @@ class PsqlRewriterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("UNION BY NAME"))
   }
+
+  test("emptyGroupingKeys: clause shapes that do (and don't) need the empty guard") {
+    assert(PsqlRewriter.emptyGroupingKeys("rollup(a, b)") == Some(Seq("a", "b")))
+    assert(PsqlRewriter.emptyGroupingKeys("CUBE (x)") == Some(Seq("x")))
+    assert(PsqlRewriter.emptyGroupingKeys("grouping sets ((a), (a, b), ())") == Some(Seq("a", "b")))
+    // no () set → every grouping set has a key → no guard
+    assert(PsqlRewriter.emptyGroupingKeys("grouping sets ((a), (b))").isEmpty)
+    // plain keys / mixed forms → sets are never empty → no guard
+    assert(PsqlRewriter.emptyGroupingKeys("a, b").isEmpty)
+    assert(PsqlRewriter.emptyGroupingKeys("a, rollup(b)").isEmpty)
+    assert(PsqlRewriter.emptyGroupingKeys("rollup(a), b").isEmpty)
+  }
+
+  test("emptyGuardRewrite: keys → NULL, grouping()/grouping_id() → constants, aliases survive") {
+    val keys = Seq("a", "b")
+    assert(PsqlRewriter.emptyGuardRewrite("a, b, count(*) as c", keys)
+      == Some("NULL, NULL, count(*) as c"))
+    // qualified reference to a key nulls the WHOLE chain (never `t.NULL`)
+    assert(PsqlRewriter.emptyGuardRewrite("t.a, sum(x) as s", keys) == Some("NULL, sum(x) as s"))
+    // grouping()/grouping_id() become the ()-set constants
+    assert(PsqlRewriter.emptyGuardRewrite("grouping(a) as g, grouping_id(a, b) as gid", keys)
+      == Some("1 as g, 3 as gid"))
+    // an aggregate ALIASED to a key name keeps its alias
+    assert(PsqlRewriter.emptyGuardRewrite("sum(j) as a", keys) == Some("sum(j) as a"))
+    // a string literal spelling a key is untouched
+    assert(PsqlRewriter.emptyGuardRewrite("'a' as lit, a", keys) == Some("'a' as lit, NULL"))
+    // non-identifier keys → no guard (conservative)
+    assert(PsqlRewriter.emptyGuardRewrite("a % 2, count(*)", Seq("a % 2")).isEmpty)
+  }
 }

@@ -177,4 +177,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.length == 2)
     assert(out(0).getLong(2) == 2L && out(0).getDouble(3) == 3.0)
   }
+
+  test("sessionize batch branch equals the streaming result after all timeouts fire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gap = 5 * 60 * 1000L
+    val data = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(3), 1, "view", 2.0),   // same session (3 min gap)
+      Event(3, ts(20), 1, "click", 4.0), // new session (17 min gap)
+      Event(4, ts(2), 2, "view", 0.5))
+    // batch path: the window-function branch
+    val batch = sessionize(data.toDS(), gap).collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value)).toSet
+    // streaming path: feed the same rows, then advance far enough that every
+    // session's event-time timeout fires
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gap).writeStream.format("memory")
+      .queryName("sessionize_parity").outputMode("append").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(Event(99, ts(300), 9, "click", 0.0)) // watermark sweep
+      q.processAllAvailable()
+      input.addData(Event(100, ts(600), 9, "click", 0.0)) // close user 9's first too
+      q.processAllAvailable()
+      val streamed = spark.table("sessionize_parity").as[SessionSummary].collect()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+        .filter(_._1 != 9L).toSet // the sweep user's sessions are scaffolding
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.size == 3)
+    } finally q.stop()
+  }
 }

@@ -88,16 +88,45 @@ def by_name_pipeline():
     truncated = rnd.random() < 0.3
     if truncated:
         right = right[:-1]  # missing column → null-filled on that side
-    # trailing clauses after the by-name block exercise the probe-parsed
-    # clause cut; limit only when no null-fill (Spark orders nulls first
-    # ASC, DuckDB last — a null-crossing limit boundary would diverge)
+    # trailing clauses after the by-name block exercise the clause cut, and
+    # pipe-stage tails (`|> …`) exercise the r7 pipe-first cut: the
+    # reference rewrites `A union … B |> S` to `FROM ( A union … B ) S`, so
+    # every tail stage applies to the WHOLE union. limit only when no
+    # null-fill (Spark orders nulls first ASC, DuckDB last — a
+    # null-crossing limit boundary would diverge)
     tail = ""
-    if rnd.random() < 0.5:
+    r = rnd.random()
+    if r < 0.30:
         tail = " order by all"
         if not truncated and rnd.random() < 0.6:
             tail += f" limit {rnd.randrange(10, 60)}"
+    elif r < 0.55:
+        tail = " |> order by all"
+        if not truncated and rnd.random() < 0.6:
+            tail += f" |> limit {rnd.randrange(10, 60)}"
+    elif r < 0.75:
+        tail = (f" |> where l_orderkey % {rnd.randrange(2, 5)} = 0"
+                f" |> select l_orderkey, l_linenumber")
     return (f"from lineitem |> {f1} |> select {', '.join(left)} {op} "
             f"(| from lineitem |> {f2} |> select {', '.join(right)} |){tail}")
+
+
+def hopping_pipeline():
+    # hopping-window aggregation on an integer grid — the SQL face of q52's
+    # hop pattern in the Spark∩DuckDB shared surface: each row lands in
+    # exactly 2 windows via a 2-row hop relation joined on true, window
+    # starts from floor-division arithmetic
+    w = rnd.choice([64, 128, 256, 512])
+    a = rnd.choice(NUM_COLS)
+    # `hop` is referenced UNQUALIFIED in the stage after the join: the join
+    # aliases live inside the previous stage's FROM parens and are out of
+    # scope downstream (both engines agree); the column itself propagates
+    return (f"from lineitem |> {filter_stage()} |> "
+            f"as l join (select 0 as hop union all select 1 as hop) as r on 1 = 1 |> "
+            f"select cast(floor(l_orderkey / {w}) as bigint)*{w} - hop*{w} as win_start, "
+            f"l_returnflag, count(*) as c, "
+            f"cast(sum(cast({a} as decimal(18,2))) as double) as s "
+            f"group by win_start, l_returnflag |> order by all")
 
 
 def block_pipeline():
@@ -171,16 +200,18 @@ def pipeline():
         return block_pipeline()
     if r < 0.24:
         return by_name_pipeline()
-    if r < 0.32:
+    if r < 0.30:
         return cte_head_pipeline()
-    if r < 0.42:
+    if r < 0.40:
         return asof_pipeline()
-    if r < 0.49:
+    if r < 0.46:
         return positional_pipeline()
-    if r < 0.56:
+    if r < 0.52:
         return pivot_pipeline()
-    if r < 0.62:
+    if r < 0.58:
         return unpivot_pipeline()
+    if r < 0.64:
+        return hopping_pipeline()
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
@@ -239,14 +270,19 @@ def reference_rewrite(q):
             acc = f"FROM ( {acc} ) {stage}"
         return acc
 
-    out = ""
+    # blocks are substituted INLINE before the outer pipe pass: the
+    # reference's own regex rewrites pre-block and post-block text
+    # separately, so a pipe chain spanning a block boundary
+    # (`… union by name (| … |) |> order by all`) is a shape its rewrite
+    # cannot express — graft supports it (nesting-aware front-end), and the
+    # DuckDB oracle needs the whole-statement pipe split to give those tail
+    # stages their reference nested-FROM meaning
     while True:
         m = re.search(r"\(\|(.*?)\|\)", q, re.S)
         if not m:
             break
-        out += pipe(q[:m.start()]) + " ( " + pipe(m.group(1).strip()) + " ) "
-        q = q[m.end():]
-    return out + pipe(q)
+        q = q[:m.start()] + " ( " + pipe(m.group(1).strip()) + " ) " + q[m.end():]
+    return pipe(q)
 
 
 def canon(v):
@@ -262,6 +298,12 @@ def canon(v):
 def main():
     queries = [{"name": f"f{i:03d}", "psql": pipeline()} for i in range(N)]
     os.makedirs(os.path.join(WORK, "out"), exist_ok=True)
+    # clear stale artifacts from a reused workDir: a leftover .error from a
+    # previous run would otherwise be reported against THIS run's query text
+    for f in os.listdir(os.path.join(WORK, "out")):
+        p = os.path.join(WORK, "out", f)
+        if f.endswith(".error"):
+            os.remove(p)
     with open(os.path.join(WORK, "queries.json"), "w") as f:
         json.dump(queries, f)
     subprocess.run(["sbt", "-batch", f"runMain graft.FuzzRun {SF} {WORK}"],
@@ -306,11 +348,6 @@ def main():
             print(f"COLS {name}: {sorted(cols)} vs {sorted(gcols)}")
             print(f"     psql: {q['psql']}")
             fails += 1
-        elif (len(got) == 0 and len(want) == 1 and "rollup" in q["psql"]):
-            # known engine divergence: Spark emits no rows for grouping
-            # sets over EMPTY input; DuckDB/Postgres emit the () grand
-            # total. Upstream Spark semantics, not a front-end defect.
-            print(f"KNOWN {name}: rollup-over-empty (Spark 0 rows vs DuckDB 1)")
         elif want != got:
             print(f"DIFF {name}: {len(want)} vs {len(got)} rows")
             print(f"     psql: {q['psql']}")
