@@ -644,6 +644,36 @@ object OpsEntry {
         |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "c06_decontaminate_bloom",
+      withTables { (s, _) =>
+        // every 10th doc plays the benchmark; the Bloom prune + exact verify
+        // must return EXACTLY what c01's all-exact path would (no false
+        // negatives by construction, false positives verified away)
+        val docs = s.table("documents")
+        TrainingPipeline.decontaminateBloom(
+          docs.where(col("doc_id") % 10 =!= 0),
+          docs.where(col("doc_id") % 10 === 0), n = 4,
+          expectedShingles = 100000L, fpp = 0.01)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      // same exact-string oracle shape as c01 (4-gram form): the sketch is
+      // an engine-side pruning detail invisible in the result
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(len(w)-3),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0)
+        |  WHERE len(w) >= 4),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-3),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |  WHERE len(w) >= 4),
+        |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (s))
+        |SELECT d.doc_id, d.lang FROM corpus d
+        |  LEFT JOIN bad USING (doc_id) WHERE bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "p01_curation_pipeline",
       withTables { (s, _) =>
         // clusterDedup = false: this entry gates the keep-lowest

@@ -118,6 +118,45 @@ object TrainingPipeline {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]]'s 100 TB-scale variant for when the benchmark side is
+    * too large to broadcast as an exact hash relation (a multi-benchmark
+    * union can reach 10⁸⁺ distinct shingles ≈ GBs as a hash map): a Bloom
+    * filter over the benchmark shingle hashes (bit-array ≈ 1.2 MB per 10⁶
+    * keys at 1% fpp) prunes the corpus shingles MAP-SIDE — the codegen'd
+    * [[graft.functions.BloomMightContainExpr]] probe sits right on the scan,
+    * so ~(1-fpp) of the corpus's shingle volume never reaches any join — and
+    * only the surviving candidates flow into the exact semi-join verify.
+    *
+    * Exactly equal to [[decontaminate]] for ANY (expectedItems, fpp): Bloom
+    * filters have no false negatives (no contaminated doc can slip through)
+    * and false positives are removed by the verify join. The sketch build is
+    * one aggregation pass returning a fixed-size bit array to the driver —
+    * a bounded sketch, not data (cf. the documented k-means sample).
+    * The verify join is left to AQE: its probe side is post-prune tiny, and
+    * at benchmark sizes where this variant matters the build side shuffles
+    * rather than broadcasts — which is the point of pruning first.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      benchTextCol: String = "text",
+      expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bh = Dedup.hashedShingleRows(
+      benchmark.select(lit(0L).as("__bid"), col(benchTextCol)), "__bid", benchTextCol, n)
+      .select("h").distinct()
+    val bloom = BloomFunctions.buildLongFilter(bh, "h", expectedShingles, fpp)
+    val dh = Dedup.hashedShingleRows(docs, idCol, textCol, n)
+      .where(BloomFunctions.mightContainLong(bloom, col("h")))
+    val contaminated = dh.join(bh, Seq("h"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Greedy concat-and-chunk sequence packing: lay documents end to end in
     * a deterministic order and cut packs every `budget` tokens — the
     * standard way LLM training data is packed into fixed-length sequences

@@ -415,6 +415,46 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("decontaminateBloom equals decontaminate exactly, even with a saturated filter") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val exact = TrainingPipeline.decontaminate(corpus, bench, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = TrainingPipeline.decontaminateBloom(corpus, bench, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == exact)
+    // undersized filter (expected=50 for thousands of shingles) saturates →
+    // high fpp, near-zero pruning — the exact verify must still restore
+    // exact semantics (false positives cost work, never correctness)
+    val saturated = TrainingPipeline.decontaminateBloom(corpus, bench, n = 4,
+      expectedShingles = 50L, fpp = 0.03)
+      .select("doc_id").as[Long].collect().toSet
+    assert(saturated == exact)
+  }
+
+  test("bloom might_contain prunes map-side with no false negatives") {
+    import graft.functions.BloomFunctions
+    val members = spark.range(0, 10000).where(col("id") % 7 === 0).select(col("id").as("h"))
+    val bloom = BloomFunctions.buildLongFilter(members, "h", 2000L, 0.01)
+    val flagged = spark.range(0, 10000)
+      .where(BloomFunctions.mightContainLong(bloom, col("id")))
+      .select("id").as[Long].collect().toSet
+    // every true member flagged (no false negatives)...
+    assert((0L until 10000L).filter(_ % 7 == 0).forall(flagged.contains))
+    // ...and the fpp bound holds with slack: <= 5% of non-members flagged at fpp=1%
+    val fps = flagged.count(_ % 7 != 0)
+    assert(fps <= 10000 * 0.05, s"false positives: $fps")
+    // the probe is a plain Filter on the scan — no join, no shuffle, and it
+    // stays inside whole-stage codegen
+    val plan = spark.range(0, 100)
+      .where(BloomFunctions.mightContainLong(bloom, col("id")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in the plan string
+    assert(plan.contains("*(1) Filter"), plan)
+  }
+
   test("sampleFraction: mixture rates hold, deterministic across runs, map-side only") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fr = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.1)
@@ -779,5 +819,56 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq((1L, Option.empty[Array[Byte]])).toDF("media_id", "media")
     val out = Multimodal.extractFeatures(media).collect()
     assert(out.head.getLong(1) == 0L)
+  }
+
+  /** Drop-in proof for the MediaDecoder seam: a toy decoder with visibly
+    * different semantics (constant 1-dim feature, single whole-blob frame,
+    * truncating "resize" reporting 1×len dims) runs through the SAME
+    * operators untouched, and the outputs reflect the decoder — so a real
+    * codec binding needs no operator change.
+    */
+  object ToyDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): MediaDecoder.Decoded = {
+      val n = if (bytes == null) 0L else bytes.length.toLong
+      MediaDecoder.Decoded(n, 42L, Array(n.toFloat))
+    }
+    override def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] = {
+      val in = if (bytes == null) Array.emptyByteArray else bytes
+      IndexedSeq(in) ++ IndexedSeq.fill(nFrames - 1)(Array.emptyByteArray)
+    }
+    override def resize(bytes: Array[Byte], targetBytes: Int): MediaDecoder.Resized = {
+      val in = if (bytes == null) Array.emptyByteArray else bytes
+      val out = in.take(targetBytes)
+      MediaDecoder.Resized(out, 1, out.length)
+    }
+  }
+
+  test("MediaDecoder seam: a second decoder drops into all three operators") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
+    val media = Multimodal.documentsAsMedia(docs)
+
+    val feats = Multimodal.extractFeatures(media, ToyDecoder)
+    assert(feats.schema == Multimodal.featureSchema)
+    feats.collect().foreach { r =>
+      assert(r.getLong(2) == 42L)
+      assert(r.getSeq[Float](3) == Seq(r.getLong(1).toFloat))
+    }
+
+    val frames = Multimodal.sampleFrames(media, 3, ToyDecoder)
+    val byId = frames.collect().groupBy(_.getLong(0))
+    byId.values.foreach { fs =>
+      assert(fs.length == 3)
+      val sorted = fs.sortBy(_.getInt(1))
+      assert(sorted.head.getAs[Array[Byte]](2).nonEmpty) // frame 0 = whole blob
+      assert(sorted.tail.forall(_.getAs[Array[Byte]](2).isEmpty))
+    }
+
+    val resized = Multimodal.resize(media, 16, ToyDecoder).collect()
+    resized.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes.length <= 16)
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) == 1 && meta.getInt(2) == bytes.length)
+    }
   }
 }
