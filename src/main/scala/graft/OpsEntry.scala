@@ -281,6 +281,28 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d14_winnowing_pairs",
+      withTables { (s, _) =>
+        // substring-level dup pairs: winnowed k-gram fingerprints, docs
+        // sharing >= 2 selected fingerprints. md5-driven selection is
+        // engine-identical, so the whole operator is oracle-checked.
+        Dedup.winnowingPairs(s.table("documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id,
+        |    list_transform(range(len(w) - 2), i -> md5(array_to_string(w[i+1:i+3], ' '))) AS mds
+        |  FROM words WHERE len(w) >= 6),
+        |fp AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(mds) - 3), j -> list_min(mds[j+1:j+4])))) AS fp
+        |  FROM sh),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared FROM pairs ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "d05_ann_cosine_topk",
       withTables { (s, _) =>
         val emb = s.table("embeddings")
@@ -671,6 +693,23 @@ object OpsEntry {
         |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b USING (s))
         |SELECT d.doc_id, d.lang FROM corpus d
         |  LEFT JOIN bad USING (doc_id) WHERE bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "c07_train_val_split",
+      withTables { (s, _) =>
+        // stable 80/10/10 holdout assignment — identical md5 interval
+        // arithmetic in both engines, so the full assignment is gated
+        TrainingPipeline.assignSplits(s.table("documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "lang", "split")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('42-' || doc_id), 1, 7))::BIGINT / 268435456.0 AS u
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(

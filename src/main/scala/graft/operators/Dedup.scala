@@ -103,6 +103,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003, the MOSS algorithm): md5 each word `k`-gram, then keep the
+    * MINIMUM hash of every sliding window of `w` consecutive k-gram hashes.
+    * The winnowing guarantee: any shared substring of at least `k + w - 1`
+    * words yields at least one shared fingerprint, while expected
+    * fingerprint density is only 2/(w+1) of the shingle count — i.e.
+    * SUBSTRING-level duplication detection (a lifted paragraph inside an
+    * otherwise-different doc) that whole-doc Jaccard (d04) and MinHash
+    * (d02) both dilute away, at a fraction of the index size.
+    *
+    * Entirely map-side off the scan (split → k-gram md5 → windowed min →
+    * distinct → explode); output volume ≈ 2·shingles/(w+2) rows. md5
+    * strings (not xxhash64) deliberately: the hash VALUES drive the
+    * windowed-min selection, and md5 is bit-identical in every engine, so
+    * the whole operator is oracle-checkable; at 100 TB the md5-vs-xxhash
+    * cost difference is dwarfed by the (w+1)/2-fold index shrink. Docs
+    * shorter than `k + w - 1` words emit no fingerprints.
+    * Output: (id, fp) — fp is the 32-hex md5 of a selected k-gram.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: got k=$k w=$w")
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
+      .where(size(col("__w")) >= k + w - 1) // guards sequence() against negative bounds too
+      .select(col("id"),
+        expr(s"transform(sequence(0, size(__w) - $k), i -> md5(array_join(slice(__w, i + 1, $k), ' ')))")
+          .as("__mds"))
+      .select(col("id"),
+        explode(expr(
+          s"array_distinct(transform(sequence(0, size(__mds) - $w), j -> array_min(slice(__mds, j + 1, $w))))"))
+          .as("fp"))
+  }
+
+  /** Substring-duplication pairs via winnowing: docs sharing at least
+    * `minShared` selected fingerprints. Same inverted-index join shape as
+    * [[ngramJaccardPairs]] — only docs sharing a fingerprint ever meet —
+    * over an index ~w-fold smaller than the full shingle index.
+    * `maxFingerprintDocFreq` drops boilerplate fingerprints present in more
+    * than that many docs (the d04 stop-shingle hazard, same cap semantics:
+    * lossy only for pairs whose entire overlap is boilerplate).
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxFingerprintDocFreq: Option[Long] = None): DataFrame = {
+    val fp0 = winnowingFingerprints(df, idCol, textCol, k, w)
+    val fp = maxFingerprintDocFreq match {
+      case Some(cap) =>
+        val ok = fp0.groupBy("fp").agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+        fp0.join(ok.select("fp"), Seq("fp"))
+      case None => fp0
+    }
+    // shuffle-hash like d04: narrow rows, small per-fingerprint groups
+    fp.as("a").join(fp.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Cross-corpus near-dedup: drop every `corpus` doc whose n-gram Jaccard
     * against ANY `reference` doc reaches `threshold` — deduping a new crawl
     * against an already-kept corpus (the incremental-ingest counterpart of

@@ -60,6 +60,36 @@ object TrainingPipeline {
     df.where(u < fracCol)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the split
+    * whose cumulative-weight interval contains the uniform md5 hash of its
+    * id — the standard stable holdout split (a doc keeps its split across
+    * reruns, engine changes, and corpus growth; only NEW ids get new
+    * assignments, so the eval set never silently rotates into training).
+    * Pure map-side column add — no shuffle, no count pass, no rand() (same
+    * md5 arithmetic as [[sampleFraction]]). Weights must sum to 1 (±1e-9);
+    * the last split absorbs the floating-point edge so no row is ever
+    * unassigned.
+    */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long = 42L,
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0),
+      "need >= 2 splits with positive weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val u = conv(substring(md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0) // 16^7
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split is the unconditional otherwise — the [sum-ε, 1) edge lands there
+    val assigned = splits.init.zip(cums.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(u < cum, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Greedy token-budget selection per group: in priority order (highest
     * `priorityCol` first, id tiebreak), keep rows while the group's running
     * token total stays within `budget` — the standard way a fixed training

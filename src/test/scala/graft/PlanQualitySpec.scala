@@ -264,6 +264,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("winnowing pairs: inverted-index join is shuffle-hash, never a cross product") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = operators.Dedup.winnowingPairs(
+        spark.table("documents"), "doc_id", "text", k = 3, w = 4, minShared = 2L)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      // same rationale as d04/d12: narrow (id, fp) rows, small per-
+      // fingerprint groups — hash build beats sorting both exploded streams
+      assert(p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
   test("asof SQL stage produces the union+window plan (no nested loop)") {
     spark.table("events").where(col("event_type") === "purchase")
       .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))

@@ -131,6 +131,62 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("winnowing catches a lifted substring that whole-doc Jaccard dilutes away") {
+    // doc 11 lifts an 8-word passage from doc 10 into otherwise-unrelated
+    // text: whole-doc trigram Jaccard is far below 0.5, but the winnowing
+    // guarantee (shared substring >= k+w-1 = 6 words -> >= 1 shared
+    // fingerprint) must surface the pair
+    val lifted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "completely different opening words here gamma delta epsilon zeta eta theta then an unrelated long tail of many extra words follows"),
+      (12L, "nothing in common with either of the others at all whatsoever")
+    ).toDF("id", "text")
+    val jacc = Dedup.ngramJaccardPairs(lifted, "id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jacc.contains((10L, 11L)), jacc.toString)
+    val winn = Dedup.winnowingPairs(lifted, "id", "text", k = 3, w = 4, minShared = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(winn.contains((10L, 11L)), winn.toString)
+    assert(!winn.exists(p => p._1 == 12L || p._2 == 12L), winn.toString)
+  }
+
+  test("winnowingFingerprints: density below shingle count, map-side, short-doc safe") {
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = Dedup.winnowingFingerprints(documents, "doc_id", "text", k = 3, w = 4)
+    // winnowed index must be a strict fraction of the full shingle index
+    // (expected density 2/(w+1) = 0.4; allow generous slack for structure)
+    val nFp = fp.count()
+    val nSh = Dedup.hashedShingleRows(documents, "doc_id", "text", 3).count()
+    assert(nFp > 0 && nFp < nSh * 0.7, s"fp=$nFp shingles=$nSh")
+    // fingerprint extraction is map-side only — no Exchange before output
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // docs too short to window emit nothing rather than failing
+    val short = Seq((1L, "just five words right here")).toDF("id", "text")
+    assert(Dedup.winnowingFingerprints(short, "id", "text", k = 3, w = 4).count() == 0L)
+  }
+
+  test("winnowingPairs boilerplate cap drops hot fingerprints") {
+    // 20 docs share a verbatim boilerplate header; only docs 1 and 2 share
+    // real content beyond it
+    val boiler = "standard legal disclaimer header applies to this document"
+    val rows = (1L to 20L).map { i =>
+      val body = if (i <= 2) "identical body content shared by exactly two documents here"
+        else s"unique body number $i with its own distinct trailing words ${i * 7} ${i * 13}"
+      (i, s"$boiler $body")
+    }
+    val df = rows.toDF("id", "text")
+    val uncapped = Dedup.winnowingPairs(df, "id", "text", k = 3, w = 4, minShared = 1L)
+      .count()
+    val capped = Dedup.winnowingPairs(df, "id", "text", k = 3, w = 4, minShared = 1L,
+      maxFingerprintDocFreq = Some(5L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // uncapped: the boilerplate connects all 190 pairs; capped: only the
+    // true content pair (1,2) survives
+    assert(uncapped == 190L, uncapped.toString)
+    assert(capped == Set((1L, 2L)), capped.toString)
+  }
+
   test("minhashLshPairs recall equals exact pairs on the documents testdata") {
     val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(documents, "doc_id", "text", 3, 0.5)
@@ -476,6 +532,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(a == b)
     // a filter off the scan: no Exchange in the plan
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("assignSplits: total cover, stable under corpus growth, map-side, proportional") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = TrainingPipeline.assignSplits(docs, "doc_id", splits)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    // every row assigned to a declared split
+    assert(total == docs.count() && counts.keySet.subsetOf(Set("train", "val", "test")))
+    // proportions in the right neighborhood (binomial slack on a small corpus)
+    assert(counts("train").toDouble / total > 0.7 && counts("train").toDouble / total < 0.9)
+    // STABILITY: assignments on a half-corpus equal the full-corpus ones for
+    // the same ids — growing the corpus never rotates eval docs into train
+    val half = TrainingPipeline.assignSplits(docs.where(col("doc_id") % 2 === 0), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // pure map-side column add
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // bad weights rejected loudly
+    intercept[IllegalArgumentException] {
+      TrainingPipeline.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
   }
 
   test("selectUnderBudget: greedy prefix in priority order, cap never exceeded") {
