@@ -791,6 +791,63 @@ object OpsEntry {
         |WHERE c.component = e.doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef(
+      "p03_curation_substring",
+      withTables { (s, _) =>
+        // substring-aware curation: winnowing edges (k=3, w=4, >=2 shared
+        // fingerprints) join the near-dup pair graph before the cluster
+        // closure, so docs sharing a lifted passage dedup to one survivor
+        // even when whole-doc Jaccard stays below the 0.8 threshold
+        TrainingPipeline.curate(s.table("documents"), minQuality = 0.2, jaccardThreshold = 0.8,
+          clusterDedup = true, substringDedup = true, winnowK = 3, winnowW = 4, minSharedFp = 2L)
+          .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 6).as("q"))
+          .orderBy("doc_id")
+      },
+      // p02's oracle with the winnowing pair CTEs unioned into the edge set
+      // (md5 windowed-min selection is engine-identical, so the combined
+      // closure is exact in both engines)
+      Some(s"""WITH RECURSIVE annotated AS (
+        |  SELECT doc_id, text, $langIdCaseSql AS pred_lang, $qualityScoreSql AS quality_score
+        |  FROM documents),
+        |filtered AS (SELECT * FROM annotated WHERE quality_score >= 0.2),
+        |exact AS (
+        |  SELECT doc_id, text, pred_lang, quality_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+        |  WHERE len(w) >= 3),
+        |jpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        |wsh AS (
+        |  SELECT doc_id, list_transform(range(len(w) - 2),
+        |      i -> md5(array_to_string(w[i+1:i+3], ' '))) AS mds
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+        |  WHERE len(w) >= 6),
+        |wfp AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(len(mds) - 3),
+        |      j -> list_min(mds[j+1:j+4])))) AS fp
+        |  FROM wsh),
+        |wpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pairs AS (SELECT * FROM jpairs UNION SELECT * FROM wpairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (SELECT doc_id AS a, doc_id AS b FROM exact
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+        |SELECT e.doc_id, e.pred_lang, round(e.quality_score, 6) AS q
+        |FROM exact e JOIN comp c USING (doc_id)
+        |WHERE c.component = e.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // streaming operators in batch mode: every EventStreams transform works
     // identically on a batch frame (watermarks are no-ops), so the SAME
     // function the streaming specs exercise gets a DuckDB-oracle gate row —

@@ -259,6 +259,15 @@ object TrainingPipeline {
     *     pair. Cheaper (no iterative closure) but under-deletes chained
     *     clusters — a doc connected to the cluster minimum only transitively
     *     survives alongside it.
+    *
+    * `substringDedup` additionally unions [[Dedup.winnowingPairs]] edges
+    * (k=`winnowK`, w=`winnowW`, `minSharedFp` shared fingerprints) into the
+    * pair graph before deletion: docs sharing a lifted passage — which
+    * whole-doc Jaccard dilutes below `jaccardThreshold` — then fall into
+    * the same cluster and dedup to one survivor. The winnowing stage reuses
+    * the already-filtered/exact-deduped frame, so its cost scales with the
+    * surviving corpus, and its fingerprint index is ~2/(w+1) of a full
+    * shingle index.
     * Returns surviving docs with their annotations.
     */
   def curate(
@@ -267,16 +276,29 @@ object TrainingPipeline {
       textCol: String = "text",
       minQuality: Double = 0.2,
       jaccardThreshold: Double = 0.8,
-      clusterDedup: Boolean = true): DataFrame = {
+      clusterDedup: Boolean = true,
+      substringDedup: Boolean = false,
+      winnowK: Int = 5,
+      winnowW: Int = 4,
+      minSharedFp: Long = 2L): DataFrame = {
     val stats = TextFunctions.qualityStats(col(textCol))
     val annotated = docs
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumns(stats.map { case (n, c) => n -> c }.toMap)
     val filtered = annotated.where(col("quality_score") >= minQuality)
     val exact = Dedup.dedupExact(filtered, textCol, idCol)
-    val pairs = Dedup
+    val nearPairs = Dedup
       .minhashLshPairs(exact, idCol, textCol, threshold = jaccardThreshold)
       .select("id_a", "id_b")
+    val pairs =
+      if (substringDedup)
+        // distinct: a pair can be both a near-dup and share fingerprints —
+        // duplicate edges would double-count in nothing but cost
+        nearPairs.union(
+          Dedup.winnowingPairs(exact, idCol, textCol, winnowK, winnowW, minSharedFp)
+            .select("id_a", "id_b"))
+          .distinct()
+      else nearPairs
     val losers =
       if (clusterDedup)
         // components iterate only the edge-touching subgraph; losers = every

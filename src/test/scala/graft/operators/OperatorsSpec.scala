@@ -534,6 +534,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("curate substringDedup removes lifted-passage docs plain curate keeps") {
+    // doc 11 lifts a 6-word passage from doc 10; whole-doc Jaccard is far
+    // below 0.8 so MinHash curation keeps both — substring mode must fold
+    // the winnowing edge into the cluster closure and keep only doc 10
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "completely different opening words here gamma delta epsilon zeta eta theta then an unrelated long tail of many extra words follows"),
+      (12L, "nothing in common with either of the other documents at all whatsoever")
+    ).toDF("doc_id", "text")
+    val plain = TrainingPipeline.curate(docs, minQuality = 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(10L, 11L, 12L), plain.toString)
+    val sub = TrainingPipeline.curate(docs, minQuality = 0.05,
+      substringDedup = true, winnowK = 3, winnowW = 4, minSharedFp = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sub == Set(10L, 12L), sub.toString)
+  }
+
   test("assignSplits: total cover, stable under corpus growth, map-side, proportional") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
