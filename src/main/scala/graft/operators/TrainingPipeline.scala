@@ -287,15 +287,27 @@ object TrainingPipeline {
       .withColumns(stats.map { case (n, c) => n -> c }.toMap)
     val filtered = annotated.where(col("quality_score") >= minQuality)
     val exact = Dedup.dedupExact(filtered, textCol, idCol)
+    // The pair-generation paths re-derive the filtered+deduped corpus once
+    // per consumer (minhash signatures, each winnowing self-join side, the
+    // component node set) — and each re-derivation repeats the annotate
+    // scan AND the dedup window shuffle. Materialize the NARROW (id, text)
+    // projection once (lazy local checkpoint: first consumer pays, the rest
+    // read blocks) so k consumers cost one window shuffle, not k.
+    // At 100 TB this stage is corpus-sized: localCheckpoint spills to
+    // executor disk, which is the in-job version of the standard practice —
+    // materializing the post-filter curation stage before dedup passes; if
+    // executor storage can't hold it, write the stage to the warehouse and
+    // read it back instead (same plan shape, durable storage).
+    val base = exact.select(col(idCol), col(textCol)).localCheckpoint(false)
     val nearPairs = Dedup
-      .minhashLshPairs(exact, idCol, textCol, threshold = jaccardThreshold)
+      .minhashLshPairs(base, idCol, textCol, threshold = jaccardThreshold)
       .select("id_a", "id_b")
     val pairs =
       if (substringDedup)
         // distinct: a pair can be both a near-dup and share fingerprints —
         // duplicate edges would double-count in nothing but cost
         nearPairs.union(
-          Dedup.winnowingPairs(exact, idCol, textCol, winnowK, winnowW, minSharedFp)
+          Dedup.winnowingPairs(base, idCol, textCol, winnowK, winnowW, minSharedFp)
             .select("id_a", "id_b"))
           .distinct()
       else nearPairs
@@ -304,7 +316,7 @@ object TrainingPipeline {
         // components iterate only the edge-touching subgraph; losers = every
         // non-minimum member, a small frame that anti-joins (broadcast at
         // scale) against the corpus
-        Dedup.connectedComponents(exact.select(col(idCol)), pairs)
+        Dedup.connectedComponents(base.select(col(idCol)), pairs)
           .where(col(idCol) =!= col("component"))
           .select(col(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
