@@ -696,6 +696,33 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "c08_contamination_report",
+      withTables { (s, _) =>
+        // audit view of c01's split: per benchmark doc, how many corpus
+        // docs share a 3-gram (0 for clean items)
+        val docs = s.table("documents")
+        TrainingPipeline.contaminationReport(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0), n = 3)
+          .orderBy("bench_id")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench)
+        |  WHERE len(w) >= 3),
+        |csh AS (SELECT doc_id AS corpus_id, unnest(list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |  WHERE len(w) >= 3),
+        |m AS (SELECT DISTINCT bench_id, corpus_id FROM bsh JOIN csh USING (s)),
+        |cnt AS (SELECT bench_id, count(*) AS n_contaminated FROM m GROUP BY bench_id)
+        |SELECT b.doc_id AS bench_id, coalesce(cnt.n_contaminated, 0) AS n_contaminated
+        |FROM bench b LEFT JOIN cnt ON b.doc_id = cnt.bench_id
+        |ORDER BY bench_id""".stripMargin)),
+
+    QueryDef(
       "c07_train_val_split",
       withTables { (s, _) =>
         // stable 80/10/10 holdout assignment — identical md5 interval

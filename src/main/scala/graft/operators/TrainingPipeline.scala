@@ -187,6 +187,41 @@ object TrainingPipeline {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Contamination AUDIT — the read-only counterpart of [[decontaminate]]:
+    * for every benchmark/eval document, how many corpus documents share at
+    * least one word `n`-gram with it (0 for clean items). The report a
+    * pipeline owner reads BEFORE deleting data: which eval items leak, and
+    * whether the leak is one stray page or ten thousand boilerplate copies
+    * (the latter usually means the n-gram is too common, not that the
+    * benchmark is compromised).
+    *
+    * Plan: per-doc DISTINCT shingle hashes both sides (map-side), benchmark
+    * side broadcast into the equi-join (eval sets are small; nothing
+    * corpus-sized shuffles), distinct (bench_id, corpus_id) matches, then a
+    * count per bench_id left-joined back so clean items report 0.
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      benchIdCol: String = "doc_id",
+      benchTextCol: String = "text"): DataFrame = {
+    val bh = Dedup.hashedShingleRows(
+      benchmark.select(col(benchIdCol).as("bench_id"), col(benchTextCol)), "bench_id", benchTextCol, n)
+      .select(col("id").as("bench_id"), col("h")).distinct()
+    val dh = Dedup.hashedShingleRows(docs, idCol, textCol, n)
+      .select(col("id").as("corpus_id"), col("h")).distinct()
+    val matches = dh.join(broadcast(bh), Seq("h"))
+      .select("bench_id", "corpus_id").distinct()
+      .groupBy("bench_id").agg(count(lit(1)).as("n_contaminated"))
+    benchmark.select(col(benchIdCol).as("bench_id"))
+      .join(matches, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** Greedy concat-and-chunk sequence packing: lay documents end to end in
     * a deterministic order and cut packs every `budget` tokens — the
     * standard way LLM training data is packed into fixed-length sequences

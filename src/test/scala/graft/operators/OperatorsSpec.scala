@@ -471,6 +471,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("contaminationReport counts distinct leaking corpus docs, 0 for clean items") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high today"),   // shares with bench 100
+      (2L, "a completely different sentence entirely here"),
+      (3L, "the quick brown fox runs far away"))      // also shares with bench 100
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "benchmark with the quick brown fox inside"),
+      (200L, "spotless benchmark item sharing nothing at all"))
+      .toDF("doc_id", "text")
+    val rep = TrainingPipeline.contaminationReport(corpus, bench, n = 3)
+    val m = rep.as[(Long, Long)].collect().toMap
+    // bench 100 leaks into docs 1 and 3 (distinct docs, not shingle hits);
+    // bench 200 is clean and still reported, with 0
+    assert(m == Map(100L -> 2L, 200L -> 0L), m.toString)
+    // the benchmark side must broadcast — nothing corpus-sized shuffles wide
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("decontaminateBloom equals decontaminate exactly, even with a saturated filter") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
