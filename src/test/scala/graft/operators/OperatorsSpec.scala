@@ -166,6 +166,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.winnowingFingerprints(short, "id", "text", k = 3, w = 4).count() == 0L)
   }
 
+  test("winnowing guarantee holds on randomized planted spans (seeded fuzz)") {
+    // The paper's theorem: ANY shared substring of >= k + w - 1 words
+    // produces at least one shared fingerprint. Plant 30 random lifted
+    // spans (length k+w-1 .. k+w+4) from random hosts into otherwise
+    // random docs over a 2000-word vocabulary; every planted pair must be
+    // found at minShared = 1. Extra pairs (chance shared spans) are
+    // legitimate and not asserted against.
+    val k = 4; val w = 5
+    val rnd = new scala.util.Random(987654321L)
+    def words(n: Int): Seq[String] = Seq.fill(n)("w" + rnd.nextInt(2000))
+    val rows = (0 until 30).flatMap { i =>
+      val host = words(20 + rnd.nextInt(30))
+      val span = {
+        val len = k + w - 1 + rnd.nextInt(6)
+        val from = rnd.nextInt(host.size - len + 1)
+        host.slice(from, from + len)
+      }
+      val lifted = words(rnd.nextInt(15)) ++ span ++ words(rnd.nextInt(15))
+      Seq((2L * i, host.mkString(" ")), (2L * i + 1, lifted.mkString(" ")))
+    }
+    val df = rows.toDF("id", "text")
+    val found = Dedup.winnowingPairs(df, "id", "text", k = k, w = w, minShared = 1L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = (0 until 30).map(i => (2L * i, 2L * i + 1)).filterNot(found.contains)
+    assert(missing.isEmpty, s"planted pairs missed: $missing")
+  }
+
   test("winnowingPairs boilerplate cap drops hot fingerprints") {
     // 20 docs share a verbatim boilerplate header; only docs 1 and 2 share
     // real content beyond it
