@@ -281,6 +281,33 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d15_simhash_md5_pairs",
+      withTables { (s, _) =>
+        // oracle-parity simhash: md5 token hashes make the 60-bit
+        // fingerprint, the pigeonhole-complete blocking, AND the exact
+        // hamming verify all reproducible in DuckDB — the cross-engine
+        // check d03's fast xxhash fingerprint can't have
+        Dedup.simhashPairs(s.table("documents"), "doc_id", "text",
+          maxHamming = 6, md5Tokens = true)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.b, sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, r.b),
+        |fp AS (
+        |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS f
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "d14_winnowing_pairs",
       withTables { (s, _) =>
         // substring-level dup pairs: winnowed k-gram fingerprints, docs

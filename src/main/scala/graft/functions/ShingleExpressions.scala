@@ -119,6 +119,50 @@ object ShingleHash {
     fp
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit SimHash with md5-derived token hashes — the ORACLE-PARITY
+    * variant of [[simhash]]: every piece of the arithmetic (md5, the
+    * first-15-hex-chars truncation, the +/-1 votes on bits 0..59, the
+    * `> 0` sign rule) is expressible identically in any engine, so the
+    * whole simhash pipeline becomes cross-engine checkable. Tokenization
+    * matches `string_split(text, ' ')` in DuckDB / `split(text, ' ', -1)`
+    * in Spark (empty segments kept); votes are over DISTINCT tokens. The
+    * fast xxhash-based [[simhash]] stays the production default — md5 costs
+    * ~4x per token; this variant buys bit-identical verification.
+    */
+  def simhashMd5(s: UTF8String): Long = {
+    val tokens = new java.util.HashSet[String]()
+    s.toString.split(" ", -1).foreach(tokens.add)
+    val md = md5Local.get()
+    val counts = new Array[Int](60)
+    val it = tokens.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits of the big-endian digest prefix
+      var top = 0L
+      var i = 0
+      while (i < 8) { top = (top << 8) | (d(i) & 0xFFL); i += 1 }
+      val h = top >>> 4
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** MinHash signature over an array of shingle hashes: sig(j) =
@@ -243,6 +287,28 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `simhash_md5(text)`: the 60-bit oracle-parity SimHash (md5 token
+  * hashes) — see [[ShingleHash.simhashMd5]].
+  */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleHash.simhashMd5($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   /** Hashed word n-gram shingles of a text column, in document order. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -251,6 +317,10 @@ object ShingleFunctions {
   /** 64-bit SimHash fingerprint of a text column. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+
+  /** 60-bit oracle-parity SimHash (md5 token hashes). */
+  def simhashMd5(text: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
 
   /** MinHash signature (length = a.length) over a shingle-hash array column;
     * NULL when the array is empty.

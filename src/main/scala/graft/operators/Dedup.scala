@@ -540,9 +540,20 @@ object Dedup {
     * into a 64-conditional-sum groupBy whose Exchange carried the word
     * stream).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      graft.functions.ShingleFunctions.simhash64(col(textCol)).as("simhash"))
+  def simhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      md5Tokens: Boolean = false): DataFrame = {
+    // md5Tokens picks the 60-bit oracle-parity fingerprint (cross-engine
+    // identical arithmetic) over the fast xxhash default — blocking and
+    // verify downstream are unchanged (top 4 bits constant-zero never
+    // differ, so every Hamming bound holds verbatim)
+    val fp =
+      if (md5Tokens) graft.functions.ShingleFunctions.simhashMd5(col(textCol))
+      else graft.functions.ShingleFunctions.simhash64(col(textCol))
+    df.select(col(idCol).as("id"), fp.as("simhash"))
+  }
 
   /** SimHash near-duplicate pairs: LSH-block the 64-bit fingerprints so that
     * every pair within Hamming distance `maxHamming` meets in some band's
@@ -572,7 +583,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+      maxBucketSize: Option[Long] = None,
+      md5Tokens: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): got $maxHamming")
     // `maxBucketSize` guards the C² hot-bucket blow-up on verbatim-heavy
@@ -589,7 +601,7 @@ object Dedup {
           frame.join(ok.select(keyCols.map(col): _*), keyCols)
         case None => frame
       }
-    val fp = simhash(df, idCol, textCol)
+    val fp = simhash(df, idCol, textCol, md5Tokens)
     // band layout for `bands` contiguous bands over 64 bits
     def layout(bands: Int): (Array[Int], Array[Int]) = {
       val base = 64 / bands

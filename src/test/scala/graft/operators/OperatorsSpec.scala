@@ -422,6 +422,29 @@ class DedupSpec extends SparkSpec {
       assert(expected.nonEmpty, s"vacuous at maxHamming=$maxHamming")
     }
   }
+
+  test("md5-token simhash: 60-bit fingerprints, blocking complete, near-dups land close") {
+    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = Dedup.simhash(documents, "doc_id", "text", md5Tokens = true)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // 60-bit contract: top 4 bits always clear (so every 64-bit band bound
+    // still holds), fingerprints non-degenerate
+    assert(fps.forall { case (_, f) => (f >>> 60) == 0L })
+    assert(fps.map(_._2).distinct.length > 1)
+    // blocking completeness at the gate's radius, same brute-force oracle
+    // as the xxhash spec above
+    val expected = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if d <= 6
+    } yield (fps(i)._1, fps(j)._1, d)).toSet
+    val got = Dedup.simhashPairs(documents, "doc_id", "text", maxHamming = 6, md5Tokens = true)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missed ${(expected -- got).size}, extra ${(got -- expected).size}")
+    assert(expected.nonEmpty)
+  }
 }
 
 class TrainingPipelineSpec extends SparkSpec {
