@@ -400,6 +400,20 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d16_ann_pq_topk",
+      withTables { (s, _) =>
+        // product-quantization ANN: m-int codes + per-query LUT adds, the
+        // memory-scale path; approximate (k-means codebooks) → rows-only,
+        // recall pinned vs brute force in the spec
+        val emb = s.table("embeddings")
+        Similarity.pqTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, m = 8, kCent = 16)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    QueryDef(
       "d11_quantize_embeddings",
       withTables { (s, _) =>
         // int8 array stringified for the driver's canonicalizer (cf. m01);

@@ -268,6 +268,139 @@ case class LshBucketsExpr(child: Expression, planesSeq: IndexedSeq[IndexedSeq[Do
     copy(child = newChild)
 }
 
+/** Static kernels for product quantization — shared by interpreted eval and
+  * generated code (one JIT-compiled call per row).
+  */
+object PqKernel {
+  /** Encode: L2-normalize the whole vector, then per subspace pick the
+    * nearest codebook centroid by Euclidean distance (ties → lowest index).
+    * Fails fast on a dimension mismatch — a silently mis-sliced subvector
+    * would scramble codes (and recall) with no visible error.
+    */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    if (v.numElements() != m * sub) throw new IllegalArgumentException(
+      s"pq_encode: vector length ${v.numElements()} != m*subdim = ${m * sub}")
+    var nrm = 0.0
+    var i = 0
+    while (i < m * sub) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v.getDouble(s * sub + j) * inv - cb(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance scores against every query's lookup table:
+    * score(q) = Σ_s lut(q)(s*k + code(s)) — M adds per query per row, the
+    * PQ scan kernel (the d·k work of building each LUT happened once per
+    * query, driver-side).
+    */
+  def scores(codes: ArrayData, luts: Array[Array[Double]], k: Int): Array[Double] = {
+    val m = codes.numElements()
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val lut = luts(q)
+      var sum = 0.0
+      var s = 0
+      while (s < m) { sum += lut(s * k + codes.getInt(s)); s += 1 }
+      out(q) = sum
+      q += 1
+    }
+    out
+  }
+}
+
+/** `pq_encode(vec)`: product-quantization codes (array<int>, one centroid
+  * id per subspace) of an `array<double>` vector. Codebooks ride along as a
+  * codegen reference object, like [[TopCentroidsExpr]]; held as
+  * `IndexedSeq`s for `semanticEquals`.
+  */
+case class PqEncodeExpr(child: Expression, codebooksSeq: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(codebooksSeq.nonEmpty && codebooksSeq.forall(_.nonEmpty))
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    codebooksSeq.map(_.map(_.toArray).toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqKernel.encode(input.asInstanceOf[ArrayData], codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqKernel.encode($v, $cb));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_scores(codes)`: per-query asymmetric-distance scores
+  * (array<double>, index = query position) from PQ codes and the queries'
+  * precomputed lookup tables.
+  */
+case class PqScoresExpr(child: Expression, lutsSeq: IndexedSeq[IndexedSeq[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(lutsSeq.nonEmpty && k >= 1)
+
+  @transient private lazy val luts: Array[Array[Double]] = lutsSeq.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> codes, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqKernel.scores(input.asInstanceOf[ArrayData], luts, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lu = ctx.addReferenceObj("pqLuts", luts, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqKernel.scores($v, $lu, $k));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API over the native expressions. */
   def cosineSim(a: Column, b: Column): Column =
@@ -288,6 +421,18 @@ object VectorFunctions {
     */
   def lshBuckets(v: Column, planes: IndexedSeq[IndexedSeq[Double]], nPlanes: Int): Column =
     ColumnBridge.column(LshBucketsExpr(ColumnBridge.expression(v), planes, nPlanes))
+
+  /** PQ codes of a vector column (one centroid id per subspace). */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Per-query ADC scores from a PQ-code column; `k` = centroids per
+    * subspace (each lut row is laid out [subspace × k]).
+    */
+  def pqScores(codes: Column, luts: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(PqScoresExpr(ColumnBridge.expression(codes),
+      luts.map(_.toIndexedSeq).toIndexedSeq, k))
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {

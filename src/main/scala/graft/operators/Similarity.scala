@@ -38,6 +38,150 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Per-subspace product-quantization codebooks (FAISS-style PQ), trained
+    * driver-side on the same bounded deterministic sample discipline as
+    * [[trainCentroids]]: vectors L2-normalized, split into `m` contiguous
+    * subvectors, independent Lloyd k-means (Euclidean) per subspace with
+    * strided deterministic init; empty clusters keep their previous
+    * centroid. Returns [m][kCent][dim/m].
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      kCent: Int,
+      sampleN: Int = 2048,
+      iters: Int = 8): Array[Array[Array[Double]]] = {
+    val sample = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val pts = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    Array.tabulate(m) { s =>
+      val subPts = pts.map(_.slice(s * sub, (s + 1) * sub))
+      val stride = math.max(1, subPts.length / kCent)
+      var cents = (0 until kCent)
+        .map(i => subPts(math.min(i * stride, subPts.length - 1))).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(kCent)(new Array[Double](sub))
+        val cnt = new Array[Int](kCent)
+        subPts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kCent) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val df = p(i) - cents(c)(i); d += df * df; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          cnt(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** Approximate top-k via product quantization — the MEMORY-scale ANN
+    * path: each corpus vector is one `m`-byte-ish code (m ints here; m
+    * bytes with kCent <= 256 in storage) instead of dim doubles — 64× less
+    * scan volume at (m=8, dim=64) — and the scan kernel is m LUT adds per
+    * query per row ([[graft.functions.PqKernel.scores]]), never a d-wide
+    * dot product. Queries are collected driver-side (bounded — batch ANN
+    * with a driver-known query set, the [[trainCentroids]] sample
+    * discipline) and their d×kCent lookup tables embedded in the plan, so
+    * scoring is one map-side pass over the codes + a per-query top-k
+    * window; composable with the IVF routing of [[ivfTopK]] for the full
+    * IVF-PQ design at extreme scale.
+    *
+    * Scoring approximates cosine: corpus codes encode NORMALIZED vectors,
+    * so adc(q, code) ≈ |q|·cos(q, v), and per-query ranking by adc equals
+    * ranking by cosine (|q| is constant within a query). On corpora with
+    * dense near-tie clusters, pure ADC ordering can't separate the true
+    * top-k from their quantization-error neighbors, so the standard refine
+    * step applies: the ADC scan SHORTLISTS `rerank` candidates per query,
+    * whose true vectors are re-read (a narrow rerank×|Q| join, never
+    * corpus-wide) and reranked by exact cosine — the FAISS IVF-PQ+refine
+    * design. `rerank = 0` returns raw ADC ranking. Approximate by
+    * construction → no SQL oracle; the spec pins recall against
+    * [[bruteForceTopK]].
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      kCent: Int = 16,
+      rerank: Int = 64,
+      maxQueries: Int = 1024): DataFrame = {
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 (off) or >= k: got $rerank < $k")
+    import graft.functions.VectorFunctions.{pqEncode, pqScores}
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent)
+    val sub = cb(0)(0).length
+    val qRows = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .orderBy("query_id").limit(maxQueries + 1)
+      .collect()
+    require(qRows.length <= maxQueries,
+      s"pqTopK collects the query set driver-side; got > $maxQueries rows — raise maxQueries deliberately or batch the queries")
+    val qIds = qRows.map(_.getLong(0))
+    val luts = qRows.map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](m * kCent)
+      for (s <- 0 until m; c <- 0 until kCent) {
+        var d = 0.0
+        var i = 0
+        while (i < sub) { d += qv(s * sub + i) * cb(s)(c)(i); i += 1 }
+        lut(s * kCent + c) = d
+      }
+      lut
+    }
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
+    val scored = codes
+      .select(col("neighbor_id"), posexplode(pqScores(col("codes"), luts, kCent)))
+      .toDF("neighbor_id", "qpos", "score")
+      .withColumn("query_id", element_at(typedLit(qIds.toSeq), col("qpos") + 1))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(col("score"), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rerank == 0) {
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    } else {
+      // refine: ADC shortlist -> exact cosine over the shortlist only.
+      // The vector re-read is a narrow equi-join of rerank×|Q| rows against
+      // the corpus (broadcastable shortlist at scale); scores become exact
+      // for everything returned.
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      val exact = shortlist.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+        .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      val w2 = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    }
+  }
+
   /** Symmetric per-vector int8 quantization — the storage-scale primitive
     * for embedding corpora (4× smaller than float32, 8× than float64; at
     * 100 TB the scan cost of similarity passes drops with it). Per vector:

@@ -885,6 +885,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery == Set(5))
   }
 
+  test("pqTopK: shortlist+refine recall high; raw ADC scan is map-side over codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // default refine (ADC shortlist of 64 from 500, exact rerank)
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5, m = 8, kCent = 16)
+    val pqSet = pq.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pqSet).size.toDouble / brute.size
+    // measured 0.80 at this deterministic operating point (8x16 codebooks,
+    // shortlist 64 of 500 = 13% exact-scan fraction)
+    assert(recall >= 0.75, s"PQ+refine recall $recall below the 8x16/rerank=64 operating point")
+    assert(pqSet.groupBy(_._1).values.map(_.size).toSet == Set(5))
+    // the rerank knob trades exact-scan volume for recall, monotonically
+    val wider = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5, m = 8, kCent = 16,
+      rerank = 128)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallWider = (brute intersect wider).size.toDouble / brute.size
+    assert(recallWider >= recall, s"recall fell when widening the shortlist: $recall -> $recallWider")
+    // raw ADC mode: the scoring scan is map-side over the m-int code column
+    // — no join anywhere, the only Exchange is the per-query top-k window
+    val raw = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5, m = 8, kCent = 16,
+      rerank = 0)
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
   test("lshTopK recall vs brute force is usable (> 0.5, multi-table)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
