@@ -562,6 +562,40 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "m04_image_features",
+      withTables { (s, _) =>
+        // REAL image decode in the gate: one deterministic PNG per doc_id
+        // (Multimodal.ImageGen), decoded by the pure-JDK ImageIoDecoder.
+        // Width/height are closed-form in doc_id, so the oracle can state
+        // them without decoding anything — a hash-green row proves the
+        // whole PNG encode→scan→ImageIO-decode path, not just plumbing.
+        // Channel means / luma stats are float → spec-pinned instead.
+        Multimodal.extractFeatures(
+          Multimodal.documentsAsImages(s.table("documents")), ImageIoDecoder)
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("w"),
+            element_at(col("features"), 2).cast("int").as("h"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, (8 + doc_id % 9)::INT AS w, (6 + doc_id % 5)::INT AS h
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
+      "m05_image_resize",
+      withTables { (s, _) =>
+        // real nearest-neighbor downscale + PNG re-encode on image
+        // payloads; output byte sizes are PNG-encoder-specific → rows-only
+        // gate, with the ≤target/shrink/roundtrip semantics pinned in the
+        // ImageIoDecoder spec
+        Multimodal.resize(
+          Multimodal.documentsAsImages(s.table("documents")), 120, ImageIoDecoder)
+          .select(col("media_id"), length(col("media")).as("n_bytes"),
+            col("meta.width").as("w"), col("meta.height").as("h"))
+          .orderBy("media_id")
+      },
+      None),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

@@ -16,11 +16,14 @@ trait MediaDecoder extends Serializable {
 
   /** Split one blob into exactly `nFrames` frame payloads (the video
     * keyframe-sampling contract; payloads may be empty on short input).
+    * `bytes` may be null — the operators pass null media through untouched,
+    * so every implementation must treat null as an empty payload.
     */
   def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]]
 
   /** Downscale one blob to at most `targetBytes`, returning the new payload
-    * and its (width, height) metadata.
+    * and its (width, height) metadata. `bytes` may be null — same contract
+    * as [[frames]]: implementations must treat null as an empty payload.
     */
   def resize(bytes: Array[Byte], targetBytes: Int): MediaDecoder.Resized
 }
@@ -86,5 +89,126 @@ object StubDecoder extends MediaDecoder {
       }
     val side = math.sqrt(out.length.toDouble).toInt
     MediaDecoder.Resized(out, side, side)
+  }
+}
+
+/** Real STILL-IMAGE decoder over the pure-JDK `javax.imageio` readers —
+  * PNG/JPEG/GIF/BMP decode with no native codec libraries (the reason the
+  * rest of multimodal stays stubbed in this sandbox doesn't apply to
+  * images: the JDK ships these readers). Per operation:
+  *
+  *  - `decode`: real (width, height, per-channel means, luma min/max/std)
+  *    from the decoded pixels — 8 floats, same arity as the stub's
+  *    histogram so downstream schemas don't fork on decoder choice;
+  *  - `resize`: real nearest-neighbor downscale re-encoded as PNG. The
+  *    sampling loop is hand-rolled (`out(x,y) = in(x·sw/w, y·sh/h)`)
+  *    rather than Graphics2D because the rendering pipeline's output is
+  *    implementation-defined, and resize feeds checksum-pinned gate rows;
+  *  - `frames`: delegated to [[StubDecoder]] — a still image has no
+  *    temporal axis; real frame sampling needs a video container codec
+  *    this environment doesn't ship.
+  *
+  * Bytes no installed ImageReader accepts (video payloads, text, null or
+  * empty arrays, truncated files) fall back to [[StubDecoder]] for the
+  * matching operation, so one decoder instance handles a mixed-media
+  * column without per-row dispatch by the caller.
+  *
+  * All streams are memory-cached (`MemoryCacheImageInputStream`) — the
+  * `ImageIO.read(InputStream)` convenience would otherwise spill every
+  * blob through a temp FILE on executors (ImageIO's default disk cache),
+  * and flipping the global `ImageIO.setUseCache(false)` from library code
+  * would mutate JVM-wide state the host application may rely on.
+  * ImageIO's reader registry is JDK-static, so there is no per-partition
+  * decoder state to initialize — calls are pure CPU.
+  */
+object ImageIoDecoder extends MediaDecoder {
+
+  private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on the
+      // normal path; the belt-and-braces close covers the exception path
+      // and must swallow the resulting double-close IOException
+      try Option(javax.imageio.ImageIO.read(iis))
+      catch { case _: java.io.IOException | _: RuntimeException => None }
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    }
+
+  private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, "png", ios); ios.flush() }
+    finally ios.close()
+    bos.toByteArray
+  }
+
+  private def scaleNearest(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth; val sh = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  override def decode(bytes: Array[Byte]): MediaDecoder.Decoded = read(bytes) match {
+    case None => StubDecoder.decode(bytes)
+    case Some(img) =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var minL = 255.0; var maxL = 0.0; var sumL = 0.0; var sumL2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          sumL += l; sumL2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val varL = math.max(0.0, sumL2 / n - (sumL / n) * (sumL / n))
+      MediaDecoder.Decoded(bytes.length.toLong, MediaDecoder.checksum(bytes),
+        Array(w.toFloat, h.toFloat, (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          minL.toFloat, maxL.toFloat, math.sqrt(varL).toFloat))
+  }
+
+  override def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] =
+    StubDecoder.frames(bytes, nFrames)
+
+  override def resize(bytes: Array[Byte], targetBytes: Int): MediaDecoder.Resized = read(bytes) match {
+    case None => StubDecoder.resize(bytes, targetBytes)
+    case Some(img) =>
+      if (bytes.length <= targetBytes)
+        MediaDecoder.Resized(bytes, img.getWidth, img.getHeight)
+      else {
+        // shrink area by the byte ratio first, then halve until the PNG
+        // fits: bounded loop (dims at least halve per miss, floor 1×1 — a
+        // 1×1 PNG is ~70 bytes of container overhead, the format's honest
+        // lower bound, returned even if targetBytes asks for less)
+        val f = math.sqrt(targetBytes.toDouble / bytes.length)
+        var w = math.max(1, math.round(img.getWidth * f).toInt)
+        var h = math.max(1, math.round(img.getHeight * f).toInt)
+        var out = encodePng(scaleNearest(img, w, h))
+        while (out.length > targetBytes && (w > 1 || h > 1)) {
+          w = math.max(1, w / 2); h = math.max(1, h / 2)
+          out = encodePng(scaleNearest(img, w, h))
+        }
+        MediaDecoder.Resized(out, w, h)
+      }
   }
 }

@@ -41,6 +41,57 @@ object Multimodal {
         lit(null).cast("int").as("width"),
         lit(null).cast("int").as("height")).as("meta"))
 
+  /** Deterministic procedural test image per id: dimensions and every pixel
+    * are pure functions of (id, x, y), so the PNG payload — and everything
+    * decoded from it — is identical across partitionings, retries and
+    * reruns. Width/height are also closed-form in id (`8 + id % 9`,
+    * `6 + id % 5`), which is what lets an IMAGE gate row carry a real SQL
+    * oracle: DuckDB can state the expected dimensions without decoding
+    * anything, and a hash-green row then proves the whole
+    * encode→scan→ImageIO-decode path end to end.
+    */
+  object ImageGen {
+    def width(id: Long): Int = (8 + java.lang.Math.floorMod(id, 9L)).toInt
+    def height(id: Long): Int = (6 + java.lang.Math.floorMod(id, 5L)).toInt
+
+    def rgb(id: Long, x: Int, y: Int): Int = {
+      val r = java.lang.Math.floorMod(x * 7L + y * 13L + id * 31L, 256L).toInt
+      val g = java.lang.Math.floorMod(x * 3L + y * 5L + id * 17L, 256L).toInt
+      val b = java.lang.Math.floorMod(x * 11L + y * 2L + id * 7L, 256L).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+    def png(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(id, x, y)); x += 1 }
+        y += 1
+      }
+      ImageIoDecoder.encodePng(img)
+    }
+  }
+
+  /** The image-payload counterpart of [[documentsAsMedia]]: one real PNG
+    * per document id ([[ImageGen]]), encoded executor-side in the same
+    * `mapPartitions` grain the decode operators use. This is the
+    * deterministic image source the [[ImageIoDecoder]] gate rows and specs
+    * decode — real compressed pixels, zero native dependencies.
+    */
+  def documentsAsImages(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("media_id"))
+    val idIdx = 0
+    ids.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, ImageGen.png(id),
+          Row("image/png", ImageGen.width(id), ImageGen.height(id)))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),

@@ -1068,4 +1068,79 @@ class MultimodalSpec extends SparkSpec {
       assert(meta.getInt(1) == 1 && meta.getInt(2) == bytes.length)
     }
   }
+
+  test("ImageIoDecoder decodes generated PNGs to real dimensions and channel stats") {
+    val id = 7L
+    val bytes = Multimodal.ImageGen.png(id)
+    val d = ImageIoDecoder.decode(bytes)
+    val w = Multimodal.ImageGen.width(id); val h = Multimodal.ImageGen.height(id)
+    assert(d.features(0) == w.toFloat && d.features(1) == h.toFloat)
+    assert(d.nBytes == bytes.length.toLong && d.checksum == MediaDecoder.checksum(bytes))
+    // reference stats straight from the procedural pattern, accumulated in
+    // the decoder's row-major order so doubles agree bit-for-bit
+    val pix = for { y <- 0 until h; x <- 0 until w } yield Multimodal.ImageGen.rgb(id, x, y)
+    val n = (w * h).toDouble
+    assert(d.features(2) == (pix.map(p => (p >> 16) & 0xFF).sum / n).toFloat)
+    assert(d.features(3) == (pix.map(p => (p >> 8) & 0xFF).sum / n).toFloat)
+    assert(d.features(4) == (pix.map(p => p & 0xFF).sum / n).toFloat)
+    val lumas = pix.map(p =>
+      0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) + 0.114 * (p & 0xFF))
+    assert(d.features(5) == lumas.min.toFloat && d.features(6) == lumas.max.toFloat)
+    val sumL = lumas.sum; val sumL2 = lumas.map(l => l * l).sum
+    val std = math.sqrt(math.max(0.0, sumL2 / n - (sumL / n) * (sumL / n)))
+    assert(d.features(7) == std.toFloat)
+  }
+
+  test("ImageIoDecoder falls back to the stub on undecodable and null bytes") {
+    val text = "definitely not a PNG".getBytes("UTF-8")
+    val a = ImageIoDecoder.decode(text); val b = StubDecoder.decode(text)
+    assert(a.nBytes == b.nBytes && a.checksum == b.checksum && a.features.toSeq == b.features.toSeq)
+    val r = ImageIoDecoder.resize(text, 4); val rs = StubDecoder.resize(text, 4)
+    assert(r.bytes.toSeq == rs.bytes.toSeq && r.width == rs.width && r.height == rs.height)
+    // null-media contract (decode AND frames AND resize): empty-payload behavior
+    val dn = ImageIoDecoder.decode(null)
+    assert(dn.nBytes == 0L && dn.features.toSeq == Seq.fill(8)(0f))
+    assert(ImageIoDecoder.frames(null, 3).forall(_.isEmpty))
+    assert(ImageIoDecoder.resize(null, 10).bytes.isEmpty)
+    // frames delegate to the stub byte-chunking (stills have no time axis)
+    val img = Multimodal.ImageGen.png(1L)
+    assert(ImageIoDecoder.frames(img, 4).map(_.toSeq) == StubDecoder.frames(img, 4).map(_.toSeq))
+  }
+
+  test("ImageIoDecoder.resize really downscales: valid PNG out, bounded bytes, content preserved") {
+    val id = 3L
+    val w0 = Multimodal.ImageGen.width(id); val h0 = Multimodal.ImageGen.height(id)
+    val bytes = Multimodal.ImageGen.png(id)
+    assert(bytes.length > 80)
+    val target = bytes.length / 2
+    val r = ImageIoDecoder.resize(bytes, target)
+    assert(r.bytes.length <= target || (r.width == 1 && r.height == 1))
+    assert(r.width < w0 || r.height < h0)
+    // the output is itself a decodable PNG whose pixels match hand-computed
+    // nearest-neighbor sampling of the source pattern
+    val back = ImageIoDecoder.decode(r.bytes)
+    assert(back.features(0) == r.width.toFloat && back.features(1) == r.height.toFloat)
+    val pix = for { y <- 0 until r.height; x <- 0 until r.width }
+      yield Multimodal.ImageGen.rgb(id, x * w0 / r.width, y * h0 / r.height)
+    val n = pix.length.toDouble
+    assert(back.features(2) == (pix.map(p => (p >> 16) & 0xFF).sum / n).toFloat)
+    assert(back.features(4) == (pix.map(p => p & 0xFF).sum / n).toFloat)
+    // deterministic: same input → identical payload
+    assert(ImageIoDecoder.resize(bytes, target).bytes.toSeq == r.bytes.toSeq)
+    // already-small payloads pass through with REAL dims (not the stub's sqrt side)
+    val keep = ImageIoDecoder.resize(bytes, bytes.length)
+    assert(keep.bytes.toSeq == bytes.toSeq && keep.width == w0 && keep.height == h0)
+  }
+
+  test("documentsAsImages → extractFeatures(ImageIoDecoder) reports closed-form dims (m04 shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val out = Multimodal.extractFeatures(Multimodal.documentsAsImages(docs), ImageIoDecoder).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getSeq[Float](3)
+      assert(f(0) == Multimodal.ImageGen.width(id).toFloat)
+      assert(f(1) == Multimodal.ImageGen.height(id).toFloat)
+    }
+  }
 }
