@@ -414,6 +414,21 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d17_ann_ivfpq_topk",
+      withTables { (s, _) =>
+        // IVF routing composed with the PQ code scan (FAISS IVFPQ+refine):
+        // probe 8/16 centroids per query, ADC-score only probed partitions
+        // via broadcast LUTs, exact-cosine refine. Approximate → rows-only;
+        // recall floor + plan pins in the spec
+        val emb = s.table("embeddings")
+        Similarity.ivfPqTopK(
+          emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 8, m = 8, kCent = 16)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    QueryDef(
       "d11_quantize_embeddings",
       withTables { (s, _) =>
         // int8 array stringified for the driver's canonicalizer (cf. m01);

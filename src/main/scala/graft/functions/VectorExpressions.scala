@@ -310,6 +310,26 @@ object PqKernel {
     out
   }
 
+  /** Fail fast when a codes row doesn't match the LUT layout — codes built
+    * with a different (m, kCent) or codebook would silently read wrong LUT
+    * cells, or throw an opaque ArrayIndexOutOfBoundsException mid-query.
+    * Mirrors [[encode]]'s dimension check: one comprehensible error naming
+    * the operator, raised before any cell is read.
+    */
+  def checkCodes(codes: ArrayData, lutLen: Int, k: Int, name: String): Unit = {
+    val m = codes.numElements()
+    if (m * k != lutLen) throw new IllegalArgumentException(
+      s"$name: $m codes do not match the LUT layout of ${lutLen / k} subspaces × $k centroids" +
+        " — were the codes produced with a different (m, kCent) codebook?")
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"$name: code $c at subspace $s out of range [0, $k)")
+      s += 1
+    }
+  }
+
   /** Asymmetric-distance scores against every query's lookup table:
     * score(q) = Σ_s lut(q)(s*k + code(s)) — M adds per query per row, the
     * PQ scan kernel (the d·k work of building each LUT happened once per
@@ -317,6 +337,7 @@ object PqKernel {
     */
   def scores(codes: ArrayData, luts: Array[Array[Double]], k: Int): Array[Double] = {
     val m = codes.numElements()
+    if (luts.length > 0) checkCodes(codes, luts(0).length, k, "pq_scores")
     val out = new Array[Double](luts.length)
     var q = 0
     while (q < luts.length) {
@@ -328,6 +349,20 @@ object PqKernel {
       q += 1
     }
     out
+  }
+
+  /** Single-query ADC score: the IVF-PQ scan kernel. After probe routing
+    * each (corpus row, query) pair scores exactly one LUT — m adds — where
+    * [[scores]] would compute all |Q| scores per row and discard all but
+    * one.
+    */
+  def scoreAt(codes: ArrayData, lut: Array[Double], k: Int): Double = {
+    checkCodes(codes, lut.length, k, "pq_score_at")
+    val m = codes.numElements()
+    var sum = 0.0
+    var s = 0
+    while (s < m) { sum += lut(s * k + codes.getInt(s)); s += 1 }
+    sum
   }
 }
 
@@ -401,6 +436,90 @@ case class PqScoresExpr(child: Expression, lutsSeq: IndexedSeq[IndexedSeq[Double
     copy(child = newChild)
 }
 
+/** `pq_scores` with the LUTs on a Spark BROADCAST instead of embedded in
+  * the plan: above ~1 MB of tables, per-task plan serialization would
+  * re-ship the LUTs with every task, where a broadcast ships them once per
+  * executor (torrent) and the expression carries only the handle. Same
+  * kernel, same output as [[PqScoresExpr]].
+  */
+case class PqScoresBcExpr(
+    child: Expression,
+    lutsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<int> codes, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_scores_bc"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqKernel.scores(input.asInstanceOf[ArrayData], lutsBc.value, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("pqLutsBc", lutsBc, "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqKernel.scores($v, (double[][]) $bc.value(), $k));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_score_at(codes, qpos)`: ONE query's ADC score from broadcast LUTs —
+  * the post-routing IVF-PQ kernel. Probe routing already paired each corpus
+  * row with the queries probing its centroid, so scoring computes exactly
+  * the m adds that pair needs ([[PqKernel.scoreAt]]); computing all |Q|
+  * scores per row ([[PqScoresExpr]]) is the UNROUTED corpus-wide design.
+  */
+case class PqScoreAtExpr(
+    left: Expression,
+    right: Expression,
+    lutsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(k >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), org.apache.spark.sql.types.IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<int> codes, int qpos), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_score_at"
+
+  override def nullSafeEval(codes: Any, qpos: Any): Any = {
+    val q = qpos.asInstanceOf[Int]
+    val luts = lutsBc.value
+    if (q < 0 || q >= luts.length) throw new IllegalArgumentException(
+      s"$prettyName: query position $q out of range [0, ${luts.length})")
+    PqKernel.scoreAt(codes.asInstanceOf[ArrayData], luts(q), k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("pqLutsBc", lutsBc, "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, (codes, qpos) =>
+      s"""double[][] ${ev.value}_luts = (double[][]) $bc.value();
+         |if ($qpos < 0 || $qpos >= ${ev.value}_luts.length) {
+         |  throw new IllegalArgumentException("pq_score_at: query position " + $qpos +
+         |    " out of range [0, " + ${ev.value}_luts.length + ")");
+         |}
+         |${ev.value} = graft.functions.PqKernel.scoreAt($codes, ${ev.value}_luts[$qpos], $k);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API over the native expressions. */
   def cosineSim(a: Column, b: Column): Column =
@@ -433,6 +552,24 @@ object VectorFunctions {
   def pqScores(codes: Column, luts: Array[Array[Double]], k: Int): Column =
     ColumnBridge.column(PqScoresExpr(ColumnBridge.expression(codes),
       luts.map(_.toIndexedSeq).toIndexedSeq, k))
+
+  /** [[pqScores]] with the LUTs on a broadcast (large query batches). */
+  def pqScoresBc(
+      codes: Column,
+      lutsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int): Column =
+    ColumnBridge.column(PqScoresBcExpr(ColumnBridge.expression(codes), lutsBc, k))
+
+  /** One query's ADC score (post-routing IVF-PQ kernel): `qpos` indexes the
+    * broadcast LUT table.
+    */
+  def pqScoreAt(
+      codes: Column,
+      qpos: Column,
+      lutsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int): Column =
+    ColumnBridge.column(PqScoreAtExpr(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qpos), lutsBc, k))
 
   private[functions] def checkDoubleArrays(
       name: String, left: Expression, right: Expression): TypeCheckResult = {

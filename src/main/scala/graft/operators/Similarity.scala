@@ -101,10 +101,11 @@ object Similarity {
     * query per row ([[graft.functions.PqKernel.scores]]), never a d-wide
     * dot product. Queries are collected driver-side (bounded — batch ANN
     * with a driver-known query set, the [[trainCentroids]] sample
-    * discipline) and their d×kCent lookup tables embedded in the plan, so
-    * scoring is one map-side pass over the codes + a per-query top-k
-    * window; composable with the IVF routing of [[ivfTopK]] for the full
-    * IVF-PQ design at extreme scale.
+    * discipline) and their d×kCent lookup tables shipped as plan literals
+    * (or one broadcast past `lutBroadcastDoubles`), so scoring is one
+    * map-side pass over the codes + a per-query top-k window; [[ivfPqTopK]]
+    * is this scan composed with IVF routing — the full IVF-PQ design at
+    * extreme scale.
     *
     * Scoring approximates cosine: corpus codes encode NORMALIZED vectors,
     * so adc(q, code) ≈ |q|·cos(q, v), and per-query ranking by adc equals
@@ -118,28 +119,49 @@ object Similarity {
     * construction → no SQL oracle; the spec pins recall against
     * [[bruteForceTopK]].
     */
-  def pqTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      m: Int = 8,
-      kCent: Int = 16,
-      rerank: Int = 64,
-      maxQueries: Int = 1024): DataFrame = {
-    require(rerank == 0 || rerank >= k, s"rerank must be 0 (off) or >= k: got $rerank < $k")
-    import graft.functions.VectorFunctions.{pqEncode, pqScores}
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent)
-    val sub = cb(0)(0).length
+  /** The driver-side-query ANN ops key their query lookup by long — fail
+    * fast (naming the op) on non-integral id columns instead of a
+    * ClassCastException mid-collect; integral ids are then cast to long so
+    * byte/short/int corpora work unchanged.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral id column (the driver-side query set is long-keyed); " +
+          s"'$idCol' is ${other.catalogString} — map ids to integers upstream")
+    }
+  }
+
+  /** Bounded driver-side query collect shared by the PQ family: the batch
+    * ANN discipline — queries are a driver-known set, never the corpus.
+    */
+  private def collectQueries(
+      queries: DataFrame, idCol: String, vecCol: String, maxQueries: Int, op: String) = {
     val qRows = queries
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .orderBy("query_id").limit(maxQueries + 1)
       .collect()
     require(qRows.length <= maxQueries,
-      s"pqTopK collects the query set driver-side; got > $maxQueries rows — raise maxQueries deliberately or batch the queries")
-    val qIds = qRows.map(_.getLong(0))
-    val luts = qRows.map { r =>
+      s"$op collects the query set driver-side and builds one m×kCent LUT per query " +
+        s"(8·m·kCent bytes each, shipped as plan literals below the broadcast threshold and " +
+        s"as one torrent broadcast above it); got > $maxQueries rows — raise maxQueries " +
+        "deliberately or batch the queries")
+    qRows
+  }
+
+  /** Per-query ADC lookup tables: lut(s*kCent + c) = <q_sub(s), cb(s)(c)> —
+    * the d·kCent work done once per query driver-side so the scan kernel is
+    * m adds per (row, query).
+    */
+  private def buildLuts(
+      qRows: Array[org.apache.spark.sql.Row],
+      cb: Array[Array[Array[Double]]],
+      kCent: Int): Array[Array[Double]] = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    qRows.map { r =>
       val qv = r.getSeq[Double](1).toArray
       val lut = new Array[Double](m * kCent)
       for (s <- 0 until m; c <- 0 until kCent) {
@@ -150,10 +172,61 @@ object Similarity {
       }
       lut
     }
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
+  }
+
+  /** Exact-cosine refine over an ADC shortlist: narrow rerank×|Q| equi-join
+    * against the corpus vectors (broadcastable at scale), never corpus-wide;
+    * every returned score is exact. Shared by [[pqTopK]] and [[ivfPqTopK]]
+    * (the FAISS refine stage).
+    */
+  private def refineExact(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val exact = shortlist.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      kCent: Int = 16,
+      rerank: Int = 64,
+      maxQueries: Int = 1024,
+      lutBroadcastDoubles: Long = 131072L): DataFrame = {
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 (off) or >= k: got $rerank < $k")
+    requireIntegralId(queries, idCol, "pqTopK")
+    requireIntegralId(corpus, idCol, "pqTopK")
+    import graft.functions.VectorFunctions.{pqEncode, pqScores, pqScoresBc}
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent)
+    val qRows = collectQueries(queries, idCol, vecCol, maxQueries, "pqTopK")
+    val qIds = qRows.map(_.getLong(0))
+    val luts = buildLuts(qRows, cb, kCent)
+    // LUT shipping: as plan literals while small (no broadcast round-trip),
+    // as ONE torrent broadcast once |Q|·m·kCent doubles would bloat every
+    // serialized task (the "raise maxQueries deliberately" path)
+    val lutCol =
+      if (luts.length.toLong * m * kCent > lutBroadcastDoubles)
+        pqScoresBc(col("codes"), queries.sparkSession.sparkContext.broadcast(luts), kCent)
+      else pqScores(col("codes"), luts, kCent)
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
     val scored = codes
-      .select(col("neighbor_id"), posexplode(pqScores(col("codes"), luts, kCent)))
+      .select(col("neighbor_id"), posexplode(lutCol))
       .toDF("neighbor_id", "qpos", "score")
       .withColumn("query_id", element_at(typedLit(qIds.toSeq), col("qpos") + 1))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -163,22 +236,95 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
     } else {
-      // refine: ADC shortlist -> exact cosine over the shortlist only.
-      // The vector re-read is a narrow equi-join of rerank×|Q| rows against
-      // the corpus (broadcastable shortlist at scale); scores become exact
-      // for everything returned.
       val shortlist = scored.withColumn("rank", row_number().over(w))
         .where(col("rank") <= rerank)
         .select(col("query_id"), col("neighbor_id"))
-      val cv = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      val qv = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      val exact = shortlist.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
-        .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-      val w2 = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-      exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      refineExact(shortlist, queries, corpus, idCol, vecCol, k)
+    }
+  }
+
+  /** Approximate top-k: IVF-PQ — [[ivfTopK]]'s routing composed with
+    * [[pqTopK]]'s code scan, the FAISS IVFPQ(+refine) design and the
+    * extreme-scale operating point. At 100 TB neither a corpus-wide ADC
+    * scan (pqTopK) nor full-vector probe scans (ivfTopK) is the plan you
+    * run: this op probes ~nProbe/nCentroids of the corpus AND reads only
+    * m-int codes there.
+    *
+    * Plan: corpus rows carry (cid, codes) from one narrow map-side pass;
+    * queries are collected driver-side (bounded, the [[pqTopK]]
+    * discipline), their LUTs ride ONE broadcast, and the probe fan-out
+    * (query × nProbe centroid ids, mirroring the corpus assignment's tie
+    * rule) is a tiny broadcast-joined relation — each corpus row is scored
+    * only for queries that probed its centroid, m LUT adds per pair
+    * ([[graft.functions.PqKernel.scoreAt]]), never a |Q|-wide score vector,
+    * never a d-wide dot product. The ADC shortlist refines exactly like
+    * [[pqTopK]]. With the codes table bucketed by cid at rest, the probe
+    * equi-join prunes whole partitions, making the scan fraction
+    * nProbe/nCentroids by construction.
+    *
+    * Codes quantize the NORMALIZED vector itself, not the residual vs its
+    * coarse centroid: per-query ranking is unchanged (|q| constant) and one
+    * codebook serves all centroids; the recall cost of skipping residual
+    * encoding lands only in shortlist quality, which the refine step and
+    * the spec's measured floor absorb.
+    *
+    * Approximate by construction → no SQL oracle; the spec pins recall
+    * against [[bruteForceTopK]] at a measured operating point and pins the
+    * plan shape (broadcast probe equi-join, no corpus-wide scoring).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      kCent: Int = 16,
+      rerank: Int = 64,
+      maxQueries: Int = 1024): DataFrame = {
+    require(rerank == 0 || rerank >= k, s"rerank must be 0 (off) or >= k: got $rerank < $k")
+    requireIntegralId(queries, idCol, "ivfPqTopK")
+    requireIntegralId(corpus, idCol, "ivfPqTopK")
+    import graft.functions.VectorFunctions.{pqEncode, pqScoreAt, topCentroids}
+    val spark = queries.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nCentroids)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent)
+    val qRows = collectQueries(queries, idCol, vecCol, maxQueries, "ivfPqTopK")
+    val lutsBc = spark.sparkContext.broadcast(buildLuts(qRows, cb, kCent))
+    // driver-side probe fan-out, with TopCentroidsExpr's exact tie rule
+    // (sim desc, centroid id asc) so query routing matches the executors'
+    // corpus assignment
+    val probes: Seq[(Long, Int, Int)] = qRows.zipWithIndex.flatMap { case (r, qi) =>
+      val qv = r.getSeq[Double](1).toArray
+      val sims = cents.map { c =>
+        val n = math.min(qv.length, c.length)
+        var d = 0.0; var i = 0
+        while (i < n) { d += qv(i) * c(i); i += 1 }
+        d
+      }
+      sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
+        .map(cid => (r.getLong(0), qi, cid))
+    }.toSeq
+    import spark.implicits._
+    val probeDf = probes.toDF("query_id", "qpos", "cid")
+    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      element_at(topCentroids(col(vecCol).cast("array<double>"), cents, 1), 1).as("cid"),
+      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
+    val scored = codes.join(broadcast(probeDf), Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pqScoreAt(col("codes"), col("qpos"), lutsBc, kCent), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    if (rerank == 0) {
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      refineExact(shortlist, queries, corpus, idCol, vecCol, k)
     }
   }
 

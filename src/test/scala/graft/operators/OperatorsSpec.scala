@@ -913,6 +913,93 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("ivfPqTopK: routed ADC recall at measured floor, monotone in nProbe, = pqTopK at full probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def at(nProbe: Int) = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = nProbe, m = 8, kCent = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // measured 0.77 at the gate operating point (probe 8/16, 8×16 codebooks,
+    // rerank 64) — vs 0.80 for the corpus-wide pqTopK scan: routing trades
+    // that recall slice for a nProbe/nCentroids scan fraction
+    val routed = at(8)
+    val recall = (brute intersect routed).size.toDouble / brute.size
+    assert(recall >= 0.70, s"IVF-PQ recall $recall below the 8/16-probe operating point")
+    assert(routed.groupBy(_._1).values.map(_.size).toSet == Set(5))
+    // probing wider only helps (measured 0.61 → 0.77 over 4 → 8)
+    val narrow = at(4)
+    val recallNarrow = (brute intersect narrow).size.toDouble / brute.size
+    assert(recallNarrow <= recall, s"recall fell when probing wider: $recallNarrow -> $recall")
+    // probing EVERY centroid must reproduce the unrouted pqTopK exactly —
+    // same codebooks, same LUT adds, same shortlist, same refine — pinning
+    // that routing changes WHICH rows are scanned, never how they score
+    val full = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 16, m = 8, kCent = 16).collect().map(_.toSeq).toSet
+    val unrouted = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5, m = 8, kCent = 16)
+      .collect().map(_.toSeq).toSet
+    assert(full == unrouted)
+  }
+
+  test("ivfPqTopK plan: broadcast probe equi-join routes the code scan (no corpus-wide scoring)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 10)
+    val plan = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8, m = 8, kCent = 16, rerank = 0)
+      .queryExecution.executedPlan.toString
+    // the probe relation must meet the codes in a broadcast hash equi-join
+    // on cid — a sort-merge (corpus shuffle) or cartesian would mean the
+    // routing degenerated
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"), plan)
+    // one shuffle only: the per-query top-k window; the code scan itself is
+    // map-side behind the broadcast
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1, plan)
+  }
+
+  test("pqTopK ships LUTs as a broadcast above the threshold with identical results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val lit = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5).collect().map(_.toSeq).toSet
+    // force the broadcast path (threshold below any real LUT batch): the
+    // "raise maxQueries deliberately" path must not change a single score
+    val bc = Similarity.pqTopK(q, emb, "vec_id", "embedding", 5, lutBroadcastDoubles = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(lit == bc)
+  }
+
+  test("PQ kernels fail fast on codes that don't match the LUT layout; ANN ids must be integral") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.PqKernel
+    val luts = Array(Array.fill(8)(0.0)) // layout: 2 subspaces × k=4
+    // wrong arity: 3 codes against a 2-subspace LUT
+    val e1 = intercept[IllegalArgumentException] {
+      PqKernel.scores(new GenericArrayData(Array(0, 1, 2)), luts, 4)
+    }
+    assert(e1.getMessage.contains("pq_scores"))
+    // out-of-range code value (codebook mismatch)
+    val e2 = intercept[IllegalArgumentException] {
+      PqKernel.scores(new GenericArrayData(Array(0, 7)), luts, 4)
+    }
+    assert(e2.getMessage.contains("out of range"))
+    val e3 = intercept[IllegalArgumentException] {
+      PqKernel.scoreAt(new GenericArrayData(Array(0, 1, 2)), luts(0), 4)
+    }
+    assert(e3.getMessage.contains("pq_score_at"))
+    // non-integral id columns fail fast naming the op (not a mid-collect CCE)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val strIds = emb.withColumn("vec_id", col("vec_id").cast("string"))
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(strIds.where(col("vec_id") < 5), strIds, "vec_id", "embedding", 5)
+    }
+    assert(e4.getMessage.contains("pqTopK") && e4.getMessage.contains("integral"))
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(strIds.where(col("vec_id") < 5), strIds, "vec_id", "embedding", 5)
+    }
+    assert(e5.getMessage.contains("ivfPqTopK"))
+  }
+
   test("lshTopK recall vs brute force is usable (> 0.5, multi-table)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
