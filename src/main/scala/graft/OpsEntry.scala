@@ -756,6 +756,30 @@ object OpsEntry {
         |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "c09_budget_select_pruned",
+      withTables { (s, _) =>
+        // c05's scale path: quantile pre-prune filters the input before the
+        // per-group sort, at a budget where pruning really fires (slack
+        // 3×1000 tokens ≪ per-lang token mass), with the exactness fallback
+        // guarding the greedy prefix. The oracle is the plain windowed
+        // formulation — a pruning bug fails the hash gate, not just a spec.
+        val docs = s.table("documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        TrainingPipeline.selectUnderBudget(docs, "lang", "doc_id",
+          col("n_tokens"), col("n_chars"), budget = 1000L,
+          prePrune = true, pruneSlack = 3.0)
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, lang, n_chars,
+        |      len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents))
+        |WHERE cum <= 1000 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "c06_decontaminate_bloom",
       withTables { (s, _) =>
         // every 10th doc plays the benchmark; the Bloom prune + exact verify

@@ -99,10 +99,21 @@ object TrainingPipeline {
     *
     * Scale note: the window sorts each group inside one task (the q37-style
     * low-cardinality hazard). Fine whenever groups fit a partition; at
-    * corpus scale with few groups, pre-prune first — estimate the priority
-    * cutoff with `approx_percentile(priority, budget/groupTokens)` and
-    * filter before windowing, so only ~the budget's worth of rows reaches
-    * the sort. The greedy-prefix semantics are unchanged by pre-pruning.
+    * corpus scale with few groups, set `prePrune = true`: a quantile
+    * estimate of each group's priority cutoff filters the input BEFORE the
+    * window, so only ~`pruneSlack` × the budget's worth of rows reaches the
+    * per-group sort instead of the whole corpus.
+    *
+    * Pre-pruning never changes the greedy-prefix result. The cutoff keeps
+    * ~pruneSlack×budget of token mass per group (mass fraction approximated
+    * by row fraction from an `approx_percentile` grid — the slack absorbs
+    * token-size heterogeneity and sketch error), and exactness does not
+    * rest on that estimate: a pruned group whose KEPT token mass is ≤
+    * budget could have extended its prefix into pruned rows, so such
+    * groups — detected by a cheap partial agg — are recomputed over their
+    * full input. On sane distributions the fallback set is empty and the
+    * sort input shrinks by ~tot/(pruneSlack·budget); on adversarial ones
+    * the affected group pays the unpruned cost it would have paid anyway.
     */
   def selectUnderBudget(
       df: DataFrame,
@@ -110,14 +121,80 @@ object TrainingPipeline {
       idCol: String,
       tokensCol: org.apache.spark.sql.Column,
       priorityCol: org.apache.spark.sql.Column,
-      budget: Long): DataFrame = {
+      budget: Long,
+      prePrune: Boolean = false,
+      pruneSlack: Double = 4.0): DataFrame = {
     require(budget > 0, "budget must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(priorityCol.desc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.withColumn("__cum", sum(tokensCol.cast("long")).over(w))
-      .where(col("__cum") <= budget)
-      .drop("__cum")
+    def prefix(input: DataFrame): DataFrame =
+      input.withColumn("__cum", sum(tokensCol.cast("long")).over(w))
+        .where(col("__cum") <= budget)
+        .drop("__cum")
+    if (!prePrune) prefix(df)
+    else prefix(budgetWindowInput(df, groupCol, tokensCol, priorityCol, budget, pruneSlack))
+  }
+
+  /** The pre-pruned window input of [[selectUnderBudget]] — exposed
+    * package-private so the plan-quality spec can pin that the per-group
+    * sort really sees fewer rows.
+    */
+  private[graft] def budgetWindowInput(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      priorityCol: org.apache.spark.sql.Column,
+      budget: Long,
+      pruneSlack: Double): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    require(pruneSlack > 1.0, s"pruneSlack must exceed 1: got $pruneSlack")
+    val spark = df.sparkSession
+    // pass 1, one partial-combine agg over narrow columns: per-group token
+    // totals + a fixed grid of priority quantiles, collected driver-side.
+    // This operator exists for LOW-cardinality groups (the very hazard the
+    // pre-prune mitigates), so the stats frame is small by construction.
+    val gridN = 20
+    val fractions = (0 to gridN).map(_.toDouble / gridN)
+    val stats = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(tokensCol.cast("long")).as("__tot"),
+        percentile_approx(priorityCol.cast("double"), typedLit(fractions), lit(10000)).as("__qs"))
+      .collect()
+    // conservative cutoff per group: quantile index snapped DOWN (keeps
+    // more rows than the estimate asks); groups already within
+    // pruneSlack×budget skip pruning entirely
+    val slackTok = pruneSlack * budget
+    val cutRows = stats.toSeq.flatMap { r =>
+      val tot = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val qs = if (r.isNullAt(2)) Seq.empty[Double] else r.getSeq[Double](2)
+      if (tot <= slackTok || qs.isEmpty) None
+      else {
+        val f = math.min(1.0, slackTok / tot)
+        val idx = math.max(0, math.floor((1.0 - f) * gridN).toInt)
+        Some(org.apache.spark.sql.Row(r.get(0), qs(idx), tot))
+      }
+    }
+    val cutSchema = StructType(Seq(
+      StructField(groupCol, df.schema(groupCol).dataType),
+      StructField("__cut", DoubleType), StructField("__tot", LongType)))
+    val cutDf = spark.createDataFrame(spark.sparkContext.parallelize(cutRows, 1), cutSchema)
+    // NULL priorities sort last under the window's desc order; treating
+    // them as below every cutoff is consistent with that — if the greedy
+    // prefix could reach them, the group's kept mass is ≤ budget and the
+    // fallback below recomputes it unpruned anyway
+    val pruned = df.join(broadcast(cutDf.select(col(groupCol), col("__cut"))), Seq(groupCol), "left")
+      .where(col("__cut").isNull || priorityCol.cast("double") >= col("__cut"))
+      .drop("__cut")
+    // exactness fallback: detection is a cheap partial agg on the pruned
+    // frame; affected groups (none, on sane distributions) re-enter whole
+    val unsafe = pruned.groupBy(col(groupCol))
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__kept"))
+      .join(broadcast(cutDf.select(col(groupCol), col("__tot"))), Seq(groupCol))
+      .where(col("__kept") < col("__tot") && col("__kept") <= budget)
+      .select(col(groupCol))
+    pruned.join(broadcast(unsafe), Seq(groupCol), "left_anti")
+      .unionByName(df.join(broadcast(unsafe), Seq(groupCol), "left_semi"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Benchmark decontamination: drop every corpus document that shares at

@@ -250,6 +250,26 @@ class PlanQualitySpec extends SparkSpec {
         "exactByGroup's single-sort + stage-reuse contract is broken")
   }
 
+  test("selectUnderBudget pre-prune: the per-group sort sees fewer rows, via broadcast-only plumbing") {
+    val docs = spark.table("documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    val full = docs.count()
+    // the c09 operating point: slack 3 × 1000 tokens ≪ per-lang mass
+    val input = operators.TrainingPipeline.budgetWindowInput(
+      docs, "lang", col("n_tokens"), col("n_chars"), 1000L, 3.0)
+    val n = input.count()
+    assert(n < full, s"pre-prune did not shrink the window input: $n of $full rows")
+    // cutoff filter and fallback routing reach the window through broadcast
+    // joins on the tiny stats frames — no extra shuffle beyond the window's
+    // own partition exchange, never a nested loop
+    val p = plan(operators.TrainingPipeline.selectUnderBudget(
+      docs, "lang", "doc_id", col("n_tokens"), col("n_chars"), 1000L,
+      prePrune = true, pruneSlack = 3.0))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("cross-corpus dedup: bipartite inverted-index join is shuffle-hash, never a cross product") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val docs = spark.table("documents")

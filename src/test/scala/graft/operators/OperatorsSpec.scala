@@ -670,6 +670,39 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("selectUnderBudget prePrune: identical greedy prefix from a shrunken sort input") {
+    // 3 groups × 200 rows of mixed token sizes: tot ≈ 1800/group ≫ 3×60,
+    // so pruning fires; kept mass stays above budget, so no fallback runs
+    val docs = (1L to 600L).map(i => (i, s"g${i % 3}", (i % 17) + 1, (i % 97).toDouble))
+      .toDF("id", "g", "tok", "prio")
+    val base = TrainingPipeline.selectUnderBudget(docs, "g", "id", col("tok"), col("prio"), budget = 60L)
+      .select("id", "g", "tok").as[(Long, String, Long)].collect().toSet
+    val pruned = TrainingPipeline.selectUnderBudget(docs, "g", "id", col("tok"), col("prio"),
+      budget = 60L, prePrune = true, pruneSlack = 3.0)
+      .select("id", "g", "tok").as[(Long, String, Long)].collect().toSet
+    assert(pruned == base)
+    val input = TrainingPipeline.budgetWindowInput(docs, "g", col("tok"), col("prio"), 60L, 3.0)
+    assert(input.count() < docs.count(), "pre-prune did not shrink the window input")
+  }
+
+  test("selectUnderBudget prePrune: adversarial token skew triggers the exact fallback") {
+    // the estimator's blind spot by construction: top priorities are tiny
+    // docs (their whole mass ≤ budget), low priorities are huge ones — the
+    // row-fraction cutoff overshoots, kept mass lands ≤ budget, and the
+    // group must re-enter unpruned; the greedy prefix must come out
+    // identical anyway
+    val rows = (1L to 100L).map(i => (i, "g", 1L, 1000.0 - i)) ++
+      (101L to 200L).map(i => (i, "g", 1000L, 1000.0 - i))
+    val docs = rows.toDF("id", "g", "tok", "prio")
+    val base = TrainingPipeline.selectUnderBudget(docs, "g", "id", col("tok"), col("prio"), budget = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(base == (1L to 100L).toSet) // sanity: exactly the tiny docs fit
+    val pruned = TrainingPipeline.selectUnderBudget(docs, "g", "id", col("tok"), col("prio"),
+      budget = 100L, prePrune = true, pruneSlack = 2.0)
+      .select("id").as[Long].collect().toSet
+    assert(pruned == base)
+  }
+
   test("chunkDocuments: sliding windows cover the doc with the exact overlap, map-side only") {
     val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")), (2L, "a b")).toDF("doc_id", "text")
     val out = TrainingPipeline.chunkDocuments(docs, "doc_id", "text", chunkTokens = 10, overlap = 4)
