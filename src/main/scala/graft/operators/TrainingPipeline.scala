@@ -398,32 +398,24 @@ object TrainingPipeline {
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumns(stats.map { case (n, c) => n -> c }.toMap)
     val filtered = annotated.where(col("quality_score") >= minQuality)
-    val exact = Dedup.dedupExact(filtered, textCol, idCol)
-    // The pair-generation paths re-derive the filtered+deduped corpus once
-    // per consumer (minhash signatures, each winnowing self-join side, the
-    // component node set) — and each re-derivation repeats the annotate
-    // scan AND the dedup window shuffle. Materialize the NARROW (id, text)
-    // projection once (lazy local checkpoint: first consumer pays, the rest
-    // read blocks) so k consumers cost one window shuffle, not k.
+    // EVERY consumer re-derives the annotate scan + dedup window otherwise:
+    // the pair-generation paths (minhash signatures, each winnowing
+    // self-join side, the component node set) AND the final survivor
+    // anti-join. Materialize the filtered+deduped stage ONCE with its full
+    // columns (lazy local checkpoint: the first consumer pays, the rest
+    // read blocks) so k consumers cost one annotate+window pass, not k —
+    // checkpointing only a narrow (id, text) projection would leave the
+    // final anti-join re-paying the whole pipeline for the survivor rows.
     // At 100 TB this stage is corpus-sized: localCheckpoint spills to
     // executor disk, which is the in-job version of the standard practice —
     // materializing the post-filter curation stage before dedup passes; if
     // executor storage can't hold it, write the stage to the warehouse and
     // read it back instead (same plan shape, durable storage).
-    val base = exact.select(col(idCol), col(textCol)).localCheckpoint(false)
-    val nearPairs = Dedup
-      .minhashLshPairs(base, idCol, textCol, threshold = jaccardThreshold)
-      .select("id_a", "id_b")
-    val pairs =
-      if (substringDedup)
-        // distinct: a pair can be both a near-dup and share fingerprints —
-        // duplicate edges would double-count in nothing but cost
-        nearPairs.union(
-          Dedup.winnowingPairs(base, idCol, textCol, winnowK, winnowW, minSharedFp)
-            .select("id_a", "id_b"))
-          .distinct()
-      else nearPairs
-    val losers =
+    val exact = Dedup.dedupExact(filtered, textCol, idCol).localCheckpoint(false)
+    val base = exact.select(col(idCol), col(textCol))
+    val pairs = curatePairs(base, idCol, textCol, jaccardThreshold,
+      substringDedup, winnowK, winnowW, minSharedFp)
+    val losers: DataFrame =
       if (clusterDedup)
         // components iterate only the edge-touching subgraph; losers = every
         // non-minimum member, a small frame that anti-joins (broadcast at
@@ -433,5 +425,32 @@ object TrainingPipeline {
           .select(col(idCol))
       else pairs.select(col("id_b").as(idCol)).distinct()
     exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[curate]]'s near-dup pair graph over the materialized stage:
+    * MinHash-LSH pairs, optionally unioned with winnowing substring edges
+    * (distinct — a pair can be both a near-dup and share fingerprints, and
+    * duplicate edges would double-count in nothing but cost). Factored
+    * package-private so the plan-quality spec pins the join shapes on the
+    * exact frame curate feeds the closure.
+    */
+  private[graft] def curatePairs(
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double,
+      substringDedup: Boolean,
+      winnowK: Int,
+      winnowW: Int,
+      minSharedFp: Long): DataFrame = {
+    val nearPairs = Dedup
+      .minhashLshPairs(base, idCol, textCol, threshold = jaccardThreshold)
+      .select("id_a", "id_b")
+    if (substringDedup)
+      nearPairs.union(
+        Dedup.winnowingPairs(base, idCol, textCol, winnowK, winnowW, minSharedFp)
+          .select("id_a", "id_b"))
+        .distinct()
+    else nearPairs
   }
 }

@@ -284,6 +284,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("p03 curate: final plan reads the checkpointed stage only; pair joins shuffle-hash") {
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // contract 1 (the expensive regression): the survivor anti-join must
+      // consume the ONE materialized curate stage — its plan holds exactly
+      // the two ExistingRDD scans (checkpointed exact + the closure's loser
+      // frame). Dropping the checkpoint would put the parquet scan, the
+      // md5 exact-dedup window and the annotate expressions back into this
+      // plan and silently re-pay the pipeline per consumer.
+      val df = operators.TrainingPipeline.curate(spark.table("documents"),
+        minQuality = 0.2, jaccardThreshold = 0.8, clusterDedup = true,
+        substringDedup = true, winnowK = 3, winnowW = 4, minSharedFp = 2L)
+      val p = plan(df)
+      assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+        "expected exactly the checkpointed stage + loser frame:\n" + p)
+      assert(!p.contains("FileScan"), "curate stage re-derived from the source scan:\n" + p)
+      assert(!p.contains("md5") && !p.contains("row_number") &&
+        "\\bWindow\\b".r.findFirstIn(p).isEmpty,
+        "exact-dedup window re-derived past the checkpoint:\n" + p)
+      // contract 2: the pair graph built on that stage keeps its candidate
+      // joins shuffle-hash on narrow rows (winnowing fingerprint self-join
+      // + minhash banded join) — never a cross product
+      val base = spark.table("documents").select(col("doc_id"), col("text"))
+      val pairs = operators.TrainingPipeline.curatePairs(
+        base, "doc_id", "text", 0.8, true, 3, 4, 2L)
+      val pp = plan(pairs)
+      assert(pp.contains("ShuffledHashJoin"), pp)
+      assert(!pp.contains("CartesianProduct") && !pp.contains("NestedLoop"), pp)
+    }
+  }
+
   test("winnowing pairs: inverted-index join is shuffle-hash, never a cross product") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val df = operators.Dedup.winnowingPairs(
