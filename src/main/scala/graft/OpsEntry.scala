@@ -1026,6 +1026,30 @@ object OpsEntry {
         |ORDER BY purchase_id, click_id""".stripMargin)),
 
     QueryDef(
+      "st07_attribution_outer",
+      withTables { (s, _) =>
+        // the OUTER attribution question — purchases with NO prior click
+        // surface with null click columns. In streaming the null rows emit
+        // once the click watermark passes the window; on a bounded frame
+        // that is every unmatched purchase, so the batch face is a plain
+        // left join on the same predicate. asc_nulls_first matches the
+        // oracle's explicit NULLS FIRST.
+        graft.streaming.EventStreams.purchaseAttribution(
+          s.table("events"), "1 hour", windowSeconds = 600, joinType = "left_outer")
+          .select("purchase_id", "user_id", "click_id", "value")
+          .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+      },
+      // event_type filters live in subselects, NOT the join condition —
+      // in an outer join a condition-side filter would null-pad instead of
+      // filtering
+      Some("""SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 600 SECONDS
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)),
+
+    QueryDef(
       "st03_stream_curate",
       withTables { (s, _) =>
         // batch face of the live document-ingest curation; which physical

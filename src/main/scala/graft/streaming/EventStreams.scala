@@ -74,9 +74,21 @@ object EventStreams {
     * user's clicks in the preceding `windowSeconds`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so each
     * side's state buffer is evicted once the other side's watermark passes
-    * the window — the canonical bounded-state stream-stream inner join.
+    * the window — the canonical bounded-state stream-stream join.
+    *
+    * `joinType = "left_outer"` answers the equally common OUTER question —
+    * purchases with NO prior click: an unmatched purchase is emitted with
+    * null click columns only once the click side's watermark has passed its
+    * window, i.e. when it is provably unmatched rather than merely
+    * unmatched so far (the engine cannot retract rows, so outer emission
+    * must wait for the watermark). Identical semantics to a batch left join
+    * on the same predicate, which is what the st07 gate row checks.
     */
-  def purchaseAttribution(events: DataFrame, watermark: String, windowSeconds: Int): DataFrame = {
+  def purchaseAttribution(
+      events: DataFrame,
+      watermark: String,
+      windowSeconds: Int,
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -88,7 +100,8 @@ object EventStreams {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
   }

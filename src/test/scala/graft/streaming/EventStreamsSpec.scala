@@ -123,6 +123,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution left_outer: unmatched purchases emit null clicks after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val joined = purchaseAttribution(input.toDF(), "10 minutes",
+      windowSeconds = 5 * 60, joinType = "left_outer")
+    val q = toMemorySink(joined, "attr_outer_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(3), 1, "purchase", 9.99), // click 3 min earlier: attributed
+        Event(3, ts(10), 1, "purchase", 5.0), // click outside the 5-min window: null
+        Event(4, ts(2), 2, "purchase", 1.0))  // no click at all: null
+      q.processAllAvailable()
+      // the unmatched rows may only appear once the watermark proves no
+      // matching click can still arrive. The GLOBAL watermark is the MIN
+      // across both per-side watermark nodes, and each side only sees its
+      // own event type — so the sweep must advance clicks AND purchases
+      // (a clicks-only sweep leaves the purchase watermark, and with it
+      // state eviction, frozen)
+      input.addData(Event(5, ts(50), 9, "click", 0.0), Event(6, ts(50), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(7, ts(59), 9, "click", 0.0), Event(8, ts(59), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_test")
+        .where(col("user_id") =!= 9) // the sweep user's own rows are scaffolding
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((2L, 1L), (3L, -1L), (4L, -1L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
