@@ -611,6 +611,31 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "m06_gif_frames",
+      withTables { (s, _) =>
+        // REAL temporal frame sampling: one animated GIF per doc (2–4
+        // stored frames, closed-form), 2 frames sampled evenly, each
+        // re-encoded PNG then re-DECODED for its dimensions. The composite
+        // id (media·16 + frame_idx) keeps the oracle closed-form, so a
+        // hash-green row proves GIF encode → multi-frame read → per-frame
+        // PNG → decode end to end.
+        val gifs = Multimodal.documentsAsGifs(s.table("documents"))
+        val frames = Multimodal.sampleFrames(gifs, 2, ImageIoDecoder)
+        val asMedia = frames.select(
+          (col("media_id") * 16 + col("frame_idx")).as("media_id"),
+          col("frame").as("media"))
+        Multimodal.extractFeatures(asMedia, ImageIoDecoder)
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("w"),
+            element_at(col("features"), 2).cast("int").as("h"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id * 16 + f.f AS media_id,
+        |  (8 + doc_id % 9)::INT AS w, (6 + doc_id % 5)::INT AS h
+        |FROM documents, unnest([0, 1]) AS f(f)
+        |ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

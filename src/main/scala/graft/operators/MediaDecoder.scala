@@ -104,9 +104,15 @@ object StubDecoder extends MediaDecoder {
   *    sampling loop is hand-rolled (`out(x,y) = in(x·sw/w, y·sh/h)`)
   *    rather than Graphics2D because the rendering pipeline's output is
   *    implementation-defined, and resize feeds checksum-pinned gate rows;
-  *  - `frames`: delegated to [[StubDecoder]] — a still image has no
-  *    temporal axis; real frame sampling needs a video container codec
-  *    this environment doesn't ship.
+  *  - `frames`: REAL temporal sampling for multi-frame image streams —
+  *    the JDK's GIF reader exposes every stored frame of an animated GIF
+  *    (`reader.getNumImages`), so `nFrames` indices are sampled evenly
+  *    across the k stored frames (`f·k/n`, the keyframe-sampling rule)
+  *    and each decoded frame is re-encoded as PNG. A single still yields
+  *    the still n times. Stored frames are returned as stored — no
+  *    GIF disposal-method compositing (our use is frame features, not
+  *    playback). True video containers (mp4 etc.) have no JDK reader and
+  *    fall back to [[StubDecoder]]'s byte chunking.
   *
   * Bytes no installed ImageReader accepts (video payloads, text, null or
   * empty arrays, truncated files) fall back to [[StubDecoder]] for the
@@ -187,8 +193,29 @@ object ImageIoDecoder extends MediaDecoder {
           minL.toFloat, maxL.toFloat, math.sqrt(varL).toFloat))
   }
 
-  override def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] =
-    StubDecoder.frames(bytes, nFrames)
+  override def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] = {
+    if (bytes == null || bytes.length == 0) return StubDecoder.frames(bytes, nFrames)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return StubDecoder.frames(bytes, nFrames)
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        // allowSearch=true: count frames even when the stream isn't
+        // seekable-indexed (the GIF reader scans once and caches)
+        val k = reader.getNumImages(true)
+        if (k <= 0) StubDecoder.frames(bytes, nFrames)
+        else (0 until nFrames).map(f => encodePng(reader.read(f * k / nFrames)))
+      } finally reader.dispose()
+    } catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        StubDecoder.frames(bytes, nFrames)
+    } finally {
+      try iis.close() catch { case _: java.io.IOException => () }
+    }
+  }
 
   override def resize(bytes: Array[Byte], targetBytes: Int): MediaDecoder.Resized = read(bytes) match {
     case None => StubDecoder.resize(bytes, targetBytes)

@@ -72,6 +72,44 @@ object Multimodal {
       }
       ImageIoDecoder.encodePng(img)
     }
+
+    /** Stored frame count of the synthetic animated GIF — closed-form in
+      * id, like the dimensions, so frame-level oracles stay SQL-statable.
+      */
+    def gifFrames(id: Long): Int = (2 + java.lang.Math.floorMod(id, 3L)).toInt
+
+    /** Deterministic ANIMATED GIF per id: `gifFrames(id)` full frames of
+      * the procedural pattern (frame f shifts the pattern seed, so frames
+      * are visibly distinct), written with the pure-JDK GIF sequence
+      * writer. GIF is palette-quantized, so decoded pixel VALUES are
+      * writer-defined — but frame count and dimensions are exact, which is
+      * what the m06 oracle pins.
+      */
+    def gif(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until gifFrames(id)) {
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb(id + 7919L * (f + 1), x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        try { ios.flush(); ios.close() } catch { case _: java.io.IOException => () }
+      }
+      bos.toByteArray
+    }
   }
 
   /** The image-payload counterpart of [[documentsAsMedia]]: one real PNG
@@ -88,6 +126,23 @@ object Multimodal {
         val id = row.getLong(idIdx)
         Row(id, ImageGen.png(id),
           Row("image/png", ImageGen.width(id), ImageGen.height(id)))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
+  /** [[documentsAsImages]]' multi-frame sibling: one deterministic ANIMATED
+    * GIF per document id, for exercising real temporal frame sampling
+    * ([[ImageIoDecoder.frames]]) on a format the JDK can both write and
+    * read frame-by-frame.
+    */
+  def documentsAsGifs(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("media_id"))
+    val idIdx = 0
+    ids.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, ImageGen.gif(id),
+          Row("image/gif", ImageGen.width(id), ImageGen.height(id)))
       }
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }

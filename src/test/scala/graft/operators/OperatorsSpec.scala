@@ -1222,9 +1222,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dn.nBytes == 0L && dn.features.toSeq == Seq.fill(8)(0f))
     assert(ImageIoDecoder.frames(null, 3).forall(_.isEmpty))
     assert(ImageIoDecoder.resize(null, 10).bytes.isEmpty)
-    // frames delegate to the stub byte-chunking (stills have no time axis)
-    val img = Multimodal.ImageGen.png(1L)
-    assert(ImageIoDecoder.frames(img, 4).map(_.toSeq) == StubDecoder.frames(img, 4).map(_.toSeq))
+    // non-image bytes fall back to stub byte-chunking for frames
+    assert(ImageIoDecoder.frames(text, 4).map(_.toSeq) == StubDecoder.frames(text, 4).map(_.toSeq))
+  }
+
+  test("ImageIoDecoder.frames: real temporal sampling of animated GIFs, stills repeat") {
+    val id = 5L // gifFrames(5) = 2 + 5%3 = 4 stored frames
+    val k = Multimodal.ImageGen.gifFrames(id)
+    assert(k == 4)
+    val gif = Multimodal.ImageGen.gif(id)
+    val frames = ImageIoDecoder.frames(gif, 2) // sample indices 0, 2
+    assert(frames.length == 2)
+    // each sampled frame decodes as a real PNG with the GIF's dimensions
+    frames.foreach { f =>
+      val d = ImageIoDecoder.decode(f)
+      assert(d.features(0) == Multimodal.ImageGen.width(id).toFloat)
+      assert(d.features(1) == Multimodal.ImageGen.height(id).toFloat)
+    }
+    // temporal sampling really picks DIFFERENT stored frames (the pattern
+    // seed shifts per frame, surviving GIF palette quantization)
+    assert(frames(0).toSeq != frames(1).toSeq)
+    // sampling n = k returns every stored frame in order, deterministically
+    val all = ImageIoDecoder.frames(gif, k)
+    assert(all.length == k && all.map(_.toSeq).distinct.length == k)
+    assert(ImageIoDecoder.frames(gif, k).map(_.toSeq) == all.map(_.toSeq))
+    // a still PNG has one stored frame: sampling yields the still n times
+    val png = Multimodal.ImageGen.png(id)
+    val still = ImageIoDecoder.frames(png, 3)
+    assert(still.length == 3 && still.map(_.toSeq).distinct.length == 1)
+    val d0 = ImageIoDecoder.decode(still.head)
+    assert(d0.features(0) == Multimodal.ImageGen.width(id).toFloat)
   }
 
   test("ImageIoDecoder.resize really downscales: valid PNG out, bounded bytes, content preserved") {
