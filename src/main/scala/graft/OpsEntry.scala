@@ -636,6 +636,27 @@ object OpsEntry {
         |ORDER BY media_id""".stripMargin)),
 
     QueryDef(
+      "m07_audio_features",
+      withTables { (s, _) =>
+        // REAL audio decode (pure-JDK javax.sound.sampled): one generated
+        // WAV clip per doc, parsed for its true sample rate / channel
+        // count / PCM frame count — all closed-form in doc_id, so the
+        // oracle states them without decoding and a hash-green row proves
+        // the WAV encode→scan→decode path. Signal stats (rms, peak, zero
+        // crossings) are float → spec-pinned instead.
+        Multimodal.extractFeatures(
+          Multimodal.documentsAsAudio(s.table("documents")), AudioWavDecoder)
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("sample_rate"),
+            element_at(col("features"), 2).cast("int").as("channels"),
+            element_at(col("features"), 3).cast("int").as("n_frames"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+        |  (400 + (doc_id % 5) * 80)::INT AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

@@ -130,6 +130,61 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  /** Deterministic WAV test clips: 16-bit signed mono PCM at 8 kHz, frame
+    * count closed-form in id (`400 + (id%5)·80` — SQL-statable, like the
+    * image dims), samples an integer sawtooth (period `20 + id%7` frames,
+    * amplitude 20 000) so every byte is a pure integer function of
+    * (id, i). The audio analogue of [[ImageGen]].
+    */
+  object AudioGen {
+    val sampleRate = 8000f
+    val amplitude = 20000
+
+    def nFrames(id: Long): Int = (400 + java.lang.Math.floorMod(id, 5L) * 80).toInt
+    def period(id: Long): Int = (20 + java.lang.Math.floorMod(id, 7L)).toInt
+
+    /** Sawtooth ramp −A..A over the period; integer math only. */
+    def sample(id: Long, i: Int): Short = {
+      val p = period(id)
+      ((i % p) * 2 * amplitude / p - amplitude).toShort
+    }
+
+    def wav(id: Long): Array[Byte] = {
+      val n = nFrames(id)
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(id, i)
+        data(2 * i) = (s & 0xFF).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      finally stream.close()
+      bos.toByteArray
+    }
+  }
+
+  /** The audio counterpart of [[documentsAsImages]]: one deterministic WAV
+    * clip per document id, decoded for real by [[AudioWavDecoder]].
+    */
+  def documentsAsAudio(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("media_id"))
+    val idIdx = 0
+    ids.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, AudioGen.wav(id),
+          Row("audio/wav", null, null))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   /** [[documentsAsImages]]' multi-frame sibling: one deterministic ANIMATED
     * GIF per document id, for exercising real temporal frame sampling
     * ([[ImageIoDecoder.frames]]) on a format the JDK can both write and

@@ -1279,6 +1279,63 @@ class MultimodalSpec extends SparkSpec {
     assert(keep.bytes.toSeq == bytes.toSeq && keep.width == w0 && keep.height == h0)
   }
 
+  test("AudioWavDecoder decodes generated WAVs to real format facts and signal stats") {
+    val id = 13L
+    val bytes = Multimodal.AudioGen.wav(id)
+    val d = AudioWavDecoder.decode(bytes)
+    val n = Multimodal.AudioGen.nFrames(id)
+    assert(d.features(0) == 8000f && d.features(1) == 1f && d.features(2) == n.toFloat)
+    assert(d.features(3) == (n * 1000.0 / 8000).toFloat) // duration ms
+    assert(d.nBytes == bytes.length.toLong && d.checksum == MediaDecoder.checksum(bytes))
+    // signal stats vs a reference computed in the decoder's accumulation
+    // order on the same normalized samples
+    val samples = (0 until n).map(i => Multimodal.AudioGen.sample(id, i) / 32768.0)
+    var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0; var zc = 0L; var prev = 0
+    samples.foreach { s =>
+      sumSq += s * s; val a = math.abs(s); sumAbs += a; if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+      if (sign != 0 && prev != 0 && sign != prev) zc += 1
+      if (sign != 0) prev = sign
+    }
+    assert(d.features(4) == math.sqrt(sumSq / n).toFloat)
+    assert(d.features(5) == peak.toFloat)
+    assert(d.features(6) == zc.toFloat)
+    assert(d.features(7) == (sumAbs / n).toFloat)
+  }
+
+  test("AudioWavDecoder.frames cuts real contiguous WAV segments; resize decimates the rate") {
+    val id = 4L
+    val bytes = Multimodal.AudioGen.wav(id)
+    val n = Multimodal.AudioGen.nFrames(id)
+    val segs = AudioWavDecoder.frames(bytes, 3)
+    assert(segs.length == 3)
+    // each segment reparses as WAV; frame counts partition n (last absorbs
+    // the remainder) and the segments replay the original signal in order
+    val per = n / 3
+    val decoded = segs.map(AudioWavDecoder.decode)
+    assert(decoded.map(_.features(2).toInt) == IndexedSeq(per, per, n - 2 * per))
+    decoded.foreach(dd => assert(dd.features(0) == 8000f))
+    // segment 2's first sample = original sample at offset per (real cut,
+    // not byte chunking): compare via rms of a 1-frame slice? simpler —
+    // full concatenated energy equals the original's
+    val total = decoded.map(dd => dd.features(4) * dd.features(4) * dd.features(2)).sum
+    val whole = AudioWavDecoder.decode(bytes)
+    assert(math.abs(total - whole.features(4) * whole.features(4) * n) < 1e-3)
+    // resize: decimation keeps it a VALID, slower-rate WAV under target
+    val r = AudioWavDecoder.resize(bytes, bytes.length / 2)
+    assert(r.bytes.length <= bytes.length / 2)
+    val rd = AudioWavDecoder.decode(r.bytes)
+    assert(rd.features(0) == r.width.toFloat && r.width < 8000 && r.height == 1)
+    // cross-decoder fallbacks: audio bytes are not an image and vice versa
+    val viaImage = ImageIoDecoder.decode(bytes)
+    val stub = StubDecoder.decode(bytes)
+    assert(viaImage.checksum == stub.checksum && viaImage.features.toSeq == stub.features.toSeq)
+    val png = Multimodal.ImageGen.png(id)
+    assert(AudioWavDecoder.decode(png).features.toSeq == StubDecoder.decode(png).features.toSeq)
+    assert(AudioWavDecoder.decode(null).nBytes == 0L)
+    assert(AudioWavDecoder.frames(null, 2).forall(_.isEmpty))
+  }
+
   test("documentsAsImages → extractFeatures(ImageIoDecoder) reports closed-form dims (m04 shape)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
     val out = Multimodal.extractFeatures(Multimodal.documentsAsImages(docs), ImageIoDecoder).collect()
