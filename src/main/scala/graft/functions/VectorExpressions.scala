@@ -364,6 +364,55 @@ object PqKernel {
     while (s < m) { sum += lut(s * k + codes.getInt(s)); s += 1 }
     sum
   }
+
+  /** RESIDUAL encode — the faithful FAISS IVFPQ variant: L2-normalize the
+    * vector, subtract its coarse centroid, and quantize the residual
+    * per subspace. Residuals concentrate around the origin with far less
+    * variance than raw vectors, so the same m×k codebook budget quantizes
+    * finer; the matching ADC identity is
+    * `⟨q, v⟩ ≈ ⟨q, c_cid⟩ + Σ_s ⟨q_s, cb_s(code_s)⟩`, with the constant
+    * `⟨q, c_cid⟩` folded into each (query, centroid) LUT.
+    */
+  def encodeResidual(
+      v: ArrayData,
+      cid: Int,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]]): Array[Int] = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    if (v.numElements() != m * sub) throw new IllegalArgumentException(
+      s"pq_encode_residual: vector length ${v.numElements()} != m*subdim = ${m * sub}")
+    if (cid < 0 || cid >= centroids.length) throw new IllegalArgumentException(
+      s"pq_encode_residual: centroid id $cid out of range [0, ${centroids.length})")
+    val cent = centroids(cid)
+    var nrm = 0.0
+    var i = 0
+    while (i < m * sub) { val x = v.getDouble(i); nrm += x * x; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val idx = s * sub + j
+          val diff = v.getDouble(idx) * inv - cent(idx) - cb(c)(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
 }
 
 /** `pq_encode(vec)`: product-quantization codes (array<int>, one centroid
@@ -434,6 +483,49 @@ case class PqScoresExpr(child: Expression, lutsSeq: IndexedSeq[IndexedSeq[Double
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `pq_encode_residual(vec, cid)`: residual PQ codes
+  * ([[PqKernel.encodeResidual]]) — codebooks and coarse centroids ride
+  * along as codegen reference objects, like [[PqEncodeExpr]].
+  */
+case class PqEncodeResidualExpr(
+    left: Expression,
+    right: Expression,
+    codebooksSeq: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+    centroidsSeq: IndexedSeq[IndexedSeq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(codebooksSeq.nonEmpty && codebooksSeq.forall(_.nonEmpty) && centroidsSeq.nonEmpty)
+
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    codebooksSeq.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val centroids: Array[Array[Double]] =
+    centroidsSeq.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, int cid), got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_residual"
+
+  override def nullSafeEval(v: Any, cid: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqKernel.encodeResidual(v.asInstanceOf[ArrayData], cid.asInstanceOf[Int], codebooks, centroids))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqResidualCodebooks", codebooks, "double[][][]")
+    val ce = ctx.addReferenceObj("pqCoarseCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, cid) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqKernel.encodeResidual($v, $cid, $cb, $ce));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `pq_scores` with the LUTs on a Spark BROADCAST instead of embedded in
@@ -545,6 +637,17 @@ object VectorFunctions {
   def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),
       codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Residual PQ codes (FAISS IVFPQ): quantize `normalize(v) − cent[cid]`. */
+  def pqEncodeResidual(
+      v: Column,
+      cid: Column,
+      codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(PqEncodeResidualExpr(ColumnBridge.expression(v),
+      ColumnBridge.expression(cid),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq,
+      centroids.map(_.toIndexedSeq).toIndexedSeq))
 
   /** Per-query ADC scores from a PQ-code column; `k` = centroids per
     * subspace (each lut row is laid out [subspace × k]).

@@ -52,7 +52,8 @@ object Similarity {
       m: Int,
       kCent: Int,
       sampleN: Int = 2048,
-      iters: Int = 8): Array[Array[Array[Double]]] = {
+      iters: Int = 8,
+      residualOf: Option[Array[Array[Double]]] = None): Array[Array[Array[Double]]] = {
     val sample = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .orderBy("id").limit(sampleN)
@@ -61,9 +62,30 @@ object Similarity {
     val dim = sample.head.length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    val pts = sample.map { v =>
+    val normed = sample.map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
+    }
+    // residual training (FAISS IVFPQ): assign each sample to its coarse
+    // centroid (max dot, ties → lowest id — the assignment rule everywhere
+    // else) and train the subspace codebooks on `normalize(v) − centroid`,
+    // whose variance is what the codes actually need to cover
+    val pts = residualOf match {
+      case None => normed
+      case Some(cents) => normed.map { p =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        val r = new Array[Double](p.length)
+        var i = 0
+        while (i < p.length) { r(i) = p(i) - cents(best)(i); i += 1 }
+        r
+      }
     }
     Array.tabulate(m) { s =>
       val subPts = pts.map(_.slice(s * sub, (s + 1) * sub))
@@ -262,11 +284,16 @@ object Similarity {
     * equi-join prunes whole partitions, making the scan fraction
     * nProbe/nCentroids by construction.
     *
-    * Codes quantize the NORMALIZED vector itself, not the residual vs its
-    * coarse centroid: per-query ranking is unchanged (|q| constant) and one
-    * codebook serves all centroids; the recall cost of skipping residual
-    * encoding lands only in shortlist quality, which the refine step and
-    * the spec's measured floor absorb.
+    * By default codes quantize the NORMALIZED vector itself; with
+    * `residual = true` they quantize `normalize(v) − c_cid` — the faithful
+    * FAISS IVFPQ design, where each (query, probed centroid) pair gets its
+    * own LUT with the constant ⟨q, c_cid⟩ folded in. Residual coding wins
+    * exactly when the coarse quantizer explains variance (clustered real
+    * corpora); on the ISOTROPIC synthetic test embeddings it measures no
+    * better (probe-8 recall 0.70 residual vs 0.77 plain, identical raw-ADC
+    * recall) because random unit vectors leave residuals as large as the
+    * vectors themselves. Both modes are spec-pinned at their measured
+    * floors.
     *
     * Approximate by construction → no SQL oracle; the spec pins recall
     * against [[bruteForceTopK]] at a measured operating point and pins the
@@ -283,21 +310,22 @@ object Similarity {
       m: Int = 8,
       kCent: Int = 16,
       rerank: Int = 64,
-      maxQueries: Int = 1024): DataFrame = {
+      maxQueries: Int = 1024,
+      residual: Boolean = false): DataFrame = {
     require(rerank == 0 || rerank >= k, s"rerank must be 0 (off) or >= k: got $rerank < $k")
     requireIntegralId(queries, idCol, "ivfPqTopK")
     requireIntegralId(corpus, idCol, "ivfPqTopK")
-    import graft.functions.VectorFunctions.{pqEncode, pqScoreAt, topCentroids}
+    import graft.functions.VectorFunctions.{pqEncode, pqEncodeResidual, pqScoreAt, topCentroids}
     val spark = queries.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nCentroids)
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, kCent,
+      residualOf = if (residual) Some(cents) else None)
+    val sub = cb(0)(0).length
     val qRows = collectQueries(queries, idCol, vecCol, maxQueries, "ivfPqTopK")
-    val lutsBc = spark.sparkContext.broadcast(buildLuts(qRows, cb, kCent))
     // driver-side probe fan-out, with TopCentroidsExpr's exact tie rule
     // (sim desc, centroid id asc) so query routing matches the executors'
     // corpus assignment
-    val probes: Seq[(Long, Int, Int)] = qRows.zipWithIndex.flatMap { case (r, qi) =>
-      val qv = r.getSeq[Double](1).toArray
+    def probeCids(qv: Array[Double]): Seq[Int] = {
       val sims = cents.map { c =>
         val n = math.min(qv.length, c.length)
         var d = 0.0; var i = 0
@@ -305,13 +333,55 @@ object Similarity {
         d
       }
       sims.indices.sortBy(i => (-sims(i), i)).take(nProbe)
-        .map(cid => (r.getLong(0), qi, cid))
-    }.toSeq
+    }
+    // LUT layout differs by mode. Non-residual: one LUT per QUERY (qpos =
+    // query index). Residual: one LUT per (query, probed centroid) — qpos =
+    // probe index — because the ADC identity ⟨q,v⟩ ≈ ⟨q,c_cid⟩ +
+    // Σ_s⟨q_s, cb_s(code_s)⟩ makes the LUT centroid-dependent; the constant
+    // ⟨q,c_cid⟩ term is folded into the subspace-0 row.
+    val (luts, probes) =
+      if (!residual) {
+        val ls = buildLuts(qRows, cb, kCent)
+        val ps = qRows.zipWithIndex.flatMap { case (r, qi) =>
+          probeCids(r.getSeq[Double](1).toArray).map(cid => (r.getLong(0), qi, cid))
+        }.toSeq
+        (ls, ps)
+      } else {
+        val lutBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val ps = qRows.flatMap { r =>
+          val qv = r.getSeq[Double](1).toArray
+          probeCids(qv).map { cid =>
+            val cent = cents(cid)
+            var off = 0.0
+            var i = 0
+            while (i < math.min(qv.length, cent.length)) { off += qv(i) * cent(i); i += 1 }
+            val lut = new Array[Double](m * kCent)
+            for (s <- 0 until m; c <- 0 until kCent) {
+              var d = if (s == 0) off else 0.0
+              var j = 0
+              while (j < sub) { d += qv(s * sub + j) * cb(s)(c)(j); j += 1 }
+              lut(s * kCent + c) = d
+            }
+            lutBuf += lut
+            (r.getLong(0), lutBuf.length - 1, cid)
+          }
+        }.toSeq
+        (lutBuf.toArray, ps)
+      }
+    val lutsBc = spark.sparkContext.broadcast(luts)
     import spark.implicits._
     val probeDf = probes.toDF("query_id", "qpos", "cid")
-    val codes = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      element_at(topCentroids(col(vecCol).cast("array<double>"), cents, 1), 1).as("cid"),
-      pqEncode(col(vecCol).cast("array<double>"), cb).as("codes"))
+    val v = col(vecCol).cast("array<double>")
+    val codes =
+      if (!residual)
+        corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          element_at(topCentroids(v, cents, 1), 1).as("cid"),
+          pqEncode(v, cb).as("codes"))
+      else
+        corpus.select(col(idCol).cast("long").as("neighbor_id"), v.as("__v"),
+          element_at(topCentroids(v, cents, 1), 1).as("cid"))
+          .withColumn("codes", pqEncodeResidual(col("__v"), col("cid"), cb, cents))
+          .drop("__v")
     val scored = codes.join(broadcast(probeDf), Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -975,6 +975,23 @@ class SimilaritySpec extends SparkSpec {
     assert(full == unrouted)
   }
 
+  test("ivfPqTopK residual mode: FAISS residual coding works at its measured floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val res = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8, m = 8, kCent = 16, residual = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // measured 0.70 at probe-8 on the isotropic synthetic embeddings —
+    // residual coding can't beat plain codes without cluster structure
+    // (see the operator scaladoc); the pin is the mode WORKS, not that it
+    // wins here
+    val recall = (brute intersect res).size.toDouble / brute.size
+    assert(recall >= 0.60, s"residual IVF-PQ recall $recall below its measured floor")
+    assert(res.groupBy(_._1).values.map(_.size).toSet == Set(5))
+  }
+
   test("ivfPqTopK plan: broadcast probe equi-join routes the code scan (no corpus-wide scoring)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.where(col("vec_id") < 10)
