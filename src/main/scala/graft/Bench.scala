@@ -40,9 +40,18 @@ import org.apache.spark.sql.SparkSession
   *     warm+3 protocol; the better (lower) median of the two passes is
   *     reported, because contention only ever inflates. Both passes stay in
   *     the artifact (`first_median`/`first_min`/`first_max` + `retried`);
+  *   - SUSTAINED bursts defeat the spread test (all three runs slow → tight
+  *     spread, proportional gc), so queries are also checked against the
+  *     repo's own artifact HISTORY (`artifacts/bench_r*.json`, skipping
+  *     self-labeled-contended files): a final median above 5× its best
+  *     historical median (and above 0.5 s absolute) is re-timed once more
+  *     after the pass, when the burst has usually moved on. Whatever stays
+  *     elevated is listed in `_meta.elevated` — either the host is still
+  *     loaded or the code genuinely regressed; both deserve eyes;
   *   - `_meta.contended` is true when total GC exceeds ~5% of bench wall
-  *     time or any spread stays pathological after its retry — the signal
-  *     that even the retried medians are not comparable across rounds.
+  *     time, any spread stays pathological after its retry, or ≥3 queries
+  *     stay elevated vs history (a code change rarely slows many unrelated
+  *     queries at once; a loaded host routinely does).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -122,16 +131,54 @@ object Bench {
     def pathological(r: BenchResult): Boolean =
       r.runs >= 2 && r.times.head > 0.1 && r.times.last / r.times.head > spreadLimit
     val byName = SparkEntry.defs.map(d => d.name -> d).toMap
-    val results = firstPass.map { r =>
-      if (!pathological(r)) r
-      else {
-        System.err.println(f"[bench] ${r.name}: spread ${r.times.head}%.2f..${r.times.last}%.2f s — re-timing")
-        val retry = timeOne(byName(r.name))
-        val best = if (retry.median >= 0 && (r.median < 0 || retry.median < r.median)) retry else r
-        best.copy(firstPass = Some(r))
-      }
+    def retimed(r: BenchResult, why: String): BenchResult = {
+      System.err.println(f"[bench] ${r.name}: $why — re-timing")
+      val retry = timeOne(byName(r.name))
+      val best = if (retry.median >= 0 && (r.median < 0 || retry.median < r.median)) retry else r
+      best.copy(firstPass = r.firstPass.orElse(Some(r)))
     }
-    val stillPathological = results.filter(pathological).map(_.name)
+    val spreadChecked = firstPass.map { r =>
+      if (!pathological(r)) r
+      else retimed(r, f"spread ${r.times.head}%.2f..${r.times.last}%.2f s")
+    }
+    val stillPathological = spreadChecked.filter(pathological).map(_.name)
+    // history check: best (lowest) prior median per query from this repo's
+    // committed artifacts, ignoring runs that flagged themselves contended
+    val history: Map[String, Double] = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val files = Option(new java.io.File("artifacts").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("bench_r\\d+\\.json"))
+      files.flatMap { f =>
+        try {
+          val j = JsonMethods.parse(new String(
+            java.nio.file.Files.readAllBytes(f.toPath), java.nio.charset.StandardCharsets.UTF_8))
+          val contended = (j \ "_meta" \ "contended") match {
+            case JBool(true) => true
+            case _ => false
+          }
+          val sameSf = (j \ "_meta" \ "sf") match {
+            case JString(s) => s == sfDir
+            case _ => false
+          }
+          if (contended || !sameSf) Seq.empty
+          else j match {
+            case JObject(fields) => fields.collect {
+              case (name, JObject(q)) if name != "_meta" =>
+                q.collectFirst { case ("median", JDouble(m)) if m > 0 => name -> m }
+            }.flatten
+            case _ => Seq.empty
+          }
+        } catch { case _: Throwable => Seq.empty }
+      }.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+    }
+    def elevated(r: BenchResult): Boolean =
+      r.median > 0.5 && history.get(r.name).exists(h => r.median > 5 * h)
+    val results = spreadChecked.map { r =>
+      if (!elevated(r)) r
+      else retimed(r, f"median ${r.median}%.2f s is >5x its best historical ${history(r.name)}%.2f s")
+    }
+    val stillElevated = results.filter(elevated).map(_.name)
     // Locale.ROOT: the output must be machine-parseable JSON on any JVM
     // default locale (no comma decimal separators)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -147,7 +194,8 @@ object Bench {
     }
     val artifactPath = f"artifacts/bench_r$roundN%02d.json"
     val wallSec = (System.nanoTime() - wall0) / 1e9
-    val contended = gcTotal > wallSec * 1000 * 0.05 || stillPathological.nonEmpty
+    val contended = gcTotal > wallSec * 1000 * 0.05 || stillPathological.nonEmpty ||
+      stillElevated.size >= 3
     val perQuery = results.map { r =>
       val spread =
         if (r.times.isEmpty) """"min":-1,"max":-1"""
@@ -159,7 +207,7 @@ object Bench {
       s"""  "${r.name}":{"median":${num(r.median)},$spread,"runs":${r.runs},"warm_ok":${r.warmOk}$retry}"""
     }.mkString("{\n", ",\n", ",\n")
     val fullJson = perQuery +
-      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"median_of_$timedRuns","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")}}\n}"""
+      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"median_of_$timedRuns","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")}}\n}"""
     new java.io.File("artifacts").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
