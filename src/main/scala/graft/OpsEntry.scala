@@ -389,6 +389,21 @@ object OpsEntry {
       None),
 
     QueryDef(
+      "d18_semdedup",
+      withTables { (s, _) =>
+        // SemDeDup: k-means-blocked semantic dedup, keep the least-typical
+        // member of each duplicate group. Deterministic but k-means isn't
+        // SQL-statable → rows-only; invariants pinned in DedupSpec
+        // eps 0.4 = where this corpus's near-dups live (cf. d07); at 0.5
+        // the corpus has no semantic dups at all
+        Dedup.semDedup(s.table("embeddings"), "vec_id", "embedding",
+          eps = 0.4, nCentroids = 16)
+          .select("vec_id")
+          .orderBy("vec_id")
+      },
+      None),
+
+    QueryDef(
       "d08_ann_ivf_topk",
       withTables { (s, _) =>
         val emb = s.table("embeddings")

@@ -361,6 +361,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over an
+    * embedding column — k-means-cluster the corpus, call two documents
+    * semantic duplicates when their within-cluster cosine reaches `eps`,
+    * and keep ONE representative per duplicate group: the member LEAST
+    * similar to its cluster centroid (the paper's diversity-preserving
+    * choice — the most atypical example survives; ties → lowest id).
+    * Returns the surviving rows with their original columns.
+    *
+    * Plan: centroids train driver-side on the bounded deterministic sample
+    * ([[Similarity.trainCentroids]]); assignment and centroid similarity
+    * come from a BROADCAST join against the nCentroids-row centroid table;
+    * the pair graph is cluster-LOCAL (equi-self-join on cid — the clusters
+    * ARE the blocking structure, which is the paper's reason to cluster at
+    * all), duplicate groups close transitively via
+    * [[connectedComponents]], and survivors anti-join the loser set.
+    * Within-cluster pairing is quadratic in CLUSTER size, so size
+    * `nCentroids` to the corpus (the paper uses ~11k clusters for LAION)
+    * and the vectors cross exactly one shuffle (the cid partition);
+    * everything after the cosine projection shuffles narrow id rows.
+    *
+    * Fully deterministic (fixed k-means init/iteration count, 6-dp rounded
+    * cosines, id tiebreaks) but k-means is not SQL-expressible → rows-only
+    * gate; the spec pins the no-surviving-dup invariant, loser coverage,
+    * the paper's representative rule on a hand-built group, and
+    * determinism.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      nCentroids: Int = 16): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1]: got $eps")
+    val spark = df.sparkSession
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nCentroids)
+    import spark.implicits._
+    import graft.functions.VectorFunctions.topCentroids
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cent")
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cid", element_at(topCentroids(col("v"), cents, 1), 1))
+      .join(broadcast(centDf), Seq("cid"))
+      .withColumn("cent_sim", round(Similarity.cosine(col("v"), col("cent")), 6))
+      .select("id", "cid", "v", "cent_sim")
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+      .where(col("sim") >= eps)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val comp = connectedComponents(v.select(col("id")), pairs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("cent_sim").asc, col("id").asc)
+    val losers = comp.join(v.select("id", "cent_sim"), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs: all pairs with
     * cosine(vec_a, vec_b) >= threshold. All-pairs self-join — correct at any
     * threshold, quadratic in corpus size; the verification baseline for

@@ -244,6 +244,72 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.6, s"LSH near-dup recall $recall below the 8×40 operating point")
   }
 
+  test("semDedup: no surviving semantic dups, losers covered, paper's representative rule") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val eps = 0.4 // where this corpus's near-dups live; at 0.5 there are none at all
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", eps, nCentroids = 16)
+    val survivors = out.select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.subsetOf(all))
+    val losers = all -- survivors
+    assert(losers.nonEmpty, "eps=0.4 should drop some semantic dups on this corpus")
+    // invariant 1: no two survivors in the same duplicate group — i.e. the
+    // exact eps-pair graph restricted to survivors, WITHIN a cluster, is
+    // empty. With nCentroids=1 every pair is in-cluster, so check globally
+    // on the single-cluster variant:
+    val one = Dedup.semDedup(emb, "vec_id", "embedding", eps, nCentroids = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", eps)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!exactPairs.exists { case (a, b) => one.contains(a) && one.contains(b) },
+      "two semantic duplicates both survived the single-cluster run")
+    // invariant 2 (single-cluster): every loser has a surviving duplicate
+    // (transitively its group kept exactly one member)
+    val oneLosers = all -- one
+    val adj = exactPairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // group-level coverage via union-find over the eps graph
+    val ids = all.toSeq.sorted
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byGroup = ids.groupBy(i => find(idx(i)))
+    byGroup.values.foreach { members =>
+      val kept = members.count(one.contains)
+      assert(kept == 1, s"group ${members.toList.sorted} kept $kept members, want exactly 1")
+    }
+    assert(oneLosers.forall(l => adj.getOrElse(l, Set.empty).nonEmpty))
+    // the paper's representative rule on a hand-built group: among mutual
+    // dups, the member LEAST similar to the centroid survives
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)),      // dup group {1, 2}
+      (2L, Array(0.995f, 0.0998f)), // ~cos 0.995 with 1
+      (3L, Array(0.0f, 1.0f))       // its own group
+    ).toDF("vec_id", "embedding")
+    val keptTiny = Dedup.semDedup(tiny, "vec_id", "embedding", eps = 0.99, nCentroids = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // centroid ≈ normalized mean, pulled toward the {1,2} pair and v3:
+    // within {1,2} the one farther from the centroid must survive.
+    // Compute the expectation from the same public centroid API.
+    val cents = graft.operators.Similarity.trainCentroids(tiny, "vec_id", "embedding", 1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c = cents(0)
+    val s1 = cos(Array(1.0, 0.0), c); val s2 = cos(Array(0.995, 0.0998), c)
+    val expectSurvivor = if (s1 < s2 || (s1 == s2)) 1L else 2L
+    assert(keptTiny == Set(expectSurvivor, 3L), s"kept $keptTiny, want ${Set(expectSurvivor, 3L)}")
+    // deterministic
+    val again = Dedup.semDedup(emb, "vec_id", "embedding", eps, nCentroids = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
   test("connectedComponents equals driver-side union-find on a random graph") {
     val rnd = new scala.util.Random(7)
     val n = 200
