@@ -400,11 +400,16 @@ object Dedup {
     import graft.functions.VectorFunctions.topCentroids
     val centDf = cents.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cid", "cent")
+    // three consumers read this frame (both pair-join sides via self-join,
+    // the component node set, the representative ranking) — materialize the
+    // assignment once (lazy local checkpoint, the curate lesson) instead of
+    // re-running the centroid scan per consumer
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cid", element_at(topCentroids(col("v"), cents, 1), 1))
       .join(broadcast(centDf), Seq("cid"))
       .withColumn("cent_sim", round(Similarity.cosine(col("v"), col("cent")), 6))
       .select("id", "cid", "v", "cent_sim")
+      .localCheckpoint(false)
     val pairs = v.as("a").join(v.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
