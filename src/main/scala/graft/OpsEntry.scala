@@ -43,6 +43,42 @@ object OpsEntry {
       |  * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')))::DOUBLE / length(text))
       |  * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text))""".stripMargin
 
+  /** DuckDB SQL replicating [[Dedup.minhashLshPairsMd5]]'s whole pipeline —
+    * 28-bit md5 shingle hashes, the same 64 (a·h+b) mod p signature mins
+    * (params stamped from the same seeded generator), string band buckets,
+    * exact-Jaccard verify — so the d19 gate row hash-checks the ENTIRE
+    * MinHash+LSH pipeline cross-engine, the d15 pattern for this family.
+    */
+  private lazy val minhashMd5OracleSql: String = {
+    val (a, b) = Dedup.hashParams(64)
+    val sigEntries = (0 until 64).map(j =>
+      s"list_min(list_transform(hs, h -> (${a(j)}*h + ${b(j)}) % 2147483647))")
+      .mkString(",\n    ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_distinct(list_transform(range(len(w) - 2),
+       |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+       |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id, hs, [
+       |    $sigEntries] AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+       |  FROM sig, unnest(range(32)) AS t(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.doc_id < y.doc_id),
+       |v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+       |      (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) AS jaccard
+       |  FROM cand c JOIN sh p ON p.doc_id = c.id_a JOIN sh q ON q.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def defs: Vector[QueryDef] = Vector(
     QueryDef(
       "a01_asof_join",
@@ -387,6 +423,17 @@ object OpsEntry {
           .orderBy("id_a", "id_b")
       },
       None),
+
+    QueryDef(
+      "d19_minhash_md5_pairs",
+      withTables { (s, _) =>
+        // the MinHash family's oracle-parity variant (cf. d15 for SimHash):
+        // md5 28-bit shingle hashes + plain mod-p signature mins + string
+        // band buckets make the whole banded pipeline DuckDB-statable
+        Dedup.minhashLshPairsMd5(s.table("documents"), "doc_id", "text", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(minhashMd5OracleSql)),
 
     QueryDef(
       "d18_semdedup",

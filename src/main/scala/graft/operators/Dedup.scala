@@ -278,7 +278,7 @@ object Dedup {
   // 31-bit modular space: base hash and multipliers < 2^31, so a*h + b
   // stays < 2^63 and never overflows Long under ANSI arithmetic.
   private val MersennePrime = 2147483647L // 2^31 - 1
-  private def hashParams(numHashes: Int): (Array[Long], Array[Long]) = {
+  private[graft] def hashParams(numHashes: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
     val a = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1)
     val b = Array.fill(numHashes)(math.abs(rnd.nextLong()) % MersennePrime)
@@ -357,6 +357,67 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[minhashLshPairs]]' ORACLE-PARITY variant — the d15 pattern applied
+    * to the MinHash family, which closes the last approximate-dedup family
+    * without a cross-engine check. Every stage is SQL-statable in both
+    * engines: shingle hashes are the first 7 md5 hex digits (28-bit — the
+    * [[graft.operators.TrainingPipeline.sampleFraction]] trick, so
+    * `a·h + b` stays ≤ 2⁵⁹ and overflows nowhere), signatures are plain
+    * `min((a_j·h + b_j) mod p)` folds, band buckets are the band's
+    * signature values joined as a STRING (bucket equality ≡ slice
+    * equality — no band-hash to diverge on), and candidates verify by
+    * exact Jaccard on the distinct hashed shingle sets. Same banded plan
+    * shape as the xxhash64 production default; md5 costs more per token,
+    * which is why the fast default stays and THIS variant is the one the
+    * DuckDB gate hash-checks end to end (d19).
+    */
+  def minhashLshPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val (a, b) = hashParams(numHashes)
+    val p = MersennePrime
+    val w = split(col(textCol), " ")
+    val shingleStrs = transform(
+      sequence(lit(0), size(w) - shingleSize),
+      i => array_join(slice(w, i + 1, lit(shingleSize)), " "))
+    // distinct 28-bit md5 hashes of the distinct shingle strings — the
+    // same set the oracle builds, element for element
+    val hashes = array_distinct(transform(array_distinct(shingleStrs),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long")))
+    val hs = df.where(size(w) >= shingleSize)
+      .select(col(idCol).as("id"), hashes.as("hs"))
+    val sigCols = (0 until numHashes).map { j =>
+      array_min(transform(col("hs"), h => (lit(a(j)) * h + lit(b(j))) % p))
+    }
+    val sig = hs.select(col("id"), col("hs"), array(sigCols: _*).as("sig"))
+    val bandCols = (0 until bands).map { bd =>
+      array_join(transform(slice(col("sig"), bd * rows + 1, rows), v => v.cast("string")), ",")
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
+      .toDF("id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = hs.select(col("id"), col("hs").as("sh"))
+    cand
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
