@@ -1425,6 +1425,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.bytes.length <= bytes.length / 2)
     val rd = AudioWavDecoder.decode(r.bytes)
     assert(rd.features(0) == r.width.toFloat && r.width < 8000 && r.height == 1)
+    // content: the decimated PCM is exactly every k-th original sample
+    // (k recovered from the reported rate; parse the payload directly)
+    val k = math.round(8000.0 / r.width).toInt
+    assert(k >= 2)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.bytes))
+    val pcm = ais.readAllBytes(); ais.close()
+    val keptFrames = pcm.length / 2
+    assert(keptFrames == (n + k - 1) / k)
+    (0 until keptFrames).foreach { i =>
+      val got = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF)).toShort
+      assert(got == Multimodal.AudioGen.sample(id, i * k), s"decimated sample $i (k=$k)")
+    }
     // cross-decoder fallbacks: audio bytes are not an image and vice versa
     val viaImage = ImageIoDecoder.decode(bytes)
     val stub = StubDecoder.decode(bytes)
