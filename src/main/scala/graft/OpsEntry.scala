@@ -49,11 +49,18 @@ object OpsEntry {
     * exact-Jaccard verify — so the d19 gate row hash-checks the ENTIRE
     * MinHash+LSH pipeline cross-engine, the d15 pattern for this family.
     */
-  private lazy val minhashMd5OracleSql: String = {
+  /** The 64 signature-min SQL expressions, stamped from the same seeded
+    * params the engine uses — shared by the d19 and d20 oracles.
+    */
+  private lazy val md5SigSqlEntries: String = {
     val (a, b) = Dedup.hashParams(64)
-    val sigEntries = (0 until 64).map(j =>
+    (0 until 64).map(j =>
       s"list_min(list_transform(hs, h -> (${a(j)}*h + ${b(j)}) % 2147483647))")
       .mkString(",\n    ")
+  }
+
+  private lazy val minhashMd5OracleSql: String = {
+    val sigEntries = md5SigSqlEntries
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    list_distinct(list_transform(range(len(w) - 2),
@@ -315,6 +322,47 @@ object OpsEntry {
           .orderBy("doc_id")
       },
       None),
+
+    QueryDef(
+      "d20_cross_dedup_md5",
+      withTables { (s, _) =>
+        // the cross-corpus banded pipeline's oracle-parity variant: odd ids
+        // (the "new crawl") deduped against even ids (the kept corpus),
+        // candidates + verify fully SQL-statable — completes the md5
+        // verification family (d15 simhash, d19 pairs, d20 cross)
+        val docs = s.table("documents")
+        Dedup.crossDedupLshMd5(
+          docs.where(col("doc_id") % 2 === 1),
+          docs.where(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id, y.doc_id AS rid
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+        |bad AS (
+        |  SELECT DISTINCT c.id AS doc_id
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id JOIN sh q ON q.doc_id = c.rid
+        |  WHERE round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |    (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN bad USING (doc_id)
+        |WHERE d.doc_id % 2 = 1 AND bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
       "d15_simhash_md5_pairs",

@@ -375,16 +375,14 @@ object Dedup {
     * which is why the fast default stays and THIS variant is the one the
     * DuckDB gate hash-checks end to end (d19).
     */
-  def minhashLshPairsMd5(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
+  /** (id, hs, sig) frame for the md5 oracle-parity MinHash family: distinct
+    * 28-bit md5 shingle hashes plus `numHashes` plain `(a·h+b) mod p`
+    * signature mins — every element SQL-statable, shared by
+    * [[minhashLshPairsMd5]] and [[crossDedupLshMd5]].
+    */
+  private def md5MinhashFrame(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
     val (a, b) = hashParams(numHashes)
     val p = MersennePrime
     val w = split(col(textCol), " ")
@@ -400,18 +398,38 @@ object Dedup {
     val sigCols = (0 until numHashes).map { j =>
       array_min(transform(col("hs"), h => (lit(a(j)) * h + lit(b(j))) % p))
     }
-    val sig = hs.select(col("id"), col("hs"), array(sigCols: _*).as("sig"))
+    hs.select(col("id"), col("hs"), array(sigCols: _*).as("sig"))
+  }
+
+  /** Band buckets as STRINGS of the band's signature values: bucket
+    * equality ≡ signature-slice equality, so there is no band hash for two
+    * engines to diverge on.
+    */
+  private def md5BandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { bd =>
       array_join(transform(slice(col("sig"), bd * rows + 1, rows), v => v.cast("string")), ",")
     }
-    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)))
-      .toDF("id", "band", "bucket")
+    sig.select(col("id"), posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
+  }
+
+  def minhashLshPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val frame = md5MinhashFrame(df, idCol, textCol, shingleSize, numHashes)
+    val banded = md5BandBuckets(frame, bands, rows)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = hs.select(col("id"), col("hs").as("sh"))
+    val sets = frame.select(col("id"), col("hs").as("sh"))
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
@@ -420,6 +438,43 @@ object Dedup {
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[crossDedupLsh]]'s ORACLE-PARITY variant — [[minhashLshPairsMd5]]'s
+    * machinery applied bipartite, completing the md5 verification family
+    * (d15 SimHash, d19 MinHash pairs, d20 cross-corpus): corpus and
+    * reference each get the SQL-statable (hs, sig) frame, candidates meet
+    * in the banded equi-join (string buckets), exact Jaccard on the hashed
+    * sets (threshold on the ROUNDED value, matching the oracle) marks
+    * corpus losers, and survivors anti-join out. The xxhash64
+    * [[crossDedupLsh]] stays the production default.
+    */
+  def crossDedupLshMd5(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val fa = md5MinhashFrame(corpus, idCol, textCol, shingleSize, numHashes)
+    val fb = md5MinhashFrame(reference, idCol, textCol, shingleSize, numHashes)
+    val cand = md5BandBuckets(fa, bands, rows)
+      .join(md5BandBuckets(fb, bands, rows).withColumnRenamed("id", "rid"),
+        Seq("band", "bucket"))
+      .select(col("id"), col("rid")).distinct()
+    val losers = cand
+      .join(fa.select(col("id"), col("hs").as("sh_a")), Seq("id"))
+      .join(fb.select(col("id").as("rid"), col("hs").as("sh_b")), Seq("rid"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", round(
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .where(col("j") >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over an

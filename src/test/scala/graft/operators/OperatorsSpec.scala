@@ -260,6 +260,21 @@ class DedupSpec extends SparkSpec {
     assert(md5p.map(t => (t._1, t._2)).toSet == fast)
   }
 
+  test("crossDedupLshMd5: oracle-parity cross variant equals the exact bipartite dedup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 1)
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val md5Out = Dedup.crossDedupLshMd5(corpus, ref, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // the exact inverted-index path is the semantics anchor (d13's spec
+    // already pins the fast LSH variant to it); the md5 variant must land
+    // on the same survivor set on this corpus
+    val exact = Dedup.crossDedup(corpus, ref, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(md5Out == exact)
+    assert(md5Out.forall(_ % 2 == 1))
+  }
+
   test("semDedup: no surviving semantic dups, losers covered, paper's representative rule") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val eps = 0.4 // where this corpus's near-dups live; at 0.5 there are none at all
