@@ -556,10 +556,10 @@ object OpsEntry {
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin)),
 
-    // q37's answers via the scale-safe exact-percentile operator: same
-    // oracle, but the plan survives low-cardinality groups at 100 TB
-    // (global range sort + zipWithIndex + broadcast rank-pick), where
-    // Spark's `percentile` buffers every group value on one executor
+    // the scale-safe exact-percentile operator's own gate row (global range
+    // sort + zipWithIndex + broadcast rank-pick — nothing larger than a
+    // partition anywhere). Since r9 the q37 dialect row runs this same plan;
+    // this row keeps the operator independently gated under its own name.
     QueryDef(
       "q50_percentiles_scale",
       withTables { (s, _) =>

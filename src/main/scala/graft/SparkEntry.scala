@@ -472,16 +472,27 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin)),
 
-    // exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+    // exact interpolated percentiles (≡ DuckDB quantile_cont). The gate plan
+    // is the scale-safe distributed selection (Percentiles.exactByGroup):
+    // Spark's `percentile` is a TypedImperativeAggregate whose final buffer
+    // holds EVERY group value on one executor — identical answers, but a
+    // single-machine bottleneck at 100 TB with low-cardinality groups. The
+    // dialect form (`percentile(...)` as a pipe stage) stays covered as a
+    // spec-only cross-check in PlanQualitySpec, which also pins the absence
+    // of the unbounded buffer from this gate plan.
     QueryDef(
       "q37_percentiles",
-      psql("""from lineitem |>
-        |select l_returnflag,
-        |  cast(percentile(l_quantity, 0.5) as double) as p50,
-        |  cast(percentile(l_quantity, 0.95) as double) as p95,
-        |  cast(percentile(l_extendedprice, 0.25) as double) as p25_price
-        |  group by l_returnflag |>
-        |order by l_returnflag""".stripMargin),
+      (s, dir) => {
+        Tables.register(s, dir)
+        import org.apache.spark.sql.functions.col
+        val li = s.table("lineitem")
+        val qty = operators.Percentiles.exactByGroup(li, "l_returnflag", "l_quantity",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        val price = operators.Percentiles.exactByGroup(li, "l_returnflag", "l_extendedprice",
+          Seq("p25_price" -> 0.25))
+        qty.join(price, Seq("l_returnflag")).orderBy("l_returnflag")
+          .select(col("l_returnflag"), col("p50"), col("p95"), col("p25_price"))
+      },
       Some("""SELECT l_returnflag,
         |  cast(quantile_cont(l_quantity, 0.5) as double) AS p50,
         |  cast(quantile_cont(l_quantity, 0.95) as double) AS p95,

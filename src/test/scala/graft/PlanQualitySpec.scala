@@ -213,6 +213,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q37 gate plan carries no unbounded percentile buffer; dialect form cross-checks exactly") {
+    // Since r9 the q37 gate row runs the scale-safe distributed selection.
+    // Pin that its physical plan contains NO `percentile` aggregate — Spark's
+    // Percentile is a TypedImperativeAggregate whose final buffer holds every
+    // group value on one executor, the one plan shape that cannot survive
+    // low-cardinality groups at 100 TB.
+    val q37 = SparkEntry.defs.find(_.name == "q37_percentiles").get
+    val gate = q37.fn(spark, sf)
+    val p = plan(gate)
+    assert(!p.toLowerCase.contains("percentile"), p)
+    // the retired dialect plan (percentile(...) as a pipe stage) stays as a
+    // spec-only cross-check: identical answers, row for row
+    val dialect = graft.psql.Psql(spark).sql(
+      """from lineitem |>
+        |select l_returnflag,
+        |  cast(percentile(l_quantity, 0.5) as double) as p50,
+        |  cast(percentile(l_quantity, 0.95) as double) as p95,
+        |  cast(percentile(l_extendedprice, 0.25) as double) as p25_price
+        |  group by l_returnflag |>
+        |order by l_returnflag""".stripMargin)
+    val a = gate.collect().map(_.toSeq)
+    val b = dialect.collect().map(_.toSeq)
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
+  }
+
   test("exact percentile operator: the range sort shuffles the data exactly once") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // exactByGroup's indexed frame feeds three consumers through an RDD
