@@ -657,9 +657,12 @@ object OpsEntry {
     QueryDef(
       "m01_multimodal_features",
       withTables { (s, _) =>
-        // gate entry stringifies the array<float> column: the driver's pandas
+        // MIXED modality column (PNG / WAV / animated GIF / opaque text by
+        // id%4) through the dispatching default decoder: real codecs decode
+        // the decodable rows, the stub only the opaque ones. Gate entry
+        // stringifies the array<float> column: the driver's pandas
         // canonicalizer cannot sort/hash numpy arrays (round-1 harness err)
-        Multimodal.extractFeatures(Multimodal.documentsAsMedia(s.table("documents")))
+        Multimodal.extractFeatures(Multimodal.documentsAsMixedMedia(s.table("documents")))
           .withColumn("features", concat_ws(",", col("features").cast("array<string>")))
           .orderBy("media_id")
       },
@@ -668,7 +671,9 @@ object OpsEntry {
     QueryDef(
       "m02_frame_sample",
       withTables { (s, _) =>
-        Multimodal.sampleFrames(Multimodal.documentsAsMedia(s.table("documents")), 4)
+        // mixed payloads, dispatching decoder: GIF rows sample real stored
+        // frames, WAV rows cut real PCM segments, opaque rows chunk bytes
+        Multimodal.sampleFrames(Multimodal.documentsAsMixedMedia(s.table("documents")), 4)
           .select(col("media_id"), col("frame_idx"), length(col("frame")).as("n"), col("frame_checksum"))
           .orderBy("media_id", "frame_idx")
       },
@@ -677,9 +682,11 @@ object OpsEntry {
     QueryDef(
       "m03_resize",
       withTables { (s, _) =>
-        // deterministic byte-level "resize" (stub codec): bound media bytes
-        // and rewrite dims — gate checks the plumbing, spec checks semantics
-        Multimodal.resize(Multimodal.documentsAsMedia(s.table("documents")), 64)
+        // mixed payloads, dispatching decoder: PNG rows downscale for real
+        // (floor: ~70-byte 1×1 PNG container), WAV rows decimate PCM,
+        // opaque rows stride-subsample — gate checks the plumbing, specs
+        // pin each codec's semantics
+        Multimodal.resize(Multimodal.documentsAsMixedMedia(s.table("documents")), 256)
           .select(col("media_id"), length(col("media")).as("n_bytes"),
             col("meta.width").as("w"), col("meta.height").as("h"))
           .orderBy("media_id")

@@ -533,6 +533,17 @@ case class PqEncodeResidualExpr(
   * re-ship the LUTs with every task, where a broadcast ships them once per
   * executor (torrent) and the expression carries only the handle. Same
   * kernel, same output as [[PqScoresExpr]].
+  *
+  * Broadcast lifetime: the handle lives exactly as long as the plan that
+  * embeds this expression. Spark's ContextCleaner (reference tracking, on
+  * by default) removes driver and executor copies once the caller drops the
+  * returned DataFrame and the Broadcast object is GC'd, so repeated
+  * `pqTopK`/`ivfPqTopK` calls in one session do not accumulate executor
+  * memory indefinitely; a caller needing deterministic release can
+  * `.destroy()` the broadcast after consuming the result. Equality is keyed
+  * on the broadcast ID (Broadcast itself is reference-equal only) so
+  * canonicalization / subexpression elimination dedupes logically identical
+  * instances.
   */
 case class PqScoresBcExpr(
     child: Expression,
@@ -541,6 +552,13 @@ case class PqScoresBcExpr(
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k >= 1)
+
+  override def equals(other: Any): Boolean = other match {
+    case that: PqScoresBcExpr => that.child == child && that.lutsBc.id == lutsBc.id && that.k == k
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Long.valueOf(lutsBc.id), Integer.valueOf(k))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(org.apache.spark.sql.types.IntegerType, _) => TypeCheckResult.TypeCheckSuccess
@@ -579,6 +597,15 @@ case class PqScoreAtExpr(
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   require(k >= 1)
+
+  // same broadcast-ID equality + ContextCleaner lifetime as PqScoresBcExpr
+  override def equals(other: Any): Boolean = other match {
+    case that: PqScoreAtExpr =>
+      that.left == left && that.right == right && that.lutsBc.id == lutsBc.id && that.k == k
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, java.lang.Long.valueOf(lutsBc.id), Integer.valueOf(k))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(org.apache.spark.sql.types.IntegerType, _), org.apache.spark.sql.types.IntegerType) =>

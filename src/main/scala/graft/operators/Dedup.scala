@@ -384,21 +384,19 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
     val (a, b) = hashParams(numHashes)
-    val p = MersennePrime
+    // codegen'd kernels (r9): the round-8 formulation computed the hash set
+    // through interpreted transform/array_distinct chains and the signature
+    // through numHashes interpreted array_min(transform(...)) passes — d19
+    // ran ~2x DuckDB on identical SQL. Md5ShingleHashesExpr produces the
+    // SAME distinct 28-bit md5 hash set in one pass, and the signature
+    // reuses the production MinHash kernel (28-bit hashes are < P, so
+    // pmod(h, P) = h and (a*h + b) % P matches the SQL element for
+    // element). Values — and the driver hashes — are unchanged.
+    import graft.functions.ShingleFunctions.{md5ShingleHashes, minhashSignature}
     val w = split(col(textCol), " ")
-    val shingleStrs = transform(
-      sequence(lit(0), size(w) - shingleSize),
-      i => array_join(slice(w, i + 1, lit(shingleSize)), " "))
-    // distinct 28-bit md5 hashes of the distinct shingle strings — the
-    // same set the oracle builds, element for element
-    val hashes = array_distinct(transform(array_distinct(shingleStrs),
-      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long")))
-    val hs = df.where(size(w) >= shingleSize)
-      .select(col(idCol).as("id"), hashes.as("hs"))
-    val sigCols = (0 until numHashes).map { j =>
-      array_min(transform(col("hs"), h => (lit(a(j)) * h + lit(b(j))) % p))
-    }
-    hs.select(col("id"), col("hs"), array(sigCols: _*).as("sig"))
+    df.where(size(w) >= shingleSize)
+      .select(col(idCol).as("id"), md5ShingleHashes(col(textCol), shingleSize).as("hs"))
+      .select(col("id"), col("hs"), minhashSignature(col("hs"), a, b).as("sig"))
   }
 
   /** Band buckets as STRINGS of the band's signature values: bucket
@@ -508,8 +506,25 @@ object Dedup {
       idCol: String,
       vecCol: String,
       eps: Double,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16,
+      maxMeanClusterSize: Long = 65536L): DataFrame = {
     require(eps > 0 && eps <= 1, s"eps must be in (0, 1]: got $eps")
+    // scale guard: the within-cluster pair join is quadratic in CLUSTER
+    // size, so nCentroids must grow with the corpus (the paper's ~11k
+    // clusters for LAION keep mean cluster size ~21k). A toy default of 16
+    // silently carried to a 100 TB corpus would make every cluster a
+    // billion-row self-join; fail fast at operator-construction time — one
+    // cheap count before any heavy work — with the fix in the message.
+    // Raise maxMeanClusterSize deliberately if the quadratic cost is
+    // genuinely intended.
+    val corpusN = df.count()
+    val meanCluster = corpusN / math.max(1, nCentroids)
+    require(meanCluster <= maxMeanClusterSize,
+      s"semDedup: ~$meanCluster rows per cluster ($corpusN rows / $nCentroids centroids) " +
+        s"exceeds maxMeanClusterSize=$maxMeanClusterSize; within-cluster pairing is " +
+        s"QUADRATIC in cluster size — raise nCentroids to ~${corpusN / 16384 + 1} " +
+        "(target ≤16k mean cluster size, cf. SemDeDup's ~11k clusters for LAION) " +
+        "or raise maxMeanClusterSize deliberately")
     val spark = df.sparkSession
     val cents = Similarity.trainCentroids(df, idCol, vecCol, nCentroids)
     import spark.implicits._

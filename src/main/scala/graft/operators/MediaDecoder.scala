@@ -92,6 +92,52 @@ object StubDecoder extends MediaDecoder {
   }
 }
 
+/** Dispatching default decoder: sniff each payload's container magic bytes
+  * and route the row to the real pure-JDK decoder for that format —
+  * PNG / JPEG / GIF / BMP → [[ImageIoDecoder]] (GIF includes the animated
+  * frames path), RIFF/WAVE / FORM/AIFF / .snd AU → [[AudioWavDecoder]] —
+  * and anything unrecognized (true video containers, text, null/empty or
+  * truncated payloads) to [[StubDecoder]]. Routing is per ROW, so one
+  * mixed-modality `binary` column decodes each payload with the right
+  * codec without the caller pre-splitting by mime; the real decoders keep
+  * their own internal stub fallback, so a sniffed-but-corrupt payload
+  * still degrades to deterministic stub output rather than failing the
+  * task. Stateless (all three targets are JDK-static), so serialization
+  * into the `mapPartitions` closures is free.
+  */
+object SniffingDecoder extends MediaDecoder {
+
+  /** Longest magic we check is bytes [8,12) of a RIFF/FORM container. */
+  private[operators] def sniff(bytes: Array[Byte]): MediaDecoder =
+    if (bytes == null || bytes.length < 4) StubDecoder
+    else {
+      def at(i: Int): Int = bytes(i) & 0xFF
+      val image =
+        (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') || // PNG
+          (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) ||             // JPEG SOI
+          (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') || // GIF87a/89a
+          (at(0) == 'B' && at(1) == 'M')                                   // BMP
+      val audio = bytes.length >= 12 && (
+        (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+          at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') || // WAV
+          (at(0) == 'F' && at(1) == 'O' && at(2) == 'R' && at(3) == 'M' &&
+            at(8) == 'A' && at(9) == 'I' && at(10) == 'F') ||                // AIFF/AIFC
+          (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd'))    // AU
+      if (image) ImageIoDecoder
+      else if (audio) AudioWavDecoder
+      else StubDecoder
+    }
+
+  override def decode(bytes: Array[Byte]): MediaDecoder.Decoded =
+    sniff(bytes).decode(bytes)
+
+  override def frames(bytes: Array[Byte], nFrames: Int): IndexedSeq[Array[Byte]] =
+    sniff(bytes).frames(bytes, nFrames)
+
+  override def resize(bytes: Array[Byte], targetBytes: Int): MediaDecoder.Resized =
+    sniff(bytes).resize(bytes, targetBytes)
+}
+
 /** Real STILL-IMAGE decoder over the pure-JDK `javax.imageio` readers —
   * PNG/JPEG/GIF/BMP decode with no native codec libraries (the reason the
   * rest of multimodal stays stubbed in this sandbox doesn't apply to

@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * running as partition-local batch transforms.
   *
   * Format-specific work is behind the [[MediaDecoder]] seam; the default
-  * [[StubDecoder]] computes deterministic fake features from the bytes
-  * (this environment has no codec libraries). Everything here — schema
-  * contract, `mapPartitions` batching, Encoder handling, partition sizing —
-  * is the real Spark plumbing a codec drops into: pass a decoder backed by
-  * opencv/ffmpeg and no operator changes. Keeping decode in `mapPartitions`
-  * (not a per-row UDF) is the scale decision: one library init + one buffer
-  * per partition, not per row.
+  * [[SniffingDecoder]] magic-byte-routes each row to the real pure-JDK
+  * codec for its container (ImageIO for PNG/JPEG/GIF/BMP, javax.sound for
+  * WAV/AIFF/AU) and to the deterministic [[StubDecoder]] for everything
+  * else (true video containers have no JDK codec in this environment).
+  * Everything here — schema contract, `mapPartitions` batching, Encoder
+  * handling, partition sizing — is the real Spark plumbing a codec drops
+  * into: pass a decoder backed by opencv/ffmpeg and no operator changes.
+  * Keeping decode in `mapPartitions` (not a per-row UDF) is the scale
+  * decision: one library init + one buffer per partition, not per row.
   */
 object Multimodal {
 
@@ -202,6 +204,33 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  /** Mixed-modality payload column — the column shape [[SniffingDecoder]]
+    * exists for: deterministically cycles real PNG / real WAV / real
+    * animated GIF / OPAQUE utf8-text payloads by `doc_id % 4`, so one
+    * binary column carries three decodable container formats plus bytes no
+    * codec accepts. The generic m01–m03 gate rows run over this frame with
+    * the dispatching default decoder: real codecs fire on the decodable
+    * rows, the stub only on the opaque ones (spec-pinned).
+    */
+  def documentsAsMixedMedia(documents: DataFrame): DataFrame = {
+    val rows = documents.select(col("doc_id").as("media_id"), col("text"))
+    rows.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(0)
+        java.lang.Math.floorMod(id, 4L) match {
+          case 0L => Row(id, ImageGen.png(id),
+            Row("image/png", ImageGen.width(id), ImageGen.height(id)))
+          case 1L => Row(id, AudioGen.wav(id), Row("audio/wav", null, null))
+          case 2L => Row(id, ImageGen.gif(id),
+            Row("image/gif", ImageGen.width(id), ImageGen.height(id)))
+          case _ => Row(id,
+            row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            Row("application/octet-stream", null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
@@ -226,7 +255,7 @@ object Multimodal {
   def sampleFrames(
       media: DataFrame,
       nFrames: Int,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
+      decoder: MediaDecoder = SniffingDecoder): DataFrame = {
     require(nFrames > 0)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
@@ -248,7 +277,7 @@ object Multimodal {
   def resize(
       media: DataFrame,
       targetBytes: Int,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
+      decoder: MediaDecoder = SniffingDecoder): DataFrame = {
     require(targetBytes > 0)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
@@ -265,7 +294,7 @@ object Multimodal {
   /** Partition-local feature extraction over binary media columns. */
   def extractFeatures(
       media: DataFrame,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
+      decoder: MediaDecoder = SniffingDecoder): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
     media.mapPartitions { iter =>

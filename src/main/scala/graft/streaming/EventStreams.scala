@@ -89,6 +89,12 @@ object EventStreams {
       watermark: String,
       windowSeconds: Int,
       joinType: String = "inner"): DataFrame = {
+    // fail fast with the operator's name: other join types either drop
+    // columns from the final select silently (semi) or die deep inside the
+    // streaming planner with an opaque error (right_outer needs the state
+    // roles swapped) — same convention as requireIntegralId / checkCodes
+    require(Set("inner", "left_outer").contains(joinType),
+      s"purchaseAttribution: joinType must be 'inner' or 'left_outer', got '$joinType'")
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))

@@ -260,6 +260,45 @@ class DedupSpec extends SparkSpec {
     assert(md5p.map(t => (t._1, t._2)).toSet == fast)
   }
 
+  test("md5 shingle-hash kernel equals the interpreted SQL formulation element for element") {
+    // the r9 codegen'd kernel must produce BYTE-IDENTICAL hash sets and
+    // signatures to the SQL statement the DuckDB oracle runs — this is what
+    // keeps d19/d20 hash-green after the swap. Rebuild the round-8
+    // interpreted formulation inline and compare on the real corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 3
+    val w = split(col("text"), " ")
+    val shingleStrs = transform(
+      sequence(lit(0), size(w) - n),
+      i => array_join(slice(w, i + 1, lit(n)), " "))
+    val sqlHashes = array_distinct(transform(array_distinct(shingleStrs),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long")))
+    val both = docs.where(size(w) >= n)
+      .select(col("doc_id"),
+        graft.functions.ShingleFunctions.md5ShingleHashes(col("text"), n).as("kernel"),
+        sqlHashes.as("sql"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // short-text edge cases: fewer than n tokens → filtered upstream, but
+    // the kernel itself must return empty (not throw); empties kept like SQL
+    assert(graft.functions.ShingleHash.md5ShingleHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b"), 3).isEmpty)
+    import org.apache.spark.unsafe.types.UTF8String
+    // "a  b c" has an empty middle token — split(' ', -1) semantics
+    val withEmpty = graft.functions.ShingleHash.md5ShingleHashes(
+      UTF8String.fromString("a  b c"), 3)
+    val viaSql = docs.sparkSession.sql(
+      """SELECT array_distinct(transform(array_distinct(
+        |  transform(sequence(0, size(split('a  b c', ' ')) - 3),
+        |    i -> array_join(slice(split('a  b c', ' '), i + 1, 3), ' '))),
+        |  s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint)))""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(withEmpty.toSeq == viaSql)
+  }
+
   test("crossDedupLshMd5: oracle-parity cross variant equals the exact bipartite dedup") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val corpus = docs.where(col("doc_id") % 2 === 1)
@@ -339,6 +378,23 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.semDedup(emb, "vec_id", "embedding", eps, nCentroids = 16)
       .select("vec_id").as[Long].collect().toSet
     assert(again == survivors)
+  }
+
+  test("semDedup: centroid-count scale guard fails fast with the fix in the message") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 500 rows / 2 centroids = 250 mean cluster size > bound of 100 → the
+    // quadratic within-cluster pair join would be undersized; the guard must
+    // fire BEFORE any heavy work and tell the caller to raise nCentroids
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semDedup(emb, "vec_id", "embedding", eps = 0.4,
+        nCentroids = 2, maxMeanClusterSize = 100L)
+    }
+    assert(e.getMessage.contains("nCentroids"), e.getMessage)
+    assert(e.getMessage.contains("QUADRATIC"), e.getMessage)
+    // raising the knob deliberately is the documented escape hatch
+    val ok = Dedup.semDedup(emb, "vec_id", "embedding", eps = 0.4,
+      nCentroids = 2, maxMeanClusterSize = 1000L)
+    assert(ok.count() > 0)
   }
 
   test("connectedComponents equals driver-side union-find on a random graph") {
@@ -1300,6 +1356,49 @@ class MultimodalSpec extends SparkSpec {
       assert(bytes.length <= 16)
       val meta = r.getStruct(2)
       assert(meta.getInt(1) == 1 && meta.getInt(2) == bytes.length)
+    }
+  }
+
+  test("SniffingDecoder routes by magic bytes: real codec per container, stub only for opaque") {
+    // routing unit contract
+    assert(SniffingDecoder.sniff(Multimodal.ImageGen.png(3L)) eq ImageIoDecoder)
+    assert(SniffingDecoder.sniff(Multimodal.ImageGen.gif(3L)) eq ImageIoDecoder)
+    assert(SniffingDecoder.sniff(Multimodal.AudioGen.wav(3L)) eq AudioWavDecoder)
+    assert(SniffingDecoder.sniff("plain text payload".getBytes("UTF-8")) eq StubDecoder)
+    assert(SniffingDecoder.sniff(null) eq StubDecoder)
+    assert(SniffingDecoder.sniff(Array[Byte](0x42, 0x4D)) eq StubDecoder) // too short to sniff
+    // per-row dispatch through the operators on the mixed column: every
+    // row's features equal the matching CONCRETE decoder's direct output,
+    // and only the opaque rows match the stub
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val mixed = Multimodal.documentsAsMixedMedia(docs)
+    val feats = Multimodal.extractFeatures(mixed).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.foreach { case (id, fs) =>
+      val (bytes, expected) = java.lang.Math.floorMod(id, 4L) match {
+        case 0L => (Multimodal.ImageGen.png(id), ImageIoDecoder)
+        case 1L => (Multimodal.AudioGen.wav(id), AudioWavDecoder)
+        case 2L => (Multimodal.ImageGen.gif(id), ImageIoDecoder)
+        case _ => (texts(id).getBytes("UTF-8"), StubDecoder)
+      }
+      assert(fs == expected.decode(bytes).features.toSeq, s"id=$id")
+      val stub = StubDecoder.decode(bytes).features.toSeq
+      if (java.lang.Math.floorMod(id, 4L) == 3L)
+        assert(fs == stub, s"opaque row $id must take the stub path")
+      else
+        assert(fs != stub, s"decodable row $id fell through to the stub")
+    }
+    // image rows really decoded: feature 0/1 are the closed-form dims
+    feats.collect { case (id, fs) if id % 4 == 0 =>
+      assert(fs(0) == Multimodal.ImageGen.width(id).toFloat &&
+        fs(1) == Multimodal.ImageGen.height(id).toFloat, s"id=$id")
+    }
+    // audio rows really decoded: sampleRate/channels/frames are closed-form
+    feats.collect { case (id, fs) if id % 4 == 1 =>
+      assert(fs(0) == Multimodal.AudioGen.sampleRate && fs(1) == 1f &&
+        fs(2) == Multimodal.AudioGen.nFrames(id).toFloat, s"id=$id")
     }
   }
 
