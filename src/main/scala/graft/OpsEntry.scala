@@ -17,6 +17,54 @@ object OpsEntry {
   private def withTables(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { Tables.register(s, dir); f(s, dir) }
 
+  /** Trained centroids for the fixed-centroid oracle-parity family
+    * (d21/d22), cached per sfDir: the SAME doubles must reach the Spark
+    * query and the generated DuckDB SQL, and training is deterministic
+    * given the data ([[Similarity.trainCentroids]] — fixed sample, init and
+    * iteration count), so one training per (JVM, sfDir) serves both.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private[graft] def fixedCentroids(sfDir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(sfDir, dir => {
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          "fixedCentroids: no SparkSession — oracle generation must run in the Verify JVM"))
+      Similarity.trainCentroids(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", nCentroids = 16)
+    })
+
+  /** `(cid, cent)` VALUES rows for `{IVF_CENTROIDS}`: Double.toString is
+    * the shortest round-trip decimal form, so DuckDB parses back the
+    * bit-identical doubles Spark computes with.
+    */
+  private[graft] def centroidValuesSql(sfDir: String): String =
+    fixedCentroids(sfDir).zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Shared d21/d22 assignment frame: per vector, the 6-dp-rounded cosine
+    * argmax centroid with the lowest-cid tiebreak — the SQL-statable
+    * assignment rule (the production ANN ops use the full-precision
+    * topCentroids kernel instead; ties below 1e-6 are the only possible
+    * divergence, and the rounding makes both engines see the same ones).
+    */
+  private def assignedToFixedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centDf = fixedCentroids(dir).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cent")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cid").asc)
+    s.table("embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("sim", round(Similarity.cosine(col("v"), col("cent")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("sim").as("cent_sim"), col("v"))
+  }
+
   private def psqlish(text: String): (SparkSession, String) => DataFrame =
     withTables { (s, _) => Psqlish(s, text) }
 
@@ -363,6 +411,80 @@ object OpsEntry {
         |LEFT JOIN bad USING (doc_id)
         |WHERE d.doc_id % 2 = 1 AND bad.doc_id IS NULL
         |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "d21_ivf_assign_parity",
+      withTables { (s, dir) =>
+        // fixed-centroid ORACLE-PARITY family (d21/d22): k-means TRAINING is
+        // not SQL-statable, but everything AFTER training is — embed the
+        // trained centroids as SQL literals ({IVF_CENTROIDS}, bound per
+        // sfDir in oracleSqlFor) and both engines compute assignment as
+        // argmax of the 6-dp-rounded cosine with the lowest-cid tiebreak.
+        // This hash-checks the IVF routing surface d06/d08/d16/d17 build on
+        // (the d15/d19/d20 md5 pattern applied to vectors); the production
+        // ANN ops keep their full-precision topCentroids kernel.
+        assignedToFixedCentroids(s, dir).drop("v").orderBy("vec_id")
+      },
+      Some("""WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+        |           FROM v CROSS JOIN cent_t),
+        |ranked AS (SELECT vec_id, cid, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM scored)
+        |SELECT vec_id, cid, sim AS cent_sim FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    QueryDef(
+      "d22_semdedup_parity",
+      withTables { (s, dir) =>
+        // SemDeDup with FIXED trained centroids, end to end: rounded-argmax
+        // assignment, cluster-LOCAL cosine pairs at eps, transitive closure,
+        // and the paper's least-similar-survivor window — every stage
+        // SQL-statable once the centroids are literals, so the whole
+        // semantic-dedup pipeline (d18's shape) gets a hash-green sibling.
+        // The oracle's recursive CTE closure matches connectedComponents'
+        // min-id labels. Assignment frame feeds both pair-join sides, the
+        // node set and the ranking — materialize once (the curate lesson).
+        val assigned = assignedToFixedCentroids(s, dir).localCheckpoint(false)
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("psim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+          .where(col("psim") >= 0.4)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        val comp = Dedup.connectedComponents(assigned.select(col("vec_id")), pairs)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+          .orderBy(col("cent_sim").asc, col("vec_id").asc)
+        comp.join(assigned.select(col("vec_id"), col("cent_sim")), Seq("vec_id"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("component"), col("cent_sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+        |           FROM v CROSS JOIN cent_t),
+        |assign AS (
+        |  SELECT vec_id, cid, sim AS cent_sim FROM (
+        |    SELECT vec_id, cid, sim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cid, a.cent_sim, v.v FROM assign a JOIN v USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM assign
+        |  UNION
+        |  SELECT e.idb, rc.r FROM reach rc JOIN edges e ON e.ida = rc.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ranked2 AS (
+        |  SELECT c.id, c.component, a.cent_sim,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY a.cent_sim ASC, c.id ASC) AS rn
+        |  FROM comp c JOIN assign a ON a.vec_id = c.id)
+        |SELECT id AS vec_id, component, cent_sim FROM ranked2 WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
       "d15_simhash_md5_pairs",

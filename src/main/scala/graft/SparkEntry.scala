@@ -681,6 +681,16 @@ object SparkEntry {
     * keeps path-scanning oracles (q53) on the SAME dataset as the engine
     * side at any scale factor instead of silently pinning sf0.01.
     */
-  def oracleSqlFor(sfDir: String): Map[String, String] =
-    defs.flatMap(d => d.oracle.map(o => d.name -> o.replace("{SF_DIR}", sfDir))).toMap
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    // `{IVF_CENTROIDS}` binds the fixed-centroid family's trained centroids
+    // for THIS sfDir as SQL literals (lazy: only trains when some oracle
+    // actually uses it — i.e. in the Verify JVM, where a session exists)
+    lazy val centroids = OpsEntry.centroidValuesSql(sfDir)
+    defs.flatMap(d => d.oracle.map { o =>
+      val bound = o.replace("{SF_DIR}", sfDir)
+      d.name -> (if (bound.contains("{IVF_CENTROIDS}"))
+        bound.replace("{IVF_CENTROIDS}", centroids)
+      else bound)
+    }).toMap
+  }
 }

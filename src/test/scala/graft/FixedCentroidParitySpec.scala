@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The fixed-centroid oracle-parity family (d21 IVF assignment, d22
+  * SemDeDup survivors): the gate hash-checks both rows against DuckDB SQL
+  * generated with the trained centroids as literals; this spec pins the
+  * pieces the hash alone doesn't say — that the rounded assignment rule is
+  * the same ROUTING as the production full-precision kernel (not a
+  * different semantics), that the survivor set satisfies SemDeDup's
+  * invariants, and that centroid training is deterministic so the two
+  * engines ever see the same literals at all.
+  */
+class FixedCentroidParitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fixed centroids are deterministic per sfDir (what makes oracle generation sound)") {
+    // touch `spark` first: fixedCentroids resolves the session via
+    // getActiveSession/getDefaultSession, which exist only once built
+    val b = operators.Similarity.trainCentroids(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding", 16)
+    val a = OpsEntry.fixedCentroids(sf)
+    assert(a.length == 16 && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
+  test("d21 rounded assignment routes like the production topCentroids kernel off ties") {
+    Tables.register(spark, sf)
+    val d21 = SparkEntry.queries("d21_ivf_assign_parity")(spark, sf)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = OpsEntry.fixedCentroids(sf)
+    import graft.functions.VectorFunctions.topCentroids
+    val prod = spark.table("embeddings")
+      .select(col("vec_id"),
+        element_at(topCentroids(col("embedding").cast("array<double>"), cents, 1), 1).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d21.keySet == prod.keySet)
+    // the two rules may legally differ only where the top-2 similarities tie
+    // at 6 dp; count the disagreements and require each one IS such a tie
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "cent")
+    val top2 = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        round(operators.Similarity.cosine(col("v"), col("cent")), 6).as("sim"))
+      .groupBy("vec_id").agg(sort_array(collect_list("sim"), asc = false).as("sims"))
+      .select(col("vec_id"), element_at(col("sims"), 1).as("s1"), element_at(col("sims"), 2).as("s2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1) == r.getDouble(2))).toMap
+    val disagree = d21.keys.filter(id => d21(id) != prod(id))
+    disagree.foreach { id =>
+      assert(top2(id), s"vec $id routed differently without a 6-dp tie: d21=${d21(id)} prod=${prod(id)}")
+    }
+  }
+
+  test("d22 survivors satisfy SemDeDup's invariants (one survivor per in-cluster dup group)") {
+    Tables.register(spark, sf)
+    val rows = SparkEntry.queries("d22_semdedup_parity")(spark, sf).collect()
+    val survivors = rows.map(_.getLong(0)).toSet
+    val all = spark.table("embeddings").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.subsetOf(all))
+    assert(survivors.size < all.size, "eps=0.4 drops some semantic dups on this corpus")
+    // every component label is a member id <= all its members' ids
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0)))
+    // exactly one survivor per component label
+    val comps = rows.map(_.getLong(1))
+    assert(comps.distinct.length == comps.length)
+  }
+}
