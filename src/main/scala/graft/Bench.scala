@@ -52,6 +52,11 @@ import org.apache.spark.sql.SparkSession
   *     time, any spread stays pathological after its retry, or ≥3 queries
   *     stay elevated vs history (a code change rarely slows many unrelated
   *     queries at once; a loaded host routinely does);
+  *   - a query still >5x history whose retry pass AGREES with the first
+  *     (two clean concordant passes minutes apart) is a confirmed COST
+  *     CHANGE, not contention: listed in `_meta.cost_changed`, kept out of
+  *     the contended trigger, and reported at its current median in
+  *     best_known (its history measured different work under the same name);
   *   - history excludes the r99 throwaway slot (the judge's own re-runs) and
   *     artifacts recorded under a different `_meta.host` fingerprint —
   *     medians from a faster host would spuriously flag this host's honest
@@ -203,7 +208,21 @@ object Bench {
       if (!elevated(r)) r
       else retimed(r, f"median ${r.median}%.2f s is >5x its best historical ${history(r.name)}%.2f s")
     }
-    val stillElevated = results.filter(elevated).map(_.name)
+    // A query still above 5x history after its retry is either (a) a host
+    // burst that outlived both passes, or (b) a REAL cost change (the r9
+    // lesson: m01–m03 swapped stub byte-chunking for real codec work and
+    // tripped the flag). The two passes discriminate: a burst shows up as
+    // disagreeing or pathological passes; two clean passes that AGREE
+    // (final = min ≥ first/1.3) measured minutes apart are the query's
+    // honest new cost. Those go to _meta.cost_changed (eyes, but not the
+    // contended flag), and best_known reports their CURRENT median — the
+    // stub-era history is not a faithful number for renamed work.
+    def confirmedCost(r: BenchResult): Boolean = r.firstPass.exists { f =>
+      f.median > 0 && r.median > 0 && f.median < 1.3 * r.median &&
+        !pathological(r) && !pathological(f)
+    }
+    val costChanged = results.filter(r => elevated(r) && confirmedCost(r)).map(_.name)
+    val stillElevated = results.filter(r => elevated(r) && !confirmedCost(r)).map(_.name)
     // Locale.ROOT: the output must be machine-parseable JSON on any JVM
     // default locale (no comma decimal separators)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -236,7 +255,11 @@ object Bench {
       if (!contended) None
       else {
         val per = results.filter(_.median >= 0).map { r =>
-          val best = history.get(r.name).map(h => math.min(h, r.median)).getOrElse(r.median)
+          // cost-changed queries keep their CURRENT median: their history
+          // was measured on different work under the same name
+          val best =
+            if (costChanged.contains(r.name)) r.median
+            else history.get(r.name).map(h => math.min(h, r.median)).getOrElse(r.median)
           r.name -> best
         }
         val js = per.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")
@@ -256,7 +279,7 @@ object Bench {
       s""","best_known_total":${num(tot)},"best_known":$js"""
     }.getOrElse("")
     val fullJson = perQuery +
-      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
+      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
     new java.io.File("artifacts").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -44,6 +44,61 @@ object OpsEntry {
       s"($i, [${c.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
 
+  /** d25's trained PQ codebooks (8 subspaces × 16 centroids at dim 64),
+    * cached per sfDir — same determinism story as [[fixedCentroids]].
+    */
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private[graft] def fixedPqCodebooks(sfDir: String): Array[Array[Array[Double]]] =
+    pqCodebookCache.computeIfAbsent(sfDir, dir => {
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          "fixedPqCodebooks: no SparkSession — oracle generation must run in the Verify JVM"))
+      Similarity.trainPqCodebooks(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", m = 8, kCent = 16)
+    })
+
+  /** `(s, c, cent)` VALUES rows for `{PQ_CODEBOOKS}`. */
+  private[graft] def pqCodebookValuesSql(sfDir: String): String = {
+    val cb = fixedPqCodebooks(sfDir)
+    (for (s <- cb.indices; c <- cb(s).indices)
+      yield s"($s, $c, [${cb(s)(c).mkString(", ")}]::DOUBLE[])").mkString(", ")
+  }
+
+  /** d23's probe frame: per query (vec_id < maxQueryId), the nProbe best
+    * centroids under the same rounded ranking the assignment uses.
+    */
+  private def probesToFixedCentroids(
+      s: SparkSession, dir: String, maxQueryId: Long, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val centDf = fixedCentroids(dir).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cent")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cid").asc)
+    s.table("embeddings")
+      .where(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("cent")), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("qv"))
+  }
+
+  /** d24's hyperplanes: the SAME deterministic seeded planes the production
+    * LSH kernel uses ([[Similarity.lshPlane]] — 8 tables × 4 planes at dim
+    * 64), shared by the Spark query and the generated DuckDB VALUES rows.
+    */
+  private lazy val lshPlaneRows: Seq[(Int, Int, Seq[Double])] =
+    for (t <- 0 until 8; p <- 0 until 4)
+      yield (t, p, Similarity.lshPlane(t, p, 64))
+
+  private lazy val lshPlanesSql: String =
+    lshPlaneRows.map { case (t, p, plane) =>
+      s"($t, $p, [${plane.mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
   /** Shared d21/d22 assignment frame: per vector, the 6-dp-rounded cosine
     * argmax centroid with the lowest-cid tiebreak — the SQL-statable
     * assignment rule (the production ANN ops use the full-precision
@@ -485,6 +540,189 @@ object OpsEntry {
         |  FROM comp c JOIN assign a ON a.vec_id = c.id)
         |SELECT id AS vec_id, component, cent_sim FROM ranked2 WHERE rn = 1
         |ORDER BY vec_id""".stripMargin)),
+
+    QueryDef(
+      "d23_ivf_topk_parity",
+      withTables { (s, dir) =>
+        // the PROBED top-k half of the IVF bridge (d21 is assignment): each
+        // query probes its nProbe=4 best centroids by the same rounded
+        // ranking, candidates meet the corpus assignment on cid, and the
+        // rounded cosine ranks top-5 — d08/d17's whole retrieval shape,
+        // hash-checked. Production d08 keeps the full-precision kernel.
+        val corpus = assignedToFixedCentroids(s, dir).localCheckpoint(false)
+        val probes = probesToFixedCentroids(s, dir, maxQueryId = 10, nProbe = 4)
+        val scored = probes.join(corpus.select(col("cid"), col("vec_id").as("neighbor_id"),
+            col("v").as("cv")), Seq("cid"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+        |           FROM v CROSS JOIN cent_t),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id JOIN v c ON c.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef(
+      "d24_lsh_topk_parity",
+      withTables { (s, dir) =>
+        // hyperplane-LSH bridge (d06/d09's banded machinery, hash-checked):
+        // bucket bit p of table t is `round(cosine(v, plane_tp), 6) > 0` —
+        // cosine has the dot's sign, its cross-engine equality is already
+        // proven by d05/d07, and rounding makes the sign decision identical
+        // in both engines. Candidates collide on (table, bucket), exact
+        // rounded cosine ranks top-5. Production d06/d09 keep the codegen'd
+        // sign-bit kernel (LshBucketsExpr).
+        import s.implicits._
+        val planesDf = lshPlaneRows.toDF("tbl", "p", "plane")
+        def buckets(df: DataFrame, id: String) =
+          df.crossJoin(broadcast(planesDf))
+            .groupBy(col(id), col("tbl"))
+            .agg(sum(when(round(Similarity.cosine(col("v"), col("plane")), 6) > 0,
+              expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+        val v = s.table("embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .localCheckpoint(false)
+        val cb = buckets(v, "vec_id")
+        val qb = buckets(v.where(col("vec_id") < 10), "vec_id")
+          .withColumnRenamed("vec_id", "query_id")
+        val cand = qb.join(cb.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("tbl", "bucket"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+        val scored = cand
+          .join(v.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+          .join(v.select(col("vec_id").as("neighbor_id"), col("v").as("cv")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH planes(tbl, p, plane) AS (VALUES $lshPlanesSql),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN round(list_cosine_similarity(v, plane), 6) > 0
+        |        THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        |  FROM cand JOIN v q ON q.vec_id = cand.query_id
+        |  JOIN v c ON c.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef(
+      "d25_pq_adc_parity",
+      withTables { (s, dir) =>
+        // PQ bridge (d16's ADC shape, hash-checked): with the trained
+        // codebooks as literals, encode = per-subspace argmin of the
+        // 9-dp-rounded squared distance (lowest-code tiebreak), and the ADC
+        // score is ONE ordered dot product against the DECODED vector (the
+        // chosen sub-centroids concatenated in subspace order) — summation
+        // order pinned on both engines, so 6-dp rounding closes the gap.
+        // Production d16/d17 keep the codegen'd int-code kernels.
+        import s.implicits._
+        val cb = fixedPqCodebooks(dir)
+        val m = cb.length; val sub = cb(0)(0).length
+        val cbDf = (for (si <- cb.indices; c <- cb(si).indices)
+          yield (si, c, cb(si)(c).toSeq)).toDF("s", "c", "cent")
+        val unit = s.table("embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+          .where(col("nrm") > 0)
+          .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+          .localCheckpoint(false)
+        val dists = unit.crossJoin(broadcast(cbDf))
+          .withColumn("subv", slice(col("u"), col("s") * sub + 1, lit(sub)))
+          .withColumn("d", round(aggregate(
+            zip_with(col("subv"), col("cent"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 9))
+        val wCode = org.apache.spark.sql.expressions.Window.partitionBy("vec_id", "s")
+          .orderBy(col("d").asc, col("c").asc)
+        val dv = dists.withColumn("rn", row_number().over(wCode)).where(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cent")))),
+            x => x.getField("cent"))).as("dv"))
+        val scored = unit.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("u").as("qu"))
+          .crossJoin(dv.select(col("vec_id").as("neighbor_id"), col("dv")))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(aggregate(zip_with(col("qu"), col("dv"), (x, y) => x * y),
+              lit(0.0), (a, x) => a + x), 6).as("score"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("score"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cb(s, c, cent) AS (VALUES {PQ_CODEBOOKS}),
+        |v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v0),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM n WHERE nrm > 0),
+        |dists AS (
+        |  SELECT vec_id, s, c, cent,
+        |    round(list_sum(list_transform(range(8),
+        |      j -> (u[s*8 + j + 1] - cent[j + 1]) * (u[s*8 + j + 1] - cent[j + 1]))), 9) AS d
+        |  FROM u CROSS JOIN cb),
+        |codes AS (
+        |  SELECT vec_id, s, cent FROM (
+        |    SELECT vec_id, s, cent,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |dv AS (SELECT vec_id, flatten(list(cent ORDER BY s)) AS dv FROM codes GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(range(64), i -> q.u[i + 1] * c.dv[i + 1])), 6) AS score
+        |  FROM u q CROSS JOIN dv c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, score, cast(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
     QueryDef(
       "d15_simhash_md5_pairs",

@@ -682,15 +682,18 @@ object SparkEntry {
     * side at any scale factor instead of silently pinning sf0.01.
     */
   def oracleSqlFor(sfDir: String): Map[String, String] = {
-    // `{IVF_CENTROIDS}` binds the fixed-centroid family's trained centroids
-    // for THIS sfDir as SQL literals (lazy: only trains when some oracle
-    // actually uses it — i.e. in the Verify JVM, where a session exists)
+    // `{IVF_CENTROIDS}` / `{PQ_CODEBOOKS}` bind the fixed-centroid family's
+    // trained parameters for THIS sfDir as SQL literals (lazy: only trains
+    // when some oracle uses them — i.e. in the Verify JVM, with a session)
     lazy val centroids = OpsEntry.centroidValuesSql(sfDir)
+    lazy val codebooks = OpsEntry.pqCodebookValuesSql(sfDir)
     defs.flatMap(d => d.oracle.map { o =>
-      val bound = o.replace("{SF_DIR}", sfDir)
-      d.name -> (if (bound.contains("{IVF_CENTROIDS}"))
-        bound.replace("{IVF_CENTROIDS}", centroids)
-      else bound)
+      var bound = o.replace("{SF_DIR}", sfDir)
+      if (bound.contains("{IVF_CENTROIDS}"))
+        bound = bound.replace("{IVF_CENTROIDS}", centroids)
+      if (bound.contains("{PQ_CODEBOOKS}"))
+        bound = bound.replace("{PQ_CODEBOOKS}", codebooks)
+      d.name -> bound
     }).toMap
   }
 }

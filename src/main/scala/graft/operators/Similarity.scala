@@ -429,6 +429,13 @@ object Similarity {
     Seq.fill(maxDim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** The deterministic hyperplane for (table, plane) — exposed for the
+    * oracle-parity LSH gate row (d24), which embeds the SAME planes the
+    * production kernel buckets with as SQL literals.
+    */
+  private[graft] def lshPlane(table: Int, planeIdx: Int, maxDim: Int): Seq[Double] =
+    plane(table, planeIdx, maxDim)
+
   /** Per-table hyperplane-LSH bucket ids (array<long>, index = table) for
     * all `nTables` tables at once, via one native codegen'd expression
     * ([[graft.functions.LshBucketsExpr]]) — nTables × nPlanes separate

@@ -382,6 +382,21 @@ object TrainingPipeline {
     * shingle index.
     * Returns surviving docs with their annotations.
     */
+  /** How [[curate]] materializes its filtered+deduped stage for the stage's
+    * k consumers: [[Materialize.Checkpoint]] (default) is an in-job lazy
+    * localCheckpoint — executor block storage, zero external dependencies;
+    * [[Materialize.Warehouse]] writes the stage as parquet at `path` and
+    * reads it back — the 100 TB fallback when executor storage can't hold a
+    * corpus-sized stage (durable, resumable, and the re-read prunes
+    * columns/filters like any other scan). Same survivors either way
+    * (parity-spec'd); only the storage substrate differs.
+    */
+  sealed trait Materialize
+  object Materialize {
+    case object Checkpoint extends Materialize
+    final case class Warehouse(path: String) extends Materialize
+  }
+
   def curate(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -392,7 +407,8 @@ object TrainingPipeline {
       substringDedup: Boolean = false,
       winnowK: Int = 5,
       winnowW: Int = 4,
-      minSharedFp: Long = 2L): DataFrame = {
+      minSharedFp: Long = 2L,
+      materialize: Materialize = Materialize.Checkpoint): DataFrame = {
     val stats = TextFunctions.qualityStats(col(textCol))
     val annotated = docs
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
@@ -407,11 +423,16 @@ object TrainingPipeline {
     // checkpointing only a narrow (id, text) projection would leave the
     // final anti-join re-paying the whole pipeline for the survivor rows.
     // At 100 TB this stage is corpus-sized: localCheckpoint spills to
-    // executor disk, which is the in-job version of the standard practice —
-    // materializing the post-filter curation stage before dedup passes; if
-    // executor storage can't hold it, write the stage to the warehouse and
-    // read it back instead (same plan shape, durable storage).
-    val exact = Dedup.dedupExact(filtered, textCol, idCol).localCheckpoint(false)
+    // executor disk; when executor storage can't hold it, the Warehouse
+    // mode writes the stage to durable parquet and reads it back (same
+    // consumer plan shape, scan instead of block reads).
+    val deduped = Dedup.dedupExact(filtered, textCol, idCol)
+    val exact = materialize match {
+      case Materialize.Checkpoint => deduped.localCheckpoint(false)
+      case Materialize.Warehouse(path) =>
+        deduped.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+    }
     val base = exact.select(col(idCol), col(textCol))
     val pairs = curatePairs(base, idCol, textCol, jaccardThreshold,
       substringDedup, winnowK, winnowW, minSharedFp)

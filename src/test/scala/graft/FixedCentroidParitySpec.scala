@@ -55,6 +55,55 @@ class FixedCentroidParitySpec extends SparkSpec {
     }
   }
 
+  test("d23 probed top-k equals the production ivfTopK on this corpus (same centroids, same probes)") {
+    Tables.register(spark, sf)
+    val emb = spark.table("embeddings")
+    val d23 = SparkEntry.queries("d23_ivf_topk_parity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // production ivfTopK trains the same deterministic centroids from the
+    // same corpus — identical routing except at 6-dp rounding ties, of
+    // which this corpus has none (the d21 spec checks that), so the two
+    // retrieval paths must return the same ranked lists
+    val prod = operators.Similarity.ivfTopK(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(d23.keySet == prod.keySet)
+    d23.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
+  }
+
+  test("d24 LSH top-k equals the production lshTopK on this corpus (same planes, same buckets)") {
+    Tables.register(spark, sf)
+    val emb = spark.table("embeddings")
+    val d24 = SparkEntry.queries("d24_lsh_topk_parity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the parity bucket rule signs round(cosine, 6); the production kernel
+    // signs the raw dot — identical unless some |cosine(v, plane)| < 5e-7,
+    // which this corpus has none of, so candidate sets and rankings agree
+    val prod = operators.Similarity.lshTopK(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, nPlanes = 4, nTables = 8, dimension = Some(64))
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(d24.keySet == prod.keySet)
+    d24.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
+  }
+
+  test("d25 ADC ranking equals the production pqTopK(rerank=0) on this corpus") {
+    Tables.register(spark, sf)
+    val emb = spark.table("embeddings")
+    // d25 scores dot(unit q, decoded); production LUTs use the RAW query —
+    // a positive per-query scale, so the per-query RANKINGS must agree
+    // (same codebooks, same codes off rounded-argmin ties, none here)
+    val d25 = SparkEntry.queries("d25_pq_adc_parity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val prod = operators.Similarity.pqTopK(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      k = 5, m = 8, kCent = 16, rerank = 0)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(d25.keySet == prod.keySet)
+    d25.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
+  }
+
   test("d22 survivors satisfy SemDeDup's invariants (one survivor per in-cluster dup group)") {
     Tables.register(spark, sf)
     val rows = SparkEntry.queries("d22_semdedup_parity")(spark, sf).collect()

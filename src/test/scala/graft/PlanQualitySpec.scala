@@ -340,6 +340,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("curate Warehouse materialization: consumers read the warehouse scan; survivors identical") {
+    import operators.TrainingPipeline
+    val whPath = java.nio.file.Files.createTempDirectory("curate_wh").toString + "/stage"
+    try {
+      val wh = TrainingPipeline.curate(spark.table("documents"),
+        minQuality = 0.2, jaccardThreshold = 0.8, clusterDedup = true,
+        substringDedup = true, winnowK = 3, winnowW = 4, minSharedFp = 2L,
+        materialize = TrainingPipeline.Materialize.Warehouse(whPath))
+      // plan pin: the final plan's scans are the WAREHOUSE parquet (plus the
+      // closure's checkpointed loser frame) — no documents re-scan, no
+      // re-derived annotate/dedup window past the materialization
+      val p = plan(wh)
+      assert(p.contains("FileScan parquet") && p.contains("curate_wh"),
+        "survivor plan does not read the warehouse stage:\n" + p)
+      assert(!p.contains("documents.parquet"),
+        "curate stage re-derived from the source scan:\n" + p)
+      assert(!p.contains("md5") && "\\bWindow\\b".r.findFirstIn(p).isEmpty,
+        "exact-dedup window re-derived past the warehouse write:\n" + p)
+      // parity: identical survivors to the default checkpoint mode
+      val ck = TrainingPipeline.curate(spark.table("documents"),
+        minQuality = 0.2, jaccardThreshold = 0.8, clusterDedup = true,
+        substringDedup = true, winnowK = 3, winnowW = 4, minSharedFp = 2L)
+      val a = wh.select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = ck.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b, s"warehouse vs checkpoint survivor mismatch: ${(a diff b) ++ (b diff a)}")
+      assert(a.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(whPath).getParentFile)
+    }
+  }
+
   test("winnowing pairs: inverted-index join is shuffle-hash, never a cross product") {
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val df = operators.Dedup.winnowingPairs(
