@@ -151,13 +151,16 @@ object Bench {
       System.err.println(f"[bench] ${r.name}: $why — re-timing")
       val retry = timeOne(byName(r.name))
       val best = if (retry.median >= 0 && (r.median < 0 || retry.median < r.median)) retry else r
-      best.copy(firstPass = r.firstPass.orElse(Some(r)))
+      val other = if (best eq retry) r else retry
+      // firstPass = the original pass (artifact provenance); otherPass = the
+      // pass NOT kept (whichever that is), so agreement between the two real
+      // passes is checkable even when the retry came back slower
+      best.copy(firstPass = r.firstPass.orElse(Some(r)), otherPass = Some(other))
     }
     val spreadChecked = firstPass.map { r =>
       if (!pathological(r)) r
       else retimed(r, f"spread ${r.times.head}%.2f..${r.times.last}%.2f s")
     }
-    val stillPathological = spreadChecked.filter(pathological).map(_.name)
     // host fingerprint: history medians are only comparable when measured on
     // the same machine shape — a faster host's artifact would spuriously mark
     // this host's honest numbers "elevated" and flip the contended flag
@@ -213,16 +216,22 @@ object Bench {
     // lesson: m01–m03 swapped stub byte-chunking for real codec work and
     // tripped the flag). The two passes discriminate: a burst shows up as
     // disagreeing or pathological passes; two clean passes that AGREE
-    // (final = min ≥ first/1.3) measured minutes apart are the query's
-    // honest new cost. Those go to _meta.cost_changed (eyes, but not the
-    // contended flag), and best_known reports their CURRENT median — the
-    // stub-era history is not a faithful number for renamed work.
-    def confirmedCost(r: BenchResult): Boolean = r.firstPass.exists { f =>
-      f.median > 0 && r.median > 0 && f.median < 1.3 * r.median &&
-        !pathological(r) && !pathological(f)
+    // (the discarded pass within 1.3x of the kept min) measured minutes
+    // apart are the query's honest new cost. Those go to _meta.cost_changed
+    // (eyes, but not the contended flag), and best_known reports their
+    // CURRENT median — stub-era history is not faithful for renamed work.
+    // otherPass (the pass NOT kept) is what makes this non-vacuous when the
+    // retry came back slower than the first pass.
+    def confirmedCost(r: BenchResult): Boolean = r.otherPass.exists { o =>
+      o.median > 0 && r.median > 0 && o.median < 1.3 * r.median &&
+        !pathological(r) && !pathological(o)
     }
     val costChanged = results.filter(r => elevated(r) && confirmedCost(r)).map(_.name)
     val stillElevated = results.filter(r => elevated(r) && !confirmedCost(r)).map(_.name)
+    // after ALL retry passes: a kept result that is still pathological (the
+    // elevated retry can return a spread the spread pass never saw) — the
+    // pre-r9 placement froze this list before the elevated retries ran
+    val stillPathological = results.filter(pathological).map(_.name)
     // Locale.ROOT: the output must be machine-parseable JSON on any JVM
     // default locale (no comma decimal separators)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -297,5 +306,6 @@ object Bench {
   }
 
   private case class BenchResult(name: String, median: Double, times: Seq[Double], runs: Int,
-      warmOk: Boolean, firstPass: Option[BenchResult] = None)
+      warmOk: Boolean, firstPass: Option[BenchResult] = None,
+      otherPass: Option[BenchResult] = None)
 }

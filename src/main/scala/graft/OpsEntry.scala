@@ -663,7 +663,7 @@ object OpsEntry {
         // Production d16/d17 keep the codegen'd int-code kernels.
         import s.implicits._
         val cb = fixedPqCodebooks(dir)
-        val m = cb.length; val sub = cb(0)(0).length
+        val sub = cb(0)(0).length
         val cbDf = (for (si <- cb.indices; c <- cb(si).indices)
           yield (si, c, cb(si)(c).toSeq)).toDF("s", "c", "cent")
         val unit = s.table("embeddings")

@@ -513,18 +513,24 @@ object Dedup {
     // size, so nCentroids must grow with the corpus (the paper's ~11k
     // clusters for LAION keep mean cluster size ~21k). A toy default of 16
     // silently carried to a 100 TB corpus would make every cluster a
-    // billion-row self-join; fail fast at operator-construction time — one
-    // cheap count before any heavy work — with the fix in the message.
+    // billion-row self-join; fail fast at operator-construction time with
+    // the fix in the message. The count is BOUNDED: limit(bound+1) on the
+    // pruned id column short-circuits the scan — the guard never pays a
+    // full corpus pass, only enough rows to prove the bound is exceeded.
     // Raise maxMeanClusterSize deliberately if the quadratic cost is
     // genuinely intended.
-    val corpusN = df.count()
-    val meanCluster = corpusN / math.max(1, nCentroids)
-    require(meanCluster <= maxMeanClusterSize,
-      s"semDedup: ~$meanCluster rows per cluster ($corpusN rows / $nCentroids centroids) " +
-        s"exceeds maxMeanClusterSize=$maxMeanClusterSize; within-cluster pairing is " +
-        s"QUADRATIC in cluster size — raise nCentroids to ~${corpusN / 16384 + 1} " +
-        "(target ≤16k mean cluster size, cf. SemDeDup's ~11k clusters for LAION) " +
-        "or raise maxMeanClusterSize deliberately")
+    val bound =
+      if (maxMeanClusterSize > Long.MaxValue / math.max(1, nCentroids)) Long.MaxValue
+      else maxMeanClusterSize * nCentroids
+    if (bound < Long.MaxValue) {
+      val seen = df.select(col(idCol)).limit((bound + 1).min(Int.MaxValue.toLong).toInt).count()
+      require(seen <= bound,
+        s"semDedup: > $bound rows across $nCentroids centroids means mean cluster size " +
+          s"exceeds maxMeanClusterSize=$maxMeanClusterSize; within-cluster pairing is " +
+          s"QUADRATIC in cluster size — raise nCentroids to ~corpusRows/16384 " +
+          "(target ≤16k mean cluster size, cf. SemDeDup's ~11k clusters for LAION) " +
+          "or raise maxMeanClusterSize deliberately")
+    }
     val spark = df.sparkSession
     val cents = Similarity.trainCentroids(df, idCol, vecCol, nCentroids)
     import spark.implicits._

@@ -223,9 +223,13 @@ object Multimodal {
           case 1L => Row(id, AudioGen.wav(id), Row("audio/wav", null, null))
           case 2L => Row(id, ImageGen.gif(id),
             Row("image/gif", ImageGen.width(id), ImageGen.height(id)))
-          case _ => Row(id,
-            row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            Row("application/octet-stream", null, null))
+          case _ =>
+            // null text → null media, like the null-safe encode() the plain
+            // documentsAsMedia path uses; every decoder handles null bytes
+            val t = row.getString(1)
+            Row(id,
+              if (t == null) null else t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              Row("application/octet-stream", null, null))
         }
       }
     }(org.apache.spark.sql.Encoders.row(mediaSchema))

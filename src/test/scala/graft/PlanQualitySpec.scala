@@ -233,8 +233,15 @@ class PlanQualitySpec extends SparkSpec {
         |  cast(percentile(l_extendedprice, 0.25) as double) as p25_price
         |  group by l_returnflag |>
         |order by l_returnflag""".stripMargin)
-    val a = gate.collect().map(_.toSeq)
-    val b = dialect.collect().map(_.toSeq)
+    // compare at the driver's 9-significant-digit canon: the two exact
+    // formulas (vlo + (vhi-vlo)·frac vs Spark's (hi-pos)·lo + (pos-lo)·hi)
+    // can differ in the last ulp on non-dyadic fractions
+    def canon(s: Seq[Any]): Seq[Any] = s.map {
+      case d: Double => BigDecimal(d).round(new java.math.MathContext(9)).doubleValue
+      case x => x
+    }
+    val a = gate.collect().map(r => canon(r.toSeq))
+    val b = dialect.collect().map(r => canon(r.toSeq))
     assert(a.length == b.length && a.length > 0)
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
   }
