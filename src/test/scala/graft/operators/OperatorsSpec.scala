@@ -1402,6 +1402,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("SniffingDecoder dispatch holds for frames and resize too (format-preserving outputs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val mixed = Multimodal.documentsAsMixedMedia(docs)
+    // frames: GIF rows emit PNG-re-encoded stored frames, WAV rows emit
+    // standalone RIFF/WAVE segments, opaque rows emit raw byte chunks
+    val frames = Multimodal.sampleFrames(mixed, 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    frames.foreach { case (id, fs) =>
+      assert(fs.length == 2)
+      val first = fs.head.getAs[Array[Byte]](2)
+      java.lang.Math.floorMod(id, 4L) match {
+        case 2L => // GIF → frames re-encoded as PNG
+          assert(first.length > 8 && (first(0) & 0xFF) == 0x89 && first(1) == 'P'.toByte, s"id=$id")
+        case 1L => // WAV → segment is itself a RIFF/WAVE container
+          assert(first.length > 12 && first(0) == 'R'.toByte && first(8) == 'W'.toByte, s"id=$id")
+        case 0L => // still PNG → the still, re-encoded PNG, repeated
+          assert((first(0) & 0xFF) == 0x89, s"id=$id")
+        case _ => // opaque → stub byte chunks of the utf8 text
+          val texts = docs.select("doc_id", "text").collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(first.sameElements(
+            StubDecoder.frames(texts(id).getBytes("UTF-8"), 2).head), s"id=$id")
+      }
+    }
+    // resize: PNG rows stay sniffable PNG, WAV rows stay RIFF, opaque rows
+    // are stride-subsampled raw bytes within the byte budget
+    val resized = Multimodal.resize(mixed, 256).collect()
+    resized.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      java.lang.Math.floorMod(id, 4L) match {
+        case 0L | 2L => assert(SniffingDecoder.sniff(bytes) eq ImageIoDecoder, s"id=$id")
+        case 1L => assert(SniffingDecoder.sniff(bytes) eq AudioWavDecoder, s"id=$id")
+        case _ => assert(bytes.length <= 256, s"id=$id")
+      }
+    }
+  }
+
   test("ImageIoDecoder decodes generated PNGs to real dimensions and channel stats") {
     val id = 7L
     val bytes = Multimodal.ImageGen.png(id)
