@@ -104,6 +104,24 @@ class FixedCentroidParitySpec extends SparkSpec {
     d25.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
   }
 
+  test("parity rows keep scale-sane plans: tiny codebooks broadcast, bucket join never cartesian") {
+    Tables.register(spark, sf)
+    // d21: the 16-row centroid table rides a broadcast; the corpus never
+    // shuffles for the assignment (window partitions by vec_id AFTER the
+    // broadcast join — one exchange of (vec_id, sims), no vector re-shuffle)
+    val d21 = SparkEntry.queries("d21_ivf_assign_parity")(spark, sf)
+    val p21 = d21.queryExecution.executedPlan.toString
+    assert(p21.contains("Broadcast"), p21)
+    // d24: candidate generation is an equi-join on (tbl, bucket) — a plan
+    // with CartesianProduct would be the corpus-squared disaster the
+    // banding exists to avoid
+    val d24 = SparkEntry.queries("d24_lsh_topk_parity")(spark, sf)
+    val p24 = d24.queryExecution.executedPlan.toString
+    assert(!p24.contains("CartesianProduct"), p24)
+    // d25's final query×corpus join IS an intentional bounded cross join
+    // (≤10 queries by construction) — no pin, documented here
+  }
+
   test("d22 survivors satisfy SemDeDup's invariants (one survivor per in-cluster dup group)") {
     Tables.register(spark, sf)
     val rows = SparkEntry.queries("d22_semdedup_parity")(spark, sf).collect()
