@@ -280,7 +280,10 @@ object Bench {
         else s""""min":${num(r.times.head)},"max":${num(r.times.last)}"""
       val retry = r.firstPass.map { f =>
         val fs = if (f.times.isEmpty) "" else s""","first_min":${num(f.times.head)},"first_max":${num(f.times.last)}"""
-        s""","retried":true,"first_median":${num(f.median)}$fs"""
+        // other_median = the pass NOT kept (≠ first_median when the retry
+        // lost) — makes the min-of-medians selection fully auditable
+        val om = r.otherPass.map(o => s""","other_median":${num(o.median)}""").getOrElse("")
+        s""","retried":true,"first_median":${num(f.median)}$fs$om"""
       }.getOrElse("")
       s"""  "${r.name}":{"median":${num(r.median)},$spread,"runs":${r.runs},"warm_ok":${r.warmOk}$retry}"""
     }.mkString("{\n", ",\n", ",\n")

@@ -1578,6 +1578,29 @@ object OpsEntry {
         |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin)),
 
     QueryDef(
+      "st08_attribution_full",
+      withTables { (s, _) =>
+        // FULL-outer attribution completes the outer family: purchases with
+        // no prior click AND clicks that never led to a purchase, each
+        // null-padded on the missing side (in streaming, each emitted only
+        // once the other side's watermark proves it unmatched). user_id is
+        // coalesced from whichever side exists; batch face = FULL JOIN on
+        // the same predicate.
+        graft.streaming.EventStreams.purchaseAttribution(
+          s.table("events"), "1 hour", windowSeconds = 600, joinType = "full_outer")
+          .select("purchase_id", "user_id", "click_id", "value")
+          .orderBy(col("purchase_id").asc_nulls_first, col("click_id").asc_nulls_first)
+      },
+      Some("""SELECT p.event_id AS purchase_id,
+        |  coalesce(p.user_id, c.user_id) AS user_id,
+        |  c.event_id AS click_id, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 600 SECONDS
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin)),
+
+    QueryDef(
       "st03_stream_curate",
       withTables { (s, _) =>
         // batch face of the live document-ingest curation; which physical

@@ -83,6 +83,10 @@ object EventStreams {
     * unmatched so far (the engine cannot retract rows, so outer emission
     * must wait for the watermark). Identical semantics to a batch left join
     * on the same predicate, which is what the st07 gate row checks.
+    * `"full_outer"` additionally surfaces clicks that never led to a
+    * purchase (null purchase columns, same watermark-gated emission on the
+    * other side); `user_id` is coalesced from whichever side is present —
+    * a no-op for inner/left rows. The st08 gate row checks the batch face.
     */
   def purchaseAttribution(
       events: DataFrame,
@@ -93,8 +97,8 @@ object EventStreams {
     // columns from the final select silently (semi) or die deep inside the
     // streaming planner with an opaque error (right_outer needs the state
     // roles swapped) — same convention as requireIntegralId / checkCodes
-    require(Set("inner", "left_outer").contains(joinType),
-      s"purchaseAttribution: joinType must be 'inner' or 'left_outer', got '$joinType'")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"purchaseAttribution: joinType must be 'inner', 'left_outer' or 'full_outer', got '$joinType'")
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -108,8 +112,8 @@ object EventStreams {
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
       joinType)
-      .select(col("purchase_id"), col("p_user").as("user_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"), col("value"))
+      .select(col("purchase_id"), coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }
 
   /** Streaming exact dedup: drop rows whose `keyCols` were already seen

@@ -155,6 +155,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("purchaseAttribution full_outer: both unmatched sides emit null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val joined = purchaseAttribution(input.toDF(), "10 minutes",
+      windowSeconds = 5 * 60, joinType = "full_outer")
+    val q = toMemorySink(joined, "attr_full_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(3), 1, "purchase", 9.99), // attributed pair
+        Event(4, ts(2), 2, "purchase", 1.0),  // purchase, no click: null click side
+        Event(5, ts(1), 3, "click", 0.0))     // click, no purchase: null purchase side
+      q.processAllAvailable()
+      // advance BOTH per-side watermarks (global watermark = min)
+      input.addData(Event(6, ts(50), 9, "click", 0.0), Event(7, ts(50), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(8, ts(59), 9, "click", 0.0), Event(9, ts(59), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_full_test")
+        .where(col("user_id") =!= 9)
+        .select("purchase_id", "user_id", "click_id").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // user_id is coalesced, so the unmatched CLICK row still carries its user
+      assert(rows == Set((2L, 1L, 1L), (4L, 2L, -1L), (-1L, 3L, 5L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops repeated keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
