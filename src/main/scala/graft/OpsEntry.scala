@@ -1118,6 +1118,48 @@ object OpsEntry {
         |ORDER BY media_id""".stripMargin)),
 
     QueryDef(
+      "m08_video_features",
+      withTables { (s, _) =>
+        // REAL video decode in the gate: one deterministic MJPEG-AVI clip
+        // per doc (pure-JDK RIFF mux/demux + ImageIO JPEG frames), routed
+        // by the DEFAULT sniffing decoder. Dims and frame count are
+        // closed-form in doc_id, so a hash-green row proves the whole
+        // AVI mux → scan → demux → JPEG-decode path end to end. Luma /
+        // fps facts are codec floats → spec-pinned instead.
+        Multimodal.extractFeatures(Multimodal.documentsAsVideos(s.table("documents")))
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("w"),
+            element_at(col("features"), 2).cast("int").as("h"),
+            element_at(col("features"), 3).cast("int").as("n_frames"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, (8 + doc_id % 9)::INT AS w,
+        |  (6 + doc_id % 5)::INT AS h, (4 + doc_id % 3)::INT AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
+      "m09_video_frames",
+      withTables { (s, _) =>
+        // REAL temporal sampling of a true video container: 2 frames
+        // sampled evenly from the 4–6 stored JPEGs, each re-encoded PNG
+        // then re-DECODED for its dimensions (the m06 rule on AVI).
+        val vids = Multimodal.documentsAsVideos(s.table("documents"))
+        val frames = Multimodal.sampleFrames(vids, 2, AviMjpegDecoder)
+        val asMedia = frames.select(
+          (col("media_id") * 16 + col("frame_idx")).as("media_id"),
+          col("frame").as("media"))
+        Multimodal.extractFeatures(asMedia, ImageIoDecoder)
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("w"),
+            element_at(col("features"), 2).cast("int").as("h"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id * 16 + f.f AS media_id,
+        |  (8 + doc_id % 9)::INT AS w, (6 + doc_id % 5)::INT AS h
+        |FROM documents, unnest([0, 1]) AS f(f)
+        |ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
       "m07_audio_features",
       withTables { (s, _) =>
         // REAL audio decode (pure-JDK javax.sound.sampled): one generated

@@ -124,6 +124,7 @@ object SniffingDecoder extends MediaDecoder {
             at(8) == 'A' && at(9) == 'I' && at(10) == 'F') ||                // AIFF/AIFC
           (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd'))    // AU
       if (image) ImageIoDecoder
+      else if (AviMjpeg.sniff(bytes)) AviMjpegDecoder // RIFF/AVI (MJPEG video)
       else if (audio) AudioWavDecoder
       else StubDecoder
     }

@@ -204,6 +204,52 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  /** Deterministic MJPEG-AVI test clips — the VIDEO sibling of [[ImageGen]]
+    * / [[AudioGen]]: `nFrames(id)` JPEG frames of the procedural pattern
+    * (frame f shifts the seed, so frames are visibly distinct) muxed into a
+    * real RIFF/AVI container by [[AviMjpeg.write]]. Dimensions reuse
+    * ImageGen's closed forms and the frame count is closed-form too
+    * (`4 + id % 3`), so VIDEO gate rows carry full SQL oracles. JPEG is
+    * lossy, so decoded pixel VALUES are codec-defined — dims, frame count
+    * and container structure are exact, which is what the oracles pin.
+    */
+  object VideoGen {
+    val fps = 10
+
+    def nFrames(id: Long): Int = (4 + java.lang.Math.floorMod(id, 3L)).toInt
+
+    def avi(id: Long): Array[Byte] = {
+      val w = ImageGen.width(id); val h = ImageGen.height(id)
+      val frames = (0 until nFrames(id)).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, ImageGen.rgb(id + 104729L * (f + 1), x, y)); x += 1 }
+          y += 1
+        }
+        AviMjpegDecoder.encodeJpeg(img)
+      }
+      AviMjpeg.write(w, h, fps, frames)
+    }
+  }
+
+  /** The video counterpart of [[documentsAsImages]]: one deterministic
+    * MJPEG-AVI clip per document id, demuxed and decoded for real by
+    * [[AviMjpegDecoder]].
+    */
+  def documentsAsVideos(documents: DataFrame): DataFrame = {
+    val ids = documents.select(col("doc_id").as("media_id"))
+    val idIdx = 0
+    ids.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, VideoGen.avi(id),
+          Row("video/x-msvideo", ImageGen.width(id), ImageGen.height(id)))
+      }
+    }(org.apache.spark.sql.Encoders.row(mediaSchema))
+  }
+
   /** Mixed-modality payload column — the column shape [[SniffingDecoder]]
     * exists for: deterministically cycles real PNG / real WAV / real
     * animated GIF / OPAQUE utf8-text payloads by `doc_id % 4`, so one

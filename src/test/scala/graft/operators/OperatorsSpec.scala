@@ -1440,6 +1440,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviMjpegDecoder: real MJPEG-AVI demux — header facts, temporal sampling, re-mux resize") {
+    val id = 11L
+    val bytes = Multimodal.VideoGen.avi(id)
+    val w = Multimodal.ImageGen.width(id); val h = Multimodal.ImageGen.height(id)
+    val n = Multimodal.VideoGen.nFrames(id)
+    // routing: RIFF/AVI goes to the video decoder, RIFF/WAVE still to audio
+    assert(SniffingDecoder.sniff(bytes) eq AviMjpegDecoder)
+    assert(SniffingDecoder.sniff(Multimodal.AudioGen.wav(id)) eq AudioWavDecoder)
+    // decode: exact header facts + real per-frame luma stats
+    val d = AviMjpegDecoder.decode(bytes)
+    assert(d.features(0) == w.toFloat && d.features(1) == h.toFloat)
+    assert(d.features(2) == n.toFloat)
+    assert(d.features(3) == Multimodal.VideoGen.fps.toFloat) // 1e6/usPerFrame
+    assert(d.features(4) >= 0f && d.features(4) <= 255f) // first-frame mean luma
+    assert(d.features(5) >= 0f && d.features(5) <= 255f)
+    assert(d.features(4) != d.features(5), "frames are visibly distinct by construction")
+    // frames: the f*k/n sampling rule over the stored JPEGs, re-encoded PNG
+    val fs = AviMjpegDecoder.frames(bytes, 2)
+    assert(fs.length == 2)
+    fs.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth == w && img.getHeight == h)
+      assert((f(0) & 0xFF) == 0x89 && f(1) == 'P'.toByte) // PNG re-encode
+    }
+    // parsed stored frames decode to the exact source pattern dims
+    val parsed = AviMjpeg.parse(bytes).get
+    assert(parsed.frames.length == n && parsed.width == w && parsed.usPerFrame == 100000)
+    // resize: bounded re-muxed AVI, still sniffable, fewer pixels, same frame count
+    val r = AviMjpegDecoder.resize(bytes, bytes.length / 2)
+    assert(r.bytes.length < bytes.length)
+    assert(AviMjpeg.sniff(r.bytes), "resized payload must still be a valid AVI")
+    val rp = AviMjpeg.parse(r.bytes).get
+    assert(rp.frames.length == n && rp.width == r.width && rp.height == r.height)
+    assert(r.width <= w && r.height <= h)
+    // undecodable payloads fall back to the stub, byte for byte
+    val junk = java.util.Arrays.copyOfRange(bytes, 0, 40) // truncated header
+    assert(AviMjpegDecoder.decode(junk).features.toSeq == StubDecoder.decode(junk).features.toSeq)
+    assert(AviMjpegDecoder.decode(null).features.toSeq == StubDecoder.decode(null).features.toSeq)
+  }
+
   test("ImageIoDecoder decodes generated PNGs to real dimensions and channel stats") {
     val id = 7L
     val bytes = Multimodal.ImageGen.png(id)
