@@ -322,6 +322,39 @@ object OpsEntry {
         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d26_dedup_normalized",
+      withTables { (s, _) =>
+        // near-exact dedup: normalize (lower + collapse whitespace + trim)
+        // BEFORE hashing, so case-changed / reflowed copies collapse too —
+        // the cheap first pass before MinHash spends effort on real
+        // near-dups. Inject deterministic case+whitespace variants (the
+        // corpus has no natural ones) so the normalization is genuinely
+        // exercised: even ids keep their text, odd ids get the UPPER +
+        // double-spaced variant of the preceding even id's text, which
+        // must dedup against it.
+        val docs = s.table("documents")
+        val variant = docs.select((col("doc_id") + 1).as("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "  "))).as("text"))
+          .where(col("doc_id") % 2 === 1)
+        val mixed = docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+          .union(variant)
+        Dedup.dedupExactNormalized(mixed, "text", "doc_id")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH mixed AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1 AS doc_id,
+        |    '  ' || upper(replace(text, ' ', '  ')) AS text
+        |  FROM documents WHERE (doc_id + 1) % 2 = 1)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM mixed) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d02_minhash_lsh_dedup",
       withTables { (s, _) =>
         // 64 hashes / 32 bands of 2 rows: collision prob at J=0.5 is
@@ -1213,6 +1246,28 @@ object OpsEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t09_strip_markup",
+      withTables { (s, _) =>
+        // deterministically wrap each text in HTML/markdown noise so the
+        // stripping regexes are genuinely exercised (the synthetic corpus
+        // is plain text), identically in both engines
+        val aug = concat(lit("<div class=\"post\"><p>**"), col("text"),
+          lit("**</p>&nbsp;<br/># footer_"), col("doc_id").cast("string"), lit("</div>"))
+        s.table("documents")
+          .select(col("doc_id"), TextFunctions.stripMarkup(aug).as("clean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<div class="post"><p>**' || text || '**</p>&nbsp;<br/># footer_' ||
+        |      doc_id::VARCHAR || '</div>',
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&[A-Za-z]{2,8};|&#\d{1,6};', ' ', 'g'),
+        |    '[*_~`#]+', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(

@@ -104,6 +104,21 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
 
+  /** Markup-stripping patterns, applied in order: HTML/XML tags, HTML
+    * entities, markdown emphasis/heading/code markers, then whitespace
+    * collapse. RE2 ∩ Java-regex dialect like [[piiPatterns]], so the
+    * identical expressions run in DuckDB (`regexp_replace(…, 'g')`) — the
+    * boilerplate-removal first pass of a web-crawl curation pipeline.
+    */
+  val markupPatterns: Seq[(String, String)] = Seq(
+    "<[^>]*>" -> " ",                 // HTML/XML tags
+    "&[A-Za-z]{2,8};|&#\\d{1,6};" -> " ", // character entities
+    "[*_~`#]+" -> "",                 // markdown emphasis/heading/code marks
+    "\\s+" -> " ")                    // collapse the holes the above leave
+
+  def stripMarkup(text: Column): Column =
+    trim(markupPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) })
+
   /** Repeated-n-gram ratio — the Gopher/C4-style repetition quality signal:
     * `1 − |distinct n-grams| / |n-grams|` (0.0 for docs too short to have
     * an n-gram). High values flag boilerplate/spam that should be filtered

@@ -58,6 +58,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Case/whitespace-insensitive text normal form — the near-exact dedup
+    * key used by [[dedupExactNormalized]]: lowercase, collapse whitespace
+    * runs to one space, trim. Exposed so callers (and the oracle) can
+    * state the exact same normalization.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** NEAR-exact dedup on the normalized text: byte-identical-after-
+    * normalization duplicates (case changes, reflowed whitespace — the
+    * most common "same document, different crawl" shape) collapse to one
+    * surviving row (lowest `keepBy`), exactly [[dedupExact]]'s plan on the
+    * normalized key: one narrow md5-keyed shuffle, no pair join at all —
+    * the cheap first pass a pipeline runs BEFORE MinHash/SimHash spend
+    * effort on real near-dups.
+    */
+  def dedupExactNormalized(df: DataFrame, textCol: String, keepBy: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalizedText(col(textCol)))).orderBy(col(keepBy).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
   /** EXACT n-gram-Jaccard near-duplicate pairs with similarity >= threshold.
     *
     * Plan: explode shingles → self-equi-join on the shingle (inverted

@@ -656,6 +656,38 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows(4) == "clean text with no pii at all", rows(4))
   }
 
+  test("stripMarkup removes tags, entities and markdown marks, collapsing the holes") {
+    val rows = Seq(
+      "<div class=\"x\"><p>hello <b>world</b></p></div>",
+      "**bold** and _em_ and `code` and # heading",
+      "a&nbsp;b &amp; c &#8212; d",
+      "   already   plain   text   ",
+      "<script>evil()</script>keep this")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.stripMarkup(col("text")).as("clean"))
+      .as[String].collect()
+    assert(rows(0) == "hello world", rows(0))
+    assert(rows(1) == "bold and em and code and heading", rows(1))
+    assert(rows(2) == "a b & c — d" || rows(2) == "a b c d", rows(2)) // '&' and '—' are content, entities are not
+    assert(rows(3) == "already plain text", rows(3))
+    assert(rows(4) == "evil() keep this" || rows(4) == "evil()keep this", rows(4))
+  }
+
+  test("dedupExactNormalized collapses case/whitespace variants that dedupExact keeps") {
+    val docs = Seq(
+      (1L, "The Quick Brown Fox"),
+      (2L, "  the   quick brown  fox "), // same after normalization
+      (3L, "THE QUICK BROWN FOX"),       // same after normalization
+      (4L, "a different document"))
+      .toDF("doc_id", "text")
+    val strict = Dedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(1L, 2L, 3L, 4L), "byte-exact dedup must keep all variants")
+    val norm = Dedup.dedupExactNormalized(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(norm == Set(1L, 4L), "normalized dedup keeps the lowest id per variant group")
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
