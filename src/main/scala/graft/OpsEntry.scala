@@ -71,6 +71,34 @@ object OpsEntry {
       yield s"($s, $c, [${cb(s)(c).mkString(", ")}]::DOUBLE[])").mkString(", ")
   }
 
+  /** t10's trained unigram LM, cached per sfDir — same determinism story
+    * as [[fixedCentroids]], applied to text.
+    */
+  private val lmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Double)], Double)]()
+
+  private[graft] def fixedUnigramLm(sfDir: String): (Seq[(String, Double)], Double) =
+    lmCache.computeIfAbsent(sfDir, dir => {
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate())
+      TextFunctions.trainUnigramLm(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    })
+
+  /** DuckDB `map(...)` literal for `{LM_VOCAB}` + the OOV log-prob for
+    * `{LM_OOV}`: the SAME doubles the Spark map literal carries, so the
+    * score arithmetic is term-identical in both engines.
+    */
+  private[graft] def lmVocabSql(sfDir: String): String = {
+    val (v, _) = fixedUnigramLm(sfDir)
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    s"map([${v.map(t => q(t._1)).mkString(", ")}], [${v.map(_._2).mkString(", ")}])"
+  }
+
+  private[graft] def lmOovSql(sfDir: String): String =
+    fixedUnigramLm(sfDir)._2.toString
+
   /** d23's probe frame: per query (vec_id < maxQueryId), the nProbe best
     * centroids under the same rounded ranking the assignment uses.
     */
@@ -1269,6 +1297,29 @@ object OpsEntry {
         |    '[*_~`#]+', '', 'g'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t10_lm_score",
+      withTables { (s, dir) =>
+        // CCNet-style LM quality scoring: a unigram LM trained on the
+        // deterministic corpus sample, mean token NLL scored map-side.
+        // Training isn't SQL-statable; the TRAINED log-probs are — the
+        // d21-family parity pattern applied to text ({LM_VOCAB}/{LM_OOV}
+        // bound per sfDir in oracleSqlFor), so the whole scoring path is
+        // hash-checked. The fold is ORDERED on both engines (list
+        // arithmetic, not a GROUP BY sum).
+        val (v, oov) = fixedUnigramLm(dir)
+        s.table("documents")
+          .select(col("doc_id"),
+            TextFunctions.lmScore(col("text"), v.toMap, oov).as("lm_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lm AS (SELECT {LM_VOCAB} AS m)
+        |SELECT doc_id,
+        |  round(list_sum(list_transform(string_split(text, ' '),
+        |    t -> -coalesce(map_extract(m, t)[1], {LM_OOV})))
+        |    / len(string_split(text, ' ')), 6) AS lm_nll
+        |FROM documents CROSS JOIN lm ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
       "t08_repetition_ratio",

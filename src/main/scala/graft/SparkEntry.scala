@@ -687,12 +687,16 @@ object SparkEntry {
     // when some oracle uses them — i.e. in the Verify JVM, with a session)
     lazy val centroids = OpsEntry.centroidValuesSql(sfDir)
     lazy val codebooks = OpsEntry.pqCodebookValuesSql(sfDir)
+    lazy val lmVocab = OpsEntry.lmVocabSql(sfDir)
+    lazy val lmOov = OpsEntry.lmOovSql(sfDir)
     defs.flatMap(d => d.oracle.map { o =>
       var bound = o.replace("{SF_DIR}", sfDir)
       if (bound.contains("{IVF_CENTROIDS}"))
         bound = bound.replace("{IVF_CENTROIDS}", centroids)
       if (bound.contains("{PQ_CODEBOOKS}"))
         bound = bound.replace("{PQ_CODEBOOKS}", codebooks)
+      if (bound.contains("{LM_VOCAB}"))
+        bound = bound.replace("{LM_VOCAB}", lmVocab).replace("{LM_OOV}", lmOov)
       d.name -> bound
     }).toMap
   }

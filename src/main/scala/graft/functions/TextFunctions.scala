@@ -119,6 +119,56 @@ object TextFunctions {
   def stripMarkup(text: Column): Column =
     trim(markupPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) })
 
+  /** Train a unigram language model on a bounded deterministic sample —
+    * the CCNet-style quality-scoring recipe (train a small LM on a clean
+    * sample, keep the corpus rows it finds unsurprising): top `vocabSize`
+    * tokens by (count desc, token asc), add-one-smoothed
+    * `logp(tok) = ln((count+1)/(N+V+1))`, OOV mass `ln(1/(N+V+1))`.
+    * Deterministic given the data (ordered `sampleN`-row sample, fixed
+    * tiebreaks), like [[graft.operators.Similarity.trainCentroids]] — which
+    * is what lets the trained log-probs ride into a DuckDB oracle as
+    * literals. Tokenization is `split(text, ' ')` keeping empties (the
+    * cross-engine rule used everywhere else here).
+    */
+  def trainUnigramLm(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1024,
+      sampleN: Int = 2048): (Seq[(String, Double)], Double) = {
+    val texts = df.select(col(idCol), col(textCol))
+      .orderBy(idCol).limit(sampleN)
+      .collect().map(r => Option(r.getString(1)).getOrElse(""))
+    val counts = new java.util.HashMap[String, Long]()
+    var n = 0L
+    texts.foreach(_.split(" ", -1).foreach { t =>
+      counts.merge(t, 1L, _ + _); n += 1
+    })
+    import scala.jdk.CollectionConverters._
+    val vocab = counts.asScala.toSeq
+      .sortBy { case (t, c) => (-c, t) }
+      .take(vocabSize)
+    val denom = (n + vocab.length + 1).toDouble
+    val logps = vocab.map { case (t, c) => t -> math.log((c + 1) / denom) }
+    (logps, math.log(1 / denom))
+  }
+
+  /** Mean negative log-likelihood of a text under a trained unigram LM
+    * (lower = more natural under the training sample) — an ORDERED fold
+    * over the tokens so the summation matches the oracle's list arithmetic
+    * term for term; rounded to 6 dp for the cross-engine cut. Empty texts
+    * (no tokens is impossible — split always yields ≥1 segment) score the
+    * OOV mass.
+    */
+  def lmScore(text: Column, vocab: Map[String, Double], oovLogp: Double): Column = {
+    val m = typedLit(vocab)
+    val toks = split(text, " ", -1)
+    val nll = aggregate(
+      transform(toks, t => -coalesce(element_at(m, t), lit(oovLogp))),
+      lit(0.0), (a, x) => a + x) / size(toks).cast("double")
+    round(nll, 6)
+  }
+
   /** Repeated-n-gram ratio — the Gopher/C4-style repetition quality signal:
     * `1 − |distinct n-grams| / |n-grams|` (0.0 for docs too short to have
     * an n-gram). High values flag boilerplate/spam that should be filtered

@@ -688,6 +688,30 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(norm == Set(1L, 4L), "normalized dedup keeps the lowest id per variant group")
   }
 
+  test("unigram LM scoring: corpus-like text scores lower NLL than gibberish; OOV floor exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (vocab, oov) = graft.functions.TextFunctions.trainUnigramLm(docs, "doc_id", "text")
+    assert(vocab.nonEmpty && vocab.size <= 1024)
+    // probabilities are a (sub-)distribution: all logp < 0, OOV below every vocab mass
+    assert(vocab.forall(_._2 < 0) && oov < 0)
+    assert(vocab.forall(_._2 > oov), "smoothed vocab tokens must beat the OOV mass")
+    // deterministic retrain
+    val (vocab2, oov2) = graft.functions.TextFunctions.trainUnigramLm(docs, "doc_id", "text")
+    assert(vocab == vocab2 && oov == oov2)
+    // scoring: a real corpus sentence vs all-OOV gibberish
+    val m = vocab.toMap
+    val sample = docs.orderBy("doc_id").limit(1)
+      .select("text").as[String].collect().head
+    val scored = Seq(sample, "zzqx9 vvkpl7 mmtr3 qqwz5")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.lmScore(col("text"), m, oov).as("s"))
+      .as[Double].collect()
+    assert(scored(0) < scored(1),
+      s"corpus text ${scored(0)} should be less surprising than gibberish ${scored(1)}")
+    // all-OOV text sits exactly at the OOV floor (rounded like the operator)
+    assert(scored(1) == BigDecimal(-oov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
