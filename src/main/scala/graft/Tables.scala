@@ -17,17 +17,25 @@ object Tables {
     if (!registeredDir.contains(dir)) {
       all.foreach { n =>
         if (n == "events") {
-          // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-          // rejects; read ns-as-long and truncate to µs — matching DuckDB,
-          // whose TIMESTAMP is µs-precision and truncates ns on read. The
-          // conf stays on for the session: the scan consults it at execution
-          // time too, and it only affects NANOS columns.
+          // Some generations of events.parquet carry TIMESTAMP(NANOS), which
+          // Spark's reader rejects; read ns-as-long and truncate to µs —
+          // matching DuckDB, whose TIMESTAMP is µs-precision and truncates ns
+          // on read. Newer generations write TIMESTAMP(MICROS), which reads
+          // as a timestamp directly — detect from the loaded schema rather
+          // than assuming one generation. The conf stays on for the session:
+          // the scan consults it at execution time too, and it only affects
+          // NANOS columns.
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           val raw = spark.read.parquet(s"$dir/$n.parquet")
-          raw.selectExpr(
-            "event_id", "timestamp_micros(ts div 1000) AS ts", "user_id",
-            "event_type", "value", "props")
-            .createOrReplaceTempView(n)
+          val tsIsLong =
+            raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+          val view =
+            if (tsIsLong)
+              raw.selectExpr(
+                "event_id", "timestamp_micros(ts div 1000) AS ts", "user_id",
+                "event_type", "value", "props")
+            else raw
+          view.createOrReplaceTempView(n)
         } else {
           spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
         }
