@@ -99,6 +99,30 @@ object OpsEntry {
   private[graft] def lmOovSql(sfDir: String): String =
     fixedUnigramLm(sfDir)._2.toString
 
+  /** c10's trained DSIR log-ratio array, cached per sfDir — the
+    * [[fixedUnigramLm]] determinism story applied to importance weights
+    * (target = English docs, raw = whole corpus, both bounded ordered
+    * samples).
+    */
+  private val dsirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  private[graft] def fixedDsirRatios(sfDir: String): Array[Double] =
+    dsirCache.computeIfAbsent(sfDir, dir => {
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate())
+      graft.operators.TrainingPipeline.trainDsirLogRatios(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        targetPred = col("lang") === "en")
+    })
+
+  /** DuckDB `[...]::DOUBLE[]` literal for `{DSIR_RATIOS}` — the SAME
+    * doubles the Spark array literal carries.
+    */
+  private[graft] def dsirRatiosSql(sfDir: String): String =
+    s"[${fixedDsirRatios(sfDir).mkString(", ")}]::DOUBLE[]"
+
   /** d23's probe frame: per query (vec_id < maxQueryId), the nProbe best
     * centroids under the same rounded ranking the assignment uses.
     */
@@ -1948,7 +1972,73 @@ object OpsEntry {
       },
       Some("""SELECT cast(date_trunc('hour', ts) as timestamp) AS hour_start, event_type,
         |  count(*) AS n, cast(sum(cast(value as decimal(18,2))) as double) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
+
+    QueryDef(
+      "c10_dsir_select",
+      withTables { (s, dir) =>
+        // DSIR data selection (Xie et al. 2023): importance log-weights
+        // from trained hashed-ngram distributions (target = English docs),
+        // top-200 kept. Training isn't SQL-statable; the TRAINED ratio
+        // array is — {DSIR_RATIOS} binds the same 1024 doubles into the
+        // oracle (the d21/t10 parity pattern), and both engines fold the
+        // unigrams-then-bigrams feature list in order, so the whole
+        // selection path is hash-checked.
+        graft.operators.TrainingPipeline.dsirSelect(
+          s.table("documents"), "doc_id", "text",
+          fixedDsirRatios(dir), topN = 200)
+      },
+      Some("""WITH rr AS (SELECT {DSIR_RATIOS} AS r),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_concat(w, CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS fs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT doc_id,
+        |  round(list_sum(list_transform(fs,
+        |    x -> r[(('0x' || substr(md5(x), 1, 7))::BIGINT % 1024)::INT + 1])), 6)
+        |    AS dsir_weight
+        |FROM f CROSS JOIN rr
+        |ORDER BY dsir_weight DESC, doc_id LIMIT 200""".stripMargin)),
+
+    QueryDef(
+      "t11_gopher_rules",
+      withTables { (s, _) =>
+        // the Gopher quality-rule battery (Rae et al. 2021 §A1.1): all
+        // metrics + the combined verdict from one map-side pass
+        val cols = graft.functions.TextFunctions.gopherQuality(col("text"))
+          .map { case (n, c) => c.as(n) }
+        s.table("documents")
+          .select((col("doc_id") +: cols): _*)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        |  len(w)::BIGINT AS n_words,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(list_sum(list_transform(w, t -> len(t)::DOUBLE)) / len(w), 6)
+        |  ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(w) > 0 THEN
+        |    round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+        |      / len(w), 6)
+        |  ELSE 0.0 END AS alpha_frac,
+        |  len(list_filter(w,
+        |    t -> list_contains(['the','be','to','of','and','that','have','with'], t)
+        |    ))::BIGINT AS stop_hits,
+        |  (len(w) BETWEEN 50 AND 100000
+        |    AND (CASE WHEN len(w) > 0 THEN
+        |      round(list_sum(list_transform(w, t -> len(t)::DOUBLE)) / len(w), 6)
+        |      ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |    AND (CASE WHEN len(w) > 0 THEN
+        |      round(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+        |        / len(w), 6) ELSE 0.0 END) >= 0.8
+        |    AND len(list_filter(w,
+        |      t -> list_contains(['the','be','to','of','and','that','have','with'], t)
+        |      )) >= 2) AS gopher_pass
+        |FROM (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin))
   )
 
   private def Psqlish(s: SparkSession, q: String): DataFrame = graft.psql.Psql(s).sql(q)

@@ -689,6 +689,7 @@ object SparkEntry {
     lazy val codebooks = OpsEntry.pqCodebookValuesSql(sfDir)
     lazy val lmVocab = OpsEntry.lmVocabSql(sfDir)
     lazy val lmOov = OpsEntry.lmOovSql(sfDir)
+    lazy val dsirRatios = OpsEntry.dsirRatiosSql(sfDir)
     defs.flatMap(d => d.oracle.map { o =>
       var bound = o.replace("{SF_DIR}", sfDir)
       if (bound.contains("{IVF_CENTROIDS}"))
@@ -697,6 +698,8 @@ object SparkEntry {
         bound = bound.replace("{PQ_CODEBOOKS}", codebooks)
       if (bound.contains("{LM_VOCAB}"))
         bound = bound.replace("{LM_VOCAB}", lmVocab).replace("{LM_OOV}", lmOov)
+      if (bound.contains("{DSIR_RATIOS}"))
+        bound = bound.replace("{DSIR_RATIOS}", dsirRatios)
       d.name -> bound
     }).toMap
   }

@@ -183,4 +183,42 @@ object TextFunctions {
       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** The Gopher stopword list (Rae et al. 2021, §A1.1 "the, be, to, of,
+    * and, that, have, with" — a doc must contain at least two to pass).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule metrics + verdict (Rae et al. 2021, §A1.1): word
+    * count bounds [50, 100 000], mean word length in [3, 10], ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 stopword hits. Each
+    * metric is returned alongside the combined `gopher_pass` so filtering
+    * AND diagnostics come from one map-side pass — no shuffle, all
+    * codegen'd HOFs over one split. Words are the non-empty segments of a
+    * single-space split (identical to DuckDB's
+    * `list_filter(string_split(text,' '), w -> len(w) > 0)`); ratios round
+    * to 6 dp for the cross-engine cut.
+    */
+  def gopherQuality(text: Column): Seq[(String, Column)] = {
+    val w = filter(split(text, " ", -1), t => length(t) > lit(0))
+    val n = size(w)
+    val meanWl = when(n > 0,
+      round(aggregate(transform(w, length(_).cast("double")), lit(0.0), _ + _)
+        / n.cast("double"), 6)).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      round(size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double"), 6)).otherwise(lit(0.0))
+    val stopLit = typedLit(gopherStopwords)
+    val stopHits = size(filter(w, t => array_contains(stopLit, t))).cast("long")
+    val pass = n.geq(50) && n.leq(100000) &&
+      meanWl.geq(3.0) && meanWl.leq(10.0) &&
+      alphaFrac.geq(0.8) && stopHits.geq(2L)
+    Seq(
+      "n_words" -> n.cast("long"),
+      "mean_word_len" -> meanWl,
+      "alpha_frac" -> alphaFrac,
+      "stop_hits" -> stopHits,
+      "gopher_pass" -> pass)
+  }
 }

@@ -474,4 +474,98 @@ object TrainingPipeline {
         .distinct()
     else nearPairs
   }
+
+  /** Hashed n-gram feature list for DSIR: unigrams plus space-joined
+    * bigrams, in token order (unigrams first) so the weight fold visits
+    * terms in the same order as the oracle's list arithmetic. Tokens are
+    * `split(text, ' ')` keeping empties — the cross-engine rule used
+    * everywhere else here.
+    */
+  private[graft] def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(text, " ", -1)
+    val bi = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(w, bi)
+  }
+
+  /** Train DSIR importance log-ratios (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): bag-of-hashed-ngram
+    * unigram distributions for the target domain and the raw corpus, both
+    * add-one smoothed, returned as the per-bucket log-ratio
+    * `ln p_target(b) − ln p_raw(b)`. Features are unigrams + bigrams
+    * hashed into `nBuckets` buckets by the corpus-wide 28-bit md5
+    * convention (`conv(substr(md5(f),1,7),16,10) % B` — bit-identical in
+    * DuckDB, which is what lets the TRAINED array ride into an oracle as
+    * a literal, the d21/t10 pattern). Training reads two bounded
+    * deterministic samples (ordered by id, `sampleN` rows) — the same
+    * determinism story as [[TextFunctions.trainUnigramLm]]; at 100 TB the
+    * sample stays fixed-size while selection below scales with the corpus.
+    */
+  def trainDsirLogRatios(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      nBuckets: Int = 1024,
+      sampleN: Int = 2048): Array[Double] = {
+    def bucketCounts(sample: DataFrame): (Array[Long], Long) = {
+      val texts = sample.select(col(idCol), col(textCol))
+        .orderBy(idCol).limit(sampleN)
+        .collect().map(r => Option(r.getString(1)).getOrElse(""))
+      val counts = new Array[Long](nBuckets)
+      var n = 0L
+      texts.foreach { t =>
+        val toks = t.split(" ", -1)
+        val feats = toks.iterator ++
+          toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        feats.foreach { f =>
+          val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 7 md5 hex chars = top 28 bits of the digest prefix
+          val top32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+            ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+          counts(((top32 >>> 4) % nBuckets).toInt) += 1
+          n += 1
+        }
+      }
+      (counts, n)
+    }
+    val (tc, tn) = bucketCounts(df.where(targetPred))
+    val (rc, rn) = bucketCounts(df)
+    Array.tabulate(nBuckets) { b =>
+      math.log((tc(b) + 1).toDouble / (tn + nBuckets)) -
+        math.log((rc(b) + 1).toDouble / (rn + nBuckets))
+    }
+  }
+
+  /** DSIR data selection: score every document with the summed hashed-ngram
+    * importance log-weight under trained [[trainDsirLogRatios]] ratios and
+    * keep the `topN` highest (deterministic resampling variant — rank by
+    * weight instead of adding Gumbel noise, id tiebreak). The ratio array
+    * is `nBuckets` doubles carried as a plan literal (broadcast with the
+    * task binary — no lookup join); the weight is a pure map-side ordered
+    * fold; selection is sort+limit, which Spark compiles to
+    * TakeOrderedAndProject (per-partition top-N, then a single bounded
+    * merge — no global sort shuffle). The only full pass is the scan.
+    */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      logRatios: Array[Double],
+      topN: Int): DataFrame = {
+    val r = typedLit(logRatios.toSeq)
+    val b = logRatios.length
+    val bucket = (f: org.apache.spark.sql.Column) =>
+      (conv(substring(md5(f), 1, 7), 16, 10).cast("long") % b).cast("int")
+    val weight = round(
+      aggregate(
+        transform(dsirFeatures(col(textCol)), f => element_at(r, bucket(f) + 1)),
+        lit(0.0), (a, x) => a + x), 6)
+    df.select(col(idCol), weight.as("dsir_weight"))
+      .orderBy(col("dsir_weight").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

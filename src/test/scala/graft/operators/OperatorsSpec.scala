@@ -712,6 +712,80 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(scored(1) == BigDecimal(-oov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("DSIR: training is deterministic; weights follow the trained ratios term for term") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r1 = TrainingPipeline.trainDsirLogRatios(docs, "doc_id", "text",
+      targetPred = col("lang") === "en")
+    val r2 = TrainingPipeline.trainDsirLogRatios(docs, "doc_id", "text",
+      targetPred = col("lang") === "en")
+    assert(r1.length == 1024 && r1.sameElements(r2), "retrain must be bit-identical")
+    // hand-computed weight for a known two-token doc: features are the
+    // ordered list [a, b, "a b"], each bucketed by the corpus-wide 28-bit
+    // md5 convention — pins the Spark-side bucket+fold to the same
+    // arithmetic training used
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(f: String): Int = {
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val top32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      ((top32 >>> 4) % 1024).toInt
+    }
+    val expected = BigDecimal(r1(bucket("alpha")) + r1(bucket("beta")) + r1(bucket("alpha beta")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tiny = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val got = TrainingPipeline.dsirSelect(tiny, "doc_id", "text", r1, topN = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - expected) < 1e-9, s"weight ${got(1L)} != $expected")
+    // single-token doc: no bigrams, just the unigram term — and no crash
+    val expected1 = BigDecimal(r1(bucket("alpha")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(2L) - expected1) < 1e-9)
+  }
+
+  test("DSIR: selection favors the target domain and returns exactly topN rows ordered") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ratios = TrainingPipeline.trainDsirLogRatios(docs, "doc_id", "text",
+      targetPred = col("lang") === "en")
+    val n = 20
+    val sel = TrainingPipeline.dsirSelect(docs, "doc_id", "text", ratios, topN = n)
+    val rows = sel.collect()
+    assert(rows.length == n)
+    // weights arrive sorted desc with id tiebreak (the deterministic resampling rule)
+    val ws = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(ws.sameElements(ws.sortBy { case (w, id) => (-w, id) }))
+    // importance weighting must enrich the target domain vs its corpus share
+    val selIds = rows.map(_.getLong(0)).toSet
+    val enOverall = docs.where(col("lang") === "en").count().toDouble / docs.count()
+    val enSel = docs.where(col("doc_id").isin(selIds.toSeq: _*))
+      .where(col("lang") === "en").count().toDouble / n
+    assert(enSel > enOverall,
+      s"selected en-fraction $enSel should beat the corpus share $enOverall")
+  }
+
+  test("gopher rules: each metric and the combined verdict on crafted inputs") {
+    val natural = (("the cat sat on the mat and that dog ran off with a bone " * 5).trim)
+    val short = "too few words here"
+    val digits = (1 to 60).map(_ => "12345").mkString(" ")
+    val df = Seq((1L, natural), (2L, short), (3L, digits)).toDF("doc_id", "text")
+    val cols = graft.functions.TextFunctions.gopherQuality(col("text"))
+      .map { case (nm, c) => c.as(nm) }
+    val out = df.select((col("doc_id") +: cols): _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // natural: 14 words * 5 = 70 words, plenty of stopwords, all alphabetic
+    assert(out(1L).getLong(1) == 70L)
+    assert(out(1L).getLong(4) >= 2L)
+    assert(out(1L).getDouble(3) == 1.0)
+    assert(out(1L).getBoolean(5), "natural text must pass the battery")
+    // short: fails on word count alone
+    assert(out(2L).getLong(1) == 4L && !out(2L).getBoolean(5))
+    // digits: enough words but alpha_frac = 0 and no stopwords
+    assert(out(3L).getLong(1) == 60L)
+    assert(out(3L).getDouble(3) == 0.0 && out(3L).getLong(4) == 0L)
+    assert(!out(3L).getBoolean(5))
+    // mean word length exact on the digit doc: every word is 5 chars
+    assert(out(3L).getDouble(2) == 5.0)
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
