@@ -235,6 +235,31 @@ object ShingleHash {
     }
     sig
   }
+
+  /** DSIR importance log-weight of a text: sum of the trained log-ratio
+    * at each feature's bucket — unigrams in token order, then bigrams in
+    * token order (the same visit order as the HOF fold and the oracle's
+    * list arithmetic, so the double sum is bit-identical), rounded
+    * half-up to 6 dp like `round(col, 6)`. Bucket = top 28 md5 bits mod
+    * `r.length`, the corpus-wide cross-engine hash convention.
+    */
+  def dsirWeight(s: UTF8String, r: Array[Double]): Double = {
+    val toks = s.toString.split(" ", -1)
+    val md = md5Local.get()
+    def bucket(f: String): Int = {
+      md.reset()
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val top32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      ((top32 >>> 4) % r.length).toInt
+    }
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) { sum += r(bucket(toks(i))); i += 1 }
+    i = 0
+    while (i < toks.length - 1) { sum += r(bucket(toks(i) + " " + toks(i + 1))); i += 1 }
+    BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }
 
 /** `shingle_hashes(text, n)`: array<long> of hashed word n-gram shingles,
@@ -339,6 +364,45 @@ case class Md5ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** `dsir_weight(text)`: the DSIR importance log-weight — unigrams then
+  * space-joined bigrams, each bucketed by the 28-bit md5 convention into
+  * the trained log-ratio array, summed in feature order and rounded
+  * half-up to 6 dp. One tight pass per row inside whole-stage codegen
+  * where the HOF formulation (`transform`/`aggregate`/`element_at`) ran
+  * interpreted at ~10x the cost — the d19 `Md5ShingleHashesExpr` lesson
+  * applied to c10. The sum visits features in the SAME order as the HOF
+  * fold and the oracle's list arithmetic, so the doubles are
+  * bit-identical.
+  *
+  * Ratios are held as an `IndexedSeq` (value equality) for the same
+  * canonicalization reason as [[MinHashSigExpr]].
+  */
+case class DsirWeightExpr(child: Expression, rSeq: IndexedSeq[Double])
+    extends UnaryExpression {
+  require(rSeq.nonEmpty, "dsir_weight needs a non-empty ratio array")
+
+  @transient private lazy val r: Array[Double] = rSeq.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dsir_weight"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.dsirWeight(input.asInstanceOf[UTF8String], r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("dsirRatios", r, "double[]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.ShingleHash.dsirWeight($v, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)`: the 64-bit SimHash fingerprint, one pass per row
   * inside whole-stage codegen.
   */
@@ -406,4 +470,9 @@ object ShingleFunctions {
   def minhashSignature(hashes: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
       a.toIndexedSeq, b.toIndexedSeq))
+
+  /** DSIR importance log-weight under a trained log-ratio array. */
+  def dsirWeight(text: Column, ratios: Array[Double]): Column =
+    ColumnBridge.column(DsirWeightExpr(ColumnBridge.expression(text),
+      ratios.toIndexedSeq))
 }

@@ -475,21 +475,6 @@ object TrainingPipeline {
     else nearPairs
   }
 
-  /** Hashed n-gram feature list for DSIR: unigrams plus space-joined
-    * bigrams, in token order (unigrams first) so the weight fold visits
-    * terms in the same order as the oracle's list arithmetic. Tokens are
-    * `split(text, ' ')` keeping empties — the cross-engine rule used
-    * everywhere else here.
-    */
-  private[graft] def dsirFeatures(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val w = split(text, " ", -1)
-    val bi = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    concat(w, bi)
-  }
-
   /** Train DSIR importance log-ratios (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): bag-of-hashed-ngram
     * unigram distributions for the target domain and the raw corpus, both
@@ -544,28 +529,23 @@ object TrainingPipeline {
     * importance log-weight under trained [[trainDsirLogRatios]] ratios and
     * keep the `topN` highest (deterministic resampling variant — rank by
     * weight instead of adding Gumbel noise, id tiebreak). The ratio array
-    * is `nBuckets` doubles carried as a plan literal (broadcast with the
-    * task binary — no lookup join); the weight is a pure map-side ordered
-    * fold; selection is sort+limit, which Spark compiles to
-    * TakeOrderedAndProject (per-partition top-N, then a single bounded
-    * merge — no global sort shuffle). The only full pass is the scan.
+    * rides into every task as a codegen reference object (no lookup join);
+    * the weight is one tight codegen'd pass per row
+    * ([[graft.functions.ShingleFunctions.dsirWeight]] — the interpreted
+    * HOF formulation of the same ordered fold cost ~10x); selection is
+    * sort+limit, which Spark compiles to TakeOrderedAndProject
+    * (per-partition top-N, then a single bounded merge — no global sort
+    * shuffle). The only full pass is the scan.
     */
   def dsirSelect(
       df: DataFrame,
       idCol: String,
       textCol: String,
       logRatios: Array[Double],
-      topN: Int): DataFrame = {
-    val r = typedLit(logRatios.toSeq)
-    val b = logRatios.length
-    val bucket = (f: org.apache.spark.sql.Column) =>
-      (conv(substring(md5(f), 1, 7), 16, 10).cast("long") % b).cast("int")
-    val weight = round(
-      aggregate(
-        transform(dsirFeatures(col(textCol)), f => element_at(r, bucket(f) + 1)),
-        lit(0.0), (a, x) => a + x), 6)
-    df.select(col(idCol), weight.as("dsir_weight"))
+      topN: Int): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ShingleFunctions.dsirWeight(col(textCol), logRatios)
+        .as("dsir_weight"))
       .orderBy(col("dsir_weight").desc, col(idCol).asc)
       .limit(topN)
-  }
 }
