@@ -2003,6 +2003,43 @@ object OpsEntry {
         |ORDER BY dsir_weight DESC, doc_id LIMIT 200""".stripMargin)),
 
     QueryDef(
+      "t12_ccnet_buckets",
+      withTables { (s, dir) =>
+        // CCNet's bucketing step (Wenzek et al. 2019): corpus-wide
+        // perplexity terciles split documents into head/middle/tail. The
+        // cutoffs come from the SAME scale-safe distributed selection the
+        // q37/q50 gate rows prove byte-identical to quantile_cont —
+        // nothing larger than a partition anywhere, then a 1-row broadcast
+        // for the map-side bucket assignment. The tercile fractions are
+        // the shortest-round-trip doubles of 1/3 and 2/3, spelled
+        // identically in the oracle.
+        val (v, oov) = fixedUnigramLm(dir)
+        val scored = s.table("documents").select(col("doc_id"),
+          graft.functions.TextFunctions.lmScore(col("text"), v.toMap, oov).as("lm_nll"))
+        val cuts = graft.operators.Percentiles.exactByGroup(
+          scored.withColumn("__one", lit(1)), "__one", "lm_nll",
+          Seq("q1" -> (1.0 / 3), "q2" -> (2.0 / 3)))
+          .select(col("q1"), col("q2"))
+        scored.crossJoin(broadcast(cuts))
+          .select(col("doc_id"), col("lm_nll"),
+            when(col("lm_nll") < col("q1"), "head")
+              .when(col("lm_nll") < col("q2"), "middle")
+              .otherwise("tail").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lm AS (SELECT {LM_VOCAB} AS m),
+        |scored AS (SELECT doc_id,
+        |  round(list_sum(list_transform(string_split(text, ' '),
+        |    t -> -coalesce(map_extract(m, t)[1], {LM_OOV})))
+        |    / len(string_split(text, ' ')), 6) AS lm_nll
+        |  FROM documents CROSS JOIN lm),
+        |cuts AS (SELECT quantile_cont(lm_nll, 0.3333333333333333) AS q1,
+        |  quantile_cont(lm_nll, 0.6666666666666666) AS q2 FROM scored)
+        |SELECT doc_id, lm_nll, CASE WHEN lm_nll < q1 THEN 'head'
+        |  WHEN lm_nll < q2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "t11_gopher_rules",
       withTables { (s, _) =>
         // the Gopher quality-rule battery (Rae et al. 2021 §A1.1): all

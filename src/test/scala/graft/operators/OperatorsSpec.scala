@@ -786,6 +786,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out(3L).getDouble(2) == 5.0)
   }
 
+  test("ccnet buckets: terciles cover the corpus, ordered and roughly balanced") {
+    val dir = "/root/testdata/sf0.001"
+    graft.Tables.register(spark, dir)
+    val out = graft.SparkEntry.queries("t12_ccnet_buckets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val total = spark.table("documents").count()
+    assert(out.length == total)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // threshold rule => strict separation between buckets' NLL ranges
+    assert(byBucket("head").max < byBucket("middle").min)
+    assert(byBucket("middle").max < byBucket("tail").min)
+    // terciles: each bucket within a loose band around n/3 (rounded-NLL
+    // ties move whole tie-groups across a cutoff, so exact thirds aren't
+    // guaranteed)
+    byBucket.foreach { case (b, vs) =>
+      assert(vs.length > total / 6 && vs.length < total / 2,
+        s"bucket $b has ${vs.length} of $total docs")
+    }
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps high"),   // shares "quick brown fox" -> dropped
