@@ -260,6 +260,26 @@ object ShingleHash {
     while (i < toks.length - 1) { sum += r(bucket(toks(i) + " " + toks(i + 1))); i += 1 }
     BigDecimal(sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  /** Mean token NLL under a trained unigram LM — the same ordered fold as
+    * the HOF formulation (`-coalesce(logp(tok), oov)` summed in token
+    * order, divided by the token count, rounded half-up to 6 dp), one
+    * tight pass per row. `split(text, ' ')` keeping empties, so the count
+    * and lookups match `string_split` in the oracle.
+    */
+  def lmNll(s: UTF8String, vocab: java.util.HashMap[String, java.lang.Double],
+      oov: Double): Double = {
+    val toks = s.toString.split(" ", -1)
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val p = vocab.get(toks(i))
+      sum += (if (p == null) -oov else -p.doubleValue())
+      i += 1
+    }
+    BigDecimal(sum / toks.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 }
 
 /** `shingle_hashes(text, n)`: array<long> of hashed word n-gram shingles,
@@ -403,6 +423,44 @@ case class DsirWeightExpr(child: Expression, rSeq: IndexedSeq[Double])
     copy(child = newChild)
 }
 
+/** `lm_nll(text)`: mean token negative log-likelihood under a trained
+  * unigram LM, one tight pass per row inside whole-stage codegen — the
+  * interpreted HOF formulation (`aggregate`/`transform`/`element_at` over
+  * a map literal) is the same ordered arithmetic at ~5x the cost. Vocab
+  * rides as a codegen reference object (one HashMap per task, not a
+  * per-row map literal); held as a sorted `IndexedSeq` for expression
+  * canonicalization (the [[MinHashSigExpr]] rule).
+  */
+case class LmScoreExpr(child: Expression, vocabSeq: IndexedSeq[(String, Double)],
+    oov: Double) extends UnaryExpression {
+
+  @transient private lazy val vocab: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](vocabSeq.length * 2)
+    vocabSeq.foreach { case (t, p) => m.put(t, java.lang.Double.valueOf(p)) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "lm_nll"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.lmNll(input.asInstanceOf[UTF8String], vocab, oov)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("lmVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ShingleHash.lmNll($v, $vRef, ${oov}D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)`: the 64-bit SimHash fingerprint, one pass per row
   * inside whole-stage codegen.
   */
@@ -475,4 +533,11 @@ object ShingleFunctions {
   def dsirWeight(text: Column, ratios: Array[Double]): Column =
     ColumnBridge.column(DsirWeightExpr(ColumnBridge.expression(text),
       ratios.toIndexedSeq))
+
+  /** Mean token NLL under a trained unigram LM (sorted vocab for
+    * canonical expression equality).
+    */
+  def lmNll(text: Column, vocab: Map[String, Double], oovLogp: Double): Column =
+    ColumnBridge.column(LmScoreExpr(ColumnBridge.expression(text),
+      vocab.toIndexedSeq.sortBy(_._1), oovLogp))
 }

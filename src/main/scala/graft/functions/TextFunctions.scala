@@ -158,16 +158,12 @@ object TextFunctions {
     * over the tokens so the summation matches the oracle's list arithmetic
     * term for term; rounded to 6 dp for the cross-engine cut. Empty texts
     * (no tokens is impossible — split always yields ≥1 segment) score the
-    * OOV mass.
+    * OOV mass. Computed by the codegen'd [[graft.functions.LmScoreExpr]]
+    * kernel (one tight pass per row; the interpreted HOF formulation of
+    * the same fold cost ~5x).
     */
-  def lmScore(text: Column, vocab: Map[String, Double], oovLogp: Double): Column = {
-    val m = typedLit(vocab)
-    val toks = split(text, " ", -1)
-    val nll = aggregate(
-      transform(toks, t => -coalesce(element_at(m, t), lit(oovLogp))),
-      lit(0.0), (a, x) => a + x) / size(toks).cast("double")
-    round(nll, 6)
-  }
+  def lmScore(text: Column, vocab: Map[String, Double], oovLogp: Double): Column =
+    ShingleFunctions.lmNll(text, vocab, oovLogp)
 
   /** Repeated-n-gram ratio — the Gopher/C4-style repetition quality signal:
     * `1 − |distinct n-grams| / |n-grams|` (0.0 for docs too short to have
