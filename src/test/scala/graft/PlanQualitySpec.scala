@@ -246,6 +246,35 @@ class PlanQualitySpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"$x vs $y") }
   }
 
+  test("c10 DSIR: codegen'd weight kernel, top-N without a global sort shuffle") {
+    val df = SparkEntry.defs.find(_.name == "c10_dsir_select").get.fn(spark, sf)
+    val p = plan(df)
+    // selection is per-partition top-N + bounded merge, not a range sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    // the weight is the DsirWeightExpr kernel inside whole-stage codegen,
+    // not an interpreted HOF chain
+    assert(p.contains("dsir_weight"), p)
+    assert(!p.contains("aggregate(transform"), p)
+    // the scoring Project sits inside a WholeStageCodegen stage (the `*(n)`
+    // marker in executedPlan.toString)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dsir_weight")), p)
+  }
+
+  test("t12 CCNet buckets: cutoffs broadcast, no percentile buffer, LM kernel codegen'd") {
+    val df = SparkEntry.defs.find(_.name == "t12_ccnet_buckets").get.fn(spark, sf)
+    val p = plan(df)
+    // tercile cutoffs come from the distributed selection, never Spark's
+    // unbounded-buffer Percentile aggregate
+    assert(!p.toLowerCase.contains("percentile"), p)
+    // the 1-row cutoff frame joins broadcast (nested-loop on a 1-row build
+    // side — bounded), not via a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // scoring is the codegen'd lm_nll kernel, not an interpreted map literal
+    assert(p.contains("lm_nll"), p)
+    assert(!p.contains("map_from_arrays") && !p.contains("keys:"), p)
+  }
+
   test("exact percentile operator: the range sort shuffles the data exactly once") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // exactByGroup's indexed frame feeds three consumers through an RDD
