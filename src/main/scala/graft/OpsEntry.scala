@@ -1975,6 +1975,44 @@ object OpsEntry {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin)),
 
     QueryDef(
+      "st09_stream_neardup_pairs",
+      withTables { (s, _) =>
+        // batch face of the bounded-horizon streaming near-dup detector:
+        // same plan (banded self-join, first-agreeing-band exactly-once,
+        // exact rounded Jaccard) — withWatermark no-ops on batch. ts =
+        // doc_id seconds, so the 240 s horizon is id_b - id_a <= 240 in
+        // the oracle. Streaming face spec'd on MemoryStream against this
+        // exact output (DocumentStreamsSpec).
+        val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
+        graft.streaming.DocumentStreams.nearDupPairsStream(
+          docs, watermark = "1 hour", horizon = "240 seconds", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.doc_id < y.doc_id AND y.doc_id - x.doc_id <= 240),
+        |v AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |      (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) AS jaccard
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id_a JOIN sh q ON q.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "c10_dsir_select",
       withTables { (s, dir) =>
         // DSIR data selection (Xie et al. 2023): importance log-weights

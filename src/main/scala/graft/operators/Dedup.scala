@@ -401,9 +401,10 @@ object Dedup {
     * signature mins — every element SQL-statable, shared by
     * [[minhashLshPairsMd5]] and [[crossDedupLshMd5]].
     */
-  private def md5MinhashFrame(
+  private[graft] def md5MinhashFrame(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val (a, b) = hashParams(numHashes)
     // codegen'd kernels (r9): the round-8 formulation computed the hash set
     // through interpreted transform/array_distinct chains and the signature
@@ -415,20 +416,26 @@ object Dedup {
     // element). Values — and the driver hashes — are unchanged.
     import graft.functions.ShingleFunctions.{md5ShingleHashes, minhashSignature}
     val w = split(col(textCol), " ")
+    val keep = keepCols.map(col)
     df.where(size(w) >= shingleSize)
-      .select(col(idCol).as("id"), md5ShingleHashes(col(textCol), shingleSize).as("hs"))
-      .select(col("id"), col("hs"), minhashSignature(col("hs"), a, b).as("sig"))
+      .select((Seq(col(idCol).as("id"),
+        md5ShingleHashes(col(textCol), shingleSize).as("hs")) ++ keep): _*)
+      .select((Seq(col("id"), col("hs"),
+        minhashSignature(col("hs"), a, b).as("sig")) ++ keep): _*)
   }
 
   /** Band buckets as STRINGS of the band's signature values: bucket
     * equality ≡ signature-slice equality, so there is no band hash for two
     * engines to diverge on.
     */
-  private def md5BandBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private[graft] def md5BandBuckets(
+      sig: DataFrame, bands: Int, rows: Int,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until bands).map { bd =>
       array_join(transform(slice(col("sig"), bd * rows + 1, rows), v => v.cast("string")), ",")
     }
-    sig.select(col("id"), posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
+    sig.select((Seq(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))) ++
+      keepCols.map(col)): _*)
   }
 
   def minhashLshPairsMd5(

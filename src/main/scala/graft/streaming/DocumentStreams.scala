@@ -71,4 +71,76 @@ object DocumentStreams {
         avg("quality_score").as("mean_quality"))
       .select(col("w.start").as("window_start"), col("pred_lang"),
         col("n_docs"), col("total_chars"), col("mean_quality"))
+
+  /** BOUNDED-HORIZON streaming near-dup pair detection — the live
+    * counterpart of [[graft.operators.Dedup.minhashLshPairsMd5]], refining
+    * the lambda split documented on this object: a near-dup arriving
+    * arbitrarily late still belongs to the periodic batch compaction, but
+    * the common case — the same article crawled twice within minutes — is
+    * detectable live with bounded state, as pairs whose event times lie
+    * within `horizon` of each other.
+    *
+    * Topology: one stream-stream self-join, no custom state.
+    *   - the banded md5-MinHash frame (codegen'd kernels, string buckets)
+    *     is the join key — the LSH blocking IS the equi-join, exactly the
+    *     batch operator's plan streaming-ized;
+    *   - the time-range condition (`ts_a <= ts_b <= ts_a + horizon`) plus
+    *     the per-side watermark bound the join state to horizon-worth of
+    *     banded rows per side (times `bands` copies, each carrying its
+    *     signature and shingle-hash set for in-join verification — the
+    *     documented state cost of avoiding a second stateful operator);
+    *   - a pair that agrees in several bands would emit once per band, so
+    *     the join keeps only the FIRST agreeing band — computable from the
+    *     two signatures already in the joined row, which makes emission
+    *     exactly-once per pair without chaining a streaming distinct;
+    *   - verification is the exact rounded Jaccard on the md5 shingle-hash
+    *     sets, the d19 arithmetic — so the batch face of this operator is
+    *     fully DuckDB-statable.
+    *
+    * The SAME plan serves the batch backfill (`withWatermark` is a no-op
+    * on batch frames), which is what the driver gate hash-checks.
+    */
+  def nearDupPairsStream(
+      docs: DataFrame,
+      watermark: String,
+      horizon: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val frame = graft.operators.Dedup.md5MinhashFrame(
+      docs, idCol, textCol, shingleSize, numHashes, keepCols = Seq("ts"))
+    // hs/sig ride on every banded row (not re-joined post-banding — that
+    // would be a second stateful join on a stream); this is the state-cost
+    // trade the scaladoc documents
+    val banded = graft.operators.Dedup.md5BandBuckets(
+      frame, bands, rows, keepCols = Seq("ts", "hs", "sig"))
+      .withWatermark("ts", watermark)
+    // (earlier, later) orientation: ts order with id tiebreak; horizon caps
+    // the lookback so state evicts
+    val pairCond =
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("b.ts") >= col("a.ts") &&
+        col("b.ts") <= col("a.ts") + expr(s"INTERVAL $horizon") &&
+        (col("a.ts") < col("b.ts") ||
+          (col("a.ts") === col("b.ts") && col("a.id") < col("b.id")))
+    // exactly-once: emit only from the first band whose signature slices
+    // agree (bucket equality ≡ slice equality, so the emitting band always
+    // sees itself in this list)
+    val firstBand = element_at(
+      filter(sequence(lit(0), lit(bands - 1)), bd =>
+        slice(col("a.sig"), bd * lit(rows) + lit(1), lit(rows)) ===
+          slice(col("b.sig"), bd * lit(rows) + lit(1), lit(rows))), 1)
+    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
+    banded.as("a").join(banded.as("b"), pairCond)
+      .where(col("a.band") === firstBand)
+      .withColumn("jaccard", round(inter.cast("double") /
+        (size(col("a.hs")) + size(col("b.hs")) - inter), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
 }

@@ -88,4 +88,43 @@ class DocumentStreamsSpec extends SparkSpec {
         ("2024-01-01 10:10:00.0", "en", 1L)), batchOut)
     } finally q.stop()
   }
+
+  test("nearDupPairsStream: in-horizon near-dups detected once, out-of-horizon ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // base and nearDup differ in one edge word over 30 words: 3-gram
+    // Jaccard 27/29 >= 0.5; `far` repeats base past the horizon
+    val words = (1 to 30).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val near = ("zzz" +: words.tail).mkString(" ")
+    val other = (1 to 30).map(i => s"other$i").mkString(" ")
+    val input = MemoryStream[Doc]
+    val out = DocumentStreams.nearDupPairsStream(
+      input.toDF(), watermark = "5 minutes", horizon = "10 minutes", threshold = 0.5)
+    val q = EventStreams.toMemorySink(out, "neardup_stream_test", complete = false)
+    try {
+      input.addData(
+        Doc(1, ts(0), base),
+        Doc(2, ts(3), near),   // in-horizon near-dup of 1 → pair (1,2)
+        Doc(3, ts(4), other))  // unrelated → no pair
+      q.processAllAvailable()
+      input.addData(Doc(4, ts(45), base)) // same text, 45 min later: outside
+      q.processAllAvailable()              // the 10-min horizon → NO pair
+      input.addData(Doc(5, ts(59), good)) // advance watermark past doc 4
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream_test")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // exactly-once: the (1,2) pair agrees in MANY bands (27 shared
+      // shingles) but must emit a single row
+      assert(got.toSeq == Seq((1L, 2L)), got.toSeq)
+      // the batch face on the same rows produces the same pair set
+      val batchDf = Seq(
+        Doc(1, ts(0), base), Doc(2, ts(3), near), Doc(3, ts(4), other),
+        Doc(4, ts(45), base), Doc(5, ts(59), good)).toDF()
+      val batch = DocumentStreams.nearDupPairsStream(
+        batchDf, watermark = "5 minutes", horizon = "10 minutes", threshold = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.toSeq.sorted == Seq((1L, 2L)), batch.toSeq)
+    } finally q.stop()
+  }
 }
