@@ -2114,6 +2114,108 @@ object OpsEntry {
         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin))
+  ) ++ retrievalDefs
+
+  /** r01–r03's fixed query-term list: one rare term (df 25/500) among three
+    * common ones (df ≈ 385–394) so the IDF weighting actually discriminates.
+    */
+  private val bm25Terms = Seq("spark", "dup", "vector", "merge")
+
+  /** Generated DuckDB CTEs computing the SAME BM25 path as
+    * [[graft.operators.Retrieval.bm25TopK]] — stats recomputed in-SQL (not
+    * bound literals), IDF rounded to 6 immediately, per-term products
+    * parenthesized to match Spark's expression-tree association exactly,
+    * score summed left-to-right over the literal term order.
+    */
+  private def bm25ScoredCte(terms: Seq[String]): String = {
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN list_contains(w, '${terms(i)}') THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"round(ln(1 + (n_docs::DOUBLE - df_$i::DOUBLE + 0.5) / (df_$i::DOUBLE + 0.5)), 6)" +
+        s" * (len(list_filter(w, x -> x = '$t'))::DOUBLE * 2.2" +
+        s" / (len(list_filter(w, x -> x = '$t'))::DOUBLE" +
+        s" + 1.2 * (0.25 + 0.75 * len(w)::DOUBLE / avgdl)))"
+    }.mkString("\n    + ")
+    s"""tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl, $dfCols FROM tok),
+       |scored AS (
+       |  SELECT doc_id, round(0.0
+       |    + $score, 6) AS bm25
+       |  FROM (SELECT *, sum_dl::DOUBLE / n_docs::DOUBLE AS avgdl
+       |        FROM tok CROSS JOIN stats)
+       |  WHERE len(list_intersect(w, [$termList])) > 0)""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Retrieval family (r01–r03): sparse BM25, dense rerank, RRF fusion.
+  // -------------------------------------------------------------------
+  private val retrievalDefs: Vector[QueryDef] = Vector(
+    QueryDef(
+      "r01_bm25_topk",
+      withTables { (s, _) =>
+        Retrieval.bm25TopK(s.table("documents"), "doc_id", "text", bm25Terms, k = 50)
+          .orderBy("rank")
+      },
+      Some(s"""WITH ${bm25ScoredCte(bm25Terms)}
+        |SELECT doc_id, bm25, cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) as int) AS rank
+        |FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50)
+        |ORDER BY rank""".stripMargin)),
+
+    QueryDef(
+      "r02_hybrid_rerank",
+      withTables { (s, _) =>
+        // sparse candidate generation → dense cosine rerank against the
+        // query document's own embedding (vec_id 0 ↔ doc_id 0)
+        val cands = Retrieval.bm25TopK(s.table("documents"), "doc_id", "text", bm25Terms, k = 100)
+        Retrieval.denseRerank(cands, s.table("embeddings"), "vec_id", "embedding",
+          queryVecId = 0L, k = 10)
+          .orderBy("rank")
+      },
+      Some(s"""WITH ${bm25ScoredCte(bm25Terms)},
+        |cand AS (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT 100),
+        |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |reranked AS (
+        |  SELECT c.doc_id, round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN qv
+        |  WHERE c.doc_id <> 0)
+        |SELECT doc_id, sim, cast(row_number() OVER (ORDER BY sim DESC, doc_id) as int) AS rank
+        |FROM (SELECT * FROM reranked ORDER BY sim DESC, doc_id LIMIT 10)
+        |ORDER BY rank""".stripMargin)),
+
+    QueryDef(
+      "r03_rrf_fusion",
+      withTables { (s, _) =>
+        // reciprocal-rank fusion of the sparse (BM25) and dense (brute
+        // cosine, query vec 0) top-50 lists
+        val sparse = Retrieval.bm25TopK(s.table("documents"), "doc_id", "text", bm25Terms, k = 50)
+        val emb = s.table("embeddings")
+        val dense = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(sparse, dense, k = 20).orderBy("rank")
+      },
+      Some(s"""WITH ${bm25ScoredCte(bm25Terms)},
+        |sparse AS (
+        |  SELECT doc_id, cast(row_number() OVER (ORDER BY bm25 DESC, doc_id) as int) AS rank_a
+        |  FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50)),
+        |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |densescore AS (
+        |  SELECT vec_id AS doc_id, round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, cast(row_number() OVER (ORDER BY sim DESC, doc_id) as int) AS rank_b
+        |  FROM (SELECT * FROM densescore ORDER BY sim DESC, doc_id LIMIT 50)),
+        |fused AS (
+        |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60.0 + s.rank_a::DOUBLE), 0.0)
+        |      + coalesce(1.0 / (60.0 + d.rank_b::DOUBLE), 0.0), 6) AS rrf
+        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, rrf, cast(row_number() OVER (ORDER BY rrf DESC, doc_id) as int) AS rank
+        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY rank""".stripMargin))
   )
 
   private def Psqlish(s: SparkSession, q: String): DataFrame = graft.psql.Psql(s).sql(q)

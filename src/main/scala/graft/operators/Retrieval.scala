@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse + dense text retrieval over the document corpus — the search-side
+  * counterpart of the dedup/ANN family: BM25 (Robertson/Sparck Jones) lexical
+  * top-k, dense rerank of a sparse candidate set, and reciprocal-rank fusion
+  * of two rankings (Cormack et al. 2009). North-star scope: candidate
+  * generation and retrieval-based filtering for training-data pipelines
+  * (e.g. pulling benchmark-adjacent documents for inspection, RAG corpus
+  * construction).
+  *
+  * Scale shape: corpus statistics (N, total doc length, per-term document
+  * frequencies) are ONE full-scan aggregation producing a single narrow row
+  * that rides back in as a broadcast; scoring is then map-side (per-row
+  * arithmetic over the doc's own token array — no explode, no per-token
+  * shuffle), and selection is sort+limit which Spark compiles to
+  * TakeOrderedAndProject (per-partition top-N + bounded merge). The only
+  * full pass at 100 TB is the two scans (stats, score); nothing shuffles on
+  * a per-token key.
+  *
+  * Determinism/cross-engine notes: token counts, document lengths and
+  * document frequencies are exact integers; `avgdl` is one exact-integer
+  * division; per-term IDF is the only transcendental (`ln`) and is rounded
+  * to 6 decimals immediately so at most |terms| values (not |corpus| scores)
+  * sit near a rounding boundary; the per-document score is a fixed
+  * left-to-right sum over the literal term list, bit-stable across engines.
+  */
+object Retrieval {
+
+  /** Exact BM25 top-k for a literal query-term list. Returns
+    * `(doc_id, bm25, rank)`, rank dense on (score desc, id asc), only
+    * documents containing at least one query term (standard retrieval
+    * semantics — a zero-overlap document is not a result).
+    *
+    * k1/b are the classic defaults. IDF is the Lucene-style non-negative
+    * variant `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: need at least one query term")
+    require(terms.distinct.size == terms.size, "bm25TopK: query terms must be distinct")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), t => length(t) > lit(0)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    // one full-scan aggregation → a single narrow stats row (N, Σdl, df_i…)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("w"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = tok.agg(aggCols.head, aggCols.tail: _*)
+    val termsArr = array(terms.map(lit): _*)
+    val cand = tok.where(arrays_overlap(col("w"), termsArr))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    // fixed left-to-right sum over the literal term list — deterministic
+    val score = terms.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (t, i)) =>
+      val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+      val dfT = col(s"df_$i").cast("double")
+      val idf = round(
+        log(lit(1.0) + (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5))), 6)
+      val tfNorm = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+      acc + idf * tfNorm
+    }
+    val scored = cand.select(col("doc_id"), round(score, 6).as("bm25"))
+    // sort+limit → TakeOrderedAndProject; rank attached after the bounded merge
+    val top = scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("int"))
+  }
+
+  /** Dense rerank of a sparse candidate set: cosine similarity between one
+    * query vector (`queries` filtered to a single row) and each candidate's
+    * embedding, top `k` by (sim desc, id). The candidate set is the output
+    * of a bounded first stage (e.g. [[bm25TopK]]), so the embedding join
+    * probes with a tiny broadcastable side — at 100 TB the dense pass never
+    * touches vectors outside the candidate list.
+    */
+  def denseRerank(
+      candidates: DataFrame,   // must carry doc_id
+      embeddings: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queryVecId: Long,
+      k: Int): DataFrame = {
+    val qv = embeddings.where(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).cast("array<double>").as("qv"))
+    val cand = candidates.select(col("doc_id"))
+      .join(embeddings.select(col(vecIdCol).as("doc_id"),
+        col(vecCol).cast("array<double>").as("cv")), Seq("doc_id"))
+      .where(col("doc_id") =!= queryVecId)
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+    val top = cand.orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("sim").desc, col("doc_id").asc)).cast("int"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse two rankings
+    * `(doc_id, rank)` with `score = Σ 1/(c + rank)` over the systems the
+    * document appears in, top `k` by (fused desc, id). Pure rational
+    * arithmetic — exactly reproducible cross-engine. Inputs are top-k lists
+    * (bounded), so the outer join is broadcast-small at any corpus scale.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      bRanks: DataFrame,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    val left = a.select(col("doc_id"), col("rank").as("rank_a"))
+    val right = bRanks.select(col("doc_id"), col("rank").as("rank_b"))
+    val fused = left.join(right, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b").cast("double")), lit(0.0)),
+          6).as("rrf"))
+    val top = fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+  }
+}

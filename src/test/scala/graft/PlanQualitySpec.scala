@@ -444,4 +444,17 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("r01 BM25: map-side scoring (no explode), broadcast stats, top-k merge") {
+    val df = SparkEntry.defs.find(_.name == "r01_bm25_topk").get.fn(spark, sf)
+    val p = plan(df)
+    // no per-token explode anywhere — scoring folds over the doc's own array
+    assert(!p.contains("Generate"), p)
+    // the 1-row corpus-stats frame rides in as a broadcast, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // selection is per-partition top-N + bounded merge, not a range sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior spec for the retrieval family (r01–r03): BM25 scoring against a
+  * hand-built local reimplementation on a tiny corpus, rerank candidate
+  * containment, RRF exact rational arithmetic.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs3 = {
+    import spark.implicits._
+    Seq((1L, "a a b"), (2L, "b c"), (3L, "d")).toDF("doc_id", "text")
+  }
+
+  /** Local mirror of the BM25 formula (same op order as the Column tree). */
+  private def bm25Local(tf: Double, dfT: Double, n: Double, dl: Double, avgdl: Double,
+      k1: Double = 1.2, b: Double = 0.75): Double = {
+    val idf = BigDecimal(math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    idf * (tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+  }
+
+  test("bm25TopK: scores match the formula, zero-overlap docs excluded, rank dense") {
+    val res = Retrieval.bm25TopK(docs3, "doc_id", "text", Seq("a", "c"), k = 10)
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 has no query term
+    val n = 3.0; val avgdl = 6.0 / 3.0
+    val exp1 = BigDecimal(0.0 + bm25Local(2, 1, n, 3, avgdl) + bm25Local(0, 1, n, 3, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(0.0 + bm25Local(0, 1, n, 2, avgdl) + bm25Local(1, 1, n, 2, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(0).getDouble(1) == exp1, s"${res(0)} vs $exp1")
+    assert(res(1).getDouble(1) == exp2, s"${res(1)} vs $exp2")
+    assert(res.map(_.getInt(2)).toSeq == Seq(1, 2))
+  }
+
+  test("bm25TopK: rare terms outrank common ones (IDF discrimination)") {
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    val top = Retrieval.bm25TopK(spark.table("documents"), "doc_id", "text",
+      Seq("dup", "table"), k = 5).collect()
+    assert(top.length == 5)
+    // every top-5 doc must contain the rare term: its IDF dwarfs 'table''s
+    val topIds = top.map(_.getLong(0)).toSet
+    val withDup = spark.table("documents")
+      .where(array_contains(split(col("text"), " "), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(topIds.subsetOf(withDup), s"$topIds not all in dup-docs $withDup")
+  }
+
+  test("denseRerank: only candidates appear, ordered by cosine desc") {
+    graft.Tables.register(spark, "/root/testdata/sf0.001")
+    import spark.implicits._
+    val cands = Seq(3L, 5L, 7L, 9L, 11L).toDF("doc_id")
+    val res = Retrieval.denseRerank(cands, spark.table("embeddings"),
+      "vec_id", "embedding", queryVecId = 0L, k = 3).orderBy("rank").collect()
+    assert(res.length == 3)
+    assert(res.map(_.getLong(0)).toSet.subsetOf(Set(3L, 5L, 7L, 9L, 11L)))
+    val sims = res.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, s"not desc: $sims")
+  }
+
+  test("rrfFuse: exact rational fusion, outer semantics for one-sided docs") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val res = Retrieval.rrfFuse(a, b, k = 10).orderBy("rank").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      (2L, r6(1.0 / 62.0 + 1.0 / 61.0)), // in both lists
+      (1L, r6(1.0 / 61.0)),
+      (3L, r6(1.0 / 62.0)))
+    assert(res.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
+  }
+}
