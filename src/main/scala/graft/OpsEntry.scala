@@ -2150,9 +2150,33 @@ object OpsEntry {
   }
 
   // -------------------------------------------------------------------
-  // Retrieval family (r01–r03): sparse BM25, dense rerank, RRF fusion.
+  // Retrieval family (r01–r03): sparse BM25, dense rerank, RRF fusion,
+  // plus d27 line-level dedup (grouped here for registration order only).
   // -------------------------------------------------------------------
   private val retrievalDefs: Vector[QueryDef] = Vector(
+    QueryDef(
+      "d27_line_dedup",
+      withTables { (s, _) =>
+        Dedup.dedupLines(s.table("documents"), "doc_id", "text", spanWords = 10, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i*10+1 : i*10+10], ' ') AS line
+        |  FROM tok, unnest(range((len(w) + 9) // 10)) AS t(i)),
+        |dup AS (SELECT line FROM spans GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT * FROM spans s WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.line = s.line)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  ((len(w) + 9) // 10) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
     QueryDef(
       "r01_bm25_topk",
       withTables { (s, _) =>

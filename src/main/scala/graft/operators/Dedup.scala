@@ -894,4 +894,58 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Corpus-wide line-level dedup (the RefinedWeb / CCNet "remove duplicated
+    * lines everywhere they occur" step, Penedo et al. 2023 §3.2): any line
+    * occurring in >= `minDocs` DISTINCT documents is removed from EVERY
+    * document, and each document is reassembled from its surviving lines in
+    * original order. The synthetic corpus has no newlines, so a "line" here
+    * is a fixed span of `spanWords` consecutive tokens (the last span may be
+    * short) — same operator shape, pseudo-line tokenizer.
+    *
+    * Returns one row per input document: `(doc_id, text_clean, n_kept,
+    * n_removed)` — fully-deduplicated documents survive with empty text, so
+    * output cardinality always equals input cardinality.
+    *
+    * Scale shape: one span explode (~|tokens|/spanWords row expansion), one
+    * aggregation shuffle keyed by the line to find corpus-wide duplicates,
+    * one anti-join, one reassembly shuffle keyed by doc. Lines join on the
+    * raw string here for oracle transparency; at 100 TB key the dup
+    * aggregation and anti-join on `xxhash64(line)` instead — same plan with
+    * an 8-byte shuffle key (the [[dedupExact]] md5 discipline).
+    */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    require(spanWords > 0 && minDocs >= 2, s"need spanWords > 0, minDocs >= 2")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      filter(split(col(textCol), " "), t => length(t) > lit(0)).as("w"))
+    val nSpans = // ceil(|w| / spanWords), guarded so empty docs yield 0 spans
+      floor((size(col("w")) + lit(spanWords - 1)).cast("double") / lit(spanWords)).cast("long")
+    val spans = tok.select(col("doc_id"),
+      posexplode(
+        when(size(col("w")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), nSpans.cast("int") - 1),
+            i => array_join(slice(col("w"), i * spanWords + 1, lit(spanWords)), " ")))))
+      .toDF("doc_id", "pos", "line")
+    val dup = spans.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select("line")
+    val kept = spans.join(dup, Seq("line"), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), " ").as("text_clean"))
+    tok.select(col("doc_id"), nSpans.as("n_spans"))
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -598,6 +598,28 @@ class DedupSpec extends SparkSpec {
       s"missed ${(expected -- got).size}, extra ${(got -- expected).size}")
     assert(expected.nonEmpty)
   }
+
+  test("dedupLines: corpus-wide duplicated spans removed everywhere, order kept, cardinality preserved") {
+    import spark.implicits._
+    // span = 2 words; "x1 x2" appears in docs 1 and 2 → removed from BOTH;
+    // doc 3 is entirely duplicated lines of doc 4 → emptied (and vice versa)
+    val docs = Seq(
+      (1L, "x1 x2 a1 a2 a3"),        // spans: [x1 x2][a1 a2][a3]
+      (2L, "x1 x2 b1 b2"),           // spans: [x1 x2][b1 b2]
+      (3L, "z1 z2 z3 z4"),           // spans: [z1 z2][z3 z4]
+      (4L, "z1 z2 z3 z4"),           //   identical → both fully removed
+      (5L, "")                       // empty doc: 0 spans, survives as empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", spanWords = 2, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    val byId = out.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) == (("a1 a2 a3", 2L, 1L)))
+    assert(byId(2L) == (("b1 b2", 1L, 1L)))
+    assert(byId(3L) == (("", 0L, 2L)))
+    assert(byId(4L) == (("", 0L, 2L)))
+    assert(byId(5L) == (("", 0L, 0L)))
+  }
 }
 
 class TrainingPipelineSpec extends SparkSpec {
