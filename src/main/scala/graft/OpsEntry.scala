@@ -123,6 +123,32 @@ object OpsEntry {
   private[graft] def dsirRatiosSql(sfDir: String): String =
     s"[${fixedDsirRatios(sfDir).mkString(", ")}]::DOUBLE[]"
 
+  /** t13's trained quality-classifier model, cached per sfDir — same
+    * determinism story as [[fixedDsirRatios]]. The synthetic corpus draws
+    * every language from one vocabulary, so the lang=en label is mostly
+    * noise and the learned weights are small: the gate row pins the
+    * train→score PATH bit-exactly, while TrainingPipelineSpec proves the
+    * trainer actually learns on separable data.
+    */
+  private val qcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
+
+  private[graft] def fixedQualityModel(sfDir: String): (Array[Double], Double) =
+    qcCache.computeIfAbsent(sfDir, dir => {
+      val spark = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .getOrElse(SparkSession.builder().master("local[4]")
+          .config("spark.ui.enabled", "false").getOrCreate())
+      graft.operators.TrainingPipeline.trainQualityClassifier(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        labelPred = col("lang") === "en")
+    })
+
+  private[graft] def qcWeightsSql(sfDir: String): String =
+    s"[${fixedQualityModel(sfDir)._1.mkString(", ")}]::DOUBLE[]"
+
+  private[graft] def qcBiasSql(sfDir: String): String =
+    fixedQualityModel(sfDir)._2.toString
+
   /** d23's probe frame: per query (vec_id < maxQueryId), the nProbe best
     * centroids under the same rounded ranking the assignment uses.
     */
@@ -2176,6 +2202,34 @@ object OpsEntry {
         |  ((len(w) + 9) // 10) - coalesce(a.n_kept, 0) AS n_removed
         |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
+      "t13_quality_classifier",
+      withTables { (s, dir) =>
+        // fastText-style linear filter: weights trained driver-side on the
+        // bounded sample (lang=en heuristic label), scored map-side with
+        // the codegen'd dsirWeight kernel; {QC_WEIGHTS}/{QC_BIAS} bind the
+        // SAME doubles into the oracle (the c10/t10 parity pattern)
+        val (w, b) = fixedQualityModel(dir)
+        graft.operators.TrainingPipeline.qualityClassify(
+          s.table("documents"), "doc_id", "text", w, b)
+          .orderBy("doc_id")
+      },
+      Some("""WITH wv AS (SELECT {QC_WEIGHTS} AS r),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_concat(w, CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS fs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(round(list_sum(list_transform(fs,
+        |      x -> r[(('0x' || substr(md5(x), 1, 7))::BIGINT % 1024)::INT + 1])), 6)
+        |      / len(fs) + {QC_BIAS}, 6) AS quality_logit
+        |  FROM f CROSS JOIN wv)
+        |SELECT doc_id, quality_logit, quality_logit >= 0 AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
       "r01_bm25_topk",

@@ -690,6 +690,8 @@ object SparkEntry {
     lazy val lmVocab = OpsEntry.lmVocabSql(sfDir)
     lazy val lmOov = OpsEntry.lmOovSql(sfDir)
     lazy val dsirRatios = OpsEntry.dsirRatiosSql(sfDir)
+    lazy val qcWeights = OpsEntry.qcWeightsSql(sfDir)
+    lazy val qcBias = OpsEntry.qcBiasSql(sfDir)
     defs.flatMap(d => d.oracle.map { o =>
       var bound = o.replace("{SF_DIR}", sfDir)
       if (bound.contains("{IVF_CENTROIDS}"))
@@ -700,6 +702,8 @@ object SparkEntry {
         bound = bound.replace("{LM_VOCAB}", lmVocab).replace("{LM_OOV}", lmOov)
       if (bound.contains("{DSIR_RATIOS}"))
         bound = bound.replace("{DSIR_RATIOS}", dsirRatios)
+      if (bound.contains("{QC_WEIGHTS}"))
+        bound = bound.replace("{QC_WEIGHTS}", qcWeights).replace("{QC_BIAS}", qcBias)
       d.name -> bound
     }).toMap
   }

@@ -548,4 +548,96 @@ object TrainingPipeline {
         .as("dsir_weight"))
       .orderBy(col("dsir_weight").desc, col(idCol).asc)
       .limit(topN)
+
+  /** fastText-style linear quality classifier (the GPT-3/LLaMA "train a
+    * simple classifier on heuristic labels, filter the corpus with it"
+    * step): full-batch logistic regression over the SAME hashed
+    * unigram+bigram buckets as [[trainDsirLogRatios]], L1-normalized per
+    * document, trained driver-side on a bounded deterministic sample
+    * (ordered by id, `sampleN` rows — the k-means/LM/DSIR discipline; the
+    * sample stays fixed-size at any corpus scale). Fixed iteration order
+    * and epoch count make the weights bit-deterministic, which is what lets
+    * them ride into a DuckDB oracle as literals (t13).
+    *
+    * Returns `(weights[nBuckets], bias)` for [[qualityClassify]].
+    */
+  def trainQualityClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelPred: org.apache.spark.sql.Column,
+      nBuckets: Int = 1024,
+      sampleN: Int = 2048,
+      epochs: Int = 50,
+      lr: Double = 1.0): (Array[Double], Double) = {
+    val rows = df.select(col(idCol), col(textCol), labelPred.cast("boolean").as("__y"))
+      .orderBy(idCol).limit(sampleN)
+      .collect().map(r => (Option(r.getString(1)).getOrElse(""), r.getBoolean(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def features(t: String): Array[(Int, Double)] = {
+      val toks = t.split(" ", -1)
+      val feats = toks.iterator ++
+        toks.iterator.zip(toks.iterator.drop(1)).map { case (a, b) => s"$a $b" }
+      val counts = new java.util.TreeMap[Int, Double]()
+      var n = 0L
+      feats.foreach { f =>
+        val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val top32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val b = ((top32 >>> 4) % nBuckets).toInt
+        counts.merge(b, 1.0, (x, y) => x + y)
+        n += 1
+      }
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.map(e => (e.getKey.intValue, e.getValue / n)).toArray
+    }
+    val xs = rows.map { case (t, y) => (features(t), if (y) 1.0 else 0.0) }
+      .filter(_._1.nonEmpty)
+    val w = new Array[Double](nBuckets)
+    var b0 = 0.0
+    val m = xs.length.toDouble
+    var e = 0
+    while (e < epochs) {
+      val gw = new Array[Double](nBuckets)
+      var gb = 0.0
+      xs.foreach { case (x, y) =>
+        var dot = 0.0
+        x.foreach { case (i, v) => dot += w(i) * v }
+        val err = 1.0 / (1.0 + math.exp(-(dot + b0))) - y
+        x.foreach { case (i, v) => gw(i) += err * v }
+        gb += err
+      }
+      var i = 0
+      while (i < nBuckets) { w(i) -= lr * gw(i) / m; i += 1 }
+      b0 -= lr * gb / m
+      e += 1
+    }
+    (w, b0)
+  }
+
+  /** Score every document under a [[trainQualityClassifier]] model: the
+    * logit is the trained-weight sum over the doc's hashed features (the
+    * codegen'd [[graft.functions.ShingleFunctions.dsirWeight]] kernel —
+    * one tight map-side pass) divided by the feature count (`2n-1` for `n`
+    * raw tokens: unigrams + bigrams, empty-token convention matching the
+    * trainer), plus the bias. `keep` thresholds the ROUNDED logit at 0 —
+    * no transcendental sits in any compared column, so cross-engine
+    * equality is pure-arithmetic exact. Note the kernel rounds ITS sum to
+    * 6 dp before this division (its own output contract) — an oracle must
+    * mirror that inner round or one-in-a-thousand boundary rows drift.
+    * Map-side only; no shuffle.
+    */
+  def qualityClassify(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Array[Double],
+      bias: Double): DataFrame = {
+    val nToks = size(split(col(textCol), " ")).cast("double")
+    val logit = round(
+      graft.functions.ShingleFunctions.dsirWeight(col(textCol), weights) /
+        (lit(2.0) * nToks - lit(1.0)) + lit(bias), 6)
+    df.select(col(idCol), logit.as("quality_logit"))
+      .withColumn("keep", col("quality_logit") >= 0.0)
+  }
 }

@@ -1095,6 +1095,25 @@ class TrainingPipelineSpec extends SparkSpec {
       }))
     }
   }
+
+  test("quality classifier: learns a separable rule, deterministic weights, scorer matches trainer math") {
+    // label = doc contains the token 'good' — linearly separable via the
+    // 'good' unigram bucket
+    val docs = (0 until 200).map { i =>
+      val good = i % 2 == 0
+      val filler = s"tok${i % 7} tok${i % 11} tok${i % 5} tok${i % 3}"
+      (i.toLong, if (good) s"$filler good $filler" else s"$filler bad $filler")
+    }.toDF("doc_id", "text")
+    val (w, b) = TrainingPipeline.trainQualityClassifier(
+      docs, "doc_id", "text", col("text").contains("good"), epochs = 200)
+    val (w2, b2) = TrainingPipeline.trainQualityClassifier(
+      docs, "doc_id", "text", col("text").contains("good"), epochs = 200)
+    assert(w.sameElements(w2) && b == b2, "training must be bit-deterministic")
+    val scored = TrainingPipeline.qualityClassify(docs, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val acc = (0 until 200).count(i => scored(i.toLong) == (i % 2 == 0)) / 200.0
+    assert(acc == 1.0, s"separable rule not learned: acc=$acc")
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
