@@ -158,11 +158,14 @@ object EventStreams {
       // streaming path's Timestamp.getTime arithmetic exactly.
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy("ts")
+      // tolerate TIMESTAMP_NTZ inputs: unix_millis requires TIMESTAMP, and
+      // under a UTC session the cast is instant-preserving (no-op for LTZ)
+      val tsMs = unix_millis(col("ts").cast("timestamp"))
       return events.toDF()
-        .withColumn("__prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("__prev_ms", lag(tsMs, 1).over(byUser))
         .withColumn("__new_session",
           when(col("__prev_ms").isNull ||
-            unix_millis(col("ts")) - col("__prev_ms") > gapMs, 1L).otherwise(0L))
+            tsMs - col("__prev_ms") > gapMs, 1L).otherwise(0L))
         .withColumn("__sid", sum("__new_session")
           .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("__sid"))

@@ -37,9 +37,14 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
-    for name in sorted(set(
-            os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*"))
-            if os.path.isdir(p))):
+    produced = set(
+        os.path.basename(p) for p in glob.glob(os.path.join(out_dir, "*"))
+        if os.path.isdir(p))
+    # a query that errored in Verify writes NO output dir — flag it loudly
+    # instead of silently shrinking the gate (st06 regression lesson)
+    for name in sorted(set(oracles) - produced):
+        results[name] = "NO_OUTPUT: query failed in Verify (see its stderr)"
+    for name in sorted(produced):
         spark_path = os.path.join(out_dir, name)
         try:
             s_cols, s_rows = table_rows(con, f"SELECT * FROM '{spark_path}/*.parquet'")
