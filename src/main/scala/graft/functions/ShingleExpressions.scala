@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -25,6 +25,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeping eval and codegen byte-identical.
   */
 object ShingleHash {
+
+  /** First band (rowsPerBand consecutive positions) where the two MinHash
+    * signatures agree elementwise, -1 if none — early-exit primitive loop,
+    * called from [[FirstAgreeingBandExpr]] codegen.
+    */
+  def firstAgreeingBand(x: ArrayData, y: ArrayData, rowsPerBand: Int): Int = {
+    val n = math.min(x.numElements(), y.numElements()) / rowsPerBand
+    var bd = 0
+    while (bd < n) {
+      var i = bd * rowsPerBand
+      val end = i + rowsPerBand
+      var ok = true
+      while (ok && i < end) {
+        if (x.getLong(i) != y.getLong(i)) ok = false
+        i += 1
+      }
+      if (ok) return bd
+      bd += 1
+    }
+    -1
+  }
 
   private val TokenSeed = 42L
   // FNV-64 prime for the order-sensitive window combine; murmur3 fmix64
@@ -505,6 +526,43 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `first_agreeing_band(sigA, sigB)`: index of the FIRST band
+  * (`rowsPerBand` consecutive signature positions) where the two MinHash
+  * signatures agree elementwise, or -1 if none — the streaming LSH join's
+  * exactly-once emission test (st09). One early-exit primitive loop inside
+  * whole-stage codegen, replacing an interpreted
+  * `element_at(filter(sequence(...), slice === slice), 1)` chain that was
+  * re-evaluated per joined candidate row. Identical semantics: the join's
+  * `a.band === first_agreeing_band(...)` treats the old NULL and the new
+  * -1 the same (both fail the equality).
+  */
+case class FirstAgreeingBandExpr(left: Expression, right: Expression, rowsPerBand: Int)
+    extends BinaryExpression {
+  require(rowsPerBand > 0, "rowsPerBand must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "first_agreeing_band"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    ShingleHash.firstAgreeingBand(x, y, rowsPerBand)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ShingleHash.firstAgreeingBand($a, $b, $rowsPerBand)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleFunctions {
   /** Hashed word n-gram shingles of a text column, in document order. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -528,6 +586,13 @@ object ShingleFunctions {
   def minhashSignature(hashes: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
       a.toIndexedSeq, b.toIndexedSeq))
+
+  /** First band where two MinHash signatures agree elementwise, -1 if none
+    * (st09's exactly-once emission test).
+    */
+  def firstAgreeingBand(sigA: Column, sigB: Column, rowsPerBand: Int): Column =
+    ColumnBridge.column(FirstAgreeingBandExpr(
+      ColumnBridge.expression(sigA), ColumnBridge.expression(sigB), rowsPerBand))
 
   /** DSIR importance log-weight under a trained log-ratio array. */
   def dsirWeight(text: Column, ratios: Array[Double]): Column =

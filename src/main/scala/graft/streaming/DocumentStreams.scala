@@ -130,11 +130,11 @@ object DocumentStreams {
           (col("a.ts") === col("b.ts") && col("a.id") < col("b.id")))
     // exactly-once: emit only from the first band whose signature slices
     // agree (bucket equality ≡ slice equality, so the emitting band always
-    // sees itself in this list)
-    val firstBand = element_at(
-      filter(sequence(lit(0), lit(bands - 1)), bd =>
-        slice(col("a.sig"), bd * lit(rows) + lit(1), lit(rows)) ===
-          slice(col("b.sig"), bd * lit(rows) + lit(1), lit(rows))), 1)
+    // sees itself). Codegen'd early-exit kernel — the r9 first cut spelled
+    // this as an interpreted filter(sequence, slice === slice) chain
+    // re-evaluated per joined candidate and benched 3x slower.
+    val firstBand = graft.functions.ShingleFunctions.firstAgreeingBand(
+      col("a.sig"), col("b.sig"), rows)
     val inter = size(array_intersect(col("a.hs"), col("b.hs")))
     banded.as("a").join(banded.as("b"), pairCond)
       .where(col("a.band") === firstBand)

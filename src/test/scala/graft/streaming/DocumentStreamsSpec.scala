@@ -127,4 +127,30 @@ class DocumentStreamsSpec extends SparkSpec {
       assert(batch.toSeq.sorted == Seq((1L, 2L)), batch.toSeq)
     } finally q.stop()
   }
+
+  test("firstAgreeingBand kernel = the interpreted filter/slice formulation on random signatures") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = 2
+    val bands = 8
+    // force agreements: copy whole bands from a into b at random positions
+    val data = (0 until 200).map { i =>
+      val a = Array.fill(bands * rows)(rnd.nextLong())
+      val b = Array.fill(bands * rows)(rnd.nextLong())
+      (0 until bands).foreach { bd =>
+        if (rnd.nextInt(10) < 3) System.arraycopy(a, bd * rows, b, bd * rows, rows)
+      }
+      (i.toLong, a.toSeq, b.toSeq)
+    }.toDF("id", "siga", "sigb")
+    val hof = try_element_at(
+      filter(sequence(lit(0), lit(bands - 1)), bd =>
+        slice(col("siga"), bd * lit(rows) + lit(1), lit(rows)) ===
+          slice(col("sigb"), bd * lit(rows) + lit(1), lit(rows))), lit(1))
+    val out = data.select(
+      graft.functions.ShingleFunctions.firstAgreeingBand(col("siga"), col("sigb"), rows).as("k"),
+      coalesce(hof, lit(-1)).as("h")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    assert(out.exists(_.getInt(0) >= 0) && out.exists(_.getInt(0) == -1))
+  }
 }
