@@ -2147,6 +2147,19 @@ object OpsEntry {
     */
   private val bm25Terms = Seq("spark", "dup", "vector", "merge")
 
+  /** c11's target mixture: three named sources over-weighted (src0 rate ≈
+    * 7 epochs at sf0.01 — real upsampling), the remaining 17 share the
+    * rest (~1.2 epochs at sf0.01, sub-1 at sf0.1 — downsampling too). The
+    * SAME Seq generates both the Spark when-chain and the oracle CASE.
+    */
+  private val mixtureShares: Seq[(String, Double)] =
+    Seq("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1) ++
+      (3 to 19).map(i => s"src$i" -> 0.55 / 17)
+
+  private def mixtureShareCaseSql: String =
+    "CASE t.source " + mixtureShares.map { case (g, p) => s"WHEN '$g' THEN $p" }
+      .mkString(" ") + " ELSE -1.0 END"
+
   /** Generated DuckDB CTEs computing the SAME BM25 path as
     * [[graft.operators.Retrieval.bm25TopK]] — stats recomputed in-SQL (not
     * bound literals), IDF rounded to 6 immediately, per-term products
@@ -2202,6 +2215,33 @@ object OpsEntry {
         |  ((len(w) + 9) // 10) - coalesce(a.n_kept, 0) AS n_removed
         |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
+      "c11_mixture_epochs",
+      withTables { (s, _) =>
+        graft.operators.TrainingPipeline.materializeMixture(
+          s.table("documents"), "doc_id", "text", "source",
+          mixtureShares, budgetTokens = 50000L)
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))::BIGINT AS n
+        |  FROM documents),
+        |tot AS (SELECT source, sum(n) AS toks FROM tok GROUP BY source),
+        |rated AS (
+        |  SELECT t.doc_id, t.source,
+        |    ${mixtureShareCaseSql} * 50000.0 / tot.toks::DOUBLE AS rate
+        |  FROM tok t JOIN tot ON t.source = tot.source),
+        |cop AS (
+        |  SELECT doc_id, source, rate,
+        |    floor(rate)::BIGINT + CASE WHEN
+        |      ('0x' || substr(md5('42-' || doc_id), 1, 7))::BIGINT / 268435456.0
+        |        < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+        |  FROM rated WHERE rate >= 0)
+        |SELECT doc_id, source, round(rate, 6) AS rate, c AS copy
+        |FROM cop, unnest(range(1, n_copies + 1)) AS t(c)
+        |ORDER BY doc_id, copy""".stripMargin)),
 
     QueryDef(
       "t13_quality_classifier",

@@ -549,6 +549,56 @@ object TrainingPipeline {
       .orderBy(col("dsir_weight").desc, col(idCol).asc)
       .limit(topN)
 
+  /** Epoch-aware mixture MATERIALIZATION (the LLaMA/GPT-3 data-mixing
+    * step): given target corpus shares per source and a total token budget,
+    * each source's sampling rate is `share·budget / sourceTokens`; every
+    * document is emitted `floor(rate)` times plus one more when the uniform
+    * md5 hash of its id falls under `frac(rate)` — deterministic fractional
+    * UPSAMPLING (rate > 1 ⇒ multiple epochs over that source, the
+    * books/wiki case) and downsampling (rate < 1) in one operator.
+    * [[sampleFraction]] is the rate ≤ 1 special case with given rather
+    * than computed rates. Sources absent from `targetShares` are dropped.
+    *
+    * Scale shape: per-source token totals are one aggregation collapsing to
+    * |sources| rows, broadcast back; copy emission is a map-side
+    * sequence+explode; no other shuffle. Expected emitted tokens per source
+    * = share·budget with binomial concentration (same trade as
+    * [[sampleFraction]] — an exact quota would need a global sort).
+    *
+    * Returns one row per emitted copy: `(doc_id, source, rate, copy)` with
+    * `copy` in 1..n_copies.
+    */
+  def materializeMixture(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      targetShares: Seq[(String, Double)],
+      budgetTokens: Long,
+      seed: Long = 42L): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.forall(_._2 > 0),
+      "materializeMixture: shares must be positive")
+    require(targetShares.map(_._1).distinct.size == targetShares.size,
+      "materializeMixture: duplicate source in targetShares")
+    require(budgetTokens > 0, "materializeMixture: budgetTokens must be positive")
+    val tok = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      size(filter(split(col(textCol), " "), t => length(t) > lit(0))).cast("long").as("n"))
+    val totals = tok.groupBy("source").agg(sum(col("n")).as("toks"))
+    val shareCol = targetShares.foldLeft(lit(-1.0)) { case (acc, (g, p)) =>
+      when(col("source") === g, lit(p)).otherwise(acc)
+    }
+    val u = conv(substring(md5(concat(lit(s"$seed-"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0) // 16^7, the sampleFraction convention
+    val rated = tok.join(broadcast(totals), Seq("source"))
+      .withColumn("rate", shareCol * lit(budgetTokens.toDouble) / col("toks").cast("double"))
+      .where(col("rate") >= 0) // absent sources carry share -1 ⇒ dropped
+      .withColumn("n_copies", floor(col("rate")).cast("long") +
+        when(u < col("rate") - floor(col("rate")), 1L).otherwise(0L))
+    rated.where(col("n_copies") > 0) // filter BEFORE sequence: sequence(1,0) descends
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
   /** fastText-style linear quality classifier (the GPT-3/LLaMA "train a
     * simple classifier on heuristic labels, filter the corpus with it"
     * step): full-batch logistic regression over the SAME hashed

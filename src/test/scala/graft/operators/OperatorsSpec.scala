@@ -1096,6 +1096,30 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("materializeMixture: integer rates emit exact epochs, fractional rates concentrate, absent sources drop") {
+    // srcA: 1 doc x 10 tokens, share 0.75, budget 40 → rate 3.0 → exactly 3 copies
+    // srcB: 1 doc x 10 tokens, share 0.25            → rate 1.0 → exactly 1 copy
+    // srcC: absent from shares → dropped
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "srcA"),
+      (2L, "a b c d e f g h i j", "srcB"),
+      (3L, "a b c d e f g h i j", "srcC")).toDF("doc_id", "text", "source")
+    val out = TrainingPipeline.materializeMixture(
+      docs, "doc_id", "text", "source", Seq("srcA" -> 0.75, "srcB" -> 0.25), budgetTokens = 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(out.count(_._1 == 1L) == 3 && out.filter(_._1 == 1L).map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.count(_._1 == 2L) == 1)
+    assert(!out.exists(_._1 == 3L))
+    assert(out.forall(r => r._1 != 1L || r._3 == 3.0))
+
+    // fractional upsampling concentrates: 200 docs x 5 tokens, share 1.0,
+    // budget 2500 → rate 2.5 → expected 500 copies, binomial sd = sqrt(200*.25) ≈ 7
+    val many = (0 until 200).map(i => (i.toLong, "t1 t2 t3 t4 t5", "s")).toDF("doc_id", "text", "source")
+    val n = TrainingPipeline.materializeMixture(
+      many, "doc_id", "text", "source", Seq("s" -> 1.0), budgetTokens = 2500L).count()
+    assert(math.abs(n - 500L) <= 35, s"got $n copies, expected ~500")
+  }
+
   test("quality classifier: learns a separable rule, deterministic weights, scorer matches trainer math") {
     // label = doc contains the token 'good' — linearly separable via the
     // 'good' unigram bucket
