@@ -2217,6 +2217,31 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "st10_corpus_stats",
+      withTables { (s, _) =>
+        // batch face of the live ingest-monitoring aggregate (tumbling
+        // 1-min windows per detected language; watermark no-ops on batch).
+        // ts = doc_id seconds, the st09 convention.
+        val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
+        graft.streaming.DocumentStreams.corpusStats(docs, "60 seconds", "1 hour")
+          .select(col("window_start"), col("pred_lang"), col("n_docs"),
+            col("total_chars"), round(col("mean_quality"), 6).as("mean_quality"))
+          .orderBy("window_start", "pred_lang")
+      },
+      Some(s"""WITH ann AS (
+        |  SELECT cast(to_timestamp((doc_id // 60) * 60) as timestamp) AS window_start,
+        |    $langIdCaseSql AS pred_lang,
+        |    length(text) AS n_chars_calc,
+        |    $qualityScoreSql AS quality_score
+        |  FROM documents)
+        |SELECT window_start, pred_lang, count(*) AS n_docs,
+        |  sum(n_chars_calc) AS total_chars,
+        |  round(cast(sum(cast(quality_score as decimal(18,9))) as double)
+        |    / count(*), 6) AS mean_quality
+        |FROM ann GROUP BY window_start, pred_lang
+        |ORDER BY window_start, pred_lang""".stripMargin)),
+
+    QueryDef(
       "c11_mixture_epochs",
       withTables { (s, _) =>
         graft.operators.TrainingPipeline.materializeMixture(

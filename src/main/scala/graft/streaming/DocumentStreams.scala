@@ -66,9 +66,13 @@ object DocumentStreams {
     annotate(docs, textCol)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("pred_lang"))
+      // mean via an exact decimal sum + one double division: retry-stable
+      // and engine-comparable regardless of partial-aggregation order (a
+      // plain double avg drifts in the last ulps with partition order)
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars_calc").as("total_chars"),
-        avg("quality_score").as("mean_quality"))
+        (sum(col("quality_score").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("mean_quality"))
       .select(col("w.start").as("window_start"), col("pred_lang"),
         col("n_docs"), col("total_chars"), col("mean_quality"))
 
