@@ -445,6 +445,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t13 quality classifier: codegen'd kernel scoring, no shuffle anywhere") {
+    val df = SparkEntry.defs.find(_.name == "t13_quality_classifier").get.fn(spark, sf)
+    df.collect() // finalize the AQE plan so codegen markers are visible
+    val p = plan(df)
+    // map-side logit via the DsirWeightExpr kernel inside whole-stage codegen
+    assert(p.contains("dsir_weight"), p)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dsir_weight")), p)
+    // scoring itself shuffles nothing: the only exchange is the final
+    // orderBy's range partitioning (no hash-partitioned shuffle anywhere)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("c11 mixture: totals broadcast back, copy explode map-side after one aggregation") {
+    val df = SparkEntry.defs.find(_.name == "c11_mixture_epochs").get.fn(spark, sf)
+    val p = plan(df)
+    // the per-source totals frame joins broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one aggregation (the token totals); copies explode map-side
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("Exchange hashpartitioning(source"), p)
+  }
+
+  test("d27 line dedup: no cartesian anywhere; dup removal is an equi anti-join") {
+    val df = SparkEntry.defs.find(_.name == "d27_line_dedup").get.fn(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("r01 BM25: map-side scoring (no explode), broadcast stats, top-k merge") {
     val df = SparkEntry.defs.find(_.name == "r01_bm25_topk").get.fn(spark, sf)
     val p = plan(df)
