@@ -2217,6 +2217,51 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "d28_lsh_neardup_parity",
+      withTables { (s, _) =>
+        // d09's LSH-blocked embedding near-dup PAIRS, hash-checked — the
+        // d24 bridge applied to the pair form: candidates collide on
+        // (table, rounded-sign bucket), exact rounded cosine >= threshold
+        // verifies. Production d09 keeps the codegen'd sign-bit kernel.
+        import s.implicits._
+        val planesDf = lshPlaneRows.toDF("tbl", "p", "plane")
+        val v = s.table("embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .localCheckpoint(false)
+        val b = v.crossJoin(broadcast(planesDf))
+          .groupBy(col("vec_id"), col("tbl"))
+          .agg(sum(when(round(Similarity.cosine(col("v"), col("plane")), 6) > 0,
+            expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+        val cand = b.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+          .join(b.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(v.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(v.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+          .where(col("sim") >= 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH planes(tbl, p, plane) AS (VALUES $lshPlanesSql),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN round(list_cosine_similarity(v, plane), 6) > 0
+        |        THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(list_cosine_similarity(p.v, q.v), 6) AS sim
+        |FROM cand JOIN v p ON p.vec_id = cand.id_a JOIN v q ON q.vec_id = cand.id_b
+        |WHERE round(list_cosine_similarity(p.v, q.v), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "st10_corpus_stats",
       withTables { (s, _) =>
         // batch face of the live ingest-monitoring aggregate (tumbling

@@ -88,6 +88,21 @@ class FixedCentroidParitySpec extends SparkSpec {
     d24.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
   }
 
+  test("d28 LSH near-dup pairs equal the production embeddingNearDupPairsLsh (same planes)") {
+    Tables.register(spark, sf)
+    val d28 = SparkEntry.queries("d28_lsh_neardup_parity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same sign-rule caveat as the d24 spec: parity signs round(cosine, 6),
+    // production signs the raw dot — identical off |cosine| < 5e-7
+    val prod = operators.Dedup.embeddingNearDupPairsLsh(
+      spark.table("embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nPlanes = 4, nTables = 8, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d28.keySet == prod.keySet, s"only-parity=${d28.keySet -- prod.keySet} only-prod=${prod.keySet -- d28.keySet}")
+    d28.foreach { case (k, v) => assert(prod(k) == v, s"$k: parity $v vs production ${prod(k)}") }
+    assert(d28.nonEmpty)
+  }
+
   test("d25 ADC ranking equals the production pqTopK(rerank=0) on this corpus") {
     Tables.register(spark, sf)
     val emb = spark.table("embeddings")
