@@ -2217,6 +2217,27 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "st11_stream_static_enrich",
+      withTables { (s, _) =>
+        // batch face of the stream-static enrichment topology: events
+        // decorated with the static customer dim (broadcast per batch),
+        // rolled up per market segment x event type. Unmatched users keep
+        // their events under a NULL segment (left-join miss visibility).
+        val enriched = graft.streaming.EventStreams.enrichWithDim(
+          s.table("events"), s.table("customer"),
+          "user_id", "c_custkey", Seq("c_mktsegment"))
+        enriched.groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy("c_mktsegment", "event_type")
+      },
+      Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin)),
+
+    QueryDef(
       "d28_lsh_neardup_parity",
       withTables { (s, _) =>
         // d09's LSH-blocked embedding near-dup PAIRS, hash-checked — the

@@ -215,6 +215,27 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: left-join a (possibly streaming) event frame
+    * with a STATIC dimension table — the standard "decorate the live stream
+    * with reference data" topology. Spark broadcasts the static side against
+    * each micro-batch; no state, no watermark (static-side snapshot
+    * semantics — Spark re-plans the dim scan per batch, so a replaced
+    * parquet dim is picked up without restarting the query). Left join keeps
+    * events whose key misses the dim (null dim columns) — monitoring wants
+    * the miss visible, not dropped. The batch face is the identical plan,
+    * which is what the st11 gate row hash-checks.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      dimCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((dimKey +: dimCols).map(col): _*)),
+      col(eventKey) === col(dimKey), "left_outer")
+      .drop(dimKey)
+
   /** Convenience: wire a streaming frame to an in-memory sink for tests or
     * a console sink for demos; caller stops the query.
     */

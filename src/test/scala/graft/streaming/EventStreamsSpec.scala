@@ -270,4 +270,31 @@ class EventStreamsSpec extends SparkSpec {
       assert(batch.size == 3)
     } finally q.stop()
   }
+
+  test("enrichWithDim decorates a live stream with a static dim; misses survive with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("cust_id", "tier")
+    val input = MemoryStream[Event]
+    val out = enrichWithDim(input.toDF(), dim, "user_id", "cust_id", Seq("tier"))
+    val q = toMemorySink(out, "enrich_test", complete = false)
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "view", 2.0),
+        Event(3, ts(3), 9, "click", 3.0)) // user 9 not in the dim
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1L -> Some("GOLD"), 2L -> Some("SILVER"), 3L -> None), rows)
+      // batch face: identical plan, identical answer
+      val batch = enrichWithDim(
+        Seq(Event(1, ts(1), 1, "click", 1.0), Event(3, ts(3), 9, "click", 3.0)).toDF(),
+        dim, "user_id", "cust_id", Seq("tier"))
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(batch == Map(1L -> Some("GOLD"), 3L -> None), batch)
+    } finally q.stop()
+  }
 }
