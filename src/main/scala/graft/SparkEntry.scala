@@ -573,13 +573,18 @@ object SparkEntry {
     // LATERAL correlated subquery in a join stage (per-customer top order)
     QueryDef(
       "q47_lateral_join",
+      // LEFT lateral: INNER `join lateral (scalar agg)` diverges between the
+      // engines when the correlated set is empty (a customer with no orders,
+      // first seen at sf0.1) — Spark keeps the standard's one NULL aggregate
+      // row, DuckDB's decorrelation drops the empty group (the classic
+      // COUNT-bug shape). LEFT makes both engines keep the row with NULL.
       psql("""from customer |>
-        |as c join lateral (select max(o_totalprice) as max_price
+        |as c left join lateral (select max(o_totalprice) as max_price
         |  from orders where o_custkey = c.c_custkey) as t on true |>
         |select c_custkey, cast(max_price as double) as max_price |>
         |order by c_custkey""".stripMargin),
       Some("""SELECT c_custkey, cast(max_price as double) AS max_price
-        |FROM customer c JOIN LATERAL (SELECT max(o_totalprice) AS max_price
+        |FROM customer c LEFT JOIN LATERAL (SELECT max(o_totalprice) AS max_price
         |  FROM orders WHERE o_custkey = c.c_custkey) t ON true
         |ORDER BY c_custkey""".stripMargin)),
 

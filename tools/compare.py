@@ -32,6 +32,10 @@ def table_rows(con, sql):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: comma-separated oracle names to skip (the intentionally
+    # pathological DuckDB formulations — O(n^2) Jaccard, recursive-CTE
+    # closures — that take >10 min at sf0.1; used for at-scale runs only)
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -53,6 +57,9 @@ def main():
             continue
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(s_rows)}" + ("" if s_rows else " (EMPTY!)")
+            continue
+        if name in skip:
+            results[name] = f"ROWS_ONLY rows={len(s_rows)} (oracle skipped by request)" + ("" if s_rows else " (EMPTY!)")
             continue
         try:
             o_cols, o_rows = table_rows(con, oracles[name])
