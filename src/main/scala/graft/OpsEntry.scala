@@ -1968,6 +1968,32 @@ object OpsEntry {
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q55_json_scan",
+      // quoted-PATH JSONL scan (the remaining PathRelations format with an
+      // offline-checkable oracle): the fn materializes nation as JSONL in a
+      // stable location, both engines read the SAME file — Spark through the
+      // PSQL path-scan front-end, DuckDB through read_json_auto
+      withTables { (s, _) =>
+        val dir = new java.io.File("/tmp/graft_q55"); dir.mkdirs()
+        val f = new java.io.File(dir, "nation.jsonl")
+        val rows = s.table("nation")
+          .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+          .collect() // 25 rows — a bounded dimension, not data
+          .map { r =>
+            s"""{"n_nationkey": ${r.get(0)}, "n_name": ${jsonStr(r.getString(1))}, "n_regionkey": ${r.get(2)}}"""
+          }
+        java.nio.file.Files.writeString(f.toPath, rows.mkString("", "\n", "\n"))
+        Psqlish(s,
+          """from '/tmp/graft_q55/nation.jsonl' |>
+            |where n_regionkey >= 2 |>
+            |select n_nationkey, n_name, n_regionkey |>
+            |order by n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        |FROM read_json_auto('/tmp/graft_q55/nation.jsonl')
+        |WHERE n_regionkey >= 2 ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef(
       "q52_hopping_window",
       withTables { (s, _) =>
         // batch face of the sliding-window aggregate: 1h windows every 30min,
@@ -2428,4 +2454,13 @@ object OpsEntry {
   )
 
   private def Psqlish(s: SparkSession, q: String): DataFrame = graft.psql.Psql(s).sql(q)
+
+  /** Minimal JSON string literal (q55's 25-row dimension dump). */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }
