@@ -389,6 +389,30 @@ object OpsEntry {
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin)),
 
     QueryDef(
+      "a07_gap_fill",
+      withTables { (s, _) =>
+        // dense 10-min spine over the two rarest event types: buckets with
+        // no events surface as zero rows (the point of the operator)
+        TimeSeries.gapFillCounts(
+          s.table("events").where(col("event_type").isin("purchase", "refund")),
+          "ts", "event_type", bucketSeconds = 600L)
+          .orderBy("bucket_start", "event_type")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS b
+        |  FROM events WHERE event_type IN ('purchase', 'refund')),
+        |counts AS (SELECT g, b, count(*) AS n FROM ev GROUP BY g, b),
+        |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM ev),
+        |spine AS (SELECT unnest(generate_series(lo, hi, 600)) AS b FROM bounds),
+        |groups AS (SELECT DISTINCT g FROM ev)
+        |SELECT cast(to_timestamp(s.b) as timestamp) AS bucket_start,
+        |  gr.g AS event_type, coalesce(c.n, 0) AS n
+        |FROM spine s CROSS JOIN groups gr
+        |LEFT JOIN counts c ON c.g = gr.g AND c.b = s.b
+        |ORDER BY bucket_start, event_type""".stripMargin)),
+
+    QueryDef(
       "d01_dedup_exact",
       withTables { (s, _) =>
         Dedup.dedupExact(s.table("documents"), "text", "doc_id")

@@ -1140,6 +1140,29 @@ class TrainingPipelineSpec extends SparkSpec {
   }
 }
 
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFillCounts: every bucket in [min,max] present per group, gaps zero-filled") {
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:30"), // bucket 10:00
+      ("a", "2024-01-01 10:00:45"),
+      ("a", "2024-01-01 10:03:10"), // bucket 10:03 — 10:01, 10:02 are gaps
+      ("b", "2024-01-01 10:01:05")  // b exists only at 10:01
+    ).toDF("g", "ts_s").select(col("g"), col("ts_s").cast("timestamp").as("ts"))
+    val out = TimeSeries.gapFillCounts(ev, "ts", "g", bucketSeconds = 60L)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 16), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // spine = 4 buckets (10:00..10:03) x 2 groups = 8 rows, gaps at 0
+    assert(out.size == 8, out)
+    assert(out(("10:00", "a")) == 2L && out(("10:03", "a")) == 1L)
+    assert(out(("10:01", "a")) == 0L && out(("10:02", "a")) == 0L)
+    assert(out(("10:01", "b")) == 1L)
+    assert(out(("10:00", "b")) == 0L && out(("10:02", "b")) == 0L && out(("10:03", "b")) == 0L)
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
