@@ -2373,7 +2373,7 @@ object OpsEntry {
         |rated AS (
         |  SELECT t.doc_id, t.source,
         |    ${mixtureShareCaseSql} * 50000.0 / tot.toks::DOUBLE AS rate
-        |  FROM tok t JOIN tot ON t.source = tot.source),
+        |  FROM tok t JOIN tot ON t.source = tot.source WHERE tot.toks > 0),
         |cop AS (
         |  SELECT doc_id, source, rate,
         |    floor(rate)::BIGINT + CASE WHEN

@@ -590,6 +590,9 @@ object TrainingPipeline {
     val u = conv(substring(md5(concat(lit(s"$seed-"), col("doc_id").cast("string"))), 1, 7), 16, 10)
       .cast("double") / lit(268435456.0) // 16^7, the sampleFraction convention
     val rated = tok.join(broadcast(totals), Seq("source"))
+      // a zero-token source would make rate = Infinity and ask for
+      // Long.MaxValue copies — it can contribute no budget; drop it
+      .where(col("toks") > 0)
       .withColumn("rate", shareCol * lit(budgetTokens.toDouble) / col("toks").cast("double"))
       .where(col("rate") >= 0) // absent sources carry share -1 ⇒ dropped
       .withColumn("n_copies", floor(col("rate")).cast("long") +
