@@ -2267,6 +2267,44 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "c13_decontaminate_spans",
+      withTables { (s, _) =>
+        // surgical variant of c01 on the same corpus/benchmark split: the
+        // contaminated 3-grams are cut out, the documents survive
+        val docs = s.table("documents")
+        graft.operators.TrainingPipeline.decontaminateSpans(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0), n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |bsp AS (
+        |  SELECT DISTINCT array_to_string(bw[i+1 : i+3], ' ') AS s
+        |  FROM (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS bw
+        |        FROM documents WHERE doc_id % 20 = 0),
+        |    unnest(range(len(bw) - 2)) AS t(i)),
+        |msp AS (
+        |  SELECT c.doc_id, i AS pos
+        |  FROM corpus c, unnest(range(len(w) - 2)) AS t(i)
+        |  WHERE array_to_string(w[i+1 : i+3], ' ') IN (SELECT s FROM bsp)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM msp, unnest(range(pos, pos + 3)) AS u(p)),
+        |tokens AS (
+        |  SELECT doc_id, j AS p, w[j+1] AS tok
+        |  FROM corpus, unnest(range(len(w))) AS u(j)),
+        |kept AS (SELECT t.* FROM tokens t WHERE NOT EXISTS (
+        |  SELECT 1 FROM cov WHERE cov.doc_id = t.doc_id AND cov.p = t.p)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  len(w) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+        |ORDER BY c.doc_id""".stripMargin)),
+
+    QueryDef(
       "st11_stream_static_enrich",
       withTables { (s, _) =>
         // batch face of the stream-static enrichment topology: events

@@ -549,6 +549,59 @@ object TrainingPipeline {
       .orderBy(col("dsir_weight").desc, col(idCol).asc)
       .limit(topN)
 
+  /** Span-level ("surgical") decontamination: where [[decontaminate]] drops
+    * every document sharing an n-gram with the benchmark, this removes ONLY
+    * the tokens covered by a contaminated n-gram and keeps the rest of the
+    * document — the right tool when benchmark overlap is a quoted sentence
+    * inside an otherwise-clean document. Output keeps input cardinality:
+    * `(doc_id, text_clean, n_kept, n_removed)` (fully-contaminated docs
+    * survive with empty text, the [[Dedup.dedupLines]] contract).
+    *
+    * Spans join on their token STRINGS for oracle transparency (the c01
+    * discipline); at 100 TB key both sides on `xxhash64(span)` — same plan,
+    * 8-byte shuffle keys. Scale shape: benchmark spans are one bounded
+    * distinct relation (broadcast); corpus spans and the token-level
+    * coverage mask are map-side explodes; the only corpus-wide shuffle is
+    * the per-doc reassembly.
+    */
+  def decontaminateSpans(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      benchTextCol: String = "text"): DataFrame = {
+    require(n > 0, "decontaminateSpans: n must be positive")
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), t => length(t) > lit(0))
+    val tok = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+    def spans(df: DataFrame, w: String) =
+      df.where(size(col(w)) >= n).select(col("*"),
+        posexplode(transform(
+          sequence(lit(0), size(col(w)) - n),
+          i => array_join(slice(col(w), i + 1, lit(n)), " "))).as(Seq("pos", "s")))
+    val bench = spans(
+      benchmark.select(toks(col(benchTextCol)).as("bw")), "bw")
+      .select("s").distinct()
+    val matched = spans(tok, "w").join(broadcast(bench), Seq("s"))
+      .select(col("doc_id"), col("pos"))
+    val covered = matched
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val kept = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_toks"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Epoch-aware mixture MATERIALIZATION (the LLaMA/GPT-3 data-mixing
     * step): given target corpus shares per source and a total token budget,
     * each source's sampling rate is `share·budget / sourceTokens`; every

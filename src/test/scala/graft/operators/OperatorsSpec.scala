@@ -1096,6 +1096,23 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSpans: only covered tokens removed, overlapping spans merge, cardinality kept") {
+    val bench = Seq((100L, "x1 x2 x3")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a1 x1 x2 x3 a2 a3"),       // one contaminated 3-gram at pos 1 → x1 x2 x3 cut
+      (2L, "x1 x2 x3 x1 x2 x3"),       // two matches + the bridging spans cover EVERYTHING
+      (3L, "b1 b2 b3 b4"),             // clean → untouched
+      (4L, "x1 x2")                    // shorter than n → no spans → untouched
+    ).toDF("doc_id", "text")
+    val out = TrainingPipeline.decontaminateSpans(docs, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a1 a2 a3", 3L, 3L)), out(1L))
+    assert(out(2L) == (("", 0L, 6L)), out(2L))
+    assert(out(3L) == (("b1 b2 b3 b4", 4L, 0L)), out(3L))
+    assert(out(4L) == (("x1 x2", 2L, 0L)), out(4L))
+    assert(out.size == 4)
+  }
+
   test("materializeMixture: integer rates emit exact epochs, fractional rates concentrate, absent sources drop") {
     // srcA: 1 doc x 10 tokens, share 0.75, budget 40 → rate 3.0 → exactly 3 copies
     // srcB: 1 doc x 10 tokens, share 0.25            → rate 1.0 → exactly 1 copy
