@@ -182,6 +182,19 @@ object OpsEntry {
       s"($t, $p, [${plane.mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
 
+  /** Shared d24/d28 parity bucketing: per (id, table), the rounded-sign-bit
+    * bucket under [[lshPlaneRows]] — ONE definition so the two parity rows
+    * can never silently drift onto different rules.
+    */
+  private def lshSignBitBuckets(s: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import s.implicits._
+    val planesDf = lshPlaneRows.toDF("tbl", "p", "plane")
+    df.crossJoin(broadcast(planesDf))
+      .groupBy(col(idCol), col("tbl"))
+      .agg(sum(when(round(Similarity.cosine(col("v"), col("plane")), 6) > 0,
+        expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+  }
+
   /** Shared d21/d22 assignment frame: per vector, the 6-dp-rounded cosine
     * argmax centroid with the lowest-cid tiebreak — the SQL-statable
     * assignment rule (the production ANN ops use the full-precision
@@ -739,13 +752,7 @@ object OpsEntry {
         // in both engines. Candidates collide on (table, bucket), exact
         // rounded cosine ranks top-5. Production d06/d09 keep the codegen'd
         // sign-bit kernel (LshBucketsExpr).
-        import s.implicits._
-        val planesDf = lshPlaneRows.toDF("tbl", "p", "plane")
-        def buckets(df: DataFrame, id: String) =
-          df.crossJoin(broadcast(planesDf))
-            .groupBy(col(id), col("tbl"))
-            .agg(sum(when(round(Similarity.cosine(col("v"), col("plane")), 6) > 0,
-              expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+        def buckets(df: DataFrame, id: String) = lshSignBitBuckets(s, df, id)
         val v = s.table("embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .localCheckpoint(false)
@@ -1998,6 +2005,9 @@ object OpsEntry {
       // stable location, both engines read the SAME file — Spark through the
       // PSQL path-scan front-end, DuckDB through read_json_auto
       withTables { (s, _) =>
+        // a fixed same-host scratch path: the driver protocol runs Verify
+        // and the DuckDB compare on one machine minutes apart, which is the
+        // lifetime this file needs (re-written fresh on every invocation)
         val dir = new java.io.File("/tmp/graft_q55"); dir.mkdirs()
         val f = new java.io.File(dir, "nation.jsonl")
         val rows = s.table("nation")
@@ -2332,15 +2342,10 @@ object OpsEntry {
         // d24 bridge applied to the pair form: candidates collide on
         // (table, rounded-sign bucket), exact rounded cosine >= threshold
         // verifies. Production d09 keeps the codegen'd sign-bit kernel.
-        import s.implicits._
-        val planesDf = lshPlaneRows.toDF("tbl", "p", "plane")
         val v = s.table("embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .localCheckpoint(false)
-        val b = v.crossJoin(broadcast(planesDf))
-          .groupBy(col("vec_id"), col("tbl"))
-          .agg(sum(when(round(Similarity.cosine(col("v"), col("plane")), 6) > 0,
-            expr("shiftleft(cast(1 as bigint), p)")).otherwise(0L)).as("bucket"))
+        val b = lshSignBitBuckets(s, v, "vec_id")
         val cand = b.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
           .join(b.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
             Seq("tbl", "bucket"))

@@ -686,7 +686,13 @@ object SparkEntry {
     * keeps path-scanning oracles (q53) on the SAME dataset as the engine
     * side at any scale factor instead of silently pinning sf0.01.
     */
-  def oracleSqlFor(sfDir: String): Map[String, String] = {
+  def oracleSqlFor(sfDir: String): Map[String, String] = oracleSqlFor(sfDir, None)
+
+  /** As above, restricted to `only` when given — binding happens AFTER the
+    * filter, so a subset debug run doesn't train the excluded entries'
+    * models (quality classifier, DSIR, centroids, LM) just to discard them.
+    */
+  def oracleSqlFor(sfDir: String, only: Option[Set[String]]): Map[String, String] = {
     // `{IVF_CENTROIDS}` / `{PQ_CODEBOOKS}` bind the fixed-centroid family's
     // trained parameters for THIS sfDir as SQL literals (lazy: only trains
     // when some oracle uses them — i.e. in the Verify JVM, with a session)
@@ -697,7 +703,7 @@ object SparkEntry {
     lazy val dsirRatios = OpsEntry.dsirRatiosSql(sfDir)
     lazy val qcWeights = OpsEntry.qcWeightsSql(sfDir)
     lazy val qcBias = OpsEntry.qcBiasSql(sfDir)
-    defs.flatMap(d => d.oracle.map { o =>
+    defs.filter(d => only.forall(_.contains(d.name))).flatMap(d => d.oracle.map { o =>
       var bound = o.replace("{SF_DIR}", sfDir)
       if (bound.contains("{IVF_CENTROIDS}"))
         bound = bound.replace("{IVF_CENTROIDS}", centroids)

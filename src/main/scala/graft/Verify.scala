@@ -40,10 +40,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSqlFor(sfDir)
-      // subset runs dump only the subset's oracles, so the compare tool's
-      // missing-output check (oracles minus produced dirs) stays meaningful
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // subset runs bind and dump only the subset's oracles: the compare
+    // tool's missing-output check stays meaningful AND excluded entries'
+    // trained-literal models are never trained just to be discarded
+    val json = SparkEntry.oracleSqlFor(sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

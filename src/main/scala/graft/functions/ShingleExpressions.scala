@@ -541,9 +541,13 @@ case class FirstAgreeingBandExpr(left: Expression, right: Expression, rowsPerBan
   require(rowsPerBand > 0, "rowsPerBand must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: the kernel reads getLong, which would
+    // silently treat a NULL slot as 0 where the slice===slice formulation
+    // this replaces evaluated to NULL — reject at analysis instead
+    case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<bigint>, array<bigint>), got $other")
+      s"$prettyName expects (array<bigint> not null, array<bigint> not null), got $other")
   }
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true

@@ -921,8 +921,10 @@ object Dedup {
       spanWords: Int = 10,
       minDocs: Int = 2): DataFrame = {
     require(spanWords > 0 && minDocs >= 2, s"need spanWords > 0, minDocs >= 2")
+    // NULL text = empty doc (size(null) is -1, which would slip past the
+    // zero-span guard and corrupt n_removed)
     val tok = docs.select(col(idCol).as("doc_id"),
-      filter(split(col(textCol), " "), t => length(t) > lit(0)).as("w"))
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
     val nSpans = // ceil(|w| / spanWords), guarded so empty docs yield 0 spans
       floor((size(col("w")) + lit(spanWords - 1)).cast("double") / lit(spanWords)).cast("long")
     val spans = tok.select(col("doc_id"),

@@ -49,7 +49,7 @@ object Retrieval {
     require(terms.nonEmpty, "bm25TopK: need at least one query term")
     require(terms.distinct.size == terms.size, "bm25TopK: query terms must be distinct")
     val tok = docs.select(col(idCol).as("doc_id"),
-      filter(split(col(textCol), " "), t => length(t) > lit(0)).as("w"))
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
     // one full-scan aggregation → a single narrow stats row (N, Σdl, df_i…)
     val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++

@@ -572,8 +572,9 @@ object TrainingPipeline {
       n: Int = 8,
       benchTextCol: String = "text"): DataFrame = {
     require(n > 0, "decontaminateSpans: n must be positive")
+    // NULL text = empty doc (the dedupLines guard rationale)
     def toks(c: org.apache.spark.sql.Column) =
-      filter(split(c, " "), t => length(t) > lit(0))
+      filter(split(coalesce(c, lit("")), " "), t => length(t) > lit(0))
     val tok = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
     def spans(df: DataFrame, w: String) =
       df.where(size(col(w)) >= n).select(col("*"),
@@ -635,7 +636,8 @@ object TrainingPipeline {
       "materializeMixture: duplicate source in targetShares")
     require(budgetTokens > 0, "materializeMixture: budgetTokens must be positive")
     val tok = df.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-      size(filter(split(col(textCol), " "), t => length(t) > lit(0))).cast("long").as("n"))
+      size(filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)))
+        .cast("long").as("n"))
     val totals = tok.groupBy("source").agg(sum(col("n")).as("toks"))
     val shareCol = targetShares.foldLeft(lit(-1.0)) { case (acc, (g, p)) =>
       when(col("source") === g, lit(p)).otherwise(acc)
