@@ -2277,6 +2277,39 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "q57_recursive_cte",
+      withTables { (s, _) =>
+        // WITH RECURSIVE conformance (Spark 4 native rCTE; DuckDB likewise):
+        // ordered traversal building each region's nation chain — anchor =
+        // rank-1 nation, recursive step joins rank+1. Passes through the
+        // PSQL front-end's plain-SQL detector.
+        Psqlish(s, """WITH RECURSIVE ranked AS (
+          |  SELECT n_regionkey AS r, n_name,
+          |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+          |  FROM nation),
+          |walk AS (
+          |  SELECT r, rk, n_name AS chain FROM ranked WHERE rk = 1
+          |  UNION ALL
+          |  SELECT x.r, x.rk, w.chain || '>' || x.n_name
+          |  FROM walk w JOIN ranked x ON x.r = w.r AND x.rk = w.rk + 1)
+          |SELECT r AS region_key, cast(max(rk) as bigint) AS n_nations,
+          |  max_by(chain, rk) AS chain
+          |FROM walk GROUP BY r ORDER BY r""".stripMargin)
+      },
+      Some("""WITH RECURSIVE ranked AS (
+        |  SELECT n_regionkey AS r, n_name,
+        |    row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rk
+        |  FROM nation),
+        |walk AS (
+        |  SELECT r, rk, n_name AS chain FROM ranked WHERE rk = 1
+        |  UNION ALL
+        |  SELECT x.r, x.rk, w.chain || '>' || x.n_name
+        |  FROM walk w JOIN ranked x ON x.r = w.r AND x.rk = w.rk + 1)
+        |SELECT r AS region_key, cast(max(rk) as bigint) AS n_nations,
+        |  max_by(chain, rk) AS chain
+        |FROM walk GROUP BY r ORDER BY r""".stripMargin)),
+
+    QueryDef(
       "c13_decontaminate_spans",
       withTables { (s, _) =>
         // surgical variant of c01 on the same corpus/benchmark split: the
