@@ -545,4 +545,11 @@ class PsqlEndToEndSpec extends SparkSpec {
       "from t1 |> where i < 0 |> select i, sum(j) as j group by rollup(i)").collect()
     assert(a.length == 1 && a(0).isNullAt(0) && a(0).isNullAt(1))
   }
+
+  test("recursive CTE prefixes a pipe pipeline (Spark 4 native WITH RECURSIVE)") {
+    val out = psql.sql(
+      """with recursive t(n) as (select 1 union all select n+1 from t where n < 10)
+        |from t |> where n > 2 |> select sum(n) as s""".stripMargin).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 52L, out.toSeq) // 3+4+...+10
+  }
 }
