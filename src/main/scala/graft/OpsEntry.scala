@@ -426,6 +426,37 @@ object OpsEntry {
         |ORDER BY bucket_start, event_type""".stripMargin)),
 
     QueryDef(
+      "a08_asof_tolerance",
+      withTables { (s, _) =>
+        // backward as-of with a 30-minute tolerance (pandas merge_asof
+        // `tolerance` semantics): a purchase older than 30 min does NOT
+        // decorate the event. DuckDB's native ASOF has no tolerance, so the
+        // oracle is the windowed-best-match formulation with the bound as a
+        // join predicate.
+        val events = s.table("events")
+        val purchases = events.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsofJoin.backwardWithin(
+          events.select("event_id", "user_id", "ts"),
+          purchases,
+          by = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("purchase_value"),
+          tolerance = expr("INTERVAL 30 MINUTES"),
+          joinType = "inner")
+          .select(col("event_id"), col("user_id"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, p.purchase_value,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY p.pts DESC) AS rn
+        |  FROM events e JOIN p ON e.user_id = p.user_id
+        |    AND p.pts <= e.ts AND p.pts >= e.ts - INTERVAL 30 MINUTE)
+        |SELECT event_id, user_id, purchase_value FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "d01_dedup_exact",
       withTables { (s, _) =>
         Dedup.dedupExact(s.table("documents"), "text", "doc_id")
@@ -2308,6 +2339,32 @@ object OpsEntry {
         |SELECT r AS region_key, cast(max(rk) as bigint) AS n_nations,
         |  max_by(chain, rk) AS chain
         |FROM walk GROUP BY r ORDER BY r""".stripMargin)),
+
+    QueryDef(
+      "q58_range_interval_window",
+      withTables { (s, _) =>
+        // time-based RANGE frame conformance: per-user 1-hour rolling
+        // sum/count ordered by event time. RANGE + calendar interval is the
+        // frame spec Spark compiles to a single window scan (no self-join
+        // range probe); DECIMAL keeps the rolling sum cross-engine exact.
+        Psqlish(s, """from events |>
+          |select event_id, user_id, ts,
+          |  cast(sum(cast(value as decimal(18,2))) over (
+          |    partition by user_id order by ts
+          |    range between interval 1 hour preceding and current row) as double) as sum_1h,
+          |  count() over (
+          |    partition by user_id order by ts
+          |    range between interval 1 hour preceding and current row) as n_1h |>
+          |order by event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, ts,
+        |  cast(sum(cast(value as decimal(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) as double) AS sum_1h,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+        |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
       "c13_decontaminate_spans",

@@ -42,15 +42,53 @@ object AsofJoin {
       rightTime: String,
       rightPayload: Seq[String],
       joinType: String = "inner",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    backwardImpl(left, right, by, leftTime, rightTime, rightPayload, joinType, strict, None)
+
+  /** Backward as-of with a maximum match distance (pandas `merge_asof
+    * tolerance` semantics): the best right row additionally needs
+    * `leftTime - rightTime <= tolerance`, otherwise the left row counts as
+    * unmatched (dropped under `inner`, null payload under `left`).
+    *
+    * Same union+window plan as [[backward]] — the matched right TIME rides
+    * inside the payload struct and the tolerance is a map-side post-filter,
+    * so the tolerance costs no extra shuffle and no plan change. `tolerance`
+    * is any expression comparable against the time domain (an interval for
+    * timestamps, a number for numeric times).
+    */
+  def backwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      tolerance: Column,
+      joinType: String = "inner",
+      strict: Boolean = false): DataFrame =
+    backwardImpl(left, right, by, leftTime, rightTime, rightPayload, joinType, strict, Some(tolerance))
+
+  private def backwardImpl(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      joinType: String,
+      strict: Boolean,
+      tolerance: Option[Column]): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"bad joinType $joinType")
     val leftCols = left.columns.toSeq
-    val pay = struct(rightPayload.map(col): _*)
+    // under a tolerance the matched right TIME rides in the payload struct
+    // (hidden "__mt" field) so validity is a map-side check after the window
+    val payCols = rightPayload.map(col) ++ tolerance.map(_ => col(rightTime).as("__mt"))
+    val pay = struct(payCols: _*)
 
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__rpay", lit(null).cast(right.select(rightPayload.map(col): _*)
+      .withColumn("__rpay", lit(null).cast(right.select(payCols: _*)
         .schema.fields.foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
     val r = right
       .withColumn("__t", col(rightTime))
@@ -79,9 +117,17 @@ object AsofJoin {
       .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = unioned
+    val matched0 = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    // tolerance: the best (greatest-time) match must also be close enough;
+    // a too-old match makes the row UNMATCHED (not "try the next older row" —
+    // older rows are farther still, so the window winner is the only candidate)
+    val matched = tolerance match {
+      case Some(tol) => matched0.withColumn("__match",
+        when(col("__match").isNotNull && col("__match.__mt") >= col("__t") - tol, col("__match")))
+      case None => matched0
+    }
 
     val base = if (joinType == "inner") matched.where(col("__match").isNotNull) else matched
     base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)

@@ -41,6 +41,26 @@ class AsofJoinSpec extends SparkSpec {
     assert(viaSql == Map(2L -> "a", 3L -> "b"), viaSql.toString)
   }
 
+  test("backwardWithin: tolerance invalidates too-old matches, inner and left") {
+    // numeric time domain, tolerance 8: id=1 t=10 matches rt=10 (dist 0);
+    // id=2 t=20 best is rt=10 (dist 10 > 8) -> unmatched; id=3 t=30 best is
+    // rt=25 (dist 5) -> "b"
+    val inner = AsofJoin.backwardWithin(l, r, Seq("k"), "t", "rt", Seq("v"),
+      tolerance = lit(8L), joinType = "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(inner == Map(1L -> "a", 3L -> "b"), inner.toString)
+    val left = AsofJoin.backwardWithin(l, r, Seq("k"), "t", "rt", Seq("v"),
+      tolerance = lit(8L), joinType = "left")
+    assert(left.count() == 5)
+    val nulls = left.where(col("v").isNull).select("id").as[Long].collect().toSet
+    assert(nulls == Set(2L, 4L, 5L), nulls.toString)
+    // a huge tolerance degrades to plain backward
+    val loose = AsofJoin.backwardWithin(l, r, Seq("k"), "t", "rt", Seq("v"),
+      tolerance = lit(1000000L), joinType = "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(loose == Map(1L -> "a", 2L -> "a", 3L -> "b"))
+  }
+
   test("backward left keeps unmatched rows with null payload") {
     val out = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "left")
     assert(out.count() == 5)
