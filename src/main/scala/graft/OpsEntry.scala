@@ -2230,7 +2230,73 @@ object OpsEntry {
         |FROM (SELECT doc_id,
         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t14_c4_filters",
+      withTables { (s, _) =>
+        // C4 cleaning battery (Raffel et al. 2020 §2.2). The synthetic
+        // corpus is one flat line, so page structure is synthesized
+        // identically in both engines: words re-wrapped into 8-word lines,
+        // a line gains a terminal '.' when its md5 leads with an even hex
+        // digit, and deterministic injections exercise the doc-level drops
+        // (lorem ipsum at doc_id%7, a `{` line at %11, a blocklist hit at
+        // %13) plus a short unterminated footer line for the line rules.
+        val w = filter(split(col("text"), " ", -1), t => length(t) > lit(0))
+        val nLines = floor((size(w) + lit(7)) / lit(8)).cast("int")
+        val body = when(size(w) > lit(0),
+          transform(sequence(lit(0), nLines - lit(1)), i => {
+            val line = array_join(slice(w, i * lit(8) + lit(1), lit(8)), " ")
+            concat(line,
+              when(conv(substring(md5(line), 1, 1), 16, 10).cast("long") % 2 === 0, ".")
+                .otherwise(""))
+          })).otherwise(array().cast("array<string>"))
+        def inj(m: Int, line: String) =
+          when(col("doc_id") % m === 0, array(lit(line))).otherwise(array().cast("array<string>"))
+        val aug = array_join(
+          concat(inj(7, "Lorem ipsum dolor sit amet."), body,
+            inj(11, "var f = function() { return 1; }"),
+            inj(13, "win big at the casino today."),
+            array(lit("thanks for reading"))), "\n")
+        val cols = graft.functions.TextFunctions.c4Clean(col("__aug"))
+          .map { case (n, c) => c.as(n) }
+        s.table("documents")
+          .withColumn("__aug", aug)
+          .select((col("doc_id") +: cols): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |aug AS (
+        |  SELECT doc_id, array_to_string(
+        |    (CASE WHEN doc_id % 7 = 0 THEN ['Lorem ipsum dolor sit amet.'] ELSE [] END)
+        |    || list_transform(range((len(w) + 7) // 8),
+        |         i -> array_to_string(w[i*8+1 : i*8+8], ' ') ||
+        |           CASE WHEN ('0x' || substr(md5(array_to_string(w[i*8+1 : i*8+8], ' ')), 1, 1))::BIGINT % 2 = 0
+        |             THEN '.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN ['var f = function() { return 1; }'] ELSE [] END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN ['win big at the casino today.'] ELSE [] END)
+        |    || ['thanks for reading'], chr(10)) AS a
+        |  FROM base),
+        |cl AS (
+        |  SELECT doc_id, a,
+        |    list_filter(string_split(a, chr(10)),
+        |      l -> len(list_filter(string_split(l, ' '), t -> len(t) > 0)) >= 5
+        |        AND list_contains(['.', '!', '?', '"'], right(l, 1))) AS kept
+        |  FROM aug),
+        |fin AS (
+        |  -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
+        |  SELECT doc_id, a, coalesce(array_to_string(kept, chr(10)), '') AS clean,
+        |    len(kept)::BIGINT AS n_lines_kept
+        |  FROM cl)
+        |SELECT doc_id, clean, n_lines_kept,
+        |  length(regexp_replace(clean, '[^.!?]', '', 'g'))::BIGINT AS n_sentences,
+        |  (length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 3
+        |    AND NOT contains(lower(a), 'lorem ipsum')
+        |    AND NOT contains(a, '{')
+        |    AND NOT regexp_matches(lower(a), '\b(casino|viagra|xxx)\b')) AS c4_keep
+        |FROM fin ORDER BY doc_id""".stripMargin))
   ) ++ retrievalDefs
 
   /** r01–r03's fixed query-term list: one rare term (df 25/500) among three

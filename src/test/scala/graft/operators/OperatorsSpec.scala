@@ -828,6 +828,44 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out(3L).getDouble(2) == 5.0)
   }
 
+  test("c4 cleaning: line rules, sentence floor, and doc-level drops") {
+    val goodLine = "this sentence has exactly six words."
+    val good = Seq.fill(4)(goodLine).mkString("\n")
+    val mixedLines = Seq(
+      "short line here.",                       // 3 words -> dropped
+      "six words but no terminal punctuation",  // no punct -> dropped
+      "does an exclamation mark count here!",   // kept
+      "and does a question mark count?",        // kept
+      "\"a quoted sentence also counts fine.\"",// kept (ends in quote)
+      goodLine).mkString("\n")
+    val df = Seq(
+      (1L, good),                                   // clean keep
+      (2L, mixedLines),                             // line filters, 4 kept
+      (3L, "Lorem IPSUM dolor.\n" + good),          // lorem ipsum (case-insensitive) -> drop
+      (4L, good + "\nvar f = function() { x }"),    // curly brace -> drop
+      (5L, good + "\nwin big at the casino today."),// blocklist word -> drop
+      (6L, good.replace("words.", "casinos fun.")), // 'casinos' is NOT a \b match
+      (7L, goodLine + "\n" + goodLine),             // only 2 sentences -> drop
+      (8L, "")                                      // empty page
+    ).toDF("doc_id", "text")
+    val cols = graft.functions.TextFunctions.c4Clean(col("text"))
+      .map { case (nm, c) => c.as(nm) }
+    val out = df.select((col("doc_id") +: cols): _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(4) && out(1L).getLong(2) == 4L && out(1L).getLong(3) == 4L)
+    assert(out(2L).getLong(2) == 4L, "exclamation/question/quote endings kept, short+unterminated dropped")
+    assert(out(2L).getBoolean(4))
+    assert(!out(3L).getBoolean(4), "lorem ipsum page dropped")
+    assert(!out(4L).getBoolean(4), "curly-brace page dropped")
+    assert(!out(5L).getBoolean(4), "blocklist page dropped")
+    assert(out(6L).getBoolean(4), "blocklist is word-bounded: 'casinos' passes")
+    assert(!out(7L).getBoolean(4) && out(7L).getLong(2) == 2L, "two sentences < 3 -> drop")
+    assert(!out(8L).getBoolean(4) && out(8L).getString(1) == "" && out(8L).getLong(2) == 0L)
+    // cleaned text of doc 2 is exactly the four surviving lines in order
+    assert(out(2L).getString(1).split("\n").length == 4)
+    assert(out(2L).getString(1).endsWith(goodLine))
+  }
+
   test("ccnet buckets: terciles cover the corpus, ordered and roughly balanced") {
     val dir = "/root/testdata/sf0.001"
     graft.Tables.register(spark, dir)
