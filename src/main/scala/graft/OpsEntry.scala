@@ -2296,8 +2296,47 @@ object OpsEntry {
         |    AND NOT contains(lower(a), 'lorem ipsum')
         |    AND NOT contains(a, '{')
         |    AND NOT regexp_matches(lower(a), '\b(casino|viagra|xxx)\b')) AS c4_keep
-        |FROM fin ORDER BY doc_id""".stripMargin))
+        |FROM fin ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "g01_pagerank",
+      withTables { (s, _) =>
+        // link-graph authority scoring over the events click-graph
+        // (user_id -> props.k, id spaces overlap so the graph is genuinely
+        // connected). Fixed-point integer arithmetic makes all 10
+        // iterations bit-identical to the oracle's unrolled CTEs.
+        val edges = s.table("events").select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        GraphOps.pageRankTopK(edges, "src", "dst", k = 20, iterations = 10)
+      },
+      Some(pageRankOracle(10))),
   ) ++ retrievalDefs
+
+  /** g01's oracle: the SAME fixed-point integer PageRank as
+    * [[GraphOps.pageRank]] (scale 1e12, damping 85/100, base
+    * 150000000000 // n, `div` everywhere) with the iteration loop unrolled
+    * into CTEs r1..rN — integer arithmetic is order-independent, so the
+    * hash comparison is exact.
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT x.node, (150000000000 // nn.n) + (85 * coalesce(c.csum, 0)) // 100 AS rank
+         |  FROM nodes x CROSS JOIN nc nn LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS csum
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON c.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id AS src, CAST(json_extract(props, '$$.k') AS BIGINT) AS dst
+       |  FROM events WHERE user_id IS NOT NULL AND json_extract(props, '$$.k') IS NOT NULL),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nc nn),
+       |$iters
+       |SELECT node, rank FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
 
   /** r01–r03's fixed query-term list: one rare term (df 25/500) among three
     * common ones (df ≈ 385–394) so the IDF weighting actually discriminates.

@@ -1238,6 +1238,56 @@ class TimeSeriesSpec extends SparkSpec {
   }
 }
 
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: one iteration on a 3-node chain matches hand-computed fixed-point values") {
+    // 1->2, 1->3, 2->3; N=3, scale 1e12, base = 150000000000/3 = 50000000000
+    // r0 = 333333333333 each; outdeg(1)=2, outdeg(2)=1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = GraphOps.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(1L) == 50000000000L, s"source node got ${r1(1L)}")
+    assert(r1(2L) == 50000000000L + (333333333333L / 2) * 85 / 100)
+    assert(r1(3L) == 50000000000L + ((333333333333L / 2) + 333333333333L) * 85 / 100)
+  }
+
+  test("pageRank: cycle symmetry, mass bound, and determinism across partitionings") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(cycle, "src", "dst", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    // perfect symmetry: every node identical, mass conserved up to div floors
+    assert(r.values.toSet.size == 1, r.toString)
+    assert(r.values.sum <= 1000000000000L && r.values.sum > 999999990000L)
+    // duplicate edges dedup; shuffled/fragmented input changes nothing
+    val dup = (Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++ Seq((2L, 3L), (1L, 2L)))
+      .toDF("src", "dst").repartition(7)
+    val r2 = GraphOps.pageRank(dup, "src", "dst", iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == r)
+  }
+
+  test("pageRank: hub of a star outranks leaves; dangling mass is dropped") {
+    // leaves 2..5 all point at 1; node 1 has no out-edges (dangling hub)
+    val star = (2L to 5L).map(l => (l, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(star, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(3L) == r(4L) && r(4L) == r(5L))
+    // hub mass leaks (documented): total strictly below the full scale
+    assert(r.values.sum < 1000000000000L)
+    val top = GraphOps.pageRankTopK(star, "src", "dst", k = 2, iterations = 3)
+      .as[(Long, Long)].collect()
+    assert(top.head._1 == 1L && top.length == 2 && top(1)._1 == 2L)
+  }
+
+  test("pageRank guards: bad iterations/damping/scale fail fast") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", iterations = 0))
+    intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", dampingPct = 100))
+    intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", scale = Long.MaxValue))
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
