@@ -2712,8 +2712,58 @@ object OpsEntry {
         |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
         |SELECT doc_id, rrf, cast(row_number() OVER (ORDER BY rrf DESC, doc_id) as int) AS rank
         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
-        |ORDER BY rank""".stripMargin))
+        |ORDER BY rank""".stripMargin)),
+
+    QueryDef(
+      "r04_maxsim_topk",
+      withTables { (s, _) =>
+        // ColBERT-style late interaction over hashed 32-word-chunk
+        // embeddings: per query token take the best chunk cosine, sum over
+        // the (literal) token list, top-10 docs. The query vectors are the
+        // driver-side twin of the hashed embedding — the oracle embeds the
+        // SAME doubles as literals (the trained-literal parity pattern).
+        Retrieval.maxSimTopK(s.table("documents"), "doc_id", "text", bm25Terms, k = 10)
+          .orderBy("rank")
+      },
+      Some(maxSimOracle(bm25Terms, k = 10)))
   )
+
+  /** r04's oracle: hashed chunk embeddings + per-token best-chunk cosine,
+    * mirroring [[Retrieval.maxSimTopK]] term by term (same md5 bucket/sign
+    * arithmetic, same zero-norm guard, same round-6 cut, same fixed
+    * left-to-right token sum). Query vectors are generated by the same
+    * Scala code the Spark side uses and inlined as DOUBLE[] literals.
+    */
+  private def maxSimOracle(tokens: Seq[String], k: Int, dim: Int = 16, cw: Int = 32): String = {
+    val terms = tokens.map { t =>
+      val qv = Retrieval.hashedQueryVec(t, dim)
+      if (qv.forall(_ == 0.0)) "0.0"   // fully-cancelled query vector: Spark's guard yields 0 everywhere
+      else {
+        val qvSql = "[" + qv.mkString(", ") + "]::DOUBLE[]"
+        s"""coalesce(list_max(list_transform(cvs, v ->
+           |      CASE WHEN list_sum(list_transform(v, x -> x*x)) = 0.0 THEN 0.0
+           |        ELSE round(list_cosine_similarity($qvSql, v), 6) END)), 0.0)""".stripMargin
+      }
+    }.mkString("\n    + ")
+    s"""WITH dw AS (
+       |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |cv AS (
+       |  SELECT doc_id, CASE WHEN len(w) > 0 THEN
+       |    list_transform(range((len(w) + ${cw - 1}) // $cw), i ->
+       |      list_transform(range($dim), j -> coalesce(list_sum(list_transform(
+       |        flatten(list_transform(w[i*$cw+1 : i*$cw+$cw], x -> [x, 'p:' || substr(x, 1, 3)])),
+       |        f -> CASE WHEN ('0x' || substr(md5(f), 1, 7))::BIGINT % $dim = j
+       |          THEN CASE WHEN ('0x' || substr(md5(f), 8, 1))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END
+       |          ELSE 0.0 END)), 0.0)))
+       |    ELSE []::DOUBLE[][] END AS cvs
+       |  FROM dw),
+       |scored AS (
+       |  SELECT doc_id, round($terms, 6) AS maxsim FROM cv)
+       |SELECT doc_id, maxsim, cast(row_number() OVER (ORDER BY maxsim DESC, doc_id) as int) AS rank
+       |FROM (SELECT * FROM scored ORDER BY maxsim DESC, doc_id LIMIT $k)
+       |ORDER BY rank""".stripMargin
+  }
 
   private def Psqlish(s: SparkSession, q: String): DataFrame = graft.psql.Psql(s).sql(q)
 

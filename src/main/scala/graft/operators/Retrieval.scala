@@ -105,6 +105,95 @@ object Retrieval {
       row_number().over(Window.orderBy(col("sim").desc, col("doc_id").asc)).cast("int"))
   }
 
+  /** Feature set for the hashed embeddings: the word itself plus a `p:`
+    * 3-char-prefix feature, so morphological variants share mass and each
+    * token lights up to two buckets — enough structure for late interaction
+    * to be non-trivial while staying exactly SQL-statable (`substr` + `md5`
+    * arithmetic) for the oracle.
+    */
+  private def hashFeatures(words: Column): Column =
+    flatten(transform(words, w => array(w, concat(lit("p:"), substring(w, 1, 3)))))
+
+  /** Signed feature hashing (Weinberger et al. 2009): bucket = md5 first 7
+    * hex digits mod `dim`, sign = md5 8th hex digit parity. Pure map-side
+    * HOF expression — the "embedding model" of the maxSim operator, chosen
+    * because it is deterministic and byte-identical cross-engine. Swap in
+    * real model vectors at the same schema (`array<double>`) for production.
+    */
+  def hashedEmbedding(words: Column, dim: Int): Column = {
+    val fs = hashFeatures(words)
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(fs, lit(0.0), (acc, f) =>
+        acc + when(conv(substring(md5(f), 1, 7), 16, 10).cast("long") % dim === j,
+          when(conv(substring(md5(f), 8, 1), 16, 10).cast("long") % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)))
+          .otherwise(lit(0.0))))
+  }
+
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The driver-side twin of [[hashedEmbedding]] for a single query token —
+    * the query side of MaxSim is a handful of literals, never a scan.
+    */
+  private[graft] def hashedQueryVec(token: String, dim: Int): Array[Double] = {
+    val v = Array.fill(dim)(0.0)
+    for (f <- Seq(token, "p:" + token.take(3))) {
+      val h = md5Hex(f)
+      val b = (java.lang.Long.parseLong(h.substring(0, 7), 16) % dim).toInt
+      v(b) += (if (Integer.parseInt(h.substring(7, 8), 16) % 2 == 0) 1.0 else -1.0)
+    }
+    v
+  }
+
+  /** Cosine with an explicit zero-norm guard (a hashed vector whose signs
+    * fully cancel is legitimately zero): 0.0 instead of NaN, so rankings
+    * stay total and cross-engine.
+    */
+  private def simSafe(a: Column, b: Column): Column = {
+    val vf = graft.functions.VectorFunctions
+    when(vf.dotProduct(a, a) === 0.0 || vf.dotProduct(b, b) === 0.0, lit(0.0))
+      .otherwise(round(vf.cosineSim(a, b), 6))
+  }
+
+  /** ColBERT-style late interaction (Khattab & Zaharia 2020): score(doc) =
+    * Σ_q max over the doc's CHUNK embeddings of cos(q, chunk); top-k docs
+    * by (score desc, id). Documents are re-chunked every `chunkWords` words
+    * and each chunk hashed-embedded map-side, so the whole scoring pass is
+    * ONE projection over the corpus (no explode-shuffle, no per-chunk
+    * join); selection is sort+limit → TakeOrderedAndProject. At 100 TB the
+    * chunk vectors would come precomputed from a model — the operator's
+    * plan shape (per-row max-of-sims fold, bounded top-k) is unchanged.
+    */
+  def maxSimTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTokens: Seq[String],
+      k: Int,
+      chunkWords: Int = 32,
+      dim: Int = 16): DataFrame = {
+    require(queryTokens.nonEmpty, "maxSimTopK: need at least one query token")
+    require(queryTokens.distinct.size == queryTokens.size, "maxSimTopK: tokens must be distinct")
+    val w = filter(split(coalesce(col(textCol), lit("")), " ", -1), t => length(t) > lit(0))
+    val nChunks = floor((size(w) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
+    val chunkVecs = when(size(w) > lit(0),
+      transform(sequence(lit(0), nChunks - lit(1)), i =>
+        hashedEmbedding(slice(w, i * lit(chunkWords) + lit(1), lit(chunkWords)), dim)))
+      .otherwise(array().cast("array<array<double>>"))
+    val withVecs = docs.select(col(idCol).as("doc_id"), chunkVecs.as("cvs"))
+    // fixed left-to-right sum over the literal token list — deterministic
+    val score = queryTokens.foldLeft(lit(0.0)) { (acc, t) =>
+      val qv = array(hashedQueryVec(t, dim).map(lit): _*)
+      acc + coalesce(array_max(transform(col("cvs"), cv => simSafe(qv, cv))), lit(0.0))
+    }
+    val scored = withVecs.select(col("doc_id"), round(score, 6).as("maxsim"))
+    val top = scored.orderBy(col("maxsim").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("maxsim").desc, col("doc_id").asc)).cast("int"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): fuse two rankings
     * `(doc_id, rank)` with `score = Σ 1/(c + rank)` over the systems the
     * document appears in, top `k` by (fused desc, id). Pure rational

@@ -61,6 +61,47 @@ class RetrievalSpec extends SparkSpec {
     assert(sims == sims.sorted.reverse, s"not desc: $sims")
   }
 
+  test("maxSimTopK: exact-token chunks hit cosine 1, empty docs score 0, stable under repartition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark"),                         // chunk vec == query vec -> cos 1
+      (2L, "alpha beta gamma delta"),        // unrelated
+      (3L, ""),                              // no chunks -> 0
+      (4L, null.asInstanceOf[String])        // null text -> 0
+    ).toDF("doc_id", "text")
+    val res = Retrieval.maxSimTopK(docs, "doc_id", "text", Seq("spark"), k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res.head == (1L, 1.0), res.toString)
+    assert(res.filter(r => r._1 == 3L || r._1 == 4L).forall(_._2 == 0.0), res.toString)
+    // fragmenting the input must not change scores or order
+    val res2 = Retrieval.maxSimTopK(docs.repartition(5), "doc_id", "text", Seq("spark"), k = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res2 == res)
+  }
+
+  test("maxSimTopK: score sums per-token bests and is bounded by the token count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark vector"),   // both tokens exact somewhere in the single chunk
+      (2L, "spark"),          // one exact
+      (3L, "unrelated words here")).toDF("doc_id", "text")
+    val res = Retrieval.maxSimTopK(docs, "doc_id", "text", Seq("spark", "vector"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res.values.forall(_ <= 2.0 + 1e-9))
+    assert(res(1L) > res(2L), s"two hits must beat one: $res")
+    assert(res(2L) > res(3L), res.toString)
+  }
+
+  test("hashedEmbedding and hashedQueryVec are exact twins") {
+    import spark.implicits._
+    for (tok <- Seq("spark", "dup", "vector", "merge", "zz")) {
+      val fromCol = Seq(Tuple1(Seq(tok))).toDF("w")
+        .select(Retrieval.hashedEmbedding(col("w"), 16).as("v"))
+        .collect().head.getSeq[Double](0)
+      assert(fromCol == Retrieval.hashedQueryVec(tok, 16).toSeq, s"mismatch for $tok")
+    }
+  }
+
   test("rrfFuse: exact rational fusion, outer semantics for one-sided docs") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
