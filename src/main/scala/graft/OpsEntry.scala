@@ -2596,6 +2596,28 @@ object OpsEntry {
         |ORDER BY window_start, pred_lang""".stripMargin)),
 
     QueryDef(
+      "st12_window_topk_tokens",
+      withTables { (s, _) =>
+        // batch face of the live heavy-hitter topology: windowed token
+        // counts (streaming aggregate) + the per-closed-window top-k rank
+        // (foreachBatch stage). ts = doc_id seconds, the st09 convention.
+        val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
+        val counts = graft.streaming.DocumentStreams.windowTokenCounts(docs, "60 seconds", "1 hour")
+        graft.streaming.DocumentStreams.topTokensPerWindow(counts, 5)
+          .orderBy("window_start", "rank")
+      },
+      Some("""WITH tok AS (
+        |  SELECT cast(to_timestamp((doc_id // 60) * 60) as timestamp) AS window_start,
+        |    t.tok AS token
+        |  FROM documents, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS t(tok)),
+        |counts AS (SELECT window_start, token, count(*) AS n FROM tok GROUP BY window_start, token),
+        |ranked AS (SELECT window_start, token, n,
+        |  cast(row_number() OVER (PARTITION BY window_start ORDER BY n DESC, token) as int) AS rank
+        |  FROM counts)
+        |SELECT window_start, token, n, rank FROM ranked WHERE rank <= 5
+        |ORDER BY window_start, rank""".stripMargin)),
+
+    QueryDef(
       "c11_mixture_epochs",
       withTables { (s, _) =>
         graft.operators.TrainingPipeline.materializeMixture(

@@ -76,6 +76,37 @@ object DocumentStreams {
       .select(col("w.start").as("window_start"), col("pred_lang"),
         col("n_docs"), col("total_chars"), col("mean_quality"))
 
+  /** Tumbling-window token counts — the heavy-hitter feed for live corpus
+    * monitoring (what vocabulary is the crawl ingesting right now?).
+    * Stateless explode + watermarked windowed count, so state closes as
+    * event time advances. The per-window TOP-K cut is
+    * [[topTokensPerWindow]], applied downstream: a rank needs the window
+    * CLOSED — in streaming that's a `foreachBatch` over this aggregate's
+    * append output, in batch it composes directly (same code both ways).
+    * At 100 TB/day the exact per-(window, token) count is one shuffle on a
+    * key whose cardinality is window × vocabulary — bounded — and the
+    * SpaceSaving sketch (t05) is the fallback when even that is too wide.
+    */
+  def windowTokenCounts(docs: DataFrame, windowLen: String, watermark: String,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(filter(split(col(textCol), " ", -1),
+        t => length(t) > lit(0))).as("token"))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("token"), col("n"))
+
+  /** Per-window top-k by (count desc, token asc) over CLOSED windows —
+    * the batch/foreachBatch rank stage downstream of
+    * [[windowTokenCounts]]. */
+  def topTokensPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"topTokensPerWindow: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w).cast("int")).where(col("rank") <= k)
+  }
+
   /** BOUNDED-HORIZON streaming near-dup pair detection — the live
     * counterpart of [[graft.operators.Dedup.minhashLshPairsMd5]], refining
     * the lambda split documented on this object: a near-dup arriving

@@ -89,6 +89,41 @@ class DocumentStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowTokenCounts + topTokensPerWindow: closed windows rank live, batch face agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    val counts = DocumentStreams.windowTokenCounts(input.toDF(), "10 minutes", "5 minutes")
+    val q = EventStreams.toMemorySink(counts, "win_tok_test", complete = false)
+    try {
+      val batch = Seq(
+        Doc(1, ts(1), "alpha alpha beta"),
+        Doc(2, ts(4), "alpha gamma"),
+        Doc(3, ts(12), "beta beta"))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      input.addData(Doc(9, ts(45), "closer")) // advance watermark, close both windows
+      q.processAllAvailable()
+      // rank over the append output — the foreachBatch stage, run as batch here
+      val ranked = DocumentStreams.topTokensPerWindow(spark.table("win_tok_test"), 2)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(ranked.contains(("2024-01-01 10:00:00.0", "alpha", 3L, 1)), ranked)
+      assert(ranked.contains(("2024-01-01 10:00:00.0", "beta", 1L, 2)), ranked)
+      assert(ranked.contains(("2024-01-01 10:10:00.0", "beta", 2L, 1)), ranked)
+      // k=2 cut: gamma (count 1, after beta alphabetically) never ranks
+      assert(!ranked.exists(_._2 == "gamma"), ranked)
+      // batch face: same two functions composed directly over the same rows
+      val direct = DocumentStreams.topTokensPerWindow(
+        DocumentStreams.windowTokenCounts(batch.toDF(), "10 minutes", "5 minutes"), 2)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(direct == ranked.filter(_._1 != "2024-01-01 10:40:00.0"), direct)
+    } finally q.stop()
+  }
+
   test("nearDupPairsStream: in-horizon near-dups detected once, out-of-horizon ignored") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
