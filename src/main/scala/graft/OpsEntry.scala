@@ -2472,6 +2472,23 @@ object OpsEntry {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "q59_by_all_exclude",
+      withTables { (s, _) =>
+        // DuckDB dialect conveniences through the pipe front-end in one
+        // pipeline: GROUP BY ALL (Spark 4 native), star EXCLUDE (shimmed to
+        // Spark's * EXCEPT by PsqlRewriter.shims), ORDER BY ALL.
+        Psqlish(s, """from lineitem |>
+          |select l_returnflag, l_linestatus, count() as n_rows,
+          |  sum(l_quantity) as sum_qty group by all |>
+          |select * exclude (n_rows) |>
+          |order by all""".stripMargin)
+      },
+      Some("""SELECT * EXCLUDE (n_rows) FROM (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |    sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY ALL) ORDER BY ALL""".stripMargin)),
+
+    QueryDef(
       "c13_decontaminate_spans",
       withTables { (s, _) =>
         // surgical variant of c01 on the same corpus/benchmark split: the

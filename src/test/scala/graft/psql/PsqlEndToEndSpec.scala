@@ -487,6 +487,19 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(cols == Seq("a", "exclude"))
   }
 
+  test("group by all / order by all flow through pipe stages") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v").createOrReplaceTempView("ball_t")
+    val r = psql.sql(
+      "from ball_t |> select g, count() as n, sum(v) as s group by all |> order by all")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("a", 2L, 3L), ("b", 1L, 5L)), r.toString)
+    // order by all over a plain projection too
+    val o = psql.sql("from ball_t |> select g, v |> order by all")
+      .collect().map(x => (x.getString(0), x.getInt(1))).toSeq
+    assert(o == Seq(("a", 1), ("a", 2), ("b", 5)), o.toString)
+  }
+
   test("by-name edge shapes: leading comment, statement-level CTE scope, alias spelling an op") {
     // leading comment must not defeat the query-head check
     assert(psql.sql("-- daily rollup\nselect 1 as i union by name select 2 as i").count() == 2)
