@@ -475,6 +475,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("r04 MaxSim: one map-side projection — no explode, no join, top-k merge") {
+    val df = SparkEntry.defs.find(_.name == "r04_maxsim_topk").get.fn(spark, sf)
+    val p = plan(df)
+    // chunking + hashing + per-token maxes all fold inside the row — the
+    // corpus is scanned once, nothing explodes, nothing joins
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("g01 PageRank: iteration joins never go cartesian; partial-combine aggregation; top-k merge") {
+    val df = SparkEntry.defs.find(_.name == "g01_pagerank").get.fn(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // contribution sum has map-side partial combine (partial + final)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // edges/outdeg re-read from their pinned checkpoint, not re-derived scans
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a08 asof tolerance: same single-shuffle union+window plan, tolerance as map-side filter") {
+    import spark.implicits._
+    val l = Seq((1L, "u1", 10L), (2L, "u1", 20L)).toDF("id", "k", "t")
+    val r = Seq(("u1", 10L, "a")).toDF("k", "rt", "v")
+    val df = graft.operators.AsofJoin.backwardWithin(
+      l, r, Seq("k"), "t", "rt", Seq("v"), tolerance = lit(5L))
+    val p = plan(df)
+    // exactly one exchange: the union's hash partition on the key — the
+    // tolerance adds a Filter on the carried __mt, never another shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("__mt"), p)
+  }
+
+  test("t14 C4 cleaning: pure map-side pass — no shuffle, no explode before the sort") {
+    val df = spark.table("documents").select(
+      (col("doc_id") +: graft.functions.TextFunctions.c4Clean(col("text"))
+        .map { case (n, c) => c.as(n) }): _*)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("r01 BM25: map-side scoring (no explode), broadcast stats, top-k merge") {
     val df = SparkEntry.defs.find(_.name == "r01_bm25_topk").get.fn(spark, sf)
     val p = plan(df)
