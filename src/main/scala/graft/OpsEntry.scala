@@ -2413,6 +2413,25 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "q56_columns_regex",
+      withTables { (s, _) =>
+        // DuckDB COLUMNS('re') regex star-expansion through the pipe
+        // front-end: shimmed to Spark's quoted-regex column (the conf is
+        // set-and-restored by Psql.sql around analysis). Anchored pattern =
+        // identical column set under Spark full-match and DuckDB
+        // partial-match.
+        Psqlish(s, """from lineitem |>
+          |select columns('^l_(returnflag|linestatus)$'), l_quantity |>
+          |select l_returnflag, l_linestatus, count() as n,
+          |  sum(l_quantity) as sum_qty group by all |>
+          |order by all""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM (SELECT COLUMNS('^l_(returnflag|linestatus)$'), l_quantity FROM lineitem)
+        |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    QueryDef(
       "q57_recursive_cte",
       withTables { (s, _) =>
         // WITH RECURSIVE conformance (Spark 4 native rCTE; DuckDB likewise):
@@ -2662,6 +2681,23 @@ object OpsEntry {
         |ORDER BY doc_id, copy""".stripMargin)),
 
     QueryDef(
+      "c12_curriculum_order",
+      withTables { (s, _) =>
+        // curriculum materialization: quality phases by fixed thresholds,
+        // md5-seeded deterministic shuffle within phase — the row order IS
+        // the training order (no global rank column by design: at corpus
+        // scale that is a single-partition window; the range-partitioned
+        // sort carries the order instead)
+        graft.operators.TrainingPipeline.curriculumOrder(
+          s.table("documents"), "doc_id", "text", thresholds = Seq(0.5, 0.25))
+      },
+      Some(s"""SELECT doc_id,
+        |  CASE WHEN q >= 0.5 THEN 1 WHEN q >= 0.25 THEN 2 ELSE 3 END AS phase,
+        |  md5('42-' || doc_id) AS shuffle_key
+        |FROM (SELECT doc_id, $qualityScoreSql AS q FROM documents)
+        |ORDER BY phase, shuffle_key, doc_id""".stripMargin)),
+
+    QueryDef(
       "t13_quality_classifier",
       withTables { (s, dir) =>
         // fastText-style linear filter: weights trained driver-side on the
@@ -2764,7 +2800,74 @@ object OpsEntry {
         Retrieval.maxSimTopK(s.table("documents"), "doc_id", "text", bm25Terms, k = 10)
           .orderBy("rank")
       },
-      Some(maxSimOracle(bm25Terms, k = 10)))
+      Some(maxSimOracle(bm25Terms, k = 10))),
+
+    QueryDef(
+      "d29_exact_substr_dedup",
+      withTables { (s, _) =>
+        // ExactSubstr-style sliding-span dedup, first occurrence kept: the
+        // min-id doc containing a duplicated 8-token span keeps its copy,
+        // every other doc has the covered tokens cut (vs d27's fixed-block
+        // remove-everywhere)
+        Dedup.dedupSpansKeepFirst(s.table("documents"), "doc_id", "text",
+          spanTokens = 8, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i+1 : i+8], ' ') AS s
+        |  FROM tok, unnest(range(len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (
+        |  SELECT s, min(doc_id) AS owner
+        |  FROM (SELECT DISTINCT doc_id, s FROM spans)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |msp AS (
+        |  SELECT sp.doc_id, sp.pos FROM spans sp JOIN dup d ON d.s = sp.s
+        |  WHERE sp.doc_id <> d.owner),
+        |cov AS (SELECT DISTINCT doc_id, p FROM msp, unnest(range(pos, pos + 8)) AS u(p)),
+        |tokens AS (
+        |  SELECT doc_id, j AS p, w[j+1] AS tok
+        |  FROM tok, unnest(range(len(w))) AS u(j)),
+        |kept AS (SELECT t.* FROM tokens t WHERE NOT EXISTS (
+        |  SELECT 1 FROM cov WHERE cov.doc_id = t.doc_id AND cov.p = t.p)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  len(w) - coalesce(a.n_kept, 0) AS n_removed
+        |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
+      "g02_triangle_count",
+      withTables { (s, _) =>
+        // per-node triangle counts on the same events click-graph as g01.
+        // Spark runs the degree-oriented wedge plan (bounded intermediates);
+        // the oracle states the naive id-ordered 3-way join — the triangle
+        // set is orientation-independent, so the hashes match exactly.
+        val edges = s.table("events").select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        GraphOps.triangleTopK(edges, "src", "dst", k = 20)
+      },
+      Some("""WITH raw AS (
+        |  SELECT DISTINCT user_id AS s, CAST(json_extract(props, '$.k') AS BIGINT) AS d
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (
+        |  SELECT node, count(*) AS n_tri
+        |  FROM tri, unnest([x, y, z]) AS t(node)
+        |  GROUP BY node)
+        |SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20""".stripMargin))
   )
 
   /** r04's oracle: hashed chunk embeddings + per-token best-chunk cosine,

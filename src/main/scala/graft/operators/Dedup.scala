@@ -914,6 +914,75 @@ object Dedup {
     * aggregation and anti-join on `xxhash64(line)` instead — same plan with
     * an 8-byte shuffle key (the [[dedupExact]] md5 discipline).
     */
+  /** ExactSubstr-style duplicated-SPAN dedup with first-occurrence
+    * retention (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", the ExactSubstr variant — approximated here
+    * with sliding token n-grams instead of the paper's suffix-array maximal
+    * matches). Where [[dedupLines]] removes a duplicated fixed block from
+    * EVERY document (RefinedWeb remove-everywhere), this keeps exactly one
+    * canonical copy: the document with the MINIMUM id containing a
+    * duplicated span is its *owner* and keeps its tokens; every other
+    * document has the tokens covered by that span cut out. Output keeps
+    * input cardinality: `(doc_id, text_clean, n_kept, n_removed)`.
+    *
+    * A span is duplicated when it occurs in >= `minDocs` distinct docs;
+    * sliding windows (stride 1) mean any shared run of >= spanTokens
+    * tokens is caught regardless of alignment — the property fixed-block
+    * schemes lose.
+    *
+    * Scale shape (100 TB): spans are a map-side posexplode; ownership is
+    * ONE aggregation on the span string collapsing to the duplicated-span
+    * relation (min-id + distinct-doc count — no pair join, so a viral
+    * span costs its occurrence count, never its square); the matched-span
+    * probe is a shuffle equi-join on the span key (key both sides on
+    * xxhash64(span) at scale for 8-byte shuffles — string keys kept here
+    * for oracle transparency, the c01/c13 discipline); coverage and token
+    * explodes are map-side; per-doc reassembly is the one corpus-wide
+    * groupBy.
+    */
+  def dedupSpansKeepFirst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0 && minDocs >= 2,
+      s"dedupSpansKeepFirst: need spanTokens > 0, minDocs >= 2")
+    // NULL text = empty doc (the dedupLines guard rationale)
+    val tok = docs.select(col(idCol).as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
+    val spans = tok.where(size(col("w")) >= spanTokens)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("w")) - spanTokens),
+          i => array_join(slice(col("w"), i + 1, lit(spanTokens)), " "))).as(Seq("pos", "s")))
+    // one aggregation owns the span: duplicated iff seen in >= minDocs docs;
+    // the min-id doc keeps its copy
+    val dup = spans.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .where(col("nd") >= minDocs)
+      .select("s", "owner")
+    val matched = spans.join(dup, Seq("s"))
+      .where(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("pos"))
+    val covered = matched
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanTokens - 1))).as("p"))
+      .distinct()
+    val kept = tok.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    tok.select(col("doc_id"), size(col("w")).cast("long").as("n_toks"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def dedupLines(
       docs: DataFrame,
       idCol: String,

@@ -603,6 +603,42 @@ object TrainingPipeline {
         (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Curriculum ordering: materialize the training ORDER — quality phases
+    * first (clean data early, the curriculum-learning schedule), a
+    * deterministic seeded shuffle within each phase (epoch-stable, the
+    * property `ORDER BY rand()` loses across retries). Output
+    * `(doc_id, phase, shuffle_key)` sorted by `(phase, shuffle_key, doc_id)`
+    * — the row order IS the curriculum; writers keep it via Spark's
+    * range-partitioned sort.
+    *
+    * Phases come from FIXED quality thresholds (descending): score >=
+    * thresholds(0) → phase 1, >= thresholds(1) → phase 2, …, else phase
+    * n+1. Fixed cutoffs keep the phase assignment a map-side expression;
+    * quantile-based phases would need a cutoff-grid pass first (the c09
+    * `approx_percentile` pattern) — by design, since a global ntile is a
+    * single-partition window at corpus scale. No global rank column is
+    * materialized for the same reason: the sort defines the order, and a
+    * row_number over everything would serialize on one task.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholds: Seq[Double],
+      seed: Long = 42L): DataFrame = {
+    require(thresholds.nonEmpty, "curriculumOrder: need at least one threshold")
+    require(thresholds.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
+      s"curriculumOrder: thresholds must be strictly descending, got $thresholds")
+    val score = TextFunctions.qualityStats(col(textCol))
+      .collectFirst { case ("quality_score", c) => c }.get
+    val phase = thresholds.zipWithIndex.reverse.foldLeft(lit(thresholds.size + 1)) {
+      case (acc, (t, i)) => when(score >= t, lit(i + 1)).otherwise(acc)
+    }
+    df.select(col(idCol).as("doc_id"), phase.as("phase"),
+        md5(concat(lit(s"$seed-"), col(idCol).cast("string"))).as("shuffle_key"))
+      .orderBy(col("phase"), col("shuffle_key"), col("doc_id"))
+  }
+
   /** Epoch-aware mixture MATERIALIZATION (the LLaMA/GPT-3 data-mixing
     * step): given target corpus shares per source and a total token budget,
     * each source's sampling rate is `share·budget / sourceTokens`; every

@@ -49,13 +49,27 @@ class Psql(val spark: SparkSession) {
       case None => ()
     }
     val finalSql = Psql.preprocess(spark, query)
+    // COLUMNS('re') shims to Spark's quoted-regex column, which only
+    // activates under this conf; set-and-restore around the (eager)
+    // analysis — spark.sql asserts the plan analyzed before returning
+    def run(s: String): DataFrame =
+      if (Psql.usesColumnsExpansion(query)) {
+        val key = "spark.sql.parser.quotedRegexColumnNames"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.sql(s)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      } else spark.sql(s)
     // fallback for Spark 4's NATIVE pipe syntax (`|> AGGREGATE …`): a stage
     // that is not a PSQL stage rewrites to unparseable SQL — retry the
     // original text, surfacing the PSQL-path error if both fail
-    try spark.sql(finalSql)
+    try run(finalSql)
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException if finalSql != query =>
-        try spark.sql(query)
+        try run(query)
         catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => throw e }
     }
   }
@@ -91,6 +105,26 @@ object Psql {
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     finalSql
+  }
+
+  /** True when the raw text contains a `COLUMNS(` call (the DuckDB regex
+    * star-expansion), meaning the shimmed output needs
+    * `spark.sql.parser.quotedRegexColumnNames=true` during analysis.
+    * String-literal false positives only ever over-enable the conf for the
+    * one statement, which is harmless for text without backquoted
+    * identifiers.
+    */
+  private[psql] def usesColumnsExpansion(query: String): Boolean = {
+    val sc = SqlScanner.scan(query)
+    var i = 0
+    while (i < query.length) {
+      if (sc.code(i) && SqlScanner.matchesWord(query, i, "columns") && {
+          val j = SqlScanner.nextCode(query, sc, i + 7)
+          j >= 0 && query.charAt(j) == '('
+        }) return true
+      i += 1
+    }
+    false
   }
 
   private[psql] def rewriteOnly(query: String): String = {

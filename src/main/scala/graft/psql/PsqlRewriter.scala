@@ -722,6 +722,13 @@ object PsqlRewriter {
   /** Expression-level dialect shims applied to clause texts (string-aware):
     *   - zero-arg `count()` → `count(*)` (DuckDB allows it, `README.md:19`)
     *   - `* EXCLUDE (…)`   → `* EXCEPT (…)` (DuckDB star-exclude)
+    *   - `COLUMNS('re')`   → `` `re` `` (DuckDB regex star-expansion →
+    *     Spark's quoted-regex column; needs
+    *     `spark.sql.parser.quotedRegexColumnNames=true` at analysis time,
+    *     which the entry points arrange — [[Psql.usesColumnsExpansion]]).
+    *     Spark full-matches where DuckDB partial-matches, so write anchored
+    *     patterns (`^…$`) for identical behavior in both engines.
+    *     `COLUMNS(*)` (no filter) becomes a plain `*`.
     *   - DuckDB function names → Spark equivalents ([[functionAliases]])
     */
   private[psql] def shims(text: String): String = {
@@ -748,6 +755,34 @@ object PsqlRewriter {
         }) {
         sb.append("EXCEPT")
         i += 7
+      } else if (sc.code(i) && matchesWord(text, i, "columns") && {
+          val open = nextCode(text, sc, i + 7)
+          open >= 0 && text.charAt(open) == '('
+        }) {
+        val open = nextCode(text, sc, i + 7)
+        val arg = nextCode(text, sc, open + 1)
+        if (arg >= 0 && text.charAt(arg) == '*') {
+          val close = nextCode(text, sc, arg + 1)
+          if (close >= 0 && text.charAt(close) == ')') { sb.append("*"); i = close + 1 }
+          else { sb.append(text.charAt(i)); i += 1 }
+        } else if (arg >= 0 && text.charAt(arg) == '\'') {
+          // parse the pattern literal with '' escapes
+          var j = arg + 1
+          val content = new StringBuilder
+          var closed = false
+          while (j < text.length && !closed) {
+            val c = text.charAt(j)
+            if (c == '\'') {
+              if (j + 1 < text.length && text.charAt(j + 1) == '\'') { content.append('\''); j += 2 }
+              else { closed = true; j += 1 }
+            } else { content.append(c); j += 1 }
+          }
+          val close = if (closed) nextCode(text, sc, j) else -1
+          if (close >= 0 && text.charAt(close) == ')' && !content.contains("`")) {
+            sb.append('`').append(content).append('`')
+            i = close + 1
+          } else { sb.append(text.charAt(i)); i += 1 }
+        } else { sb.append(text.charAt(i)); i += 1 }
       } else {
         // function-name aliases: word followed by '(' at a code position
         val alias = functionAliases.collectFirst {

@@ -71,6 +71,12 @@ class PsqlParser(session: SparkSession, delegate: ParserInterface) extends Parse
     */
   private def parseWithFallback(sqlText: String, p: String => LogicalPlan): LogicalPlan = {
     val rewritten = pre(sqlText)
+    // COLUMNS('re') rewrites to a quoted-regex column, resolved at analysis
+    // time — AFTER this parser returns — so the conf can't be scoped here;
+    // it is enabled stickily for the session on first use (the library
+    // entry point Psql.sql set-and-restores instead)
+    if (Psql.usesColumnsExpansion(sqlText))
+      session.conf.set("spark.sql.parser.quotedRegexColumnNames", "true")
     try p(rewritten)
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException if rewritten != sqlText =>

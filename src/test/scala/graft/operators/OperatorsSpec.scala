@@ -640,10 +640,64 @@ class DedupSpec extends SparkSpec {
     assert(byId(4L) == (("", 0L, 2L)))
     assert(byId(5L) == (("", 0L, 0L)))
   }
+
+  test("dedupSpansKeepFirst: owner doc keeps its copy, later docs lose covered tokens, sliding windows catch unaligned overlap") {
+    import spark.implicits._
+    // span = 3 tokens. Docs 1 and 2 share the run "s1 s2 s3 s4" at DIFFERENT
+    // offsets (doc 1 at pos 0, doc 2 at pos 1) — fixed blocks would miss it,
+    // sliding windows catch both 3-gram spans [s1 s2 s3] and [s2 s3 s4].
+    // Doc 1 is the min-id owner → untouched; doc 2 loses tokens 1..4 (the
+    // union of both span occurrences). Doc 3 has no duplicated span.
+    val docs = Seq(
+      (1L, "s1 s2 s3 s4 a1"),
+      (2L, "b1 s1 s2 s3 s4"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansKeepFirst(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) == (("s1 s2 s3 s4 a1", 5L, 0L)), s"owner mutated: ${byId(1L)}")
+    assert(byId(2L) == (("b1", 1L, 4L)), s"non-owner: ${byId(2L)}")
+    assert(byId(3L) == (("c1 c2 c3 c4 c5", 5L, 0L)))
+    assert(byId(4L) == (("", 0L, 0L)))
+  }
 }
 
 class TrainingPipelineSpec extends SparkSpec {
   import spark.implicits._
+
+  test("curriculumOrder: phases by threshold, deterministic within-phase shuffle, order carried by sort") {
+    // 25 clean words → quality 1.0 (phase 1); 3 clean words → 0.15 (phase 3);
+    // 10 clean words → 0.5 exactly (>= 0.5 ⇒ phase 1); digits-heavy → low
+    val docs = Seq(
+      (1L, ('a' to 'y').map(c => s"$c$c").mkString(" ")), // 25 clean words
+      (2L, "a b c"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj"),
+      (4L, "11 22 33 44 55")
+    ).toDF("doc_id", "text")
+    val out = TrainingPipeline.curriculumOrder(docs, "doc_id", "text", Seq(0.5, 0.25))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) == 1 && byId(3L) == 1, byId.toString)
+    assert(byId(2L) == 3)
+    assert(byId(4L) == 3) // digit ratio crushes the score
+    // returned order is (phase, shuffle_key, doc_id)
+    assert(out.sortBy(t => (t._2, t._3, t._1)).toSeq == out.toSeq)
+    // same seed → same order; different seed → different shuffle keys
+    val again = TrainingPipeline.curriculumOrder(docs, "doc_id", "text", Seq(0.5, 0.25))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(again.toSeq == out.toSeq)
+    val other = TrainingPipeline.curriculumOrder(docs, "doc_id", "text", Seq(0.5, 0.25), seed = 7L)
+      .collect().map(_.getString(2)).toSet
+    assert(other != out.map(_._3).toSet)
+    intercept[IllegalArgumentException](
+      TrainingPipeline.curriculumOrder(docs, "doc_id", "text", Seq(0.25, 0.5)))
+    intercept[IllegalArgumentException](
+      TrainingPipeline.curriculumOrder(docs, "doc_id", "text", Seq.empty))
+  }
 
   test("curate clusterDedup keeps exactly one doc from a chained cluster; pair-pruning under-deletes") {
     // similarity structure (3-gram Jaccard over 30-word docs):
@@ -1285,6 +1339,38 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", iterations = 0))
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", dampingPct = 100))
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", scale = Long.MaxValue))
+  }
+
+  test("triangleTopK: counts match brute force on a known graph; direction/dup/self-loop noise ignored") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5 and
+    // noise: reversed duplicates, a self-loop, a null endpoint
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val noisy = (k4 ++ Seq((5L, 4L), (2L, 1L), (3L, 3L)))
+      .toDF("src", "dst")
+      .union(Seq((java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Long]))
+        .toDF("src", "dst"))
+    val got = GraphOps.triangleTopK(noisy, "src", "dst", k = 10)
+      .as[(Long, Long)].collect().toList
+    assert(got == List((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got.toString)
+  }
+
+  test("triangleTopK: degree-oriented plan equals naive orientation on a random graph") {
+    // brute-force check on a pseudo-random 40-node graph: per-node triangle
+    // membership computed driver-side from the canonical edge set
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 220).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val und = edges.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val expected = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val ns = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for {
+      i <- ns.indices; j <- (i + 1) until ns.length; l <- (j + 1) until ns.length
+      x = ns(i); y = ns(j); z = ns(l)
+      if x < y && y < z && und((x, y)) && und((y, z)) && und((x, z))
+    } { expected(x) += 1; expected(y) += 1; expected(z) += 1 }
+    val want = expected.toSeq.sortBy { case (n, c) => (-c, n) }.take(15).toList
+    val got = GraphOps.triangleTopK(edges.toDF("src", "dst"), "src", "dst", k = 15)
+      .as[(Long, Long)].collect().toList
+    assert(got == want, s"got $got\nwant $want")
   }
 }
 

@@ -487,6 +487,28 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(cols == Seq("a", "exclude"))
   }
 
+  test("COLUMNS('re') regex star-expansion: expands, conf restored, literal/ident unaffected") {
+    import spark.implicits._
+    Seq((1, 2, 3, "x")).toDF("aa_one", "aa_two", "bb_one", "columns")
+      .createOrReplaceTempView("colre_t")
+    val prev = spark.conf.getOption("spark.sql.parser.quotedRegexColumnNames")
+    val cols = psql.sql("from colre_t |> select columns('^aa_.*$')").columns.toSeq
+    assert(cols == Seq("aa_one", "aa_two"), cols.toString)
+    // expansion composes with further columns and stages
+    val r = psql.sql(
+      "from colre_t |> select columns('^aa_.*$'), bb_one |> select aa_one + aa_two + bb_one as s")
+      .head.getInt(0)
+    assert(r == 6)
+    // COLUMNS(*) is a plain star
+    assert(psql.sql("from colre_t |> select columns(*)").columns.length == 4)
+    // the conf was restored after each statement
+    assert(spark.conf.getOption("spark.sql.parser.quotedRegexColumnNames") == prev)
+    // a bare column named `columns` (no following paren) is untouched
+    assert(psql.sql("from colre_t |> select columns").head.getString(0) == "x")
+    // a string literal containing columns( is not rewritten
+    assert(psql.sql("select 'columns(''^x$'')' as s").head.getString(0) == "columns('^x$')")
+  }
+
   test("group by all / order by all flow through pipe stages") {
     import spark.implicits._
     Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v").createOrReplaceTempView("ball_t")
