@@ -301,6 +301,83 @@ object ShingleHash {
     BigDecimal(sum / toks.length)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
+
+  /** ColBERT-style MaxSim score of one document against a fixed query-token
+    * matrix — the whole r04 scoring loop (chunk → signed-feature-hash
+    * embedding → per-token best-chunk cosine → sum) in one tight pass per
+    * row. Arithmetic is element-for-element the HOF formulation it
+    * replaces ([[graft.operators.Retrieval.hashedEmbedding]] + per-token
+    * `array_max`): tokens from `split(text, ' ')` dropping empties, chunk
+    * vectors scatter-added from (word, "p:"+first-3-chars) features with
+    * bucket = top-28 md5 bits mod dim and sign = 8th-hex-digit parity,
+    * cosine accumulated in index order with the zero-norm → 0.0 guard,
+    * each sim rounded half-up to 6 dp BEFORE the max (the `simSafe`
+    * contract), missing-chunk tokens contributing 0.0. `q` is the
+    * flattened nTok x dim query matrix from `hashedQueryVec`.
+    */
+  def maxSimScore(s: UTF8String, q: Array[Double], dim: Int, chunkWords: Int): Double = {
+    val nTok = q.length / dim
+    val all = s.toString.split(" ", -1)
+    var nw = 0
+    var i = 0
+    while (i < all.length) { if (all(i).nonEmpty) { all(nw) = all(i); nw += 1 }; i += 1 }
+    val maxima = new Array[Double](nTok)
+    val seen = new Array[Boolean](nTok)
+    val md = md5Local.get()
+    val cv = new Array[Double](dim)
+    var cStart = 0
+    while (cStart < nw) {
+      java.util.Arrays.fill(cv, 0.0)
+      val end = math.min(cStart + chunkWords, nw)
+      var wi = cStart
+      while (wi < end) {
+        val w = all(wi)
+        var f = 0
+        while (f < 2) {
+          val feat =
+            if (f == 0) w
+            else "p:" + UTF8String.fromString(w).substringSQL(1, 3).toString
+          md.reset()
+          val d = md.digest(feat.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // bucket: first 7 hex chars (top 28 bits) mod dim; sign: 8th hex
+          // digit (low nibble of byte 3) parity — hashedEmbedding verbatim
+          var top = 0L
+          var j = 0
+          while (j < 4) { top = (top << 8) | (d(j) & 0xFFL); j += 1 }
+          val b = ((top >>> 4) % dim).toInt
+          cv(b) += (if ((d(3) & 0x0F) % 2 == 0) 1.0 else -1.0)
+          f += 1
+        }
+        wi += 1
+      }
+      var nc = 0.0
+      i = 0
+      while (i < dim) { nc += cv(i) * cv(i); i += 1 }
+      var t = 0
+      while (t < nTok) {
+        val off = t * dim
+        var dot = 0.0
+        var nq = 0.0
+        var j = 0
+        while (j < dim) {
+          val qv = q(off + j); val cj = cv(j)
+          dot += qv * cj; nq += qv * qv
+          j += 1
+        }
+        val sim =
+          if (nq == 0.0 || nc == 0.0) 0.0
+          else BigDecimal(dot / (math.sqrt(nq) * math.sqrt(nc)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (!seen(t) || sim > maxima(t)) { maxima(t) = sim; seen(t) = true }
+        t += 1
+      }
+      cStart += chunkWords
+    }
+    var score = 0.0
+    var t = 0
+    while (t < nTok) { score += (if (seen(t)) maxima(t) else 0.0); t += 1 }
+    score
+  }
 }
 
 /** `shingle_hashes(text, n)`: array<long> of hashed word n-gram shingles,
@@ -438,6 +515,41 @@ case class DsirWeightExpr(child: Expression, rSeq: IndexedSeq[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rRef = ctx.addReferenceObj("dsirRatios", r, "double[]")
     defineCodeGen(ctx, ev, v => s"graft.functions.ShingleHash.dsirWeight($v, $rRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `maxsim_score(text)`: ColBERT-style late-interaction score against a
+  * fixed query matrix, one tight codegen'd pass per row — the interpreted
+  * HOF formulation (nested `transform`/`aggregate` chunk embeddings) is
+  * the same arithmetic at ~10x the cost (r04). The query matrix rides as
+  * a codegen reference object; held as an `IndexedSeq` for expression
+  * canonicalization (the [[MinHashSigExpr]] rule).
+  */
+case class MaxSimScoreExpr(child: Expression, qSeq: IndexedSeq[Double],
+    dim: Int, chunkWords: Int) extends UnaryExpression {
+  require(dim > 0 && chunkWords > 0 && qSeq.nonEmpty && qSeq.length % dim == 0,
+    s"maxsim_score needs dim > 0, chunkWords > 0, |q| a positive multiple of dim")
+
+  @transient private lazy val q: Array[Double] = qSeq.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "maxsim_score"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHash.maxSimScore(input.asInstanceOf[UTF8String], q, dim, chunkWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("maxsimQ", q, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ShingleHash.maxSimScore($v, $qRef, $dim, $chunkWords)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -602,6 +714,13 @@ object ShingleFunctions {
   def dsirWeight(text: Column, ratios: Array[Double]): Column =
     ColumnBridge.column(DsirWeightExpr(ColumnBridge.expression(text),
       ratios.toIndexedSeq))
+
+  /** ColBERT-style MaxSim score against a flattened nTok x dim query
+    * matrix (from `Retrieval.hashedQueryVec`).
+    */
+  def maxSimScore(text: Column, q: Array[Double], dim: Int, chunkWords: Int): Column =
+    ColumnBridge.column(MaxSimScoreExpr(ColumnBridge.expression(text),
+      q.toIndexedSeq, dim, chunkWords))
 
   /** Mean token NLL under a trained unigram LM (sorted vocab for
     * canonical expression equality).

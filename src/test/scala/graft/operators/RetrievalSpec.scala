@@ -102,6 +102,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("maxSim codegen kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    // varied shapes: multi-chunk, exactly one chunk, shorter than a chunk,
+    // empty, single word, repeated tokens — plus pseudo-random word soup
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("spark", "dup", "vector", "merge", "alpha", "beta", "gamma", "zz9")
+    val docs = (Seq(
+      "",
+      "spark",
+      "spark dup vector merge",
+      ("w " * 40).trim
+    ) ++ (1 to 50).map(_ =>
+      (1 to (1 + rnd.nextInt(80))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val toks = Seq("spark", "dup", "vector", "merge")
+    for (chunkWords <- Seq(3, 32)) {
+      val qFlat = toks.toArray.flatMap(t => Retrieval.hashedQueryVec(t, 16))
+      val both = df.select(col("doc_id"),
+        graft.functions.ShingleFunctions.maxSimScore(
+          coalesce(col("text"), lit("")), qFlat, 16, chunkWords).as("kernel"),
+        Retrieval.maxSimScoreHof(col("text"), toks, chunkWords, 16).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"doc ${r.getLong(0)} chunkWords=$chunkWords: kernel ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("rrfFuse: exact rational fusion, outer semantics for one-sided docs") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
