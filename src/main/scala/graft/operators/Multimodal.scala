@@ -31,6 +31,18 @@ object Multimodal {
     )), nullable = true)
   ))
 
+  /** Spread the tiny id frame across the cluster BEFORE procedural media
+    * generation: the synthetic payload builders and every decoder
+    * downstream are CPU-bound per row, and the `documents` fixture is one
+    * parquet row group — an unsplittable single-partition scan that would
+    * otherwise serialize all codec work on one core (m04–m09 measured
+    * exactly that). The exchange moves 8-byte ids, costs nothing, and is
+    * the standard "repartition before expensive map" shape; at real scale
+    * media arrives pre-partitioned and generators are not in the path.
+    */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(col("media_id"))
+
   /** Wrap a text table as fake media rows (bytes = utf8 of text) so the
     * plumbing is exercised end-to-end on the `documents` testdata.
     */
@@ -121,7 +133,7 @@ object Multimodal {
     * decode — real compressed pixels, zero native dependencies.
     */
   def documentsAsImages(documents: DataFrame): DataFrame = {
-    val ids = documents.select(col("doc_id").as("media_id"))
+    val ids = spreadIds(documents.select(col("doc_id").as("media_id")))
     val idIdx = 0
     ids.mapPartitions { iter =>
       iter.map { row =>
@@ -176,7 +188,7 @@ object Multimodal {
     * clip per document id, decoded for real by [[AudioWavDecoder]].
     */
   def documentsAsAudio(documents: DataFrame): DataFrame = {
-    val ids = documents.select(col("doc_id").as("media_id"))
+    val ids = spreadIds(documents.select(col("doc_id").as("media_id")))
     val idIdx = 0
     ids.mapPartitions { iter =>
       iter.map { row =>
@@ -193,7 +205,7 @@ object Multimodal {
     * read frame-by-frame.
     */
   def documentsAsGifs(documents: DataFrame): DataFrame = {
-    val ids = documents.select(col("doc_id").as("media_id"))
+    val ids = spreadIds(documents.select(col("doc_id").as("media_id")))
     val idIdx = 0
     ids.mapPartitions { iter =>
       iter.map { row =>
@@ -239,7 +251,7 @@ object Multimodal {
     * [[AviMjpegDecoder]].
     */
   def documentsAsVideos(documents: DataFrame): DataFrame = {
-    val ids = documents.select(col("doc_id").as("media_id"))
+    val ids = spreadIds(documents.select(col("doc_id").as("media_id")))
     val idIdx = 0
     ids.mapPartitions { iter =>
       iter.map { row =>
@@ -259,7 +271,7 @@ object Multimodal {
     * rows, the stub only on the opaque ones (spec-pinned).
     */
   def documentsAsMixedMedia(documents: DataFrame): DataFrame = {
-    val rows = documents.select(col("doc_id").as("media_id"), col("text"))
+    val rows = spreadIds(documents.select(col("doc_id").as("media_id"), col("text")))
     rows.mapPartitions { iter =>
       iter.map { row =>
         val id = row.getLong(0)
