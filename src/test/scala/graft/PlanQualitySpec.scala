@@ -484,6 +484,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("rangepartitioning"), p)
+    // scoring is the MaxSimScoreExpr kernel (codegen'd via doGenCode, the
+    // DsirWeightExpr pattern), not the interpreted HOF chunk-embedding
+    // chain (29x); this plan renders pre-AQE so the *(n) codegen markers
+    // are absent — kernel presence in the projection is the contract
+    assert(p.contains("maxsim_score"), p)
+  }
+
+  test("d29 exact-substr dedup: span ownership is one aggregation, no cartesian anywhere") {
+    val df = SparkEntry.defs.find(_.name == "d29_exact_substr_dedup").get.fn(spark, sf)
+    val p = plan(df)
+    // a viral span must cost its occurrence count, never its square: the
+    // duplicated-span relation comes from aggregation (min-id owner +
+    // distinct-doc count), and every join in the plan is an equi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // countDistinct(doc_id) + min(owner) compile to the two-phase expand
+    // aggregation; partial combine present
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("g02 triangles: degree-oriented wedge join — equi-joins only, partial-combine counts") {
+    val df = SparkEntry.defs.find(_.name == "g02_triangle_count").get.fn(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // per-node counts aggregate with map-side partial combine
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
   test("g01 PageRank: iteration joins never go cartesian; partial-combine aggregation; top-k merge") {
