@@ -2681,6 +2681,41 @@ object OpsEntry {
         |ORDER BY doc_id, copy""".stripMargin)),
 
     QueryDef(
+      "st13_mixture_drift",
+      withTables { (s, _) =>
+        // batch face of the live mixture-drift monitor: windowed per-source
+        // token totals (streaming aggregate) + closed-window share/deviation
+        // verdicts (foreachBatch stage). Target spec covers src0..src2 only,
+        // so every other source raises the unexpected-source alert.
+        // ts = doc_id seconds, the st09 convention.
+        val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
+        val counts = graft.streaming.DocumentStreams.windowSourceTokens(
+          docs, "60 seconds", "1 hour")
+        graft.streaming.DocumentStreams.mixtureDrift(
+          counts, Seq("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1), tolerance = 0.05)
+          .orderBy("window_start", "source")
+      },
+      Some("""WITH tok AS (
+        |  SELECT cast(to_timestamp((doc_id // 60) * 60) as timestamp) AS window_start,
+        |    source,
+        |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))::BIGINT AS n
+        |  FROM documents),
+        |agg AS (
+        |  SELECT window_start, source, count(*) AS n_docs, sum(n) AS toks
+        |  FROM tok GROUP BY window_start, source),
+        |sh AS (
+        |  SELECT *,
+        |    round(toks::DOUBLE / (sum(toks) OVER (PARTITION BY window_start))::DOUBLE, 6) AS share,
+        |    (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.15
+        |      WHEN 'src2' THEN 0.1 ELSE NULL END)::DOUBLE AS target_share
+        |  FROM agg)
+        |SELECT window_start, source, n_docs, toks, share, target_share,
+        |  CASE WHEN target_share IS NOT NULL
+        |    THEN round(share - target_share, 6) END AS deviation,
+        |  (target_share IS NULL OR abs(round(share - target_share, 6)) > 0.05) AS drifted
+        |FROM sh ORDER BY window_start, source""".stripMargin)),
+
+    QueryDef(
       "c12_curriculum_order",
       withTables { (s, _) =>
         // curriculum materialization: quality phases by fixed thresholds,
@@ -2841,6 +2876,75 @@ object OpsEntry {
         |  len(w) - coalesce(a.n_kept, 0) AS n_removed
         |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
+      "a09_asof_nearest",
+      withTables { (s, _) =>
+        // NEAREST as-of (merge_asof direction='nearest'): each event takes
+        // the purchase closest in time either direction, backward winning
+        // ties. One hash exchange, two window sorts; oracle is the two
+        // windowed best-match CTEs + the distance CASE.
+        val events = s.table("events")
+        val purchases = events.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        AsofJoin.nearest(
+          events.select("event_id", "user_id", "ts"),
+          purchases,
+          by = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("purchase_value"),
+          joinType = "inner")
+          .select(col("event_id"), col("user_id"), col("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT e.event_id, p.purchase_value, p.pts,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY p.pts DESC) AS rn
+        |  FROM events e JOIN p ON e.user_id = p.user_id AND p.pts <= e.ts),
+        |bb AS (SELECT event_id, purchase_value, pts FROM b WHERE rn = 1),
+        |f AS (
+        |  SELECT e.event_id, p.purchase_value, p.pts,
+        |    row_number() OVER (PARTITION BY e.event_id ORDER BY p.pts ASC) AS rn
+        |  FROM events e JOIN p ON e.user_id = p.user_id AND p.pts >= e.ts),
+        |ff AS (SELECT event_id, purchase_value, pts FROM f WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN bb.pts IS NOT NULL AND (ff.pts IS NULL OR (e.ts - bb.pts) <= (ff.pts - e.ts))
+        |    THEN bb.purchase_value ELSE ff.purchase_value END AS purchase_value
+        |FROM events e
+        |LEFT JOIN bb ON bb.event_id = e.event_id
+        |LEFT JOIN ff ON ff.event_id = e.event_id
+        |WHERE bb.pts IS NOT NULL OR ff.pts IS NOT NULL
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "d30_containment_pairs",
+      withTables { (s, _) =>
+        // asymmetric near-dup: directed containment C(A→B) = |A∩B|/|A| —
+        // quoted/embedded documents that symmetric Jaccard misses when the
+        // host is much larger. Same inverted-index join as d04, both
+        // directions derived map-side from one intersection count.
+        Dedup.containmentPairs(s.table("documents"), "doc_id", "text",
+          n = 3, threshold = 0.9)
+          .orderBy("id_src", "id_sup")
+      },
+      Some("""WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+        |    len(a.sh)::BIGINT AS sz_a, len(b.sh)::BIGINT AS sz_b
+        |  FROM s a, s b
+        |  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.sh, b.sh)) > 0),
+        |d AS (
+        |  SELECT id_a AS id_src, id_b AS id_sup, inter::DOUBLE / sz_a AS containment FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a, inter::DOUBLE / sz_b FROM p)
+        |SELECT id_src, id_sup, containment FROM d WHERE containment >= 0.9
+        |ORDER BY id_src, id_sup""".stripMargin)),
 
     QueryDef(
       "g02_triangle_count",

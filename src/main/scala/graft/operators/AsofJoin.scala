@@ -145,6 +145,74 @@ object AsofJoin {
         org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
     }
 
+  /** NEAREST as-of (pandas `merge_asof direction='nearest'` / kdb `aj`'s
+    * closest-match cousin): for every left row pick the right row with the
+    * smallest |leftTime - rightTime| within the key, backward winning
+    * distance ties. Optional `tolerance` bounds the match distance on both
+    * sides (an unmatched row drops under `inner`, keeps null payload under
+    * `left`).
+    *
+    * Plan: the SAME single union as backward/forward, ONE hash exchange on
+    * the key, then the two direction scans as two window sorts over that
+    * exchange's output (Catalyst reuses the partitioning; only the sort
+    * differs) — never a range join or a per-row probe. The matched right
+    * time rides in the payload struct (`__mt`) so distance comparison and
+    * tolerance are map-side expressions after the windows.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      joinType: String = "inner",
+      tolerance: Option[Column] = None): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"bad joinType $joinType")
+    val leftCols = left.columns.toSeq
+    val payCols = rightPayload.map(col) :+ col(rightTime).as("__mt")
+    val pay = struct(payCols: _*)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rpay", lit(null).cast(right.select(payCols: _*)
+        .schema.fields.foldLeft(new org.apache.spark.sql.types.StructType)((s, f) => s.add(f))))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__rpay", pay)
+      .select(by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+        leftCols.filterNot(by.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = l.select((by.map(col) ++ Seq(col("__t"), col("__side"), col("__rpay")) ++
+      leftCols.filterNot(by.contains).map(col)): _*).unionByName(r)
+    // equal-(key,time) rights sort before the left row in BOTH directions
+    // (ties match, distance 0); payload tiebreak as in backward/forward
+    val sortTail = Seq(col("__side").asc) ++
+      (if (orderablePayload(right, rightPayload)) Seq(col("__rpay").asc_nulls_first) else Nil)
+    def lastOver(timeKey: Column) = last(col("__rpay"), ignoreNulls = true).over(
+      Window.partitionBy(by.map(col): _*)
+        .orderBy(timeKey +: sortTail: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val both = unioned
+      .withColumn("__mb", lastOver(col("__t").asc))
+      .withColumn("__mf", lastOver(col("__t").desc))
+      .where(col("__side") === 1)
+    def valid(m: Column, dist: Column): Column = tolerance match {
+      case Some(tol) => when(m.isNotNull && dist <= tol, m)
+      case None      => m
+    }
+    val withV = both
+      .withColumn("__vb", valid(col("__mb"), col("__t") - col("__mb.__mt")))
+      .withColumn("__vf", valid(col("__mf"), col("__mf.__mt") - col("__t")))
+    val matched = withV.withColumn("__match",
+      when(col("__vb").isNotNull && (col("__vf").isNull ||
+          (col("__t") - col("__vb.__mt")) <= (col("__vf.__mt") - col("__t"))),
+        col("__vb"))
+        .otherwise(col("__vf")))
+    val base = if (joinType == "inner") matched.where(col("__match").isNotNull) else matched
+    base.select(leftCols.map(col) ++ rightPayload.map(p => col(s"__match.$p").as(p)): _*)
+  }
+
   /** Direction-dispatch convenience (used by the SQL front-end's ASOF stage). */
   def backwardOrForward(
       backward: Boolean,

@@ -124,6 +124,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shingle-containment pairs — the ASYMMETRIC near-dup relation
+    * C(A→B) = |A∩B| / |A| (Broder's containment): catches a document
+    * quoted or wholly embedded inside a larger one, which symmetric
+    * Jaccard misses whenever the host is much bigger (J = |A∩B|/|A∪B|
+    * shrinks with the size gap; containment doesn't). The standard
+    * crawl-curation companion to [[ngramJaccardPairs]] for page-wrap /
+    * boilerplate-host / quotation dedup.
+    *
+    * Emits one DIRECTED row `(id_src, id_sup, containment)` per direction
+    * that clears the threshold: src is the (near-)contained document, sup
+    * its host. Same inverted-index equi-join plan as Jaccard — one
+    * intersection count per unordered pair, both directions derived from
+    * it map-side, never a cross product; `maxShingleDocFreq` is the same
+    * stop-shingle skew cap.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDocFreq: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs: threshold must be in (0,1], got $threshold")
+    val ex0 = hashedShingleSets(df, idCol, textCol, n)
+      .select(col("id"), col("sz"), explode(col("hs")).as("s"))
+    val ex = maxShingleDocFreq match {
+      case Some(cap) =>
+        val freq = ex0.groupBy("s").agg(count("*").as("__df")).where(col("__df") <= cap)
+        ex0.join(freq.select("s"), Seq("s"))
+      case None => ex0
+    }
+    val pairs = ex.as("a").join(ex.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .select(explode(array(
+        struct(col("id_a").as("id_src"), col("id_b").as("id_sup"),
+          (col("inter").cast("double") / col("sz_a")).as("containment")),
+        struct(col("id_b").as("id_src"), col("id_a").as("id_sup"),
+          (col("inter").cast("double") / col("sz_b")).as("containment")))).as("e"))
+      .select(col("e.id_src").as("id_src"), col("e.id_sup").as("id_sup"),
+        col("e.containment").as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
     * 2003, the MOSS algorithm): md5 each word `k`-gram, then keep the

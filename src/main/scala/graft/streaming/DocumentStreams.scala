@@ -97,6 +97,54 @@ object DocumentStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("token"), col("n"))
 
+  /** Tumbling-window per-source token totals — the mixture-monitoring feed:
+    * is the live crawl still delivering the data mix training expects?
+    * Stateless per-row token count + watermarked windowed aggregate, the
+    * [[corpusStats]] state story. Share/deviation need the window CLOSED
+    * (they divide by the window total): that stage is [[mixtureDrift]],
+    * a `foreachBatch` step in streaming, direct composition in batch.
+    */
+  def windowSourceTokens(docs: DataFrame, windowLen: String, watermark: String,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(coalesce(col(textCol), lit("")), " ", -1),
+          t => length(t) > lit(0))).cast("long")).as("toks"))
+      .select(col("w.start").as("window_start"), col("source"),
+        col("n_docs"), col("toks"))
+
+  /** Mixture-drift verdicts over CLOSED windows: observed per-source token
+    * share vs the target mixture, deviation, and an alert flag when the
+    * share drifts past `tolerance` — or when a source absent from the
+    * target spec appears at all (a new crawl source is always an alert).
+    * Downstream of [[windowSourceTokens]]; the window total is one
+    * partitioned window sum (cardinality = windows x sources, bounded), so
+    * nothing corpus-sized shuffles here. Rounded-6 double arithmetic keeps
+    * shares/deviations bit-comparable cross-engine.
+    */
+  def mixtureDrift(
+      sourceTokens: DataFrame,
+      targetShares: Seq[(String, Double)],
+      tolerance: Double): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.map(_._1).distinct.size == targetShares.size,
+      "mixtureDrift: target shares must be non-empty and unique per source")
+    require(tolerance > 0, s"mixtureDrift: tolerance must be positive, got $tolerance")
+    val target = targetShares.foldLeft(lit(null).cast("double")) { case (acc, (g, p)) =>
+      when(col("source") === g, lit(p)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
+    sourceTokens
+      .withColumn("share",
+        round(col("toks").cast("double") / sum(col("toks")).over(w).cast("double"), 6))
+      .withColumn("target_share", target)
+      .withColumn("deviation",
+        when(col("target_share").isNotNull, round(col("share") - col("target_share"), 6)))
+      .withColumn("drifted",
+        col("target_share").isNull || abs(col("deviation")) > tolerance)
+  }
+
   /** Per-window top-k by (count desc, token asc) over CLOSED windows —
     * the batch/foreachBatch rank stage downstream of
     * [[windowTokenCounts]]. */

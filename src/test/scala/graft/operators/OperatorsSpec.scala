@@ -61,6 +61,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(loose == Map(1L -> "a", 2L -> "a", 3L -> "b"))
   }
 
+  test("nearest: closest match either direction, backward wins ties, tolerance bounds both sides") {
+    // id=1 t=10: rt=10 dist 0 -> "a"; id=2 t=20: back rt=10 dist 10 vs fwd
+    // rt=25 dist 5 -> "b"; id=3 t=30: back rt=25 dist 5 -> "b";
+    // id=4 u2 t=15: only fwd rt=99 -> "x"; id=5 u3: no rights -> dropped
+    val out = AsofJoin.nearest(l, r, Seq("k"), "t", "rt", Seq("v"), "inner")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "b", 4L -> "x"), out.toString)
+    // exact tie: t=17.5 impossible on longs; use rt 10/25 with t=17 (back 7,
+    // fwd 8 -> back) and t=18 (back 8, fwd 7 -> fwd); equidistant at
+    // rt 10/24, t=17 -> dist 7 both -> backward wins
+    val tie = Seq((1L, "u1", 17L)).toDF("id", "k", "t")
+    val rTie = Seq(("u1", 10L, "back"), ("u1", 24L, "fwd")).toDF("k", "rt", "v")
+    val tieOut = AsofJoin.nearest(tie, rTie, Seq("k"), "t", "rt", Seq("v"), "inner")
+      .select("v").as[String].collect().toList
+    assert(tieOut == List("back"), tieOut.toString)
+    // tolerance 6 drops id=2's fwd-5?? no: dist 5 <= 6 stays; id=4 (dist 84) drops
+    val within = AsofJoin.nearest(l, r, Seq("k"), "t", "rt", Seq("v"), "inner",
+      tolerance = Some(lit(6L)))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(within == Map(1L -> "a", 2L -> "b", 3L -> "b"), within.toString)
+    // left keeps unmatched with null payload
+    val leftOut = AsofJoin.nearest(l, r, Seq("k"), "t", "rt", Seq("v"), "left",
+      tolerance = Some(lit(6L)))
+    assert(leftOut.count() == 5)
+    assert(leftOut.where(col("v").isNull).select("id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
   test("backward left keeps unmatched rows with null payload") {
     val out = AsofJoin.backward(l, r, Seq("k"), "t", "rt", Seq("v"), "left")
     assert(out.count() == 5)
@@ -639,6 +666,26 @@ class DedupSpec extends SparkSpec {
     assert(byId(3L) == (("", 0L, 2L)))
     assert(byId(4L) == (("", 0L, 2L)))
     assert(byId(5L) == (("", 0L, 0L)))
+  }
+
+  test("containmentPairs: embedded doc found in both directions correctly, Jaccard misses it") {
+    import spark.implicits._
+    // doc 2 (12 words) is verbatim inside doc 1 (30 words): containment of
+    // 2 in 1 is 1.0 while Jaccard is only 10/28 ≈ 0.36 — the asymmetric
+    // relation catches what the symmetric one misses
+    val host = (1 to 30).map(i => s"h$i").mkString(" ")
+    val quote = (10 to 21).map(i => s"h$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, quote), (3L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((2L, 1L, 1.0)), got.toString)
+    // the reverse direction (host in quote, 10/28) never clears 0.9,
+    // and symmetric Jaccard at the same threshold finds nothing
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .count()
+    assert(jac == 0L)
+    intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.0))
   }
 
   test("dedupSpansKeepFirst: owner doc keeps its copy, later docs lose covered tokens, sliding windows catch unaligned overlap") {

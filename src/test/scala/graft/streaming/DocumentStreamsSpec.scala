@@ -7,6 +7,8 @@ import java.sql.Timestamp
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class SrcDoc(doc_id: Long, ts: Timestamp, text: String, source: String)
+
 class DocumentStreamsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
@@ -121,6 +123,48 @@ class DocumentStreamsSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
         .toSet
       assert(direct == ranked.filter(_._1 != "2024-01-01 10:40:00.0"), direct)
+    } finally q.stop()
+  }
+
+  test("mixture drift: shares per closed window, tolerance verdicts, unexpected-source alert; batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SrcDoc]
+    val counts = DocumentStreams.windowSourceTokens(input.toDF(), "10 minutes", "5 minutes")
+    val q = EventStreams.toMemorySink(counts, "mix_drift_test", complete = false)
+    try {
+      // window 10:00: web 6 toks of 10 (0.6, target 0.5, dev 0.1 > 0.05 → drift),
+      // books 4 of 10 (0.4, target 0.5 ⇒ wait: target books 0.4 → dev 0 → ok)
+      val batch = Seq(
+        SrcDoc(1, ts(1), "w1 w2 w3 w4 w5 w6", "web"),
+        SrcDoc(2, ts(4), "b1 b2 b3 b4", "books"),
+        SrcDoc(3, ts(12), "w1 w2", "web"),
+        SrcDoc(4, ts(13), "x1 x2", "surprise"))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      input.addData(SrcDoc(9, ts(45), "closer", "web")) // close both windows
+      q.processAllAvailable()
+      val drift = DocumentStreams.mixtureDrift(
+        spark.table("mix_drift_test"), Seq("web" -> 0.5, "books" -> 0.4), tolerance = 0.05)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getDouble(4), r.getBoolean(7))).toSet
+      // 10:00 window: web 6/10 = 0.6 (dev 0.1 → drifted), books 0.4 (dev 0.0 → ok)
+      assert(drift.contains(("2024-01-01 10:00:00.0", "web", 0.6, true)), drift)
+      assert(drift.contains(("2024-01-01 10:00:00.0", "books", 0.4, false)), drift)
+      // 10:10 window: web 0.5 (ok), surprise 0.5 (no target → alert)
+      assert(drift.contains(("2024-01-01 10:10:00.0", "web", 0.5, false)), drift)
+      assert(drift.contains(("2024-01-01 10:10:00.0", "surprise", 0.5, true)), drift)
+      // batch face: identical composition over the same rows
+      val direct = DocumentStreams.mixtureDrift(
+        DocumentStreams.windowSourceTokens(batch.toDF(), "10 minutes", "5 minutes"),
+        Seq("web" -> 0.5, "books" -> 0.4), tolerance = 0.05)
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getDouble(4), r.getBoolean(7))).toSet
+      assert(direct == drift.filter(!_._1.startsWith("2024-01-01 10:40")), direct)
+      intercept[IllegalArgumentException](
+        DocumentStreams.mixtureDrift(batch.toDF(), Seq.empty, 0.05))
     } finally q.stop()
   }
 
