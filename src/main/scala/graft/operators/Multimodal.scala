@@ -41,7 +41,11 @@ object Multimodal {
     * media arrives pre-partitioned and generators are not in the path.
     */
   private def spreadIds(ids: DataFrame): DataFrame =
-    ids.repartition(col("media_id"))
+    // EXPLICIT partition count: a bare repartition(col) is AQE-coalesced
+    // right back to one partition (the id frame is a few KB — tiny by
+    // shuffle-size heuristics, huge by per-row codec cost), which silently
+    // undoes the spread; REPARTITION_BY_NUM is exempt from coalescing
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism, col("media_id"))
 
   /** Wrap a text table as fake media rows (bytes = utf8 of text) so the
     * plumbing is exercised end-to-end on the `documents` testdata.

@@ -504,6 +504,31 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("a09 nearest asof: ONE hash exchange feeds both direction windows — no range join, no extra shuffle") {
+    val df = SparkEntry.defs.find(_.name == "a09_asof_nearest").get.fn(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both direction scans are Window operators over the same key partitioning:
+    // exactly one hashpartitioning exchange on the asof key ALONE feeds them
+    // (the (user_id, ts) exchange is the right side's groupBy prep)
+    val keyExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("ts#"))
+    assert(keyExchanges == 1, s"want 1 key-only exchange, got $keyExchanges in\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("d30 containment: same inverted-index equi-join as d04, directions derived map-side") {
+    val df = SparkEntry.defs.find(_.name == "d30_containment_pairs").get.fn(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // both directions come from ONE intersection count: a single Generate
+    // (the direction explode) after the pair aggregate, not a second join
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("g02 triangles: degree-oriented wedge join — equi-joins only, partial-combine counts") {
     val df = SparkEntry.defs.find(_.name == "g02_triangle_count").get.fn(spark, sf)
     val p = plan(df)
