@@ -2878,6 +2878,39 @@ object OpsEntry {
         |ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef(
+      "m10_image_phash",
+      withTables { (s, _) =>
+        // perceptual dHash over REAL decoded PNGs. ImageGen pixels are
+        // closed-form in (id, x, y) and the hash is all-integer, so the
+        // oracle computes the expected 9x8-grid hash WITHOUT decoding —
+        // a hash-green row checks every sampled pixel of the
+        // encode→scan→ImageIO-decode path, far past m04's dims-only check.
+        Multimodal.imagePhash(Multimodal.documentsAsImages(s.table("documents")))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |cells AS (
+        |  SELECT doc_id, gy, gx,
+        |    (gx * w) // 9 AS sx0, ((gx + 1) * w) // 9 AS sx1, (gy * h) // 8 AS sy
+        |  FROM g, unnest(range(8)) AS a(gy), unnest(range(8)) AS b(gx)),
+        |lums AS (
+        |  SELECT doc_id, gy * 8 + gx AS k,
+        |    (299*((sx0*7 + sy*13 + doc_id*31) % 256)
+        |     + 587*((sx0*3 + sy*5 + doc_id*17) % 256)
+        |     + 114*((sx0*11 + sy*2 + doc_id*7) % 256)) // 1000 AS l0,
+        |    (299*((sx1*7 + sy*13 + doc_id*31) % 256)
+        |     + 587*((sx1*3 + sy*5 + doc_id*17) % 256)
+        |     + 114*((sx1*11 + sy*2 + doc_id*7) % 256)) // 1000 AS l1
+        |  FROM cells),
+        |bits AS (SELECT doc_id, k FROM lums WHERE l1 > l0)
+        |SELECT d.doc_id AS media_id,
+        |  coalesce(sum(CASE WHEN b.k >= 32 THEN (1::BIGINT << (b.k - 32)) ELSE 0 END), 0)::BIGINT AS phash_hi,
+        |  coalesce(sum(CASE WHEN b.k < 32 THEN (1::BIGINT << b.k) ELSE 0 END), 0)::BIGINT AS phash_lo
+        |FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
       "a09_asof_nearest",
       withTables { (s, _) =>
         // NEAREST as-of (merge_asof direction='nearest'): each event takes

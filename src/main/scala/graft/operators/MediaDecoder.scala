@@ -32,6 +32,47 @@ object MediaDecoder {
   final case class Decoded(nBytes: Long, checksum: Long, features: Array[Float])
   final case class Resized(bytes: Array[Byte], width: Int, height: Int)
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup signature for image pipelines: sample a 9x8
+    * nearest-neighbor luma grid, set bit (gy*8+gx) when the right neighbor
+    * is brighter. All-integer arithmetic (luma = (299r+587g+114b)/1000,
+    * grid position = gx*w/9 floor division), so the hash is bit-identical
+    * across engines and SQL-statable for procedurally generated pixels.
+    * Returned as (hi, lo) 32-bit halves in two longs — a single 64-bit
+    * value would need bit-63 sign gymnastics in portable SQL.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * w / 9
+        val p = img.getRGB(sx, sy)
+        val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+        lum(gy)(gx) = (299 * r + 587 * g + 114 * b) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    var hi = 0L; var lo = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gy)(gx + 1) > lum(gy)(gx)) {
+          val k = gy * 8 + gx
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
   /** Rolling checksum shared by the stub paths (and usable by any decoder
     * that wants a cheap content id).
     */

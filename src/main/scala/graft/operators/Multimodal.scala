@@ -357,6 +357,43 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(mediaSchema))
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash_hi", LongType, nullable = true),
+    StructField("phash_lo", LongType, nullable = true)
+  ))
+
+  /** Perceptual image hash (dHash, [[MediaDecoder.dHash64]]) over a binary
+    * image column: decode at the codec boundary (per-partition loop, the
+    * extractFeatures shape), hash the pixel grid, emit the 32-bit halves.
+    * Undecodable/null payloads yield null hashes (the dispatcher-family
+    * null contract). The all-integer hash arithmetic means a corpus of
+    * procedurally generated images ([[ImageGen]]) gets a REAL SQL oracle:
+    * the expected hash is closed-form in (id, x, y) without decoding
+    * anything, so a hash-green row proves every sampled pixel of the
+    * PNG encode → scan → ImageIO decode path, not just the dimensions.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { iter =>
+      iter.map { row =>
+        val id = row.getLong(idIdx)
+        val bytes = if (row.isNullAt(mediaIdx)) null else row.getAs[Array[Byte]](mediaIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null || img.getWidth < 1 || img.getHeight < 1) Row(id, null, null)
+        else {
+          val (hi, lo) = MediaDecoder.dHash64(img)
+          Row(id, hi, lo)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(phashSchema))
+  }
+
   /** Partition-local feature extraction over binary media columns. */
   def extractFeatures(
       media: DataFrame,

@@ -1766,6 +1766,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.zip(again).forall { case (a, b) => a == b })
   }
 
+  test("imagePhash: decoded-PNG dHash equals the closed-form hash; undecodable bytes yield nulls") {
+    import spark.implicits._
+    // expected hash computed straight from ImageGen's pixel formulas —
+    // NO decoding — so equality proves the PNG round-trip pixel-exact
+    def expected(id: Long): (Long, Long) = {
+      val w = Multimodal.ImageGen.width(id); val h = Multimodal.ImageGen.height(id)
+      def lum(gx: Int, gy: Int): Int = {
+        val sx = gx * w / 9; val sy = gy * h / 8
+        val p = Multimodal.ImageGen.rgb(id, sx, sy)
+        (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)) / 1000
+      }
+      var hi = 0L; var lo = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8; if lum(gx + 1, gy) > lum(gx, gy)) {
+        val k = gy * 8 + gx
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      (hi, lo)
+    }
+    val ids = Seq(0L, 1L, 7L, 44L, 123L)
+    val media = Multimodal.documentsAsImages(ids.toDF("doc_id"))
+    val got = Multimodal.imagePhash(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    ids.foreach { id =>
+      assert(got(id) == expected(id), s"id=$id got ${got(id)} want ${expected(id)}")
+    }
+    // hashes are non-trivial (not all zero) and differ across ids
+    assert(got.values.toSet.size > 1 && got.values.exists(_ != ((0L, 0L))))
+    // opaque bytes (not an image container) → null hash halves
+    val opaque = Multimodal.documentsAsMedia(
+      Seq((999L, "not an image")).toDF("doc_id", "text"))
+    val nul = Multimodal.imagePhash(opaque).collect().head
+    assert(nul.isNullAt(1) && nul.isNullAt(2))
+  }
+
   test("sampleFrames splits bytes into n frames covering the whole blob") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
     val media = Multimodal.documentsAsMedia(docs)
