@@ -2911,6 +2911,65 @@ object OpsEntry {
         |GROUP BY d.doc_id ORDER BY media_id""".stripMargin)),
 
     QueryDef(
+      "d31_phash_dedup",
+      withTables { (s, _) =>
+        // perceptual image dedup over REAL decoded PNGs: radius-0 dHash
+        // groups, min-id keeper. The synthetic pattern repeats with id
+        // periodicity, so the corpus genuinely contains perceptual dups
+        // (2 509 cross-id hash collisions at sf0.01) — the verdict rows
+        // are non-trivial, and the oracle derives every hash closed-form.
+        Multimodal.phashDedup(Multimodal.documentsAsImages(s.table("documents")))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |cells AS (
+        |  SELECT doc_id, gy, gx,
+        |    (gx * w) // 9 AS sx0, ((gx + 1) * w) // 9 AS sx1, (gy * h) // 8 AS sy
+        |  FROM g, unnest(range(8)) AS a(gy), unnest(range(8)) AS b(gx)),
+        |lums AS (
+        |  SELECT doc_id, gy * 8 + gx AS k,
+        |    (299*((sx0*7 + sy*13 + doc_id*31) % 256)
+        |     + 587*((sx0*3 + sy*5 + doc_id*17) % 256)
+        |     + 114*((sx0*11 + sy*2 + doc_id*7) % 256)) // 1000 AS l0,
+        |    (299*((sx1*7 + sy*13 + doc_id*31) % 256)
+        |     + 587*((sx1*3 + sy*5 + doc_id*17) % 256)
+        |     + 114*((sx1*11 + sy*2 + doc_id*7) % 256)) // 1000 AS l1
+        |  FROM cells),
+        |bits AS (SELECT doc_id, k FROM lums WHERE l1 > l0),
+        |ph AS (
+        |  SELECT d.doc_id AS media_id,
+        |    coalesce(sum(CASE WHEN b.k >= 32 THEN (1::BIGINT << (b.k - 32)) ELSE 0 END), 0)::BIGINT AS phash_hi,
+        |    coalesce(sum(CASE WHEN b.k < 32 THEN (1::BIGINT << b.k) ELSE 0 END), 0)::BIGINT AS phash_lo
+        |  FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT media_id, phash_hi, phash_lo,
+        |  min(media_id) OVER (PARTITION BY phash_hi, phash_lo) AS keeper,
+        |  count(*) OVER (PARTITION BY phash_hi, phash_lo) AS group_size,
+        |  media_id <> min(media_id) OVER (PARTITION BY phash_hi, phash_lo) AS is_dup
+        |FROM ph ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
+      "q60_grouping_id",
+      withTables { (s, _) =>
+        // GROUPING SETS metadata conformance: grouping_id mask (Spark)
+        // vs multi-arg GROUPING (DuckDB) — same mask semantics, cast to
+        // int on both sides.
+        Psqlish(s, """from lineitem |>
+          |select l_returnflag, l_linestatus,
+          |  cast(grouping_id(l_returnflag, l_linestatus) as int) as gid,
+          |  count() as n, sum(l_quantity) as sum_qty
+          |  group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ()) |>
+          |order by gid, l_returnflag nulls first, l_linestatus nulls first""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    QueryDef(
       "a09_asof_nearest",
       withTables { (s, _) =>
         // NEAREST as-of (merge_asof direction='nearest'): each event takes

@@ -1800,6 +1800,33 @@ class MultimodalSpec extends SparkSpec {
     assert(nul.isNullAt(1) && nul.isNullAt(2))
   }
 
+  test("phashDedup: groups equal decoded hashes, min-id keeper, undecodable rows excluded") {
+    import spark.implicits._
+    // find two ids with equal closed-form phash among 0..199, plus one unique
+    def expected(id: Long): Long = {
+      val w = Multimodal.ImageGen.width(id); val h = Multimodal.ImageGen.height(id)
+      def lum(gx: Int, gy: Int): Int = {
+        val p = Multimodal.ImageGen.rgb(id, gx * w / 9, gy * h / 8)
+        (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)) / 1000
+      }
+      (0 until 8).flatMap(gy => (0 until 8).map(gx =>
+        if (lum(gx + 1, gy) > lum(gx, gy)) 1L << (gy * 8 + gx) else 0L)).sum
+    }
+    val groups = (0L until 200L).groupBy(expected)
+    val dupGroup = groups.values.filter(_.size >= 2).minBy(_.min)
+    val ids = dupGroup.take(2).toSeq.sorted
+    val lone = groups.values.filter(_.size == 1).map(_.head).headOption.getOrElse(500L)
+    val media = Multimodal.documentsAsImages((ids :+ lone).toDF("doc_id"))
+    val out = Multimodal.phashDedup(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out(ids.head) == ((ids.head, 2L, false)), out.toString)
+    assert(out(ids(1)) == ((ids.head, 2L, true)), out.toString)
+    assert(out(lone) == ((lone, 1L, false)), out.toString)
+    // undecodable payloads never appear
+    val mixedIn = Multimodal.documentsAsMedia(Seq((7777L, "opaque")).toDF("doc_id", "text"))
+    assert(Multimodal.phashDedup(mixedIn).count() == 0L)
+  }
+
   test("sampleFrames splits bytes into n frames covering the whole blob") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(10)
     val media = Multimodal.documentsAsMedia(docs)
