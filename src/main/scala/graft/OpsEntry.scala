@@ -2970,6 +2970,25 @@ object OpsEntry {
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     QueryDef(
+      "q61_partitioned_copy",
+      withTables { (s, _) =>
+        // partitioned sink: DuckDB's COPY ... (PARTITION_BY ...) becomes a
+        // path-based partitioned CTAS (hive layout — the 100 TB warehouse
+        // write shape). The gate row writes the projection partitioned by
+        // l_returnflag and reads the directory back.
+        val dir = java.nio.file.Files.createTempDirectory("graft_pcopy")
+          .toFile.getAbsolutePath
+        Psqlish(s, s"""copy (| from lineitem |>
+          |select l_orderkey, l_quantity, l_returnflag |) to '$dir/out'
+          |(format parquet, partition_by (l_returnflag))""".stripMargin)
+        s.read.parquet(s"$dir/out")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_quantity", "l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem
+        |ORDER BY l_orderkey, l_quantity, l_returnflag""".stripMargin)),
+
+    QueryDef(
       "a09_asof_nearest",
       withTables { (s, _) =>
         // NEAREST as-of (merge_asof direction='nearest'): each event takes

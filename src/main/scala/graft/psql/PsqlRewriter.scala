@@ -91,7 +91,8 @@ object PsqlRewriter {
         val pieces = scala.collection.mutable.ListBuffer.empty[String]
         var start = 0
         for (i <- 0 until body.length)
-          if (bsc.code(i) && body.charAt(i) == ',') { pieces += body.substring(start, i); start = i + 1 }
+          // depth 0 only: PARTITION_BY (a, b) carries commas inside parens
+          if (bsc.topLevel(i) && body.charAt(i) == ',') { pieces += body.substring(start, i); start = i + 1 }
         pieces += body.substring(start)
         pieces.iterator.map(_.trim).filter(_.nonEmpty).map { o =>
           val parts = o.split("\\s+", 2)
@@ -111,8 +112,24 @@ object PsqlRewriter {
     val innerQuery =
       if (source.startsWith("(") && source.endsWith(")")) source.drop(1).dropRight(1).trim
       else s"SELECT * FROM $source"
-    s"INSERT OVERWRITE DIRECTORY '$path' USING $format$optsSql $innerQuery"
+    opts.get("partition_by") match {
+      case Some(pb) =>
+        // DuckDB partitioned copy (hive layout): Spark has no partitioned
+        // INSERT OVERWRITE DIRECTORY, so emit a path-based partitioned CTAS
+        // — same files on disk, plus a session-catalog entry whose name is
+        // uniqued per statement (DROP-then-CREATE would need two statements)
+        val cols = pb.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, s"COPY: empty PARTITION_BY list")
+        val n = copyCounter.incrementAndGet()
+        s"CREATE TABLE __graft_copy_$n USING $format$optsSql " +
+          s"PARTITIONED BY (${cols.mkString(", ")}) LOCATION '$path' AS $innerQuery"
+      case None =>
+        s"INSERT OVERWRITE DIRECTORY '$path' USING $format$optsSql $innerQuery"
+    }
   }
+
+  private val copyCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[psql] def stripTrailingSemicolon(s: String): String = {
     val t = s.trim

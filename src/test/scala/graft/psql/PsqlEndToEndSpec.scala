@@ -170,6 +170,24 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(back.as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y"), (3, "z")))
   }
 
+  test("COPY ... PARTITION_BY writes a hive-partitioned layout readable back") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "x")).toDF("i", "s").createOrReplaceTempView("pcopy_t")
+    val dir = java.nio.file.Files.createTempDirectory("psql_pcopy").toFile
+    val p = new java.io.File(dir, "out").getAbsolutePath
+    psql.sql(s"copy pcopy_t to '$p' (format parquet, partition_by (s))")
+    // hive directory layout on disk
+    assert(new java.io.File(p, "s=x").isDirectory, new java.io.File(p).list().toSeq)
+    assert(new java.io.File(p, "s=y").isDirectory)
+    val back = spark.read.parquet(p).select("i", "s").as[(Int, String)].collect().toSet
+    assert(back == Set((1, "x"), (2, "y"), (3, "x")))
+    // pipe-source form partitions too
+    val p2 = new java.io.File(dir, "out2").getAbsolutePath
+    psql.sql(s"copy (| from pcopy_t |> where i > 1 |) to '$p2' (format parquet, partition_by (s))")
+    assert(spark.read.parquet(p2).select("i", "s").as[(Int, String)].collect().toSet ==
+      Set((2, "y"), (3, "x")))
+  }
+
   test("Dataset.pipe extension applies stages like Psql.sql") {
     import graft.psql.implicits._
     import spark.implicits._
