@@ -2989,6 +2989,22 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_quantity, l_returnflag""".stripMargin)),
 
     QueryDef(
+      "q62_variant_json",
+      withTables { (s, _) =>
+        // Spark 4 VARIANT semi-structured path: parse_json into a variant,
+        // typed variant_get extraction, null on a missing path — DuckDB
+        // answers the same questions through its JSON type.
+        Psqlish(s, """from events |>
+          |select event_id, parse_json(props) as v |>
+          |select event_id, cast(variant_get(v, '$.k', 'long') as bigint) as vk,
+          |  variant_get(v, '$.missing', 'string') as vmiss |>
+          |order by event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS vk,
+        |  json_extract_string(props, '$.missing') AS vmiss
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "a09_asof_nearest",
       withTables { (s, _) =>
         // NEAREST as-of (merge_asof direction='nearest'): each event takes
