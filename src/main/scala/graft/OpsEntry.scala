@@ -3005,6 +3005,26 @@ object OpsEntry {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "b01_bucketed_join",
+      withTables { (s, _) =>
+        // co-located fact-fact join: both sides written bucketed+sorted by
+        // the join key, so the join plan carries NO exchange on either side
+        // (pinned with broadcast disabled in PlanQualitySpec) — the
+        // amortize-the-shuffle warehouse layout for repeated joins.
+        val li = s.table("lineitem").select("l_orderkey", "l_quantity")
+        val ord = s.table("orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        Bucketing.coLocatedJoin(s, li, ord, "l_orderkey", buckets = 8,
+          "graft_b01_lineitem", "graft_b01_orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
       "a09_asof_nearest",
       withTables { (s, _) =>
         // NEAREST as-of (merge_asof direction='nearest'): each event takes

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed warehouse materialization — the co-located-join primitive for
+  * repeated large-x-large joins at warehouse scale: write both sides
+  * bucketed (and sorted) by the join key ONCE, and every subsequent join on
+  * that key runs with NO shuffle on either side — Spark's scan reports the
+  * bucket spec as its output partitioning, so the exchange the join would
+  * otherwise insert (the dominant cost of a 100 TB fact-fact join) simply
+  * disappears. This is the storage-layout counterpart of
+  * [[SkewJoin.saltedEquiJoin]]: salting rescues one skewed run, bucketing
+  * amortizes the shuffle across every future run.
+  *
+  * Buckets must agree on count and key for the exchange-free plan; the
+  * helper owns that invariant by writing both sides itself.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted warehouse table (overwriting any
+    * previous version) and return the table-backed frame.
+    */
+  def writeBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"writeBucketed: buckets must be positive, got $buckets")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Materialize both sides bucketed on the join key and return their
+    * shuffle-free equi-join. `buckets` sizes the layout: at warehouse scale
+    * pick it so one bucket of the LARGER side fits an executor's memory
+    * (the same arithmetic as sizing `spark.sql.shuffle.partitions`).
+    */
+  def coLocatedJoin(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      buckets: Int,
+      leftTable: String = "graft_bucketed_left",
+      rightTable: String = "graft_bucketed_right"): DataFrame = {
+    val l = writeBucketed(spark, left, leftTable, key, buckets)
+    val r = writeBucketed(spark, right, rightTable, key, buckets)
+    l.join(r, key)
+  }
+}

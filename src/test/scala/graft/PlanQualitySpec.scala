@@ -504,6 +504,24 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("b01 bucketed join: co-located layout joins with ZERO exchanges on either side") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force the non-broadcast path the pin is about
+    try {
+      val df = SparkEntry.defs.find(_.name == "b01_bucketed_join").get.fn(spark, sf)
+      val p = plan(df)
+      // the join itself reads both bucketed scans in place: the ONLY
+      // exchange in the whole plan is the post-join groupBy on orderstatus
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"want only the aggregation exchange, got $exchanges in\n$p")
+      assert(!p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning(l_orderkey")), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("a09 nearest asof: ONE hash exchange feeds both direction windows — no range join, no extra shuffle") {
     val df = SparkEntry.defs.find(_.name == "a09_asof_nearest").get.fn(spark, sf)
     val p = plan(df)

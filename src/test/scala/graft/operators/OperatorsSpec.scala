@@ -668,6 +668,24 @@ class DedupSpec extends SparkSpec {
     assert(byId(5L) == (("", 0L, 0L)))
   }
 
+  test("bucketed coLocatedJoin equals the plain join and survives overwrite reruns") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 10), (2L, 20), (4L, 40)).toDF("k", "rv")
+    val expect = l.join(r, "k").as[(Long, String, Int)].collect().toSet
+    val got = Bucketing.coLocatedJoin(spark, l, r, "k", buckets = 4,
+      "graft_spec_bl", "graft_spec_br").as[(Long, String, Int)].collect().toSet
+    assert(got == expect, got.toString)
+    // overwrite semantics: rerun with different data replaces the tables
+    val l2 = Seq((5L, "e")).toDF("k", "lv")
+    val r2 = Seq((5L, 50)).toDF("k", "rv")
+    val again = Bucketing.coLocatedJoin(spark, l2, r2, "k", buckets = 4,
+      "graft_spec_bl", "graft_spec_br").as[(Long, String, Int)].collect().toSet
+    assert(again == Set((5L, "e", 50)), again.toString)
+    intercept[IllegalArgumentException](
+      Bucketing.writeBucketed(spark, l, "graft_spec_bad", "k", 0))
+  }
+
   test("containmentPairs: embedded doc found in both directions correctly, Jaccard misses it") {
     import spark.implicits._
     // doc 2 (12 words) is verbatim inside doc 1 (30 words): containment of
