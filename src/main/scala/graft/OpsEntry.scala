@@ -3005,6 +3005,41 @@ object OpsEntry {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "a10_interval_overlap",
+      withTables { (s, _) =>
+        // interval x interval overlap join (temporal intersection): 1-hour
+        // activity windows around same-user clicks and purchases that
+        // overlap. Binned-grid equi-join with first-shared-bin dedup — the
+        // a03 economics for the two-interval case; oracle is the plain
+        // theta join.
+        val ev = s.table("events")
+        def side(t: String, id: String, lo: String, hi: String) =
+          ev.where(col("event_type") === t).select(
+            col("user_id"),
+            col("event_id").as(id),
+            unix_millis(col("ts").cast("timestamp")).as(lo),
+            (unix_millis(col("ts").cast("timestamp")) + 3600000L).as(hi))
+        RangeJoin.binnedOverlap(
+          side("click", "a_id", "a_lo", "a_hi"),
+          side("purchase", "b_id", "b_lo", "b_hi"),
+          "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = 3600000L, extraKeys = Seq("user_id"))
+          .select("user_id", "a_id", "b_id")
+          .orderBy("user_id", "a_id", "b_id")
+      },
+      Some("""WITH c AS (
+        |  SELECT event_id AS a_id, user_id, epoch_ms(ts) AS a_lo,
+        |    epoch_ms(ts) + 3600000 AS a_hi
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id AS b_id, user_id, epoch_ms(ts) AS b_lo,
+        |    epoch_ms(ts) + 3600000 AS b_hi
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, a_id, b_id
+        |FROM c JOIN p ON c.user_id = p.user_id AND a_lo <= b_hi AND b_lo <= a_hi
+        |ORDER BY c.user_id, a_id, b_id""".stripMargin)),
+
+    QueryDef(
       "b01_bucketed_join",
       withTables { (s, _) =>
         // co-located fact-fact join: both sides written bucketed+sorted by

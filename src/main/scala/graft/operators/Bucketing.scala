@@ -28,6 +28,14 @@ object Bucketing {
       key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"writeBucketed: buckets must be positive, got $buckets")
+    // a previous SESSION may have left the table's warehouse directory
+    // behind while this session's in-memory catalog has no entry for it —
+    // the create path then refuses the existing location. Drop both layers.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

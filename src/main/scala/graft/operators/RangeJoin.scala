@@ -54,4 +54,35 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Exact INTERVAL-OVERLAP join — both sides are interval relations and a
+    * pair qualifies when `[lLo,lHi]` and `[rLo,rHi]` intersect (the temporal
+    * overlap predicate `lLo <= rHi AND rLo <= lHi`). Same bin economics as
+    * [[binned]]: both sides explode onto the bin grid and meet in an
+    * equi-join on `(bin, extraKeys)`; a pair sharing several bins would
+    * duplicate, so only the FIRST shared bin — `max(floor(lLo/w),
+    * floor(rLo/w))`, which every overlapping pair shares by construction —
+    * emits it, making the result exactly the theta join's without a
+    * distinct pass. Column names must be disjoint apart from `extraKeys`
+    * (rename upstream, as with any self-join).
+    */
+  def binnedOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lLo: String,
+      lHi: String,
+      rLo: String,
+      rHi: String,
+      binWidth: Long,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin",
+      explode(sequence(floor(col(lLo) / binWidth), floor(col(lHi) / binWidth))))
+    val r = right.withColumn("__bin",
+      explode(sequence(floor(col(rLo) / binWidth), floor(col(rHi) / binWidth))))
+    l.join(r, "__bin" +: extraKeys)
+      .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .where(col("__bin") === greatest(floor(col(lLo) / binWidth), floor(col(rLo) / binWidth)))
+      .drop("__bin")
+  }
 }

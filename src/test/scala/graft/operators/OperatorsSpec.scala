@@ -1454,6 +1454,25 @@ class RangeJoinSpec extends SparkSpec {
       assert(got == expect, s"binWidth=$w")
     }
   }
+
+  test("binnedOverlap equals the naive overlap theta join for any bin width; multi-bin pairs emit once") {
+    // intervals chosen so overlapping pairs share 1..many bins: (1,2) share
+    // a long run, (1,3) touch at a single point, (2,4) nested, 5 disjoint
+    val a = Seq((1L, 0L, 50L), (2L, 40L, 200L), (5L, 500L, 510L)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((3L, 50L, 60L), (4L, 100L, 120L), (6L, 400L, 450L)).toDF("bid", "b_lo", "b_hi")
+    val expect = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(expect == Set((1L, 3L), (2L, 3L), (2L, 4L)), expect.toString)
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val rows = RangeJoin.binnedOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("aid", "bid").as[(Long, Long)].collect().toList
+      // exact set AND exactly-once emission (no distinct pass to hide dups)
+      assert(rows.toSet == expect, s"binWidth=$w: $rows")
+      assert(rows.size == expect.size, s"binWidth=$w duplicated: $rows")
+    }
+    intercept[IllegalArgumentException](
+      RangeJoin.binnedOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 0L))
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
