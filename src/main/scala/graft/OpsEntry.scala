@@ -2310,7 +2310,7 @@ object OpsEntry {
         GraphOps.pageRankTopK(edges, "src", "dst", k = 20, iterations = 10)
       },
       Some(pageRankOracle(10))),
-  ) ++ retrievalDefs
+  ) ++ retrievalDefs ++ closureDefs
 
   /** g01's oracle: the SAME fixed-point integer PageRank as
     * [[GraphOps.pageRank]] (scale 1e12, damping 85/100, base
@@ -3155,6 +3155,98 @@ object OpsEntry {
         |  GROUP BY node)
         |SELECT node, n_tri FROM pn ORDER BY n_tri DESC, node LIMIT 20""".stripMargin))
   )
+
+  // -------------------------------------------------------------------
+  // Transitive-closure + time-series interpolation family (late r9).
+  // -------------------------------------------------------------------
+  private val closureDefs: Vector[QueryDef] = Vector(
+    QueryDef(
+      "g03_connected_components",
+      withTables { (s, _) =>
+        // connected components over the sparse orders↔parts co-purchase
+        // bipartite graph (qty-1 lines only: 822 components of size ≤ 7 at
+        // sf0.01 — real multi-hop closure structure, unlike the dense
+        // click graph whose answer is one giant component). Node ids
+        // disambiguate the two key spaces arithmetically (2k / 2k+1) so
+        // the oracle can state the same graph. The engine runs min-label
+        // propagation + pointer jumping; the oracle unrolls the SAME
+        // propagate+jump rounds as CTEs — both converge to the identical
+        // fixpoint (component = min node id), so hashes match exactly.
+        val edges = s.table("lineitem").where(col("l_quantity") === 1)
+          .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        GraphOps.connectedComponents(edges, "src", "dst")
+          .orderBy("node")
+      },
+      Some(connectedComponentsOracle(6))),
+
+    QueryDef(
+      "a11_interpolate",
+      withTables { (s, _) =>
+        // linear time-weighted interpolation of hourly event values onto a
+        // dense per-type spine: observed buckets keep max(value) (exact,
+        // order-independent), interior gaps take the time-weighted blend of
+        // nearest observed neighbors — identical double arithmetic stated
+        // on both engines, so the row hash-checks despite float interp.
+        TimeSeries.interpolateLinear(s.table("events"), "ts", "event_type", "value",
+          bucketSeconds = 3600L)
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b, value AS v
+        |  FROM events),
+        |obs AS (SELECT g, b, max(v) AS v FROM ev GROUP BY g, b),
+        |sp AS (SELECT g, unnest(generate_series(lo, hi, 3600)) AS b
+        |       FROM (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY g)),
+        |j AS (SELECT sp.g, sp.b, obs.v FROM sp LEFT JOIN obs ON obs.g = sp.g AND obs.b = sp.b),
+        |w AS (SELECT g, b, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+        |    PARTITION BY g ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER (
+        |    PARTITION BY g ORDER BY b
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT g AS event_type, cast(to_timestamp(b) as timestamp) AS bucket_start,
+        |  round(CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * ((b - pb)::DOUBLE / (nb - pb)) END, 6) AS v,
+        |  (v IS NOT NULL) AS observed
+        |FROM w ORDER BY event_type, bucket_start""".stripMargin)),
+  )
+
+  /** g03's oracle: the engine's propagate+jump rounds unrolled as
+    * MATERIALIZED CTEs (DuckDB would otherwise inline each doubly-
+    * referenced round twice — exponential plan blowup). Per round: p_i
+    * takes min(own, neighbors' labels); r_i pointer-jumps (label := that
+    * label's label), so `rounds` rounds cover components of diameter far
+    * beyond 2^rounds — validated against union-find at sf0.01 and sf0.1.
+    * Both engines converge to the same fixpoint (component = min node
+    * id), which is what the hash compares.
+    */
+  private def connectedComponentsOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT n.id, least(n.comp, coalesce(m.mn, n.comp)) AS comp
+         |  FROM r${i - 1} n LEFT JOIN (
+         |    SELECT e.src, min(r.comp) AS mn FROM e JOIN r${i - 1} r ON r.id = e.dst
+         |    GROUP BY e.src) m
+         |    ON m.src = n.id),
+         |r$i AS MATERIALIZED (
+         |  SELECT a.id, least(a.comp, b.comp) AS comp
+         |  FROM p$i a JOIN p$i b ON a.comp = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem WHERE l_quantity = 1),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |r0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS comp FROM e),
+       |$iters
+       |SELECT id AS node, comp AS component FROM r$rounds ORDER BY node""".stripMargin
+  }
 
   /** r04's oracle: hashed chunk embeddings + per-token best-chunk cosine,
     * mirroring [[Retrieval.maxSimTopK]] term by term (same md5 bucket/sign

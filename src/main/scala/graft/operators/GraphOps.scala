@@ -146,6 +146,30 @@ object GraphOps {
     perNode.orderBy(col("n_tri").desc, col("node").asc).limit(k)
   }
 
+  /** Connected components over an undirected edge list — the graph-API
+    * face of [[Dedup.connectedComponents]] (min-label propagation with
+    * pointer jumping, O(log n) rounds even on path graphs). Nodes are the
+    * distinct edge endpoints; the result is `(node, component)` with
+    * component = min node id in the component — the same closure that
+    * turns near-dup pairs into dedup clusters, exposed for general graphs
+    * (entity resolution, link-graph partitioning, corpus lineage).
+    *
+    * Scale shape (100 TB): every round is an equi-join + min-aggregate on
+    * node keys; nothing is collected or broadcast, and pointer jumping
+    * bounds rounds by log₂(diameter), not diameter.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct()
+    Dedup.connectedComponents(nodes, e, maxIter)
+  }
+
   /** Top-k authorities by (rank desc, node asc) — sort+limit compiles to
     * TakeOrderedAndProject (per-partition top-N, bounded merge). */
   def pageRankTopK(

@@ -42,4 +42,59 @@ object TimeSeries {
       .select(col("b").cast("timestamp").as("bucket_start"), col("g").as(groupCol),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Linear time-weighted interpolation onto a dense per-group bucket
+    * spine: buckets with an observation keep it (bucket value = max of the
+    * bucket's values — an exact, order-independent pick); empty interior
+    * buckets take `prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`
+    * between the nearest observed neighbors — the standard gap-repair
+    * primitive for sensor/metric series before feature extraction
+    * ([[gapFillCounts]] fills counts with zeros; this fills VALUES by
+    * interpolation).
+    *
+    * Scale shape: one aggregation builds the observed frame; the per-group
+    * spine is OUTPUT-sized (built from each group's min/max bucket,
+    * exploded map-side); prev/next neighbors come from two
+    * last/first-ignore-nulls passes over ONE window partitioning (single
+    * exchange + sort, no self-join probe). Per-group spines mean no
+    * global-range blowup when group lifetimes differ by orders of
+    * magnitude.
+    *
+    * Returns `(<groupCol>, bucket_start timestamp, v, observed)`; spine
+    * edges are observed buckets by construction, so `v` is never null.
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "interpolateLinear: bucketSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(col(groupCol).as("g"),
+      ((unix_timestamp(col(tsCol).cast("timestamp")) / bucketSeconds).cast("long") *
+        bucketSeconds).as("b"),
+      col(valCol).cast("double").as("v"))
+    val obs = ev.groupBy("g", "b").agg(max(col("v")).as("v"))
+    val spine = obs.groupBy("g").agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(col("g"), explode(sequence(col("lo"), col("hi"), lit(bucketSeconds))).as("b"))
+    val wPrev = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("g", "b"), "left_outer")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb", last(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nb", first(when(col("v").isNotNull, col("b")), ignoreNulls = true).over(wNext))
+      .select(col("g").as(groupCol), col("b").cast("timestamp").as("bucket_start"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("b") - col("pb")).cast("double") / (col("nb") - col("pb")))),
+          6).as("v"),
+        col("v").isNotNull.as("observed"))
+  }
 }

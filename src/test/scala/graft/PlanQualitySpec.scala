@@ -605,4 +605,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {
+    val df = graft.operators.TimeSeries.interpolateLinear(
+      spark.table("events"), "ts", "event_type", "value", bucketSeconds = 3600L)
+    val p = plan(df)
+    // all ignore-nulls window passes ride one (g)-partitioned sort — no
+    // re-sort or self-join probe per direction
+    assert("\\bSort\\b".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the (g,b) observed aggregate is output-sized → broadcast to the spine
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

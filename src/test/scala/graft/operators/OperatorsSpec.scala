@@ -1355,6 +1355,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("10:01", "b")) == 1L)
     assert(out(("10:00", "b")) == 0L && out(("10:02", "b")) == 0L && out(("10:03", "b")) == 0L)
   }
+
+  test("interpolateLinear: gaps take the time-weighted blend; observed buckets keep max") {
+    // group a: observed at 10:00 (v=10) and 10:03 (v=40) → 10:01 = 20,
+    // 10:02 = 30 (linear); 10:00 has two rows → max wins. group b: single
+    // bucket → 1-row spine, observed.
+    val ev = Seq(
+      ("a", "2024-01-01 10:00:10", 4.0),
+      ("a", "2024-01-01 10:00:50", 10.0),
+      ("a", "2024-01-01 10:03:10", 40.0),
+      ("b", "2024-01-01 10:01:05", 7.5)
+    ).toDF("g", "ts_s", "v").select(col("g"), col("ts_s").cast("timestamp").as("ts"), col("v"))
+    val out = TimeSeries.interpolateLinear(ev, "ts", "g", "v", bucketSeconds = 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 16)) ->
+        ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(out.size == 5, out)
+    assert(out(("a", "10:00")) == ((10.0, true)))
+    assert(out(("a", "10:01")) == ((20.0, false)))
+    assert(out(("a", "10:02")) == ((30.0, false)))
+    assert(out(("a", "10:03")) == ((40.0, true)))
+    assert(out(("b", "10:01")) == ((7.5, true)))
+  }
 }
 
 class GraphOpsSpec extends SparkSpec {
@@ -1404,6 +1427,19 @@ class GraphOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", iterations = 0))
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", dampingPct = 100))
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", scale = Long.MaxValue))
+  }
+
+  test("connectedComponents: edge-list face labels every endpoint with its component min") {
+    // two components (path 1-2-3-4 and pair 10-11), plus noise: a reversed
+    // duplicate, a self-loop, and a null endpoint (dropped)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 3L), (2L, 1L), (5L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+      .union(Seq((java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Long]))
+        .toDF("src", "dst"))
+    val got = GraphOps.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 10L -> 10L, 11L -> 10L),
+      got.toString)
   }
 
   test("triangleTopK: counts match brute force on a known graph; direction/dup/self-loop noise ignored") {
