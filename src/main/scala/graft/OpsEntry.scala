@@ -3216,6 +3216,40 @@ object OpsEntry {
         |    ELSE pv + (nv - pv) * ((b - pb)::DOUBLE / (nb - pb)) END, 6) AS v,
         |  (v IS NOT NULL) AS observed
         |FROM w ORDER BY event_type, bucket_start""".stripMargin)),
+
+    QueryDef(
+      "m11_audio_fingerprint",
+      withTables { (s, _) =>
+        // REAL audio DSP in the gate: one WAV clip per doc, decoded to raw
+        // integer PCM, cut into 64-sample windows, each yielding its Haar
+        // band energies + the Haitsma-Kalker delta bit. All-integer
+        // arithmetic makes the row hash-green: the oracle recomputes every
+        // sample closed-form from the generator formula WITHOUT decoding,
+        // so a match proves the WAV encode -> scan -> decode -> window ->
+        // energy path sample-exactly, not just metadata.
+        Multimodal.audioFingerprint(
+          Multimodal.documentsAsAudio(s.table("documents")), windowSamples = 64)
+          .orderBy("media_id", "window_idx")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, (400 + (doc_id % 5) * 80)::INT AS n,
+        |    (20 + doc_id % 7)::INT AS p
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, i, ((i % p) * 40000) // p - 20000 AS v,
+        |    i // 64 AS w, (i % 64) // 2 AS pr, i % 2 AS par
+        |  FROM d, unnest(range(n)) AS t(i) WHERE i < (n // 64) * 64),
+        |pairs AS (
+        |  SELECT doc_id, w, pr, sum(CASE WHEN par = 0 THEN v ELSE -v END) AS diff,
+        |    sum(v) AS tot
+        |  FROM s GROUP BY doc_id, w, pr),
+        |en AS (
+        |  SELECT doc_id, w, sum(diff * diff)::BIGINT AS d_energy,
+        |    sum(tot * tot)::BIGINT AS a_energy
+        |  FROM pairs GROUP BY doc_id, w)
+        |SELECT doc_id AS media_id, w::INT AS window_idx, d_energy, a_energy,
+        |  (d_energy > lag(d_energy) OVER (PARTITION BY doc_id ORDER BY w))::INT AS bit
+        |FROM en ORDER BY media_id, window_idx""".stripMargin)),
   )
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as

@@ -88,6 +88,38 @@ object AudioWavDecoder extends MediaDecoder {
     bos.toByteArray
   }
 
+  /** Channel-0 RAW integer sample values (16-bit: [-32768, 32767]; 8-bit:
+    * [-128, 127] after the unsigned recenter) — the bit-exact feed for
+    * integer DSP like [[Multimodal.audioFingerprint]], where the
+    * normalized-double path would cost cross-engine parity. Null when the
+    * payload isn't decodable integer PCM.
+    */
+  private[operators] def rawSamples(bytes: Array[Byte]): Array[Int] = read(bytes) match {
+    case None => null
+    case Some(p) =>
+      val bits = p.format.getSampleSizeInBits
+      val out = new Array[Int](p.frames)
+      var f = 0
+      while (f < p.frames) {
+        val off = f * p.format.getFrameSize
+        out(f) =
+          if (bits <= 8) {
+            if (p.format.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+              (p.bytes(off) & 0xFF) - 128
+            else p.bytes(off).toInt
+          } else {
+            val lo = p.bytes(off + (if (p.format.isBigEndian) 1 else 0)) & 0xFF
+            val hi = p.bytes(off + (if (p.format.isBigEndian) 0 else 1))
+            val v = (hi << 8) | lo
+            if (p.format.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+              (v & 0xFFFF) - 32768
+            else v
+          }
+        f += 1
+      }
+      out
+  }
+
   override def decode(bytes: Array[Byte]): MediaDecoder.Decoded = read(bytes) match {
     case None => StubDecoder.decode(bytes)
     case Some(p) =>

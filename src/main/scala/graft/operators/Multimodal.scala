@@ -416,6 +416,67 @@ object Multimodal {
       .withColumn("is_dup", col("media_id") =!= col("keeper"))
   }
 
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("window_idx", IntegerType, nullable = false),
+    StructField("d_energy", LongType, nullable = false),
+    StructField("a_energy", LongType, nullable = false)
+  ))
+
+  /** Audio fingerprinting primitive (Haitsma–Kalker 2002 shape): the PCM
+    * stream is cut into fixed `windowSamples`-sample windows and each
+    * window yields its level-1 Haar band energies — detail
+    * `Σ (s₂ᵢ − s₂ᵢ₊₁)²` (high band) and approximation `Σ (s₂ᵢ + s₂ᵢ₊₁)²`
+    * (low band), computed on the RAW integer sample values so the result
+    * is bit-exact across engines (the fixed-point-PageRank discipline
+    * applied to DSP: a cos/sin DFT would drift in the last ulp between
+    * libm implementations and break hash parity). The robust-hash bit
+    * stream — sign of the detail-energy delta between consecutive
+    * windows — is derived downstream with one lag window
+    * ([[audioFingerprint]] keeps the energies so callers can re-derive
+    * bits at any threshold). Only full windows count (the tail remainder
+    * carries no stable band estimate); undecodable payloads yield no rows
+    * (no samples → no fingerprint, the m10 null contract). Channel 0 is
+    * fingerprinted; multi-channel mixdown is the caller's resample step.
+    *
+    * Scale shape: decode + energy fold is one partition-local pass
+    * emitting a handful of narrow integer rows per clip; the only shuffle
+    * is the per-clip lag window over ~n/windowSamples rows.
+    */
+  def audioFingerprint(media: DataFrame, windowSamples: Int = 64): DataFrame = {
+    require(windowSamples >= 2 && windowSamples % 2 == 0,
+      s"audioFingerprint: windowSamples must be even and >= 2, got $windowSamples")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    val energies = media.mapPartitions { iter =>
+      iter.flatMap { row =>
+        val id = row.getLong(idIdx)
+        val bytes = if (row.isNullAt(mediaIdx)) null else row.getAs[Array[Byte]](mediaIdx)
+        val samples = AudioWavDecoder.rawSamples(bytes)
+        if (samples == null) Iterator.empty
+        else {
+          val nWin = samples.length / windowSamples
+          (0 until nWin).iterator.map { w =>
+            var d = 0L; var a = 0L
+            var i = 0
+            while (i < windowSamples) {
+              val s0 = samples(w * windowSamples + i).toLong
+              val s1 = samples(w * windowSamples + i + 1).toLong
+              d += (s0 - s1) * (s0 - s1)
+              a += (s0 + s1) * (s0 + s1)
+              i += 2
+            }
+            Row(id, w, d, a)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(audioFpSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("window_idx")
+    energies.withColumn("bit",
+      (col("d_energy") > lag(col("d_energy"), 1).over(w)).cast("int"))
+  }
+
   /** Partition-local feature extraction over binary media columns. */
   def extractFeatures(
       media: DataFrame,

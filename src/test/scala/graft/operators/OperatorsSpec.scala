@@ -2225,6 +2225,38 @@ class MultimodalSpec extends SparkSpec {
     assert(d.features(7) == (sumAbs / n).toFloat)
   }
 
+  test("audioFingerprint: Haar band energies + delta bits match a driver-side reference; bad payloads drop") {
+    val ids = Seq(3L, 13L)
+    val rows = ids.map(id => org.apache.spark.sql.Row(id, Multimodal.AudioGen.wav(id), null)) :+
+      org.apache.spark.sql.Row(99L, "not audio".getBytes, null) :+
+      org.apache.spark.sql.Row(98L, null, null)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), null))), Multimodal.mediaSchema)
+    val got = Multimodal.audioFingerprint(media, windowSamples = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    // reference straight from the generator formula (never the decoder)
+    val want = ids.flatMap { id =>
+      val n = Multimodal.AudioGen.nFrames(id)
+      val s = (0 until n).map(i => Multimodal.AudioGen.sample(id, i).toLong)
+      val en = (0 until n / 64).map { w =>
+        val win = s.slice(w * 64, w * 64 + 64)
+        val d = win.grouped(2).map { case Seq(a, b) => (a - b) * (a - b) }.sum
+        val aE = win.grouped(2).map { case Seq(a, b) => (a + b) * (a + b) }.sum
+        (d, aE)
+      }
+      en.zipWithIndex.map { case ((d, aE), w) =>
+        val bit = if (w == 0) None else Some(if (d > en(w - 1)._1) 1 else 0)
+        (id, w) -> ((d, aE, bit))
+      }
+    }.toMap
+    assert(got == want, s"got ${got.size} windows, want ${want.size}")
+    // undecodable / null payloads contribute no fingerprint rows
+    assert(!got.keys.exists(k => k._1 == 99L || k._1 == 98L))
+  }
+
   test("AudioWavDecoder.frames cuts real contiguous WAV segments; resize decimates the rate") {
     val id = 4L
     val bytes = Multimodal.AudioGen.wav(id)
