@@ -3250,6 +3250,51 @@ object OpsEntry {
         |SELECT doc_id AS media_id, w::INT AS window_idx, d_energy, a_energy,
         |  (d_energy > lag(d_energy) OVER (PARTITION BY doc_id ORDER BY w))::INT AS bit
         |FROM en ORDER BY media_id, window_idx""".stripMargin)),
+
+    QueryDef(
+      "d32_oph_minhash_pairs",
+      withTables { (s, _) =>
+        // one-permutation MinHash (OPH + rotation densification): one hash
+        // mod per shingle instead of 64 affine transforms — the cheap-
+        // signature scale path for banded LSH dedup. The md5 parity base
+        // makes bins, densified signature, band buckets and the exact-
+        // Jaccard verify all SQL-statable, so the WHOLE pipeline is
+        // hash-checked cross-engine (the d19 discipline on the OPH
+        // variant).
+        Dedup.ophLshPairsMd5(s.table("documents"), "doc_id", "text", threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |bins AS (
+        |  SELECT doc_id, h % 64 AS bin, min(h) AS mn
+        |  FROM (SELECT doc_id, unnest(hs) AS h FROM sh)
+        |  GROUP BY doc_id, h % 64),
+        |sig AS (
+        |  SELECT b.doc_id, t.j,
+        |    min(((b.bin - t.j + 64) % 64) * 268435456 + b.mn) AS sv
+        |  FROM bins b, unnest(range(64)) AS t(j)
+        |  GROUP BY b.doc_id, t.j),
+        |banded AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    string_agg(sv::VARCHAR, ',' ORDER BY j) AS bucket
+        |  FROM sig GROUP BY doc_id, j // 2),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.doc_id < y.doc_id),
+        |v AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |      (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) AS jaccard
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id_a JOIN sh q ON q.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
   )
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as

@@ -257,6 +257,46 @@ object ShingleHash {
     sig
   }
 
+  /** Densified one-permutation MinHash signature (OPH — Li, Owen & Zhang
+    * 2012; rotation densification after Shrivastava & Li 2014): ONE pass
+    * binning `bin = h mod k` with a per-bin running min — k slots from one
+    * hash evaluation per shingle, where classic MinHash pays k affine
+    * transforms per shingle. Empty bins densify from the circularly
+    * nearest occupied bin with a distance penalty:
+    * `sig(j) = min over occupied j' of ((j' − j + k) mod k) · c + occ(j')`
+    * — a deterministic, engine-statable rule (one min-fold on both sides;
+    * no iterative probing to diverge on). `c` must exceed every input hash
+    * so an occupied bin always keeps its own min (distance 0 beats any
+    * borrow) and `(k−1)·c + h` must stay in a long. Null for empty input.
+    */
+  def ophSig(hashes: ArrayData, k: Int, c: Long): Array[Long] = {
+    val m = hashes.numElements()
+    if (m == 0) return null
+    val occ = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = hashes.getLong(i)
+      val b = (((h % k) + k) % k).toInt
+      if (h < occ(b)) occ(b) = h
+      i += 1
+    }
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      if (occ(j) != Long.MaxValue) {
+        var d = 0
+        while (d < k) {
+          val t = (j - d + k) % k // the bin that borrows occ(j) at distance d
+          val v = d.toLong * c + occ(j)
+          if (v < sig(t)) sig(t) = v
+          d += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
   /** DSIR importance log-weight of a text: sum of the trained log-ratio
     * at each feature's bucket — unigrams in token order, then bigrams in
     * token order (the same visit order as the HOF fold and the oracle's
@@ -443,6 +483,45 @@ case class MinHashSigExpr(child: Expression, aSeq: IndexedSeq[Long], bSeq: Index
     val sig = ctx.freshName("sig")
     nullSafeCodeGen(ctx, ev, v =>
       s"""long[] $sig = graft.functions.ShingleHash.minhashSig($v, $aRef, $bRef);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `oph_signature(hashes, k, c)`: densified one-permutation MinHash
+  * signature — see [[ShingleHash.ophSig]]. One hash-array pass per row
+  * inside whole-stage codegen; k and the densification constant are
+  * compile-time literals in the generated code.
+  */
+case class OphSigExpr(child: Expression, k: Int, c: Long) extends UnaryExpression {
+  require(k >= 2, "oph_signature needs at least 2 bins")
+  require(c > 0 && (k - 1).toLong <= Long.MaxValue / c,
+    s"densification constant $c overflows at $k bins")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sig = ShingleHash.ophSig(input.asInstanceOf[ArrayData], k, c)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""long[] $sig = graft.functions.ShingleHash.ophSig($v, $k, ${c}L);
          |if ($sig == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -702,6 +781,12 @@ object ShingleFunctions {
   def minhashSignature(hashes: Column, a: Array[Long], b: Array[Long]): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes),
       a.toIndexedSeq, b.toIndexedSeq))
+
+  /** Densified one-permutation MinHash signature (k bins, densification
+    * constant c); NULL when the hash array is empty.
+    */
+  def ophSignature(hashes: Column, k: Int, c: Long): Column =
+    ColumnBridge.column(OphSigExpr(ColumnBridge.expression(hashes), k, c))
 
   /** First band where two MinHash signatures agree elementwise, -1 if none
     * (st09's exactly-once emission test).

@@ -495,8 +495,19 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
     val frame = md5MinhashFrame(df, idCol, textCol, shingleSize, numHashes)
+    bandedJaccardPairs(frame, bands, numHashes / bands, threshold)
+  }
+
+  /** The md5 parity family's shared tail: band the `(id, hs, sig)` frame
+    * into string buckets, meet candidates in the banded equi-join, verify
+    * by exact rounded Jaccard on the hashed shingle sets. Shared by
+    * [[minhashLshPairsMd5]] (classic per-slot MinHash) and
+    * [[ophLshPairsMd5]] (one-permutation signature) — only the signature
+    * kernel differs.
+    */
+  private def bandedJaccardPairs(
+      frame: DataFrame, bands: Int, rows: Int, threshold: Double): DataFrame = {
     val banded = md5BandBuckets(frame, bands, rows)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -513,6 +524,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** One-permutation-hashing near-dup pairs (OPH + rotation densification)
+    * — [[minhashLshPairsMd5]]'s banded pipeline with the signature stage
+    * swapped for [[graft.functions.ShingleHash.ophSig]]: the per-shingle
+    * cost drops from `numBins` affine transforms to ONE mod — at corpus
+    * scale the signature pass is ~numBins× cheaper for the same LSH
+    * banding economics, the reason OPH exists (Li, Owen & Zhang 2012). The
+    * md5 28-bit hash base keeps every stage SQL-statable, so the whole
+    * pipeline hash-checks against DuckDB end to end (d32), same as d19;
+    * candidate verification is exact Jaccard either way, so densification
+    * affects only recall, never emitted-pair precision.
+    */
+  def ophLshPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numBins: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numBins % bands == 0, "numBins must be divisible by bands")
+    import graft.functions.ShingleFunctions.{md5ShingleHashes, ophSignature}
+    val w = split(col(textCol), " ")
+    val frame = df.where(size(w) >= shingleSize)
+      .select(col(idCol).as("id"), md5ShingleHashes(col(textCol), shingleSize).as("hs"))
+      .select(col("id"), col("hs"),
+        ophSignature(col("hs"), numBins, OphDensifyC).as("sig"))
+    bandedJaccardPairs(frame, bands, numBins / bands, threshold)
+  }
+
+  /** Densification distance penalty for the md5 OPH family: one above the
+    * 28-bit hash ceiling, so an occupied bin's own min (distance 0) always
+    * wins and borrow values order first by circular distance, then by the
+    * lender's min — the SQL-statable rotation rule.
+    */
+  val OphDensifyC: Long = 1L << 28
 
   /** [[crossDedupLsh]]'s ORACLE-PARITY variant — [[minhashLshPairsMd5]]'s
     * machinery applied bipartite, completing the md5 verification family

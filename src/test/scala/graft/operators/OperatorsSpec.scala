@@ -307,6 +307,40 @@ class DedupSpec extends SparkSpec {
     assert(md5p.map(t => (t._1, t._2)).toSet == fast)
   }
 
+  test("ophSig: bin mins + rotation densification match a naive reference; empty input is null") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    val k = 16
+    val c = 1L << 28
+    for (trial <- 0 until 20) {
+      // small sets leave bins empty on purpose — densification must fire
+      val hs = Array.fill(1 + rnd.nextInt(12))(rnd.nextLong(1L << 28))
+      val got = graft.functions.ShingleHash.ophSig(new GenericArrayData(hs), k, c).toSeq
+      val occ = hs.groupBy(h => (h % k).toInt).map { case (b, v) => b -> v.min }
+      val want = (0 until k).map { j =>
+        occ.map { case (b, mn) => ((b - j + k) % k).toLong * c + mn }.min
+      }
+      assert(got == want, s"trial $trial: $got vs $want")
+      // occupied bins keep their own min (distance 0 wins)
+      occ.foreach { case (b, mn) => assert(got(b) == mn) }
+    }
+    assert(graft.functions.ShingleHash.ophSig(new GenericArrayData(Array.empty[Long]), k, c) == null)
+  }
+
+  test("ophLshPairsMd5: OPH signature pipeline finds the same verified pair set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oph = Dedup.ophLshPairsMd5(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(oph.nonEmpty)
+    assert(oph.forall { case (x, y, j) => x < y && j >= 0.5 })
+    // exact-Jaccard verification makes precision exact for ANY signature
+    // family; on this corpus every true pair sits far above threshold, so
+    // the OPH banding reaches the same set the classic signatures find
+    val classic = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oph.map(t => (t._1, t._2)).toSet == classic)
+  }
+
   test("md5 shingle-hash kernel equals the interpreted SQL formulation element for element") {
     // the r9 codegen'd kernel must produce BYTE-IDENTICAL hash sets and
     // signatures to the SQL statement the DuckDB oracle runs — this is what
