@@ -3295,6 +3295,29 @@ object OpsEntry {
         |  FROM cand c JOIN sh p ON p.doc_id = c.id_a JOIN sh q ON q.doc_id = c.id_b)
         |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
+      "b02_partition_pruned_scan",
+      withTables { (s, _) =>
+        // hive-layout partitioned warehouse + pruned read: orders written
+        // partitioned by month (80 directories), then a 3-month query —
+        // the scan's PartitionFilters prune 77/80 directories at planning
+        // time (pinned). The oracle states the same filter over the raw
+        // table: the layout changes the PLAN, never the answer.
+        val ord = s.table("orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        Bucketing.writePartitioned(s, ord, "graft_b02_orders", "o_month")
+          .where(col("o_month").between("1995-03", "1995-05"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)").as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-03' AND '1995-05'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
   )
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as

@@ -606,6 +606,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("b02 partitioned scan: month predicate prunes directories at planning time") {
+    val df = SparkEntry.defs.find(_.name == "b02_partition_pruned_scan").get.fn(spark, sf)
+    val p = plan(df)
+    // the month range is a PARTITION filter on the scan (directory pruning),
+    // never a post-scan row filter
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("o_month"), s"no partition filter on o_month in\n$p")
+    assert(scanLine.contains(">= 1995-03") || scanLine.contains("1995-03"), scanLine)
+    // pruning really happened: the scan node reports fewer files than the
+    // table's 80 month directories
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the scan
+    // node from collectLeaves until execution
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(selected.length == 3, s"want 3 month partitions selected, got ${selected.length}")
+  }
+
   test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {
     val df = graft.operators.TimeSeries.interpolateLinear(
       spark.table("events"), "ts", "event_type", "value", bucketSeconds = 3600L)
