@@ -3318,6 +3318,47 @@ object OpsEntry {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-03' AND '1995-05'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q63_summarize",
+      withTables { (s, _) =>
+        // SUMMARIZE-analogue table profile: one scan, long-format row per
+        // column with fill/null/exact-distinct/min/max. min/max as strings
+        // so mixed column types share the schema; doubles stay below the
+        // 1e7 notation divergence documented on Profile.summarize.
+        Profile.summarize(s.table("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (
+        |  SELECT
+        |    count(l_quantity) AS q_n,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |    count(DISTINCT l_quantity) AS q_d,
+        |    min(l_quantity)::VARCHAR AS q_min, max(l_quantity)::VARCHAR AS q_max,
+        |    count(l_extendedprice) AS p_n,
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        |    count(DISTINCT l_extendedprice) AS p_d,
+        |    min(l_extendedprice)::VARCHAR AS p_min, max(l_extendedprice)::VARCHAR AS p_max,
+        |    count(l_returnflag) AS r_n,
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS r_nulls,
+        |    count(DISTINCT l_returnflag) AS r_d,
+        |    min(l_returnflag)::VARCHAR AS r_min, max(l_returnflag)::VARCHAR AS r_max,
+        |    count(l_shipdate) AS s_n,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+        |    count(DISTINCT l_shipdate) AS s_d,
+        |    min(l_shipdate)::VARCHAR AS s_min, max(l_shipdate)::VARCHAR AS s_max
+        |  FROM lineitem)
+        |SELECT col_name, n_filled, n_nulls, n_distinct, min_s, max_s FROM (
+        |  SELECT 'l_quantity' AS col_name, q_n AS n_filled, q_nulls AS n_nulls,
+        |    q_d AS n_distinct, q_min AS min_s, q_max AS max_s FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', p_n, p_nulls, p_d, p_min, p_max FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', r_n, r_nulls, r_d, r_min, r_max FROM a
+        |  UNION ALL
+        |  SELECT 'l_shipdate', s_n, s_nulls, s_d, s_min, s_max FROM a)
+        |ORDER BY col_name""".stripMargin)),
   )
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as

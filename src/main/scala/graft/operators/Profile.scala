@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the engine-side analogue of DuckDB's `SUMMARIZE`
+  * (duckdb-psql users profile staged tables before piping them; cf.
+  * reference README.md's exploratory workflow): per-column fill, null
+  * count, exact distinct cardinality and min/max, emitted in LONG format
+  * (one row per column) so the profile of any table has one fixed schema.
+  *
+  * Scale shape: ONE scan computes every non-distinct stat via map-side
+  * partial aggregation into a single 1-row frame; the long-format pivot is
+  * a map-side explode of that row (output = |cols| rows, never
+  * input-sized). Exact distinct counts are the one concession to parity —
+  * Spark plans multi-distinct aggregates through one Expand (|cols|×
+  * row multiplication before partial aggregation); the approximate
+  * profile (`exact = false`) swaps them for mergeable HLL sketches
+  * (±~2.3%) and keeps the scan strictly single-pass — the 100 TB default,
+  * same sketch economics as q51's approx_count_distinct.
+  *
+  * min/max surface as strings so numeric, date and varchar columns share
+  * the schema; both engines print doubles in shortest-round-trip form (the
+  * cross-engine contract breaks only above 1e7, where Java flips to
+  * scientific notation first — profile such columns as decimals).
+  */
+object Profile {
+
+  def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "summarize: need at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"summarize: no column '$c'"))
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        nd(c).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n_filled"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
+}

@@ -1509,6 +1509,43 @@ class GraphOpsSpec extends SparkSpec {
   }
 }
 
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("summarize: exact long-format profile matches hand stats; nulls and mixed types handled") {
+    val df = Seq(
+      (Some(1.0), "x"), (Some(2.5), "y"), (None, "x"), (Some(2.5), null)
+    ).toDF("v", "s")
+    val out = Profile.summarize(df, Seq("v", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(out("v") == ((3L, 1L, 2L, Some("1.0"), Some("2.5"))))
+    assert(out("s") == ((3L, 1L, 2L, Some("x"), Some("y"))))
+  }
+
+  test("summarize approx: no Expand in the plan (single-pass sketch profile); counts within HLL error") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val approx = Profile.summarize(li, cols, exact = false)
+    val p = approx.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p)
+    // the exact profile DOES pay the Expand for multi-distinct — the
+    // documented tradeoff this flag exists for
+    assert(Profile.summarize(li, cols).queryExecution.executedPlan.toString.contains("Expand"))
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val e = Profile.summarize(li, cols).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      assert(math.abs(a(c) - e(c)).toDouble / e(c) < 0.1, s"$c: approx ${a(c)} vs exact ${e(c)}")
+    }
+  }
+
+  test("summarize guards: empty column list and unknown columns fail fast") {
+    val df = Seq((1, "a")).toDF("i", "s")
+    intercept[IllegalArgumentException](Profile.summarize(df, Nil))
+    intercept[IllegalArgumentException](Profile.summarize(df, Seq("nope")))
+  }
+}
+
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
 
