@@ -3359,6 +3359,34 @@ object OpsEntry {
         |  UNION ALL
         |  SELECT 'l_shipdate', s_n, s_nulls, s_d, s_min, s_max FROM a)
         |ORDER BY col_name""".stripMargin)),
+
+    QueryDef(
+      "c14_temperature_mixture",
+      withTables { (s, _) =>
+        // T=2 temperature mixture over the skewed lang distribution (en is
+        // 44% of the corpus; sqrt weights flatten it to ~29%): rates are
+        // DERIVED from group counts — sqrt is IEEE-exact cross-engine and
+        // the share denominator folds the group-sorted weight list in
+        // order, so the data-driven doubles hash-match.
+        TrainingPipeline.temperatureMixture(s.table("documents"), "lang", "doc_id",
+          budgetFrac = 0.5)
+          .withColumn("rate", round(col("rate"), 6))
+          .select("doc_id", "lang", "rate")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang AS g, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |t AS (SELECT cast(sum(n) as double) AS n_total,
+        |        list_reduce(array_agg(sqrt(cast(n as double)) ORDER BY g),
+        |          (a, b) -> a + b) AS w_total
+        |      FROM c),
+        |r AS (SELECT c.g,
+        |        least(1.0, 0.5 * t.n_total * sqrt(cast(c.n as double)) / t.w_total /
+        |          cast(c.n as double)) AS rate
+        |      FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r ON r.g = d.lang
+        |WHERE ('0x' || substr(md5('42-' || d.doc_id), 1, 7))::BIGINT / 268435456.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as

@@ -60,6 +60,51 @@ object TrainingPipeline {
     df.where(u < fracCol)
   }
 
+  /** Temperature-scaled mixture sampling (the PaLM/LLaMA multi-source
+    * practice): target share of group g is `n_g^(1/T) / Σ_j n_j^(1/T)` —
+    * T = 1 keeps natural proportions, T → ∞ flattens to uniform — and each
+    * group is thinned to `rate_g = min(1, budgetFrac · N · share_g / n_g)`
+    * of its rows via the [[sampleFraction]] md5-uniform (no rand(), no
+    * upsampling: epoch repetition is [[epochMixture]]'s job). Unlike
+    * [[sampleFraction]], the rates are DERIVED FROM DATA, which is what
+    * the cross-engine discipline has to protect: 1/T = 0.5 runs on
+    * IEEE-correctly-rounded `sqrt` (bit-identical in every engine, unlike
+    * libm `pow`), and the share denominator is an ORDERED fold over the
+    * group-sorted weight list — an unordered SUM would let add-order flip
+    * the last ulp of every rate.
+    *
+    * Scale shape: one count aggregation (map-side combined), a 1-row
+    * totals frame folded driver-free, rates broadcast back to the scan —
+    * the thinning itself stays a map-side filter.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      budgetFrac: Double,
+      temperature: Double = 2.0,
+      seed: Long = 42L): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac must be in (0,1]: $budgetFrac")
+    require(temperature == 2.0,
+      "temperatureMixture: only T=2 (sqrt weights) is supported — general pow(x, 1/T) is " +
+        "not bit-stable across engines; add T values as IEEE-exact kernels deliberately")
+    val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).cast("double").as("n_total"),
+      aggregate(
+        array_sort(collect_list(struct(col("g"), sqrt(col("n").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("g"),
+        least(lit(1.0), lit(budgetFrac) * col("n_total") * sqrt(col("n").cast("double")) /
+          col("w_total") / col("n").cast("double")).as("rate"))
+    val u = conv(substring(md5(concat(lit(s"$seed-"), col(idCol).cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0)
+    df.join(broadcast(rates), col(groupCol) === col("g"))
+      .where(u < col("rate"))
+      .drop("g")
+  }
+
   /** Deterministic train/val/test split assignment: each row gets the split
     * whose cumulative-weight interval contains the uniform md5 hash of its
     * id — the standard stable holdout split (a doc keeps its split across

@@ -1141,6 +1141,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("temperatureMixture: sqrt weights flatten skewed shares; rates match the closed form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TrainingPipeline.temperatureMixture(docs, "lang", "doc_id", budgetFrac = 0.5)
+    // rates equal the closed form computed driver-side with the same
+    // ordered fold over group-sorted sqrt weights
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val n = totals.values.sum.toDouble
+    val wTotal = totals.toSeq.sortBy(_._1).map { case (_, c) => math.sqrt(c.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val gotRates = out.select("lang", "rate").distinct().as[(String, Double)].collect().toMap
+    gotRates.foreach { case (g, r) =>
+      val want = math.min(1.0, 0.5 * n * math.sqrt(totals(g).toDouble) / wTotal / totals(g))
+      assert(r == want, s"$g: $r vs $want")
+    }
+    // flattening: the dominant group's sampled share sits strictly below its
+    // natural share, the rarest strictly above its thinned-uniform floor
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val natural = totals.maxBy(_._2)._1
+    assert(kept(natural).toDouble / kept.values.sum < totals(natural) / n,
+      s"dominant '$natural' share not flattened")
+    // rarer groups keep a HIGHER fraction of their rows than the dominant one
+    val rare = totals.minBy(_._2)._1
+    assert(gotRates(rare) > gotRates(natural))
+    // unsupported temperatures fail fast rather than drifting cross-engine
+    intercept[IllegalArgumentException](
+      TrainingPipeline.temperatureMixture(docs, "lang", "doc_id", 0.5, temperature = 4.0))
+  }
+
   test("curate substringDedup removes lifted-passage docs plain curate keeps") {
     // doc 11 lifts a 6-word passage from doc 10; whole-doc Jaccard is far
     // below 0.8 so MinHash curation keeps both — substring mode must fold
