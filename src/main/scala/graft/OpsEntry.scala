@@ -3387,7 +3387,62 @@ object OpsEntry {
         |FROM documents d JOIN r ON r.g = d.lang
         |WHERE ('0x' || substr(md5('42-' || d.doc_id), 1, 7))::BIGINT / 268435456.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin)),
+
+    QueryDef(
+      "r05_prf_topk",
+      withTables { (s, _) =>
+        // pseudo-relevance feedback (Rocchio/RM3): literal-query BM25 picks
+        // 10 feedback docs, their 2 hottest non-query terms join the query
+        // at half weight, and the expanded DYNAMIC-term query rescoures the
+        // corpus — contributions folded in term order per doc, so the
+        // data-derived score hash-checks (the c14 float discipline applied
+        // to retrieval).
+        Retrieval.prfTopK(s.table("documents"), "doc_id", "text", bm25Terms,
+          k = 10, fbK = 10, expand = 2, beta = 0.5)
+          .orderBy("rank")
+      },
+      Some(prfOracleSql)),
   )
+
+  /** r05's oracle: r01's literal-term CTE for the feedback pass, then the
+    * expansion pick, the dynamic-term tf/df joins and the ORDERED
+    * per-document contribution fold — every arithmetic shape mirrors
+    * [[Retrieval.prfTopK]] term by term.
+    */
+  private lazy val prfOracleSql: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    val valuesRows = bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH ${bm25ScoredCte(bm25Terms)},
+       |fb AS (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |ft AS (
+       |  SELECT t.tok AS term, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM tok) t JOIN fb USING (doc_id)
+       |  WHERE t.tok NOT IN ($termList)
+       |  GROUP BY t.tok),
+       |ex AS (SELECT term FROM ft ORDER BY cnt DESC, term LIMIT 2),
+       |qt AS (SELECT term, 1.0 AS wt FROM (VALUES $valuesRows) v(term)
+       |       UNION ALL SELECT term, 0.5 FROM ex),
+       |tfx AS (
+       |  SELECT e.doc_id, e.dl, q.term, q.wt, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, len(w)::BIGINT AS dl, unnest(w) AS tok FROM tok) e
+       |  JOIN qt q ON q.term = e.tok
+       |  GROUP BY e.doc_id, e.dl, q.term, q.wt),
+       |dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tfx GROUP BY term),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(len(w))::BIGINT AS sum_dl FROM tok),
+       |sc AS (
+       |  SELECT f.doc_id, f.term,
+       |    f.wt * round(ln(1.0 + (st.n_docs::DOUBLE - dfx.df::DOUBLE + 0.5) /
+       |        (dfx.df::DOUBLE + 0.5)), 6) *
+       |      (f.tf::DOUBLE * 2.2 / (f.tf::DOUBLE + 1.2 * (0.25 + 0.75 * f.dl::DOUBLE /
+       |        (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))) AS c
+       |  FROM tfx f JOIN dfx USING (term) CROSS JOIN st),
+       |agg AS (
+       |  SELECT doc_id, round(list_reduce(array_agg(c ORDER BY term), (a, b) -> a + b), 6) AS prf
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, prf, cast(row_number() OVER (ORDER BY prf DESC, doc_id) as int) AS rank
+       |FROM (SELECT * FROM agg ORDER BY prf DESC, doc_id LIMIT 10)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** g03's oracle: the engine's propagate+jump rounds unrolled as
     * MATERIALIZED CTEs (DuckDB would otherwise inline each doubly-

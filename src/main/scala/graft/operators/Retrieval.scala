@@ -222,6 +222,81 @@ object Retrieval {
     * arithmetic — exactly reproducible cross-engine. Inputs are top-k lists
     * (bounded), so the outer join is broadcast-small at any corpus scale.
     */
+  /** Pseudo-relevance-feedback expansion (Rocchio 1971 / RM3 shape): run
+    * [[bm25TopK]] for the literal query, harvest the `expand` most
+    * frequent non-query terms from the top `fbK` feedback documents
+    * (count desc, term asc — an integer, fully deterministic pick), and
+    * rescore with the expanded weighted query (original terms weight 1,
+    * expansion terms weight `beta`). The classic lexical-gap fix: "spark
+    * shuffle" pulls in documents that only say "exchange".
+    *
+    * Everything stays IN-PLAN — the expansion terms are a 2-row frame
+    * joined back, never collected — so the whole two-pass retrieval is one
+    * Catalyst plan. Because the second pass's terms are dynamic, scoring
+    * can't be a literal fold like [[bm25TopK]]; instead per-(doc, term)
+    * contributions meet in joins and each document's score is an ORDERED
+    * fold over its term-sorted contribution list (collect → sort → fold) —
+    * the [[graft.operators.TrainingPipeline.temperatureMixture]] float
+    * discipline, making the dynamic-term sum bit-identical cross-engine.
+    *
+    * Scale shape: the only corpus-wide passes are the stats aggregation
+    * and one explode immediately thinned by the broadcast term join; df
+    * and expansion frames are term-sized; final selection is top-k merge.
+    */
+  def prfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      fbK: Int = 10,
+      expand: Int = 2,
+      beta: Double = 0.5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(expand >= 1, "prfTopK: need at least one expansion term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col(idCol).as("doc_id"),
+      filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    // stage 1: literal-term BM25 feedback set
+    val fb = bm25TopK(docs, idCol, textCol, terms, fbK).select("doc_id")
+    // stage 2: top expansion terms by total frequency in the feedback docs
+    val expTerms = tok.join(fb, Seq("doc_id"))
+      .select(explode(col("w")).as("term"))
+      .where(!col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(expand)
+    val qt = terms.toDF("term").withColumn("wt", lit(1.0))
+      .union(expTerms.select(col("term"), lit(beta).as("wt")))
+    // stage 3: dynamic-term BM25 — per-(doc, term) tf via the thinned
+    // explode, term df from it, contributions folded in term order
+    val stats = tok.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = tok.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("wt"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val scoredTerms = tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", round(log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6))
+      .withColumn("c", col("wt") * col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+    val scored = scoredTerms.groupBy("doc_id")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")), 6).as("prf"))
+    val top = scored.orderBy(col("prf").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("prf").desc, col("doc_id").asc)).cast("int"))
+  }
+
   def rrfFuse(
       a: DataFrame,
       bRanks: DataFrame,

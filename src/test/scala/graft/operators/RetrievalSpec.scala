@@ -132,6 +132,39 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("prfTopK: expansion pulls in zero-overlap docs; weights and term pick are deterministic") {
+    import spark.implicits._
+    // query term 'q' appears in docs 1-2 alongside 'exp'; doc 3 contains
+    // ONLY 'exp' — invisible to plain BM25, reachable after expansion.
+    // 'noise' is frequent in feedback docs too, but 'exp' (count 4) beats
+    // 'noise' (count 2): with expand=1 exactly 'exp' joins the query.
+    val docs = Seq(
+      (1L, "q exp exp noise"),
+      (2L, "q exp exp noise"),
+      (3L, "exp only here"),
+      (4L, "nothing relevant")).toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("q"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L))
+    val prf = Retrieval.prfTopK(docs, "doc_id", "text", Seq("q"), k = 10,
+      fbK = 10, expand = 1, beta = 0.5)
+      .orderBy("rank").collect()
+    val ids = prf.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"expansion should reach doc 3: ${prf.toSeq}")
+    // doc 3 scores purely from the beta-weighted expansion term: halving
+    // beta must halve its score exactly (its fold has a single term)
+    val prfQuarter = Retrieval.prfTopK(docs, "doc_id", "text", Seq("q"), k = 10,
+      fbK = 10, expand = 1, beta = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val d3 = prf.find(_.getLong(0) == 3L).get.getDouble(1)
+    assert(math.abs(prfQuarter(3L) - d3 / 2) < 2e-6, s"$d3 vs ${prfQuarter(3L)}")
+    // deterministic across re-evaluation (no unordered float folds)
+    val again = Retrieval.prfTopK(docs, "doc_id", "text", Seq("q"), k = 10,
+      fbK = 10, expand = 1, beta = 0.5).orderBy("rank").collect()
+    assert(again.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      prf.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("rrfFuse: exact rational fusion, outer semantics for one-sided docs") {
     import spark.implicits._
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
