@@ -3389,6 +3389,36 @@ object OpsEntry {
         |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef(
+      "a12_ohlc_bars",
+      withTables { (s, _) =>
+        // resample-to-bars: hourly OHLC of event values per type. Open and
+        // close pick on the UNIQUE (ts, event_id) ordering, so the oracle's
+        // windowed first/last rows match bit-for-bit — no arg_min tie
+        // ambiguity between engines.
+        TimeSeries.ohlcBars(s.table("events"), "ts", "event_type", "value",
+          tiebreakCol = "event_id", bucketSeconds = 3600L)
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+        |    ts, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT g AS event_type, cast(to_timestamp(b) as timestamp) AS bucket_start,
+        |  max(CASE WHEN rn_a = 1 THEN v END) AS o,
+        |  max(v) AS h, min(v) AS l,
+        |  max(CASE WHEN rn_d = 1 THEN v END) AS c,
+        |  count(*) AS n
+        |FROM ev GROUP BY g, b
+        |ORDER BY event_type, bucket_start""".stripMargin)),
+
+    QueryDef(
       "r05_prf_topk",
       withTables { (s, _) =>
         // pseudo-relevance feedback (Rocchio/RM3): literal-query BM25 picks

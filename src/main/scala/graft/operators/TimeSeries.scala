@@ -43,6 +43,40 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** OHLC bars (the resample-to-bars primitive): per (group, bucket) the
+    * Open/High/Low/Close of `valCol`, plus the observation count. Open and
+    * close are defined on the UNIQUE ordering (ts, tiebreakCol) — two
+    * observations in the same microsecond still pick deterministically, so
+    * the bars are bit-stable across engines and retries (the repo-wide
+    * unique-sort-tiebreak rule applied to arg-min/arg-max).
+    *
+    * Scale shape: ONE map-side-combined aggregation — min_by/max_by/min/
+    * max/count all merge associatively, so the shuffle carries one narrow
+    * row per (group, bucket), never raw observations.
+    */
+  def ohlcBars(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      tiebreakCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "ohlcBars: bucketSeconds must be positive")
+    val ev = df.select(col(groupCol).as("g"),
+      ((unix_timestamp(col(tsCol).cast("timestamp")) / bucketSeconds).cast("long") *
+        bucketSeconds).as("b"),
+      col(tsCol).as("t"), col(tiebreakCol).as("tb"), col(valCol).cast("double").as("v"))
+    ev.groupBy("g", "b")
+      .agg(
+        min_by(col("v"), struct(col("t"), col("tb"))).as("o"),
+        max(col("v")).as("h"),
+        min(col("v")).as("l"),
+        max_by(col("v"), struct(col("t"), col("tb"))).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("g").as(groupCol), col("b").cast("timestamp").as("bucket_start"),
+        col("o"), col("h"), col("l"), col("c"), col("n"))
+  }
+
   /** Linear time-weighted interpolation onto a dense per-group bucket
     * spine: buckets with an observation keep it (bucket value = max of the
     * bucket's values — an exact, order-independent pick); empty interior

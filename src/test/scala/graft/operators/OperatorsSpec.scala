@@ -1418,6 +1418,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("10:00", "b")) == 0L && out(("10:02", "b")) == 0L && out(("10:03", "b")) == 0L)
   }
 
+  test("ohlcBars: open/close on the unique (ts, tiebreak) ordering, high/low/count exact") {
+    val ev = Seq(
+      // bucket 10:00 for group a: open=5 (earliest), close=1 (latest),
+      // high=9, low=1; the two 10:00:30 rows tie on ts — id 2 < id 3 so
+      // id 2's value is NOT the close
+      ("a", "2024-01-01 10:00:10", 1L, 5.0),
+      ("a", "2024-01-01 10:00:30", 2L, 9.0),
+      ("a", "2024-01-01 10:00:30", 3L, 1.0),
+      // bucket 10:01: single row — o=h=l=c
+      ("a", "2024-01-01 10:01:40", 4L, 7.0),
+      ("b", "2024-01-01 10:00:50", 5L, 2.0)
+    ).toDF("g", "ts_s", "id", "v")
+      .select(col("g"), col("ts_s").cast("timestamp").as("ts"), col("id"), col("v"))
+    val out = TimeSeries.ohlcBars(ev, "ts", "g", "v", "id", bucketSeconds = 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 16)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(out(("a", "10:00")) == ((5.0, 9.0, 1.0, 1.0, 3L)), out.toString)
+    assert(out(("a", "10:01")) == ((7.0, 7.0, 7.0, 7.0, 1L)))
+    assert(out(("b", "10:00")) == ((2.0, 2.0, 2.0, 2.0, 1L)))
+    // one aggregation, no window/join in the plan (map-side combinable)
+    val p = TimeSeries.ohlcBars(ev, "ts", "g", "v", "id", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("interpolateLinear: gaps take the time-weighted blend; observed buckets keep max") {
     // group a: observed at 10:00 (v=10) and 10:03 (v=40) → 10:01 = 20,
     // 10:02 = 30 (linear); 10:00 has two rows → max wins. group b: single
@@ -1551,17 +1578,21 @@ class ProfileSpec extends SparkSpec {
     assert(out("s") == ((3L, 1L, 2L, Some("x"), Some("y"))))
   }
 
-  test("summarize approx: no Expand in the plan (single-pass sketch profile); counts within HLL error") {
+  test("summarize: NO Expand in either mode; distinct branches read one column each") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice")
     val approx = Profile.summarize(li, cols, exact = false)
-    val p = approx.queryExecution.executedPlan.toString
-    assert(!p.contains("Expand"), p)
-    // the exact profile DOES pay the Expand for multi-distinct — the
-    // documented tradeoff this flag exists for
-    assert(Profile.summarize(li, cols).queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val exact = Profile.summarize(li, cols)
+    val pe = exact.queryExecution.executedPlan.toString
+    // exact distincts run as narrow per-column branches, never the
+    // multi-distinct Expand that multiplies the full scan
+    assert(!pe.contains("Expand"), pe)
+    // each branch's scan is pruned to its single column
+    assert(pe.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("l_quantity") && !l.contains("l_extendedprice")), pe)
     val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
-    val e = Profile.summarize(li, cols).collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     cols.foreach { c =>
       assert(math.abs(a(c) - e(c)).toDouble / e(c) < 0.1, s"$c: approx ${a(c)} vs exact ${e(c)}")
     }
