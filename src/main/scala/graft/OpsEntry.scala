@@ -3389,6 +3389,37 @@ object OpsEntry {
         |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef(
+      "st14_window_ohlc",
+      withTables { (s, _) =>
+        // streaming face of a12: the SAME windowed min_by/max_by plan the
+        // stream runs (watermark + tumbling window + associative aggs, one
+        // narrow state row per open bar), exercised on its batch backfill
+        // face for the oracle; the MemoryStream spec proves late-drop and
+        // cross-micro-batch bar stability.
+        graft.streaming.EventStreams.windowOhlc(s.table("events"),
+          "1 hour", "1 hour")
+          .orderBy("event_type", "window_start")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+        |    ts, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT g AS event_type, cast(to_timestamp(b) as timestamp) AS window_start,
+        |  max(CASE WHEN rn_a = 1 THEN v END) AS o,
+        |  max(v) AS h, min(v) AS l,
+        |  max(CASE WHEN rn_d = 1 THEN v END) AS c,
+        |  count(*) AS n
+        |FROM ev GROUP BY g, b
+        |ORDER BY event_type, window_start""".stripMargin)),
+
+    QueryDef(
       "a12_ohlc_bars",
       withTables { (s, _) =>
         // resample-to-bars: hourly OHLC of event values per type. Open and

@@ -37,6 +37,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** Windowed OHLC bars — the streaming face of
+    * [[graft.operators.TimeSeries.ohlcBars]]: tumbling watermarked windows
+    * per event type, Open/Close picked on the UNIQUE (ts, event_id)
+    * ordering via min_by/max_by so the bars are bit-stable across engines
+    * AND across micro-batch boundaries (every agg here merges
+    * associatively, so state is one narrow row per open window and
+    * arrival order can't change a closed bar). Late data beyond the
+    * watermark is dropped; works identically on batch frames (backfill —
+    * the gate's oracle face).
+    */
+  def windowOhlc(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("o"),
+        max(col("value")).as("h"),
+        min(col("value")).as("l"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("c"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("o"), col("h"), col("l"), col("c"), col("n"))
+
   /** Session windows (gap-based) per user. */
   def sessionStats(events: DataFrame, gap: String, watermark: String): DataFrame =
     events

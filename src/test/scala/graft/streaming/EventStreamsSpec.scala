@@ -38,6 +38,37 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowOhlc: open/close stable across micro-batch arrival order; late rows dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val agg = windowOhlc(input.toDF(), "10 minutes", "5 minutes")
+    val q = toMemorySink(agg, "ohlc_test", complete = false)
+    try {
+      // the LATEST event of the first bar arrives in the FIRST micro-batch,
+      // earlier ones later — close must still come from the max (ts, id)
+      input.addData(Event(3, ts(9), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1, ts(1), 1, "click", 7.0),  // open (earliest)
+        Event(2, ts(5), 1, "click", 9.0))  // high
+      q.processAllAvailable()
+      input.addData(Event(4, ts(40), 2, "view", 0.0)) // close the bar
+      q.processAllAvailable()
+      // late event for the closed bar: dropped, bar unchanged
+      input.addData(Event(5, ts(2), 9, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(55), 2, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ohlc_test")
+        .select("window_start", "event_type", "o", "h", "l", "c", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 7.0, 9.0, 4.0, 4.0, 3L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("hoppingStats: each event counts in every overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
