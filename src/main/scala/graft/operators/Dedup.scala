@@ -124,6 +124,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram-Jaccard pairs via PREFIX FILTERING (Bayardo et al. 2007 /
+    * Xiao et al. 2008 PPJoin) — the LOSSLESS extreme-scale refinement of
+    * [[ngramJaccardPairs]]'s stop-shingle cap: under any global total order
+    * (ascending hash here), two sets with J ≥ t MUST share an element
+    * within their first `sz − ⌈t·sz⌉ + 1` elements (J ≥ t forces
+    * |A∩B| ≥ ⌈t·sz⌉ on BOTH sides, so a disjoint prefix leaves too little
+    * suffix to hold the intersection). Only prefixes are exploded into the
+    * inverted index — at t = 0.8 that is ~20% of the shingle volume, and
+    * unlike `maxShingleDocFreq` no qualifying pair can ever be lost. The
+    * length filter (t·szA ≤ szB ∧ t·szB ≤ szA, another J ≥ t necessity)
+    * prunes candidates in the join condition; survivors verify by exact
+    * Jaccard on the full sets. Output ≡ [[ngramJaccardPairs]] with no cap.
+    */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1,
+      s"prefixFilterPairs: threshold must be in (0,1), got $threshold")
+    val sorted = hashedShingleSets(df, idCol, textCol, n)
+      .select(col("id"), array_sort(col("hs")).as("hs"), col("sz"))
+    val ex = sorted.select(col("id"), col("sz"),
+      explode(slice(col("hs"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))).as("s"))
+    val cand = ex.as("a").join(ex.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") * lit(threshold) <= col("b.sz") &&
+          col("b.sz") * lit(threshold) <= col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sorted.select(col("id").as("id_a"), col("hs").as("sh_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sorted.select(col("id").as("id_b"), col("hs").as("sh_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Shingle-containment pairs — the ASYMMETRIC near-dup relation
     * C(A→B) = |A∩B| / |A| (Broder's containment): catches a document
     * quoted or wholly embedded inside a larger one, which symmetric

@@ -307,6 +307,30 @@ class DedupSpec extends SparkSpec {
     assert(md5p.map(t => (t._1, t._2)).toSet == fast)
   }
 
+  test("prefixFilterPairs: LOSSLESS — equals the full inverted-index join; index shrinks") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val pref = Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pref == full, s"t=$t: prefix filter lost ${(full -- pref).size} " +
+        s"/ invented ${(pref -- full).size} of ${full.size} pairs")
+    }
+    // the point of the scheme: the exploded index is a strict fraction of
+    // the full shingle volume (~1-t plus one element per doc)
+    val sets = Dedup.hashedShingleSets(docs, "doc_id", "text", 3)
+    val fullRows = sets.select(explode(col("hs"))).count()
+    val prefRows = sets
+      .select(explode(slice(array_sort(col("hs")), lit(1),
+        (col("sz") - ceil(col("sz") * lit(0.8)) + 1).cast("int"))))
+      .count()
+    assert(prefRows.toDouble / fullRows < 0.35,
+      s"prefix index $prefRows / full $fullRows not a meaningful reduction")
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilterPairs(docs, "doc_id", "text", 3, 1.0))
+  }
+
   test("ophSig: bin mins + rotation densification match a naive reference; empty input is null") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(11)
