@@ -3389,6 +3389,66 @@ object OpsEntry {
         |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef(
+      "p04_mixture_pack_pipeline",
+      withTables { (s, _) =>
+        // capstone composition of the late-r9 ops: d26's variant-injected
+        // corpus -> T=2 temperature mixture (data-derived rates) ->
+        // normalized exact dedup (variants collapse onto their even-id
+        // sources when both survive sampling) -> stable 80/10/10 split ->
+        // train-shard sequence packing. Every stage is the SAME operator
+        // its own gate row runs; the oracle chains their CTEs, so the
+        // hash proves the stages compose without contract drift.
+        val docs = s.table("documents")
+        val variant = docs.select((col("doc_id") + 1).as("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "  "))).as("text"),
+          col("lang"))
+          .where(col("doc_id") % 2 === 1)
+        val corpus = docs.where(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang").union(variant)
+        val mixed = TrainingPipeline.temperatureMixture(corpus, "lang", "doc_id",
+          budgetFrac = 0.7)
+        val deduped = Dedup.dedupExactNormalized(mixed, "text", "doc_id")
+        val split = TrainingPipeline.assignSplits(deduped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val train = split.where(col("split") === "train")
+          .withColumn("n_tokens", size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+        TrainingPipeline.packSequences(train, "doc_id", col("n_tokens"),
+          pmod(col("doc_id"), lit(8)), budget = 2048L)
+          .select("doc_id", "shard", "pack", "off")
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1 AS doc_id, '  ' || upper(replace(text, ' ', '  ')) AS text, lang
+        |  FROM documents WHERE (doc_id + 1) % 2 = 1),
+        |c AS (SELECT lang AS g, count(*)::BIGINT AS n FROM corpus GROUP BY lang),
+        |t AS (SELECT cast(sum(n) as double) AS n_total,
+        |        list_reduce(array_agg(sqrt(cast(n as double)) ORDER BY g),
+        |          (a, b) -> a + b) AS w_total
+        |      FROM c),
+        |r AS (SELECT c.g,
+        |        least(1.0, 0.7 * t.n_total * sqrt(cast(c.n as double)) / t.w_total /
+        |          cast(c.n as double)) AS rate
+        |      FROM c CROSS JOIN t),
+        |mix AS (SELECT d.doc_id, d.text FROM corpus d JOIN r ON r.g = d.lang
+        |  WHERE ('0x' || substr(md5('42-' || d.doc_id), 1, 7))::BIGINT / 268435456.0 < r.rate),
+        |ded AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, row_number() OVER (
+        |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn FROM mix) WHERE rn = 1),
+        |tr AS (SELECT doc_id, text FROM ded
+        |  WHERE ('0x' || substr(md5('42-' || doc_id), 1, 7))::BIGINT / 268435456.0 < 0.8),
+        |base AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM tr)
+        |SELECT doc_id, shard, (start // 2048)::BIGINT AS pack, (start % 2048)::BIGINT AS off
+        |FROM (SELECT doc_id, shard,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+        |  FROM base)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d33_prefix_filter_pairs",
       withTables { (s, _) =>
         // lossless prefix-filtered Jaccard join (PPJoin scheme): only each

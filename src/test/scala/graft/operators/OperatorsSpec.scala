@@ -1193,6 +1193,37 @@ class TrainingPipelineSpec extends SparkSpec {
       TrainingPipeline.temperatureMixture(docs, "lang", "doc_id", 0.5, temperature = 4.0))
   }
 
+  test("mixture->dedup->split->pack composition: keepers are even sources, offsets in budget") {
+    // the p04 pipeline on sf0.001: every surviving odd id is a variant
+    // whose even-id source did NOT survive temperature sampling (otherwise
+    // normalized dedup keeps the lower/even id)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val variant = docs.select((col("doc_id") + 1).as("doc_id"),
+      concat(lit("  "), upper(regexp_replace(col("text"), " ", "  "))).as("text"), col("lang"))
+      .where(col("doc_id") % 2 === 1)
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+      .select("doc_id", "text", "lang").union(variant)
+    val mixed = TrainingPipeline.temperatureMixture(corpus, "lang", "doc_id", budgetFrac = 0.7)
+    val survivors = mixed.select("doc_id").as[Long].collect().toSet
+    val deduped = Dedup.dedupExactNormalized(mixed, "text", "doc_id")
+    val kept = deduped.select("doc_id").as[Long].collect().toSet
+    val oddKept = kept.filter(_ % 2 == 1)
+    assert(oddKept.nonEmpty, "fixture should leave some odd variants as sole survivors")
+    oddKept.foreach { o =>
+      assert(!survivors.contains(o - 1),
+        s"variant $o kept although its even source ${o - 1} survived sampling")
+    }
+    val packed = TrainingPipeline.packSequences(
+      TrainingPipeline.assignSplits(deduped, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "train")
+        .withColumn("n_tokens",
+          size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long")),
+      "doc_id", col("n_tokens"), pmod(col("doc_id"), lit(8)), budget = 2048L)
+    val offs = packed.select("off").as[Long].collect()
+    assert(offs.forall(o => o >= 0 && o < 2048L))
+  }
+
   test("curate substringDedup removes lifted-passage docs plain curate keeps") {
     // doc 11 lifts a 6-word passage from doc 10; whole-doc Jaccard is far
     // below 0.8 so MinHash curation keeps both — substring mode must fold
