@@ -3389,6 +3389,35 @@ object OpsEntry {
         |ORDER BY d.doc_id""".stripMargin)),
 
     QueryDef(
+      "a13_twap",
+      withTables { (s, _) =>
+        // hourly time-weighted average of event values per type: each
+        // observation holds until the next (last to bucket end), integer-
+        // microsecond durations, value x duration folded in (ts, id) order
+        // — irregular-sampling-fair means, bit-identical cross-engine.
+        TimeSeries.twap(s.table("events"), "ts", "event_type", "value",
+          tiebreakCol = "event_id", bucketSeconds = 3600L)
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g,
+        |    (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+        |    epoch_us(ts) AS t_us, event_id AS tb, value AS v
+        |  FROM events),
+        |d AS (
+        |  SELECT g, b, t_us, tb, v,
+        |    coalesce(lead(t_us) OVER (PARTITION BY g, b ORDER BY t_us, tb),
+        |      b + 3600000000) - t_us AS dur
+        |  FROM ev)
+        |SELECT g AS event_type,
+        |  cast(to_timestamp(b // 1000000) as timestamp) AS bucket_start,
+        |  round(list_reduce(array_agg(v * dur::DOUBLE ORDER BY t_us, tb),
+        |      (a, x) -> a + x) / sum(dur)::DOUBLE, 6) AS twap,
+        |  count(*) AS n
+        |FROM d GROUP BY g, b
+        |ORDER BY event_type, bucket_start""".stripMargin)),
+
+    QueryDef(
       "p04_mixture_pack_pipeline",
       withTables { (s, _) =>
         // capstone composition of the late-r9 ops: d26's variant-injected

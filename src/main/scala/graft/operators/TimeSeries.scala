@@ -77,6 +77,53 @@ object TimeSeries {
         col("o"), col("h"), col("l"), col("c"), col("n"))
   }
 
+  /** TWAP — time-weighted average per (group, bucket): each observation's
+    * value holds from its timestamp until the next observation in the
+    * bucket (the last holds to bucket end), so irregular sampling doesn't
+    * bias the mean toward burst periods the way a plain AVG does — the
+    * standard fairness fix for market/metric data. Durations are integer
+    * microseconds (exact); ties on ts order by `tiebreakCol`, making the
+    * zero-duration assignment deterministic. The value·duration sum is an
+    * ORDERED fold over the (ts, tiebreak)-sorted observation list — the
+    * repo's cross-engine float rule — and the denominator is an integer
+    * SUM, so the quotient is bit-identical everywhere.
+    *
+    * Scale shape: one window (lead) over the (g, b) partitioning, one
+    * aggregation; the fold list is bucket-local (bounded by per-bucket
+    * observation count), never corpus-wide.
+    */
+  def twap(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      tiebreakCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "twap: bucketSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val usPerBucket = bucketSeconds * 1000000L
+    val ev = df.select(col(groupCol).as("g"),
+      ((unix_micros(col(tsCol).cast("timestamp")) / usPerBucket).cast("long") *
+        usPerBucket).as("b"),
+      unix_micros(col(tsCol).cast("timestamp")).as("t_us"),
+      col(tiebreakCol).as("tb"), col(valCol).cast("double").as("v"))
+    val w = Window.partitionBy("g", "b").orderBy(col("t_us"), col("tb"))
+    val withDur = ev.withColumn("dur",
+      coalesce(lead(col("t_us"), 1).over(w), col("b") + lit(usPerBucket)) - col("t_us"))
+    withDur.groupBy("g", "b")
+      .agg(
+        round(
+          aggregate(
+            array_sort(collect_list(struct(col("t_us"), col("tb"),
+              (col("v") * col("dur").cast("double")).as("vd")))),
+            lit(0.0), (acc, x) => acc + x.getField("vd")) /
+            sum(col("dur")).cast("double"),
+          6).as("twap"),
+        count(lit(1)).as("n"))
+      .select(col("g").as(groupCol), timestamp_micros(col("b")).as("bucket_start"),
+        col("twap"), col("n"))
+  }
+
   /** Linear time-weighted interpolation onto a dense per-group bucket
     * spine: buckets with an observation keep it (bucket value = max of the
     * bucket's values — an exact, order-independent pick); empty interior

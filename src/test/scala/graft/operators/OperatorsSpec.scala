@@ -1473,6 +1473,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("10:00", "b")) == 0L && out(("10:02", "b")) == 0L && out(("10:03", "b")) == 0L)
   }
 
+  test("twap: value holds to the next observation; durations exact; ties get zero duration") {
+    val ev = Seq(
+      // bucket 10:00: v=6 holds 30s, v=12 holds 30s -> twap 9.0
+      ("a", "2024-01-01 10:00:00", 1L, 6.0),
+      ("a", "2024-01-01 10:00:30", 2L, 12.0),
+      // bucket 10:01: single obs at :45 holds the last 15s -> twap = value
+      ("a", "2024-01-01 10:01:45", 3L, 5.0),
+      // bucket 10:02: tie on ts — id 4 gets duration 0, id 5 holds 30s
+      ("a", "2024-01-01 10:02:30", 4L, 100.0),
+      ("a", "2024-01-01 10:02:30", 5L, 8.0)
+    ).toDF("g", "ts_s", "id", "v")
+      .select(col("g"), col("ts_s").cast("timestamp").as("ts"), col("id"), col("v"))
+    val out = TimeSeries.twap(ev, "ts", "g", "v", "id", bucketSeconds = 60L)
+      .collect()
+      .map(r => r.getTimestamp(1).toString.substring(11, 16) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out("10:00") == ((9.0, 2L)), out.toString)
+    assert(out("10:01") == ((5.0, 1L)))
+    assert(out("10:02") == ((8.0, 2L))) // the tied-earlier 100.0 weighs nothing
+  }
+
   test("ohlcBars: open/close on the unique (ts, tiebreak) ordering, high/low/count exact") {
     val ev = Seq(
       // bucket 10:00 for group a: open=5 (earliest), close=1 (latest),
