@@ -3579,6 +3579,63 @@ object OpsEntry {
           .orderBy("rank")
       },
       Some(prfOracleSql)),
+
+    QueryDef(
+      "a14_ewma",
+      withTables { (s, _) =>
+        // truncated EWMA per event type: trailing-32 ordered fold seeded
+        // with the oldest frame value — the non-associative recurrence made
+        // exact and bounded (dropped tail weight 2^-32, far below the
+        // 6-decimal grid). Both engines fold identical doubles in identical
+        // order, so the row is full-oracle despite being FP.
+        TimeSeries.ewma(s.table("events"), "ts", "event_type", "value", "event_id",
+          alpha = 0.5, lookback = 32)
+          .orderBy("event_type", "ts", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events),
+        |w AS (
+        |  SELECT g, ts, event_id, v,
+        |    array_agg(v) OVER (PARTITION BY g ORDER BY ts, event_id
+        |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM ev)
+        |SELECT g AS event_type, ts, event_id, v AS value,
+        |  round(list_reduce(arr, (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
+        |FROM w ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "a15_rolling_zscore",
+      withTables { (s, _) =>
+        // out-of-sample rolling z-score anomalies per event type: each
+        // value scored against the mean/population-sigma of its 64
+        // PRECEDING observations (ordered left-fold sums → bit-stable
+        // doubles), |z| > 2.5 with a 16-row warm-up flagged.
+        TimeSeries.rollingZscore(s.table("events"), "ts", "event_type", "value",
+          "event_id", lookback = 64, minObs = 16, threshold = 2.5)
+          .orderBy("event_type", "ts", "event_id")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events),
+        |w AS (
+        |  SELECT g, ts, event_id, v,
+        |    array_agg(v) OVER (PARTITION BY g ORDER BY ts, event_id
+        |      ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING) AS arr
+        |  FROM ev),
+        |st AS (
+        |  SELECT g, ts, event_id, v,
+        |    list_reduce(arr, (a, x) -> a + x) / len(arr)::DOUBLE AS mu,
+        |    sqrt(list_reduce(list_transform(arr, x -> x * x), (a, x) -> a + x) /
+        |        len(arr)::DOUBLE -
+        |      (list_reduce(arr, (a, x) -> a + x) / len(arr)::DOUBLE) *
+        |      (list_reduce(arr, (a, x) -> a + x) / len(arr)::DOUBLE)) AS sigma
+        |  FROM w WHERE len(arr) >= 16)
+        |SELECT g AS event_type, ts, event_id, v AS value,
+        |  floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mu,
+        |  floor(sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma,
+        |  floor((v - mu) / sigma * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM st
+        |WHERE sigma > 0.0 AND abs((v - mu) / sigma) > 2.5
+        |ORDER BY event_type, ts, event_id""".stripMargin)),
   )
 
   /** r05's oracle: r01's literal-term CTE for the feedback pass, then the

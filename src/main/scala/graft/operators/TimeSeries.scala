@@ -178,4 +178,115 @@ object TimeSeries {
           6).as("v"),
         col("v").isNotNull.as("observed"))
   }
+
+  /** Truncated EWMA — per group, ordered by the unique (ts, tiebreak) key,
+    * the exponentially weighted moving average over the trailing `lookback`
+    * observations: `e = fold(x_{n-K+1..n}, e ← e·(1−α) + x·α)` seeded with
+    * the oldest value in the frame. EWMA's recurrence is NOT associative,
+    * so a running window aggregate can't state it; truncating at `lookback`
+    * makes it a bounded ordered fold instead (the dropped tail carries
+    * weight (1−α)^K — 2⁻³² at the defaults, far below the 6-decimal output
+    * grid), which is what keeps it exact, scale-safe AND cross-engine
+    * bit-stable: both engines fold the identical doubles in the identical
+    * order, and IEEE ±·· are correctly rounded everywhere.
+    *
+    * Scale shape: one hash exchange on the group key, one sort, and a
+    * bounded K-element frame buffer per row — no unbounded per-group state,
+    * no rescaled-cumulative-sum trick (whose (1−α)^{−i} factors overflow
+    * doubles after ~1k rows).
+    *
+    * Returns the input key columns plus `value` and `ewma` (rounded 6).
+    */
+  def ewma(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      tiebreakCol: String,
+      alpha: Double = 0.5,
+      lookback: Int = 32): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"ewma: alpha must be in (0, 1], got $alpha")
+    require(lookback >= 1, s"ewma: lookback must be >= 1, got $lookback")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("t"), col("tb"))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    df.select(col(groupCol).as("g"), col(tsCol).as("t"), col(tiebreakCol).as("tb"),
+        col(valCol).cast("double").as("v"))
+      .withColumn("arr", collect_list(col("v")).over(w))
+      .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
+        col("v").as("value"),
+        round(aggregate(slice(col("arr"), lit(2), lit(lookback)),
+          element_at(col("arr"), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6).as("ewma"))
+  }
+
+  /** Rolling z-score anomaly detection — per group, ordered by the unique
+    * (ts, tiebreak) key, each observation is scored against the mean and
+    * population variance of the PRECEDING `lookback` observations (current
+    * row excluded — the score is out-of-sample); rows with `|z| > threshold`
+    * and a warm history (`n ≥ minObs`) are flagged. Mean and variance come
+    * from ordered left-folds over the frame array (sum seeded with the
+    * first element, sum-of-squares over the squared array), so both engines
+    * add the identical doubles in the identical order — with IEEE-exact
+    * ±·/·sqrt that makes z bit-stable, and the threshold comparison with it.
+    *
+    * Scale shape: one hash exchange on the group key, one sort, bounded
+    * K-element frame buffer per row; the anomaly filter is map-side after
+    * the window.
+    *
+    * Returns flagged rows: key columns, `value`, `mu`, `sigma`, `z`
+    * (mu/sigma/z rounded 6).
+    */
+  def rollingZscore(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      tiebreakCol: String,
+      lookback: Int = 64,
+      minObs: Int = 16,
+      threshold: Double = 3.0): DataFrame = {
+    require(lookback >= minObs && minObs >= 2,
+      s"rollingZscore: need lookback >= minObs >= 2, got lookback=$lookback minObs=$minObs")
+    require(threshold > 0.0, s"rollingZscore: threshold must be positive, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("t"), col("tb"))
+      .rowsBetween(-lookback, -1)
+    val n = size(col("arr")).cast("double")
+    // ordered left-folds: sum seeded with arr[0] (DuckDB list_reduce
+    // semantics); sum of squares folds the squared array the same way —
+    // squares are non-negative, so the ±0.0 seeding pitfall can't bite.
+    // Null-safe `get` seeds (not element_at): Catalyst may evaluate these
+    // before the warm-up size filter, and the first row per group has an
+    // EMPTY preceding frame — a null seed just yields a null that the
+    // filter drops, where element_at would throw.
+    val sum1 = aggregate(slice(col("arr"), lit(2), lit(lookback)),
+      get(col("arr"), lit(0)), (a, x) => a + x)
+    val sq = transform(col("arr"), x => x * x)
+    val sum2 = aggregate(slice(sq, lit(2), lit(lookback)),
+      get(sq, lit(0)), (a, x) => a + x)
+    df.select(col(groupCol).as("g"), col(tsCol).as("t"), col(tiebreakCol).as("tb"),
+        col(valCol).cast("double").as("v"))
+      .withColumn("arr", collect_list(col("v")).over(w))
+      .where(size(col("arr")) >= minObs)
+      .withColumn("mu", sum1 / n)
+      .withColumn("sigma", sqrt(sum2 / n - col("mu") * col("mu")))
+      .withColumn("z", (col("v") - col("mu")) / col("sigma"))
+      .where(col("sigma") > 0.0 && abs(col("z")) > threshold)
+      .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
+        col("v").as("value"), grid6(col("mu")).as("mu"),
+        grid6(col("sigma")).as("sigma"), grid6(col("z")).as("z"))
+  }
+
+  /** 6-decimal output grid via IEEE-exact ops only: `floor(x·10⁶ + 0.5)/10⁶`
+    * is mul/add/floor/div — all correctly rounded in every engine — so both
+    * sides of an oracle compare land on the identical double even when x
+    * sits ON a decimal rounding boundary. (`round(x, 6)` does NOT have that
+    * property: Spark rounds the exact binary value via BigDecimal HALF_UP
+    * while DuckDB rounds through a scaled multiply, and the two disagree on
+    * boundary-adjacent values — observed live on a15's rolling means, where
+    * sums of 2-decimal values divided by 64 land near .5·10⁻⁶ often.)
+    */
+  private def grid6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 }

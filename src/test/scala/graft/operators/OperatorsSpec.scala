@@ -1543,6 +1543,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("a", "10:03")) == ((40.0, true)))
     assert(out(("b", "10:01")) == ((7.5, true)))
   }
+
+  test("ewma: trailing fold matches the recurrence; truncation at lookback; groups independent") {
+    val ev = (1 to 6).map(i => ("a", f"2024-01-01 10:00:$i%02d", i.toLong, i.toDouble)) :+
+      (("b", "2024-01-01 10:00:01", 7L, 100.0))
+    val df = ev.toDF("g", "ts_s", "id", "v")
+      .select(col("g"), col("ts_s").cast("timestamp").as("ts"), col("id"), col("v"))
+    // alpha 0.5, lookback 3: row 4's frame is [2,3,4] -> ((2*.5+3*.5)*.5+4*.5) = 3.25
+    val out = TimeSeries.ewma(df, "ts", "g", "v", "id", alpha = 0.5, lookback = 3)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(out(1L) == 1.0) // seed = its own value
+    assert(out(2L) == 1.5)
+    assert(out(3L) == 2.25) // (1*.5+2*.5)*.5 + 3*.5
+    assert(out(4L) == 3.25) // value 1 dropped by truncation
+    assert(out(7L) == 100.0) // group b unaffected by a's history
+  }
+
+  test("rollingZscore: out-of-sample score, warm-up filter, threshold filter") {
+    // 20 flat values then a spike: only the spike row clears |z| > 3, and
+    // only rows with >= 4 preceding obs are scored at all
+    val vals = Seq.fill(20)(10.0) ++ Seq(10.4, 200.0)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d", i.toLong, v)
+    }
+    val df = ev.toDF("g", "ts_s", "id", "v")
+      .select(col("g"), col("ts_s").cast("timestamp").as("ts"), col("id"), col("v"))
+    val out = TimeSeries.rollingZscore(df, "ts", "g", "v", "id",
+      lookback = 8, minObs = 4, threshold = 3.0)
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getDouble(6)))
+    // flat history has sigma = 0 -> excluded; 10.4 perturbs sigma for the
+    // spike row, which then scores far above threshold
+    assert(out.length == 1, out.toSeq)
+    assert(out.head._1 == 21L && out.head._2 == 200.0)
+    assert(out.head._3 > 3.0)
+  }
 }
 
 class GraphOpsSpec extends SparkSpec {
