@@ -3636,7 +3636,55 @@ object OpsEntry {
         |FROM st
         |WHERE sigma > 0.0 AND abs((v - mu) / sigma) > 2.5
         |ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "g04_label_propagation",
+      withTables { (s, _) =>
+        // deterministic sync LPA on the sparse co-purchase bipartite graph
+        // (g03's graph): 4 simultaneous mode-adoption rounds, smallest-label
+        // tiebreak — communities finer than g03's components wherever a
+        // component has local hubs. All-integer, so the unrolled-CTE oracle
+        // hash-matches exactly.
+        val edges = s.table("lineitem").where(col("l_quantity") === 1)
+          .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        GraphOps.labelPropagation(edges, "src", "dst", iterations = 4)
+          .orderBy("node")
+      },
+      Some(labelPropagationOracle(4))),
   )
+
+  /** g04's oracle: [[GraphOps.labelPropagation]]'s synchronous rounds
+    * unrolled as MATERIALIZED CTEs (each round is referenced twice — by the
+    * next round's count join AND its keep-old fallback — so DuckDB would
+    * otherwise inline it exponentially). Mode pick = row_number over
+    * (count desc, label asc), the same total tiebreak the engine uses;
+    * all-integer, so the hash comparison is exact.
+    */
+  private def labelPropagationOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c
+         |  FROM und e JOIN l${i - 1} l ON l.node = e.dst GROUP BY e.src, l.lbl),
+         |b$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON b.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d
+       |  FROM lineitem WHERE l_quantity = 1),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT s AS src, d AS dst FROM raw UNION SELECT d, s FROM raw)
+       |  WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS lbl FROM und),
+       |$iters
+       |SELECT node, lbl AS label FROM l$iterations ORDER BY node""".stripMargin
+  }
 
   /** r05's oracle: r01's literal-term CTE for the feedback pass, then the
     * expansion pick, the dynamic-term tf/df joins and the ORDERED

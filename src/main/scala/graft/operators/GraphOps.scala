@@ -170,6 +170,55 @@ object GraphOps {
     Dedup.connectedComponents(nodes, e, maxIter)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * deterministic): labels start as node ids; each round EVERY node
+    * simultaneously adopts the most frequent label among its undirected
+    * neighbors, ties broken by the smallest label. The async variant's
+    * order-dependence (and the sync variant's oscillation risk on
+    * bipartite structure) is neutralized by the fixed iteration count +
+    * total tiebreak — the run is a pure function of the edge set, so the
+    * oracle can unroll the SAME rounds as CTEs and hash-match exactly
+    * (all-integer arithmetic). The community detector for link-farm /
+    * boilerplate-cluster discovery where CC is too coarse (everything
+    * touching merges) and modularity methods aren't distributable.
+    *
+    * Scale shape (100 TB): per round one equi-join on dst (neighbor label
+    * lookup), one count aggregate, one per-node top-1 window, one left
+    * join back — all hash-partitioned on node keys; nothing collected or
+    * broadcast; lineage cut every 2 rounds.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"labelPropagation: iterations must be in [1,50], got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val raw = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val und = raw.select(col("s").as("src"), col("d").as("dst"))
+      .union(raw.select(col("d").as("src"), col("s").as("dst")))
+      .distinct()
+      .repartition(col("dst"))   // every round probes on dst: fix the layout once
+      .localCheckpoint(false)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val byNode = Window.partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+    for (i <- 1 to iterations) {
+      val counts = und.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = counts.withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1).select(col("node"), col("lbl").as("nl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      if (i % 2 == 0 && i < iterations) labels = labels.localCheckpoint(false)
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+
   /** Top-k authorities by (rank desc, node asc) — sort+limit compiles to
     * TakeOrderedAndProject (per-partition top-N, bounded merge). */
   def pageRankTopK(

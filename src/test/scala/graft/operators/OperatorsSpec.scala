@@ -1672,6 +1672,30 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toList
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("labelPropagation: two bridged triangles split into two communities; noise ignored") {
+    // hand-traced 4 sync rounds with min tiebreak: {1,2,3} -> 1, {4,5,6} -> 3
+    // (CC would merge everything across the 3-4 bridge — LPA is finer).
+    // Noise: reversed duplicate, self-loop, null endpoint — all dropped.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val noisy = (tri ++ Seq((2L, 1L), (5L, 5L))).toDF("src", "dst")
+      .union(Seq((java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Long]))
+        .toDF("src", "dst"))
+    val got = GraphOps.labelPropagation(noisy, "src", "dst", iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      got.toString)
+  }
+
+  test("labelPropagation: sync round semantics — every node updates from the PREVIOUS round") {
+    // path 1-2-3: round 1 gives (1->2, 2->1, 3->2); an async sweep in id
+    // order would instead give 2->... from 1's ALREADY-UPDATED label. One
+    // round isolates the difference.
+    val got = GraphOps.labelPropagation(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L), got.toString)
+  }
 }
 
 class ProfileSpec extends SparkSpec {
