@@ -3005,6 +3005,38 @@ object OpsEntry {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "q64_list_lambdas",
+      withTables { (s, _) =>
+        // higher-order array lambdas as pipe stages (q36/q42 cover
+        // construction/access; this row covers transform/filter/
+        // aggregate/zip_with vs DuckDB's list_* lambda family). Arrays
+        // flattened to CSV strings for the canonicalizer; all-integer
+        // arithmetic, ordered fold. Conformance seam pinned by the oracle's
+        // coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+        // where Spark's array_join is '' — the oracle states Spark's
+        // (SQL-standard concat-of-nothing) answer.
+        Psqlish(s, """from documents |>
+          |select doc_id, sequence(1L, 1L + doc_id % 4) as arr |>
+          |select doc_id,
+          |  array_join(transform(arr, x -> cast(x * x + 1 as string)), ',') as sq,
+          |  array_join(transform(filter(arr, x -> x % 2 = 0),
+          |    x -> cast(x as string)), ',') as ev,
+          |  aggregate(arr, 0L, (a, x) -> a + x) as tot,
+          |  array_join(zip_with(arr, reverse(arr),
+          |    (a, b) -> cast(a + b as string)), ',') as zp |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  array_to_string(list_transform(arr, x -> (x * x + 1)::VARCHAR), ',') AS sq,
+        |  coalesce(array_to_string(list_transform(list_filter(arr, x -> x % 2 = 0),
+        |    x -> x::VARCHAR), ','), '') AS ev,
+        |  list_reduce(list_prepend(0::BIGINT, arr), (a, x) -> a + x) AS tot,
+        |  array_to_string(list_transform(range(1, len(arr) + 1),
+        |    i -> (arr[i] + arr[len(arr) + 1 - i])::VARCHAR), ',') AS zp
+        |FROM (SELECT doc_id, range(1::BIGINT, 2 + doc_id % 4) AS arr FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "a10_interval_overlap",
       withTables { (s, _) =>
         // interval x interval overlap join (temporal intersection): 1-hour
