@@ -274,19 +274,7 @@ object TimeSeries {
       .withColumn("z", (col("v") - col("mu")) / col("sigma"))
       .where(col("sigma") > 0.0 && abs(col("z")) > threshold)
       .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
-        col("v").as("value"), grid6(col("mu")).as("mu"),
-        grid6(col("sigma")).as("sigma"), grid6(col("z")).as("z"))
+        col("v").as("value"), Fp.grid6(col("mu")).as("mu"),
+        Fp.grid6(col("sigma")).as("sigma"), Fp.grid6(col("z")).as("z"))
   }
-
-  /** 6-decimal output grid via IEEE-exact ops only: `floor(x·10⁶ + 0.5)/10⁶`
-    * is mul/add/floor/div — all correctly rounded in every engine — so both
-    * sides of an oracle compare land on the identical double even when x
-    * sits ON a decimal rounding boundary. (`round(x, 6)` does NOT have that
-    * property: Spark rounds the exact binary value via BigDecimal HALF_UP
-    * while DuckDB rounds through a scaled multiply, and the two disagree on
-    * boundary-adjacent values — observed live on a15's rolling means, where
-    * sums of 2-decimal values divided by 64 land near .5·10⁻⁶ often.)
-    */
-  private def grid6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 }
