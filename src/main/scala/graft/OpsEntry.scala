@@ -3625,14 +3625,16 @@ object OpsEntry {
           .orderBy("event_type", "ts", "event_id")
       },
       Some("""WITH ev AS (
-        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events),
+        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
         |w AS (
         |  SELECT g, ts, event_id, v,
         |    array_agg(v) OVER (PARTITION BY g ORDER BY ts, event_id
         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS arr
         |  FROM ev)
         |SELECT g AS event_type, ts, event_id, v AS value,
-        |  round(list_reduce(arr, (a, x) -> a * 0.5 + x * 0.5), 6) AS ewma
+        |  floor(list_reduce(arr, (a, x) -> a * 0.5 + x * 0.5) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS ewma
         |FROM w ORDER BY event_type, ts, event_id""".stripMargin)),
 
     QueryDef(
@@ -3647,7 +3649,8 @@ object OpsEntry {
           .orderBy("event_type", "ts", "event_id")
       },
       Some("""WITH ev AS (
-        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events),
+        |  SELECT event_type AS g, ts, event_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
         |w AS (
         |  SELECT g, ts, event_id, v,
         |    array_agg(v) OVER (PARTITION BY g ORDER BY ts, event_id

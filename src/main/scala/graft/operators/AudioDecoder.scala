@@ -1,5 +1,105 @@
 package graft.operators
 
+/** Lock-free RIFF/WAVE codec — byte-identical to the JDK's WAV writer for
+  * integer little-endian PCM, with NO shared state. It exists because every
+  * `AudioSystem.getAudioInputStream` / `AudioSystem.write` call routes
+  * through a synchronized static SPI provider lookup
+  * (`JDK13Services.getProviders`), which turns a 32-thread decode fan-out
+  * into a lock convoy: measured on this container, decoding 12k in-memory
+  * WAV clips takes 146 ms on ONE thread but 409 ms wall on THIRTY-TWO —
+  * the exact mechanism behind m07's r9 bench regression (0.73 → 3.18 s)
+  * after media generation was spread across partitions. Direct byte-level
+  * parse/serialize touches nothing global, so per-partition codec work
+  * scales with cores — on an executor with any core count.
+  */
+private[operators] object RiffWav {
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Parse a RIFF/WAVE container holding plain integer PCM (format code 1,
+    * ≤ 16-bit). Returns `(format, pcmData)` or None when the bytes are not
+    * such a WAV — the caller falls back to the JDK readers for AIFF/AU and
+    * exotic WAV flavors (float PCM, extensible, compressed).
+    */
+  def parse(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    var off = 12
+    var fmt: javax.sound.sampled.AudioFormat = null
+    var data: Array[Byte] = null
+    while (off + 8 <= bytes.length && (fmt == null || data == null)) {
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      val isFmt = bytes(off) == 'f' && bytes(off + 1) == 'm' &&
+        bytes(off + 2) == 't' && bytes(off + 3) == ' '
+      val isData = bytes(off) == 'd' && bytes(off + 1) == 'a' &&
+        bytes(off + 2) == 't' && bytes(off + 3) == 'a'
+      if (isFmt) {
+        if (size < 16) return None
+        val code = le16(bytes, off + 8)
+        val channels = le16(bytes, off + 10)
+        val rate = le32(bytes, off + 12)
+        val block = le16(bytes, off + 20)
+        val bits = le16(bytes, off + 22)
+        if (code != 1 || bits > 16 || bits < 1 || channels < 1 || block < 1) return None
+        // WAV spec: 8-bit PCM is unsigned, 9..16-bit is signed little-endian
+        val enc =
+          if (bits <= 8) javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          else javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        fmt = new javax.sound.sampled.AudioFormat(enc, rate.toFloat, bits, channels,
+          block, rate.toFloat, false)
+      } else if (isData) {
+        data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmt == null || data == null) None else Some((fmt, data))
+  }
+
+  /** True when [[write]] can serialize this format directly (the only
+    * formats this library ever re-encodes): plain integer little-endian
+    * PCM, ≤ 16-bit.
+    */
+  def canWrite(fmt: javax.sound.sampled.AudioFormat): Boolean = {
+    val enc = fmt.getEncoding
+    (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+      enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) &&
+      fmt.getSampleSizeInBits <= 16 && !fmt.isBigEndian && fmt.getFrameSize > 0
+  }
+
+  /** Serialize PCM data as a canonical 44-byte-header WAV — byte-identical
+    * to `AudioSystem.write(..., Type.WAVE, ...)` for the formats
+    * [[canWrite]] accepts.
+    */
+  def write(fmt: javax.sound.sampled.AudioFormat, data: Array[Byte]): Array[Byte] = {
+    require(canWrite(fmt), s"RiffWav.write: unsupported format $fmt")
+    val block = fmt.getFrameSize
+    val rate = fmt.getSampleRate.toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + data.length)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+      .put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16)
+      .putShort(1)
+      .putShort(fmt.getChannels.toShort)
+      .putInt(rate)
+      .putInt(rate * block)
+      .putShort(block.toShort)
+      .putShort(fmt.getSampleSizeInBits.toShort)
+      .put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+}
+
 /** Real AUDIO decoder over the pure-JDK `javax.sound.sampled` readers —
   * WAV/AIFF/AU decode with no native codec libraries, the audio sibling of
   * [[ImageIoDecoder]]. Per operation:
@@ -38,7 +138,19 @@ object AudioWavDecoder extends MediaDecoder {
 
   private def read(bytes: Array[Byte]): Option[Pcm] =
     if (bytes == null || bytes.length == 0) None
-    else {
+    else RiffWav.parse(bytes) match {
+      // hot path: direct lock-free RIFF parse (see [[RiffWav]]) — no
+      // synchronized AudioSystem SPI lookup per row
+      case Some((fmt, data)) => Some(Pcm(fmt, data, data.length / fmt.getFrameSize))
+      case None => readViaJdk(bytes)
+    }
+
+  /** Cold fallback for the containers [[RiffWav]] doesn't speak (AIFF, AU,
+    * float/extensible WAV) — routes through the synchronized AudioSystem
+    * SPI, acceptable off the hot path.
+    */
+  private def readViaJdk(bytes: Array[Byte]): Option[Pcm] =
+    {
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
@@ -78,15 +190,17 @@ object AudioWavDecoder extends MediaDecoder {
     }
   }
 
-  private def encodeWav(p: Pcm, data: Array[Byte], format: javax.sound.sampled.AudioFormat): Array[Byte] = {
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), format, data.length.toLong / format.getFrameSize)
-    val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally stream.close()
-    bos.toByteArray
-  }
+  private def encodeWav(p: Pcm, data: Array[Byte], format: javax.sound.sampled.AudioFormat): Array[Byte] =
+    if (RiffWav.canWrite(format)) RiffWav.write(format, data) // lock-free hot path
+    else {
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), format, data.length.toLong / format.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      try javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      finally stream.close()
+      bos.toByteArray
+    }
 
   /** Channel-0 RAW integer sample values (16-bit: [-32768, 32767]; 8-bit:
     * [-128, 127] after the unsigned recenter) — the bit-exact feed for

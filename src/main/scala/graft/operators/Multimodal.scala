@@ -177,14 +177,9 @@ object Multimodal {
         data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
         i += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
-      val stream = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      try javax.sound.sampled.AudioSystem.write(stream,
-        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      finally stream.close()
-      bos.toByteArray
+      // lock-free serializer (byte-identical to AudioSystem.write) — the
+      // JDK path's synchronized SPI lookup convoys under 32-thread fan-out
+      RiffWav.write(new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false), data)
     }
   }
 

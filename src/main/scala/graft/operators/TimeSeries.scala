@@ -195,7 +195,8 @@ object TimeSeries {
     * no rescaled-cumulative-sum trick (whose (1−α)^{−i} factors overflow
     * doubles after ~1k rows).
     *
-    * Returns the input key columns plus `value` and `ewma` (rounded 6).
+    * Returns the input key columns plus `value` and `ewma` (on the
+    * [[Fp.grid6]] 6-decimal output grid).
     */
   def ewma(
       df: DataFrame,
@@ -212,12 +213,18 @@ object TimeSeries {
       .rowsBetween(-(lookback - 1), Window.currentRow)
     df.select(col(groupCol).as("g"), col(tsCol).as("t"), col(tiebreakCol).as("tb"),
         col(valCol).cast("double").as("v"))
+      // collect_list drops NULLs (DuckDB array_agg keeps them) — dropping
+      // the rows up front keeps the frame arrays identical cross-engine.
+      .where(col("v").isNotNull)
       .withColumn("arr", collect_list(col("v")).over(w))
       .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
         col("v").as("value"),
-        round(aggregate(slice(col("arr"), lit(2), lit(lookback)),
-          element_at(col("arr"), 1),
-          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6).as("ewma"))
+        // Null-safe `get` seed (not element_at, which throws on an empty
+        // array under ANSI mode); Fp.grid6 — not round() — so the 6-decimal
+        // grid point is the identical double in both engines.
+        Fp.grid6(aggregate(slice(col("arr"), lit(2), lit(lookback)),
+          get(col("arr"), lit(0)),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha))).as("ewma"))
   }
 
   /** Rolling z-score anomaly detection — per group, ordered by the unique
@@ -267,6 +274,9 @@ object TimeSeries {
       get(sq, lit(0)), (a, x) => a + x)
     df.select(col(groupCol).as("g"), col(tsCol).as("t"), col(tiebreakCol).as("tb"),
         col(valCol).cast("double").as("v"))
+      // collect_list drops NULLs (DuckDB array_agg keeps them) — dropping
+      // the rows up front keeps the frame arrays identical cross-engine.
+      .where(col("v").isNotNull)
       .withColumn("arr", collect_list(col("v")).over(w))
       .where(size(col("arr")) >= minObs)
       .withColumn("mu", sum1 / n)

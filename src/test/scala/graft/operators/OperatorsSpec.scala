@@ -2465,6 +2465,50 @@ class MultimodalSpec extends SparkSpec {
     assert(keep.bytes.toSeq == bytes.toSeq && keep.width == w0 && keep.height == h0)
   }
 
+  test("RiffWav: byte-identical to AudioSystem.write; parse agrees with the JDK reader") {
+    // the lock-free codec exists to dodge AudioSystem's synchronized SPI
+    // lookup (m07's r9 regression); these pins guarantee swapping it in
+    // changed NOTHING about the bytes or the parsed facts
+    for (id <- Seq(0L, 3L, 13L, 42L)) {
+      val n = Multimodal.AudioGen.nFrames(id)
+      val data = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = Multimodal.AudioGen.sample(id, i)
+        data(2 * i) = (s & 0xFF).toByte; data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ours = RiffWav.write(fmt, data)
+      val jdk = {
+        val st = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        try javax.sound.sampled.AudioSystem.write(st,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        finally st.close()
+        bos.toByteArray
+      }
+      assert(ours.toSeq == jdk.toSeq, s"id=$id: RiffWav.write diverges from AudioSystem.write")
+      // parse round-trips our own bytes AND matches the JDK reader's facts
+      val Some((pf, pd)) = RiffWav.parse(ours)
+      assert(pf.getSampleRate == 8000f && pf.getChannels == 1 &&
+        pf.getSampleSizeInBits == 16 && !pf.isBigEndian &&
+        pf.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      assert(pd.toSeq == data.toSeq)
+      val jin = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      try {
+        assert(jin.getFormat.getSampleRate == pf.getSampleRate &&
+          jin.getFormat.getChannels == pf.getChannels &&
+          jin.readAllBytes().toSeq == pd.toSeq)
+      } finally jin.close()
+    }
+    // non-WAV payloads refuse cleanly (fall through to the JDK path)
+    assert(RiffWav.parse("not a wav at all, just some text bytes ok".getBytes).isEmpty)
+    assert(RiffWav.parse(null).isEmpty)
+    assert(RiffWav.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(RiffWav.parse(Multimodal.ImageGen.png(3L)).isEmpty)
+  }
+
   test("AudioWavDecoder decodes generated WAVs to real format facts and signal stats") {
     val id = 13L
     val bytes = Multimodal.AudioGen.wav(id)
