@@ -3356,22 +3356,28 @@ object OpsEntry {
       withTables { (s, _) =>
         // SUMMARIZE-analogue table profile: one scan, long-format row per
         // column with fill/null/exact-distinct/min/max. min/max as strings
-        // so mixed column types share the schema; doubles stay below the
-        // 1e7 notation divergence documented on Profile.summarize.
+        // so mixed column types share the schema; doubles render through
+        // the Fp.fmt6 exact-IEEE split, stable at ANY magnitude the BIGINT
+        // contract covers (not just below 1e7). exact distincts are this
+        // gate row's explicit opt-in — the library default is the
+        // single-pass HLL profile (the 100 TB posture).
         Profile.summarize(s.table("lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"))
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"),
+          exact = true)
           .orderBy("col_name")
       },
-      Some("""WITH a AS (
+      Some(s"""WITH a AS (
         |  SELECT
         |    count(l_quantity) AS q_n,
         |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
         |    count(DISTINCT l_quantity) AS q_d,
-        |    min(l_quantity)::VARCHAR AS q_min, max(l_quantity)::VARCHAR AS q_max,
+        |    ${Fp.fmt6Sql("min(l_quantity)")} AS q_min,
+        |    ${Fp.fmt6Sql("max(l_quantity)")} AS q_max,
         |    count(l_extendedprice) AS p_n,
         |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
         |    count(DISTINCT l_extendedprice) AS p_d,
-        |    min(l_extendedprice)::VARCHAR AS p_min, max(l_extendedprice)::VARCHAR AS p_max,
+        |    ${Fp.fmt6Sql("min(l_extendedprice)")} AS p_min,
+        |    ${Fp.fmt6Sql("max(l_extendedprice)")} AS p_max,
         |    count(l_returnflag) AS r_n,
         |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS r_nulls,
         |    count(DISTINCT l_returnflag) AS r_d,

@@ -25,21 +25,30 @@ import org.apache.spark.sql.functions._
   * default, same sketch economics as q51's approx_count_distinct.
   *
   * min/max surface as strings so numeric, date and varchar columns share
-  * the schema; both engines print doubles in shortest-round-trip form (the
-  * cross-engine contract breaks only above 1e7, where Java flips to
-  * scientific notation first — profile such columns as decimals).
+  * the schema. Float/double columns render through [[Fp.fmt6]] — neither
+  * engine's native double→string is cross-engine stable above 1e7 (Java
+  * flips to scientific notation; printf `%.6f` still diverges above ~4e9),
+  * while the exact-IEEE BIGINT split provably agrees below 1e15 and
+  * degrades explicitly (`%.6e`) beyond. Other types cast natively (ints,
+  * dates, timestamps and varchars print identically in both engines).
   */
 object Profile {
 
-  def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+  def summarize(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "summarize: need at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"summarize: no column '$c'"))
+    val floaty: Set[String] = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType => f.name
+    }.toSet
+    def asString(c: org.apache.spark.sql.Column, name: String) =
+      if (floaty(name)) Fp.fmt6(c) else c.cast("string")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max")) ++
+        asString(min(col(c)), c).as(s"${c}__min"),
+        asString(max(col(c)), c).as(s"${c}__max")) ++
         (if (exact) Nil else Seq(approx_count_distinct(col(c)).as(s"${c}__distinct")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

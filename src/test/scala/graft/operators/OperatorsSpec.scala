@@ -1705,19 +1705,56 @@ class ProfileSpec extends SparkSpec {
     val df = Seq(
       (Some(1.0), "x"), (Some(2.5), "y"), (None, "x"), (Some(2.5), null)
     ).toDF("v", "s")
-    val out = Profile.summarize(df, Seq("v", "s")).collect()
+    val out = Profile.summarize(df, Seq("v", "s"), exact = true).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         Option(r.getString(4)), Option(r.getString(5))))).toMap
-    assert(out("v") == ((3L, 1L, 2L, Some("1.0"), Some("2.5"))))
+    assert(out("v") == ((3L, 1L, 2L, Some("1.000000"), Some("2.500000"))))
     assert(out("s") == ((3L, 1L, 2L, Some("x"), Some("y"))))
+  }
+
+  test("fmt6: double rendering matches DuckDB's fmt6Sql mirror, incl. >1e7 magnitudes") {
+    // expected strings are DuckDB 1.0.0's output for Fp.fmt6Sql on the SAME
+    // string-parsed doubles (pinned 2026-08-14; both engines parse text to
+    // the identical correctly-rounded bits, and the formula is exact-IEEE
+    // ops + BIGINT prints from there) — the >1e7 band is exactly where the
+    // old raw string cast broke (Java flips to scientific notation at 1e7)
+    val pinned = Seq(
+      ("12345678.9", "12345678.900000"),
+      ("98765432.1012345", "98765432.101234"),
+      ("123456789012.3456789", "123456789012.345673"),
+      ("999999999999999.9", "999999999999999.875000"),
+      ("4512345678.0000015", "4512345678.000002"),
+      ("1.5e20", "1.500000e+20"),
+      ("-12345678.9", "-12345678.900000"),
+      ("-0.0000004", "-0.000000"),
+      ("2.99999995", "3.000000"),
+      ("1e14", "100000000000000.000000"),
+      ("0.1", "0.100000"),
+      ("-98765.4321999", "-98765.432200"),
+      ("1.7e308", "1.700000e+308"),
+      ("0.0", "0.000000"))
+    val got = pinned.map(_._1).map(_.toDouble).toDF("v")
+      .select(Fp.fmt6(col("v")).as("s")).collect().map(_.getString(0))
+    pinned.map(_._2).zip(got).zip(pinned.map(_._1)).foreach { case ((want, g), in) =>
+      assert(g == want, s"fmt6($in): got $g, DuckDB says $want")
+    }
+    // specials
+    val sp = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).toDF("v")
+      .select(Fp.fmt6(col("v")).as("s")).collect().map(_.getString(0)).toSeq
+    assert(sp == Seq("NaN", "Infinity", "-Infinity"))
+    // a profile over >1e7 values goes through fmt6 end-to-end
+    val prof = Profile.summarize(
+      Seq(12345678.9, 4512345678.0000015, 123456789012.3456789).toDF("v"), Seq("v"),
+      exact = true).collect().head
+    assert(prof.getString(4) == "12345678.900000" && prof.getString(5) == "123456789012.345673")
   }
 
   test("summarize: NO Expand in either mode; distinct branches read one column each") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val cols = Seq("l_quantity", "l_extendedprice")
-    val approx = Profile.summarize(li, cols, exact = false)
+    val approx = Profile.summarize(li, cols) // approx single-pass is the default
     assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
-    val exact = Profile.summarize(li, cols)
+    val exact = Profile.summarize(li, cols, exact = true)
     val pe = exact.queryExecution.executedPlan.toString
     // exact distincts run as narrow per-column branches, never the
     // multi-distinct Expand that multiplies the full scan
