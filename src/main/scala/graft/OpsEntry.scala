@@ -652,6 +652,52 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d34_incremental_dedup",
+      withTables { (s, _) =>
+        // PERSISTED dedup index + increment-only dedup: the base corpus
+        // (3/4 of docs) is signed ONCE into bucketed warehouse tables, and
+        // the increment (doc_id % 4 = 0, the "new crawl") dedups by probing
+        // the index — no base text re-read, no base signature recompute
+        // (plan isolation pinned in DedupSpec on separate files). The
+        // oracle recomputes everything from scratch: identical survivors
+        // prove the index path loses nothing.
+        val docs = s.table("documents")
+        Dedup.writeMinhashIndex(s, docs.where(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", "graft_minhash_idx",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        Dedup.incrementalDedupMd5(s, docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", "graft_minhash_idx",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id, y.doc_id AS rid
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0),
+        |bad AS (
+        |  SELECT DISTINCT c.id AS doc_id
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id JOIN sh q ON q.doc_id = c.rid
+        |  WHERE round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |    (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN bad USING (doc_id)
+        |WHERE d.doc_id % 4 = 0 AND bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d21_ivf_assign_parity",
       withTables { (s, dir) =>
         // fixed-centroid ORACLE-PARITY family (d21/d22): k-means TRAINING is

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -640,6 +640,94 @@ object Dedup {
       .where(col("j") >= threshold)
       .select(col("id").as(idCol)).distinct()
     corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Persist the MinHash/LSH dedup INDEX for `corpus` — the operational
+    * 100 TB pattern that [[crossDedupLshMd5]] alone cannot serve: every
+    * from-scratch run re-shingles and re-signs the ENTIRE corpus, but a
+    * production corpus grows by increments, and only the increment should
+    * pay signature cost. Two warehouse tables (the [[Bucketing]] layout
+    * applied to the banded dedup frames):
+    *
+    *  - `{table}_docs` `(id, hs, sig)` — distinct md5 shingle-hash set and
+    *    signature per doc, bucketed+sorted by `id`: the Jaccard-verify
+    *    side of every future increment joins it WITHOUT shuffling the
+    *    corpus-sized set table.
+    *  - `{table}_bands` `(bkey, id)` — one row per (band, bucket), `bkey`
+    *    the band index prefixed onto the band's signature slice (a single
+    *    equi-join key; bucket equality ≡ slice equality, the md5 family's
+    *    no-band-hash discipline), bucketed+sorted by `bkey`: increments
+    *    probe it shuffle-free on the index side.
+    *
+    * The bands table derives from reading `{table}_docs` BACK, not from
+    * the in-flight frame — signatures are computed exactly once per corpus
+    * document, ever (write → read → band is column-pruned to `sig`).
+    * Returns the two table-backed frames (docs, bands).
+    */
+  def writeMinhashIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      buckets: Int = 16): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val frame = md5MinhashFrame(corpus, idCol, textCol, shingleSize, numHashes)
+    val docs = Bucketing.writeBucketed(spark, frame, s"${table}_docs", "id", buckets)
+    val banded = md5BandBuckets(docs, bands, numHashes / bands)
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"), col("id"))
+    val bandsT = Bucketing.writeBucketed(spark, banded, s"${table}_bands", "bkey", buckets)
+    (docs, bandsT)
+  }
+
+  /** Dedup a corpus INCREMENT against a persisted [[writeMinhashIndex]]
+    * index: signatures are computed for the DELTA only, candidates meet in
+    * the banded equi-join against `{table}_bands` (bucketed on `bkey` — no
+    * exchange on the index side), verification joins `{table}_docs`
+    * (bucketed on `id` — ditto), and surviving delta rows anti-join out.
+    * The base corpus' TEXT is never re-read and no base signature is ever
+    * recomputed — the whole point of persisting the index; at 100 TB the
+    * increment path scales with |delta| + |matched index rows|, not
+    * |corpus|. Semantics are exactly [[crossDedupLshMd5]] (delta vs base,
+    * rounded exact-Jaccard ≥ threshold drops the delta doc), so the gate
+    * row hash-checks against DuckDB recomputing everything from scratch.
+    * Delta-internal near-dups are a separate concern — run
+    * [[minhashLshPairsMd5]] on the delta first if the increment itself may
+    * contain dups.
+    */
+  def incrementalDedupMd5(
+      spark: SparkSession,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // one signature pass over the delta feeds both the band probe and the
+    // verify join (the curate lesson: materialize the shared stage once)
+    val frame = md5MinhashFrame(delta, idCol, textCol, shingleSize, numHashes)
+      .localCheckpoint(false)
+    val probe = md5BandBuckets(frame, bands, numHashes / bands)
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"), col("id"))
+    val cand = probe
+      .join(spark.table(s"${table}_bands").withColumnRenamed("id", "rid"), Seq("bkey"))
+      .select(col("id"), col("rid")).distinct()
+    val losers = cand
+      .join(frame.select(col("id"), col("hs").as("sh_a")), Seq("id"))
+      .join(spark.table(s"${table}_docs").select(col("id").as("rid"), col("hs").as("sh_b")),
+        Seq("rid"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", round(
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .where(col("j") >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    delta.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over an

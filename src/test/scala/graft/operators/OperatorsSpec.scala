@@ -419,6 +419,38 @@ class DedupSpec extends SparkSpec {
     assert(md5Out.forall(_ % 2 == 1))
   }
 
+  test("incremental dedup index: same survivors as from-scratch, base text never scanned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // base and delta live in SEPARATE files so scan isolation is provable
+    // from the executed plan, not just argued
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val basePath = s"$tmp/base.parquet"; val deltaPath = s"$tmp/delta.parquet"
+    docs.where(col("doc_id") % 4 =!= 0).write.parquet(basePath)
+    docs.where(col("doc_id") % 4 === 0).write.parquet(deltaPath)
+    val base = spark.read.parquet(basePath)
+    val delta = spark.read.parquet(deltaPath)
+    Dedup.writeMinhashIndex(spark, base, "doc_id", "text", "graft_test_idx", buckets = 4)
+    val inc = Dedup.incrementalDedupMd5(spark, delta, "doc_id", "text", "graft_test_idx")
+    val survivors = inc.select("doc_id").as[Long].collect().toSet
+    // correctness: identical survivor set to the from-scratch bipartite run
+    val scratch = Dedup.crossDedupLshMd5(delta, base, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == scratch)
+    assert(survivors.forall(_ % 4 == 0))
+    // scan isolation: the increment plan reads the delta file and the two
+    // index tables — NEVER the base corpus file (no signature recompute)
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("delta.parquet") || plan.contains(deltaPath.split('/').last), plan.take(2000))
+    assert(!plan.contains("base.parquet"), "increment path re-scanned the base corpus:\n" + plan.take(2000))
+    assert(plan.contains("graft_test_idx_bands") && plan.contains("graft_test_idx_docs"))
+    // the bands probe reads only (bkey, id) and the docs verify only
+    // (id, hs) — the persisted sig column prunes out of the increment path
+    val docsScanLine = plan.linesIterator.find(l =>
+      l.contains("graft_test_idx_docs") && l.contains("ReadSchema"))
+    assert(docsScanLine.exists(l => !l.contains("sig")),
+      s"docs-table scan should prune sig: ${docsScanLine.getOrElse("scan line not found")}")
+  }
+
   test("semDedup: no surviving semantic dups, losers covered, paper's representative rule") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val eps = 0.4 // where this corpus's near-dups live; at 0.5 there are none at all
