@@ -2356,6 +2356,21 @@ object OpsEntry {
         GraphOps.pageRankTopK(edges, "src", "dst", k = 20, iterations = 10)
       },
       Some(pageRankOracle(10))),
+
+    QueryDef(
+      "g05_pagerank_dangling",
+      withTables { (s, _) =>
+        // the textbook formulation: each iteration's sink (dangling) mass
+        // is shared equally across all nodes instead of dropped — g01's
+        // graph has genuine sinks (props.k ids that never click), so the
+        // two rankings measurably differ. The per-iteration dangling sum is
+        // one integer scalar, so the unrolled oracle stays hash-exact.
+        val edges = s.table("events").select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        GraphOps.pageRankTopK(edges, "src", "dst", k = 20, iterations = 10,
+          redistributeDangling = true)
+      },
+      Some(pageRankDanglingOracle(10))),
   ) ++ retrievalDefs ++ closureDefs
 
   /** g01's oracle: the SAME fixed-point integer PageRank as
@@ -2369,6 +2384,37 @@ object OpsEntry {
       s"""r$i AS (
          |  SELECT x.node, (150000000000 // nn.n) + (85 * coalesce(c.csum, 0)) // 100 AS rank
          |  FROM nodes x CROSS JOIN nc nn LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS csum
+         |    FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON c.node = x.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id AS src, CAST(json_extract(props, '$$.k') AS BIGINT) AS dst
+       |  FROM events WHERE user_id IS NOT NULL AND json_extract(props, '$$.k') IS NOT NULL),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nc AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nc nn),
+       |$iters
+       |SELECT node, rank FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** g05's oracle: [[pageRankOracle]] with the textbook dangling-mass
+    * redistribution — each iteration adds a MATERIALIZED 1-row CTE summing
+    * the previous round's sink ranks (nodes absent from `od`), and every
+    * node's update gains `85 · (dsum // n) // 100` units. Still all-integer,
+    * so the unrolled comparison stays hash-exact.
+    */
+  private def pageRankDanglingOracle(iterations: Int): String = {
+    val iters = (1 to iterations).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT coalesce(sum(rank), 0) AS dsum FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM od)),
+         |r$i AS MATERIALIZED (
+         |  SELECT x.node,
+         |    (150000000000 // nn.n) +
+         |    (85 * (coalesce(c.csum, 0) + (dd.dsum // nn.n))) // 100 AS rank
+         |  FROM nodes x CROSS JOIN nc nn CROSS JOIN d$i dd LEFT JOIN (
          |    SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS csum
          |    FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN od ON od.src = e.src
          |    GROUP BY e.dst) c ON c.node = x.node)""".stripMargin

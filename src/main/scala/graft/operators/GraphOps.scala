@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   * hash-check the whole iteration, where floating-point PageRank would
   * drift in the last ulp per shuffle order. The quantization error is
   * bounded by one unit per edge per iteration (≤ outdeg · 1e-12), far below
-  * any ranking-relevant difference. Dangling-node mass is dropped (the
-  * classic "no sink handling" simplification), documented here.
+  * any ranking-relevant difference. Dangling-node (sink) mass is DROPPED
+  * by default (the classic simplification); `redistributeDangling = true`
+  * selects the standard textbook formulation instead — each iteration's
+  * dangling mass is shared equally across all nodes (`rank += damping ·
+  * (danglingSum div n)`), keeping total mass ~conserved. The dangling sum
+  * stays IN-PLAN (a 1-row aggregate broadcast into the update join), so
+  * redistribution adds no driver-side action per iteration.
   *
   * Scale shape (100 TB): edges are deduped and hash-partitioned on `src`
   * ONCE and reused by every iteration (localCheckpoint pins the layout, so
@@ -37,6 +42,9 @@ object GraphOps {
     *                   need a per-iteration driver action)
     * @param dampingPct damping factor as an integer percentage (85 = 0.85)
     * @param scale      fixed-point scale: total graph mass in units
+    * @param redistributeDangling share each iteration's sink mass equally
+    *                   across all nodes (textbook formulation) instead of
+    *                   dropping it
     */
   def pageRank(
       edges: DataFrame,
@@ -44,7 +52,8 @@ object GraphOps {
       dstCol: String,
       iterations: Int = 10,
       dampingPct: Int = 85,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"pageRank: iterations must be in [1,100], got $iterations")
     require(dampingPct >= 1 && dampingPct <= 99,
@@ -75,9 +84,24 @@ object GraphOps {
         .join(outdeg, "src")
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
       val summed = contrib.groupBy("node").agg(sum(col("c")).as("csum"))
-      ranks = nodes.join(summed, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampingPct * coalesce(csum, 0L)) div 100")).as("rank"))
+      val withC = nodes.join(summed, Seq("node"), "left")
+      ranks =
+        if (!redistributeDangling)
+          withC.select(col("node"),
+            (lit(base) + expr(s"($dampingPct * coalesce(csum, 0L)) div 100")).as("rank"))
+        else {
+          // iteration's sink mass: ranks of nodes with no out-edges — a
+          // 1-row aggregate (NOT a driver action) broadcast into the
+          // update; each node gains damping · (dsum div n) extra units.
+          // coalesce covers the no-dangling-nodes case (sum over empty).
+          val dangling = ranks.join(outdeg.withColumnRenamed("src", "node"),
+              Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dsum"))
+          withC.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(base) + expr(
+                s"($dampingPct * (coalesce(csum, 0L) + (dsum div $n))) div 100")).as("rank"))
+        }
       // bound lineage depth: a 50-iteration plan would re-derive every prior
       // join at action time without a periodic cut
       if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(false)
@@ -226,8 +250,10 @@ object GraphOps {
       srcCol: String,
       dstCol: String,
       k: Int,
-      iterations: Int = 10): DataFrame =
-    pageRank(edges, srcCol, dstCol, iterations)
+      iterations: Int = 10,
+      redistributeDangling: Boolean = false): DataFrame =
+    pageRank(edges, srcCol, dstCol, iterations,
+      redistributeDangling = redistributeDangling)
       .orderBy(col("rank").desc, col("node").asc)
       .limit(k)
 }

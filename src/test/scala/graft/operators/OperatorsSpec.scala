@@ -1653,6 +1653,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(top.head._1 == 1L && top.length == 2 && top(1)._1 == 2L)
   }
 
+  test("pageRank redistributeDangling: sink mass conserved and shared; hand-check one iteration") {
+    val star = (2L to 5L).map(l => (l, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(star, "src", "dst", iterations = 3,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    // textbook property the drop-mode run violates: total mass stays at
+    // scale up to integer-div floors (5 nodes × 3 iterations of rounding)
+    assert(r.values.sum > 999999999000L && r.values.sum <= 1000000000000L,
+      s"mass not conserved: ${r.values.sum}")
+    // hand-check iteration 1: n=5, r0 = 200000000000 each, base = 30000000000,
+    // dangling node 1 holds 200000000000 → each node gains 85*(2e11/5)/100
+    val r1 = GraphOps.pageRank(star, "src", "dst", iterations = 1,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    val gain = 85L * (200000000000L / 5) / 100
+    assert(r1(2L) == 30000000000L + 85L * (200000000000L / 5) / 100)
+    // node 1 receives all 4 leaf contributions plus the shared sink mass:
+    // 85*(4*2e11 + 2e11/5)/100 + base
+    assert(r1(1L) == 30000000000L + 85L * (4L * 200000000000L + 200000000000L / 5) / 100)
+    assert(gain > 0 && r1(2L) > 30000000000L)
+    // no dangling nodes → both modes identical (cycle): redistribution is a
+    // no-op, not a perturbation
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = GraphOps.pageRank(cycle, "src", "dst", iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRank(cycle, "src", "dst", iterations = 5,
+      redistributeDangling = true).as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("pageRank guards: bad iterations/damping/scale fail fast") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](GraphOps.pageRank(e, "src", "dst", iterations = 0))
