@@ -3097,6 +3097,31 @@ object OpsEntry {
         |FROM events ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "q65_native_pipe",
+      withTables { (s, _) =>
+        // Spark 4's NATIVE pipe syntax through the PSQL entry point: the
+        // `AGGREGATE … GROUP BY` stage is not a PSQL stage, so the rewrite
+        // produces unparseable SQL and Psql.sql's documented fallback
+        // (Psql.scala) re-runs the ORIGINAL text natively — this row pins
+        // that delegation end to end against the DuckDB oracle. Delegating
+        // forms: AGGREGATE/EXTEND/SET/DROP (no PSQL equivalent spelling);
+        // FROM/WHERE/SELECT/ORDER BY parse under both dialects.
+        Psqlish(s, """FROM lineitem
+          ||> WHERE l_shipdate >= DATE '1995-01-01'
+          ||> EXTEND cast(l_extendedprice as decimal(18,2)) *
+          |     cast(1 - l_discount as decimal(18,2)) AS net
+          ||> AGGREGATE sum(l_quantity) AS sum_qty, cast(sum(net) as double) AS net_rev,
+          |     count(*) AS n GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+        |    cast(1 - l_discount as decimal(18,2))) as double) AS net_rev,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       "q64_list_lambdas",
       withTables { (s, _) =>
         // higher-order array lambdas as pipe stages (q36/q42 cover
