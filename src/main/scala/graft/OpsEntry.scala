@@ -698,6 +698,54 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d35_index_append",
+      withTables { (s, _) =>
+        // the operational loop's other half: index built on HALF the base
+        // (doc_id % 4 ∈ {1,2}), the other quarter (doc_id % 4 = 3) APPENDED
+        // without recompute, then the increment (doc_id % 4 = 0) deduped
+        // against the merged index. The oracle recomputes over the union
+        // from scratch — identical survivors prove append ≡ rebuild.
+        val docs = s.table("documents")
+        Dedup.writeMinhashIndex(s, docs.where(col("doc_id") % 4 === 1 ||
+            col("doc_id") % 4 === 2),
+          "doc_id", "text", "graft_minhash_app",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        Dedup.appendMinhashIndex(s, docs.where(col("doc_id") % 4 === 3),
+          "doc_id", "text", "graft_minhash_app",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        Dedup.incrementalDedupMd5(s, docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", "graft_minhash_app",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id, y.doc_id AS rid
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0),
+        |bad AS (
+        |  SELECT DISTINCT c.id AS doc_id
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id JOIN sh q ON q.doc_id = c.rid
+        |  WHERE round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |    (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN bad USING (doc_id)
+        |WHERE d.doc_id % 4 = 0 AND bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d21_ivf_assign_parity",
       withTables { (s, dir) =>
         // fixed-centroid ORACLE-PARITY family (d21/d22): k-means TRAINING is
@@ -3095,6 +3143,114 @@ object OpsEntry {
       Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS vk,
         |  json_extract_string(props, '$.missing') AS vmiss
         |FROM events ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "q66_stats_moments",
+      withTables { (s, _) =>
+        // correlation / covariance / least-squares regression per group,
+        // via EXACT decimal moments: n, Σx, Σy, Σx², Σy², Σxy accumulate
+        // as decimals (order-independent — the c14 discipline applied to
+        // second-order statistics), the closed forms evaluate in double
+        // over identical casts and the identical expression tree, and the
+        // outputs land on the Fp grid. The builtin corr()/regr_slope()
+        // would be order- and algorithm-dependent across engines; this is
+        // the moments formulation both engines can state bit-identically.
+        val x = col("l_quantity").cast("decimal(18,4)")
+        val y = col("l_extendedprice").cast("decimal(18,4)")
+        val m = s.table("lineitem").groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
+        val covN = col("n") * col("sxy") - col("sx") * col("sy")
+        val varX = col("n") * col("sxx") - col("sx") * col("sx")
+        val varY = col("n") * col("syy") - col("sy") * col("sy")
+        val corr = covN / (sqrt(varX) * sqrt(varY))
+        val slope = covN / varX
+        m.select(col("l_returnflag"),
+            Fp.grid6(covN / (col("n") * col("n"))).as("covar_pop"),
+            Fp.grid6(corr).as("corr"),
+            Fp.grid6(slope).as("slope"),
+            Fp.grid6((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+            Fp.grid6(corr * corr).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*)::DOUBLE AS n,
+        |    sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sx,
+        |    sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sy,
+        |    sum(l_quantity::DECIMAL(19,4) * l_quantity::DECIMAL(18,4))::DOUBLE AS sxx,
+        |    sum(l_extendedprice::DECIMAL(19,4) * l_extendedprice::DECIMAL(18,4))::DOUBLE AS syy,
+        |    sum(l_quantity::DECIMAL(19,4) * l_extendedprice::DECIMAL(18,4))::DOUBLE AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ${Fp.grid6Sql("(n*sxy - sx*sy) / (n*n)")} AS covar_pop,
+        |  ${Fp.grid6Sql("(n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))")} AS corr,
+        |  ${Fp.grid6Sql("(n*sxy - sx*sy) / (n*sxx - sx*sx)")} AS slope,
+        |  ${Fp.grid6Sql("(sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n")} AS intercept,
+        |  ${Fp.grid6Sql("((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))) * ((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))")} AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q67_window_battery",
+      withTables { (s, _) =>
+        // distribution-window conformance: ntile / percent_rank /
+        // cume_dist / nth_value over the unique (ts, event_id) ordering.
+        // percent_rank and cume_dist are single divisions of exact
+        // integers — identical bits cross-engine, no grid needed.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        s.table("events")
+          .where(col("event_id") % 97 === 0) // thin deterministic slice
+          .select(col("event_type"), col("ts"), col("event_id"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            nth_value(col("value"), 2).over(w).as("second_v"))
+          .orderBy("event_type", "ts", "event_id")
+      },
+      Some("""SELECT event_type, ts, event_id,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events WHERE event_id % 97 = 0
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "q68_orc_roundtrip",
+      withTables { (s, _) =>
+        // ORC source/sink round-trip (Spark ships the ORC reader/writer in
+        // core): project+filter lineitem into an ORC warehouse table, read
+        // it BACK and aggregate. The oracle aggregates the parquet
+        // original — a hash match proves the ORC encode→scan path loses
+        // nothing (types, nulls, values). Decimal sums keep the float
+        // discipline.
+        s.sql("DROP TABLE IF EXISTS graft_orc_lineitem")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_orc_lineitem")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.table("lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Date.valueOf("1996-01-01")))
+          .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+          .write.format("orc").saveAsTable("graft_orc_lineitem")
+        s.table("graft_orc_lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            max("l_orderkey").as("max_key"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(l_quantity::DECIMAL(18,2)) as double) AS sum_qty,
+        |  cast(sum(l_extendedprice::DECIMAL(18,2)) as double) AS sum_price,
+        |  max(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
       "q65_native_pipe",

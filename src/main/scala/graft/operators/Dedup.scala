@@ -683,6 +683,48 @@ object Dedup {
     (docs, bandsT)
   }
 
+  /** APPEND an increment to a persisted [[writeMinhashIndex]] index — the
+    * other half of the operational loop: after an increment is deduped and
+    * admitted, its signatures join the index so FUTURE increments dedup
+    * against it too, still without any base recompute. The increment's
+    * (id, hs, sig) and band rows are inserted into the existing bucketed
+    * tables with the SAME bucket spec (append-mode `bucketBy` writes land
+    * new per-bucket files; the co-location invariant survives), so
+    * append-then-probe is indistinguishable from rebuild-then-probe —
+    * which is exactly what the d35 gate row hash-checks: an index built as
+    * base + append must yield the same survivors as DuckDB recomputing
+    * over the union from scratch.
+    */
+  def appendMinhashIndex(
+      spark: SparkSession,
+      increment: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      buckets: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val frame = md5MinhashFrame(increment, idCol, textCol, shingleSize, numHashes)
+    frame.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${table}_docs")
+    // band rows derive from the JUST-WRITTEN docs rows (read back, pruned
+    // to id+sig) so the increment's signatures are computed exactly once —
+    // the same no-recompute discipline as writeMinhashIndex. The id filter
+    // comes from the raw increment (cheap), not the signature frame:
+    // too-short docs simply miss the semi join.
+    val newIds = increment.select(col(idCol).as("id"))
+    val banded = md5BandBuckets(
+        spark.table(s"${table}_docs").join(newIds, Seq("id"), "left_semi"),
+        bands, numHashes / bands)
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"), col("id"))
+    banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").bucketBy(buckets, "bkey").sortBy("bkey")
+      .saveAsTable(s"${table}_bands")
+  }
+
   /** Dedup a corpus INCREMENT against a persisted [[writeMinhashIndex]]
     * index: signatures are computed for the DELTA only, candidates meet in
     * the banded equi-join against `{table}_bands` (bucketed on `bkey` — no

@@ -226,4 +226,51 @@ object DocumentStreams {
       .where(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
+
+  /** Streaming face of the PERSISTED dedup index
+    * ([[graft.operators.Dedup.writeMinhashIndex]]): admit each micro-batch
+    * of arriving documents that has no near-dup in the index, appending
+    * survivors to a parquet sink. Runs through `foreachBatch` — the
+    * documented Spark pattern for per-trigger logic the streaming planner
+    * cannot express (the increment dedup needs a localCheckpoint and an
+    * anti-join against a batch-derived aggregate). Each trigger is exactly
+    * the batch [[graft.operators.Dedup.incrementalDedupMd5]], so stream
+    * and backfill share one definition; `admitToIndex = true` additionally
+    * [[graft.operators.Dedup.appendMinhashIndex]]es the survivors, making
+    * LATER micro-batches dedup against EARLIER ones — the full operational
+    * loop (corpus grows, index grows with it, nothing recomputes).
+    *
+    * Restart semantics: foreachBatch re-delivers an uncommitted batch with
+    * the same batchId after a crash; the parquet append is then duplicated
+    * unless the sink dedups — production deployments should make the body
+    * idempotent (e.g. write by batchId partition); kept minimal here and
+    * covered by the spec through clean stop/starts.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      indexTable: String,
+      sinkPath: String,
+      checkpoint: String,
+      admitToIndex: Boolean = false,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      buckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val survivors = graft.operators.Dedup.incrementalDedupMd5(
+          spark, batch, idCol, textCol, indexTable,
+          shingleSize, numHashes, bands, threshold)
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(sinkPath)
+        if (admitToIndex)
+          graft.operators.Dedup.appendMinhashIndex(spark, survivors,
+            idCol, textCol, indexTable, shingleSize, numHashes, bands, buckets)
+      }
+      .start()
 }

@@ -233,3 +233,49 @@ class DocumentStreamsSpec extends SparkSpec {
     assert(out.exists(_.getInt(0) >= 0) && out.exists(_.getInt(0) == -1))
   }
 }
+
+/** The full operational dedup loop as a STREAM (st-face of d34/d35): each
+  * micro-batch dedups against the persisted index; admitted survivors are
+  * appended to the index so later batches dedup against earlier ones.
+  */
+class IncrementalDedupStreamSpec extends SparkSpec {
+  import graft.operators.Dedup
+
+  test("micro-batches dedup against the index AND each other; equals the batch staged run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val w1 = docs.where(col("doc_id") % 8 === 0) // first arriving increment
+    val w2 = docs.where(col("doc_id") % 8 === 4) // second increment
+    Dedup.writeMinhashIndex(spark, base, "doc_id", "text", "graft_stream_idx", buckets = 4)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incstream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = DocumentStreams.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"),
+      "graft_stream_idx", s"$tmp/sink", s"$tmp/ckpt",
+      admitToIndex = true, buckets = 4)
+    try {
+      input.addData(w1.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      input.addData(w2.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/sink")
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch reference: stage the same two waves through a fresh index
+    Dedup.writeMinhashIndex(spark, base, "doc_id", "text", "graft_stream_ref", buckets = 4)
+    val s1 = Dedup.incrementalDedupMd5(spark, w1, "doc_id", "text", "graft_stream_ref")
+      .localCheckpoint(true)
+    Dedup.appendMinhashIndex(spark, s1, "doc_id", "text", "graft_stream_ref", buckets = 4)
+    val s2 = Dedup.incrementalDedupMd5(spark, w2, "doc_id", "text", "graft_stream_ref")
+    val expected = (s1.select("doc_id").as[Long].collect() ++
+      s2.select("doc_id").as[Long].collect()).toSet
+    assert(streamed == expected,
+      s"stream/batch diverged: only-stream=${streamed -- expected}, only-batch=${expected -- streamed}")
+    assert(streamed.nonEmpty && streamed.forall(_ % 4 == 0))
+  }
+}
