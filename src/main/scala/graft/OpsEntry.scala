@@ -820,6 +820,62 @@ object OpsEntry {
         |ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
+      "d36_ivf_index",
+      withTables { (s, dir) =>
+        // PERSISTED IVF index — the d34 pattern applied to vectors: the
+        // corpus assignment is written ONCE as a hive-PARTITIONED
+        // warehouse table (one directory per centroid), and the probe join
+        // reads ONLY the probed cids via dynamic partition pruning (the
+        // broadcast probe side seeds a runtime partition filter on the
+        // scan — pinned in PlanQualitySpec). At 100 TB the query path
+        // touches nProbe/nCentroids of the corpus directories and nothing
+        // recomputes assignments. Semantics identical to d23 (fixed
+        // centroids → SQL-statable), so the same oracle shape hash-checks
+        // the persisted path end to end.
+        val assigned = assignedToFixedCentroids(s, dir)
+        Bucketing.writePartitioned(s,
+          assigned.select(col("vec_id"), col("v"), col("cid")),
+          "graft_ivf_idx", "cid")
+        val idx = s.table("graft_ivf_idx")
+        val probes = probesToFixedCentroids(s, dir, maxQueryId = 10, nProbe = 4)
+        val scored = idx.join(broadcast(probes), Seq("cid"))
+          .where(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("sim"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+        |           FROM v CROSS JOIN cent_t),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored WHERE vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+        |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        |  JOIN v q ON q.vec_id = p.query_id JOIN v c ON c.vec_id = a.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    QueryDef(
       "d23_ivf_topk_parity",
       withTables { (s, dir) =>
         // the PROBED top-k half of the IVF bridge (d21 is assignment): each

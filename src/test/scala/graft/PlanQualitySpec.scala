@@ -625,6 +625,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(selected.length == 3, s"want 3 month partitions selected, got ${selected.length}")
   }
 
+  test("d36 IVF index: probe join dynamically prunes the partitioned index scan") {
+    val df = SparkEntry.defs.find(_.name == "d36_ivf_index").get.fn(spark, sf)
+    val p = plan(df)
+    // the broadcast probe side seeds a RUNTIME partition filter on the
+    // hive-partitioned index scan (dynamic partition pruning): the query
+    // path reads the probed cid directories, not the whole corpus
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("graft_ivf_idx") && l.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"no dynamic pruning on the index scan:\n${scanLine}\n$p")
+    // and the probe side broadcasts (no shuffle of the index on cid)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {
     val df = graft.operators.TimeSeries.interpolateLinear(
       spark.table("events"), "ts", "event_type", "value", bucketSeconds = 3600L)
