@@ -80,6 +80,31 @@ def main():
         flag = "OK " if v.startswith(("MATCH", "ROWS_ONLY")) else "BAD"
         print(f"{flag} {k}: {v[:300]}")
     print(f"\n{n_ok}/{len(results)} pass")
+    # SHA-stamped self-gate artifact (GATE_JSON=path): the committed record
+    # that lets a round's driver gate be reconciled against the exact commit
+    # it measured — the r9 lesson (4 phantom hash-fails from a mid-session
+    # driver capture, indistinguishable from real failures without this)
+    gate_json = os.environ.get("GATE_JSON")
+    if gate_json:
+        import subprocess, datetime
+        try:
+            sha = subprocess.run(["git", "rev-parse", "HEAD"], cwd=os.path.dirname(
+                os.path.abspath(__file__)) + "/..", capture_output=True, text=True
+            ).stdout.strip()
+        except Exception:
+            sha = "unknown"
+        artifact = {
+            "git_sha": sha,
+            "date_utc": datetime.datetime.utcnow().strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "sf_dir": sf_dir,
+            "n_pass": n_ok,
+            "n_total": len(results),
+            "rows": {k: {"ok": v.startswith(("MATCH", "ROWS_ONLY")), "detail": v[:200]}
+                     for k, v in sorted(results.items())},
+        }
+        with open(gate_json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"gate artifact -> {gate_json} (sha {sha[:12]})")
     sys.exit(0 if n_ok == len(results) else 1)
 
 if __name__ == "__main__":
