@@ -4008,6 +4008,59 @@ object OpsEntry {
         |ORDER BY event_type, ts, event_id""".stripMargin)),
 
     QueryDef(
+      "a16_funnel",
+      withTables { (s, _) =>
+        // ordered funnel view → click → purchase: step i counts only
+        // strictly after the user's first completion of step i−1. Integer
+        // counts; the conversion ratio is one exact division on the grid.
+        Funnels.funnel(s.table("events"), Seq("view", "click", "purchase"))
+          .orderBy("step")
+      },
+      Some("""WITH s0 AS (
+        |  SELECT user_id AS u, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON s0.u = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON s1.u = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |c AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s0)::BIGINT AS n_users
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s1)::BIGINT
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s2)::BIGINT)
+        |SELECT step, step_name, n_users,
+        |  CASE WHEN lag(n_users) OVER (ORDER BY step) IS NULL
+        |         OR lag(n_users) OVER (ORDER BY step) = 0 THEN NULL
+        |       ELSE floor(n_users::DOUBLE / lag(n_users) OVER (ORDER BY step)
+        |         * 1000000.0 + 0.5) / 1000000.0 END AS conv_from_prev
+        |FROM c ORDER BY step""".stripMargin)),
+
+    QueryDef(
+      "a17_retention",
+      withTables { (s, _) =>
+        // weekly cohort retention: users cohort by the 7-day period of
+        // their first event; the matrix counts distinct users active again
+        // k periods later. All-integer — full-oracle.
+        Funnels.retention(s.table("events"), periodDays = 7, maxOffset = 8)
+          .orderBy("cohort_period", "offset")
+      },
+      Some("""WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    floor(date_diff('day', DATE '1970-01-01', ts::DATE) / 7)::BIGINT AS p
+        |  FROM events),
+        |f AS (SELECT u, min(p) AS cohort FROM act GROUP BY u)
+        |SELECT f.cohort AS cohort_period, (a.p - f.cohort)::BIGINT AS "offset",
+        |  count(*)::BIGINT AS n_users
+        |FROM act a JOIN f ON f.u = a.u
+        |WHERE a.p - f.cohort <= 8
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       "g04_label_propagation",
       withTables { (s, _) =>
         // deterministic sync LPA on the sparse co-purchase bipartite graph

@@ -2720,3 +2720,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+class FunnelsSpec extends SparkSpec {
+  import spark.implicits._
+  private def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("funnel: strictly-ordered completion; out-of-order steps don't count") {
+    // u1 completes all 3 in order; u2 clicks BEFORE viewing (click doesn't
+    // count) and never re-clicks; u3 views only
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      (2L, t(1), "click"), (2L, t(2), "view"), (2L, t(3), "purchase"),
+      (3L, t(5), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnels.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    // conversions: null for step 1, 1/3 then 1/1 on the grid
+    assert(out(0).isNullAt(3))
+    assert(out(1).getDouble(3) == 0.333333 && out(2).getDouble(3) == 1.0)
+  }
+
+  test("retention: cohorts by first-period; offset counts distinct users") {
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    // period = 7 days; u1 active periods p and p+1 (twice — distinct!),
+    // u2 only its first period, u3 starts a period later
+    val ev = Seq(
+      (1L, d(1)), (1L, d(8)), (1L, d(9)),
+      (2L, d(2)),
+      (3L, d(10))
+    ).toDF("user_id", "ts")
+    val out = Funnels.retention(ev, periodDays = 7, maxOffset = 4)
+      .orderBy("cohort_period", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val p0 = out.head._1
+    assert(out == Seq((p0, 0L, 2L), (p0, 1L, 1L), (p0 + 1, 0L, 1L)))
+  }
+}
