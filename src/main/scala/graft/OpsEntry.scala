@@ -820,6 +820,34 @@ object OpsEntry {
         |ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
+      "d37_record_linkage",
+      withTables { (s, _) =>
+        // blocked fuzzy entity resolution over DISTINCT part entities
+        // (name + brand; dedupe-then-link — linking raw rows would explode
+        // every block quadratically with exact copies): block on the part
+        // noun, length-band prefilter, exact Levenshtein ≤ 2 verify. Brand
+        // variants of the same part land at distance 1–2.
+        val ents = s.table("part")
+          .select(concat(col("p_name"), lit(" "), lower(col("p_brand"))).as("name"),
+            element_at(split(col("p_name"), " "), 2).as("blk"),
+            col("p_partkey"))
+          .groupBy("name", "blk").agg(min("p_partkey").as("id"))
+        Dedup.recordLinkagePairs(ents, "id", "name", "blk", maxDistance = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ents AS (
+        |  SELECT p_name || ' ' || lower(p_brand) AS name,
+        |    string_split(p_name, ' ')[2] AS blk,
+        |    min(p_partkey) AS id
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  levenshtein(a.name, b.name)::BIGINT AS dist
+        |FROM ents a JOIN ents b ON a.blk = b.blk AND a.id < b.id
+        |  AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "d36_ivf_index",
       withTables { (s, dir) =>
         // PERSISTED IVF index — the d34 pattern applied to vectors: the

@@ -772,6 +772,40 @@ object Dedup {
     delta.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Blocked fuzzy record linkage — the structured-records face of dedup
+    * (entity resolution): candidate pairs meet in an equi-join on a
+    * caller-chosen BLOCKING key (the classic recall/cost dial: only
+    * same-block pairs are ever compared), a map-side length-band filter
+    * discards pairs that cannot be within `maxDistance` (|len(a)−len(b)|
+    * is a Levenshtein lower bound), and survivors verify by exact edit
+    * distance. Both engines implement the same classic Levenshtein
+    * definition, so the whole pipeline is full-oracle.
+    *
+    * Scale shape: one equi-join on the block key (the only shuffle),
+    * length filter and edit distance map-side on candidates only. Feed it
+    * DISTINCT canonical entities (dedupe-then-link) — linking raw rows
+    * with heavy duplication explodes every block quadratically; and keep
+    * blocks bounded (a hot block is a quadratic straggler — pre-aggregate
+    * or refine the key).
+    */
+  def recordLinkagePairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockCol: String,
+      maxDistance: Int = 2): DataFrame = {
+    require(maxDistance >= 0, s"recordLinkagePairs: maxDistance must be >= 0, got $maxDistance")
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      col(blockCol).as("blk"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= maxDistance)
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .where(col("dist") <= maxDistance)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup over an
     * embedding column — k-means-cluster the corpus, call two documents
     * semantic duplicates when their within-cluster cosine reaches `eps`,

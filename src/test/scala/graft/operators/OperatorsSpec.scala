@@ -2758,3 +2758,36 @@ class FunnelsSpec extends SparkSpec {
     assert(out == Seq((p0, 0L, 2L), (p0, 1L, 1L), (p0 + 1, 0L, 1L)))
   }
 }
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("length-band prefilter is lossless; blocking bounds comparisons; hand-check distances") {
+    val ents = Seq(
+      (1L, "small bolt brand#2", "bolt"),
+      (2L, "small bolt brand#3", "bolt"),   // dist 1 to id 1
+      (3L, "small bolt brand#17", "bolt"),  // dist 2 to id 1, dist 2 to id 2
+      (4L, "red bolt brand#2", "bolt"),     // dist 4 to id 1 (over threshold)
+      (5L, "small gear brand#2", "gear")    // different block: never compared
+    ).toDF("id", "name", "blk")
+    val got = Dedup.recordLinkagePairs(ents, "id", "name", "blk", maxDistance = 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    // prefilter losslessness on real data: same pair set as the in-block
+    // join WITHOUT the length band (the band is a Levenshtein lower bound)
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val real = part
+      .select(concat(col("p_name"), lit(" "), lower(col("p_brand"))).as("name"),
+        element_at(split(col("p_name"), " "), 2).as("blk"), col("p_partkey"))
+      .groupBy("name", "blk").agg(min("p_partkey").as("id"))
+    val fast = Dedup.recordLinkagePairs(real, "id", "name", "blk", maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = real.as("a").join(real.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .where(levenshtein(col("a.name"), col("b.name")) <= 2)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == brute && fast.nonEmpty)
+  }
+}
