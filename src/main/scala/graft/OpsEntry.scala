@@ -3709,6 +3709,67 @@ object OpsEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     QueryDef(
+      "b04_compaction",
+      withTables { (s, _) =>
+        // small-file compaction: events written partitioned by type with
+        // DELIBERATE fragmentation (32 files per directory — the shape a
+        // micro-batch ingest leaves), compacted to one file per partition
+        // (spec pins the file counts), then aggregated. The oracle states
+        // the same aggregate over the raw table: compaction changes the
+        // LAYOUT, never the answer.
+        val frag = s.table("events").repartition(32)
+        Bucketing.writePartitioned(s, frag, "graft_b04_frag", "event_type")
+        Bucketing.compactPartitioned(s, "graft_b04_frag", "graft_b04_compact", "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sum_value"),
+            max("event_id").as("max_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q69_datetime_battery",
+      withTables { (s, _) =>
+        // date/time function conformance where the engines' spellings (and
+        // DOW conventions) genuinely differ: trunc-to-month, ISO week,
+        // extract family, Sunday-0 day-of-week (Spark dayofweek is 1-based
+        // Sunday; DuckDB dow is 0-based Sunday — the row pins the mapping),
+        // last day of month, add-months.
+        s.table("orders")
+          .where(col("o_orderkey") % 53 === 0)
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+            weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+            dayofyear(col("o_orderdate")).cast("long").as("doy"),
+            last_day(col("o_orderdate")).as("month_end"),
+            add_months(col("o_orderdate"), 2).as("plus2m"),
+            datediff(lit(java.sql.Date.valueOf("1998-12-31")), col("o_orderdate"))
+              .cast("long").as("days_to_end"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate)::DATE AS month_start,
+        |  week(o_orderdate)::BIGINT AS iso_week,
+        |  year(o_orderdate)::BIGINT AS y,
+        |  quarter(o_orderdate)::BIGINT AS q,
+        |  day(o_orderdate)::BIGINT AS dom,
+        |  dayofweek(o_orderdate)::BIGINT AS dow_sun0,
+        |  dayofyear(o_orderdate)::BIGINT AS doy,
+        |  last_day(o_orderdate) AS month_end,
+        |  (o_orderdate + INTERVAL 2 MONTH)::DATE AS plus2m,
+        |  date_diff('day', o_orderdate, DATE '1998-12-31')::BIGINT AS days_to_end
+        |FROM orders WHERE o_orderkey % 53 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
       "q63_summarize",
       withTables { (s, _) =>
         // SUMMARIZE-analogue table profile: one scan, long-format row per

@@ -78,6 +78,44 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Small-file compaction for a hive-partitioned warehouse table — the
+    * maintenance op every streaming/incremental ingest needs: micro-batch
+    * and per-executor writes leave each partition directory with dozens of
+    * small files, and at warehouse scale the SCAN cost becomes file-open
+    * dominated (listing, footer reads, task-per-file scheduling) long
+    * before byte cost matters. Compaction hash-repartitions on the
+    * partition column (each value's rows land in exactly one task → one
+    * file per directory), preserving content EXACTLY — the gate row proves
+    * it by aggregating the compacted table against the original-data
+    * oracle. Partitions too large for one file at real scale: split the
+    * value space upstream (a salt column in the partition key) rather than
+    * asking one task to hold the hot partition anyway.
+    *
+    * Writes to `destTable` (not in place: Spark refuses to overwrite a
+    * table it is concurrently reading, and the two-table shape gives the
+    * caller an atomic swap point).
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      srcTable: String,
+      destTable: String,
+      partitionCol: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS `$destTable`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), destTable.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.table(srcTable)
+      .repartition(col(partitionCol)) // one shuffle: co-locate each partition's rows
+      .write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("maxRecordsPerFile", 0) // no forced splitting; task layout decides
+      .partitionBy(partitionCol)
+      .saveAsTable(destTable)
+    spark.table(destTable)
+  }
+
   /** Materialize both sides bucketed on the join key and return their
     * shuffle-free equi-join. `buckets` sizes the layout: at warehouse scale
     * pick it so one bucket of the LARGER side fits an executor's memory

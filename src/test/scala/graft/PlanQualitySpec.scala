@@ -639,6 +639,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("b04 compaction: fragmented partition dirs collapse to one file each, content identical") {
+    val frag = spark.table("events").repartition(16)
+    operators.Bucketing.writePartitioned(spark, frag, "graft_test_frag", "event_type")
+    operators.Bucketing.compactPartitioned(
+      spark, "graft_test_frag", "graft_test_compact", "event_type")
+    def filesPerPartition(table: String): Map[String, Int] = {
+      val root = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerPartition("graft_test_frag")
+    val after = filesPerPartition("graft_test_compact")
+    assert(before.nonEmpty && before.keySet == after.keySet)
+    assert(before.values.forall(_ > 1), s"fixture not fragmented: $before")
+    assert(after.values.forall(_ == 1), s"compaction left multiple files: $after")
+    // content exactly preserved
+    val a = spark.table("graft_test_frag").orderBy("event_id").collect().toSeq
+    val b = spark.table("graft_test_compact")
+      .select(spark.table("graft_test_frag").columns.map(col): _*)
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {
     val df = graft.operators.TimeSeries.interpolateLinear(
       spark.table("events"), "ts", "event_type", "value", bucketSeconds = 3600L)
