@@ -820,6 +820,37 @@ object OpsEntry {
         |ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
+      "d38_corpus_diff",
+      withTables { (s, _) =>
+        // dataset-versioning diff between two derived corpus versions:
+        // old = ids % 5 != 0, new = ids % 7 != 0 with every % 11 == 0 text
+        // rewritten — so the diff holds all three classes. Digest-keyed
+        // (md5) so the join shuffles narrow rows; unchanged ids never
+        // appear.
+        val docs = s.table("documents")
+        val oldV = docs.where(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+        val newV = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"))
+        Dedup.corpusDiff(oldV, newV, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH oldv AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents WHERE doc_id % 5 != 0),
+        |newv AS (
+        |  SELECT doc_id, md5(coalesce(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END, '')) AS h
+        |  FROM documents WHERE doc_id % 7 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.h != n.h THEN 'changed' END AS change
+        |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h)
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d37_record_linkage",
       withTables { (s, _) =>
         // blocked fuzzy entity resolution over DISTINCT part entities

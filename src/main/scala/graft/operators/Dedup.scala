@@ -772,6 +772,30 @@ object Dedup {
     delta.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Corpus snapshot diff — dataset versioning's primitive: classify every
+    * id across two corpus versions as `added` (new only), `removed` (old
+    * only) or `changed` (both, different content digest). Content equality
+    * is by md5 of the text (comparing digests, not text, keeps the shuffle
+    * rows narrow at corpus scale — the same reason d01 keys exact dedup on
+    * md5); unchanged ids are NOT emitted, so the result is diff-sized, not
+    * corpus-sized. One full-outer equi-join on id is the only shuffle.
+    */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def digested(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("id"), md5(coalesce(col(textCol), lit(""))).as(s"h_$tag"))
+    digested(oldDf, "old").join(digested(newDf, "new"), Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed")))
+      .where(col("change").isNotNull)
+      .select(col("id").as(idCol), col("change"))
+  }
+
   /** Blocked fuzzy record linkage — the structured-records face of dedup
     * (entity resolution): candidate pairs meet in an equi-join on a
     * caller-chosen BLOCKING key (the classic recall/cost dial: only
