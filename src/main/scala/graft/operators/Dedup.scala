@@ -819,8 +819,11 @@ object Dedup {
       blockCol: String,
       maxDistance: Int = 2): DataFrame = {
     require(maxDistance >= 0, s"recordLinkagePairs: maxDistance must be >= 0, got $maxDistance")
+    // both self-join sides read this frame: materialize once (callers
+    // typically pass an AGGREGATED distinct-entity frame — recomputing it
+    // per side doubles the dominant upstream cost)
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
-      col(blockCol).as("blk"))
+      col(blockCol).as("blk")).localCheckpoint(false)
     base.as("a").join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
           abs(length(col("a.name")) - length(col("b.name"))) <= maxDistance)

@@ -241,10 +241,14 @@ object DocumentStreams {
     * loop (corpus grows, index grows with it, nothing recomputes).
     *
     * Restart semantics: foreachBatch re-delivers an uncommitted batch with
-    * the same batchId after a crash; the parquet append is then duplicated
-    * unless the sink dedups — production deployments should make the body
-    * idempotent (e.g. write by batchId partition); kept minimal here and
-    * covered by the spec through clean stop/starts.
+    * the same batchId after a crash. The sink is IDEMPOTENT under that:
+    * survivors land in a `batch_id=<id>` partition via dynamic partition
+    * overwrite, so a re-delivered batch replaces its own partition instead
+    * of double-appending (spec re-runs a batch body and proves the sink
+    * unchanged). The index append is re-delivery-SAFE rather than
+    * idempotent: duplicate index rows cost storage, never correctness —
+    * candidates are `.distinct()`ed and a duplicated hs row yields the
+    * identical verdict for every candidate pair.
     */
   def incrementalDedupStream(
       docs: DataFrame,
@@ -261,16 +265,34 @@ object DocumentStreams {
       buckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val survivors = graft.operators.Dedup.incrementalDedupMd5(
-          spark, batch, idCol, textCol, indexTable,
-          shingleSize, numHashes, bands, threshold)
-          .localCheckpoint(true)
-        survivors.write.mode("append").parquet(sinkPath)
-        if (admitToIndex)
-          graft.operators.Dedup.appendMinhashIndex(spark, survivors,
-            idCol, textCol, indexTable, shingleSize, numHashes, bands, buckets)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatchBody(batch, batchId, indexTable, sinkPath, admitToIndex,
+          idCol, textCol, shingleSize, numHashes, bands, threshold, buckets)
       }
       .start()
+
+  /** The foreachBatch body, exposed so the idempotence spec can invoke it
+    * directly with a repeated batchId (simulating crash re-delivery, which
+    * a clean MemoryStream run never produces).
+    */
+  private[streaming] def dedupBatchBody(
+      batch: DataFrame, batchId: Long,
+      indexTable: String, sinkPath: String, admitToIndex: Boolean,
+      idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int, threshold: Double,
+      buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val survivors = graft.operators.Dedup.incrementalDedupMd5(
+      spark, batch, idCol, textCol, indexTable,
+      shingleSize, numHashes, bands, threshold)
+      .localCheckpoint(true)
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // replace ONLY this batch's partition
+      .partitionBy("batch_id")
+      .parquet(sinkPath)
+    if (admitToIndex)
+      graft.operators.Dedup.appendMinhashIndex(spark, survivors,
+        idCol, textCol, indexTable, shingleSize, numHashes, bands, buckets)
+  }
 }

@@ -278,4 +278,23 @@ class IncrementalDedupStreamSpec extends SparkSpec {
       s"stream/batch diverged: only-stream=${streamed -- expected}, only-batch=${expected -- streamed}")
     assert(streamed.nonEmpty && streamed.forall(_ % 4 == 0))
   }
+
+  test("sink is idempotent under foreachBatch re-delivery (same batchId re-run)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    Dedup.writeMinhashIndex(spark, docs.where(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", "graft_redeliver_idx", buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-redeliver").toString
+    val batch = docs.where(col("doc_id") % 8 === 0)
+    def runBody(): Unit = DocumentStreams.dedupBatchBody(
+      batch, batchId = 7L, "graft_redeliver_idx", s"$tmp/sink", admitToIndex = false,
+      "doc_id", "text", 3, 64, 32, 0.5, 4)
+    runBody()
+    val first = spark.read.parquet(s"$tmp/sink").select("doc_id").as[Long].collect().sorted.toSeq
+    runBody() // crash re-delivery: same batchId again
+    val second = spark.read.parquet(s"$tmp/sink").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first.nonEmpty && second == first,
+      s"re-delivered batch changed the sink: ${first.size} -> ${second.size} rows")
+  }
 }
