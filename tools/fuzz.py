@@ -194,6 +194,22 @@ def unpivot_pipeline():
             f"unpivot include nulls (val for measure in ({', '.join(m)}))")
 
 
+def date_stage():
+    # date-function battery in the Spark∩DuckDB identically-spelled surface
+    # (q69's motivation; dayofweek/datediff excluded — conventions differ)
+    fns = [
+        "year(l_shipdate)",
+        "quarter(l_shipdate)",
+        "day(l_shipdate)",
+        "dayofyear(l_shipdate)",
+        "last_day(l_shipdate)",
+        "cast(date_trunc('month', l_shipdate) as date)",
+    ]
+    picks = rnd.sample(fns, rnd.choice([2, 3]))
+    cols = ", ".join(f"{e} as e{i}" for i, e in enumerate(picks))
+    return f"select l_orderkey, l_linenumber, {cols}"
+
+
 def pipeline():
     r = rnd.random()
     if r < 0.12:
@@ -215,7 +231,12 @@ def pipeline():
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(8)
+    shape = rnd.randrange(9)
+    if shape == 8:
+        stages.append(date_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
     if shape == 7:
         # DISTINCT ON: graft rewrites to a row_number window; DuckDB runs the
         # stage natively. Deterministic: picks min (okey, lineno) per flag,
