@@ -1563,6 +1563,50 @@ object OpsEntry {
         |FROM documents ORDER BY media_id""".stripMargin)),
 
     QueryDef(
+      "m12_tar_members",
+      withTables { (s, _) =>
+        // WebDataset-style tar shards: 64 samples per ustar shard, each
+        // sample a .txt + real .png member pair sharing the zero-padded id
+        // basename; shards parsed back with the validating ustar reader.
+        // The .txt member names and byte sizes are closed-form in the
+        // documents table, so the whole write→parse path hash-checks.
+        val shards = TarShards.documentsAsTarShards(s.table("documents"), 64)
+        TarShards.readMembers(shards)
+          .where(col("member").endsWith(".txt"))
+          .select(col("shard_id"), col("member"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .orderBy("member")
+      },
+      Some("""SELECT (doc_id // 64)::BIGINT AS shard_id,
+        |  printf('%08d', doc_id) || '.txt' AS member,
+        |  octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes
+        |FROM documents ORDER BY member""".stripMargin)),
+
+    QueryDef(
+      "m13_tar_image_decode",
+      withTables { (s, _) =>
+        // the full multimodal ingestion path: tar shard → member explode →
+        // REAL PNG decode of the .png members — dims are closed-form in
+        // doc_id (ImageGen), so container parsing AND decode hash-check
+        // end to end.
+        val shards = TarShards.documentsAsTarShards(s.table("documents"), 64)
+        val media = TarShards.readMembers(shards)
+          .where(col("member").endsWith(".png"))
+          .select(substring(col("member"), 1, 8).cast("long").as("media_id"),
+            col("payload").as("media"),
+            struct(lit("image/png").as("mime"), lit(null).cast("int").as("width"),
+              lit(null).cast("int").as("height")).as("meta"))
+        Multimodal.extractFeatures(media, ImageIoDecoder)
+          .select(col("media_id"),
+            element_at(col("features"), 1).cast("int").as("w"),
+            element_at(col("features"), 2).cast("int").as("h"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+        |  (8 + doc_id % 9)::INT AS w, (6 + doc_id % 5)::INT AS h
+        |FROM documents ORDER BY media_id""".stripMargin)),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

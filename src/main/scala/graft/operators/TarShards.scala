@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Minimal POSIX ustar writer/parser — the container format WebDataset-style
+  * multimodal training corpora ship in (one tar shard = a sequence of
+  * samples; each sample's modalities are members sharing a basename:
+  * `000042.txt`, `000042.png`, …). Pure byte-level, no dependencies, and
+  * the parser VALIDATES (magic + header checksum), so corrupt shards fail
+  * loudly instead of yielding garbage members.
+  *
+  * Writer determinism: fixed mode/uid/gid/mtime fields, so identical
+  * members always produce identical shard bytes — what lets tar-path gate
+  * rows hash-check.
+  */
+private[operators] object Ustar {
+
+  private val BLOCK = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    // width-1 octal digits, zero-padded, NUL terminated (ustar numeric form)
+    val s = java.lang.Long.toOctalString(v)
+    require(s.length <= width - 1, s"ustar: value $v too large for $width-byte field")
+    val out = new Array[Byte](width)
+    val pad = width - 1 - s.length
+    var i = 0
+    while (i < pad) { out(i) = '0'; i += 1 }
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, pad)
+    out(width - 1) = 0
+    out
+  }
+
+  private def header(name: String, size: Long): Array[Byte] = {
+    val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(nameBytes.length <= 100, s"ustar: member name too long: $name")
+    val h = new Array[Byte](BLOCK)
+    nameBytes.copyToArray(h, 0)                        // name [0,100)
+    octal(420, 8).copyToArray(h, 100)                  // mode 0644
+    octal(0, 8).copyToArray(h, 108)                    // uid
+    octal(0, 8).copyToArray(h, 116)                    // gid
+    octal(size, 12).copyToArray(h, 124)                // size
+    octal(0, 12).copyToArray(h, 136)                   // mtime (fixed: determinism)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)     // chksum = spaces while summing
+    h(156) = '0'                                       // typeflag: regular file
+    "ustar".getBytes.copyToArray(h, 257)               // magic "ustar\0" + version "00"
+    h(262) = 0; h(263) = '0'; h(264) = '0'
+    var sum = 0L
+    var i = 0
+    while (i < BLOCK) { sum += h(i) & 0xFF; i += 1 }
+    val c = java.lang.Long.toOctalString(sum)
+    val cp = 6 - c.length
+    i = 0
+    while (i < cp) { h(148 + i) = '0'; i += 1 }
+    c.getBytes.copyToArray(h, 148 + cp)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  def write(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val size = members.map { case (_, d) =>
+      BLOCK + ((d.length + BLOCK - 1) / BLOCK) * BLOCK
+    }.sum + 2 * BLOCK
+    val out = new Array[Byte](size)
+    var off = 0
+    members.foreach { case (name, data) =>
+      header(name, data.length.toLong).copyToArray(out, off); off += BLOCK
+      data.copyToArray(out, off)
+      off += ((data.length + BLOCK - 1) / BLOCK) * BLOCK // zero padding is implicit
+    }
+    out // trailing two zero blocks are the remaining zeros
+  }
+
+  /** Parse a ustar archive; throws IllegalArgumentException on bad magic or
+    * checksum (a corrupt shard must fail the task, not emit garbage).
+    */
+  def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    require(bytes != null && bytes.length % BLOCK == 0, "ustar: truncated archive")
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + BLOCK <= bytes.length) {
+      if (bytes(off) == 0) done = true // zero block: end of archive
+      else {
+        require(bytes(off + 257) == 'u' && bytes(off + 258) == 's' &&
+          bytes(off + 259) == 't' && bytes(off + 260) == 'a' && bytes(off + 261) == 'r',
+          s"ustar: bad magic at offset $off")
+        var sum = 0L
+        var i = 0
+        while (i < BLOCK) {
+          sum += (if (i >= 148 && i < 156) ' '.toByte else bytes(off + i)) & 0xFF
+          i += 1
+        }
+        // numeric fields are octal digits + NUL/space terminators — keep
+        // only the digits before parsing
+        def octalField(fieldOff: Int, width: Int): Long = {
+          val f = new String(bytes, off + fieldOff, width,
+            java.nio.charset.StandardCharsets.US_ASCII).filter(c => c >= '0' && c <= '7')
+          require(f.nonEmpty, s"ustar: empty numeric field at offset ${off + fieldOff}")
+          java.lang.Long.parseLong(f, 8)
+        }
+        val stated = octalField(148, 8)
+        require(sum == stated, s"ustar: checksum mismatch at offset $off ($sum != $stated)")
+        var n = 0
+        while (n < 100 && bytes(off + n) != 0) n += 1
+        val name = new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = octalField(124, 12).toInt
+        out += name -> java.util.Arrays.copyOfRange(bytes, off + BLOCK, off + BLOCK + size)
+        off += BLOCK + ((size + BLOCK - 1) / BLOCK) * BLOCK
+      }
+    }
+    out.result()
+  }
+}
+
+/** WebDataset-style tar-shard plumbing: group samples into tar shards
+  * (`docsPerShard` samples each; each sample contributes a `.txt` member
+  * and a real `.png` member sharing the zero-padded id basename), and
+  * explode shards back into per-member rows for downstream decoders.
+  *
+  * Scale shape: shard assembly is `mapPartitions` after one narrow
+  * repartition on shard id (members of a shard must co-locate — the only
+  * shuffle); member extraction is a pure map-side explode (shard rows ×
+  * members, no shuffle at all). At real scale shards arrive as binary
+  * files; the extraction path is exactly this explode.
+  */
+object TarShards {
+
+  val shardSchema: StructType = StructType(Seq(
+    StructField("shard_id", LongType, nullable = false),
+    StructField("shard", BinaryType, nullable = false)))
+
+  val memberSchema: StructType = StructType(Seq(
+    StructField("shard_id", LongType, nullable = false),
+    StructField("member", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  private def basename(id: Long): String = f"$id%08d"
+
+  /** One tar shard per `docsPerShard` documents: members
+    * `<id>.txt` (utf8 text) + `<id>.png` ([[Multimodal.ImageGen]] pixels),
+    * id-sorted within the shard (deterministic shard bytes).
+    */
+  def documentsAsTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame = {
+    require(docsPerShard >= 1, "documentsAsTarShards: docsPerShard must be >= 1")
+    val spark = documents.sparkSession
+    val rows = documents
+      .select((col("doc_id") / docsPerShard).cast("long").as("sid"),
+        col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("sid"))
+    val sidIdx = 0; val idIdx = 1; val textIdx = 2
+    rows.mapPartitions { iter =>
+      iter.toSeq.groupBy(_.getLong(sidIdx)).iterator.map { case (sid, docs) =>
+        val members = docs.sortBy(_.getLong(idIdx)).flatMap { r =>
+          val id = r.getLong(idIdx)
+          val text = Option(r.getString(textIdx)).getOrElse("")
+          Seq(
+            s"${basename(id)}.txt" ->
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            s"${basename(id)}.png" -> Multimodal.ImageGen.png(id))
+        }
+        Row(sid, Ustar.write(members))
+      }
+    }(org.apache.spark.sql.Encoders.row(shardSchema))
+  }
+
+  /** Explode shards into `(shard_id, member, payload)` rows — map-side,
+    * parser-validated (bad shard ⇒ task failure, never silent loss).
+    */
+  def readMembers(shards: DataFrame): DataFrame = {
+    val sidIdx = shards.schema.fieldIndex("shard_id")
+    val shardIdx = shards.schema.fieldIndex("shard")
+    shards.mapPartitions { iter =>
+      iter.flatMap { r =>
+        Ustar.parse(r.getAs[Array[Byte]](shardIdx)).iterator.map { case (name, data) =>
+          Row(r.getLong(sidIdx), name, data)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(memberSchema))
+  }
+}

@@ -2791,3 +2791,45 @@ class RecordLinkageSpec extends SparkSpec {
     assert(fast == brute && fast.nonEmpty)
   }
 }
+
+class TarShardsSpec extends SparkSpec {
+
+  test("ustar round-trips exactly; interop-shaped headers; corruption rejected") {
+    val members = Seq(
+      "a.txt" -> "hello tar".getBytes,
+      "b.bin" -> Array.tabulate(1000)(i => (i % 251).toByte),
+      "empty.txt" -> Array.empty[Byte])
+    val tar = graft.operators.Ustar.write(members)
+    assert(tar.length % 512 == 0)
+    val back = graft.operators.Ustar.parse(tar)
+    assert(back.map(_._1) == members.map(_._1))
+    back.zip(members).foreach { case ((_, got), (_, want)) =>
+      assert(got.toSeq == want.toSeq)
+    }
+    // interop shape (validated against python tarfile + GNU tar, which both
+    // read these archives): ustar magic and a correct checksum per header
+    assert(new String(tar, 257, 5) == "ustar")
+    // a flipped payload byte breaks the payload, not the parse; a flipped
+    // HEADER byte must be rejected via the checksum
+    val bad = tar.clone(); bad(10) = 'X'.toByte
+    intercept[IllegalArgumentException](graft.operators.Ustar.parse(bad))
+    // truncation rejected
+    intercept[IllegalArgumentException](
+      graft.operators.Ustar.parse(java.util.Arrays.copyOfRange(tar, 0, 700)))
+    // determinism: same members → identical bytes
+    assert(graft.operators.Ustar.write(members).toSeq == tar.toSeq)
+  }
+
+  test("tar shards: members co-locate by shard, explode parses every sample pair") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val shards = graft.operators.TarShards.documentsAsTarShards(docs, 16)
+    val members = graft.operators.TarShards.readMembers(shards)
+    import spark.implicits._
+    val byShard = members.groupBy("shard_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    // every doc contributes exactly 2 members to exactly one shard
+    assert(byShard.values.sum == 80L)
+    val names = members.select("member").as[String].collect()
+    assert(names.count(_.endsWith(".txt")) == 40 && names.count(_.endsWith(".png")) == 40)
+  }
+}
