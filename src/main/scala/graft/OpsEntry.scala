@@ -1607,6 +1607,21 @@ object OpsEntry {
         |FROM documents ORDER BY media_id""".stripMargin)),
 
     QueryDef(
+      "m14_tar_gzip_roundtrip",
+      withTables { (s, _) =>
+        // compressed-member WebDataset shape: .txt.gz members gunzipped at
+        // the codec boundary — the FULL text content round-trips through
+        // gzip→tar→parse→gunzip and hash-checks against the raw table.
+        val shards = TarShards.documentsAsGzipTarShards(s.table("documents"), 64)
+        TarShards.gunzipPayloads(TarShards.readMembers(shards))
+          .select(substring(col("member"), 1, 8).cast("long").as("doc_id"),
+            decode(col("payload"), "UTF-8").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, coalesce(text, '') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "t06_group_sample",
       withTables { (s, _) =>
         TrainingPipeline.groupSample(s.table("documents"), "lang", "doc_id", k = 5)

@@ -81,8 +81,15 @@ private[operators] object Ustar {
     var off = 0
     var done = false
     while (!done && off + BLOCK <= bytes.length) {
-      if (bytes(off) == 0) done = true // zero block: end of archive
-      else {
+      if (bytes(off) == 0) {
+        // end-of-archive marker is an ALL-zero block; a header whose first
+        // byte happens to be zeroed (corruption) must be rejected, not
+        // silently read as a truncated archive (property-test finding)
+        var z = 1
+        while (z < BLOCK && bytes(off + z) == 0) z += 1
+        require(z == BLOCK, s"ustar: corrupt header at offset $off (NUL name, non-zero block)")
+        done = true
+      } else {
         require(bytes(off + 257) == 'u' && bytes(off + 258) == 's' &&
           bytes(off + 259) == 't' && bytes(off + 260) == 'a' && bytes(off + 261) == 'r',
           s"ustar: bad magic at offset $off")
@@ -163,6 +170,57 @@ object TarShards {
         Row(sid, Ustar.write(members))
       }
     }(org.apache.spark.sql.Encoders.row(shardSchema))
+  }
+
+  /** GZIP variant — the `.gz`-member WebDataset convention: one tar shard
+    * per `docsPerShard` documents, each sample a single `<id>.txt.gz`
+    * member (pure-JDK `GZIPOutputStream`, deflate inside the container —
+    * the layout that trades member-level random access for storage).
+    */
+  def documentsAsGzipTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame = {
+    require(docsPerShard >= 1, "documentsAsGzipTarShards: docsPerShard must be >= 1")
+    val spark = documents.sparkSession
+    val rows = documents
+      .select((col("doc_id") / docsPerShard).cast("long").as("sid"),
+        col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("sid"))
+    rows.mapPartitions { iter =>
+      iter.toSeq.groupBy(_.getLong(0)).iterator.map { case (sid, docs) =>
+        val members = docs.sortBy(_.getLong(1)).map { r =>
+          val id = r.getLong(1)
+          val text = Option(r.getString(2)).getOrElse("")
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          gz.close()
+          s"${basename(id)}.txt.gz" -> bos.toByteArray
+        }
+        Row(sid, Ustar.write(members))
+      }
+    }(org.apache.spark.sql.Encoders.row(shardSchema))
+  }
+
+  /** Decompress `.gz` member payloads in place (others pass through) — at
+    * the per-partition codec boundary, like every decoder here.
+    */
+  def gunzipPayloads(members: DataFrame): DataFrame = {
+    val sidIdx = members.schema.fieldIndex("shard_id")
+    val nameIdx = members.schema.fieldIndex("member")
+    val payIdx = members.schema.fieldIndex("payload")
+    members.mapPartitions { iter =>
+      iter.map { r =>
+        val name = r.getString(nameIdx)
+        val payload = r.getAs[Array[Byte]](payIdx)
+        val out =
+          if (!name.endsWith(".gz")) payload
+          else {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try in.readAllBytes() finally in.close()
+          }
+        Row(r.getLong(sidIdx), name, out)
+      }
+    }(org.apache.spark.sql.Encoders.row(memberSchema))
   }
 
   /** Explode shards into `(shard_id, member, payload)` rows — map-side,
