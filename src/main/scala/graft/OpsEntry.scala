@@ -4051,6 +4051,66 @@ object OpsEntry {
         |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef(
+      "st15_incremental_loop",
+      withTables { (s, _) =>
+        // the full grow-the-index loop (the streaming foreachBatch body's
+        // batch face, staged twice): build the index on the base corpus,
+        // dedup wave 1 against it, ADMIT wave-1 survivors into the index,
+        // dedup wave 2 against the grown index — wave-2 survivors have no
+        // near-dup in base OR admitted wave 1. The oracle recomputes both
+        // stages from scratch; a hash match proves the persisted loop
+        // (build → probe → append → probe) loses nothing across waves.
+        val docs = s.table("documents")
+        val base = docs.where(col("doc_id") % 4 =!= 0)
+        val w1 = docs.where(col("doc_id") % 8 === 0)
+        val w2 = docs.where(col("doc_id") % 8 === 4)
+        Dedup.writeMinhashIndex(s, base, "doc_id", "text", "graft_loop_idx",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        val s1 = Dedup.incrementalDedupMd5(s, w1, "doc_id", "text", "graft_loop_idx")
+          .localCheckpoint(true)
+        Dedup.appendMinhashIndex(s, s1, "doc_id", "text", "graft_loop_idx",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        val s2 = Dedup.incrementalDedupMd5(s, w2, "doc_id", "text", "graft_loop_idx")
+        s1.select("doc_id", "lang").union(s2.select("doc_id", "lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |bad1 AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  JOIN sh p ON p.doc_id = x.doc_id JOIN sh q ON q.doc_id = y.doc_id
+        |  WHERE x.doc_id % 8 = 0 AND y.doc_id % 4 != 0
+        |    AND round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |      (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5),
+        |s1 AS (
+        |  SELECT d.doc_id, d.lang FROM documents d LEFT JOIN bad1 USING (doc_id)
+        |  WHERE d.doc_id % 8 = 0 AND bad1.doc_id IS NULL),
+        |bad2 AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  JOIN sh p ON p.doc_id = x.doc_id JOIN sh q ON q.doc_id = y.doc_id
+        |  WHERE x.doc_id % 8 = 4
+        |    AND (y.doc_id % 4 != 0 OR y.doc_id IN (SELECT doc_id FROM s1))
+        |    AND round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |      (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5),
+        |s2 AS (
+        |  SELECT d.doc_id, d.lang FROM documents d LEFT JOIN bad2 USING (doc_id)
+        |  WHERE d.doc_id % 8 = 4 AND bad2.doc_id IS NULL)
+        |SELECT doc_id, lang FROM s1 UNION ALL SELECT doc_id, lang FROM s2
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "st14_window_ohlc",
       withTables { (s, _) =>
         // streaming face of a12: the SAME windowed min_by/max_by plan the
