@@ -1231,6 +1231,42 @@ object OpsEntry {
       Some(minhashMd5OracleSql)),
 
     QueryDef(
+      "d39_sig_jaccard_pairs",
+      withTables { (s, _) =>
+        // d19's banded pipeline with SIGNATURE-ONLY verification: the
+        // MinHash matching-slot estimator replaces exact Jaccard, so the
+        // verify join ships 64-slot signatures instead of full shingle-hash
+        // sets — the bandwidth dial a 100 TB dedup turns. Unbiased, σ≈6%
+        // at k=64; every stage SQL-statable.
+        Dedup.minhashSigEstimatePairsMd5(s.table("documents"), "doc_id", "text",
+          threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  round(len(list_filter(range(64),
+        |    i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / 64, 6) AS jaccard_est
+        |FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+        |WHERE round(len(list_filter(range(64),
+        |    i -> sa.sig[i+1] = sb.sig[i+1]))::DOUBLE / 64, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef(
       "d18_semdedup",
       withTables { (s, _) =>
         // SemDeDup: k-means-blocked semantic dedup, keep the least-typical

@@ -569,6 +569,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[minhashLshPairsMd5]] with SIGNATURE-ONLY verification — the
+    * bandwidth variant for 100 TB: exact-Jaccard verify ships each doc's
+    * full shingle-hash set (100s–1000s of longs) through the candidate
+    * join, while the MinHash estimator `|{j : sigA_j = sigB_j}| / k` needs
+    * only the k-slot signature the banding already carries — an unbiased
+    * estimate with σ = √(J(1−J)/k) (~6% at k=64), the classic
+    * precision-for-bandwidth dial. Emits `(id_a, id_b, jaccard_est)` for
+    * candidate pairs whose estimate clears `threshold`; every stage is
+    * SQL-statable, so the row is full-oracle.
+    */
+  def minhashSigEstimatePairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val frame = md5MinhashFrame(df, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"), col("sig")) // signatures only — hs never ships
+    val banded = md5BandBuckets(frame, bands, numHashes / bands)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sigs = frame
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("jaccard_est", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes, 6))
+      .where(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
   /** One-permutation-hashing near-dup pairs (OPH + rotation densification)
     * — [[minhashLshPairsMd5]]'s banded pipeline with the signature stage
     * swapped for [[graft.functions.ShingleHash.ophSig]]: the per-shingle

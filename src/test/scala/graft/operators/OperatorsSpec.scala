@@ -2833,3 +2833,25 @@ class TarShardsSpec extends SparkSpec {
     assert(names.count(_.endsWith(".txt")) == 40 && names.count(_.endsWith(".png")) == 40)
   }
 }
+
+class SigEstimateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("signature-only Jaccard estimate tracks exact Jaccard within the k=64 error bar") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = Dedup.minhashSigEstimatePairsMd5(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exact = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.nonEmpty)
+    val common = est.keySet.intersect(exact.keySet)
+    assert(common.nonEmpty)
+    // σ = sqrt(J(1-J)/64) ≤ 0.0625; 4σ covers essentially every pair
+    common.foreach { k =>
+      assert(math.abs(est(k) - exact(k)) <= 0.25, s"$k: est ${est(k)} vs exact ${exact(k)}")
+    }
+    // and the mean deviation is well inside one σ (unbiased estimator)
+    val meanDev = common.toSeq.map(k => est(k) - exact(k)).sum / common.size
+    assert(math.abs(meanDev) < 0.0625, s"estimator biased: mean deviation $meanDev")
+  }
+}
