@@ -35,6 +35,24 @@ class Psql(val spark: SparkSession) {
         else spark.table(inner)
       return src.summary()
     }
+    // `EXPLAIN [modifier] <pipeline>` — the rewriter would otherwise fold
+    // the keyword into the head relation (`FROM ( explain from t )`).
+    // Strip the prefix, rewrite the pipeline, re-prepend: Spark's EXPLAIN
+    // accepts the rewritten SELECT directly. DuckDB's ANALYZE modifier has
+    // no Spark equivalent → mapped to EXTENDED (documented divergence:
+    // Spark never interleaves runtime metrics into EXPLAIN output).
+    if (SqlScanner.matchesWord(t, 0, "explain")) {
+      var rest = t.substring("explain".length).trim
+      val modifiers = Seq("extended", "formatted", "codegen", "cost", "analyze")
+      val mod = modifiers.find(m => SqlScanner.matchesWord(rest, 0, m))
+      mod.foreach(m => rest = rest.substring(m.length).trim)
+      val sparkMod = mod match {
+        case Some("analyze") => "EXTENDED"
+        case Some(m)         => m.toUpperCase(java.util.Locale.ROOT)
+        case None            => ""
+      }
+      return spark.sql(s"EXPLAIN $sparkMod ${Psql.preprocess(spark, rest.stripSuffix(";"))}")
+    }
     // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
     // (no Spark grammar for it; needs schemas, so no string rewrite)
     AsofSql.tryPipeline(spark, query) match {

@@ -658,3 +658,39 @@ class NativePipeConformanceSpec extends SparkSpec {
     assert(psql.sql(q).collect().toSeq == spark.sql(rewritten).collect().toSeq)
   }
 }
+
+/** EXPLAIN/DESCRIBE over pipelines — the REPL workflow the reference gets
+  * for free from its regex (the keyword survives outside the rewritten
+  * FROM); our scanner needs the explicit prefix handling these pins cover.
+  */
+class ExplainDescribeSpec extends SparkSpec {
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .createOrReplaceTempView("lineitem")
+  }
+
+  test("explain over a pipeline returns the rewritten query's plan") {
+    val p = psql.sql(
+      "explain from lineitem |> where l_quantity > 30 |> select l_returnflag, count() as c group by l_returnflag")
+      .collect().head.getString(0)
+    assert(p.contains("Physical Plan") || p.contains("AdaptiveSparkPlan"), p.take(200))
+    assert(p.contains("l_returnflag"), p.take(400))
+  }
+
+  test("explain modifiers: formatted/extended/codegen/cost; DuckDB analyze maps to extended") {
+    for (m <- Seq("formatted", "extended", "cost", "analyze")) {
+      val p = psql.sql(s"explain $m from lineitem |> select l_orderkey |> limit 3")
+        .collect().head.getString(0)
+      assert(p.nonEmpty, s"modifier $m")
+    }
+  }
+
+  test("describe over a pipeline yields the pipeline's schema, not the table's") {
+    val rows = psql.sql("describe from lineitem |> select l_orderkey, l_quantity")
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("l_orderkey", "l_quantity"))
+  }
+}
