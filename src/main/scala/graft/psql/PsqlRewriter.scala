@@ -143,6 +143,7 @@ object PsqlRewriter {
   private def rewriteBlocks(s: String): String = {
     val sc = scan(s)
     val out = new StringBuilder
+    val bodies = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     var segStart = 0
     while (i < s.length - 1) {
@@ -165,15 +166,28 @@ object PsqlRewriter {
           throw new IllegalArgumentException(
             s"unterminated scoped block: '(|' at offset $i has no matching '|)'")
         else {
-          out.append(convertFragment(s.substring(segStart, i)))
-          out.append(" ( ").append(rewriteBlocks(s.substring(i + 2, end))).append(" ) ")
+          // each block becomes a parenthesized IDENTIFIER placeholder: the
+          // surrounding text must be pipe-rewritten as ONE fragment (the
+          // reference's two regex passes do exactly this) — converting the
+          // segments around a block independently would cut a pipeline
+          // mid-stage whenever a block sits INSIDE a stage (scalar
+          // subquery in a select stage, IN-list subquery in a where)
+          out.append(s.substring(segStart, i).replaceAll("\\s+$", ""))
+          out.append(" ( __GRAFT_BLOCK_").append(bodies.length).append("__ ) ")
+          bodies += rewriteBlocks(s.substring(i + 2, end))
           i = end + 2
           segStart = i
         }
       } else i += 1
     }
-    out.append(convertFragment(s.substring(segStart)))
-    out.toString.trim
+    out.append(s.substring(segStart))
+    var result = convertFragment(out.toString)
+    var n = 0
+    while (n < bodies.length) {
+      result = result.replace(s"__GRAFT_BLOCK_${n}__", bodies(n))
+      n += 1
+    }
+    result.trim
   }
 
   /** If the fragment begins with a top-level WITH clause whose CTE bodies

@@ -694,3 +694,42 @@ class ExplainDescribeSpec extends SparkSpec {
     assert(rows == Set("l_orderkey", "l_quantity"))
   }
 }
+
+/** Scoped blocks INSIDE statements — shapes the reference's two-pass regex
+  * supports implicitly (blocks are substituted before the surrounding text
+  * is rewritten) and the placeholder rewrite now matches: a block as a
+  * scalar subquery inside a select stage, as an IN-list subquery inside a
+  * where stage, and as an INSERT INTO source.
+  */
+class BlockInStatementSpec extends SparkSpec {
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql("SELECT CAST(id AS INT) AS i, CAST(id * 2 AS INT) AS j FROM range(5)")
+      .createOrReplaceTempView("bt")
+  }
+
+  test("block as a scalar subquery inside a select stage") {
+    val rows = psql.sql(
+      "from bt |> select i, (| from bt |> select max(j) as m |) as mx |> order by i")
+      .collect()
+    assert(rows.length == 5 && rows.forall(_.getInt(1) == 8))
+  }
+
+  test("block as an IN-list subquery inside a where stage") {
+    val rows = psql.sql(
+      "from bt |> where i in (| from bt |> where j > 4 |> select i |) |> select i")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(3, 4))
+  }
+
+  test("block as an INSERT INTO source") {
+    spark.sql("DROP TABLE IF EXISTS block_ins")
+    spark.sql("CREATE TABLE block_ins (i INT, j INT) USING parquet")
+    try {
+      psql.sql("insert into block_ins (| from bt |> where i > 2 |> select i, j |)")
+      assert(spark.table("block_ins").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS block_ins")
+  }
+}
