@@ -194,6 +194,23 @@ def unpivot_pipeline():
             f"unpivot include nulls (val for measure in ({', '.join(m)}))")
 
 
+def block_in_stage_pipeline():
+    # scoped block INSIDE a pipeline stage (the r10 placeholder-rewrite
+    # shapes): a block IN-list subquery inside a where stage, or a block
+    # scalar subquery inside a select stage — both meaningful to the
+    # reference's two-pass regex too, so they fuzz differentially
+    if rnd.random() < 0.5:
+        inner = f"(| from lineitem |> {filter_stage()} |> select l_orderkey |)"
+        return (f"from lineitem |> where l_orderkey in {inner} |> "
+                f"select l_orderkey, l_linenumber |> order by all |> "
+                f"limit {rnd.randrange(10, 60)}")
+    a = rnd.choice(NUM_COLS)
+    inner = f"(| from lineitem |> {filter_stage()} |> select cast(max({a}) as double) as m |)"
+    return (f"from lineitem |> {filter_stage()} |> "
+            f"select l_orderkey, l_linenumber, {inner} as mx |> "
+            f"order by all |> limit {rnd.randrange(10, 60)}")
+
+
 def date_stage():
     # date-function battery in the Spark∩DuckDB identically-spelled surface
     # (q69's motivation; dayofweek/datediff excluded — conventions differ)
@@ -212,6 +229,8 @@ def date_stage():
 
 def pipeline():
     r = rnd.random()
+    if r < 0.06:
+        return block_in_stage_pipeline()
     if r < 0.12:
         return block_pipeline()
     if r < 0.24:
