@@ -3463,6 +3463,23 @@ object OpsEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      "q70_star_replace",
+      withTables { (s, _) =>
+        // DuckDB `SELECT * REPLACE (expr AS col)` mapped to Spark's native
+        // pipe SET (identical in-place-replacement semantics, positions
+        // preserved); composes with later stages like any select
+        Psqlish(s, """from lineitem |>
+          |where l_orderkey % 31 = 0 |>
+          |select * replace (l_quantity * 2 as l_quantity, upper(l_returnflag) as l_returnflag) |>
+          |select l_orderkey, l_linenumber, l_quantity, l_returnflag |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity * 2 AS l_quantity,
+        |  upper(l_returnflag) AS l_returnflag
+        |FROM lineitem WHERE l_orderkey % 31 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -431,6 +431,52 @@ object PsqlRewriter {
     Some((sel.substring(open + 1, close).trim, sel.substring(close + 1).trim))
   }
 
+  /** DuckDB `SELECT * REPLACE (expr AS col, …)`: Spark has no star-replace
+    * SELECT syntax, but its native pipe `SET col = expr` is the identical
+    * semantics (in-place replacement, column positions preserved — a plain
+    * `* EXCEPT (col), expr AS col` rewrite would move the column to the
+    * end). Returns the `SET` assignment list when the select clause is
+    * EXACTLY a star-replace; mixed select lists reject downstream with the
+    * stage's own error.
+    */
+  private[psql] def splitStarReplace(sel: String): Option[String] = {
+    val sc = scan(sel)
+    val st = nextCode(sel, sc, 0)
+    if (st < 0 || sel.charAt(st) != '*') return None
+    val r = nextCode(sel, sc, st + 1)
+    if (r < 0 || !matchesWord(sel, r, "replace")) return None
+    val open = nextCode(sel, sc, r + "replace".length)
+    if (open < 0 || sel.charAt(open) != '(') return None
+    var close = open + 1
+    while (close < sel.length &&
+      !(sc.code(close) && sc.depth(close) == sc.depth(open) && sel.charAt(close) == ')')) close += 1
+    if (close >= sel.length) return None
+    if (sel.substring(close + 1).trim.nonEmpty) return None // mixed list: not ours
+    val body = sel.substring(open + 1, close)
+    val bsc = scan(body)
+    // split on top-level commas; each item is `expr AS name`
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var segStart = 0
+    var i = 0
+    while (i < body.length) {
+      if (bsc.topLevel(i) && body.charAt(i) == ',') {
+        items += body.substring(segStart, i); segStart = i + 1
+      }
+      i += 1
+    }
+    items += body.substring(segStart)
+    val assigns = items.map { item =>
+      val isc = scan(item)
+      val asPos = topLevelKeyword(item, isc, Seq("as")).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"* REPLACE entries need `expr AS col`, got: ${item.trim}"))
+      val expr = item.substring(0, asPos).trim
+      val name = item.substring(asPos + 2).trim
+      s"$name = $expr"
+    }
+    Some(assigns.mkString(", "))
+  }
+
   /** Assemble one stage into SELECT-first SQL over `prev` (None for a head
     * FROM-first fragment, where the stage text itself starts with FROM).
     */
@@ -461,6 +507,27 @@ object PsqlRewriter {
     val fromWithSample = sample match {
       case Some(ts) => s"$fromPart $ts"
       case None     => fromPart
+    }
+
+    // DuckDB `SELECT * REPLACE (…)` → Spark native pipe SET (the identical
+    // in-place-replacement semantics); the pipe subquery parenthesizes
+    // cleanly, so downstream stages wrap it like any other
+    st.clauses.get("select").flatMap(splitStarReplace) match {
+      case Some(assigns) =>
+        if (Seq("groupBy", "having", "qualify", "window").exists(st.clauses.contains))
+          throw new IllegalArgumentException(
+            "* REPLACE cannot be combined with GROUP BY/HAVING/QUALIFY/WINDOW in one stage — " +
+              "split the pipeline into separate stages")
+        val inner = new StringBuilder(s"SELECT * FROM $fromWithSample")
+        where.foreach(w => inner.append(s" WHERE $w"))
+        inner.append(s" |> SET ${shims(assigns)}")
+        if (orderBy.isEmpty && limit.isEmpty && offset.isEmpty) return inner.toString
+        val outer = new StringBuilder(s"SELECT * FROM ( ${inner.toString} )")
+        orderBy.foreach(o => outer.append(s" ORDER BY $o"))
+        limit.foreach(l => outer.append(s" LIMIT $l"))
+        offset.foreach(o => outer.append(s" OFFSET $o"))
+        return outer.toString
+      case None => ()
     }
 
     // DuckDB `SELECT DISTINCT ON (exprs) list … ORDER BY o`: keep the first
