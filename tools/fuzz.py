@@ -211,6 +211,13 @@ def block_in_stage_pipeline():
             f"order by all |> limit {rnd.randrange(10, 60)}")
 
 
+def replace_stage():
+    # DuckDB-native star-REPLACE vs graft's pipe-SET mapping; *2 stays
+    # exact in doubles
+    a = rnd.choice(NUM_COLS)
+    return f"select * replace ({a} * 2 as {a})"
+
+
 def date_stage():
     # date-function battery in the Spark∩DuckDB identically-spelled surface
     # (q69's motivation; dayofweek/datediff excluded — conventions differ)
@@ -250,9 +257,15 @@ def pipeline():
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(9)
+    shape = rnd.randrange(10)
     if shape == 8:
         stages.append(date_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
+    if shape == 9:
+        stages.append(replace_stage())
+        stages.append("select l_orderkey, l_linenumber, " + ", ".join(NUM_COLS))
         stages.append("order by all")
         stages.append(f"limit {rnd.randrange(5, 50)}")
         return " |> ".join(stages)
