@@ -881,6 +881,16 @@ object PsqlRewriter {
             i = close + 1
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) && matchesWord(text, i, "varchar") && {
+          // DuckDB's bare VARCHAR cast target (`x::VARCHAR`, `CAST(x AS
+          // VARCHAR)`) — Spark only parses the parameterized VARCHAR(n)
+          // form, so the bare word shims to STRING; VARCHAR(n) passes
+          // through natively
+          val j = nextCode(text, sc, i + 7)
+          j < 0 || text.charAt(j) != '('
+        }) {
+        sb.append("string")
+        i += 7
       } else {
         // function-name aliases: word followed by '(' at a code position
         val alias = functionAliases.collectFirst {

@@ -733,3 +733,26 @@ class BlockInStatementSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS block_ins")
   }
 }
+
+/** DuckDB cast-operator and type-name idioms through the pipe front-end. */
+class CastIdiomSpec extends SparkSpec {
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql("SELECT CAST(id AS INT) AS i FROM range(3)").createOrReplaceTempView("ct")
+  }
+
+  test("bare ::VARCHAR shims to STRING; VARCHAR(n) and other types pass natively") {
+    val r = psql.sql("from ct |> select i::VARCHAR as s, i::DOUBLE as d, cast(i as varchar) as s2 |> order by s")
+    assert(r.schema("s").dataType.typeName == "string")
+    assert(r.schema("s2").dataType.typeName == "string")
+    assert(r.schema("d").dataType.typeName == "double")
+    val rn = psql.sql("from ct |> select cast(i as varchar(10)) as s |> limit 1")
+    assert(rn.collect().head.getString(0) == "0")
+    // a column literally named varchar is untouched when followed by '('…
+    // and the word inside strings/comments is opaque
+    val lit = psql.sql("from ct |> select 'varchar stays' as s |> limit 1")
+    assert(lit.collect().head.getString(0) == "varchar stays")
+  }
+}
