@@ -3913,6 +3913,27 @@ object OpsEntry {
         |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b05_scd2_history",
+      withTables { (s, _) =>
+        // SCD2 dimension history from the events change log: each user's
+        // observed (event_type, value) states become interval versions
+        // valid until the next change; current rows carry a null valid_to.
+        // One exchange + one window sort; all values/timestamps exact.
+        Bucketing.scd2(
+          s.table("events").where(col("event_id") % 17 === 0)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value")),
+          "user_id", "ts", "event_id", Seq("event_type", "value"))
+          .orderBy("user_id", "valid_from", "is_current")
+      },
+      Some("""SELECT user_id, event_type, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events WHERE event_id % 17 = 0
+        |ORDER BY user_id, valid_from, is_current""".stripMargin)),
+
+    QueryDef(
       "q63_summarize",
       withTables { (s, _) =>
         // SUMMARIZE-analogue table profile: one scan, long-format row per

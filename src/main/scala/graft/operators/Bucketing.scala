@@ -116,6 +116,36 @@ object Bucketing {
     spark.table(destTable)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build — turn a change
+    * LOG (one row per observed attribute state) into interval-versioned
+    * dimension history: per key, each change opens a version valid from
+    * its own timestamp until the NEXT change (`valid_to` null on the
+    * current version, `is_current` flagging it). The standard warehouse
+    * materialization that lets fact tables as-of join a dimension "as it
+    * was" ([[AsofJoin]] is the query-side counterpart).
+    *
+    * Scale shape: ONE hash exchange on the key + one window sort — the
+    * minimal plan for any per-key ordering; output is change-log sized.
+    * The (ts, tiebreak) ordering key must be unique per key, same contract
+    * as the OHLC/EWMA family.
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tiebreakCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2: need at least one attribute column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", lead(col(tsCol), 1).over(w).isNull)
+      .select((Seq(col(keyCol)) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
+  }
+
   /** Materialize both sides bucketed on the join key and return their
     * shuffle-free equi-join. `buckets` sizes the layout: at warehouse scale
     * pick it so one bucket of the LARGER side fits an executor's memory

@@ -2855,3 +2855,30 @@ class SigEstimateSpec extends SparkSpec {
     assert(math.abs(meanDev) < 0.0625, s"estimator biased: mean deviation $meanDev")
   }
 }
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  private def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("scd2: intervals chain gaplessly; point-in-time lookup via the intervals is correct") {
+    val log = Seq(
+      (1L, t(0), 1L, "bronze"), (1L, t(10), 2L, "silver"), (1L, t(20), 3L, "gold"),
+      (2L, t(5), 4L, "bronze")
+    ).toDF("user_id", "ts", "event_id", "tier")
+    val hist = Bucketing.scd2(log, "user_id", "ts", "event_id", Seq("tier"))
+    val rows = hist.orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4))).toSeq
+    // intervals chain: each valid_to equals the next valid_from; exactly
+    // one current row per key
+    assert(rows(0) == ((1L, "bronze", t(0), Some(t(10)), false)))
+    assert(rows(1) == ((1L, "silver", t(10), Some(t(20)), false)))
+    assert(rows(2) == ((1L, "gold", t(20), None, true)))
+    assert(rows(3) == ((2L, "bronze", t(5), None, true)))
+    // point-in-time: "what tier was user 1 at 10:15?" → silver
+    val att = hist.where(col("user_id") === 1 && col("valid_from") <= t(15) &&
+      (col("valid_to").isNull || col("valid_to") > t(15)))
+      .select("tier").as[String].collect().toSeq
+    assert(att == Seq("silver"))
+  }
+}
