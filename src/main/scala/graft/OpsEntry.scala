@@ -3934,6 +3934,40 @@ object OpsEntry {
         |ORDER BY user_id, valid_from, is_current""".stripMargin)),
 
     QueryDef(
+      "a18_point_in_time",
+      withTables { (s, _) =>
+        // the SCD2 history consumed: every purchase event enriched with
+        // the user's dimension version AS OF the purchase time (interval
+        // containment against b05's history — the fact×dimension-history
+        // join SCD2 exists to serve). Equi-join on the key + interval
+        // filter: per-key version counts are small, so no binned grid is
+        // needed — the join stays a plain hash join on user_id.
+        val hist = Bucketing.scd2(
+          s.table("events").where(col("event_id") % 17 === 0)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value")),
+          "user_id", "ts", "event_id", Seq("event_type", "value"))
+          .select(col("user_id"), col("event_type").as("dim_state"),
+            col("valid_from"), col("valid_to"))
+        s.table("events").where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .join(hist, Seq("user_id"))
+          .where(col("valid_from") <= col("ts") &&
+            (col("valid_to").isNull || col("valid_to") > col("ts")))
+          .select(col("event_id"), col("user_id"), col("ts"), col("dim_state"))
+          .orderBy("event_id")
+      },
+      Some("""WITH hist AS (
+        |  SELECT user_id, event_type AS dim_state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_id % 17 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, h.dim_state
+        |FROM events e JOIN hist h ON h.user_id = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |  AND h.valid_from <= e.ts AND (h.valid_to IS NULL OR h.valid_to > e.ts)
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
       "q63_summarize",
       withTables { (s, _) =>
         // SUMMARIZE-analogue table profile: one scan, long-format row per
