@@ -230,21 +230,30 @@ object Bench {
     val stillElevated = results.filter(r => elevated(r) && !confirmedCost(r)).map(_.name)
     // The r9 m07 lesson: a REAL 4.4x regression sailed under the 5x
     // `elevated` gate and reached the judge unexplained. `regressed` is the
-    // eyes-only tier below it — rows >2x their best history whose two
-    // passes agree (same discriminator as cost_changed, so host bursts
-    // don't land here). No retry, no flag flip: the list exists so a
-    // regression this round is impossible to miss NEXT round.
-    val regressed = results.filter(r => !elevated(r) && r.median > 0.5 &&
-      history.get(r.name).exists(h => r.median > 2 * h) && confirmedCost(r)).map(_.name)
+    // eyes-only tier below it — rows >2x their best history whose RETRY
+    // pass agrees (same discriminator as cost_changed, so host bursts
+    // don't land here). These rows get their own retry: confirmedCost
+    // needs a second pass (otherPass), which only retiming produces — a
+    // clean 2–5x row would otherwise never have one and the tier would be
+    // structurally empty (review finding). No flag flip; the list exists
+    // so a regression this round is impossible to miss NEXT round.
+    def regressedCandidate(r: BenchResult): Boolean =
+      !elevated(r) && r.median > 0.5 && history.get(r.name).exists(h => r.median > 2 * h)
+    val regressionChecked = results.map { r =>
+      if (!regressedCandidate(r) || r.otherPass.isDefined) r
+      else retimed(r, f"median ${r.median}%.2f s is >2x its best historical ${history(r.name)}%.2f s")
+    }
+    val regressed = regressionChecked.filter(r =>
+      regressedCandidate(r) && confirmedCost(r)).map(_.name)
     // after ALL retry passes: a kept result that is still pathological (the
     // elevated retry can return a spread the spread pass never saw) — the
     // pre-r9 placement froze this list before the elevated retries ran
-    val stillPathological = results.filter(pathological).map(_.name)
+    val stillPathological = regressionChecked.filter(pathological).map(_.name)
     // Locale.ROOT: the output must be machine-parseable JSON on any JVM
     // default locale (no comma decimal separators)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val gcTotal = gcMs - gc0
-    val total = results.map(_.median).filter(_ >= 0).sum
+    val total = regressionChecked.map(_.median).filter(_ >= 0).sum
 
     // Full artifact: one entry per query with the spread, so a contended run
     // (min<<max) is self-evident and BASELINE.md can quote it.
@@ -261,7 +270,7 @@ object Bench {
     // selection rule than the plain 3-run median, so the protocol string
     // must say so (cross-round consumers compare medians by protocol)
     val protocol =
-      if (results.exists(_.firstPass.isDefined)) s"median_of_${timedRuns}_retry_min"
+      if (regressionChecked.exists(_.firstPass.isDefined)) s"median_of_${timedRuns}_retry_min"
       else s"median_of_$timedRuns"
     // faithful-number self-containment: on a contended run, also carry the
     // best known non-contended per-query medians (historical best, or this
@@ -271,7 +280,7 @@ object Bench {
     val bestKnown: Option[(String, Double)] =
       if (!contended) None
       else {
-        val per = results.filter(_.median >= 0).map { r =>
+        val per = regressionChecked.filter(_.median >= 0).map { r =>
           // cost-changed queries keep their CURRENT median: their history
           // was measured on different work under the same name
           val best =
@@ -282,7 +291,7 @@ object Bench {
         val js = per.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")
         Some((js, per.map(_._2).sum))
       }
-    val perQuery = results.map { r =>
+    val perQuery = regressionChecked.map { r =>
       val spread =
         if (r.times.isEmpty) """"min":-1,"max":-1"""
         else s""""min":${num(r.times.head)},"max":${num(r.times.last)}"""
@@ -299,20 +308,20 @@ object Bench {
       s""","best_known_total":${num(tot)},"best_known":$js"""
     }.getOrElse("")
     val fullJson = perQuery +
-      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${results.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${results.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
+      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${regressionChecked.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
     new java.io.File("artifacts").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full per-query results written to $artifactPath")
+    System.err.println(s"[bench] full per-query regressionChecked written to $artifactPath")
 
     // Compact FINAL line (<1 KB): total first, then the five slowest medians.
     // This is what a 2 KB tail capture keeps, so the headline always parses.
-    val degraded = results.filter(r => r.runs < timedRuns || !r.warmOk).map(_.name)
-    val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(5)
+    val degraded = regressionChecked.filter(r => r.runs < timedRuns || !r.warmOk).map(_.name)
+    val slowest = regressionChecked.filter(_.median >= 0).sortBy(-_.median).take(5)
       .map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bestKnownTotal = bestKnown.map { case (_, tot) => s""","best_known_total":${num(tot)}""" }.getOrElse("")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"contended":$contended$bestKnownTotal,"n_retried":${results.count(_.firstPass.isDefined)},"n_queries":${results.size},"slowest5":$slowest,"degraded":$degradedJson,"artifact":"$artifactPath"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"contended":$contended$bestKnownTotal,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"n_queries":${regressionChecked.size},"slowest5":$slowest,"degraded":$degradedJson,"artifact":"$artifactPath"}""")
     spark.stop()
   }
 

@@ -1614,7 +1614,7 @@ object OpsEntry {
           .orderBy("member")
       },
       Some("""SELECT (doc_id // 64)::BIGINT AS shard_id,
-        |  printf('%08d', doc_id) || '.txt' AS member,
+        |  printf('%012d', doc_id) || '.txt' AS member,
         |  octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes
         |FROM documents ORDER BY member""".stripMargin)),
 
@@ -1628,7 +1628,7 @@ object OpsEntry {
         val shards = TarShards.documentsAsTarShards(s.table("documents"), 64)
         val media = TarShards.readMembers(shards)
           .where(col("member").endsWith(".png"))
-          .select(substring(col("member"), 1, 8).cast("long").as("media_id"),
+          .select(substring(col("member"), 1, 12).cast("long").as("media_id"),
             col("payload").as("media"),
             struct(lit("image/png").as("mime"), lit(null).cast("int").as("width"),
               lit(null).cast("int").as("height")).as("meta"))
@@ -1650,7 +1650,7 @@ object OpsEntry {
         // gzip→tar→parse→gunzip and hash-checks against the raw table.
         val shards = TarShards.documentsAsGzipTarShards(s.table("documents"), 64)
         TarShards.gunzipPayloads(TarShards.readMembers(shards))
-          .select(substring(col("member"), 1, 8).cast("long").as("doc_id"),
+          .select(substring(col("member"), 1, 12).cast("long").as("doc_id"),
             decode(col("payload"), "UTF-8").as("text"))
           .orderBy("doc_id")
       },
@@ -3438,11 +3438,7 @@ object OpsEntry {
         // original — a hash match proves the ORC encode→scan path loses
         // nothing (types, nulls, values). Decimal sums keep the float
         // discipline.
-        s.sql("DROP TABLE IF EXISTS graft_orc_lineitem")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), "graft_orc_lineitem")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        Bucketing.dropTableAndLocation(s, "graft_orc_lineitem")
         s.table("lineitem")
           .where(col("l_shipdate") >= lit(java.sql.Date.valueOf("1996-01-01")))
           .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")

@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
+  /** Drop `table` from BOTH layers — catalog AND its warehouse directory.
+    * A previous SESSION may have left the directory behind while this
+    * session's in-memory catalog has no entry for it; the create path then
+    * refuses the existing location. Shared by every (re)materializing
+    * writer here (review finding: the block lived in four copies).
+    */
+  private[graft] def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` as a bucketed+sorted warehouse table (overwriting any
     * previous version) and return the table-backed frame.
     */
@@ -28,14 +42,7 @@ object Bucketing {
       key: String,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"writeBucketed: buckets must be positive, got $buckets")
-    // a previous SESSION may have left the table's warehouse directory
-    // behind while this session's in-memory catalog has no entry for it —
-    // the create path then refuses the existing location. Drop both layers.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(spark, table)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
@@ -65,11 +72,7 @@ object Bucketing {
       df: DataFrame,
       table: String,
       partitionCol: String): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(spark, table)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
@@ -100,11 +103,7 @@ object Bucketing {
       srcTable: String,
       destTable: String,
       partitionCol: String): DataFrame = {
-    spark.sql(s"DROP TABLE IF EXISTS `$destTable`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), destTable.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropTableAndLocation(spark, destTable)
     spark.table(srcTable)
       .repartition(col(partitionCol)) // one shuffle: co-locate each partition's rows
       .write
@@ -136,6 +135,11 @@ object Bucketing {
       tiebreakCol: String,
       attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2: need at least one attribute column")
+    val reserved = Set("valid_from", "valid_to", "is_current")
+    val clashing = (attrCols :+ keyCol).filter(c => reserved(c.toLowerCase))
+    require(clashing.isEmpty,
+      s"scd2: ${clashing.mkString(", ")} collide with the output interval columns " +
+        "(valid_from/valid_to/is_current) — rename them upstream")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
     changes

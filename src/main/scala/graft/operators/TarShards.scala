@@ -113,6 +113,12 @@ private[operators] object Ustar {
         while (n < 100 && bytes(off + n) != 0) n += 1
         val name = new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
         val size = octalField(124, 12).toInt
+        // a header stating more data than the archive holds is truncation —
+        // copyOfRange would silently zero-pad the member's tail (review
+        // finding), violating the fail-loudly contract
+        require(off + BLOCK + size <= bytes.length,
+          s"ustar: truncated archive — member '$name' states $size bytes, " +
+            s"only ${bytes.length - off - BLOCK} remain")
         out += name -> java.util.Arrays.copyOfRange(bytes, off + BLOCK, off + BLOCK + size)
         off += BLOCK + ((size + BLOCK - 1) / BLOCK) * BLOCK
       }
@@ -143,42 +149,25 @@ object TarShards {
     StructField("member", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  private def basename(id: Long): String = f"$id%08d"
-
-  /** One tar shard per `docsPerShard` documents: members
-    * `<id>.txt` (utf8 text) + `<id>.png` ([[Multimodal.ImageGen]] pixels),
-    * id-sorted within the shard (deterministic shard bytes).
+  /** Fixed-width 12-digit basename — ids must fit, or the WebDataset
+    * fixed-width/lexicographic-ordering convention (and the consumers'
+    * positional id parse) silently breaks.
     */
-  def documentsAsTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame = {
-    require(docsPerShard >= 1, "documentsAsTarShards: docsPerShard must be >= 1")
-    val spark = documents.sparkSession
-    val rows = documents
-      .select((col("doc_id") / docsPerShard).cast("long").as("sid"),
-        col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism, col("sid"))
-    val sidIdx = 0; val idIdx = 1; val textIdx = 2
-    rows.mapPartitions { iter =>
-      iter.toSeq.groupBy(_.getLong(sidIdx)).iterator.map { case (sid, docs) =>
-        val members = docs.sortBy(_.getLong(idIdx)).flatMap { r =>
-          val id = r.getLong(idIdx)
-          val text = Option(r.getString(textIdx)).getOrElse("")
-          Seq(
-            s"${basename(id)}.txt" ->
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            s"${basename(id)}.png" -> Multimodal.ImageGen.png(id))
-        }
-        Row(sid, Ustar.write(members))
-      }
-    }(org.apache.spark.sql.Encoders.row(shardSchema))
+  private def basename(id: Long): String = {
+    require(id >= 0 && id < 1000000000000L,
+      s"TarShards: doc id $id outside the 12-digit basename range")
+    f"$id%012d"
   }
 
-  /** GZIP variant — the `.gz`-member WebDataset convention: one tar shard
-    * per `docsPerShard` documents, each sample a single `<id>.txt.gz`
-    * member (pure-JDK `GZIPOutputStream`, deflate inside the container —
-    * the layout that trades member-level random access for storage).
+  /** Shared shard-assembly skeleton: co-locate docs by shard id (the only
+    * shuffle), group per partition, and tar each shard's members in id
+    * order (deterministic shard bytes). Both member layouts below are one
+    * `rowToMembers` away from it — the repartition key, null-text
+    * handling and determinism-by-id-sort invariants live once.
     */
-  def documentsAsGzipTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame = {
-    require(docsPerShard >= 1, "documentsAsGzipTarShards: docsPerShard must be >= 1")
+  private def shardsFrom(documents: DataFrame, docsPerShard: Int)(
+      rowToMembers: (Long, String) => Seq[(String, Array[Byte])]): DataFrame = {
+    require(docsPerShard >= 1, "TarShards: docsPerShard must be >= 1")
     val spark = documents.sparkSession
     val rows = documents
       .select((col("doc_id") / docsPerShard).cast("long").as("sid"),
@@ -186,19 +175,39 @@ object TarShards {
       .repartition(spark.sparkContext.defaultParallelism, col("sid"))
     rows.mapPartitions { iter =>
       iter.toSeq.groupBy(_.getLong(0)).iterator.map { case (sid, docs) =>
-        val members = docs.sortBy(_.getLong(1)).map { r =>
-          val id = r.getLong(1)
-          val text = Option(r.getString(2)).getOrElse("")
-          val bos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          gz.close()
-          s"${basename(id)}.txt.gz" -> bos.toByteArray
+        val members = docs.sortBy(_.getLong(1)).flatMap { r =>
+          rowToMembers(r.getLong(1), Option(r.getString(2)).getOrElse(""))
         }
         Row(sid, Ustar.write(members))
       }
     }(org.apache.spark.sql.Encoders.row(shardSchema))
   }
+
+  /** One tar shard per `docsPerShard` documents: members
+    * `<id>.txt` (utf8 text) + `<id>.png` ([[Multimodal.ImageGen]] pixels),
+    * id-sorted within the shard (deterministic shard bytes).
+    */
+  def documentsAsTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame =
+    shardsFrom(documents, docsPerShard) { (id, text) =>
+      Seq(
+        s"${basename(id)}.txt" ->
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        s"${basename(id)}.png" -> Multimodal.ImageGen.png(id))
+    }
+
+  /** GZIP variant — the `.gz`-member WebDataset convention: one
+    * `<id>.txt.gz` member per sample (pure-JDK `GZIPOutputStream`, deflate
+    * inside the container — the layout that trades member-level random
+    * access for storage).
+    */
+  def documentsAsGzipTarShards(documents: DataFrame, docsPerShard: Int = 64): DataFrame =
+    shardsFrom(documents, docsPerShard) { (id, text) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+      Seq(s"${basename(id)}.txt.gz" -> bos.toByteArray)
+    }
 
   /** Decompress `.gz` member payloads in place (others pass through) — at
     * the per-partition codec boundary, like every decoder here.

@@ -40,18 +40,23 @@ class Psql(val spark: SparkSession) {
     // Strip the prefix, rewrite the pipeline, re-prepend: Spark's EXPLAIN
     // accepts the rewritten SELECT directly. DuckDB's ANALYZE modifier has
     // no Spark equivalent → mapped to EXTENDED (documented divergence:
-    // Spark never interleaves runtime metrics into EXPLAIN output).
+    // Spark never interleaves runtime metrics into EXPLAIN output). Runs
+    // through the SAME runWithFallback as the execute path, so native-pipe
+    // stages (AGGREGATE/EXTEND/SET/DROP) and COLUMNS('re') queries explain
+    // exactly like they execute (review finding: the first cut bypassed
+    // both).
     if (SqlScanner.matchesWord(t, 0, "explain")) {
       var rest = t.substring("explain".length).trim
       val modifiers = Seq("extended", "formatted", "codegen", "cost", "analyze")
       val mod = modifiers.find(m => SqlScanner.matchesWord(rest, 0, m))
       mod.foreach(m => rest = rest.substring(m.length).trim)
       val sparkMod = mod match {
-        case Some("analyze") => "EXTENDED"
-        case Some(m)         => m.toUpperCase(java.util.Locale.ROOT)
+        case Some("analyze") => "EXTENDED "
+        case Some(m)         => m.toUpperCase(java.util.Locale.ROOT) + " "
         case None            => ""
       }
-      return spark.sql(s"EXPLAIN $sparkMod ${Psql.preprocess(spark, rest.stripSuffix(";"))}")
+      rest = rest.stripSuffix(";")
+      return runWithFallback(rest, Psql.preprocess(spark, rest), s"EXPLAIN $sparkMod")
     }
     // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
     // (no Spark grammar for it; needs schemas, so no string rewrite)
@@ -66,28 +71,32 @@ class Psql(val spark: SparkSession) {
         return org.apache.spark.sql.graftbridge.ColumnBridge.dataFrame(spark, plan)
       case None => ()
     }
-    val finalSql = Psql.preprocess(spark, query)
-    // COLUMNS('re') shims to Spark's quoted-regex column, which only
-    // activates under this conf; set-and-restore around the (eager)
-    // analysis — spark.sql asserts the plan analyzed before returning
+    runWithFallback(query, Psql.preprocess(spark, query), "")
+  }
+
+  /** Execute `prefix + rewritten`, falling back to `prefix + original` on a
+    * ParseException (Spark 4's NATIVE pipe stages — `|> AGGREGATE …` — are
+    * not PSQL stages, so the rewrite produces unparseable SQL and the
+    * original text must run natively); surfaces the PSQL-path error if
+    * both fail. COLUMNS('re') queries run under the quoted-regex-column
+    * conf, set-and-restored around the (eager) analysis.
+    */
+  private def runWithFallback(original: String, rewritten: String, prefix: String): DataFrame = {
     def run(s: String): DataFrame =
-      if (Psql.usesColumnsExpansion(query)) {
+      if (Psql.usesColumnsExpansion(original)) {
         val key = "spark.sql.parser.quotedRegexColumnNames"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "true")
-        try spark.sql(s)
+        try spark.sql(prefix + s)
         finally prev match {
           case Some(v) => spark.conf.set(key, v)
           case None    => spark.conf.unset(key)
         }
-      } else spark.sql(s)
-    // fallback for Spark 4's NATIVE pipe syntax (`|> AGGREGATE …`): a stage
-    // that is not a PSQL stage rewrites to unparseable SQL — retry the
-    // original text, surfacing the PSQL-path error if both fail
-    try run(finalSql)
+      } else spark.sql(prefix + s)
+    try run(rewritten)
     catch {
-      case e: org.apache.spark.sql.catalyst.parser.ParseException if finalSql != query =>
-        try run(query)
+      case e: org.apache.spark.sql.catalyst.parser.ParseException if rewritten != original =>
+        try run(original)
         catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => throw e }
     }
   }

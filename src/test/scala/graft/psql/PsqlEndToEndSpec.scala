@@ -688,6 +688,19 @@ class ExplainDescribeSpec extends SparkSpec {
     }
   }
 
+  test("explain shares the execute path's fallback and conf: native stages and COLUMNS explain") {
+    // AGGREGATE is not a PSQL stage → rewrite unparseable → the explain
+    // path must fall back to the original text like execution does
+    val p = psql.sql(
+      "explain from lineitem |> AGGREGATE count(*) AS n GROUP BY l_returnflag")
+      .collect().head.getString(0)
+    assert(p.contains("l_returnflag"), p.take(300))
+    // COLUMNS('re') needs the quoted-regex conf during analysis
+    val p2 = psql.sql("explain from lineitem |> select columns('l_order.*') |> limit 3")
+      .collect().head.getString(0)
+    assert(p2.contains("l_orderkey"), p2.take(300))
+  }
+
   test("describe over a pipeline yields the pipeline's schema, not the table's") {
     val rows = psql.sql("describe from lineitem |> select l_orderkey, l_quantity")
       .collect().map(_.getString(0)).toSet
