@@ -3476,6 +3476,46 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q71_median",
+      withTables { (s, _) =>
+        // median conformance: both engines interpolate the two middle
+        // values for even counts on DOUBLE input ((a+b)/2 is exact IEEE on
+        // identical bits, so no grid needed); count rides along to pin the
+        // group sizes the interpolation depends on.
+        s.table("lineitem").groupBy("l_returnflag")
+          .agg(median(col("l_quantity")).as("med_qty"),
+            median(col("l_extendedprice")).as("med_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, median(l_quantity) AS med_qty,
+        |  median(l_extendedprice) AS med_price, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q72_setops_all",
+      withTables { (s, _) =>
+        // multiset set-op conformance: EXCEPT ALL subtracts row
+        // MULTIPLICITIES (the projected (flag, lineno) pairs repeat
+        // heavily, so ALL vs DISTINCT genuinely differ here); the
+        // hash-compare counts duplicate rows, pinning the multiset.
+        // statement-level set op between scoped-block operands (the form
+        // the front-end's set-op splitter owns; a bare trailing `except
+        // all from t |> …` binds the set-op inside the stage under
+        // reference semantics)
+        Psqlish(s, """(| from lineitem |> where l_quantity > 10 |>
+          |   select l_returnflag, l_linenumber |)
+          |except all
+          |(| from lineitem |> where l_quantity > 30 |>
+          |   select l_returnflag, l_linenumber |)
+          |order by all""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_quantity > 10
+        |EXCEPT ALL
+        |SELECT l_returnflag, l_linenumber FROM lineitem WHERE l_quantity > 30
+        |ORDER BY ALL""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the
