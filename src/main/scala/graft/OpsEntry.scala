@@ -2657,6 +2657,30 @@ object OpsEntry {
        |SELECT node, rank FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** g06's oracle: [[GraphOps.kCore]]'s peeling rounds unrolled as
+    * MATERIALIZED CTEs — per round, in-subgraph degrees (both endpoints
+    * surviving) then the ≥ k filter; all-integer, hash-exact.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT u.src AS node, count(*) AS degree FROM und u
+         |  JOIN n${i - 1} a ON a.node = u.src
+         |  JOIN n${i - 1} b ON b.node = u.dst
+         |  GROUP BY u.src),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE degree >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT s AS src, d AS dst FROM raw WHERE s != d
+       |    UNION ALL SELECT d, s FROM raw WHERE s != d)),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+       |$iters
+       |SELECT node, degree FROM d$rounds WHERE degree >= $k ORDER BY node""".stripMargin
+  }
+
   /** g05's oracle: [[pageRankOracle]] with the textbook dangling-mass
     * redistribution — each iteration adds a MATERIALIZED 1-row CTE summing
     * the previous round's sink ranks (nodes absent from `od`), and every
@@ -4442,6 +4466,22 @@ object OpsEntry {
         |FROM act a JOIN f ON f.u = a.u
         |WHERE a.p - f.cohort <= 8
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "g06_kcore",
+      withTables { (s, _) =>
+        // 3-core of the full co-purchase bipartite graph: peeling drops
+        // nodes of in-subgraph degree < 3 — the dense-core extraction that
+        // separates cohesive neighborhoods from tendrils. Converges by
+        // round 3 on this graph (6 rounds leave margin; the spec pins the
+        // fixpoint); all-integer, the unrolled oracle recomputes every
+        // round.
+        val edges = s.table("lineitem")
+          .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 6)
+          .orderBy("node")
+      },
+      Some(kCoreOracle(3, 6))),
 
     QueryDef(
       "g04_label_propagation",

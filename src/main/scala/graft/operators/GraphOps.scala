@@ -245,6 +245,56 @@ object GraphOps {
 
   /** Top-k authorities by (rank desc, node asc) — sort+limit compiles to
     * TakeOrderedAndProject (per-partition top-N, bounded merge). */
+  /** k-core decomposition by iterative peeling (Seidman 1983): each round
+    * drops every node whose degree WITHIN the surviving subgraph is below
+    * `k`; the fixpoint is the maximal subgraph of minimum degree ≥ k — the
+    * classic "dense cohesive core" extraction (link-farm and community
+    * cores in web-graph curation). Fixed `rounds` keeps the computation a
+    * pure function of the edge set (the cross-engine-checkable termination
+    * rule, like [[pageRank]]'s fixed iterations); peeling is monotone, so
+    * an early fixpoint simply makes later rounds no-ops — the spec pins
+    * convergence on the test graph, and all-integer arithmetic makes the
+    * unrolled oracle hash-exact.
+    *
+    * Scale shape: per round one equi-join of the undirected edge list
+    * against the surviving node set (layout fixed once) + one count
+    * aggregation; survivors shrink monotonically. Returns `(node, degree)`
+    * of the surviving core with the final in-core degree.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50, s"kCore: rounds must be in [1,50], got $rounds")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val und = raw.select(col("s").as("src"), col("d").as("dst"))
+      .union(raw.select(col("d").as("src"), col("s").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var nodes = und.select(col("src").as("node")).distinct()
+    var lastDeg: DataFrame = null
+    for (i <- 1 to rounds) {
+      // degree within the surviving subgraph: BOTH endpoints must survive
+      val deg = und
+        .join(nodes.withColumnRenamed("node", "src"), "src")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      lastDeg = deg.where(col("degree") >= k)
+      nodes = lastDeg.select("node")
+      if (i % 3 == 0 && i < rounds) {
+        nodes = nodes.localCheckpoint(false)
+      }
+    }
+    lastDeg
+  }
+
   def pageRankTopK(
       edges: DataFrame,
       srcCol: String,

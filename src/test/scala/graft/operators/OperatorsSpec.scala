@@ -2882,3 +2882,33 @@ class Scd2Spec extends SparkSpec {
     assert(att == Seq("silver"))
   }
 }
+
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCore: hand-built graph peels to the known core; fixpoint stable; tendrils cut") {
+    // a 4-clique (1,2,3,4) with a tail 4-5-6 and a pendant 7 off node 1:
+    // the 3-core is exactly the clique; 2-core also just the clique (the
+    // tail is a path, degree 1 at its end, peels entirely)
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (1L, 7L))).toDF("src", "dst")
+    val core3 = GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core3.values.forall(_ == 3L)) // in-core degrees, post-peel
+    // fixpoint: more rounds change nothing
+    val core3b = GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3b == core3)
+    // k=1 keeps everything (no isolated nodes in an edge list)
+    assert(GraphOps.kCore(edges, "src", "dst", k = 1, rounds = 4).count() == 7)
+    // the gate graph's 3-core really is a fixpoint at the gate's 6 rounds
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    val a = GraphOps.kCore(li, "src", "dst", k = 3, rounds = 6)
+      .collect().map(_.getLong(0)).toSet
+    val b = GraphOps.kCore(li, "src", "dst", k = 3, rounds = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
