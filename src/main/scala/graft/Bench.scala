@@ -312,7 +312,7 @@ object Bench {
     new java.io.File("artifacts").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full per-query regressionChecked written to $artifactPath")
+    System.err.println(s"[bench] full per-query results written to $artifactPath")
 
     // Compact FINAL line (<1 KB): total first, then the five slowest medians.
     // This is what a 2 KB tail capture keeps, so the headline always parses.

@@ -2654,7 +2654,8 @@ object OpsEntry {
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nc nn),
        |$iters
-       |SELECT node, rank FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
   /** g06's oracle: [[GraphOps.kCore]]'s peeling rounds unrolled as
@@ -2709,7 +2710,8 @@ object OpsEntry {
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT node, 1000000000000 // nn.n AS rank FROM nodes CROSS JOIN nc nn),
        |$iters
-       |SELECT node, rank FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iterations ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
   /** r01–r03's fixed query-term list: one rare term (df 25/500) among three
@@ -2989,7 +2991,7 @@ object OpsEntry {
         val docs = s.table("documents").withColumn("ts", col("doc_id").cast("timestamp"))
         graft.streaming.DocumentStreams.corpusStats(docs, "60 seconds", "1 hour")
           .select(col("window_start"), col("pred_lang"), col("n_docs"),
-            col("total_chars"), round(col("mean_quality"), 6).as("mean_quality"))
+            col("total_chars"), Fp.grid6(col("mean_quality")).as("mean_quality"))
           .orderBy("window_start", "pred_lang")
       },
       Some(s"""WITH ann AS (
@@ -2999,9 +3001,8 @@ object OpsEntry {
         |    $qualityScoreSql AS quality_score
         |  FROM documents)
         |SELECT window_start, pred_lang, count(*) AS n_docs,
-        |  sum(n_chars_calc) AS total_chars,
-        |  round(cast(sum(cast(quality_score as decimal(18,9))) as double)
-        |    / count(*), 6) AS mean_quality
+        |  CAST(sum(n_chars_calc) AS BIGINT) AS total_chars,
+        |  ${Fp.grid6Sql("cast(sum(cast(quality_score as decimal(18,9))) as double) / count(*)")} AS mean_quality
         |FROM ann GROUP BY window_start, pred_lang
         |ORDER BY window_start, pred_lang""".stripMargin)),
 
@@ -3069,24 +3070,26 @@ object OpsEntry {
           counts, Seq("src0" -> 0.2, "src1" -> 0.15, "src2" -> 0.1), tolerance = 0.05)
           .orderBy("window_start", "source")
       },
-      Some("""WITH tok AS (
+      Some(s"""WITH tok AS (
         |  SELECT cast(to_timestamp((doc_id // 60) * 60) as timestamp) AS window_start,
         |    source,
         |    len(list_filter(string_split(text, ' '), t -> len(t) > 0))::BIGINT AS n
         |  FROM documents),
         |agg AS (
-        |  SELECT window_start, source, count(*) AS n_docs, sum(n) AS toks
+        |  SELECT window_start, source, count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS toks
         |  FROM tok GROUP BY window_start, source),
         |sh AS (
         |  SELECT *,
-        |    round(toks::DOUBLE / (sum(toks) OVER (PARTITION BY window_start))::DOUBLE, 6) AS share,
+        |    ${Fp.grid6Sql("toks::DOUBLE / (sum(toks) OVER (PARTITION BY window_start))::DOUBLE")} AS share,
         |    (CASE source WHEN 'src0' THEN 0.2 WHEN 'src1' THEN 0.15
         |      WHEN 'src2' THEN 0.1 ELSE NULL END)::DOUBLE AS target_share
         |  FROM agg)
         |SELECT window_start, source, n_docs, toks, share, target_share,
         |  CASE WHEN target_share IS NOT NULL
-        |    THEN round(share - target_share, 6) END AS deviation,
-        |  (target_share IS NULL OR abs(round(share - target_share, 6)) > 0.05) AS drifted
+        |    THEN ${Fp.grid6Sql("share - target_share")} END AS deviation,
+        |  (target_share IS NULL
+        |    OR abs(${Fp.grid6Sql("share - target_share")}) > 0.05) AS drifted
         |FROM sh ORDER BY window_start, source""".stripMargin)),
 
     QueryDef(
@@ -3445,7 +3448,7 @@ object OpsEntry {
           .orderBy("event_type", "ts", "event_id")
       },
       Some("""SELECT event_type, ts, event_id,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd,
         |  nth_value(value, 2) OVER w AS second_v
@@ -4045,21 +4048,21 @@ object OpsEntry {
       Some(s"""WITH a AS (
         |  SELECT
         |    count(l_quantity) AS q_n,
-        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS q_nulls,
         |    count(DISTINCT l_quantity) AS q_d,
         |    ${Fp.fmt6Sql("min(l_quantity)")} AS q_min,
         |    ${Fp.fmt6Sql("max(l_quantity)")} AS q_max,
         |    count(l_extendedprice) AS p_n,
-        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
         |    count(DISTINCT l_extendedprice) AS p_d,
         |    ${Fp.fmt6Sql("min(l_extendedprice)")} AS p_min,
         |    ${Fp.fmt6Sql("max(l_extendedprice)")} AS p_max,
         |    count(l_returnflag) AS r_n,
-        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS r_nulls,
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_nulls,
         |    count(DISTINCT l_returnflag) AS r_d,
         |    min(l_returnflag)::VARCHAR AS r_min, max(l_returnflag)::VARCHAR AS r_max,
         |    count(l_shipdate) AS s_n,
-        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
         |    count(DISTINCT l_shipdate) AS s_d,
         |    min(l_shipdate)::VARCHAR AS s_min, max(l_shipdate)::VARCHAR AS s_max
         |  FROM lineitem)

@@ -291,7 +291,7 @@ object SparkEntry {
       Some("""SELECT c_custkey, upper(c_name) AS uname,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS seg,
         |  substr(c_mktsegment, 1, 3) AS seg3,
-        |  length(c_name) AS name_len,
+        |  CAST(length(c_name) AS INT) AS name_len,
         |  c_name || '#' || c_mktsegment AS tagged
         |FROM customer ORDER BY c_custkey""".stripMargin)),
 
@@ -428,7 +428,7 @@ object SparkEntry {
         |order by sum_income desc, customer_id |>
         |limit 10""".stripMargin),
       Some("""WITH inv AS (SELECT * FROM read_csv_auto('/root/reference/example/invoices.csv')),
-        |base AS (SELECT customer_id, total, total - 0.8 AS income
+        |base AS (SELECT CAST(customer_id AS INT) AS customer_id, total, total - 0.8 AS income
         |  FROM inv WHERE invoice_date >= DATE '2010-01-01')
         |SELECT customer_id, cast(avg(total) as double) AS avg_total,
         |  cast(sum(income) as double) AS sum_income, count(*) AS ct
@@ -466,7 +466,8 @@ object SparkEntry {
         |select doc_id, s.l as sl, s.n as sn,
         |  element_at(arr, 2) as a2, size(arr) as alen |>
         |order by doc_id""".stripMargin),
-      Some("""SELECT doc_id, s.l AS sl, s.n AS sn, arr[2] AS a2, len(arr) AS alen
+      Some("""SELECT doc_id, s.l AS sl, s.n AS sn, arr[2] AS a2,
+        |  CAST(len(arr) AS INT) AS alen
         |FROM (SELECT doc_id, struct_pack(l := lang, n := n_chars) AS s,
         |        [n_chars, n_chars + 1] AS arr
         |      FROM documents)

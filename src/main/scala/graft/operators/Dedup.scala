@@ -588,8 +588,13 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // materialize the signature pass once: frame feeds BOTH the banding
+    // stage and the two verify-side joins below — without the checkpoint
+    // the full shingle+signature computation runs three times (the same
+    // materialize-once discipline as incrementalDedupMd5)
     val frame = md5MinhashFrame(df, idCol, textCol, shingleSize, numHashes)
       .select(col("id"), col("sig")) // signatures only — hs never ships
+      .localCheckpoint(false)
     val banded = md5BandBuckets(frame, bands, numHashes / bands)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -795,8 +800,17 @@ object Dedup {
       .localCheckpoint(false)
     val probe = md5BandBuckets(frame, bands, numHashes / bands)
       .select(concat_ws(":", col("band"), col("bucket")).as("bkey"), col("id"))
+    // the index may already hold THIS delta's rows (foreachBatch crash
+    // re-delivery lands after appendMinhashIndex committed but before the
+    // streaming checkpoint did): a survivor would then self-match its own
+    // appended row (Jaccard 1.0) and vanish from the re-written batch
+    // partition — silent data loss. Excluding index candidates whose id is
+    // in the delta makes re-delivery ≡ first delivery (a doc is never a
+    // dup of its own admitted copy); the anti-join is delta-sized, never
+    // index-sized.
     val cand = probe
       .join(spark.table(s"${table}_bands").withColumnRenamed("id", "rid"), Seq("bkey"))
+      .join(frame.select(col("id").as("rid")), Seq("rid"), "left_anti")
       .select(col("id"), col("rid")).distinct()
     val losers = cand
       .join(frame.select(col("id"), col("hs").as("sh_a")), Seq("id"))

@@ -112,13 +112,20 @@ private[operators] object Ustar {
         var n = 0
         while (n < 100 && bytes(off + n) != 0) n += 1
         val name = new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
-        val size = octalField(124, 12).toInt
+        // size stays Long until the bounds check passes: a crafted header
+        // (valid checksum, 12 octal digits go up to 8^11 ≈ 8.6e9) stating
+        // a size past Int.MaxValue would wrap to a small positive Int,
+        // slip the truncation check, and misalign the next offset — which
+        // can land on a zero region and read as end-of-archive, silently
+        // truncating the member list (review finding)
+        val sizeL = octalField(124, 12)
         // a header stating more data than the archive holds is truncation —
         // copyOfRange would silently zero-pad the member's tail (review
         // finding), violating the fail-loudly contract
-        require(off + BLOCK + size <= bytes.length,
-          s"ustar: truncated archive — member '$name' states $size bytes, " +
+        require(sizeL >= 0 && off + BLOCK + sizeL <= bytes.length,
+          s"ustar: truncated archive — member '$name' states $sizeL bytes, " +
             s"only ${bytes.length - off - BLOCK} remain")
+        val size = sizeL.toInt
         out += name -> java.util.Arrays.copyOfRange(bytes, off + BLOCK, off + BLOCK + size)
         off += BLOCK + ((size + BLOCK - 1) / BLOCK) * BLOCK
       }

@@ -121,8 +121,9 @@ object DocumentStreams {
     * target spec appears at all (a new crawl source is always an alert).
     * Downstream of [[windowSourceTokens]]; the window total is one
     * partitioned window sum (cardinality = windows x sources, bounded), so
-    * nothing corpus-sized shuffles here. Rounded-6 double arithmetic keeps
-    * shares/deviations bit-comparable cross-engine.
+    * nothing corpus-sized shuffles here. Shares/deviations land on the
+    * [[graft.operators.Fp.grid6]] exact-IEEE 6-decimal grid — `round(x, 6)`
+    * is NOT cross-engine stable (see Fp's scaladoc), the grid is.
     */
   def mixtureDrift(
       sourceTokens: DataFrame,
@@ -137,10 +138,12 @@ object DocumentStreams {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("window_start")
     sourceTokens
       .withColumn("share",
-        round(col("toks").cast("double") / sum(col("toks")).over(w).cast("double"), 6))
+        graft.operators.Fp.grid6(
+          col("toks").cast("double") / sum(col("toks")).over(w).cast("double")))
       .withColumn("target_share", target)
       .withColumn("deviation",
-        when(col("target_share").isNotNull, round(col("share") - col("target_share"), 6)))
+        when(col("target_share").isNotNull,
+          graft.operators.Fp.grid6(col("share") - col("target_share"))))
       .withColumn("drifted",
         col("target_share").isNull || abs(col("deviation")) > tolerance)
   }
@@ -241,14 +244,19 @@ object DocumentStreams {
     * loop (corpus grows, index grows with it, nothing recomputes).
     *
     * Restart semantics: foreachBatch re-delivers an uncommitted batch with
-    * the same batchId after a crash. The sink is IDEMPOTENT under that:
-    * survivors land in a `batch_id=<id>` partition via dynamic partition
-    * overwrite, so a re-delivered batch replaces its own partition instead
-    * of double-appending (spec re-runs a batch body and proves the sink
-    * unchanged). The index append is re-delivery-SAFE rather than
-    * idempotent: duplicate index rows cost storage, never correctness —
-    * candidates are `.distinct()`ed and a duplicated hs row yields the
-    * identical verdict for every candidate pair.
+    * the same batchId after a crash. The sink is IDEMPOTENT under that —
+    * including with `admitToIndex = true`, where the crash window lands
+    * AFTER the index append committed: the increment probe excludes index
+    * candidates whose id is in the batch itself (see
+    * [[graft.operators.Dedup.incrementalDedupMd5]]), so a re-delivered
+    * survivor never self-matches its own admitted copy, the survivor set
+    * is reproduced exactly, and the dynamic partition overwrite of
+    * `batch_id=<id>` replaces the partition with identical content (spec
+    * re-runs the batch body both ways and proves the sink unchanged). The
+    * index append is re-delivery-SAFE rather than idempotent: duplicate
+    * index rows cost storage, never correctness — candidates are
+    * `.distinct()`ed and a duplicated hs row yields the identical verdict
+    * for every candidate pair.
     */
   def incrementalDedupStream(
       docs: DataFrame,

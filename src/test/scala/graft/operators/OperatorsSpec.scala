@@ -2818,6 +2818,25 @@ class TarShardsSpec extends SparkSpec {
       graft.operators.Ustar.parse(java.util.Arrays.copyOfRange(tar, 0, 700)))
     // determinism: same members → identical bytes
     assert(graft.operators.Ustar.write(members).toSeq == tar.toSeq)
+
+    // a crafted header stating a size past Int.MaxValue with a VALID
+    // checksum must be rejected as truncation: before the Long bounds
+    // check, 0o40000001000 (4 GiB + 512) wrapped via .toInt to a small
+    // positive 512, slipped the bounds check, and misaligned every
+    // subsequent offset (streaming ingest feeds externally produced
+    // shards to this parser — fail-loudly is the contract)
+    val crafted = graft.operators.Ustar.write(Seq("a.txt" -> "hello".getBytes)).clone()
+    "40000001000".getBytes.copyToArray(crafted, 124)
+    crafted(135) = 0
+    var sum = 0L
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toByte else crafted(i)) & 0xFF
+    java.util.Arrays.fill(crafted, 148, 156, ' '.toByte)
+    val oct = java.lang.Long.toOctalString(sum)
+    ("0" * (6 - oct.length) + oct).getBytes.copyToArray(crafted, 148)
+    crafted(154) = 0; crafted(155) = ' '
+    val ex = intercept[IllegalArgumentException](graft.operators.Ustar.parse(crafted))
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
   }
 
   test("tar shards: members co-locate by shard, explode parses every sample pair") {

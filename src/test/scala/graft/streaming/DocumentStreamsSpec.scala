@@ -297,4 +297,34 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(first.nonEmpty && second == first,
       s"re-delivered batch changed the sink: ${first.size} -> ${second.size} rows")
   }
+
+  test("sink idempotent under re-delivery WITH admitToIndex (post-append crash window)") {
+    // the hard crash window: appendMinhashIndex committed, streaming
+    // checkpoint did not — re-delivery probes an index that already holds
+    // this batch's own survivors. Without the delta-id exclusion every
+    // shingled survivor self-matches (Jaccard 1.0) and the dynamic
+    // partition overwrite would rewrite the partition with ONLY the
+    // sub-shingle-length docs (which never enter the index) — silent loss.
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    Dedup.writeMinhashIndex(spark, docs.where(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", "graft_redeliver_adm_idx", buckets = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-redeliver-adm").toString
+    // mixed batch: long docs (shingled, index-admitted) + docs shorter than
+    // shingleSize words (always survive, never shingled)
+    val batch = docs.where(col("doc_id") % 8 === 0)
+      .union(Seq((900001L, "tiny"), (900002L, "two words")).toDF("doc_id", "text"))
+    def runBody(): Unit = DocumentStreams.dedupBatchBody(
+      batch, batchId = 9L, "graft_redeliver_adm_idx", s"$tmp/sink", admitToIndex = true,
+      "doc_id", "text", 3, 64, 32, 0.5, 4)
+    runBody()
+    val first = spark.read.parquet(s"$tmp/sink").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first.exists(_ < 900000L) && first.contains(900001L),
+      s"batch must admit both long and short docs, got $first")
+    runBody() // crash re-delivery: index already contains this batch's rows
+    val second = spark.read.parquet(s"$tmp/sink").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(second == first,
+      s"re-delivered admitToIndex batch changed the sink: only-first=${first.toSet -- second.toSet}, only-second=${second.toSet -- first.toSet}")
+  }
 }

@@ -23,14 +23,40 @@ def canon(v):
     return str(v)
 
 def table_rows(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    # relation API, not DB-API cursor: cursor.description collapses every
+    # numeric to 'NUMBER', while rel.types carries the declared DuckDB
+    # types. The type channel is the point — the driver's hash is
+    # type-faithful (r9/r10 lesson: DuckDB emits HUGEINT for uncasted
+    # integer sum() where Spark writes BIGINT parquet; values stringify
+    # identically, so a value-only canon provably cannot see the
+    # difference the driver fails on)
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted("|".join(canon(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [types[i] for i in order], out
+
+def selftest():
+    """Prove the gate is type-faithful: an uncasted integer sum() (DuckDB
+    HUGEINT) vs the BIGINT a Spark parquet would carry must FLAG even
+    though every value stringifies identically — the exact r9/r10 driver
+    red the old value-only canon provably passed."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS x FROM range(5)")
+    _, bare_t, bare_r = table_rows(con, "SELECT sum(x) AS s FROM t")
+    _, cast_t, cast_r = table_rows(con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM t")
+    assert bare_r == cast_r, "values must stringify identically"
+    assert bare_t != cast_t, \
+        f"type channel failed to distinguish HUGEINT from BIGINT: {bare_t}"
+    print(f"selftest OK: values equal ({bare_r}), types distinguish "
+          f"{bare_t} vs {cast_t}")
 
 def main():
+    if sys.argv[1:2] == ["--selftest"]:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     # optional: comma-separated oracle names to skip (the intentionally
     # pathological DuckDB formulations — O(n^2) Jaccard, recursive-CTE
@@ -51,7 +77,7 @@ def main():
     for name in sorted(produced):
         spark_path = os.path.join(out_dir, name)
         try:
-            s_cols, s_rows = table_rows(con, f"SELECT * FROM '{spark_path}/*.parquet'")
+            s_cols, s_types, s_rows = table_rows(con, f"SELECT * FROM '{spark_path}/*.parquet'")
         except Exception as e:
             results[name] = f"SPARK_READ_FAIL: {e}"
             continue
@@ -62,12 +88,15 @@ def main():
             results[name] = f"ROWS_ONLY rows={len(s_rows)} (oracle skipped by request)" + ("" if s_rows else " (EMPTY!)")
             continue
         try:
-            o_cols, o_rows = table_rows(con, oracles[name])
+            o_cols, o_types, o_rows = table_rows(con, oracles[name])
         except Exception as e:
             results[name] = f"ORACLE_FAIL: {str(e)[:150]}"
             continue
         if s_cols != o_cols:
             results[name] = f"SCHEMA_MISMATCH spark={s_cols} oracle={o_cols}"
+        elif s_types != o_types:
+            td = [(c, a, b) for c, a, b in zip(s_cols, s_types, o_types) if a != b]
+            results[name] = f"TYPE_MISMATCH (col, spark, oracle)={td}"
         elif len(s_rows) != len(o_rows):
             results[name] = f"ROWCOUNT spark={len(s_rows)} oracle={len(o_rows)}"
         elif s_rows != o_rows:
