@@ -3543,6 +3543,39 @@ object OpsEntry {
         |ORDER BY ALL""".stripMargin)),
 
     QueryDef(
+      "q73_window_exclude",
+      withTables { (s, _) =>
+        // window-frame EXCLUDE conformance (delegated DuckDB grammar Spark
+        // lacks; graft.psql.WindowExclude rewrites to frame arithmetic):
+        // leave-one-out rolling sum/mean over a bounded ROWS frame — the
+        // canonical use — plus EXCLUDE GROUP / TIES over a RANGE frame
+        // (peer-group subtraction) against DuckDB's native EXCLUDE. All
+        // sums are exact BIGINT arithmetic; the leave-one-out mean is one
+        // exact-integer division — identical bits cross-engine, no grid.
+        Psqlish(s, """from documents |>
+          |select doc_id, lang, n_chars,
+          |  sum(n_chars) over (partition by lang order by doc_id
+          |    rows between 3 preceding and 3 following exclude current row) as loo_sum,
+          |  avg(n_chars) over (partition by lang order by doc_id
+          |    rows between 3 preceding and 3 following exclude current row) as loo_mean,
+          |  sum(n_chars) over (partition by lang order by n_chars
+          |    range between unbounded preceding and current row exclude group) as grp_sum,
+          |  count(*) over (partition by lang order by n_chars
+          |    range between unbounded preceding and current row exclude ties) as ties_cnt |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS loo_sum,
+        |  avg(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS loo_mean,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS grp_sum,
+        |  count(*) OVER (PARTITION BY lang ORDER BY n_chars
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS ties_cnt
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

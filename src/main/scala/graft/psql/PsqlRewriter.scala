@@ -49,7 +49,10 @@ object PsqlRewriter {
     */
   def rewrite(query: String): String = {
     val q = stripTrailingSemicolon(query)
-    copyToInsertDirectory(rewriteBlocks(q))
+    // window-frame EXCLUDE last: by now `* EXCLUDE` became EXCEPT (shims)
+    // and all stage text is assembled, so every remaining EXCLUDE inside
+    // an OVER (…) is the frame clause Spark lacks
+    WindowExclude.rewriteExcludes(copyToInsertDirectory(rewriteBlocks(q)))
   }
 
   /** True when the trimmed statement starts with the COPY keyword — the
