@@ -3576,6 +3576,32 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q74_copy_roundtrip",
+      withTables { (s, _) =>
+        // COPY family round-trip — the load direction joins the sink
+        // direction in the gate: COPY TO writes nation as headered CSV
+        // (INSERT OVERWRITE DIRECTORY), COPY FROM ingests it back into a
+        // typed warehouse table (INSERT INTO … SELECT FROM the path scan,
+        // positional with widening casts — CSV inference says INT, the
+        // table says BIGINT). The oracle is the ORIGINAL rows: a full
+        // content match proves the round trip lossless end to end.
+        val psql = graft.psql.Psql(s)
+        val dir = java.nio.file.Files.createTempDirectory("graft-copy-rt").toString
+        psql.sql(s"""copy (| from nation |>
+          |  select n_nationkey, n_name, n_regionkey |)
+          |to '$dir/nation.csv' (format csv, header)""".stripMargin)
+        graft.operators.Bucketing.dropTableAndLocation(s, "graft_copy_rt")
+        s.sql("""CREATE TABLE graft_copy_rt
+          |(n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+          |USING parquet""".stripMargin)
+        psql.sql(s"copy graft_copy_rt from '$dir/nation.csv' (format csv, header)")
+        psql.sql("from graft_copy_rt |> order by n_nationkey")
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

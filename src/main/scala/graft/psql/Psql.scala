@@ -388,20 +388,38 @@ object PathRelations {
   def viewNameFor(path: String): String =
     "psql_src_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(path)).toLowerCase
 
-  def register(spark: SparkSession, view: String, path0: String): Unit = {
+  def register(spark: SparkSession, view: String, path1: String): Unit = {
     if (spark.catalog.tableExists(view)) return
+    // `#graft:k=v&k=v` fragment: rewriter-generated reader options (COPY
+    // FROM option block). The fragment is part of the view-name key, so
+    // the same path under different options never shares a cached view.
+    val (path0, fragOpts) = path1.indexOf("#graft:") match {
+      case -1 => (path1, Map.empty[String, String])
+      case ix =>
+        val m = path1.substring(ix + "#graft:".length).split("&").iterator
+          .map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }.toMap
+        (path1.substring(0, ix), m)
+    }
     val path = if (path0.matches("(?i)^https?://.*")) fetchToLocal(path0) else path0
     val lower = path.toLowerCase
-    val df =
-      if (lower.endsWith(".parquet") || lower.endsWith(".pq")) spark.read.parquet(path)
-      else if (lower.endsWith(".orc")) spark.read.orc(path)
-      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) spark.read.json(path)
-      else if (lower.endsWith(".tsv"))
-        spark.read.option("header", true).option("inferSchema", true).option("sep", "\t").csv(path)
-      else // default: CSV with header + inference, like DuckDB's sniffer
-        spark.read.option("header", true).option("inferSchema", true)
+    val format = fragOpts.get("format").getOrElse {
+      if (lower.endsWith(".parquet") || lower.endsWith(".pq")) "parquet"
+      else if (lower.endsWith(".orc")) "orc"
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) "json"
+      else "csv"
+    }
+    val df = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
+      case "json"    => spark.read.json(path)
+      case _ => // CSV with header + inference by default, like DuckDB's sniffer
+        spark.read
+          .option("header", fragOpts.getOrElse("header", "true"))
+          .option("inferSchema", true)
+          .option("sep", fragOpts.getOrElse("sep", if (lower.endsWith(".tsv")) "\t" else ","))
           .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
           .csv(path)
+    }
     df.createOrReplaceTempView(view)
   }
 

@@ -52,7 +52,8 @@ object PsqlRewriter {
     // window-frame EXCLUDE last: by now `* EXCLUDE` became EXCEPT (shims)
     // and all stage text is assembled, so every remaining EXCLUDE inside
     // an OVER (…) is the frame clause Spark lacks
-    WindowExclude.rewriteExcludes(copyToInsertDirectory(rewriteBlocks(q)))
+    WindowExclude.rewriteExcludes(
+      copyFromInsert(copyToInsertDirectory(rewriteBlocks(q))))
   }
 
   /** True when the trimmed statement starts with the COPY keyword — the
@@ -84,24 +85,7 @@ object PsqlRewriter {
     if (q2 < 0) return s0
     val path = s.substring(q1 + 1, q2)
     // options block
-    val rest = s.substring(q2 + 1).trim
-    val opts: Map[String, String] =
-      if (rest.startsWith("(") && rest.endsWith(")")) {
-        val body = rest.drop(1).dropRight(1)
-        // split on commas OUTSIDE string literals (DELIMITER ',' is the
-        // common case) — reuse the scanner's literal awareness
-        val bsc = scan(body)
-        val pieces = scala.collection.mutable.ListBuffer.empty[String]
-        var start = 0
-        for (i <- 0 until body.length)
-          // depth 0 only: PARTITION_BY (a, b) carries commas inside parens
-          if (bsc.topLevel(i) && body.charAt(i) == ',') { pieces += body.substring(start, i); start = i + 1 }
-        pieces += body.substring(start)
-        pieces.iterator.map(_.trim).filter(_.nonEmpty).map { o =>
-          val parts = o.split("\\s+", 2)
-          (parts(0).toLowerCase, if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else "true")
-        }.toMap
-      } else Map.empty
+    val opts = parseCopyOptions(s.substring(q2 + 1).trim)
     val lower = path.toLowerCase
     val format = opts.getOrElse("format",
       if (lower.endsWith(".csv")) "csv"
@@ -130,6 +114,64 @@ object PsqlRewriter {
       case None =>
         s"INSERT OVERWRITE DIRECTORY '$path' USING $format$optsSql $innerQuery"
     }
+  }
+
+  /** DuckDB COPY option block `(FORMAT f, HEADER [b], DELIMITER 'c')` →
+    * lowercase key map; a bare flag (HEADER) maps to "true". Commas split
+    * OUTSIDE string literals only (DELIMITER ',' is the common case) and
+    * only at depth 0 (PARTITION_BY (a, b) carries commas inside parens).
+    */
+  private def parseCopyOptions(rest: String): Map[String, String] =
+    if (rest.startsWith("(") && rest.endsWith(")")) {
+      val body = rest.drop(1).dropRight(1)
+      val bsc = scan(body)
+      val pieces = scala.collection.mutable.ListBuffer.empty[String]
+      var start = 0
+      for (i <- 0 until body.length)
+        if (bsc.topLevel(i) && body.charAt(i) == ',') { pieces += body.substring(start, i); start = i + 1 }
+      pieces += body.substring(start)
+      pieces.iterator.map(_.trim).filter(_.nonEmpty).map { o =>
+        val parts = o.split("\\s+", 2)
+        (parts(0).toLowerCase, if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else "true")
+      }.toMap
+    } else Map.empty
+
+  /** `COPY <table> FROM '<path>' [(FORMAT f, HEADER [b], DELIMITER 'c')]`
+    * → `INSERT INTO <table> SELECT * FROM '<path>[#graft:opts]'` — the
+    * load direction of the DuckDB COPY family (the reference workflow is
+    * CSV-in, reference README.md:8), mirroring [[copyToInsertDirectory]].
+    * Non-default reader options travel as a `#graft:` fragment on the path
+    * literal, which [[PathRelations]] strips and applies when registering
+    * the scan view (and which keys the view name, so the same path read
+    * with different options never shares a cached view). Column matching
+    * is positional with implicit widening casts — the same contract as
+    * DuckDB's COPY FROM into an existing table.
+    */
+  private def copyFromInsert(s0: String): String = {
+    val s = s0.trim
+    if (!matchesWord(s, 0, "copy")) return s0
+    val sc = scan(s)
+    if (topLevelKeyword(s, sc, Seq("to")).nonEmpty) return s0 // sink form
+    val fromPositions = topLevelKeyword(s, sc, Seq("from"))
+    if (fromPositions.isEmpty) return s0
+    val fromPos = fromPositions.head
+    val table = s.substring(4, fromPos).trim
+    // a parenthesized source is the sink form's query — not legal here
+    if (table.isEmpty || table.startsWith("(")) return s0
+    val q1 = nextCode(s, sc, fromPos + 4)
+    if (q1 < 0 || s.charAt(q1) != '\'') return s0
+    val q2 = s.indexOf('\'', q1 + 1)
+    if (q2 < 0) return s0
+    val path = s.substring(q1 + 1, q2)
+    val opts = parseCopyOptions(s.substring(q2 + 1).trim)
+    val readerOpts = Seq(
+      opts.get("format").map(f => s"format=${f.toLowerCase}"),
+      opts.get("header").map(v => s"header=${if (v.isEmpty) "true" else v}"),
+      (opts.get("delimiter") orElse opts.get("delim") orElse opts.get("sep"))
+        .map(v => s"sep=$v")
+    ).flatten
+    val frag = if (readerOpts.isEmpty) "" else "#graft:" + readerOpts.mkString("&")
+    s"INSERT INTO $table SELECT * FROM '$path$frag'"
   }
 
   private val copyCounter = new java.util.concurrent.atomic.AtomicLong(0L)
