@@ -3602,6 +3602,28 @@ object OpsEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     QueryDef(
+      "q75_hash_sample",
+      withTables { (s, _) =>
+        // deterministic sampling stage — the reproducible alternative to
+        // q31's TABLESAMPLE (engine-private PRNG, permanently rows-only):
+        // `USING SAMPLE hash(frac, key [, seed])` keeps a row iff the top
+        // 28 md5 bits of the seeded key land below frac. A pure row
+        // predicate: same rows on any engine / partitioning / retry, so
+        // this row is FULL-ORACLE — and composes with WHERE (hash sampling
+        // commutes with deterministic filters).
+        Psqlish(s, """from lineitem |>
+          |where l_shipdate >= date '1995-01-01' |>
+          |using sample hash(10%, concat(l_orderkey, '-', l_linenumber)) |>
+          |select l_orderkey, l_linenumber, l_quantity |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= DATE '1995-01-01'
+        |  AND ('0x' || substr(md5('42-' || l_orderkey || '-' || l_linenumber), 1, 7))::BIGINT
+        |      / 268435456.0 < (10 / 100.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -539,7 +539,7 @@ object PsqlRewriter {
         else st.fromSuffix
     }
     val sel = st.clauses.get("select").map(shims).getOrElse("*")
-    val where = st.clauses.get("where").map(shims)
+    val whereRaw = st.clauses.get("where").map(shims)
     val groupBy = st.clauses.get("groupBy").map(shims)
     val having = st.clauses.get("having").map(shims)
     val qualify = st.clauses.get("qualify").map(shims)
@@ -547,7 +547,17 @@ object PsqlRewriter {
     val orderBy = st.clauses.get("orderBy").map(shims)
     val limit = st.clauses.get("limit").map(shims)
     val offset = st.clauses.get("offset").map(shims)
-    val sample = st.clauses.get("sample").map(translateSample)
+    val sampleSpec = st.clauses.get("sample")
+    // deterministic hash sampling is a plain predicate (see
+    // hashSamplePredicate) — it ANDs into WHERE (hash sampling commutes
+    // with any deterministic filter) instead of becoming a TABLESAMPLE
+    val hashPred = sampleSpec.flatMap(s => hashSamplePredicate(shims(s)))
+    val sample = if (hashPred.isDefined) None else sampleSpec.map(translateSample)
+    val where = (whereRaw, hashPred) match {
+      case (Some(w), Some(p)) => Some(s"($w) AND $p")
+      case (None, p)          => p
+      case (w, None)          => w
+    }
 
     val fromWithSample = sample match {
       case Some(ts) => s"$fromPart $ts"
@@ -820,6 +830,69 @@ object PsqlRewriter {
     * TABLESAMPLE, carrying the seed through as REPEATABLE for deterministic
     * samples.
     */
+  /** Deterministic, cross-engine-reproducible sampling:
+    * `USING SAMPLE hash(<frac>, <keyExpr> [, <seed>])` keeps a row iff the
+    * top 28 bits of `md5('<seed>-' || key)` land below `frac` — the t06 /
+    * c11 md5-keyed technique lifted to a first-class stage. Unlike
+    * TABLESAMPLE (q31: engine-private PRNG, can never hash-match
+    * cross-engine and changes under retries/partitioning), the hash sample
+    * is a PURE ROW PREDICATE: the same rows survive on any engine, any
+    * partitioning, any retry — so it is full-oracle (q75) and safe to use
+    * in incremental pipelines (a re-run samples identically). `frac`
+    * accepts `10%` or `0.1`; seed defaults to 42. Being a predicate it
+    * also pushes down / combines with WHERE freely (sampling by hash
+    * commutes with any deterministic filter).
+    */
+  private[psql] def hashSamplePredicate(spec: String): Option[String] = {
+    val t0 = spec.trim
+    // unwrap ONE optional grouping paren pair — `using sample (hash(…))` —
+    // without eating the call's own closing paren
+    val t =
+      if (t0.startsWith("(") && t0.endsWith(")") &&
+          matchParenAt(t0) == t0.length - 1)
+        t0.substring(1, t0.length - 1).trim
+      else t0
+    if (!matchesWord(t, 0, "hash")) return None
+    val sc = scan(t)
+    val open = nextCode(t, sc, 4)
+    if (open < 0 || t.charAt(open) != '(' || !t.trim.endsWith(")")) return None
+    val body = t.substring(open + 1, t.lastIndexOf(')'))
+    val bsc = scan(body)
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    var st = 0
+    for (i <- 0 until body.length)
+      if (bsc.topLevel(i) && body.charAt(i) == ',') { args += body.substring(st, i); st = i + 1 }
+    args += body.substring(st)
+    val a = args.map(_.trim).filter(_.nonEmpty)
+    require(a.length == 2 || a.length == 3,
+      s"USING SAMPLE hash(frac, keyExpr [, seed]) takes 2-3 arguments, got: $t")
+    val fracText = a(0) match {
+      case p if p.endsWith("%") => s"(${p.dropRight(1).trim} / 100.0)"
+      case f                    => f
+    }
+    val seed = if (a.length == 3) a(2) else "42"
+    require(seed.matches("[0-9]+"), s"hash sample seed must be a number literal, got: $seed")
+    // top 28 md5 bits as uniform [0,1): exact integer / exact power of two,
+    // bit-identical in any engine with md5 (the c11 oracle formula)
+    Some(s"cast(conv(substring(md5(concat('$seed-', cast((${a(1)}) as string))), 1, 7), 16, 10) as bigint)" +
+      s" / 268435456.0 < $fracText")
+  }
+
+  /** Index of the close paren matching an open paren at position 0. */
+  private def matchParenAt(s: String): Int = {
+    val sc = scan(s)
+    var i = 1
+    var d = 1
+    while (i < s.length) {
+      if (sc.code(i)) {
+        if (s.charAt(i) == '(') d += 1
+        else if (s.charAt(i) == ')') { d -= 1; if (d == 0) return i }
+      }
+      i += 1
+    }
+    -1
+  }
+
   private def translateSample(spec: String): String = {
     val t0 = spec.trim.stripSuffix(")").stripPrefix("(").trim
     // optional trailing method/seed: `10% (bernoulli, 42)` / `10 percent (system)`

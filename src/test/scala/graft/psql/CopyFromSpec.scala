@@ -73,3 +73,54 @@ class CopyFromSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_cf3")
   }
 }
+
+/** Deterministic `USING SAMPLE hash(frac, key [, seed])` stage. */
+class HashSampleSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql("SELECT id FROM range(10000)").createOrReplaceTempView("hs_t")
+  }
+
+  test("reproducible: identical row set across runs; ~frac of rows survive") {
+    val q = "from hs_t |> using sample hash(10%, id) |> order by id"
+    val a = psql.sql(q).collect().map(_.getLong(0)).toSeq
+    val b = psql.sql(q).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sample must be retry-stable")
+    assert(a.size > 800 && a.size < 1200, s"~10% of 10000 expected, got ${a.size}")
+  }
+
+  test("seed changes the sample; fraction form 0.1 ≡ 10%") {
+    val s42 = psql.sql("from hs_t |> using sample hash(10%, id, 42)").count()
+    val s7 = psql.sql("from hs_t |> using sample hash(10%, id, 7)")
+      .collect().map(_.getLong(0)).toSet
+    val d42 = psql.sql("from hs_t |> using sample hash(0.1, id)")
+      .collect().map(_.getLong(0)).toSet
+    assert(d42.size.toLong == s42, "0.1 and 10% must select the identical rows")
+    assert(s7 != d42, "different seeds must differ")
+  }
+
+  test("combines with WHERE (commutes); TABLESAMPLE path untouched") {
+    val q = "from hs_t |> where id % 2 = 0 |> using sample hash(20%, id)"
+    val one = psql.sql(q).collect().map(_.getLong(0)).toSet
+    val two = psql.sql(
+      "from hs_t |> using sample hash(20%, id) |> where id % 2 = 0")
+      .collect().map(_.getLong(0)).toSet
+    assert(one == two, "hash sampling must commute with a deterministic filter")
+    assert(one.forall(_ % 2 == 0))
+    // classic TABLESAMPLE still translates (rows-only semantics, q31)
+    assert(PsqlRewriter.rewrite("from hs_t |> using sample 5%").contains("TABLESAMPLE"))
+  }
+
+  test("predicate is sargable text: pushes to the scan on parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hs").toString
+    spark.sql("SELECT id FROM range(1000)").write.parquet(s"$dir/t.parquet")
+    val df = psql.sql(s"from '$dir/t.parquet' |> using sample hash(10%, id)")
+    // the filter must sit in the scan stage (WholeStageCodegen over
+    // FileScan + Filter), not behind an exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash sample must stay map-side:\n$plan")
+  }
+}
