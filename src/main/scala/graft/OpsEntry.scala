@@ -746,6 +746,59 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "d40_index_compaction",
+      withTables { (s, _) =>
+        // d35's append flow + compactMinhashIndex before the probe: after
+        // many append waves the bucketed index accumulates one file per
+        // bucket PER WAVE; compaction rewrites both tables to one file per
+        // bucket (same bucket spec, so the probe's no-exchange plan
+        // survives — spec-pinned). Same oracle as d35: survivors must be
+        // untouched by the physical rewrite.
+        val docs = s.table("documents")
+        Dedup.writeMinhashIndex(s, docs.where(col("doc_id") % 4 === 1 ||
+            col("doc_id") % 4 === 2),
+          "doc_id", "text", "graft_minhash_cmp",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        Dedup.appendMinhashIndex(s, docs.where(col("doc_id") % 4 === 3),
+          "doc_id", "text", "graft_minhash_cmp",
+          shingleSize = 3, numHashes = 64, bands = 32, buckets = 8)
+        // compact BOTH index tables to one file per bucket (b04 policy on
+        // the bucketed layout), THEN probe: identical survivors prove the
+        // compaction content-preserving and bucket-spec-preserving
+        Dedup.compactMinhashIndex(s, "graft_minhash_cmp", buckets = 8)
+        Dedup.incrementalDedupMd5(s, docs.where(col("doc_id") % 4 === 0),
+          "doc_id", "text", "graft_minhash_cmp",
+          shingleSize = 3, numHashes = 64, bands = 32, threshold = 0.5)
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id, y.doc_id AS rid
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 != 0),
+        |bad AS (
+        |  SELECT DISTINCT c.id AS doc_id
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id JOIN sh q ON q.doc_id = c.rid
+        |  WHERE round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |    (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |LEFT JOIN bad USING (doc_id)
+        |WHERE d.doc_id % 4 = 0 AND bad.doc_id IS NULL
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d21_ivf_assign_parity",
       withTables { (s, dir) =>
         // fixed-centroid ORACLE-PARITY family (d21/d22): k-means TRAINING is

@@ -115,6 +115,49 @@ object Bucketing {
     spark.table(destTable)
   }
 
+  /** In-place compaction of a BUCKETED warehouse table — the b04 policy
+    * applied to bucketBy layouts: every append-mode bucketed write lands a
+    * fresh file per (task, bucket), so a table that takes N appends
+    * accumulates ≥N files per bucket and scan/listing cost grows with
+    * append COUNT instead of data size. Rewriting through ONE repartition
+    * on the BUCKET-ID expression (`pmod(hash(key), buckets)`) puts each
+    * bucket's rows in exactly one task, so the bucketed write emits
+    * exactly ONE file per bucket, and the rewrite preserves the bucket
+    * spec so the co-location invariant (bucketed joins with no exchange)
+    * survives verbatim. It must be the bucket-id expression, NOT
+    * `repartition(buckets, key)`: reading a bucketed table already
+    * satisfies HashPartitioning(key, n), so the planner elides that
+    * shuffle and each FILE-split writes its own per-bucket files — exactly
+    * the fragmentation being compacted (observed live: 44 → 16 files
+    * instead of 4).
+    *
+    * The rewrite lands in `<table>__compact` and swaps in via
+    * ALTER TABLE RENAME (metadata move, no second copy), so readers never
+    * see a half-written table under the original name. One shuffle of the
+    * table, amortized over every future probe — the same economics as
+    * [[compactPartitioned]].
+    */
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"compactBucketed: buckets must be positive, got $buckets")
+    val tmp = table + "__compact"
+    dropTableAndLocation(spark, tmp)
+    spark.table(table)
+      .repartition(buckets, pmod(hash(col(key)), lit(buckets)))
+      .write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tmp)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.table(table)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) history build — turn a change
     * LOG (one row per observed attribute state) into interval-versioned
     * dimension history: per key, each change opens a version valid from

@@ -768,6 +768,23 @@ object Dedup {
       .saveAsTable(s"${table}_bands")
   }
 
+  /** Compact a persisted [[writeMinhashIndex]] index after many
+    * [[appendMinhashIndex]] waves: each append lands a fresh file per
+    * bucket in BOTH index tables, so after N waves every probe lists and
+    * opens ≥N files per bucket — cost growing with append COUNT, not index
+    * size. One [[Bucketing.compactBucketed]] pass per table rewrites each
+    * to exactly one file per bucket while preserving the bucket spec (and
+    * with it the probe's no-exchange plan — spec-pinned). Run it on the
+    * same cadence as any warehouse small-file compaction (b04): when
+    * file-count per bucket, not data volume, starts to dominate probe
+    * latency. Content is untouched — the d40 gate row hash-checks a
+    * post-compaction probe against DuckDB recomputing from scratch.
+    */
+  def compactMinhashIndex(spark: SparkSession, table: String, buckets: Int = 16): Unit = {
+    Bucketing.compactBucketed(spark, s"${table}_docs", "id", buckets)
+    Bucketing.compactBucketed(spark, s"${table}_bands", "bkey", buckets)
+  }
+
   /** Dedup a corpus INCREMENT against a persisted [[writeMinhashIndex]]
     * index: signatures are computed for the DELTA only, candidates meet in
     * the banded equi-join against `{table}_bands` (bucketed on `bkey` — no

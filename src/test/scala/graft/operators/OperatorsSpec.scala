@@ -451,6 +451,48 @@ class DedupSpec extends SparkSpec {
       s"docs-table scan should prune sig: ${docsScanLine.getOrElse("scan line not found")}")
   }
 
+  test("compactMinhashIndex: one file per bucket, content and no-new-exchange preserved") {
+    def parquetFiles(table: String): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, table.toLowerCase)
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val buckets = 4
+    Dedup.writeMinhashIndex(spark, docs.where(col("doc_id") % 4 === 1),
+      "doc_id", "text", "graft_cmp_idx", buckets = buckets)
+    Dedup.appendMinhashIndex(spark, docs.where(col("doc_id") % 4 === 2),
+      "doc_id", "text", "graft_cmp_idx", buckets = buckets)
+    Dedup.appendMinhashIndex(spark, docs.where(col("doc_id") % 4 === 3),
+      "doc_id", "text", "graft_cmp_idx", buckets = buckets)
+    // 3 waves → ≥3 files per bucket accumulate (the small-file growth)
+    assert(parquetFiles("graft_cmp_idx_bands") > buckets,
+      s"appends should accumulate files, got ${parquetFiles("graft_cmp_idx_bands")}")
+    val delta = docs.where(col("doc_id") % 4 === 0)
+    def probe() = Dedup.incrementalDedupMd5(spark, delta, "doc_id", "text", "graft_cmp_idx")
+    val before = probe()
+    val beforeSurvivors = before.select("doc_id").as[Long].collect().toSet
+    val beforeExchanges = before.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+    Dedup.compactMinhashIndex(spark, "graft_cmp_idx", buckets = buckets)
+
+    // physical: exactly one file per bucket in both tables
+    assert(parquetFiles("graft_cmp_idx_bands") == buckets,
+      s"bands: expected $buckets files, got ${parquetFiles("graft_cmp_idx_bands")}")
+    assert(parquetFiles("graft_cmp_idx_docs") == buckets,
+      s"docs: expected $buckets files, got ${parquetFiles("graft_cmp_idx_docs")}")
+    // semantic: identical survivors; plan: compaction adds NO exchange
+    // (bucket spec preserved → the index side still joins in place)
+    val after = probe()
+    assert(after.select("doc_id").as[Long].collect().toSet == beforeSurvivors)
+    val afterExchanges = after.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(afterExchanges == beforeExchanges,
+      s"compaction changed the probe's exchange count: $beforeExchanges -> $afterExchanges")
+  }
+
   test("semDedup: no surviving semantic dups, losers covered, paper's representative rule") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val eps = 0.4 // where this corpus's near-dups live; at 0.5 there are none at all
@@ -2929,5 +2971,25 @@ class KCoreSpec extends SparkSpec {
     val b = GraphOps.kCore(li, "src", "dst", k = 3, rounds = 8)
       .collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  test("g06 fixed-round contract: rounds=6 is a FIXPOINT at the gate SF (round r == round r+1)") {
+    // the gate row runs kCore(rounds = 6) at sf0.01 and its oracle unrolls
+    // exactly 6 peeling rounds — this pins that round 7 changes NOTHING on
+    // the gate graph (degrees included, not just membership), so a future
+    // testdata regen cannot silently un-converge the row into a
+    // truncated-peel answer that still happens to match a truncated oracle
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+    def run(r: Int): Map[Long, Long] =
+      GraphOps.kCore(li, "src", "dst", k = 3, rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r6 = run(6)
+    val r7 = run(7)
+    require(r6 == r7,
+      "g06 contract violated: kCore(rounds = 6) is no longer a fixpoint on " +
+        "the sf0.01 gate graph — the data changed; raise the gate row's " +
+        "rounds (and its oracle's unroll depth) until round r == round r+1")
+    assert(r6.nonEmpty)
   }
 }
