@@ -234,6 +234,42 @@ def date_stage():
     return f"select l_orderkey, l_linenumber, {cols}"
 
 
+def exclude_stage():
+    # window-frame EXCLUDE (graft rewrites to frame arithmetic; DuckDB runs
+    # the clause natively). Integer sums so subtraction is exact; windows
+    # ordered by the unique (okey, lineno) pair for ROWS frames, by the
+    # non-unique l_quantity for RANGE (real peer groups for GROUP/TIES)
+    kind = rnd.randrange(3)
+    if kind == 0:
+        a, b = rnd.randrange(1, 6), rnd.randrange(0, 4)
+        return ("select l_orderkey, l_linenumber, "
+                f"sum(cast(l_quantity as bigint)) over (partition by l_returnflag "
+                f"order by l_orderkey, l_linenumber rows between {a} preceding "
+                f"and {b} following exclude current row) as w_ex")
+    agg = rnd.choice(["sum(cast(l_quantity as bigint))", "count(*)",
+                      "avg(cast(l_quantity as bigint))"])
+    ex = rnd.choice(["group", "ties"])
+    return ("select l_orderkey, l_linenumber, "
+            f"{agg} over (partition by l_returnflag order by l_quantity "
+            f"range between unbounded preceding and current row exclude {ex}) as w_ex")
+
+
+def hash_sample_pipeline():
+    # deterministic md5-keyed sampling: graft runs the hash(...) stage, the
+    # DuckDB side runs the equivalent explicit predicate (duck override —
+    # DuckDB has no hash sample syntax; the predicate IS the contract)
+    pct = rnd.choice([5, 10, 20, 25])
+    seed = rnd.randrange(1, 100)
+    flt = filter_stage()
+    tail = "select l_orderkey, l_linenumber, l_quantity |> order by all"
+    g = (f"from lineitem |> {flt} |> using sample hash({pct}%, "
+         f"concat(l_orderkey, '-', l_linenumber), {seed}) |> {tail}")
+    d = (f"from lineitem |> {flt} |> where ('0x' || substr(md5('{seed}-' || "
+         f"l_orderkey || '-' || l_linenumber), 1, 7))::BIGINT / 268435456.0 "
+         f"< ({pct} / 100.0) |> {tail}")
+    return g, d
+
+
 def pipeline():
     r = rnd.random()
     if r < 0.06:
@@ -254,10 +290,17 @@ def pipeline():
         return unpivot_pipeline()
     if r < 0.64:
         return hopping_pipeline()
+    if r < 0.68:
+        return hash_sample_pipeline()  # (graft_text, duck_text) pair
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(10)
+    shape = rnd.randrange(11)
+    if shape == 10:
+        stages.append(exclude_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
     if shape == 8:
         stages.append(date_stage())
         stages.append("order by all")
@@ -349,7 +392,13 @@ def canon(v):
 
 
 def main():
-    queries = [{"name": f"f{i:03d}", "psql": pipeline()} for i in range(N)]
+    queries = []
+    for i in range(N):
+        q = pipeline()
+        if isinstance(q, tuple):  # (graft_text, duckdb_text) family
+            queries.append({"name": f"f{i:03d}", "psql": q[0], "duck_psql": q[1]})
+        else:
+            queries.append({"name": f"f{i:03d}", "psql": q})
     os.makedirs(os.path.join(WORK, "out"), exist_ok=True)
     # clear stale artifacts from a reused workDir: a leftover .error from a
     # previous run would otherwise be reported against THIS run's query text
@@ -374,7 +423,8 @@ def main():
                 "ORDER BY o_orderkey DESC LIMIT 100")
     fails = 0
     for q in queries:
-        name, ref_sql = q["name"], reference_rewrite(q["psql"])
+        name = q["name"]
+        ref_sql = reference_rewrite(q.get("duck_psql") or q["psql"])
         err = os.path.join(WORK, "out", name + ".error")
         if os.path.exists(err):
             print(f"ERR  {name}: spark-side: {open(err).read()[:100]}")
