@@ -41,7 +41,10 @@ object FuzzRun {
     // minimal JSON parsing (name/psql string fields, no nesting)
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(outDir, "queries.json")), "UTF-8")
-    val entry = """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"psql"\s*:\s*"((?:[^"\\]|\\.)*)"\s*\}""".r
+    // match the (name, psql) pair without anchoring on the closing brace:
+    // entries may carry extra fields (duck_psql for families where the
+    // DuckDB side needs an equivalent formulation instead of the same text)
+    val entry = """"name"\s*:\s*"([^"]+)"\s*,\s*"psql"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
     val queries = entry.findAllMatchIn(text).map { m =>
       (m.group(1), m.group(2).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
     }.toList

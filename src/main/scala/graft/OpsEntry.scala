@@ -3600,8 +3600,9 @@ object OpsEntry {
       withTables { (s, _) =>
         // window-frame EXCLUDE conformance (delegated DuckDB grammar Spark
         // lacks; graft.psql.WindowExclude rewrites to frame arithmetic):
-        // leave-one-out rolling sum/mean over a bounded ROWS frame — the
-        // canonical use — plus EXCLUDE GROUP / TIES over a RANGE frame
+        // leave-one-out rolling sum/mean/min over a bounded ROWS frame —
+        // the canonical use (min via the frame-split path, sum/avg via
+        // subtraction) — plus EXCLUDE GROUP / TIES over a RANGE frame
         // (peer-group subtraction) against DuckDB's native EXCLUDE. All
         // sums are exact BIGINT arithmetic; the leave-one-out mean is one
         // exact-integer division — identical bits cross-engine, no grid.
@@ -3611,6 +3612,8 @@ object OpsEntry {
           |    rows between 3 preceding and 3 following exclude current row) as loo_sum,
           |  avg(n_chars) over (partition by lang order by doc_id
           |    rows between 3 preceding and 3 following exclude current row) as loo_mean,
+          |  min(n_chars) over (partition by lang order by doc_id
+          |    rows between 3 preceding and 3 following exclude current row) as loo_min,
           |  sum(n_chars) over (partition by lang order by n_chars
           |    range between unbounded preceding and current row exclude group) as grp_sum,
           |  count(*) over (partition by lang order by n_chars
@@ -3622,6 +3625,8 @@ object OpsEntry {
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS loo_sum,
         |  avg(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS loo_mean,
+        |  min(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS loo_min,
         |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS grp_sum,
         |  count(*) OVER (PARTITION BY lang ORDER BY n_chars

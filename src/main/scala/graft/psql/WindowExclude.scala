@@ -198,13 +198,16 @@ object WindowExclude {
     } else None
   }
 
-  private final case class Frame(mode: String, curIncluded: Boolean, unboundedBoth: Boolean)
+  private final case class Frame(mode: String, curIncluded: Boolean,
+      unboundedBoth: Boolean, aText: String, bText: String,
+      aCls: String, bCls: String)
 
   /** Analyze the frame text (may be empty → default frame). */
   private def analyzeFrame(frameText: String): Frame = {
     val f = frameText.trim
-    if (f.isEmpty) return Frame("range", curIncluded = true, unboundedBoth = false)
-    val sc = scan(f)
+    if (f.isEmpty)
+      return Frame("range", curIncluded = true, unboundedBoth = false,
+        "unbounded preceding", "current row", "UP", "CR")
     val mode =
       if (matchesWord(f, 0, "rows")) "rows"
       else if (matchesWord(f, 0, "range")) "range"
@@ -220,16 +223,19 @@ object WindowExclude {
       } else (f.substring(mode.length).trim, "current row")
     def cls(bound: String): String = {
       val b = bound.toLowerCase
+      // `0 preceding`/`0 following` ARE the current row — classify as CR so
+      // the frame-split path never builds an inverted half-frame
       if (b.contains("unbounded") && b.endsWith("preceding")) "UP"
       else if (b.contains("unbounded") && b.endsWith("following")) "UF"
       else if (b.startsWith("current")) "CR"
+      else if (b.matches("""0+\s+(preceding|following)""")) "CR"
       else if (b.endsWith("preceding")) "NP"
       else if (b.endsWith("following")) "NF"
       else fail(s"unrecognized frame bound '$bound'")
     }
     val (ca, cb) = (cls(a), cls(b))
     val curIn = Seq("UP", "NP", "CR").contains(ca) && Seq("CR", "NF", "UF").contains(cb)
-    Frame(mode, curIn, ca == "UP" && cb == "UF")
+    Frame(mode, curIn, ca == "UP" && cb == "UF", a, b, ca, cb)
   }
 
   private def spliceRewrite(s: String, sc: Scan, overStart: Int, open: Int,
@@ -265,9 +271,11 @@ object WindowExclude {
     }
     val fn = s.substring(fnStart, fnEnd).toLowerCase
     val arg = s.substring(argOpen + 1, argClose).trim
-    if (!Seq("sum", "count", "avg").contains(fn))
-      fail(s"aggregate '$fn' is not subtractable — EXCLUDE supports sum/count/avg; " +
-        "for min/max collect the frame and fold (see a15's leave-one-out pattern)")
+    if (!Seq("sum", "count", "avg", "min", "max").contains(fn))
+      fail(s"aggregate '$fn' is not subtractable — EXCLUDE supports " +
+        "sum/count/avg (subtraction) and min/max (EXCLUDE CURRENT ROW over " +
+        "ROWS frames, by frame splitting); otherwise collect the frame and " +
+        "fold (see a15's leave-one-out pattern)")
     if (arg.toLowerCase.startsWith("distinct "))
       fail("DISTINCT aggregates cannot EXCLUDE")
     val starCount = fn == "count" && (arg == "*" || arg.isEmpty)
@@ -349,6 +357,36 @@ object WindowExclude {
         s"(case when ${base("count")} - ${peer("count")} + $curCnt = 0 then null " +
           s"else (${base("sum")} - coalesce(${peer("sum")}, 0) + $curSum) / " +
           s"(${base("count")} - ${peer("count")} + $curCnt) end)"
+      case ("min" | "max", Cur) =>
+        // not subtractable — SPLIT the ROWS frame around the current row
+        // and combine the two half-frames (least/greatest skip a NULL
+        // side, so an empty half at a partition edge behaves like DuckDB's
+        // exclusion; both halves empty → typed NULL, the empty-frame edge)
+        if (frame.mode != "rows")
+          fail(s"$fn EXCLUDE CURRENT ROW needs a ROWS frame — a RANGE/GROUPS " +
+            "frame cannot split around the current row (its peers share the " +
+            "frame boundary value)")
+        val partOrd = framePos.map(fp => spec.substring(0, fp).trim)
+          .getOrElse(fail("ROWS frame position lost"))
+        val combine = if (fn == "min") "least" else "greatest"
+        val left =
+          if (Seq("UP", "NP").contains(frame.aCls))
+            Some(s"$fn($arg) over ($partOrd rows between ${frame.aText} and 1 preceding)")
+          else None
+        val right =
+          if (Seq("UF", "NF").contains(frame.bCls))
+            Some(s"$fn($arg) over ($partOrd rows between 1 following and ${frame.bText})")
+          else None
+        (left, right) match {
+          case (Some(l), Some(r)) => s"$combine($l, $r)"
+          case (Some(l), None)    => s"($l)"
+          case (None, Some(r))    => s"($r)"
+          case (None, None)       => s"(case when 1 = 0 then $fn($arg) over ($spec) end)"
+        }
+      case ("min" | "max", _) =>
+        fail(s"$fn supports only EXCLUDE CURRENT ROW (frame splitting) — " +
+          "GROUP/TIES exclusions are not expressible by splitting; collect " +
+          "the frame and fold (a15's pattern)")
       case other => fail(s"unreachable combination $other")
     }
     s.substring(0, fnStart) + out + s.substring(close + 1)

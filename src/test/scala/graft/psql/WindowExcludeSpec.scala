@@ -72,13 +72,42 @@ class WindowExcludeSpec extends SparkSpec {
     assert(col(s, 1) == Seq(null, 10L, 30L, 40L, null))
   }
 
+  test("min/max EXCLUDE CURRENT ROW over ROWS frames: frame split matches DuckDB") {
+    val s = """from wex |>
+      |select id,
+      |  min(x) over (partition by g order by id
+      |    rows between 1 preceding and 1 following exclude current row) as mn,
+      |  max(x) over (partition by g order by id
+      |    rows between unbounded preceding and current row exclude current row) as mx,
+      |  max(x) over (partition by g order by id
+      |    rows between current row and unbounded following exclude current row) as mf |>
+      |order by id""".stripMargin
+    val rows = psql.sql(s).collect().toSeq
+    def c(i: Int) = rows.map(r => if (r.isNullAt(i)) null else r.get(i))
+    assert(c(1) == Seq(20, 10, 20, 20, null)) // mn
+    assert(c(2) == Seq(null, 10, 20, 20, null)) // mx
+    assert(c(3) == Seq(30, 30, 30, null, null)) // mf
+  }
+
   test("unsupported shapes fail loudly, never mis-answer") {
-    // min is not subtractable
+    // min over a RANGE/default frame cannot split around the current row
     val e1 = intercept[UnsupportedOperationException] {
       psql.sql("""from wex |> select min(x) over (partition by g order by id
         | exclude current row) as m""".stripMargin)
     }
-    assert(e1.getMessage.contains("not subtractable"))
+    assert(e1.getMessage.contains("needs a ROWS frame"))
+    // min with GROUP/TIES is not expressible at all
+    val e3 = intercept[UnsupportedOperationException] {
+      psql.sql("""from wex |> select min(x) over (partition by g order by x
+        | range between unbounded preceding and current row exclude group) as m""".stripMargin)
+    }
+    assert(e3.getMessage.contains("only EXCLUDE CURRENT ROW"))
+    // an aggregate outside the five supported ones
+    val e4 = intercept[UnsupportedOperationException] {
+      psql.sql("""from wex |> select median(x) over (partition by g order by id
+        | rows between 1 preceding and 1 following exclude current row) as m""".stripMargin)
+    }
+    assert(e4.getMessage.contains("not subtractable"))
     // bounded ROWS frame can split a peer group
     val e2 = intercept[UnsupportedOperationException] {
       psql.sql("""from wex |> select sum(x) over (partition by g order by x

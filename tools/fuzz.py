@@ -241,10 +241,14 @@ def exclude_stage():
     # non-unique l_quantity for RANGE (real peer groups for GROUP/TIES)
     kind = rnd.randrange(3)
     if kind == 0:
+        # the synthetic lineitem is TPC-H-ISH: (okey, lineno) is NOT unique
+        # (fuzz f219/seed 8008 found twin rows), so ROWS frames need the
+        # aggregated value in the ordering too — then any tie permutes only
+        # equal contributions and every positional slice keeps its multiset
         a, b = rnd.randrange(1, 6), rnd.randrange(0, 4)
         return ("select l_orderkey, l_linenumber, "
                 f"sum(cast(l_quantity as bigint)) over (partition by l_returnflag "
-                f"order by l_orderkey, l_linenumber rows between {a} preceding "
+                f"order by l_orderkey, l_linenumber, l_quantity rows between {a} preceding "
                 f"and {b} following exclude current row) as w_ex")
     agg = rnd.choice(["sum(cast(l_quantity as bigint))", "count(*)",
                       "avg(cast(l_quantity as bigint))"])
@@ -428,6 +432,12 @@ def main():
         err = os.path.join(WORK, "out", name + ".error")
         if os.path.exists(err):
             print(f"ERR  {name}: spark-side: {open(err).read()[:100]}")
+            print(f"     psql: {q['psql']}")
+            fails += 1
+            continue
+        out_path = os.path.join(WORK, "out", name + ".parquet")
+        if not os.path.isdir(out_path):
+            print(f"ERR  {name}: no spark output (and no .error file)")
             print(f"     psql: {q['psql']}")
             fails += 1
             continue
