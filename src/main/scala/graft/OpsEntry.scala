@@ -3682,6 +3682,38 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q76_groups_frame",
+      withTables { (s, _) =>
+        // GROUPS-mode frames (SQL standard): neither engine has them
+        // natively at these versions — Spark lacks the mode, DuckDB 1.0.0
+        // parses it "not implemented yet" — so graft rewrites to RANGE over
+        // a hidden dense_rank (GroupsFrames) and the ORACLE states the same
+        // peer-group definition through its own independent dense_rank +
+        // RANGE computation. The EXCLUDE GROUP column additionally proves
+        // the GroupsFrames → WindowExclude composition end to end.
+        Psqlish(s, """from documents |>
+          |select doc_id, lang, n_chars,
+          |  sum(n_chars) over (partition by lang order by n_chars
+          |    groups between 1 preceding and current row) as grp_sum,
+          |  count(*) over (partition by lang order by n_chars
+          |    groups between unbounded preceding and 1 preceding) as grp_cnt,
+          |  sum(n_chars) over (partition by lang order by n_chars
+          |    groups between 1 preceding and 1 following exclude group) as grp_ex |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""WITH r AS (SELECT doc_id, lang, n_chars,
+        |  dense_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS dr
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_sum,
+        |  count(*) OVER (PARTITION BY lang ORDER BY dr
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS grp_cnt,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY dr
+        |    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS grp_ex
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

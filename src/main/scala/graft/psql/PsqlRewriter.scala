@@ -610,6 +610,27 @@ object PsqlRewriter {
       case None => ()
     }
 
+    // DuckDB GROUPS-mode frames: materialize dense_rank() in an inner
+    // select and restate the frame as RANGE over the rank (GroupsFrames);
+    // EXCLUDE tails survive into the later WindowExclude pass
+    GroupsFrames.rewriteSelect(sel) match {
+      case Some((sel2, gHelpers)) =>
+        if (Seq("groupBy", "having", "qualify", "window").exists(st.clauses.contains))
+          throw new IllegalArgumentException(
+            "GROUPS frames cannot be combined with GROUP BY/HAVING/QUALIFY/WINDOW " +
+              "in one stage — split the pipeline into separate stages")
+        val helperSql = gHelpers.map { case (a, e) => s"$e AS $a" }.mkString(", ")
+        val inner = new StringBuilder(s"SELECT *, $helperSql FROM $fromWithSample")
+        where.foreach(w => inner.append(s" WHERE $w"))
+        val outSel = GroupsFrames.starExceptHelpers(sel2, gHelpers.map(_._1))
+        val outer = new StringBuilder(s"SELECT $outSel FROM ( ${inner.toString} )")
+        orderBy.foreach(o => outer.append(s" ORDER BY $o"))
+        limit.foreach(l => outer.append(s" LIMIT $l"))
+        offset.foreach(o => outer.append(s" OFFSET $o"))
+        return outer.toString
+      case None => ()
+    }
+
     qualify match {
       case None =>
         val base = new StringBuilder(s"SELECT $sel FROM $fromWithSample")

@@ -1,0 +1,72 @@
+package graft.psql
+
+import graft.SparkSpec
+
+/** GROUPS-mode frames (SQL standard; DuckDB 1.0.0 answers "not implemented
+  * yet", Spark has no GROUPS at all — rewritten to RANGE over a hidden
+  * dense_rank). Expectations below are DuckDB 1.0.0's output for the
+  * equivalent dense_rank + RANGE formulation, hand-checked against the
+  * GROUPS definition (peer-group-counting bounds).
+  */
+class GroupsFramesSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(
+      """SELECT * FROM VALUES (1,'a',10),(2,'a',20),(3,'a',20),(4,'a',30),(5,'b',5)
+        |AS v(id, g, x)""".stripMargin).createOrReplaceTempView("gft")
+  }
+
+  test("GROUPS frames count peer groups; single-bound form; global window") {
+    val s = """from gft |>
+      |select id,
+      |  sum(x) over (partition by g order by x
+      |    groups between 1 preceding and current row) as s1,
+      |  count(*) over (partition by g order by x
+      |    groups between unbounded preceding and 1 preceding) as c1,
+      |  avg(x) over (order by x groups 2 preceding) as a1 |>
+      |order by id""".stripMargin
+    val rows = psql.sql(s).collect().toSeq
+    def c(i: Int) = rows.map(r => if (r.isNullAt(i)) null else r.get(i))
+    assert(c(1) == Seq(10L, 50L, 50L, 70L, 5L)) // s1
+    assert(c(2) == Seq(0L, 1L, 1L, 3L, 0L)) // c1
+    assert(c(3) == Seq(7.5, 13.75, 13.75, 20.0, 5.0)) // a1
+  }
+
+  test("GROUPS + EXCLUDE GROUP composes (rank peers ARE the peer groups)") {
+    val s = """from gft |>
+      |select id, sum(x) over (partition by g order by x
+      |  groups between 1 preceding and 1 following exclude group) as sx |>
+      |order by id""".stripMargin
+    assert(psql.sql(s).collect().toSeq.map(r => if (r.isNullAt(1)) null else r.get(1))
+      == Seq(40L, 40L, 40L, 40L, null))
+  }
+
+  test("one exchange for rank + frame windows; star projection never leaks the rank") {
+    val df = psql.sql("""from gft |>
+      |select *, sum(x) over (partition by g order by x
+      |  groups between 1 preceding and current row) as s1 |>
+      |order by id""".stripMargin)
+    assert(df.columns.toSeq == Seq("id", "g", "x", "s1"), df.columns.toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"rank and frame windows must share one exchange:\n$plan")
+  }
+
+  test("unsupported combos fail loudly; a column named groups is untouched") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("""from gft |> select g, sum(x) over (partition by g order by x
+        | groups between 1 preceding and current row) as s
+        | group by g""".stripMargin)
+    }
+    assert(e.getMessage.contains("GROUPS frames cannot be combined"))
+    val e2 = intercept[UnsupportedOperationException] {
+      PsqlRewriter.rewrite("from gft |> select sum(x) over (groups between 1 preceding and current row) as s")
+    }
+    assert(e2.getMessage.contains("requires ORDER BY"))
+    spark.sql("SELECT 1 AS groups").createOrReplaceTempView("gft_col")
+    assert(psql.sql("from gft_col |> select groups |> order by groups").count() == 1)
+  }
+}
