@@ -3714,6 +3714,37 @@ object OpsEntry {
         |FROM r ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q77_window_filter",
+      withTables { (s, _) =>
+        // FILTER on WINDOW aggregates (DuckDB-legal, Spark rejects the
+        // window form): graft folds the predicate into a conditional
+        // argument (WindowFilter); the oracle is DuckDB's NATIVE window
+        // FILTER. The third column composes FILTER with a frame EXCLUDE —
+        // the filter folds first, then WindowExclude rewrites the frame.
+        Psqlish(s, """from documents |>
+          |select doc_id, lang, n_chars,
+          |  sum(n_chars) filter (where n_chars % 2 = 0)
+          |    over (partition by lang order by doc_id
+          |      rows between unbounded preceding and current row) as even_sum,
+          |  count(*) filter (where n_chars > 200)
+          |    over (partition by lang) as big_cnt,
+          |  sum(n_chars) filter (where n_chars % 2 = 1)
+          |    over (partition by lang order by doc_id
+          |      rows between 3 preceding and 3 following exclude current row) as odd_loo |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+        |  CAST(sum(n_chars) FILTER (WHERE n_chars % 2 = 0)
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS even_sum,
+        |  count(*) FILTER (WHERE n_chars > 200)
+        |    OVER (PARTITION BY lang) AS big_cnt,
+        |  CAST(sum(n_chars) FILTER (WHERE n_chars % 2 = 1)
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS odd_loo
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

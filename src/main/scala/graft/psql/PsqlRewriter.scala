@@ -49,11 +49,13 @@ object PsqlRewriter {
     */
   def rewrite(query: String): String = {
     val q = stripTrailingSemicolon(query)
-    // window-frame EXCLUDE last: by now `* EXCLUDE` became EXCEPT (shims)
-    // and all stage text is assembled, so every remaining EXCLUDE inside
-    // an OVER (…) is the frame clause Spark lacks
+    // window-level passes last: by now `* EXCLUDE` became EXCEPT (shims)
+    // and all stage text is assembled. FILTER-on-window folds the
+    // predicate into the aggregate argument FIRST, so a FILTER + EXCLUDE
+    // combination then rewrites its frame like any other window
     WindowExclude.rewriteExcludes(
-      copyFromInsert(copyToInsertDirectory(rewriteBlocks(q))))
+      WindowFilter.rewriteFilters(
+        copyFromInsert(copyToInsertDirectory(rewriteBlocks(q)))))
   }
 
   /** True when the trimmed statement starts with the COPY keyword — the

@@ -70,3 +70,56 @@ class GroupsFramesSpec extends SparkSpec {
     assert(psql.sql("from gft_col |> select groups |> order by groups").count() == 1)
   }
 }
+
+/** FILTER on WINDOW aggregates (DuckDB-legal, Spark-rejected) — rewritten
+  * to conditional arguments. Expectations are DuckDB 1.0.0's native
+  * window-FILTER output on the identical data.
+  */
+class WindowFilterSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(
+      """SELECT * FROM VALUES (1,'a',10),(2,'a',20),(3,'a',20),(4,'a',30),(5,'b',5)
+        |AS v(id, g, x)""".stripMargin).createOrReplaceTempView("wft")
+  }
+
+  test("window FILTER folds into the argument: DuckDB parity incl. empty-set NULL/0") {
+    val s = """from wft |>
+      |select id,
+      |  sum(x) filter (where x > 10) over (partition by g order by id
+      |    rows between unbounded preceding and current row) as sf,
+      |  count(*) filter (where x = 20) over (partition by g) as cf,
+      |  avg(x) filter (where x <> 20) over (partition by g) as af |>
+      |order by id""".stripMargin
+    val rows = psql.sql(s).collect().toSeq
+    def c(i: Int) = rows.map(r => if (r.isNullAt(i)) null else r.get(i))
+    assert(c(1) == Seq(null, 20L, 40L, 70L, null))
+    assert(c(2) == Seq(2L, 2L, 2L, 2L, 0L))
+    assert(c(3) == Seq(20.0, 20.0, 20.0, 20.0, 5.0))
+  }
+
+  test("FILTER + EXCLUDE compose (filter folds first, then the frame rewrites)") {
+    val s = """from wft |>
+      |select id, sum(x) filter (where x > 10) over (partition by g order by id
+      |  rows between 1 preceding and 1 following exclude current row) as fe |>
+      |order by id""".stripMargin
+    assert(psql.sql(s).collect().toSeq.map(r => if (r.isNullAt(1)) null else r.get(1))
+      == Seq(20L, 20L, 50L, 20L, null))
+  }
+
+  test("group-by FILTER untouched (Spark-native); non-null-ignoring agg fails loudly") {
+    // no OVER → Spark's own FILTER clause runs (q30's surface)
+    val r = psql.sql(
+      "from wft |> select g, sum(x) filter (where x > 10) as s group by g |> order by g")
+      .collect().map(x => (x.getString(0), if (x.isNullAt(1)) null else x.get(1))).toSeq
+    assert(r == Seq(("a", 70L), ("b", null)))
+    val e = intercept[UnsupportedOperationException] {
+      psql.sql("""from wft |> select first_value(x) filter (where x > 10)
+        | over (partition by g order by id) as f""".stripMargin)
+    }
+    assert(e.getMessage.contains("null-ignoring"))
+  }
+}
