@@ -274,6 +274,48 @@ def hash_sample_pipeline():
     return g, d
 
 
+def wfilter_stage():
+    # FILTER on window aggregates — DuckDB runs the clause natively, graft
+    # folds it into a conditional argument. Predicate and argument depend
+    # only on the ORDER-key columns, so tie permutations (TPC-H-ish twin
+    # keys) swap equal contributions and every frame slice keeps its
+    # multiset
+    agg_arg = "cast(l_quantity as bigint)"
+    agg = rnd.choice([f"sum({agg_arg})", "count(*)", f"avg({agg_arg})",
+                      f"min({agg_arg})", f"max({agg_arg})"])
+    pred = rnd.choice(["l_quantity > 25", "l_orderkey % 3 = 0",
+                       "l_linenumber % 2 = 0"])
+    frame = rnd.choice([
+        " rows between unbounded preceding and current row",
+        " rows between 2 preceding and 2 following", ""])
+    over = ("partition by l_returnflag order by l_orderkey, l_linenumber, "
+            "l_quantity" + frame)
+    return ("select l_orderkey, l_linenumber, "
+            f"{agg} filter (where {pred}) over ({over}) as wf")
+
+
+def groups_pipeline():
+    # GROUPS-mode frames: graft rewrites to RANGE over a hidden dense_rank;
+    # DuckDB 1.0.0 has no GROUPS mode ("not implemented yet"), so the duck
+    # side states the identical peer-group definition through an explicit
+    # dense_rank stage (pair family, like hash_sample)
+    a, b = rnd.randrange(0, 3), rnd.randrange(0, 3)
+    agg = rnd.choice(["sum(cast(l_quantity as bigint))", "count(*)"])
+    ex = rnd.choice(["", " exclude group", " exclude ties"])
+    frame = f"groups between {a} preceding and {b} following{ex}"
+    flt = filter_stage()
+    g = (f"from lineitem |> {flt} |> select l_orderkey, l_linenumber, "
+         f"{agg} over (partition by l_returnflag order by l_quantity {frame}) as w |> "
+         "order by all")
+    d = (f"from lineitem |> {flt} |> "
+         "select l_orderkey, l_linenumber, l_quantity, l_returnflag, "
+         "dense_rank() over (partition by l_returnflag order by l_quantity) as dr |> "
+         f"select l_orderkey, l_linenumber, {agg} over (partition by l_returnflag "
+         f"order by dr range between {a} preceding and {b} following{ex}) as w |> "
+         "order by all")
+    return g, d
+
+
 def pipeline():
     r = rnd.random()
     if r < 0.06:
@@ -296,12 +338,19 @@ def pipeline():
         return hopping_pipeline()
     if r < 0.68:
         return hash_sample_pipeline()  # (graft_text, duck_text) pair
+    if r < 0.72:
+        return groups_pipeline()  # (graft_text, duck_text) pair
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(11)
+    shape = rnd.randrange(12)
     if shape == 10:
         stages.append(exclude_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
+    if shape == 11:
+        stages.append(wfilter_stage())
         stages.append("order by all")
         stages.append(f"limit {rnd.randrange(5, 50)}")
         return " |> ".join(stages)
