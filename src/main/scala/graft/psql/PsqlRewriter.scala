@@ -540,12 +540,30 @@ object PsqlRewriter {
           st.fromSuffix.substring(i + 4).trim
         else st.fromSuffix
     }
-    val sel = st.clauses.get("select").map(shims).getOrElse("*")
+    val sel0 = st.clauses.get("select").map(shims).getOrElse("*")
     val whereRaw = st.clauses.get("where").map(shims)
     val groupBy = st.clauses.get("groupBy").map(shims)
     val having = st.clauses.get("having").map(shims)
-    val qualify = st.clauses.get("qualify").map(shims)
-    val window = st.clauses.get("window").map(shims)
+    val qualify0 = st.clauses.get("qualify").map(shims)
+    val window0 = st.clauses.get("window").map(shims)
+    // a named WINDOW spec carrying EXCLUDE / GROUPS / window-FILTER must
+    // inline into its OVER references: the window passes rewrite the
+    // aggregate AND the spec together, which a shared named spec cannot
+    // express (different aggregates need different rewrites of one spec).
+    // Inlining is semantics-preserving, so over-triggering is harmless;
+    // without the trigger words the named clause stays Spark-native.
+    val (sel, qualify, window) = window0 match {
+      case Some(wc) if {
+        val blob = s"$sel0 $wc ${qualify0.getOrElse("")}"
+        val sc = scan(blob)
+        def hasWord(w: String): Boolean =
+          (0 until blob.length).exists(i => sc.code(i) && matchesWord(blob, i, w))
+        hasWord("exclude") || hasWord("groups") || hasWord("filter")
+      } =>
+        val defs = parseWindowDefs(wc)
+        (inlineOverRefs(sel0, defs), qualify0.map(inlineOverRefs(_, defs)), None)
+      case _ => (sel0, qualify0, window0)
+    }
     val orderBy = st.clauses.get("orderBy").map(shims)
     val limit = st.clauses.get("limit").map(shims)
     val offset = st.clauses.get("offset").map(shims)
@@ -617,7 +635,7 @@ object PsqlRewriter {
     // EXCLUDE tails survive into the later WindowExclude pass
     GroupsFrames.rewriteSelect(sel) match {
       case Some((sel2, gHelpers)) =>
-        if (Seq("groupBy", "having", "qualify", "window").exists(st.clauses.contains))
+        if (groupBy.nonEmpty || having.nonEmpty || qualify.nonEmpty || window.nonEmpty)
           throw new IllegalArgumentException(
             "GROUPS frames cannot be combined with GROUP BY/HAVING/QUALIFY/WINDOW " +
               "in one stage — split the pipeline into separate stages")
@@ -899,6 +917,63 @@ object PsqlRewriter {
     // bit-identical in any engine with md5 (the c11 oracle formula)
     Some(s"cast(conv(substring(md5(concat('$seed-', cast((${a(1)}) as string))), 1, 7), 16, 10) as bigint)" +
       s" / 268435456.0 < $fracText")
+  }
+
+  /** Parse a WINDOW clause `w AS (spec), v AS (spec)` into name → spec
+    * (names lowercased; a malformed item is skipped — Spark will report it
+    * on the untouched text).
+    */
+  private[psql] def parseWindowDefs(clause: String): Map[String, String] = {
+    val sc = scan(clause)
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    var st = 0
+    for (i <- 0 until clause.length)
+      if (sc.topLevel(i) && clause.charAt(i) == ',') { items += clause.substring(st, i); st = i + 1 }
+    items += clause.substring(st)
+    items.flatMap { item0 =>
+      val item = item0.trim
+      val isc = scan(item)
+      val asPos = topLevelKeyword(item, isc, Seq("as")).headOption
+      asPos.flatMap { ap =>
+        val name = item.substring(0, ap).trim.toLowerCase
+        val open = nextCode(item, isc, ap + 2)
+        if (open >= 0 && item.charAt(open) == '(' && item.endsWith(")") &&
+            name.nonEmpty && name.forall(c => Character.isLetterOrDigit(c) || c == '_'))
+          Some(name -> item.substring(open + 1, item.length - 1).trim)
+        else None
+      }
+    }.toMap
+  }
+
+  /** Replace every bare `OVER <name>` reference with `OVER (<spec>)` for
+    * names defined in `defs`; `OVER (…)` forms are untouched.
+    */
+  private[psql] def inlineOverRefs(text: String, defs: Map[String, String]): String = {
+    if (defs.isEmpty) return text
+    val sc = scan(text)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      var consumed = false
+      if (sc.code(i) && matchesWord(text, i, "over")) {
+        val j = nextCode(text, sc, i + 4)
+        if (j >= 0 && text.charAt(j) != '(') {
+          var e = j
+          while (e < text.length && (Character.isLetterOrDigit(text.charAt(e)) ||
+            text.charAt(e) == '_' || text.charAt(e) == '$')) e += 1
+          if (e > j) {
+            val name = text.substring(j, e).toLowerCase
+            defs.get(name).foreach { spec =>
+              sb.append("over (").append(spec).append(")")
+              i = e
+              consumed = true
+            }
+          }
+        }
+      }
+      if (!consumed) { sb.append(text.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   /** Index of the close paren matching an open paren at position 0. */

@@ -133,3 +133,55 @@ class WindowExcludeSpec extends SparkSpec {
     assert(r.head.getString(0) == "exclude current row")
   }
 }
+
+/** Named WINDOW specs carrying EXCLUDE/GROUPS/FILTER inline into their
+  * OVER references (the per-aggregate rewrites cannot share one spec).
+  */
+class NamedWindowInlineSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(
+      """SELECT * FROM VALUES (1,'a',10),(2,'a',20),(3,'a',20),(4,'a',30),(5,'b',5)
+        |AS v(id, g, x)""".stripMargin).createOrReplaceTempView("nwi")
+  }
+
+  test("named window with EXCLUDE inlines and rewrites (q-row parity values)") {
+    val s = """from nwi |>
+      |select id, sum(x) over w as s
+      |  window w as (partition by g order by id
+      |    rows between 1 preceding and 1 following exclude current row) |>
+      |order by id""".stripMargin
+    assert(psql.sql(s).collect().toSeq.map(r => if (r.isNullAt(1)) null else r.get(1))
+      == Seq(20L, 30L, 50L, 20L, null))
+  }
+
+  test("named window with GROUPS frame inlines; two aggregates share one named spec") {
+    val s = """from nwi |>
+      |select id, sum(x) over w as s, count(*) over w as c
+      |  window w as (partition by g order by x
+      |    groups between 1 preceding and current row) |>
+      |order by id""".stripMargin
+    val rows = psql.sql(s).collect().toSeq
+    assert(rows.map(_.getLong(1)) == Seq(10L, 50L, 50L, 70L, 5L))
+    assert(rows.map(_.getLong(2)) == Seq(1L, 3L, 3L, 3L, 1L))
+  }
+
+  test("window FILTER over a named spec inlines; plain named windows stay native") {
+    val s = """from nwi |>
+      |select id, sum(x) filter (where x > 10) over w as sf
+      |  window w as (partition by g order by id
+      |    rows between unbounded preceding and current row) |>
+      |order by id""".stripMargin
+    assert(psql.sql(s).collect().toSeq.map(r => if (r.isNullAt(1)) null else r.get(1))
+      == Seq(null, 20L, 40L, 70L, null))
+    // no trigger words → the named clause passes through to Spark untouched
+    val plain = psql.sql("""from nwi |>
+      |select id, sum(x) over w as s
+      |  window w as (partition by g order by id) |>
+      |order by id""".stripMargin)
+    assert(plain.collect().map(_.getLong(1)).toSeq == Seq(10L, 30L, 50L, 80L, 5L))
+  }
+}
