@@ -3745,6 +3745,30 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q78_window_distinct",
+      withTables { (s, _) =>
+        // DISTINCT aggregates in window position (DuckDB-legal, Spark has
+        // no windowed DISTINCT): count(DISTINCT) rewrites exactly to
+        // size(collect_set) over the same window (WindowDistinct) —
+        // set size is order-independent, so the form is retry-stable and
+        // full-oracle vs DuckDB's native windowed DISTINCT. min(DISTINCT)
+        // drops the keyword (order statistics are duplicate-insensitive).
+        Psqlish(s, """from documents |>
+          |select doc_id, lang, source,
+          |  count(distinct source) over (partition by lang) as src_kinds,
+          |  count(distinct n_chars) over (partition by lang order by doc_id
+          |    rows between unbounded preceding and current row) as len_kinds,
+          |  min(distinct n_chars) over (partition by lang) as min_len |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, lang, source,
+        |  count(DISTINCT source) OVER (PARTITION BY lang) AS src_kinds,
+        |  count(DISTINCT n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS len_kinds,
+        |  min(DISTINCT n_chars) OVER (PARTITION BY lang) AS min_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -55,7 +55,8 @@ object PsqlRewriter {
     // combination then rewrites its frame like any other window
     WindowExclude.rewriteExcludes(
       WindowFilter.rewriteFilters(
-        copyFromInsert(copyToInsertDirectory(rewriteBlocks(q)))))
+        WindowDistinct.rewriteDistincts(
+          copyFromInsert(copyToInsertDirectory(rewriteBlocks(q))))))
   }
 
   /** True when the trimmed statement starts with the COPY keyword — the

@@ -123,3 +123,55 @@ class WindowFilterSpec extends SparkSpec {
     assert(e.getMessage.contains("null-ignoring"))
   }
 }
+
+/** DISTINCT aggregates in window position (DuckDB-legal, Spark-rejected) —
+  * count(DISTINCT) → size(collect_set) over the same window. Expectations
+  * are DuckDB 1.0.0's native output where it can answer; the
+  * DISTINCT+FILTER+OVER combination CRASHES DuckDB 1.0.0 with an internal
+  * assertion, so that row is pinned against the rewrite's own semantics
+  * (hand-computed) — strictly beyond-reference surface.
+  */
+class WindowDistinctSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql(
+      """SELECT * FROM VALUES (1,'a',10),(2,'a',20),(3,'a',20),(4,'a',30),(5,'b',5)
+        |AS v(id, g, x)""".stripMargin).createOrReplaceTempView("wdt")
+  }
+
+  test("count(DISTINCT) over partition and running frame: DuckDB parity") {
+    val s = """from wdt |>
+      |select id,
+      |  count(distinct x) over (partition by g) as cd,
+      |  count(distinct x) over (partition by g order by id
+      |    rows between unbounded preceding and current row) as cdf,
+      |  min(distinct x) over (partition by g order by id
+      |    rows between 1 preceding and current row) as mnd |>
+      |order by id""".stripMargin
+    val rows = psql.sql(s).collect().toSeq
+    assert(rows.map(_.getLong(1)) == Seq(3L, 3L, 3L, 3L, 1L)) // cd
+    assert(rows.map(_.getLong(2)) == Seq(1L, 2L, 2L, 3L, 1L)) // cdf
+    assert(rows.map(_.get(3)) == Seq(10, 10, 20, 20, 5)) // mnd ≡ min
+  }
+
+  test("count(DISTINCT) FILTER folds (DuckDB 1.0.0 crashes on this; rewrite answers)") {
+    val s = """from wdt |>
+      |select id, count(distinct x) filter (where x > 10)
+      |  over (partition by g) as cdw |>
+      |order by id""".stripMargin
+    assert(psql.sql(s).collect().map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 2L, 0L))
+  }
+
+  test("sum(DISTINCT) in window position fails loudly; group-by DISTINCT stays native") {
+    val e = intercept[UnsupportedOperationException] {
+      psql.sql("from wdt |> select sum(distinct x) over (partition by g) as s")
+    }
+    assert(e.getMessage.contains("order-unstable"))
+    val r = psql.sql("from wdt |> select g, count(distinct x) as c group by g |> order by g")
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("a", 3L), ("b", 1L)))
+  }
+}
