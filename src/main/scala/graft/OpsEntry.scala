@@ -3769,6 +3769,25 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q79_bracket_syntax",
+      withTables { (s, _) =>
+        // DuckDB bracket syntax through the front-end: 1-BASED subscripts
+        // (bare x[i] in Spark is 0-based GetArrayItem — a silent
+        // off-by-one without the shim), negative-from-end, open-ended
+        // slices with clamping, and list literals. Oracle runs the
+        // IDENTICAL bracket spellings natively.
+        Psqlish(s, """from documents |>
+          |select doc_id, string_split(text, ' ')[1] as first_word,
+          |  string_split(text, ' ')[2:4] as w24,
+          |  [n_chars, n_chars * 2][-1] as dbl |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id, string_split(text, ' ')[1] AS first_word,
+        |  string_split(text, ' ')[2:4] AS w24,
+        |  [n_chars, n_chars * 2][-1] AS dbl
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

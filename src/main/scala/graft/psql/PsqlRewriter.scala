@@ -920,6 +920,146 @@ object PsqlRewriter {
       s" / 268435456.0 < $fracText")
   }
 
+  /** SQL keywords that can directly precede a `[` only when it opens a
+    * LIST LITERAL (never a subscript) — `in [1,2]`, `then [x]`, … plus
+    * `array` for the postgres-style `ARRAY[1,2]` spelling.
+    */
+  private val preBracketKeywords = Set(
+    "select", "where", "when", "then", "else", "end", "case", "and", "or",
+    "not", "in", "is", "as", "on", "by", "from", "having", "between", "like",
+    "ilike", "all", "any", "some", "distinct", "union", "intersect", "except",
+    "limit", "offset", "join", "over", "partition", "order", "group", "array",
+    "exists", "return", "returning", "values", "asc", "desc", "nulls", "first", "last")
+
+  /** DuckDB bracket syntax → Spark calls (applied inside [[shims]]):
+    *
+    *   - list literal `[a, b]` / `ARRAY[a, b]` → `array(a, b)`
+    *   - subscript `x[i]` → `element_at(x, i)` — CRITICAL semantics, not
+    *     sugar: DuckDB subscripts are 1-BASED (and -1 = last) while a bare
+    *     `x[i]` in Spark SQL is 0-based `GetArrayItem`, so passing the text
+    *     through silently off-by-ones every ported query. `element_at` is
+    *     1-based with negative-from-end — exactly DuckDB's semantics — and
+    *     behaves identically for map keys, which both engines index by key.
+    *   - slice `x[a:b]` → `slice(x, a, greatest(b - a + 1, 0))`, with
+    *     DuckDB's open ends: `x[:b]` from 1, `x[a:]` to the end, `x[:]`
+    *     the whole list; empty-range (b < a) yields an empty list in both.
+    *
+    * A `[` is a subscript when it directly follows an identifier, `)`, or
+    * `]` whose word is not a keyword; anything else opens a literal.
+    * Nested forms resolve over iterations (each pass splices the first
+    * bracket and rescans).
+    */
+  private[psql] def rewriteBrackets(text0: String): String = {
+    var text = text0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val sc = scan(text)
+      // first code-position '[' …
+      var i = 0
+      var pos = -1
+      while (pos < 0 && i < text.length) {
+        if (sc.code(i) && text.charAt(i) == '[') pos = i else i += 1
+      }
+      if (pos < 0) return text
+      // … its matching ']' (respecting nesting of both bracket kinds)
+      var j = pos + 1
+      var bd = 1
+      var close = -1
+      while (close < 0 && j < text.length) {
+        if (sc.code(j)) {
+          if (text.charAt(j) == '[') bd += 1
+          else if (text.charAt(j) == ']') { bd -= 1; if (bd == 0) close = j }
+        }
+        j += 1
+      }
+      if (close < 0) return text // unbalanced: leave for Spark's error
+      val content = text.substring(pos + 1, close)
+      // postfix context?
+      var p = pos
+      while (p > 0 && Character.isWhitespace(text.charAt(p - 1))) p -= 1
+      val prevCh = if (p > 0) text.charAt(p - 1) else ' '
+      val postfix = p > 0 && sc.code(p - 1) &&
+        (Character.isLetterOrDigit(prevCh) || prevCh == '_' || prevCh == '$' ||
+          prevCh == ')' || prevCh == ']') && {
+          if (prevCh == ')' || prevCh == ']') true
+          else {
+            var st = p
+            while (st > 0 && (Character.isLetterOrDigit(text.charAt(st - 1)) ||
+              text.charAt(st - 1) == '_' || text.charAt(st - 1) == '$')) st -= 1
+            !preBracketKeywords.contains(text.substring(st, p).toLowerCase)
+          }
+        }
+      if (!postfix) {
+        // list literal; strip a preceding ARRAY keyword if present
+        def identCh(idx: Int): Boolean = {
+          val ch = text.charAt(idx)
+          Character.isLetterOrDigit(ch) || ch == '_'
+        }
+        var litStart = pos
+        if (p > 0) {
+          var st = p
+          while (st > 0 && identCh(st - 1)) st -= 1
+          val isArrayWord = st < p && text.substring(st, p).equalsIgnoreCase("array")
+          if (isArrayWord && (st == 0 || !sc.code(st - 1) || !identCh(st - 1)))
+            litStart = st
+        }
+        text = text.substring(0, litStart) + "array(" + content + ")" +
+          text.substring(close + 1)
+      } else {
+        // base expression: maximal postfix chain ending at pos
+        var b = p
+        var continueChain = true
+        while (continueChain && b > 0) {
+          val c = text.charAt(b - 1)
+          if (sc.code(b - 1) && (Character.isLetterOrDigit(c) || c == '_' ||
+              c == '$' || c == '.')) b -= 1
+          else if (sc.code(b - 1) && (c == ')' || c == ']')) {
+            // jump over the balanced group
+            var k = b - 2
+            var d = 1
+            val openCh = if (c == ')') '(' else '['
+            while (d > 0 && k >= 0) {
+              if (sc.code(k)) {
+                if (text.charAt(k) == c) d += 1
+                else if (text.charAt(k) == openCh) d -= 1
+              }
+              if (d > 0) k -= 1
+            }
+            if (k < 0) continueChain = false else b = k
+          } else continueChain = false
+        }
+        val base = text.substring(b, p)
+        // top-level ':' inside content → slice; else element_at
+        val csc = scan(content)
+        var colon = -1
+        var depth = 0
+        for (k <- 0 until content.length if colon < 0) {
+          if (csc.code(k)) {
+            val c = content.charAt(k)
+            if (c == '(' || c == '[') depth += 1
+            else if (c == ')' || c == ']') depth -= 1
+            else if (c == ':' && depth == 0 && csc.depth(k) == 0) colon = k
+          }
+        }
+        val repl =
+          if (colon < 0) s"element_at($base, $content)"
+          else {
+            val a = content.substring(0, colon).trim
+            val bb = content.substring(colon + 1).trim
+            (a.isEmpty, bb.isEmpty) match {
+              case (true, true)   => base
+              case (true, false)  => s"slice($base, 1, $bb)"
+              case (false, true)  => s"slice($base, $a, greatest(size($base) - ($a) + 1, 0))"
+              case (false, false) => s"slice($base, $a, greatest(($bb) - ($a) + 1, 0))"
+            }
+          }
+        text = text.substring(0, b) + repl + text.substring(close + 1)
+      }
+    }
+    text
+  }
+
   /** Parse a WINDOW clause `w AS (spec), v AS (spec)` into name → spec
     * (names lowercased; a malformed item is skipped — Spark will report it
     * on the untouched text).
@@ -1122,6 +1262,6 @@ object PsqlRewriter {
         }
       }
     }
-    sb.toString
+    rewriteBrackets(sb.toString)
   }
 }

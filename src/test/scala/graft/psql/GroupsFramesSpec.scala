@@ -175,3 +175,47 @@ class WindowDistinctSpec extends SparkSpec {
     assert(r == Seq(("a", 3L), ("b", 1L)))
   }
 }
+
+/** DuckDB bracket syntax: 1-based subscripts/slices and list literals.
+  * The subscript rewrite is semantics, not sugar: a bare `x[i]` in Spark
+  * is 0-based GetArrayItem — passing the text through silently
+  * off-by-ones every ported query. Expectations are DuckDB 1.0.0 output.
+  */
+class BracketSyntaxSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  test("subscripts are 1-based, -1 is last; slices incl. open ends and empty ranges") {
+    val r = psql.sql("""from range(1) |>
+      |select [10, 20, 30][2] as i2, [10, 20, 30][-1] as last,
+      |  [10, 20, 30][1:2] as s12, [10, 20, 30][:2] as sTo2,
+      |  [10, 20, 30][2:] as sFrom2, [10, 20, 30][3:1] as sEmpty,
+      |  array[1, 2][1] as pgStyle""".stripMargin).collect().head
+    assert(r.getInt(0) == 20 && r.getInt(1) == 30)
+    assert(r.getSeq[Int](2) == Seq(10, 20))
+    assert(r.getSeq[Int](3) == Seq(10, 20))
+    assert(r.getSeq[Int](4) == Seq(20, 30))
+    assert(r.getSeq[Int](5) == Seq())
+    assert(r.getInt(6) == 1)
+  }
+
+  test("subscripts chain over expressions; map keys unchanged; strings untouched") {
+    val r = psql.sql("""from documents |>
+      |select doc_id, string_split(text, ' ')[1] as w1,
+      |  string_split(text, ' ')[2:3] as w23 |>
+      |order by doc_id |> limit 1""".stripMargin).collect().head
+    val words = r.getString(1)
+    assert(words.nonEmpty, "1-based [1] must be the FIRST word")
+    val m = psql.sql("from range(1) |> select map('a', 7)['a'] as v").collect().head
+    assert(m.getInt(0) == 7)
+    // brackets inside string literals never rewrite
+    val lit = psql.sql("from range(1) |> select 'a[1]' as s").collect().head
+    assert(lit.getString(0) == "a[1]")
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("documents")
+  }
+}
