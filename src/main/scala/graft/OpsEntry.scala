@@ -3788,6 +3788,24 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q80_pct_limit",
+      withTables { (s, _) =>
+        // DuckDB percentage limit: keep floor(25% of count) rows under the
+        // stage ordering (Spark's LIMIT takes literals only — rewritten to
+        // a row_number/count window pair). Ordering covers every output
+        // column, so boundary ties are identical rows and the kept
+        // multiset is engine-independent; oracle runs DuckDB's native
+        // LIMIT 25%.
+        Psqlish(s, """from lineitem |>
+          |where l_shipdate >= date '1996-01-01' |>
+          |select l_orderkey, l_linenumber, l_quantity |>
+          |order by l_orderkey, l_linenumber, l_quantity limit 25%""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 25%""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -679,6 +679,39 @@ object PsqlRewriter {
           having.foreach(h => gb.append(s" AND (${emptyGuardRewrite(h, keys).getOrElse(h)})"))
           s"SELECT * FROM ( ( ${base.toString} ) UNION ALL ( ${gb.toString} ) )"
         }
+        // DuckDB percentage limit `LIMIT n%`: keep floor(n% of count) rows
+        // under the stage ordering. Spark's LIMIT takes literals only, so
+        // rewrite through a row_number + count(*) window pair (both global
+        // — inherently so: a percentage needs the total; DuckDB's own
+        // LIMIT % materializes the count too). Spell it as its own
+        // trailing stage; combining with OFFSET/QUALIFY/etc. throws.
+        limit.flatMap(parsePctLimit) match {
+          case Some(pct) =>
+            if (offset.nonEmpty)
+              throw new IllegalArgumentException("LIMIT n% with OFFSET is unsupported")
+            if (orderBy.exists(_.trim.equalsIgnoreCase("all")))
+              throw new IllegalArgumentException(
+                "LIMIT n% needs explicit ORDER BY columns (not ALL) — " +
+                  "the pick order feeds a window function")
+            // a bare `|> limit 10%` stage after `|> order by …` must pick
+            // under THAT order (DuckDB preserves the subquery sort; Spark's
+            // optimizer drops it), so reuse the previous stage's trailing
+            // ORDER BY when this stage has none; otherwise the pick is
+            // arbitrary, like DuckDB over an unordered input
+            val ord = orderBy
+              .orElse(prev.flatMap(trailingOrderBy)
+                .filter(!_.equalsIgnoreCase("all")))
+              .getOrElse("monotonically_increasing_id()")
+            val body = guarded.getOrElse(base.toString)
+            val sb = new StringBuilder(
+              s"SELECT * EXCEPT (__pctrn, __pctn) FROM ( SELECT *, " +
+                s"row_number() over (order by $ord) AS __pctrn, " +
+                s"count(*) over () AS __pctn FROM ( $body ) ) " +
+                s"WHERE __pctrn <= floor(__pctn * ($pct) / 100.0)")
+            orderBy.foreach(o => sb.append(s" ORDER BY $o"))
+            return sb.toString
+          case None => ()
+        }
         val sb = new StringBuilder(guarded.getOrElse(base.toString))
         orderBy.foreach(o => sb.append(s" ORDER BY $o"))
         limit.foreach(l => sb.append(s" LIMIT $l"))
@@ -1115,6 +1148,32 @@ object PsqlRewriter {
       if (!consumed) { sb.append(text.charAt(i)); i += 1 }
     }
     sb.toString
+  }
+
+  /** The trailing top-level ORDER BY expressions of an assembled SELECT
+    * (text after the last `ORDER BY`, cut before any LIMIT/OFFSET), or
+    * None.
+    */
+  private def trailingOrderBy(sqlText: String): Option[String] = {
+    val sc = scan(sqlText)
+    topLevelKeyword(sqlText, sc, Seq("order", "by")).lastOption.map { p =>
+      val byPos = nextCode(sqlText, sc, p + "order".length)
+      var t = sqlText.substring(byPos + 2)
+      val tsc = scan(t)
+      val cut = (topLevelKeyword(t, tsc, Seq("limit")) ++
+        topLevelKeyword(t, tsc, Seq("offset"))).sorted.headOption
+      cut.foreach(c => t = t.substring(0, c))
+      t.trim
+    }.filter(_.nonEmpty)
+  }
+
+  /** `LIMIT 10%` / `LIMIT 12.5 %` → the numeric percentage, else None. */
+  private def parsePctLimit(l: String): Option[String] = {
+    val t = l.trim
+    if (t.endsWith("%")) {
+      val n = t.dropRight(1).trim
+      if (n.matches("[0-9]+(\\.[0-9]+)?")) Some(n) else None
+    } else None
   }
 
   /** Index of the close paren matching an open paren at position 0. */

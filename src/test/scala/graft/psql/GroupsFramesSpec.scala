@@ -219,3 +219,39 @@ class BracketSyntaxSpec extends SparkSpec {
       .createOrReplaceTempView("documents")
   }
 }
+
+/** DuckDB percentage limit `LIMIT n%` → row_number/count window pair. */
+class PctLimitSpec extends SparkSpec {
+
+  lazy val psql = Psql(spark)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sql("SELECT id AS x FROM range(101)").createOrReplaceTempView("plt")
+    spark.sql("SELECT id AS x FROM range(7)").createOrReplaceTempView("plt7")
+  }
+
+  test("floor semantics match DuckDB: 10% of 101 = 10, 50% of 7 = 3, 0% = 0") {
+    assert(psql.sql("from plt |> order by x limit 10%").count() == 10)
+    assert(psql.sql("from plt7 |> order by x limit 50%").count() == 3)
+    assert(psql.sql("from plt7 |> order by x limit 0%").count() == 0)
+    // ordered pick: the FIRST rows under the order
+    val got = psql.sql("from plt |> order by x desc limit 10%")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (91L to 100L).toSet, got)
+  }
+
+  test("a bare `|> limit n%` stage picks under the PREVIOUS stage's order") {
+    val a = psql.sql("from plt |> order by x desc |> limit 10%")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == (91L to 100L).toSet, a)
+  }
+
+  test("unsupported combos fail loudly; plain integer LIMIT untouched") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("from plt |> order by x limit 10% offset 5")
+    }
+    assert(e.getMessage.contains("OFFSET"))
+    assert(psql.sql("from plt |> order by x |> limit 10").count() == 10)
+  }
+}
