@@ -316,6 +316,27 @@ def groups_pipeline():
     return g, d
 
 
+def bracket_stage():
+    # DuckDB bracket syntax (1-based subscripts, slices, literals) — DuckDB
+    # runs the identical spellings natively; graft shims to
+    # element_at/slice/array
+    i = rnd.choice([1, 2, 3, -1])
+    a = rnd.randrange(1, 3)
+    b = rnd.randrange(a, 4)
+    return ("select l_orderkey, l_linenumber, "
+            f"[l_quantity, l_tax, l_discount][{i}] as el, "
+            f"[l_quantity, l_extendedprice, l_tax][{a}:{b}] as sl")
+
+
+def pct_limit_tail():
+    # DuckDB percentage limit; ordering covers every output column, so
+    # boundary ties are identical rows and the kept multiset is
+    # engine-independent
+    pct = rnd.choice([5, 10, 25, 50])
+    return ("select l_orderkey, l_linenumber, l_quantity |> "
+            f"order by l_orderkey, l_linenumber, l_quantity limit {pct}%")
+
+
 def pipeline():
     r = rnd.random()
     if r < 0.06:
@@ -343,7 +364,7 @@ def pipeline():
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
-    shape = rnd.randrange(12)
+    shape = rnd.randrange(14)
     if shape == 10:
         stages.append(exclude_stage())
         stages.append("order by all")
@@ -353,6 +374,14 @@ def pipeline():
         stages.append(wfilter_stage())
         stages.append("order by all")
         stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
+    if shape == 12:
+        stages.append(bracket_stage())
+        stages.append("order by all")
+        stages.append(f"limit {rnd.randrange(5, 50)}")
+        return " |> ".join(stages)
+    if shape == 13:
+        stages.append(pct_limit_tail())
         return " |> ".join(stages)
     if shape == 8:
         stages.append(date_stage())
