@@ -984,12 +984,13 @@ object PsqlRewriter {
     */
   private[psql] def rewriteBrackets(text0: String): String = {
     var text = text0
+    var from = 0 // scan offset: brackets deliberately left alone stay behind it
     var guard = 0
     while (guard < 10000) {
       guard += 1
       val sc = scan(text)
-      // first code-position '[' …
-      var i = 0
+      // first code-position '[' at or after the offset …
+      var i = from
       var pos = -1
       while (pos < 0 && i < text.length) {
         if (sc.code(i) && text.charAt(i) == '[') pos = i else i += 1
@@ -1023,7 +1024,20 @@ object PsqlRewriter {
             !preBracketKeywords.contains(text.substring(st, p).toLowerCase)
           }
         }
-      if (!postfix) {
+      if (postfix && content.trim.isEmpty) {
+        // `int[]` / `cast(x as varchar[])` typed-array syntax: an EMPTY
+        // postfix bracket is a TYPE, not a subscript. Spark spells the
+        // type `array<int>`, so a simple-identifier base translates;
+        // anything else is left for Spark's own error (an empty LITERAL
+        // `[]` still becomes array() below)
+        var st = p
+        while (st > 0 && (Character.isLetterOrDigit(text.charAt(st - 1)) ||
+          text.charAt(st - 1) == '_')) st -= 1
+        if (st < p && p == pos) {
+          val tname = text.substring(st, p)
+          text = text.substring(0, st) + s"array<$tname>" + text.substring(close + 1)
+        } else from = close + 1
+      } else if (!postfix) {
         // list literal; strip a preceding ARRAY keyword if present
         def identCh(idx: Int): Boolean = {
           val ch = text.charAt(idx)

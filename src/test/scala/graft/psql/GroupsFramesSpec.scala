@@ -255,3 +255,16 @@ class PctLimitSpec extends SparkSpec {
     assert(psql.sql("from plt |> order by x |> limit 10").count() == 10)
   }
 }
+
+/** Typed-array brackets (`int[]` casts) and empty list literals. */
+class BracketEdgeSpec extends SparkSpec {
+  lazy val psql = Psql(spark)
+  test("cast(x as int[]) passes through; empty literal [] becomes array()") {
+    val r = psql.sql("""from range(1) |>
+      |select cast(array(1, 2) as int[]) as a, [] as e, [1, 2][2] as i""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2))
+    assert(r.getSeq[Any](1) == Seq())
+    assert(r.getInt(2) == 2)
+  }
+}
