@@ -3806,6 +3806,43 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 25%""".stripMargin)),
 
     QueryDef(
+      "q81_pivot_statement",
+      withTables { (s, _) =>
+        // DuckDB simplified statement-level PIVOT with DYNAMIC value
+        // discovery (no IN list): values of l_returnflag are probed with a
+        // bounded distributed DISTINCT, then lowered to Spark's PIVOT
+        // clause (PivotStatement.scala). Empty COUNT cells are DuckDB-0
+        // (Spark's NULL coalesced); multi-agg naming `<value>_<alias>`
+        // matches DuckDB. Oracle is the IDENTICAL statement — DuckDB runs
+        // its native dynamic pivot.
+        Psqlish(s, """PIVOT lineitem ON l_returnflag
+          |USING count(*) AS n, sum(l_quantity) AS qty
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+      },
+      Some("""PIVOT lineitem ON l_returnflag
+        |USING count(*) AS n, sum(l_quantity) AS qty
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    QueryDef(
+      "q82_unpivot_statement",
+      withTables { (s, _) =>
+        // DuckDB simplified statement-level UNPIVOT (ON cols INTO NAME/
+        // VALUE) over a subquery source, lowered to Spark's UNPIVOT clause;
+        // NULL cells excluded on both engines. Ordering carries the full
+        // output tuple (duplicate (l_orderkey, l_linenumber) pairs exist in
+        // the synthetic data, cf q46) so the LIMIT boundary is stable.
+        // Oracle is the IDENTICAL statement.
+        Psqlish(s, """UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          |  FROM lineitem) ON l_quantity, l_discount, l_tax
+          |INTO NAME measure VALUE val
+          |ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 300""".stripMargin)
+      },
+      Some("""UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem) ON l_quantity, l_discount, l_tax
+        |INTO NAME measure VALUE val
+        |ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 300""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -58,6 +58,12 @@ class Psql(val spark: SparkSession) {
       rest = rest.stripSuffix(";")
       return runWithFallback(rest, Psql.preprocess(spark, rest), s"EXPLAIN $sparkMod")
     }
+    // DuckDB simplified statement-level PIVOT/UNPIVOT (dynamic value
+    // discovery when IN is omitted) — no Spark statement form exists
+    PivotStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
     // (no Spark grammar for it; needs schemas, so no string rewrite)
     AsofSql.tryPipeline(spark, query) match {
