@@ -3843,6 +3843,34 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber, measure, val LIMIT 300""".stripMargin)),
 
     QueryDef(
+      "q83_macro",
+      withTables { (s, _) =>
+        // DuckDB CREATE MACRO (scalar + table): session-registered, inlined
+        // at use time (Macros.scala) so the macro body stays inside
+        // whole-stage codegen and the WHERE in the table macro pushes into
+        // the scan. Oracle is the single expanded statement; the macro
+        // spelling itself is DuckDB-1.0-verified equal to that expansion
+        // (MacrosSpec + dev parity check).
+        val p = graft.psql.Psql(s)
+        p.sql("CREATE OR REPLACE MACRO net_price(p, d) AS " +
+          "cast(p as decimal(18,2)) * cast(1 - d as decimal(18,2))")
+        p.sql("CREATE OR REPLACE MACRO flagged(minq) AS TABLE " +
+          "(from lineitem |> where l_quantity >= minq)")
+        p.sql("""from flagged(30) |>
+          |select l_returnflag,
+          |  cast(sum(net_price(l_extendedprice, l_discount)) as double) as net,
+          |  count() as n
+          |  group by l_returnflag |>
+          |order by l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) *
+        |    cast(1 - l_discount as decimal(18,2))) as double) AS net,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

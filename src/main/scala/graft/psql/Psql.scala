@@ -58,6 +58,12 @@ class Psql(val spark: SparkSession) {
       rest = rest.stripSuffix(";")
       return runWithFallback(rest, Psql.preprocess(spark, rest), s"EXPLAIN $sparkMod")
     }
+    // DuckDB CREATE/DROP MACRO DDL — session-scoped registry; call sites
+    // inline at use time (Macros.expand inside preprocess), DuckDB-style
+    Macros.tryHandle(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB simplified statement-level PIVOT/UNPIVOT (dynamic value
     // discovery when IN is omitted) — no Spark statement form exists
     PivotStatement.run(spark, t) match {
@@ -77,7 +83,8 @@ class Psql(val spark: SparkSession) {
         return org.apache.spark.sql.graftbridge.ColumnBridge.dataFrame(spark, plan)
       case None => ()
     }
-    runWithFallback(query, Psql.preprocess(spark, query), "")
+    // fallback path (native pipe syntax) must also see macro calls inlined
+    runWithFallback(Macros.expand(spark, query), Psql.preprocess(spark, query), "")
   }
 
   /** Execute `prefix + rewritten`, falling back to `prefix + original` on a
@@ -134,7 +141,7 @@ object Psql {
     */
   private[psql] def preprocess(spark: SparkSession, query: String): String = {
     rejectMultiStatement(query)
-    val rewritten = rewriteOnly(query)
+    val rewritten = rewriteOnly(Macros.expand(spark, query))
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     finalSql
