@@ -3871,6 +3871,26 @@ object OpsEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      "q84_list_comprehension",
+      withTables { (s, _) =>
+        // DuckDB list comprehensions `[expr FOR v IN list [IF cond]]` —
+        // rewritten to transform/filter higher-order lambdas (python-style
+        // filter-then-map order, PsqlRewriter.tryComprehension); composes
+        // with 1-based bracket slicing on the result. Same spellings run
+        // natively on DuckDB.
+        Psqlish(s, """from documents |>
+          |select doc_id,
+          |  [upper(w) for w in string_split(text, ' ') if length(w) > 3] as longw,
+          |  [cast(length(w) as int) for w in string_split(text, ' ')][1:3] as l3 |>
+          |order by doc_id |>
+          |limit 200""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  [upper(w) FOR w IN string_split(text, ' ') IF length(w) > 3] AS longw,
+        |  [cast(length(w) AS int) FOR w IN string_split(text, ' ')][1:3] AS l3
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1051,7 +1051,8 @@ object PsqlRewriter {
           if (isArrayWord && (st == 0 || !sc.code(st - 1) || !identCh(st - 1)))
             litStart = st
         }
-        text = text.substring(0, litStart) + "array(" + content + ")" +
+        text = text.substring(0, litStart) +
+          tryComprehension(content).getOrElse("array(" + content + ")") +
           text.substring(close + 1)
       } else {
         // base expression: maximal postfix chain ending at pos
@@ -1105,6 +1106,69 @@ object PsqlRewriter {
       }
     }
     text
+  }
+
+  /** DuckDB list comprehension inside a literal bracket:
+    * `[expr FOR v IN list]` → `transform(list, v -> expr)` and
+    * `[expr FOR v IN list IF cond]` → `transform(filter(list, v -> cond),
+    * v -> expr)` — the python-style filter-then-map order DuckDB follows.
+    * None when content has no top-level FOR (plain literal). Nested
+    * brackets inside expr/list/cond resolve on later rewrite passes.
+    */
+  private def tryComprehension(content: String): Option[String] = {
+    val sc = scan(content)
+    // top-level keyword positions (paren depth 0 AND bracket depth 0)
+    def topKeyword(word: String): Int = {
+      var bd = 0
+      var k = 0
+      while (k < content.length) {
+        if (sc.code(k)) {
+          val c = content.charAt(k)
+          if (c == '[') bd += 1
+          else if (c == ']') bd -= 1
+          else if (bd == 0 && sc.depth(k) == 0 && SqlScanner.matchesWord(content, k, word))
+            return k
+        }
+        k += 1
+      }
+      -1
+    }
+    val forPos = topKeyword("for")
+    if (forPos < 0) return None
+    val expr = content.substring(0, forPos).trim
+    var rest = content.substring(forPos + "for".length).trim
+    val rsc = scan(rest)
+    var vEnd = 0
+    while (vEnd < rest.length && (Character.isLetterOrDigit(rest.charAt(vEnd)) ||
+      rest.charAt(vEnd) == '_')) vEnd += 1
+    val v = rest.substring(0, vEnd)
+    if (v.isEmpty || expr.isEmpty) return None
+    val inPos = SqlScanner.nextCode(rest, rsc, vEnd)
+    if (inPos < 0 || !SqlScanner.matchesWord(rest, inPos, "in")) return None
+    rest = rest.substring(inPos + 2).trim
+    // optional trailing IF at top level of the remaining text
+    val tsc = scan(rest)
+    var ifPos = -1
+    var bd = 0
+    var k = 0
+    while (ifPos < 0 && k < rest.length) {
+      if (tsc.code(k)) {
+        val c = rest.charAt(k)
+        if (c == '[') bd += 1
+        else if (c == ']') bd -= 1
+        else if (bd == 0 && tsc.depth(k) == 0 && SqlScanner.matchesWord(rest, k, "if")) ifPos = k
+      }
+      k += 1
+    }
+    val (listExpr, cond) =
+      if (ifPos < 0) (rest, None)
+      else (rest.substring(0, ifPos).trim, Some(rest.substring(ifPos + 2).trim))
+    if (listExpr.isEmpty) return None
+    val src = cond match {
+      case Some(c) => s"filter($listExpr, $v -> $c)"
+      case None    => listExpr
+    }
+    Some(s"transform($src, $v -> $expr)")
   }
 
   /** Parse a WINDOW clause `w AS (spec), v AS (spec)` into name → spec

@@ -207,4 +207,29 @@ class PsqlRewriterSpec extends AnyFunSuite {
     // non-identifier keys → no guard (conservative)
     assert(PsqlRewriter.emptyGuardRewrite("a % 2, count(*)", Seq("a % 2")).isEmpty)
   }
+
+  test("list comprehension rewrites to transform") {
+    assert(PsqlRewriter.rewriteBrackets("select [x * 2 for x in l] as v") ==
+      "select transform(l, x -> x * 2) as v")
+  }
+
+  test("list comprehension with IF filters before mapping") {
+    assert(PsqlRewriter.rewriteBrackets("select [x * 2 for x in l if x > 1] as v") ==
+      "select transform(filter(l, x -> x > 1), x -> x * 2) as v")
+  }
+
+  test("comprehension over a literal list resolves over passes") {
+    assert(PsqlRewriter.rewriteBrackets("select [x + 1 for x in [1, 2]] as v") ==
+      "select transform(array(1, 2), x -> x + 1) as v")
+  }
+
+  test("FOR inside a string literal stays a plain list literal") {
+    assert(PsqlRewriter.rewriteBrackets("select ['for x in y'] as v") ==
+      "select array('for x in y') as v")
+  }
+
+  test("comprehension source may be a function call with commas") {
+    assert(PsqlRewriter.rewriteBrackets("select [upper(w) for w in string_split(t, ' ')] as v")
+      .startsWith("select transform(string_split(t, ' '), w -> upper(w))"))
+  }
 }
