@@ -3891,6 +3891,31 @@ object OpsEntry {
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
 
     QueryDef(
+      "q85_ordered_aggs",
+      withTables { (s, _) =>
+        // DuckDB inline ordered aggregates `agg(args ORDER BY keys)` —
+        // Spark's parser rejects the form; rewritten per aggregate class
+        // (OrderedAggs.scala): string_agg → WITHIN GROUP, array_agg →
+        // post-aggregation comparator sort (no extra shuffle), first →
+        // null-rank-aware min_by. Unique tiebreak key (o_orderkey) keeps
+        // sequences engine-deterministic; same spellings run natively on
+        // DuckDB.
+        Psqlish(s, """from orders |>
+          |select o_custkey,
+          |  string_agg(cast(o_orderkey as varchar), ',' order by o_orderdate, o_orderkey) as okeys,
+          |  array_agg(cast(o_totalprice as decimal(18,2)) order by o_orderdate desc, o_orderkey) as prices_desc,
+          |  first(o_orderstatus order by o_orderdate, o_orderkey) as first_status
+          |  group by o_custkey |>
+          |order by o_custkey |>
+          |limit 500""".stripMargin)
+      },
+      Some("""SELECT o_custkey,
+        |  string_agg(cast(o_orderkey AS varchar), ',' ORDER BY o_orderdate, o_orderkey) AS okeys,
+        |  array_agg(cast(o_totalprice AS decimal(18,2)) ORDER BY o_orderdate DESC, o_orderkey) AS prices_desc,
+        |  first(o_orderstatus ORDER BY o_orderdate, o_orderkey) AS first_status
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 500""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -56,7 +56,8 @@ object PsqlRewriter {
     WindowExclude.rewriteExcludes(
       WindowFilter.rewriteFilters(
         WindowDistinct.rewriteDistincts(
-          copyFromInsert(copyToInsertDirectory(rewriteBlocks(q))))))
+          OrderedAggs.rewrite(
+            copyFromInsert(copyToInsertDirectory(rewriteBlocks(q)))))))
   }
 
   /** True when the trimmed statement starts with the COPY keyword — the
