@@ -4349,6 +4349,41 @@ object OpsEntry {
         |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b06_upsert",
+      withTables { (s, _) =>
+        // keyed upsert (DuckDB INSERT OR REPLACE semantics, explicit key):
+        // an incremental batch of changed rows (doubled value, restamped
+        // type) plus brand-new rows replaces/appends into a warehouse
+        // table in one anti-join + overwrite (Bucketing.upsert); the
+        // updates' key set broadcasts, the target never shuffles. Oracle
+        // states the same NOT IN + UNION ALL algebra over the raw table.
+        Bucketing.dropTableAndLocation(s, "graft_b06_base")
+        s.table("events").where(col("event_id") % 7 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b06_base")
+        val upd = s.table("events").where(col("event_id") % 21 === 0)
+          .withColumn("value", col("value") * 2)
+          .withColumn("event_type", lit("updated"))
+        val fresh = s.table("events").where(col("event_id") % 35 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L)
+        Bucketing.upsert(s, "graft_b06_base", upd.unionByName(fresh),
+            Seq("event_id"), "graft_b06_upserted")
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (SELECT * FROM events WHERE event_id % 7 = 0),
+        |upd AS (
+        |  SELECT event_id, ts, user_id, 'updated' AS event_type, value * 2 AS value, props
+        |  FROM events WHERE event_id % 21 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts, user_id, event_type, value, props
+        |  FROM events WHERE event_id % 35 = 0)
+        |SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -158,6 +158,39 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Keyed upsert — DuckDB `INSERT OR REPLACE INTO` semantics with the key
+    * named explicitly (parquet warehouse tables carry no PRIMARY KEY
+    * metadata to infer it from): rows of `updates` REPLACE target rows
+    * sharing the key tuple, unmatched rows append, target rows with no
+    * matching update survive verbatim.
+    *
+    * Scale shape: one left-anti join of the target against the updates'
+    * DISTINCT key tuples — incremental batches are small next to the
+    * target, so Catalyst broadcasts the key set and the target never
+    * shuffles — plus one overwrite. Writes to `destTable` rather than in
+    * place (Spark refuses to overwrite a table it is reading; the caller
+    * gets an atomic swap point, same rationale as [[compactPartitioned]]).
+    * Updates must carry the target's full schema (names matched, order
+    * free); the key may be composite.
+    */
+  def upsert(
+      spark: SparkSession,
+      srcTable: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      destTable: String): DataFrame = {
+    require(keys.nonEmpty, "upsert: need at least one key column")
+    val target = spark.table(srcTable)
+    val missing = target.columns.filterNot(c => updates.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"upsert: updates are missing target columns: ${missing.mkString(", ")}")
+    val kept = target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    dropTableAndLocation(spark, destTable)
+    kept.unionByName(updates.select(target.columns.map(col).toIndexedSeq: _*))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(destTable)
+    spark.table(destTable)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) history build — turn a change
     * LOG (one row per observed attribute state) into interval-versioned
     * dimension history: per key, each change opens a version valid from

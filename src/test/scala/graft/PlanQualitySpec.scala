@@ -664,6 +664,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("b06 upsert: replace-by-key semantics; update key set broadcasts, target never shuffles") {
+    operators.Bucketing.dropTableAndLocation(spark, "graft_test_ups_base")
+    spark.table("events").where(col("event_id") % 5 === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable("graft_test_ups_base")
+    val upd = spark.table("events").where(col("event_id") % 15 === 0)
+      .withColumn("value", col("value") + 1000.0)
+    val fresh = spark.table("events").where(col("event_id") === 3)
+      .withColumn("event_id", lit(999999999L))
+    val out = operators.Bucketing.upsert(spark, "graft_test_ups_base",
+      upd.unionByName(fresh), Seq("event_id"), "graft_test_ups_out")
+    val base = spark.table("graft_test_ups_base")
+    // replaced rows carry the bumped value; untouched rows survive; new row appended
+    assert(out.where(col("event_id") % 15 === 0 && col("event_id") < 999999999L)
+      .where(col("value") < 1000.0).count() == 0)
+    assert(out.count() == base.count() + 1)
+    assert(out.where(col("event_id") === 999999999L).count() == 1)
+    // plan shape: anti-join broadcasts the (small) update key set
+    val anti = base.join(upd.unionByName(fresh).select("event_id").distinct(),
+      Seq("event_id"), "left_anti")
+    anti.collect()
+    val p = anti.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(600))
+  }
+
   test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {
     val df = graft.operators.TimeSeries.interpolateLinear(
       spark.table("events"), "ts", "event_type", "value", bucketSeconds = 3600L)
