@@ -3916,6 +3916,26 @@ object OpsEntry {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 500""".stripMargin)),
 
     QueryDef(
+      "q86_similar_to",
+      withTables { (s, _) =>
+        // DuckDB SIMILAR TO — lowered to regexp_full_match with the
+        // pattern taken VERBATIM as a regex (`%`/`_` are NOT translated,
+        // deviating from the SQL standard; probed against DuckDB).
+        // Rewritten to anchored RLIKE (PsqlRewriter.shims); NOT stays in
+        // place. Alternation `|` inside the literal must survive the
+        // pipe tokenizer. Same spellings run natively on DuckDB.
+        Psqlish(s, """from part |>
+          |where p_name similar to '.*(green|blue).*'
+          |  and p_name not similar to '.*almond.*' |>
+          |select p_partkey, p_name, p_type |>
+          |order by p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name SIMILAR TO '.*(green|blue).*'
+        |  AND p_name NOT SIMILAR TO '.*almond.*'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1348,6 +1348,35 @@ object PsqlRewriter {
         }) {
         sb.append("EXCEPT")
         i += 7
+      } else if (sc.code(i) && matchesWord(text, i, "similar") && {
+          val toPos = nextCode(text, sc, i + "similar".length)
+          toPos >= 0 && matchesWord(text, toPos, "to")
+        }) {
+        // `x [NOT] SIMILAR TO '<pat>'` → `x [NOT] RLIKE '^(?:<pat>)$'`.
+        // DuckDB deviates from the SQL standard here: SIMILAR TO lowers to
+        // regexp_full_match with the pattern taken VERBATIM as a regex —
+        // `%`/`_` are NOT translated ('abc' SIMILAR TO 'a%c' is false,
+        // 'abc' SIMILAR TO 'a.c' is true; probed against DuckDB directly).
+        // So the only transform needed is the full-match anchor (Spark
+        // RLIKE is a partial match). NOT stays in place (Spark parses
+        // NOT RLIKE). Non-literal patterns pass through to Spark's own
+        // parse error.
+        val toPos = nextCode(text, sc, i + "similar".length)
+        val litPos = nextCode(text, sc, toPos + 2)
+        if (litPos >= 0 && text.charAt(litPos) == '\'') {
+          var e = litPos + 1
+          var end = -1
+          while (end < 0 && e < text.length) {
+            if (text.charAt(e) == '\'') {
+              if (e + 1 < text.length && text.charAt(e + 1) == '\'') e += 2 else end = e
+            } else e += 1
+          }
+          if (end > 0) {
+            val body = text.substring(litPos + 1, end)
+            sb.append("rlike '^(?:").append(body).append(")$'")
+            i = end + 1
+          } else { sb.append(text.charAt(i)); i += 1 }
+        } else { sb.append(text.charAt(i)); i += 1 }
       } else if (sc.code(i) && matchesWord(text, i, "columns") && {
           val open = nextCode(text, sc, i + 7)
           open >= 0 && text.charAt(open) == '('

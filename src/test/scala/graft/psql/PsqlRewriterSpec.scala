@@ -49,6 +49,23 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r2.contains("'count()'"))
   }
 
+  test("SIMILAR TO becomes anchored RLIKE with verbatim pattern (DuckDB semantics)") {
+    val r = PsqlRewriter.rewrite("from t |> where name similar to 'a.c|x+'")
+    assert(r.contains("name rlike '^(?:a.c|x+)$'"), r)
+    // NOT stays in place — Spark parses NOT RLIKE
+    val r2 = PsqlRewriter.rewrite("from t |> where name not similar to 'ab%'")
+    assert(r2.contains("name not rlike '^(?:ab%)$'"), r2)
+    // doubled quotes inside the literal survive re-embedding
+    val r3 = PsqlRewriter.rewrite("from t |> where name similar to 'o''r.*'")
+    assert(r3.contains("rlike '^(?:o''r.*)$'"), r3)
+    // inside a string literal: untouched
+    val r4 = PsqlRewriter.rewrite("from t |> select 'similar to x' as s")
+    assert(r4.contains("'similar to x'"), r4)
+    // non-literal right side passes through untouched
+    val r5 = PsqlRewriter.rewrite("from t |> where a similar to b")
+    assert(r5.contains("similar to b"), r5)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
