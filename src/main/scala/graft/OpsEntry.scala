@@ -3936,6 +3936,37 @@ object OpsEntry {
         |ORDER BY p_partkey""".stripMargin)),
 
     QueryDef(
+      "q87_arith_ops",
+      withTables { (s, _) =>
+        // DuckDB arithmetic operators: `^`/`**` = power (Spark parses `^`
+        // as XOR — silent wrong answer without the shim), `//` = integer
+        // division at the `*` tier. Precedence corners exercised: unary
+        // minus inside the right operand, `^` tighter than `*`/binary `-`.
+        // Integer-exact or power-of-two results keep pow() cross-engine
+        // bit-stable; the one fractional column goes through the grid6
+        // contract. Same spellings run natively on DuckDB.
+        Psqlish(s, s"""from lineitem |>
+          |where l_orderkey <= 1000 |>
+          |select l_orderkey, l_linenumber,
+          |  cast(round(cast(l_quantity as int) ^ 2) as bigint) as qty_sq,
+          |  cast(round(2 ^ l_linenumber) as bigint) as pow2,
+          |  floor((2.0 ** (-l_linenumber)) * 1e6 + 0.5) / 1e6 as inv_pow,
+          |  l_orderkey // 3 as ok_div3,
+          |  cast(l_linenumber // 2 as bigint) as ln_half,
+          |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) as bigint) as prec_mix |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+        |  cast(round(cast(l_quantity AS int) ^ 2) AS bigint) AS qty_sq,
+        |  cast(round(2 ^ l_linenumber) AS bigint) AS pow2,
+        |  floor((2.0 ** (-l_linenumber)) * 1e6 + 0.5) / 1e6 AS inv_pow,
+        |  l_orderkey // 3 AS ok_div3,
+        |  cast(l_linenumber // 2 AS bigint) AS ln_half,
+        |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) AS bigint) AS prec_mix
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1109,6 +1109,174 @@ object PsqlRewriter {
     text
   }
 
+  /** DuckDB arithmetic operators Spark lacks — or, worse, MISREADS:
+    *
+    *   - `a // b` → `a div b`: DuckDB integer division sits on the same
+    *     precedence tier as `*`/`/` (probed: `2 * 9 // 2` = 9, left-assoc
+    *     with `*`), exactly where Spark parses `div`, so a bare token swap
+    *     preserves grouping. Both engines truncate toward zero on integers
+    *     (`-7 // 2` = -3 = `-7 div 2`). Documented divergences: DuckDB
+    *     keeps the operand width (SMALLINT//SMALLINT → SMALLINT) where
+    *     Spark `div` always returns BIGINT — cast outputs when the width
+    *     matters; and DuckDB 1.0 `//` on FLOATS degenerates to plain `/`
+    *     (7.5 // 2 = 3.75, probed) where Spark `div` yields the integral
+    *     part — integral use is the contract.
+    *   - `a ^ b` and `a ** b` → `power(a, b)`: CRITICAL semantics, not
+    *     sugar — Spark parses `^` as bitwise XOR, a silently wrong answer
+    *     for every ported DuckDB query (`2 ^ 3` is 8 in DuckDB, 1 in
+    *     Spark). Operand extraction reproduces DuckDB's probed precedence:
+    *     unary minus binds TIGHTER than `^` (`-2 ^ 2` = 4), `^` is
+    *     left-associative (`2 ^ 3 ^ 2` = 64 — leftmost-first splicing
+    *     reproduces this) and binds tighter than `*` and binary `+`/`-`
+    *     (`2 * 3 ^ 2` = 18) — so each operand is a maximal PRIMARY chain
+    *     (identifier/number/call/paren group plus postfix `(…)` `[…]`
+    *     `.field` `::type` tails, scientific-notation signs included),
+    *     never crossing a binary operator. Chains the rewriter cannot
+    *     shape (no usable operand) pass through to Spark's own parse.
+    */
+  private[psql] def rewriteArith(text0: String): String = {
+    // pass 1: `//` → ` div ` (same precedence tier in both engines)
+    val sc0 = scan(text0)
+    val sb0 = new StringBuilder
+    var i0 = 0
+    while (i0 < text0.length) {
+      if (text0.charAt(i0) == '/' && sc0.code(i0) && i0 + 1 < text0.length &&
+          text0.charAt(i0 + 1) == '/' && sc0.code(i0 + 1)) {
+        sb0.append(" div "); i0 += 2
+      } else { sb0.append(text0.charAt(i0)); i0 += 1 }
+    }
+    var text = sb0.toString
+    // pass 2: exponentiation, leftmost-first (= left associativity)
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val sc = scan(text)
+      var i = from
+      var pos = -1
+      var opLen = 0
+      while (pos < 0 && i < text.length) {
+        val c = text.charAt(i)
+        if (sc.code(i) && c == '^') { pos = i; opLen = 1 }
+        else if (sc.code(i) && c == '*' && i + 1 < text.length &&
+            sc.code(i + 1) && text.charAt(i + 1) == '*') { pos = i; opLen = 2 }
+        else i += 1
+      }
+      if (pos < 0) return text
+      (arithLeft(text, sc, pos), arithRight(text, sc, pos + opLen)) match {
+        case (Some(ls), Some(re)) =>
+          val l = text.substring(ls, pos).trim
+          val r = text.substring(pos + opLen, re).trim
+          text = text.substring(0, ls) + "power(" + l + ", " + r + ")" +
+            text.substring(re)
+        case _ => from = pos + opLen // no usable operand: leave for Spark
+      }
+    }
+    text
+  }
+
+  private def arithIdentCh(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$' || c == '.'
+
+  /** Start index of the maximal primary chain ending just before `opPos`,
+    * including a leading UNARY sign when present (DuckDB binds unary minus
+    * tighter than `^`); None when there is no usable operand. */
+  private def arithLeft(text: String, sc: SqlScanner.Scan, opPos: Int): Option[Int] = {
+    var b = opPos
+    while (b > 0 && Character.isWhitespace(text.charAt(b - 1))) b -= 1
+    var any = false
+    var cont = true
+    while (cont && b > 0) {
+      val c = text.charAt(b - 1)
+      if (sc.code(b - 1) && arithIdentCh(c)) { b -= 1; any = true }
+      else if (sc.code(b - 1) && (c == '-' || c == '+') && any && b >= 3 &&
+          (text.charAt(b - 2) == 'e' || text.charAt(b - 2) == 'E') &&
+          Character.isDigit(text.charAt(b - 3))) {
+        b -= 2 // scientific-notation sign: `1e-5`
+      } else if (sc.code(b - 1) && (c == ')' || c == ']')) {
+        val openCh = if (c == ')') '(' else '['
+        var k = b - 2
+        var d = 1
+        while (d > 0 && k >= 0) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == c) d += 1
+            else if (text.charAt(k) == openCh) d -= 1
+          }
+          if (d > 0) k -= 1
+        }
+        if (k < 0) cont = false else { b = k; any = true }
+      } else if (sc.code(b - 1) && c == ':' && b >= 2 &&
+          text.charAt(b - 2) == ':') {
+        b -= 2 // `::` cast connector inside the chain
+      } else cont = false
+    }
+    if (!any) return None
+    var s = b
+    while (s > 0 && Character.isWhitespace(text.charAt(s - 1))) s -= 1
+    if (s > 0 && sc.code(s - 1) &&
+        (text.charAt(s - 1) == '-' || text.charAt(s - 1) == '+')) {
+      // unary iff what precedes the sign cannot end an operand
+      var q = s - 1
+      while (q > 0 && Character.isWhitespace(text.charAt(q - 1))) q -= 1
+      val unary =
+        if (q == 0) true
+        else if (!sc.code(q - 1)) false
+        else {
+          val d = text.charAt(q - 1)
+          if ("(,=<>+-*/%^|&:".indexOf(d.toInt) >= 0) true
+          else if (Character.isLetterOrDigit(d) || d == '_') {
+            var st = q
+            while (st > 0 && sc.code(st - 1) &&
+                (Character.isLetterOrDigit(text.charAt(st - 1)) ||
+                  text.charAt(st - 1) == '_')) st -= 1
+            preBracketKeywords.contains(text.substring(st, q).toLowerCase)
+          } else false
+        }
+      if (unary) return Some(s - 1)
+    }
+    Some(b)
+  }
+
+  /** End index (exclusive) of the primary chain starting at `start`
+    * (optional unary signs allowed: `2 ^ -1`); None when empty. */
+  private def arithRight(text: String, sc: SqlScanner.Scan, start: Int): Option[Int] = {
+    var i = start
+    while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+    while (i < text.length && sc.code(i) &&
+        (text.charAt(i) == '-' || text.charAt(i) == '+')) {
+      i += 1
+      while (i < text.length && Character.isWhitespace(text.charAt(i))) i += 1
+    }
+    var any = false
+    var cont = true
+    while (cont && i < text.length) {
+      val c = text.charAt(i)
+      if (sc.code(i) && arithIdentCh(c)) { i += 1; any = true }
+      else if (sc.code(i) && (c == '-' || c == '+') && any && i >= 2 &&
+          (text.charAt(i - 1) == 'e' || text.charAt(i - 1) == 'E') &&
+          Character.isDigit(text.charAt(i - 2)) &&
+          i + 1 < text.length && Character.isDigit(text.charAt(i + 1))) {
+        i += 1 // scientific-notation sign: `1e-5`
+      } else if (sc.code(i) && (c == '(' || c == '[')) {
+        val closeCh = if (c == '(') ')' else ']'
+        var k = i + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == c) d += 1
+            else if (text.charAt(k) == closeCh) d -= 1
+          }
+          k += 1
+        }
+        if (d > 0) cont = false else { i = k; any = true }
+      } else if (sc.code(i) && c == ':' && any && i + 1 < text.length &&
+          text.charAt(i + 1) == ':') {
+        i += 2 // `::` cast connector
+      } else cont = false
+    }
+    if (any) Some(i) else None
+  }
+
   /** DuckDB list comprehension inside a literal bracket:
     * `[expr FOR v IN list]` → `transform(list, v -> expr)` and
     * `[expr FOR v IN list IF cond]` → `transform(filter(list, v -> cond),
@@ -1429,6 +1597,6 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteBrackets(sb.toString)
+    rewriteArith(rewriteBrackets(sb.toString))
   }
 }

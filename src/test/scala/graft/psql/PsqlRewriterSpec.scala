@@ -66,6 +66,40 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r5.contains("similar to b"), r5)
   }
 
+  test("arith operators: ^/** -> power, // -> div (DuckDB probed precedence)") {
+    def arith(s: String) = PsqlRewriter.rewriteArith(s)
+    assert(arith("a ^ 2") == "power(a, 2)")
+    assert(arith("2 ** 3") == "power(2, 3)")
+    assert(arith("a // b").split("\\s+").mkString(" ") == "a div b")
+    assert(arith("7//2").split("\\s+").mkString(" ") == "7 div 2")
+    // unary minus binds tighter than ^ (-2 ^ 2 = 4 in DuckDB)
+    assert(arith("select -2 ^ 2") == "select power(-2, 2)")
+    // binary minus does NOT get swallowed (3 - 2 ^ 2 = -1)
+    assert(arith("3 - 2 ^ 2") == "3 - power(2, 2)")
+    // left associativity: 2 ^ 3 ^ 2 = 64
+    assert(arith("2 ^ 3 ^ 2") == "power(power(2, 3), 2)")
+    // ^ binds tighter than *
+    assert(arith("2 * 3 ^ 2") == "2 * power(3, 2)")
+    assert(arith("2 ^ 2 * 3") == "power(2, 2) * 3")
+    // signed right operand
+    assert(arith("2 ^ -1") == "power(2, -1)")
+    // postfix chains: calls, casts, subscript results, sci-notation
+    assert(arith("count(*) ^ 2") == "power(count(*), 2)")
+    assert(arith("x::int ^ 2") == "power(x::int, 2)")
+    assert(arith("1e-5 ^ 2") == "power(1e-5, 2)")
+    assert(arith("f(a, b) ^ g(c)") == "power(f(a, b), g(c))")
+    // parenthesized operands, inner-first resolution
+    assert(arith("(2 ^ 3) ^ 2") == "power((power(2, 3)), 2)")
+    // strings untouched
+    assert(arith("regexp_like(s, '^a//b$')") == "regexp_like(s, '^a//b$')")
+    // // at * tier: swap preserves grouping
+    assert(arith("2 * 9 // 2").split("\\s+").mkString(" ") == "2 * 9 div 2")
+    // end-to-end through the full rewrite
+    val r = PsqlRewriter.rewrite("from t |> select l ^ 2 as p, k // 3 as d")
+    assert(r.contains("power(l, 2) as p") &&
+      r.split("\\s+").mkString(" ").contains("k div 3 as d"), r)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
