@@ -3967,6 +3967,29 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q88_glob_regex_ops",
+      withTables { (s, _) =>
+        // DuckDB GLOB operator (`*`/`?`/`[…]` with `!` negation, regex
+        // metachars literal) and Postgres-style `~` / `!~` regex operators
+        // — DuckDB 1.0 lowers `~` to regexp_full_match (probed), so both
+        // families rewrite to anchored RLIKE. Booleans surface as output
+        // columns to pin the operator in select position too. Same
+        // spellings run natively on DuckDB.
+        Psqlish(s, """from part |>
+          |where p_name glob '*l[ua]*' and p_name !~ '.*blue.*' |>
+          |select p_partkey, p_name,
+          |  (p_type ~ 'ECONOMY.*') as is_econ,
+          |  (p_brand glob 'Brand#?3') as b3 |>
+          |order by p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name,
+        |  (p_type ~ 'ECONOMY.*') AS is_econ,
+        |  (p_brand GLOB 'Brand#?3') AS b3
+        |FROM part
+        |WHERE p_name GLOB '*l[ua]*' AND p_name !~ '.*blue.*'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

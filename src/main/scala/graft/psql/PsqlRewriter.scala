@@ -1175,6 +1175,62 @@ object PsqlRewriter {
     text
   }
 
+  /** Index of the closing quote of the string literal opening at `litPos`
+    * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
+  private def literalEnd(text: String, litPos: Int): Int = {
+    if (litPos < 0 || litPos >= text.length || text.charAt(litPos) != '\'') return -1
+    var e = litPos + 1
+    while (e < text.length) {
+      if (text.charAt(e) == '\'') {
+        if (e + 1 < text.length && text.charAt(e + 1) == '\'') e += 2 else return e
+      } else e += 1
+    }
+    -1
+  }
+
+  /** DuckDB glob pattern → Java regex, ready for re-embedding in a Spark
+    * string literal (every generated backslash is DOUBLED so the literal
+    * unescape yields the intended regex). Probed 1.0.0 semantics: `*` any
+    * run including '/', `?` exactly one char, `[…]` classes where a
+    * leading `!` negates (a leading `^` is a LITERAL member), `\c` forces
+    * the next char literal, everything else — including all regex
+    * metacharacters — literal, case-sensitive. */
+  private[psql] def globToRegex(p: String): String = {
+    val meta = ".^$+{}()|\\*?["
+    def esc(out: StringBuilder, c: Char): Unit = {
+      if (c == '\\') out.append("\\\\\\\\")
+      else if (meta.indexOf(c.toInt) >= 0 || c == ']') out.append("\\\\").append(c)
+      else out.append(c)
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '*') { out.append(".*"); i += 1 }
+      else if (c == '?') { out.append('.'); i += 1 }
+      else if (c == '\\' && i + 1 < p.length) { esc(out, p.charAt(i + 1)); i += 2 }
+      else if (c == '[') {
+        var j = i + 1
+        val cls = new StringBuilder("[")
+        if (j < p.length && p.charAt(j) == '!') { cls.append('^'); j += 1 }
+        var closed = false
+        while (!closed && j < p.length) {
+          val d = p.charAt(j)
+          if (d == ']') closed = true
+          else {
+            if (d == '\\') cls.append("\\\\\\\\")
+            else if (d == '^' || d == '[' || d == '&') cls.append("\\\\").append(d)
+            else cls.append(d)
+            j += 1
+          }
+        }
+        if (closed && j > i + 1) { out.append(cls).append(']'); i = j + 1 }
+        else { out.append("\\\\["); i += 1 } // unbalanced/empty: literal [
+      } else { esc(out, c); i += 1 }
+    }
+    out.toString
+  }
+
   private def arithIdentCh(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$' || c == '.'
 
@@ -1544,6 +1600,59 @@ object PsqlRewriter {
             sb.append("rlike '^(?:").append(body).append(")$'")
             i = end + 1
           } else { sb.append(text.charAt(i)); i += 1 }
+        } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) && matchesWord(text, i, "glob") && {
+          val litPos = nextCode(text, sc, i + 4)
+          litPos >= 0 && text.charAt(litPos) == '\''
+        }) {
+        // `x [NOT] GLOB '<pat>'` → `x [not] rlike '^(?:<re>)$'` — DuckDB
+        // glob (probed): `*` any run (including '/'), `?` one char, `[…]`
+        // classes with `!` negation (`^` is a LITERAL class member), every
+        // regex metacharacter literal, case-sensitive. Generated regex
+        // backslashes are doubled so Spark's literal unescape yields the
+        // intended pattern.
+        val litPos = nextCode(text, sc, i + 4)
+        val end = literalEnd(text, litPos)
+        if (end > 0) {
+          val body = text.substring(litPos + 1, end)
+          sb.append("rlike '^(?:").append(globToRegex(body)).append(")$'")
+          i = end + 1
+        } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) &&
+          (text.charAt(i) == '~' ||
+            (text.charAt(i) == '!' && i + 1 < text.length && sc.code(i + 1) &&
+              text.charAt(i + 1) == '~')) && {
+          // binary regex-match only — a `~` NOT preceded by an operand is
+          // Spark-native unary bitwise NOT and passes through
+          var k = i - 1
+          while (k >= 0 && Character.isWhitespace(text.charAt(k))) k -= 1
+          k >= 0 && (text.charAt(k) == ')' || text.charAt(k) == ']' ||
+            text.charAt(k) == '\'' ||
+            (sc.code(k) && (Character.isLetterOrDigit(text.charAt(k)) ||
+              text.charAt(k) == '_' || text.charAt(k) == '$') && {
+              var st = k + 1
+              while (st > 0 && sc.code(st - 1) &&
+                  (Character.isLetterOrDigit(text.charAt(st - 1)) ||
+                    text.charAt(st - 1) == '_')) st -= 1
+              !preBracketKeywords.contains(text.substring(st, k + 1).toLowerCase)
+            }))
+        } && {
+          val neg = text.charAt(i) == '!'
+          val litPos = nextCode(text, sc, i + (if (neg) 2 else 1))
+          litPos >= 0 && text.charAt(litPos) == '\''
+        }) {
+        // Postgres-style regex operators, DuckDB-supported: `x ~ 'p'` and
+        // `x !~ 'p'`. DuckDB 1.0 lowers BOTH to regexp_full_match (probed:
+        // 'abc' ~ 'b' is false), i.e. `~` ≡ SIMILAR TO — so the same
+        // anchored-RLIKE rewrite applies, negated via NOT RLIKE.
+        val neg = text.charAt(i) == '!'
+        val litPos = nextCode(text, sc, i + (if (neg) 2 else 1))
+        val end = literalEnd(text, litPos)
+        if (end > 0) {
+          val body = text.substring(litPos + 1, end)
+          sb.append(if (neg) "not rlike '^(?:" else "rlike '^(?:")
+            .append(body).append(")$'")
+          i = end + 1
         } else { sb.append(text.charAt(i)); i += 1 }
       } else if (sc.code(i) && matchesWord(text, i, "columns") && {
           val open = nextCode(text, sc, i + 7)

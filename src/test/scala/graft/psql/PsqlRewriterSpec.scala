@@ -100,6 +100,30 @@ class PsqlRewriterSpec extends AnyFunSuite {
       r.split("\\s+").mkString(" ").contains("k div 3 as d"), r)
   }
 
+  test("GLOB and ~ / !~ regex operators (DuckDB probed semantics)") {
+    // glob: * / ? / [!x] translate; regex metachars are escaped (doubled
+    // backslash survives Spark's literal unescape)
+    val r = PsqlRewriter.rewrite("from t |> where name glob 'a*[!x]?.c'")
+    assert(r.contains("name rlike '^(?:a.*[^x].\\\\.c)$'"), r)
+    // NOT GLOB keeps NOT in place
+    val r2 = PsqlRewriter.rewrite("from t |> where name not glob '*.tmp'")
+    assert(r2.contains("name not rlike '^(?:.*\\\\.tmp)$'"), r2)
+    // ~ is FULL-match regex in DuckDB (≡ SIMILAR TO)
+    val r3 = PsqlRewriter.rewrite("from t |> where name ~ 'a.c|x'")
+    assert(r3.contains("name rlike '^(?:a.c|x)$'"), r3)
+    val r4 = PsqlRewriter.rewrite("from t |> where name !~ 'x+'")
+    assert(r4.contains("name not rlike '^(?:x+)$'"), r4)
+    // unary bitwise NOT passes through (keyword before ~ means unary)
+    val r5 = PsqlRewriter.rewrite("from t |> select ~5 as b, a & ~3 as m")
+    assert(r5.contains("~5") && r5.contains("~3"), r5)
+    // non-literal right side passes through
+    val r6 = PsqlRewriter.rewrite("from t |> where a ~ b")
+    assert(r6.contains("a ~ b"), r6)
+    // glob against a column (non-literal) passes through
+    val r7 = PsqlRewriter.rewrite("from t |> where a glob b")
+    assert(r7.contains("a glob b"), r7)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
