@@ -3990,6 +3990,32 @@ object OpsEntry {
         |ORDER BY p_partkey""".stripMargin)),
 
     QueryDef(
+      "q89_dot_chaining",
+      withTables { (s, _) =>
+        // DuckDB function chaining (method/dot syntax): `expr.f(args)` ≡
+        // `f(expr, args)`, chains left-to-right, works on columns, call
+        // results and parenthesized expressions. Rewritten by
+        // PsqlRewriter.rewriteDotCalls; function-name aliases (e.g.
+        // string_split → split) apply before the chain unfolds. Same
+        // spellings run natively on DuckDB.
+        Psqlish(s, """from documents |>
+          |where doc_id <= 500 |>
+          |select doc_id,
+          |  text.substr(1, 24).upper() as head,
+          |  lang.upper() as lang_u,
+          |  (lang || '-' || source).upper() as tag,
+          |  text.lower().contains('data') as has_data |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  text.substr(1, 24).upper() AS head,
+        |  lang.upper() AS lang_u,
+        |  (lang || '-' || source).upper() AS tag,
+        |  text.lower().contains('data') AS has_data
+        |FROM documents WHERE doc_id <= 500
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1231,6 +1231,102 @@ object PsqlRewriter {
     out.toString
   }
 
+  /** DuckDB function chaining (dot-call syntax): `expr.func(args)` →
+    * `func(expr, args)` — probed: works on column refs, call results and
+    * parenthesized expressions (`('ab' || 'c').upper()` → 'ABC'), chains
+    * left-to-right. A dot-call is a `.ident(` at a code position whose
+    * dot is preceded by an operand; qualified COLUMN references (`t.col`
+    * with no call parens) never match, and chains resolve innermost-first
+    * over iterations. The base is the maximal primary chain — the same
+    * shape [[rewriteArith]] extracts — so `t.s.upper()` becomes
+    * `upper(t.s)` (DuckDB resolves the longest name prefix the same way).
+    */
+  private[psql] def rewriteDotCalls(text0: String): String = {
+    var text = text0
+    var guard = 0
+    var from = 0
+    while (guard < 10000) {
+      guard += 1
+      val sc = scan(text)
+      // find `.ident(` with an operand-ending char before the dot
+      var i = from
+      var dot = -1
+      var nameEnd = -1
+      while (dot < 0 && i < text.length) {
+        if (sc.code(i) && text.charAt(i) == '.' && i > 0 && {
+            val b = text.charAt(i - 1)
+            (sc.code(i - 1) && (Character.isLetterOrDigit(b) || b == '_' ||
+              b == '$')) || b == ')' || b == ']' || b == '\''
+          } && i + 1 < text.length && {
+            val c1 = text.charAt(i + 1)
+            Character.isLetter(c1) || c1 == '_'
+          }) {
+          var j = i + 1
+          while (j < text.length && (Character.isLetterOrDigit(text.charAt(j)) ||
+            text.charAt(j) == '_')) j += 1
+          if (j < text.length && text.charAt(j) == '(') { dot = i; nameEnd = j }
+          else i += 1
+        } else i += 1
+      }
+      if (dot < 0) return text
+      // base: primary chain ending at the dot (no unary sign — the call
+      // binds tighter); stop the chain at any EARLIER dot-call boundary?
+      // no: DuckDB resolves the longest prefix as the value expression.
+      val baseStart = {
+        var b = dot
+        var any = false
+        var cont = true
+        while (cont && b > 0) {
+          val c = text.charAt(b - 1)
+          if (sc.code(b - 1) && arithIdentCh(c)) { b -= 1; any = true }
+          else if (sc.code(b - 1) && (c == ')' || c == ']')) {
+            val openCh = if (c == ')') '(' else '['
+            var k = b - 2
+            var d = 1
+            while (d > 0 && k >= 0) {
+              if (sc.code(k)) {
+                if (text.charAt(k) == c) d += 1
+                else if (text.charAt(k) == openCh) d -= 1
+              }
+              if (d > 0) k -= 1
+            }
+            if (k < 0) cont = false else { b = k; any = true }
+          } else if (c == '\'' && !sc.code(b - 1)) {
+            // string literal: the scanner marks the OPENING quote as code
+            // and everything after it (closing quote included) as non-code
+            var k = b - 2
+            while (k >= 0 && !sc.code(k)) k -= 1
+            if (k >= 0 && text.charAt(k) == '\'') { b = k; any = true }
+            cont = false
+          } else cont = false
+        }
+        if (any) b else -1
+      }
+      if (baseStart < 0) { from = nameEnd; }
+      else {
+        // args: balanced paren group after the name
+        var k = nameEnd + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == '(') d += 1
+            else if (text.charAt(k) == ')') d -= 1
+          }
+          k += 1
+        }
+        if (d > 0) return text // unbalanced: leave for Spark
+        val base = text.substring(baseStart, dot)
+        val fname = text.substring(dot + 1, nameEnd)
+        val args = text.substring(nameEnd + 1, k - 1).trim
+        val call =
+          if (args.isEmpty) s"$fname($base)" else s"$fname($base, $args)"
+        text = text.substring(0, baseStart) + call + text.substring(k)
+        from = 0
+      }
+    }
+    text
+  }
+
   private def arithIdentCh(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$' || c == '.'
 
@@ -1706,6 +1802,6 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteArith(rewriteBrackets(sb.toString))
+    rewriteArith(rewriteDotCalls(rewriteBrackets(sb.toString)))
   }
 }

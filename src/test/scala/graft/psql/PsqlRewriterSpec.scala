@@ -124,6 +124,30 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r7.contains("a glob b"), r7)
   }
 
+  test("dot-call function chaining (DuckDB method syntax)") {
+    def dot(s: String) = PsqlRewriter.rewriteDotCalls(s)
+    assert(dot("s.upper()") == "upper(s)")
+    assert(dot("s.contains('x')") == "contains(s, 'x')")
+    // chains resolve left-to-right
+    assert(dot("s.upper().lower()") == "lower(upper(s))")
+    // qualified column as base: longest prefix is the value expression
+    assert(dot("t.s.upper()") == "upper(t.s)")
+    // string literal and parenthesized bases (probed in DuckDB)
+    assert(dot("'o''r'.upper()") == "upper('o''r')")
+    assert(dot("(a || b).trim()") == "trim((a || b))")
+    // call-result base
+    assert(dot("substr(s, 1, 3).upper()") == "upper(substr(s, 1, 3))")
+    // plain qualified columns never match
+    assert(dot("select t.col from t") == "select t.col from t")
+    // decimals never match
+    assert(dot("select 1.5 + x") == "select 1.5 + x")
+    // inside a string literal: untouched
+    assert(dot("select 'a.b(c)' as s") == "select 'a.b(c)' as s")
+    // end-to-end through the full rewrite, composing with arith
+    val r = PsqlRewriter.rewrite("from t |> select name.upper() as u, name.len() ^ 2 as l2")
+    assert(r.contains("upper(name) as u") && r.contains("power(len(name), 2) as l2"), r)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
