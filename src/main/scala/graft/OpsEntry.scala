@@ -4016,6 +4016,32 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q90_struct_map_literals",
+      withTables { (s, _) =>
+        // DuckDB struct literals `{'k': v, …}` (nested) → named_struct and
+        // map literals `MAP {'k': v}` → map() (PsqlRewriter.rewriteBraces);
+        // field access and dot-chaining compose on the rewritten literal.
+        // Map VALUES stay out of the output (DuckDB 1.0 map extraction
+        // returns a LIST — engine-divergent); cardinality is the common
+        // surface. Same spellings run natively on DuckDB.
+        Psqlish(s, """from customer |>
+          |where c_custkey <= 300 |>
+          |select c_custkey,
+          |  {'name': c_name, 'seg': c_mktsegment,
+          |    'flags': {'neg': c_acctbal < 0}} as info,
+          |  {'k': c_custkey, 'u': c_name.upper()}.u as uname,
+          |  cast(cardinality(map {'a': 1, 'b': 2}) as bigint) as mn |>
+          |order by c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+        |  {'name': c_name, 'seg': c_mktsegment,
+        |    'flags': {'neg': c_acctbal < 0}} AS info,
+        |  {'k': c_custkey, 'u': c_name.upper()}.u AS uname,
+        |  cast(cardinality(MAP {'a': 1, 'b': 2}) AS bigint) AS mn
+        |FROM customer WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

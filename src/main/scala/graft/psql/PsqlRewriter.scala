@@ -1231,6 +1231,107 @@ object PsqlRewriter {
     out.toString
   }
 
+  /** DuckDB struct / map literals:
+    *
+    *   - `{'k1': v1, 'k2': v2}` → `named_struct('k1', v1, 'k2', v2)` —
+    *     struct keys are string literals in DuckDB, exactly what Spark's
+    *     named_struct wants; nested literals resolve over iterations
+    *     (outermost spliced first, the rescan finds the inner braces).
+    *   - `MAP {'k': v}` → `map('k', v, …)` — keys may be arbitrary
+    *     expressions here (DuckDB allows `MAP {1: 'x'}`).
+    *
+    * Braces never occur at CODE positions elsewhere in the dialect (regex
+    * quantifiers live inside string literals), so a code-`{` is always a
+    * literal. Entries split on top-level commas and the first top-level
+    * single `:` (a `::` cast is not a separator). Malformed bodies pass
+    * through to Spark's own parse error.
+    */
+  private[psql] def rewriteBraces(text0: String): String = {
+    var text = text0
+    var guard = 0
+    var from = 0
+    while (guard < 10000) {
+      guard += 1
+      val sc = scan(text)
+      var pos = -1
+      var i = from
+      while (pos < 0 && i < text.length) {
+        if (sc.code(i) && text.charAt(i) == '{') pos = i else i += 1
+      }
+      if (pos < 0) return text
+      // matching close brace (paren/bracket/brace depth-aware)
+      var j = pos + 1
+      var d = 1
+      var close = -1
+      while (close < 0 && j < text.length) {
+        if (sc.code(j)) {
+          val c = text.charAt(j)
+          if (c == '{') d += 1
+          else if (c == '}') { d -= 1; if (d == 0) close = j }
+        }
+        j += 1
+      }
+      if (close < 0) return text // unbalanced: leave for Spark
+      val content = text.substring(pos + 1, close)
+      // MAP prefix?
+      var p = pos
+      while (p > 0 && Character.isWhitespace(text.charAt(p - 1))) p -= 1
+      val isMap = p >= 3 && sc.code(p - 1) && matchesWord(text, p - 3, "map")
+      val entries = splitBraceEntries(content)
+      entries match {
+        case Some(kvs) if kvs.nonEmpty =>
+          val flat = kvs.flatMap { case (k, v) => Seq(k, v) }.mkString(", ")
+          val repl = if (isMap) s"map($flat)" else s"named_struct($flat)"
+          val start = if (isMap) p - 3 else pos
+          text = text.substring(0, start) + repl + text.substring(close + 1)
+          from = 0
+        case _ => from = close + 1 // not a literal shape we translate
+      }
+    }
+    text
+  }
+
+  /** Split `'k1': v1, 'k2': v2` on top-level commas, each entry at its
+    * first top-level single `:`; None when any entry has no separator. */
+  private def splitBraceEntries(content: String): Option[Seq[(String, String)]] = {
+    val sc = scan(content)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < content.length) {
+      if (sc.code(i)) {
+        val c = content.charAt(i)
+        if (c == '(' || c == '[' || c == '{') depth += 1
+        else if (c == ')' || c == ']' || c == '}') depth -= 1
+        else if (c == ',' && depth == 0) { parts += content.substring(last, i); last = i + 1 }
+      }
+      i += 1
+    }
+    parts += content.substring(last)
+    val kvs = parts.map { part =>
+      val psc = scan(part)
+      var depth2 = 0
+      var sep = -1
+      var k = 0
+      while (sep < 0 && k < part.length) {
+        if (psc.code(k)) {
+          val c = part.charAt(k)
+          if (c == '(' || c == '[' || c == '{') depth2 += 1
+          else if (c == ')' || c == ']' || c == '}') depth2 -= 1
+          else if (c == ':' && depth2 == 0) {
+            if (k + 1 < part.length && part.charAt(k + 1) == ':') k += 1 // `::` cast
+            else sep = k
+          }
+        }
+        k += 1
+      }
+      if (sep < 0) null else (part.substring(0, sep).trim, part.substring(sep + 1).trim)
+    }
+    if (kvs.exists(kv => kv == null || kv._1.isEmpty || kv._2.isEmpty)) None
+    else Some(kvs.toSeq)
+  }
+
   /** DuckDB function chaining (dot-call syntax): `expr.func(args)` →
     * `func(expr, args)` — probed: works on column refs, call results and
     * parenthesized expressions (`('ab' || 'c').upper()` → 'ABC'), chains
@@ -1802,6 +1903,6 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteArith(rewriteDotCalls(rewriteBrackets(sb.toString)))
+    rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(sb.toString))))
   }
 }

@@ -148,6 +148,31 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r.contains("upper(name) as u") && r.contains("power(len(name), 2) as l2"), r)
   }
 
+  test("struct and map literals (DuckDB braces)") {
+    def br(s: String) = PsqlRewriter.rewriteBraces(s)
+    assert(br("{'a': 1, 'b': 'x'}") == "named_struct('a', 1, 'b', 'x')")
+    // nested literals resolve over iterations
+    assert(br("{'a': {'b': 1}}") == "named_struct('a', named_struct('b', 1))")
+    // MAP prefix → map(); keys may be arbitrary expressions
+    assert(br("map {'k': 1, 'j': 2}") == "map('k', 1, 'j', 2)")
+    assert(br("MAP {1: 'x'}") == "map(1, 'x')")
+    // field access composes
+    assert(br("{'a': 1}.a") == "named_struct('a', 1).a")
+    // :: casts inside values are not separators
+    assert(br("{'a': x::int}") == "named_struct('a', x::int)")
+    // function-call values with commas stay whole
+    assert(br("{'a': coalesce(x, 0), 'b': 2}") ==
+      "named_struct('a', coalesce(x, 0), 'b', 2)")
+    // string containing braces untouched
+    assert(br("select 'a{1}' as s") == "select 'a{1}' as s")
+    // malformed (no separator) passes through
+    assert(br("{1, 2}") == "{1, 2}")
+    // end-to-end: dot-call on a struct literal field
+    val r = PsqlRewriter.rewrite(
+      "from t |> select {'n': name, 'u': name.upper()}.u as u")
+    assert(r.contains("named_struct('n', name, 'u', upper(name)).u as u"), r)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")

@@ -337,6 +337,63 @@ def pct_limit_tail():
             f"order by l_orderkey, l_linenumber, l_quantity limit {pct}%")
 
 
+def regexop_stage():
+    # SIMILAR TO / ~ / !~ / GLOB — all full-match in DuckDB (probed); graft
+    # rewrites to anchored RLIKE. Flag cols hold single chars A/N/R | O/F.
+    col = rnd.choice(STR_COLS)
+    # NOT GLOB itself is a graft superset — DuckDB 1.0 cannot parse it —
+    # so the negated-glob form fuzzes as not(x glob p), valid in both
+    op = rnd.choice(["similar to", "not similar to", "~", "!~",
+                     "glob", "notglob"])
+    if "glob" in op:
+        pat = rnd.choice(["[AN]", "[!N]", "?", "*", "[A-N]", "[NRF]"])
+        if op == "notglob":
+            return f"where not ({col} glob '{pat}')"
+    else:
+        pat = rnd.choice(["[AN]", "A|R", "[^N]", "N.*", ".", "[NRF]?"])
+    return f"where {col} {op} '{pat}'"
+
+
+def arith_select_stage():
+    # ^ / ** / // with precedence corners; integer-exact results only so
+    # pow() stays bit-stable cross-engine
+    e = rnd.choice([
+        "cast(round(2 ^ l_linenumber) as bigint)",
+        "cast(round(cast(l_quantity as int) ^ 2) as bigint)",
+        f"l_orderkey // {rnd.randrange(2, 9)}",
+        "cast(l_linenumber // 2 as bigint)",
+        "cast(round(2 * l_linenumber ^ 2 - l_linenumber) as bigint)",
+        "cast(round((-2) ^ l_linenumber) as bigint)",
+        "cast(round(2 ** l_linenumber ** 1) as bigint)",
+        "cast(round(-2 ^ 2 + l_linenumber) as bigint)",
+    ])
+    return f"select l_orderkey, l_linenumber, {e} as v"
+
+
+def dotcall_select_stage():
+    c = rnd.choice(STR_COLS)
+    e = rnd.choice([
+        f"{c}.lower()",
+        f"{c}.lower().upper()",
+        f"({c} || 'x').lower()",
+        f"{c}.concat('y').lower()",
+        f"{c}.substr(1, 1).lower()",
+        f"{{'v': {c}, 'k': l_linenumber}}.v",
+        f"{{'o': {{'i': {c}.lower()}}}}.o.i",
+    ])
+    return f"select l_orderkey, l_linenumber, {e} as s"
+
+
+def ops_pipeline():
+    # r11 operator families: regex-match operators, ^/**-power, //-div,
+    # dot-chaining — single-text (DuckDB runs the identical spellings)
+    stages = ["from lineitem", filter_stage(), regexop_stage()]
+    stages.append(rnd.choice([arith_select_stage, dotcall_select_stage])())
+    stages.append("order by all")
+    stages.append(f"limit {rnd.randrange(5, 50)}")
+    return " |> ".join(stages)
+
+
 def pipeline():
     r = rnd.random()
     if r < 0.06:
@@ -361,6 +418,8 @@ def pipeline():
         return hash_sample_pipeline()  # (graft_text, duck_text) pair
     if r < 0.72:
         return groups_pipeline()  # (graft_text, duck_text) pair
+    if r < 0.80:
+        return ops_pipeline()
     stages = ["from lineitem"]
     for _ in range(rnd.randrange(1, 4)):
         stages.append(filter_stage())
