@@ -3953,7 +3953,9 @@ object OpsEntry {
           |  floor((2.0 ** (-l_linenumber)) * 1e6 + 0.5) / 1e6 as inv_pow,
           |  l_orderkey // 3 as ok_div3,
           |  cast(l_linenumber // 2 as bigint) as ln_half,
-          |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) as bigint) as prec_mix |>
+          |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) as bigint) as prec_mix,
+          |  xor(l_linenumber, 3) as lx,
+          |  xor(l_orderkey, 255) as okx |>
           |order by l_orderkey, l_linenumber""".stripMargin)
       },
       Some(s"""SELECT l_orderkey, l_linenumber,
@@ -3962,7 +3964,9 @@ object OpsEntry {
         |  floor((2.0 ** (-l_linenumber)) * 1e6 + 0.5) / 1e6 AS inv_pow,
         |  l_orderkey // 3 AS ok_div3,
         |  cast(l_linenumber // 2 AS bigint) AS ln_half,
-        |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) AS bigint) AS prec_mix
+        |  cast(round(2 * l_linenumber ^ 2 - l_linenumber) AS bigint) AS prec_mix,
+        |  xor(l_linenumber, 3) AS lx,
+        |  xor(l_orderkey, 255) AS okx
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 

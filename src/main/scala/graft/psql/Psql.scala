@@ -130,9 +130,24 @@ object Psql {
 
   /** Session-scoped function shims. `spark.udf.register` replaces the
     * session registry's entry for the name, shadowing the builtin.
+    *
+    * `xor(a, b)` — DuckDB's integer XOR function (its `^` OPERATOR is
+    * power, which the rewriter translates accordingly, so this function is
+    * the only XOR spelling shared by both engines). Registered as a native
+    * codegen [[org.apache.spark.sql.catalyst.expressions.BitwiseXor]]
+    * builder, not a UDF: null-safe, type-promoting, whole-stage fused.
     */
-  private[psql] def registerEngineFunctions(spark: SparkSession): Unit =
+  private[psql] def registerEngineFunctions(spark: SparkSession): Unit = {
     spark.udf.register("version", () => versionString)
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("xor"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BitwiseXor].getName, "xor"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "xor(a, b) takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(children.head, children(1))
+      })
+  }
 
   /** Full front-end preprocessing: multi-statement guard → pipe/block
     * rewrite → quoted-path relation registration. Shared by the library
