@@ -4046,6 +4046,30 @@ object OpsEntry {
         |ORDER BY c_custkey""".stripMargin)),
 
     QueryDef(
+      "q91_summarize_stmt",
+      withTables { (s, _) =>
+        // DuckDB SUMMARIZE statement (SummarizeStatement + Profile
+        // .duckSummarize): full DuckDB output shape, one aggregate pass.
+        // The oracle compares the deterministic face — name/type/min/max/
+        // count/null_percentage — with float min/max masked (engine-local
+        // shortest-repr rendering); approx_unique and the quartiles are
+        // estimates in BOTH engines and stay out of the oracle by design.
+        val prof = graft.psql.Psql(s).sql("summarize part")
+        val isFloat = col("column_type").isin("DOUBLE", "FLOAT")
+        prof.select(
+          col("column_name"), col("column_type"),
+          when(isFloat, lit(null).cast("string")).otherwise(col("min")).as("min_s"),
+          when(isFloat, lit(null).cast("string")).otherwise(col("max")).as("max_s"),
+          col("count").as("n_rows"), col("null_percentage"))
+          .orderBy("column_name")
+      },
+      Some("""SELECT column_name, column_type,
+        |  CASE WHEN column_type IN ('DOUBLE','FLOAT') THEN NULL ELSE "min" END AS min_s,
+        |  CASE WHEN column_type IN ('DOUBLE','FLOAT') THEN NULL ELSE "max" END AS max_s,
+        |  "count" AS n_rows, null_percentage
+        |FROM (SUMMARIZE part) ORDER BY column_name""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

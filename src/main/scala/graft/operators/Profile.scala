@@ -76,4 +76,78 @@ object Profile {
           col("nd").as("n_distinct"), col("min_s"), col("max_s"))
     }
   }
+
+  /** DuckDB `SUMMARIZE` twin — the statement's EXACT output shape (probed
+    * on 1.0.0): (column_name, column_type, min, max, approx_unique, avg,
+    * std, q25, q50, q75, count, null_percentage), one row per column in
+    * table order, DuckDB type names, VARCHAR stat columns, `count` = total
+    * rows, null_percentage DECIMAL(9,2).
+    *
+    * Cross-engine contract: column_name / column_type / min / max / count /
+    * null_percentage are exact for non-float columns (float renderings are
+    * engine-local shortest-repr — the seam [[Fp]] documents); avg/std and
+    * the quartiles are numeric-only (NULL elsewhere, as DuckDB emits) and
+    * approx_unique is an HLL ESTIMATE in both engines — never
+    * oracle-compare those. Scale shape: ONE aggregate pass (map-side
+    * combined), |cols|-row output via explode — the same single-scan
+    * discipline as [[summarize]].
+    */
+  def duckSummarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.columns.nonEmpty, "duckSummarize: no columns")
+    def duckType(dt: DataType): String = dt match {
+      case LongType            => "BIGINT"
+      case IntegerType         => "INTEGER"
+      case ShortType           => "SMALLINT"
+      case ByteType            => "TINYINT"
+      case DoubleType          => "DOUBLE"
+      case FloatType           => "FLOAT"
+      case StringType          => "VARCHAR"
+      case BooleanType         => "BOOLEAN"
+      case DateType            => "DATE"
+      case TimestampType       => "TIMESTAMP"
+      case d: DecimalType      => s"DECIMAL(${d.precision},${d.scale})"
+      case BinaryType          => "BLOB"
+      case ArrayType(e, _)     => duckType(e) + "[]"
+      case other               => other.sql
+    }
+    val numeric: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        approx_count_distinct(col(c)).as(s"${c}__au"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        (if (numeric(c)) Seq(
+          avg(col(c)).cast("string").as(s"${c}__avg"),
+          stddev_samp(col(c)).cast("string").as(s"${c}__std"),
+          percentile_approx(col(c), lit(0.25), lit(10000)).cast("string").as(s"${c}__q25"),
+          percentile_approx(col(c), lit(0.5), lit(10000)).cast("string").as(s"${c}__q50"),
+          percentile_approx(col(c), lit(0.75), lit(10000)).cast("string").as(s"${c}__q75"))
+        else Nil)
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullStr = lit(null).cast("string")
+    val rows = cols.map { c =>
+      def s(suffix: String) = col(s"${c}__$suffix")
+      struct(
+        lit(c).as("column_name"),
+        lit(duckType(df.schema(c).dataType)).as("column_type"),
+        s("min").as("min"),
+        s("max").as("max"),
+        s("au").as("approx_unique"),
+        (if (numeric(c)) s("avg") else nullStr).as("avg"),
+        (if (numeric(c)) s("std") else nullStr).as("std"),
+        (if (numeric(c)) s("q25") else nullStr).as("q25"),
+        (if (numeric(c)) s("q50") else nullStr).as("q50"),
+        (if (numeric(c)) s("q75") else nullStr).as("q75"),
+        col("__total").as("count"),
+        round(s("nulls") * lit(100.0) / col("__total"), 2)
+          .cast("decimal(9,2)").as("null_percentage"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
 }

@@ -25,15 +25,13 @@ class Psql(val spark: SparkSession) {
   def sql(query: String): DataFrame = {
     engineFns
     val t = query.trim
-    // DuckDB `SUMMARIZE <table or query>`: column-statistics profile of the
-    // relation — mapped to Dataset.summary() over the summarized relation
-    if (SqlScanner.matchesWord(t, 0, "summarize")) {
-      val inner = Psql.preprocess(spark, t.substring("summarize".length).trim.stripSuffix(";"))
-      val src =
-        if (inner.isEmpty) throw new IllegalArgumentException("SUMMARIZE needs a table or query")
-        else if (SqlScanner.matchesWord(inner, 0, "select") || inner.startsWith("(")) spark.sql(inner)
-        else spark.table(inner)
-      return src.summary()
+    // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
+    // output shape, one aggregate pass (SummarizeStatement; replaces the
+    // earlier Dataset.summary() mapping, whose shape was Spark's, not
+    // DuckDB's)
+    SummarizeStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
     }
     // `EXPLAIN [modifier] <pipeline>` — the rewriter would otherwise fold
     // the keyword into the head relation (`FROM ( explain from t )`).

@@ -136,16 +136,15 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(e.getMessage.contains("unterminated"), e.getMessage)
   }
 
-  test("SUMMARIZE profiles a table or a pipeline") {
+  test("SUMMARIZE profiles a table or a pipeline (DuckDB output shape)") {
     import spark.implicits._
     Seq(1, 2, 3, 4).toDF("v").createOrReplaceTempView("sum_t")
     val byTable = psql.sql("summarize sum_t").collect()
-    assert(byTable.map(_.getString(0)).contains("max"))
+    assert(byTable.length == 1 && byTable(0).getString(0) == "v")
+    assert(byTable(0).getString(3) == "4") // max
     val byPipe = psql.sql("summarize from sum_t |> where v > 1").collect()
-    val maxRow = byPipe.find(_.getString(0) == "max").get
-    assert(maxRow.getString(1) == "4")
-    val cntRow = byPipe.find(_.getString(0) == "count").get
-    assert(cntRow.getString(1) == "3")
+    assert(byPipe(0).getString(2) == "2" && byPipe(0).getString(3) == "4")
+    assert(byPipe(0).getLong(10) == 3L) // count = total rows
   }
 
   test("USING SAMPLE with seed is deterministic across runs (REPEATABLE)") {
