@@ -4070,6 +4070,30 @@ object OpsEntry {
         |FROM (SUMMARIZE part) ORDER BY column_name""".stripMargin)),
 
     QueryDef(
+      "q92_read_csv_fn",
+      withTables { (s, _) =>
+        // DuckDB reader table functions (read_csv/read_parquet/read_json*)
+        // — rewritten to the engine's quoted-path scan with a #graft:
+        // option fragment (PathRelations resolves it to an option-keyed
+        // reader view). Explicit casts neutralize the known sniffer seam
+        // (Spark infers int32 where DuckDB says int64). Same spelling runs
+        // natively on DuckDB against the same reference file.
+        Psqlish(s, """from read_csv('/root/reference/example/invoices.csv', header=true) |>
+          |where total > 10 |>
+          |select cast(invoice_id as bigint) as invoice_id,
+          |  cast(customer_id as bigint) as customer_id,
+          |  cast(invoice_date as date) as d,
+          |  billing_country, cast(total as double) as total |>
+          |order by invoice_id""".stripMargin)
+      },
+      Some("""SELECT cast(invoice_id AS bigint) AS invoice_id,
+        |  cast(customer_id AS bigint) AS customer_id,
+        |  cast(invoice_date AS date) AS d,
+        |  billing_country, cast(total AS double) AS total
+        |FROM read_csv('/root/reference/example/invoices.csv', header=true)
+        |WHERE total > 10 ORDER BY invoice_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -439,12 +439,17 @@ object PathRelations {
       case "orc"     => spark.read.orc(path)
       case "json"    => spark.read.json(path)
       case _ => // CSV with header + inference by default, like DuckDB's sniffer
-        spark.read
+        var r = spark.read
           .option("header", fragOpts.getOrElse("header", "true"))
           .option("inferSchema", true)
           .option("sep", fragOpts.getOrElse("sep", if (lower.endsWith(".tsv")) "\t" else ","))
           .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]")
-          .csv(path)
+        // options carried by the read_csv(...) rewrite; only set when given
+        // (Spark's defaults differ from DuckDB's — e.g. escape is '\' vs '"')
+        fragOpts.get("quote").foreach(v => r = r.option("quote", v))
+        fragOpts.get("escape").foreach(v => r = r.option("escape", v))
+        fragOpts.get("nullValue").foreach(v => r = r.option("nullValue", v))
+        r.csv(path)
     }
     df.createOrReplaceTempView(view)
   }

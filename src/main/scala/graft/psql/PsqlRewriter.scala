@@ -532,15 +532,20 @@ object PsqlRewriter {
   private def assembleStage(prev: Option[String], stage0: String): String = {
     val stage = stage0.trim
     val st = parseStage(stage)
-    val fromPart: String = prev match {
-      case Some(p) => s"( $p ) ${dedupJoinOn(st.fromSuffix)}".trim
-      case None =>
-        // head: strip leading FROM keyword from the suffix
-        val sc = scan(st.fromSuffix)
-        val i = nextCode(st.fromSuffix, sc, 0)
-        if (i >= 0 && matchesWord(st.fromSuffix, i, "from"))
-          st.fromSuffix.substring(i + 4).trim
-        else st.fromSuffix
+    val fromPart: String = {
+      // reader table functions are legal in head and join positions, which
+      // bypass shims — rewrite them here (read_csv('p', …) → 'p#graft:…')
+      val suffix = rewriteReaderFns(st.fromSuffix)
+      prev match {
+        case Some(p) => s"( $p ) ${dedupJoinOn(suffix)}".trim
+        case None =>
+          // head: strip leading FROM keyword from the suffix
+          val sc = scan(suffix)
+          val i = nextCode(suffix, sc, 0)
+          if (i >= 0 && matchesWord(suffix, i, "from"))
+            suffix.substring(i + 4).trim
+          else suffix
+      }
     }
     val sel0 = st.clauses.get("select").map(shims).getOrElse("*")
     val whereRaw = st.clauses.get("where").map(shims)
@@ -1171,6 +1176,107 @@ object PsqlRewriter {
             text.substring(re)
         case _ => from = pos + opLen // no usable operand: leave for Spark
       }
+    }
+    text
+  }
+
+  /** DuckDB reader table functions → quoted-path scans. `read_csv('p',
+    * header=true, delim='|')` and friends are the most common DuckDB
+    * spelling after bare quoted paths; they rewrite to the engine's path
+    * form `'p#graft:format=csv&header=true&sep=|'`, which PathRelations
+    * resolves to a reader temp view keyed by path+options. Option names
+    * map to Spark reader options (header, delim/sep, quote, escape,
+    * nullstr → nullValue); `:=` and `=` both separate name from value.
+    * UNSUPPORTED options throw — a silently dropped `columns=` or
+    * `skip=` would change data, and fail-loudly is the engine contract.
+    */
+  private val readerFns = Map(
+    "read_csv" -> "csv", "read_csv_auto" -> "csv",
+    "read_parquet" -> "parquet",
+    "read_json" -> "json", "read_json_auto" -> "json",
+    "read_ndjson_auto" -> "json")
+
+  private def translateReadFn(fmt: String, inner: String): String = {
+    val sc = scan(inner)
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < inner.length) {
+      if (sc.code(i)) {
+        val c = inner.charAt(i)
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) { parts += inner.substring(last, i); last = i + 1 }
+      }
+      i += 1
+    }
+    parts += inner.substring(last)
+    val head = parts.head.trim
+    require(head.length >= 2 && head.startsWith("'") && head.endsWith("'"),
+      s"read_$fmt: the first argument must be a path string literal (got: $head)")
+    val rawPath = head.substring(1, head.length - 1)
+    val opts = scala.collection.mutable.LinkedHashMap("format" -> fmt)
+    parts.tail.map(_.trim).filter(_.nonEmpty).foreach { p =>
+      val eq = p.indexOf('=')
+      require(eq > 0, s"read_$fmt: expected name=value option, got: $p")
+      val key = p.substring(0, eq).trim.stripSuffix(":").trim.toLowerCase
+      var v = p.substring(eq + 1).trim
+      if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+        v = v.substring(1, v.length - 1)
+      key match {
+        case "header"         => opts += "header" -> v.toLowerCase
+        case "delim" | "sep"  => opts += "sep" -> v
+        case "quote"          => opts += "quote" -> v
+        case "escape"         => opts += "escape" -> v
+        case "nullstr"        => opts += "nullValue" -> v
+        case other => throw new IllegalArgumentException(
+          s"read_$fmt option '$other' has no Spark reader mapping — " +
+            "supported: header, delim/sep, quote, escape, nullstr")
+      }
+    }
+    "'" + rawPath + "#graft:" +
+      opts.map { case (k, v) => s"$k=$v" }.mkString("&") + "'"
+  }
+
+  /** Standalone pass: every `read_*(…)` reader call at a code position →
+    * its quoted-path form. Runs inside [[shims]] (expression clauses) AND
+    * on the stage from-suffix (head relations and join sides, which
+    * deliberately bypass shims). */
+  private[psql] def rewriteReaderFns(text0: String): String = {
+    var text = text0
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val sc = scan(text)
+      var i = 0
+      var hit = -1
+      var fname: String = null
+      while (hit < 0 && i < text.length) {
+        if (sc.code(i)) readerFns.keys.find(f => matchesWord(text, i, f) && {
+          val open = nextCode(text, sc, i + f.length)
+          open >= 0 && text.charAt(open) == '('
+        }) match {
+          case Some(f) => hit = i; fname = f
+          case None    => i += 1
+        }
+        else i += 1
+      }
+      if (hit < 0) return text
+      val open = nextCode(text, sc, hit + fname.length)
+      var k = open + 1
+      var d = 1
+      while (d > 0 && k < text.length) {
+        if (sc.code(k)) {
+          if (text.charAt(k) == '(') d += 1
+          else if (text.charAt(k) == ')') d -= 1
+        }
+        k += 1
+      }
+      if (d > 0) return text // unbalanced: leave for Spark's error
+      text = text.substring(0, hit) +
+        translateReadFn(readerFns(fname), text.substring(open + 1, k - 1)) +
+        text.substring(k)
     }
     text
   }
@@ -1903,6 +2009,6 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(sb.toString))))
+    rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString)))))
   }
 }

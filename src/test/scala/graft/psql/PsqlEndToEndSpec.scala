@@ -147,6 +147,23 @@ class PsqlEndToEndSpec extends SparkSpec {
     assert(byPipe(0).getLong(10) == 3L) // count = total rows
   }
 
+  test("read_csv options reach the Spark reader (delim, nullstr, header)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-readcsv")
+    val f = dir.resolve("pipe.csv")
+    java.nio.file.Files.writeString(f, "a|b|c\n1|NA|x\n2|y|NA\n")
+    val rows = psql.sql(
+      s"from read_csv('$f', header=true, delim='|', nullstr='NA') |> order by a")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1) && rows(0).getString(2) == "x")
+    assert(rows(1).getString(1) == "y" && rows(1).isNullAt(2))
+    // join position works too (the from-suffix path, not the shims path)
+    val j = psql.sql(s"from read_csv('$f', header=true, delim='|') " +
+      s"|> as l join read_csv('$f', header=true, delim='|') r on l.a = r.a " +
+      s"|> select a |> order by a").collect()
+    assert(j.map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
   test("USING SAMPLE with seed is deterministic across runs (REPEATABLE)") {
     val q = "from lineitem_small |> using sample 50% (bernoulli, 42) |> select l_orderkey"
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -173,6 +173,28 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r.contains("named_struct('n', name, 'u', upper(name)).u as u"), r)
   }
 
+  test("reader table functions rewrite to #graft: quoted paths") {
+    val r = PsqlRewriter.rewrite(
+      "from read_csv('/tmp/x.csv', header=true, delim='|') |> select a")
+    assert(r.contains("'/tmp/x.csv#graft:format=csv&header=true&sep=|'"), r)
+    val r2 = PsqlRewriter.rewrite("from read_parquet('/tmp/x.parquet') |> select a")
+    assert(r2.contains("'/tmp/x.parquet#graft:format=parquet'"), r2)
+    val r3 = PsqlRewriter.rewrite("from read_json_auto('/tmp/x.jsonl') |> select a")
+    assert(r3.contains("'/tmp/x.jsonl#graft:format=json'"), r3)
+    // := separator, quote/escape/nullstr mapping
+    val r4 = PsqlRewriter.rewrite(
+      "from read_csv_auto('/tmp/y.csv', header := false, nullstr='NA') |> select a")
+    assert(r4.contains("'/tmp/y.csv#graft:format=csv&header=false&nullValue=NA'"), r4)
+    // unsupported option fails loudly, never silently drops
+    val e = intercept[IllegalArgumentException] {
+      PsqlRewriter.rewrite("from read_csv('/tmp/x.csv', skip=3) |> select a")
+    }
+    assert(e.getMessage.contains("no Spark reader mapping"), e.getMessage)
+    // inside a string literal: untouched
+    val r5 = PsqlRewriter.rewrite("from t |> select 'read_csv(x)' as s")
+    assert(r5.contains("'read_csv(x)'"), r5)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
