@@ -4094,6 +4094,38 @@ object OpsEntry {
         |WHERE total > 10 ORDER BY invoice_id""".stripMargin)),
 
     QueryDef(
+      "q93_string_subscripts",
+      withTables { (s, _) =>
+        // DuckDB STRING subscripts/slices through the same bracket
+        // spellings as lists — the graft_at/graft_slice expressions
+        // dispatch on the base type at bind time (SubscriptExpressions),
+        // so `text[2:12]` works exactly like `'abcde'[2:4]` in DuckDB
+        // (1-based inclusive, negative from end, 0 → '', clamping).
+        // Same spellings run natively on DuckDB.
+        Psqlish(s, """from documents |>
+          |where doc_id <= 400 |>
+          |select doc_id,
+          |  text[2:12] as mid,
+          |  text[-6:] as tail6,
+          |  text[:5] as head5,
+          |  text[3] as third,
+          |  text[-1] as last_ch,
+          |  string_split(text, ' ')[2] as w2,
+          |  string_split(text, ' ')[2:3] as w23 |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  text[2:12] AS mid,
+        |  text[-6:] AS tail6,
+        |  text[:5] AS head5,
+        |  text[3] AS third,
+        |  text[-1] AS last_ch,
+        |  string_split(text, ' ')[2] AS w2,
+        |  string_split(text, ' ')[2:3] AS w23
+        |FROM documents WHERE doc_id <= 400
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DuckDB bracket subscripts with ENGINE-SIDE type dispatch.
+  *
+  * The PSQL rewriter turns `x[i]` / `x[a:b]` into calls to these
+  * expressions; the base's type is only known at analysis, so the
+  * rewrite cannot pick between array semantics (element_at / slice) and
+  * DuckDB's STRING subscripts (`'abcde'[2]` = 'b', `[2:4]` = 'bcd') — this
+  * expression dispatches on `base.dataType` once resolved and DELEGATES
+  * both eval and codegen to the chosen built-in tree, so the array/map hot
+  * path stays exactly the ElementAt/Slice codegen it was before strings
+  * were supported.
+  *
+  * Probed DuckDB 1.0 string semantics (all reproduced):
+  *   - `s[i]`: 1-based; negative counts from the end; 0 and out-of-range
+  *     give '' (empty string, NOT null); NULL index gives NULL.
+  *   - `s[a:b]`: both ends INCLUSIVE, open ends allowed, negative ends
+  *     count from the end (`[3:-1]` = 'cde'), out-of-range clamps
+  *     (`[-9:2]` = 'ab'), inverted gives '' (`[4:2]`), NULL bound gives
+  *     NULL (hence the explicit IsNull guard — a bare If would fall into
+  *     its else branch on a null predicate and return '' instead).
+  */
+case class GraftSubscript(base: Expression, idx: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(base, idx)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(base = c(0), idx = c(1))
+
+  private lazy val delegate: Expression = base.dataType match {
+    case StringType =>
+      val i = Cast(idx, IntegerType)
+      If(EqualTo(i, Literal(0)),
+        Literal(UTF8String.fromString(""), StringType),
+        Substring(base, i, Literal(1)))
+    case _ => ElementAt(base, idx)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = base.dataType match {
+    case StringType | _: ArrayType | _: MapType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subscript base must be string, array, or map, got ${other.catalogString}")
+  }
+  override def dataType: DataType = delegate.dataType
+  override def nullable: Boolean = delegate.nullable
+  override def foldable: Boolean = delegate.foldable
+  override def eval(input: InternalRow): Any = delegate.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = delegate.genCode(ctx)
+    ev.copy(code = d.code, isNull = d.isNull, value = d.value)
+  }
+}
+
+/** `x[a:b]` — open ends are encoded STRUCTURALLY (None), selected by
+  * function NAME at registration (graft_slice / graft_slice_from /
+  * graft_slice_to): a null-literal sentinel would be ambiguous once
+  * constant folding turns a genuinely-null bound expression into the same
+  * literal. A null RUNTIME bound yields NULL, as DuckDB does. Array
+  * formulas are byte-identical to the former text-level rewrite, so
+  * existing plans and the q79 gate row are unchanged. */
+case class GraftSlice(base: Expression, loOpt: Option[Expression],
+    hiOpt: Option[Expression]) extends Expression {
+  override def children: Seq[Expression] = Seq(base) ++ loOpt ++ hiOpt
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = {
+    var k = 1
+    val nl = loOpt.map { _ => val e = c(k); k += 1; e }
+    val nh = hiOpt.map { _ => val e = c(k); k += 1; e }
+    copy(base = c(0), loOpt = nl, hiOpt = nh)
+  }
+
+  private lazy val delegate: Expression = base.dataType match {
+    case StringType =>
+      val len = Length(base)
+      val a0: Expression = loOpt.map(Cast(_, IntegerType)).getOrElse(Literal(1))
+      val b0: Expression = hiOpt.map(Cast(_, IntegerType)).getOrElse(len)
+      val a1 = If(LessThan(a0, Literal(0)), Add(Add(len, a0), Literal(1)), a0)
+      val b1 = If(LessThan(b0, Literal(0)), Add(Add(len, b0), Literal(1)), b0)
+      val a2 = Greatest(Seq(a1, Literal(1)))
+      val b2 = Least(Seq(b1, len))
+      val sliced = If(GreaterThanOrEqual(b2, a2),
+        Substring(base, a2, Add(Subtract(b2, a2), Literal(1))),
+        Literal(UTF8String.fromString(""), StringType))
+      // null guard on the PRE-clamp bounds: Greatest/Least skip nulls, so
+      // a2/b2 would silently absorb a null runtime bound
+      If(Or(IsNull(a0), IsNull(b0)), Literal(null, StringType), sliced)
+    case _: ArrayType => (loOpt, hiOpt) match {
+      case (None, None)         => base
+      case (None, Some(hi))     => Slice(base, Literal(1), Cast(hi, IntegerType))
+      case (Some(lo), None)     =>
+        Slice(base, lo,
+          Greatest(Seq(Add(Subtract(Size(base), lo), Literal(1)), Literal(0))))
+      case (Some(lo), Some(hi)) =>
+        Slice(base, lo, Greatest(Seq(Add(Subtract(hi, lo), Literal(1)), Literal(0))))
+    }
+    case other => throw new IllegalStateException(
+      s"graft_slice on unchecked type ${other.catalogString}")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = base.dataType match {
+    case StringType | _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"slice base must be string or array, got ${other.catalogString}")
+  }
+  override def dataType: DataType = delegate.dataType
+  override def nullable: Boolean = delegate.nullable
+  override def foldable: Boolean = delegate.foldable
+  override def eval(input: InternalRow): Any = delegate.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = delegate.genCode(ctx)
+    ev.copy(code = d.code, isNull = d.isNull, value = d.value)
+  }
+}

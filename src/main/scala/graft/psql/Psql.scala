@@ -136,15 +136,30 @@ object Psql {
     * builder, not a UDF: null-safe, type-promoting, whole-stage fused.
     */
   private[psql] def registerEngineFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def reg(name: String, arity: Int, build: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.psql.Psql", name),
+        (children: Seq[Expression]) => {
+          require(children.length == arity,
+            s"$name takes exactly $arity arguments, got ${children.length}")
+          build(children)
+        })
     spark.udf.register("version", () => versionString)
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("xor"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BitwiseXor].getName, "xor"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "xor(a, b) takes exactly two arguments")
-        org.apache.spark.sql.catalyst.expressions.BitwiseXor(children.head, children(1))
-      })
+    reg("xor", 2, c =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseXor(c(0), c(1)))
+    // bracket-subscript dispatch targets (rewriteBrackets emissions); open
+    // slice ends are encoded in the function NAME — a null-literal marker
+    // would collide with constant-folded genuinely-null bounds
+    reg("graft_at", 2, c => graft.functions.GraftSubscript(c(0), c(1)))
+    reg("graft_slice", 3, c =>
+      graft.functions.GraftSlice(c(0), Some(c(1)), Some(c(2))))
+    reg("graft_slice_from", 2, c =>
+      graft.functions.GraftSlice(c(0), Some(c(1)), None))
+    reg("graft_slice_to", 2, c =>
+      graft.functions.GraftSlice(c(0), None, Some(c(1))))
   }
 
   /** Full front-end preprocessing: multi-statement guard → pipe/block

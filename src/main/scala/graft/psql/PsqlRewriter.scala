@@ -1096,16 +1096,21 @@ object PsqlRewriter {
             else if (c == ':' && depth == 0 && csc.depth(k) == 0) colon = k
           }
         }
+        // graft_at / graft_slice are engine-registered type-dispatching
+        // expressions (functions.SubscriptExpressions): arrays/maps keep
+        // the exact ElementAt/Slice trees the former text rewrite emitted,
+        // strings get DuckDB's character subscripts. Open slice ends are
+        // NULL-literal markers.
         val repl =
-          if (colon < 0) s"element_at($base, $content)"
+          if (colon < 0) s"graft_at($base, $content)"
           else {
             val a = content.substring(0, colon).trim
             val bb = content.substring(colon + 1).trim
             (a.isEmpty, bb.isEmpty) match {
               case (true, true)   => base
-              case (true, false)  => s"slice($base, 1, $bb)"
-              case (false, true)  => s"slice($base, $a, greatest(size($base) - ($a) + 1, 0))"
-              case (false, false) => s"slice($base, $a, greatest(($bb) - ($a) + 1, 0))"
+              case (true, false)  => s"graft_slice_to($base, $bb)"
+              case (false, true)  => s"graft_slice_from($base, $a)"
+              case (false, false) => s"graft_slice($base, $a, $bb)"
             }
           }
         text = text.substring(0, b) + repl + text.substring(close + 1)

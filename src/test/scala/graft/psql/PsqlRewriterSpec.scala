@@ -195,6 +195,35 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r5.contains("'read_csv(x)'"), r5)
   }
 
+  test("string subscripts dispatch at bind time (DuckDB probed edges)") {
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    def one(expr: String): Any =
+      psql.sql(s"from (select 'abcde' as s) t |> select $expr as v").collect()(0).get(0)
+    assert(one("s[2]") == "b")
+    assert(one("s[-1]") == "e")
+    assert(one("s[0]") == "")   // DuckDB: 0 gives '', not the first char
+    assert(one("s[-9]") == "")  // out-of-range below
+    assert(one("s[6]") == "")   // out-of-range above
+    assert(one("s[2:4]") == "bcd")
+    assert(one("s[2:]") == "bcde")
+    assert(one("s[:2]") == "ab")
+    assert(one("s[-3:-2]") == "cd")
+    assert(one("s[3:-1]") == "cde")
+    assert(one("s[-1:3]") == "")
+    assert(one("s[4:2]") == "")
+    assert(one("s[0:2]") == "ab")
+    assert(one("s[-9:2]") == "ab")
+    assert(one("s[2:99]") == "bcde")
+    assert(one("s[cast(null as int)]") == null)   // NULL index -> NULL
+    assert(one("s[2:cast(null as int)]") == null) // NULL bound -> NULL
+    // arrays unchanged through the same spellings
+    assert(one("(['x','y','z'])[2]") == "y")
+    assert(one("(['x','y','z'])[2:3]") == Seq("y", "z"))
+    assert(one("(['x','y','z'])[-1]") == "z")
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
