@@ -4126,6 +4126,26 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q94_generate_series",
+      withTables { (s, _) =>
+        // DuckDB generate_series: table form (FROM position, inclusive,
+        // column named generate_series) and scalar form (a list). The
+        // scalar bound depends on a column, so rows where the direction
+        // mismatches (n % 4 = 0 < 1) exercise DuckDB's EMPTY-list edge —
+        // Spark's own sequence() THROWS there (functions.GraftSeries).
+        // Same spellings run natively on DuckDB.
+        Psqlish(s, """from generate_series(1, 40, 3) |>
+          |select generate_series as n,
+          |  generate_series(1, generate_series % 4) as lst,
+          |  generate_series(generate_series, 1, -2) as back |>
+          |order by n""".stripMargin)
+      },
+      Some("""SELECT generate_series AS n,
+        |  generate_series(1, generate_series % 4) AS lst,
+        |  generate_series(generate_series, 1, -2) AS back
+        |FROM generate_series(1, 40, 3) ORDER BY n""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

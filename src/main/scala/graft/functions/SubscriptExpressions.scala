@@ -56,6 +56,47 @@ case class GraftSubscript(base: Expression, idx: Expression) extends Expression 
   }
 }
 
+/** DuckDB `generate_series(a, b[, s])` — INCLUSIVE bounds (like Spark's
+  * `sequence`) but with DuckDB's empty-on-direction-mismatch semantics:
+  * `generate_series(1, 0)` is an EMPTY list where Spark `sequence(1, 0, 1)`
+  * THROWS "illegal sequence boundaries". Integral inputs normalize to
+  * BIGINT (DuckDB's output type); date/timestamp/interval series delegate
+  * to Sequence untouched (their direction semantics already agree).
+  * Dispatch and delegation mechanics as [[GraftSubscript]]. */
+case class GraftSeries(start: Expression, stop: Expression, step: Expression)
+  extends Expression {
+  override def children: Seq[Expression] = Seq(start, stop, step)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(start = c(0), stop = c(1), step = c(2))
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _                                             => false
+  }
+
+  private lazy val delegate: Expression = (start.dataType, stop.dataType) match {
+    case (a, b) if integral(a) && integral(b) =>
+      val a = Cast(start, LongType)
+      val b = Cast(stop, LongType)
+      val st = Cast(step, LongType)
+      val directionOk = Or(
+        And(GreaterThan(st, Literal(0L)), LessThanOrEqual(a, b)),
+        And(LessThan(st, Literal(0L)), GreaterThanOrEqual(a, b)))
+      If(directionOk, new Sequence(a, b, Some(st), None),
+        Literal.create(Array.empty[Long], ArrayType(LongType)))
+    case _ => new Sequence(start, stop, Some(step), None)
+  }
+
+  override def dataType: DataType = delegate.dataType
+  override def nullable: Boolean = delegate.nullable
+  override def foldable: Boolean = delegate.foldable
+  override def eval(input: InternalRow): Any = delegate.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = delegate.genCode(ctx)
+    ev.copy(code = d.code, isNull = d.isNull, value = d.value)
+  }
+}
+
 /** `x[a:b]` — open ends are encoded STRUCTURALLY (None), selected by
   * function NAME at registration (graft_slice / graft_slice_from /
   * graft_slice_to): a null-literal sentinel would be ambiguous once

@@ -160,6 +160,18 @@ object Psql {
       graft.functions.GraftSlice(c(0), Some(c(1)), None))
     reg("graft_slice_to", 2, c =>
       graft.functions.GraftSlice(c(0), None, Some(c(1))))
+    // generate_series: DuckDB inclusive series with empty-on-direction-
+    // mismatch (Spark sequence throws there); 2-arg defaults step 1
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_series"),
+      new ExpressionInfo("graft.psql.Psql", "graft_series"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b)    => graft.functions.GraftSeries(a, b,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        case Seq(a, b, s) => graft.functions.GraftSeries(a, b, s)
+        case other => throw new IllegalArgumentException(
+          s"generate_series takes 2 or 3 arguments, got ${other.length}")
+      })
   }
 
   /** Full front-end preprocessing: multi-statement guard → pipe/block

@@ -533,9 +533,10 @@ object PsqlRewriter {
     val stage = stage0.trim
     val st = parseStage(stage)
     val fromPart: String = {
-      // reader table functions are legal in head and join positions, which
-      // bypass shims — rewrite them here (read_csv('p', …) → 'p#graft:…')
-      val suffix = rewriteReaderFns(st.fromSuffix)
+      // reader/series table functions are legal in head and join positions,
+      // which bypass shims — rewrite them here (read_csv('p', …) →
+      // 'p#graft:…'; generate_series(…) → exploded subquery)
+      val suffix = rewriteSeriesFns(rewriteReaderFns(st.fromSuffix))
       prev match {
         case Some(p) => s"( $p ) ${dedupJoinOn(suffix)}".trim
         case None =>
@@ -1286,6 +1287,53 @@ object PsqlRewriter {
     text
   }
 
+  /** FROM-position `generate_series(a, b[, s])` — DuckDB's table form,
+    * column named `generate_series` — becomes an exploded scalar series
+    * subquery. Runs on the stage from-suffix only (scalar positions go
+    * through the functionAliases mapping to graft_series instead). */
+  private[psql] def rewriteSeriesFns(text0: String): String = {
+    var text = text0
+    var guard = 0
+    while (guard < 100) {
+      guard += 1
+      val sc = scan(text)
+      var i = 0
+      var hit = -1
+      while (hit < 0 && i < text.length) {
+        if (sc.code(i) && matchesWord(text, i, "generate_series") && {
+          val open = nextCode(text, sc, i + "generate_series".length)
+          open >= 0 && text.charAt(open) == '('
+        } && {
+          // TABLE position only: directly after FROM, JOIN, or a from-list
+          // comma — a scalar generate_series inside a subquery in the
+          // suffix must stay scalar (the functionAliases path covers it)
+          var p = i - 1
+          while (p >= 0 && Character.isWhitespace(text.charAt(p))) p -= 1
+          p < 0 || (sc.code(p) && (text.charAt(p) == ',' ||
+            matchesWord(text, p - 3, "from") || matchesWord(text, p - 3, "join")))
+        }) hit = i
+        else i += 1
+      }
+      if (hit < 0) return text
+      val open = nextCode(text, sc, hit + "generate_series".length)
+      var k = open + 1
+      var d = 1
+      while (d > 0 && k < text.length) {
+        if (sc.code(k)) {
+          if (text.charAt(k) == '(') d += 1
+          else if (text.charAt(k) == ')') d -= 1
+        }
+        k += 1
+      }
+      if (d > 0) return text
+      val args = text.substring(open + 1, k - 1)
+      text = text.substring(0, hit) +
+        s"(select explode(graft_series($args)) as generate_series)" +
+        text.substring(k)
+    }
+    text
+  }
+
   /** Index of the closing quote of the string literal opening at `litPos`
     * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
   private def literalEnd(text: String, litPos: Int): Int = {
@@ -1837,6 +1885,10 @@ object PsqlRewriter {
     "string_split" -> "split",
     "str_split" -> "split",
     "strlen" -> "length",
+    // inclusive series with DuckDB's empty-on-direction-mismatch edge
+    // (functions.GraftSeries); the FROM-position table form is rewritten
+    // separately in assembleStage
+    "generate_series" -> "graft_series",
     // DuckDB argmax family ≡ Spark max_by/min_by (same arg order/semantics)
     "arg_max" -> "max_by",
     "argmax" -> "max_by",

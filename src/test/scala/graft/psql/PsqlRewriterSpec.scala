@@ -224,6 +224,36 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(one("(['x','y','z'])[-1]") == "z")
   }
 
+  test("generate_series: table form, scalar form, DuckDB empty edge") {
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    // FROM position: inclusive, column named generate_series
+    val t = psql.sql("from generate_series(1, 7, 2) |> order by generate_series")
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(1L, 3L, 5L, 7L))
+    // 2-arg default step, join-comma positions untouched semantics
+    val t2 = psql.sql("from generate_series(3, 5) |> select count() as n")
+      .collect()(0).getLong(0)
+    assert(t2 == 3L)
+    // scalar position: a LIST (sequence), inclusive
+    val s1 = psql.sql("from (select 1 as x) t |> select generate_series(1, 4) as g")
+      .collect()(0).getSeq[Long](0)
+    assert(s1 == Seq(1L, 2L, 3L, 4L))
+    // DuckDB empty edge: direction mismatch is EMPTY, not an error
+    val s2 = psql.sql("from (select 1 as x) t |> select generate_series(1, 0) as g")
+      .collect()(0).getSeq[Long](0)
+    assert(s2 == Seq.empty)
+    // negative step
+    val s3 = psql.sql("from (select 1 as x) t |> select generate_series(5, 1, -2) as g")
+      .collect()(0).getSeq[Long](0)
+    assert(s3 == Seq(5L, 3L, 1L))
+    // scalar generate_series inside a subquery in the FROM suffix stays scalar
+    val r = PsqlRewriter.rewrite(
+      "from t |> as l join (select generate_series(1, 3) as g) r on true |> select count() as n")
+    assert(!r.contains("as generate_series)"), r)
+  }
+
   test("scoped block in CTAS (reference psql.test:39-41)") {
     val r = PsqlRewriter.rewrite("create table t2 as (| from t1 |> select i |)")
     assert(r == "create table t2 as ( SELECT i FROM ( SELECT * FROM t1 ) )")
