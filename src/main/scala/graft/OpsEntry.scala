@@ -4146,6 +4146,43 @@ object OpsEntry {
         |FROM generate_series(1, 40, 3) ORDER BY n""".stripMargin)),
 
     QueryDef(
+      "q95_list_fn_battery",
+      withTables { (s, _) =>
+        // DuckDB list-function surface: polymorphic len (strings AND
+        // lists → BIGINT, GraftLen), inclusive array_slice on both types,
+        // list_element/-extract (1-based, negative from end), list_value,
+        // list_append, list_prepend (DuckDB's (value, list) arg order —
+        // registered with swapped args, an alias can't reorder),
+        // list_position (0 when missing in both engines; width differs →
+        // cast). Same spellings run natively on DuckDB.
+        Psqlish(s, """from documents |>
+          |where doc_id <= 300 |>
+          |select doc_id,
+          |  len(text) as n_chars2,
+          |  len(string_split(text, ' ')) as n_words,
+          |  array_slice(text, 3, 8) as mid,
+          |  array_slice(string_split(text, ' '), 2, 4) as w24,
+          |  list_element(string_split(text, ' '), -1) as last_word,
+          |  list_value(lang, source) as tags,
+          |  list_append(list_value(lang), source) as tags2,
+          |  list_prepend(lang, list_value(source)) as tags3,
+          |  cast(list_position(string_split(text, ' '), 'the') as bigint) as pos_the |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  len(text) AS n_chars2,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  array_slice(text, 3, 8) AS mid,
+        |  array_slice(string_split(text, ' '), 2, 4) AS w24,
+        |  list_element(string_split(text, ' '), -1) AS last_word,
+        |  list_value(lang, source) AS tags,
+        |  list_append(list_value(lang), source) AS tags2,
+        |  list_prepend(lang, list_value(source)) AS tags3,
+        |  cast(list_position(string_split(text, ' '), 'the') AS bigint) AS pos_the
+        |FROM documents WHERE doc_id <= 300
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

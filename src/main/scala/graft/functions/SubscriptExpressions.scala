@@ -56,6 +56,38 @@ case class GraftSubscript(base: Expression, idx: Expression) extends Expression 
   }
 }
 
+/** DuckDB `len(x)` / `array_length(x)` — polymorphic over strings,
+  * binary, and lists, returning BIGINT (probed; Spark's length/size
+  * return INT, so the delegate casts — output-type parity is what the
+  * type-faithful oracle hashes). Maps are NOT accepted (DuckDB 1.0
+  * len(map) is a binder error too). */
+case class GraftLen(child: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+
+  private lazy val delegate: Expression = child.dataType match {
+    case StringType | BinaryType => Cast(Length(child), LongType)
+    case _: ArrayType            => Cast(Size(child), LongType)
+    case other => throw new IllegalStateException(
+      s"len on unchecked type ${other.catalogString}")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"len argument must be string, binary, or array, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = delegate.nullable
+  override def foldable: Boolean = delegate.foldable
+  override def eval(input: InternalRow): Any = delegate.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = delegate.genCode(ctx)
+    ev.copy(code = d.code, isNull = d.isNull, value = d.value)
+  }
+}
+
 /** DuckDB `generate_series(a, b[, s])` — INCLUSIVE bounds (like Spark's
   * `sequence`) but with DuckDB's empty-on-direction-mismatch semantics:
   * `generate_series(1, 0)` is an EMPTY list where Spark `sequence(1, 0, 1)`

@@ -160,6 +160,11 @@ object Psql {
       graft.functions.GraftSlice(c(0), Some(c(1)), None))
     reg("graft_slice_to", 2, c =>
       graft.functions.GraftSlice(c(0), None, Some(c(1))))
+    reg("graft_len", 1, c => graft.functions.GraftLen(c(0)))
+    // DuckDB list_prepend(value, list) vs Spark array_prepend(list, value)
+    // — registered with the arguments SWAPPED (an alias can't reorder)
+    reg("list_prepend", 2, c =>
+      org.apache.spark.sql.catalyst.expressions.ArrayPrepend(c(1), c(0)))
     // generate_series: DuckDB inclusive series with empty-on-direction-
     // mismatch (Spark sequence throws there); 2-arg defaults step 1
     spark.sessionState.functionRegistry.registerFunction(

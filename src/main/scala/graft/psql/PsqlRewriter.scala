@@ -1334,6 +1334,56 @@ object PsqlRewriter {
     text
   }
 
+  /** C-style strftime format → Spark datetime pattern. Alphabetic
+    * LITERALS must be quoted on the Java side (an unquoted `T` is a
+    * pattern letter there, a literal in C), quotes double. `%-X` is the
+    * unpadded variant. Codes with no faithful Spark equivalent (%U %W %w
+    * %c %x %X %z %Z locale/zone/week-number forms) THROW — a silently
+    * wrong week number is worse than an error.
+    */
+  private val strftimeCodes: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", 'g' -> "SSS", 'p' -> "a",
+    'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+    'j' -> "DDD")
+  private val strftimeUnpadded: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "M", 'd' -> "d",
+    'H' -> "H", 'I' -> "h", 'M' -> "m", 'S' -> "s", 'j' -> "D")
+
+  private[psql] def cFormatToSpark(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = {
+      if (lit.nonEmpty) {
+        val s = lit.toString
+        if (s.exists(c => Character.isLetter(c) || c == '\''))
+          out.append('\'').append(s.replace("'", "''")).append('\'')
+        else out.append(s)
+        lit.clear()
+      }
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val n = fmt.charAt(i + 1)
+        if (n == '%') { lit.append('%'); i += 2 }
+        else if (n == 'n') { lit.append('\n'); i += 2 }
+        else if (n == 't') { lit.append('\t'); i += 2 }
+        else if (n == '-' && i + 2 < fmt.length &&
+            strftimeUnpadded.contains(fmt.charAt(i + 2))) {
+          flush(); out.append(strftimeUnpadded(fmt.charAt(i + 2))); i += 3
+        } else if (strftimeCodes.contains(n)) {
+          flush(); out.append(strftimeCodes(n)); i += 2
+        } else throw new IllegalArgumentException(
+          s"strftime code %$n has no faithful Spark datetime-pattern equivalent")
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** Index of the closing quote of the string literal opening at `litPos`
     * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
   private def literalEnd(text: String, litPos: Int): Int = {
@@ -1885,6 +1935,20 @@ object PsqlRewriter {
     "string_split" -> "split",
     "str_split" -> "split",
     "strlen" -> "length",
+    // polymorphic len (strings/binary/lists -> BIGINT, as DuckDB returns)
+    "len" -> "graft_len",
+    "array_length" -> "graft_len",
+    // DuckDB array_slice/list_slice are INCLUSIVE like brackets; the
+    // graft_slice dispatch handles strings and lists alike
+    "array_slice" -> "graft_slice",
+    "list_slice" -> "graft_slice",
+    "list_element" -> "graft_at",
+    "list_extract" -> "graft_at",
+    "list_value" -> "array",
+    "list_pack" -> "array",
+    "list_append" -> "array_append",
+    "list_position" -> "array_position",
+    "list_indexof" -> "array_position",
     // inclusive series with DuckDB's empty-on-direction-mismatch edge
     // (functions.GraftSeries); the FROM-position table form is rewritten
     // separately in assembleStage
@@ -1961,6 +2025,64 @@ object PsqlRewriter {
             i = end + 1
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) &&
+          (matchesWord(text, i, "strftime") || matchesWord(text, i, "strptime") ||
+            matchesWord(text, i, "epoch")) && {
+          val w = if (matchesWord(text, i, "epoch")) 5 else 8
+          val open = nextCode(text, sc, i + w)
+          open >= 0 && text.charAt(open) == '('
+        }) {
+        // DuckDB strftime/strptime use C format codes; Spark's
+        // date_format/to_timestamp use Java patterns — translate the
+        // LITERAL format (cFormatToSpark; non-literal formats and
+        // untranslatable codes throw). epoch(x) → seconds-with-fraction
+        // DOUBLE via a timestamp→double cast (unix_timestamp would drop
+        // the fraction DuckDB keeps).
+        val word =
+          if (matchesWord(text, i, "strftime")) "strftime"
+          else if (matchesWord(text, i, "strptime")) "strptime"
+          else "epoch"
+        val open = nextCode(text, sc, i + word.length)
+        var k = open + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == '(') d += 1
+            else if (text.charAt(k) == ')') d -= 1
+          }
+          k += 1
+        }
+        if (d > 0) { sb.append(text.charAt(i)); i += 1 }
+        else if (word == "epoch") {
+          val inner = text.substring(open + 1, k - 1)
+          sb.append("cast(cast((").append(shims(inner)).append(") as timestamp) as double)")
+          i = k
+        } else {
+          val inner = text.substring(open + 1, k - 1)
+          val isc = scan(inner)
+          var depth2 = 0
+          var comma = -1
+          var j = 0
+          while (comma < 0 && j < inner.length) {
+            if (isc.code(j)) {
+              val c = inner.charAt(j)
+              if (c == '(' || c == '[') depth2 += 1
+              else if (c == ')' || c == ']') depth2 -= 1
+              else if (c == ',' && depth2 == 0) comma = j
+            }
+            j += 1
+          }
+          require(comma > 0, s"$word(value, 'format') takes two arguments")
+          val arg1 = inner.substring(0, comma).trim
+          val fmtLit = inner.substring(comma + 1).trim
+          require(fmtLit.length >= 2 && fmtLit.startsWith("'") && fmtLit.endsWith("'"),
+            s"$word: the format must be a string literal for translation, got: $fmtLit")
+          val fmtRaw = fmtLit.substring(1, fmtLit.length - 1).replace("''", "'")
+          val translated = cFormatToSpark(fmtRaw).replace("'", "''")
+          sb.append(if (word == "strftime") "date_format(" else "to_timestamp(")
+            .append(shims(arg1)).append(", '").append(translated).append("')")
+          i = k
+        }
       } else if (sc.code(i) && matchesWord(text, i, "glob") && {
           val litPos = nextCode(text, sc, i + 4)
           litPos >= 0 && text.charAt(litPos) == '\''

@@ -145,7 +145,7 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(dot("select 'a.b(c)' as s") == "select 'a.b(c)' as s")
     // end-to-end through the full rewrite, composing with arith
     val r = PsqlRewriter.rewrite("from t |> select name.upper() as u, name.len() ^ 2 as l2")
-    assert(r.contains("upper(name) as u") && r.contains("power(len(name), 2) as l2"), r)
+    assert(r.contains("upper(name) as u") && r.contains("power(graft_len(name), 2) as l2"), r)
   }
 
   test("struct and map literals (DuckDB braces)") {
@@ -252,6 +252,30 @@ class PsqlRewriterSpec extends AnyFunSuite {
     val r = PsqlRewriter.rewrite(
       "from t |> as l join (select generate_series(1, 3) as g) r on true |> select count() as n")
     assert(!r.contains("as generate_series)"), r)
+  }
+
+  test("strftime/strptime C formats translate to Spark patterns; epoch keeps fraction") {
+    val r = PsqlRewriter.rewrite("from t |> select strftime(ts, '%Y-%m-%d %H:%M:%S') as s")
+    assert(r.contains("date_format(ts, 'yyyy-MM-dd HH:mm:ss') as s"), r)
+    // alphabetic literals get quoted (unquoted T is a pattern letter in Java)
+    val r2 = PsqlRewriter.rewrite("from t |> select strftime(ts, '%YT%m') as s")
+    assert(r2.contains("date_format(ts, 'yyyy''T''MM') as s"), r2)
+    // unpadded variants
+    val r3 = PsqlRewriter.rewrite("from t |> select strftime(ts, '%-d/%-m/%Y') as s")
+    assert(r3.contains("date_format(ts, 'd/M/yyyy') as s"), r3)
+    val r4 = PsqlRewriter.rewrite("from t |> select strptime(s, '%d/%m/%Y') as ts")
+    assert(r4.contains("to_timestamp(s, 'dd/MM/yyyy') as ts"), r4)
+    // untranslatable code fails loudly
+    val e = intercept[IllegalArgumentException] {
+      PsqlRewriter.rewrite("from t |> select strftime(ts, '%U') as s")
+    }
+    assert(e.getMessage.contains("no faithful Spark"), e.getMessage)
+    val r5 = PsqlRewriter.rewrite("from t |> select epoch(ts) as e")
+    assert(r5.contains("cast(cast((ts) as timestamp) as double) as e"), r5)
+    // nesting: inner strptime translated too
+    val r6 = PsqlRewriter.rewrite(
+      "from t |> select strftime(strptime(s, '%Y'), '%m') as m")
+    assert(r6.contains("date_format(to_timestamp(s, 'yyyy'), 'MM') as m"), r6)
   }
 
   test("scoped block in CTAS (reference psql.test:39-41)") {
