@@ -4183,6 +4183,43 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q96_date_diff_parts",
+      withTables { (s, _) =>
+        // DuckDB 3-arg date_diff('part', a, b): PART-BOUNDARY-CROSSING
+        // counts (probed: year '12-31'→'01-01' = 1; week boundary Monday)
+        // — not Spark's fractional months_between — rewritten per part to
+        // explicit boundary arithmetic (dateDiffSql). datediff alias and
+        // strftime/epoch ride along. Same spellings run natively on DuckDB.
+        Psqlish(s, """from events |>
+          |where event_id <= 2000 |>
+          |select event_id,
+          |  date_diff('year', timestamp '2024-06-15 12:00:00', ts) as dy,
+          |  date_diff('quarter', timestamp '2024-06-15 12:00:00', ts) as dq,
+          |  date_diff('month', timestamp '2024-06-15 12:00:00', ts) as dmo,
+          |  date_diff('week', timestamp '2024-06-15 12:00:00', ts) as dw,
+          |  datediff('day', timestamp '2024-06-15 12:00:00', ts) as dd,
+          |  date_diff('hour', timestamp '2024-06-15 12:00:00', ts) as dh,
+          |  date_diff('minute', timestamp '2024-06-15 12:00:00', ts) as dmi,
+          |  date_diff('second', timestamp '2024-06-15 12:00:00', ts) as ds,
+          |  strftime(ts, '%Y-%m-%dT%H:%M') as iso_min,
+          |  epoch(ts) as ep |>
+          |order by event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+        |  date_diff('year', timestamp '2024-06-15 12:00:00', ts) AS dy,
+        |  date_diff('quarter', timestamp '2024-06-15 12:00:00', ts) AS dq,
+        |  date_diff('month', timestamp '2024-06-15 12:00:00', ts) AS dmo,
+        |  date_diff('week', timestamp '2024-06-15 12:00:00', ts) AS dw,
+        |  datediff('day', timestamp '2024-06-15 12:00:00', ts) AS dd,
+        |  date_diff('hour', timestamp '2024-06-15 12:00:00', ts) AS dh,
+        |  date_diff('minute', timestamp '2024-06-15 12:00:00', ts) AS dmi,
+        |  date_diff('second', timestamp '2024-06-15 12:00:00', ts) AS ds,
+        |  strftime(ts, '%Y-%m-%dT%H:%M') AS iso_min,
+        |  epoch(ts) AS ep
+        |FROM events WHERE event_id <= 2000
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -1384,6 +1384,37 @@ object PsqlRewriter {
     out.toString
   }
 
+  /** DuckDB 3-arg `date_diff('part', a, b)` (alias `datediff`) counts
+    * PART-BOUNDARY CROSSINGS — probed: year('2023-12-31','2024-01-01')=1,
+    * hour(01:59, 02:01)=1, week boundary is Monday — which is NOT Spark's
+    * months_between/datediff semantics, so each part translates to
+    * explicit boundary arithmetic (BIGINT, DuckDB's output type). Spark's
+    * own 2-arg date_diff/datediff passes through untouched. Unsupported
+    * parts throw. `date_sub` (complete-interval counting, a DIFFERENT
+    * function in DuckDB) is deliberately not mapped.
+    */
+  private def dateDiffSql(part: String, a: String, b: String): String = {
+    def floorDiv(unit: Int): String =
+      s"cast(floor(cast(cast(($b) as timestamp) as double) / $unit) - " +
+        s"floor(cast(cast(($a) as timestamp) as double) / $unit) as bigint)"
+    part.toLowerCase.stripSuffix("s") match {
+      case "year" => s"cast(year($b) - year($a) as bigint)"
+      case "quarter" =>
+        s"cast((year($b) * 4 + quarter($b)) - (year($a) * 4 + quarter($a)) as bigint)"
+      case "month" =>
+        s"cast((year($b) * 12 + month($b)) - (year($a) * 12 + month($a)) as bigint)"
+      case "week" =>
+        s"cast(datediff(date_trunc('week', $b), date_trunc('week', $a)) div 7 as bigint)"
+      case "day" => s"cast(datediff(cast(($b) as date), cast(($a) as date)) as bigint)"
+      case "hour"   => floorDiv(3600)
+      case "minute" => floorDiv(60)
+      case "second" => floorDiv(1)
+      case other => throw new IllegalArgumentException(
+        s"date_diff part '$other' has no boundary-crossing translation " +
+          "(supported: year, quarter, month, week, day, hour, minute, second)")
+    }
+  }
+
   /** Index of the closing quote of the string literal opening at `litPos`
     * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
   private def literalEnd(text: String, litPos: Int): Int = {
@@ -2083,6 +2114,50 @@ object PsqlRewriter {
             .append(shims(arg1)).append(", '").append(translated).append("')")
           i = k
         }
+      } else if (sc.code(i) &&
+          (matchesWord(text, i, "date_diff") || matchesWord(text, i, "datediff")) && {
+          val w = if (matchesWord(text, i, "date_diff")) 9 else 8
+          val open = nextCode(text, sc, i + w)
+          open >= 0 && text.charAt(open) == '('
+        }) {
+        // 3-arg DuckDB form with a literal part → boundary arithmetic;
+        // anything else (Spark's native 2-arg) passes through
+        val w = if (matchesWord(text, i, "date_diff")) 9 else 8
+        val open = nextCode(text, sc, i + w)
+        var k = open + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == '(') d += 1
+            else if (text.charAt(k) == ')') d -= 1
+          }
+          k += 1
+        }
+        val inner = if (d == 0) text.substring(open + 1, k - 1) else ""
+        val parts: Seq[String] = if (d > 0) Nil else {
+          val isc = scan(inner)
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          var depth2 = 0
+          var last = 0
+          var j = 0
+          while (j < inner.length) {
+            if (isc.code(j)) {
+              val c = inner.charAt(j)
+              if (c == '(' || c == '[') depth2 += 1
+              else if (c == ')' || c == ']') depth2 -= 1
+              else if (c == ',' && depth2 == 0) { buf += inner.substring(last, j); last = j + 1 }
+            }
+            j += 1
+          }
+          buf += inner.substring(last)
+          buf.toSeq.map(_.trim)
+        }
+        if (parts.length == 3 && parts.head.length >= 2 &&
+            parts.head.startsWith("'") && parts.head.endsWith("'")) {
+          val part = parts.head.substring(1, parts.head.length - 1)
+          sb.append(dateDiffSql(part, shims(parts(1)), shims(parts(2))))
+          i = k
+        } else { sb.append(text.charAt(i)); i += 1 }
       } else if (sc.code(i) && matchesWord(text, i, "glob") && {
           val litPos = nextCode(text, sc, i + 4)
           litPos >= 0 && text.charAt(litPos) == '\''

@@ -148,6 +148,26 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r.contains("upper(name) as u") && r.contains("power(graft_len(name), 2) as l2"), r)
   }
 
+  test("3-arg date_diff translates to boundary arithmetic; 2-arg passes through") {
+    val r = PsqlRewriter.rewrite("from t |> select date_diff('month', a, b) as m")
+    assert(r.contains("(year(b) * 12 + month(b)) - (year(a) * 12 + month(a))"), r)
+    val r2 = PsqlRewriter.rewrite("from t |> select datediff('hour', a, b) as h")
+    assert(r2.contains("/ 3600"), r2)
+    // Spark's native 2-arg form stays untouched
+    val r3 = PsqlRewriter.rewrite("from t |> select date_diff(a, b) as d")
+    assert(r3.contains("date_diff(a, b)"), r3)
+    val r4 = PsqlRewriter.rewrite("from t |> select datediff(a, b) as d")
+    assert(r4.contains("datediff(a, b)"), r4)
+    // unsupported part fails loudly
+    val e = intercept[IllegalArgumentException] {
+      PsqlRewriter.rewrite("from t |> select date_diff('decade', a, b) as d")
+    }
+    assert(e.getMessage.contains("boundary-crossing"), e.getMessage)
+    // plural part accepted
+    val r5 = PsqlRewriter.rewrite("from t |> select date_diff('days', a, b) as d")
+    assert(r5.contains("datediff(cast((b) as date), cast((a) as date))"), r5)
+  }
+
   test("struct and map literals (DuckDB braces)") {
     def br(s: String) = PsqlRewriter.rewriteBraces(s)
     assert(br("{'a': 1, 'b': 'x'}") == "named_struct('a', 1, 'b', 'x')")
