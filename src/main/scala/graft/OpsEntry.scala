@@ -4220,6 +4220,33 @@ object OpsEntry {
         |ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "q97_regexp_replace_semantics",
+      withTables { (s, _) =>
+        // DuckDB regexp_replace: 3-arg = FIRST match only, 'g' = global,
+        // 'i' = case-insensitive, '$' LITERAL in the replacement — all
+        // four inverses/absences in Spark, routed through
+        // GraftRegexpReplace (runtime RE2→Java replacement translation).
+        // Backslash group refs stay out of shared text (the literal-escape
+        // seam) — they are spec-covered engine-side. Same spellings run
+        // natively on DuckDB.
+        Psqlish(s, """from documents |>
+          |where doc_id <= 300 |>
+          |select doc_id,
+          |  regexp_replace(text, 'e', '3') as first_e,
+          |  regexp_replace(text, '[aeiou]', '_', 'g') as no_vowels,
+          |  regexp_replace(lang, 'E', 'X', 'gi') as lang_x,
+          |  regexp_replace(text, ' ', '$', 'g') as dollar_sep |>
+          |order by doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+        |  regexp_replace(text, 'e', '3') AS first_e,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS no_vowels,
+        |  regexp_replace(lang, 'E', 'X', 'gi') AS lang_x,
+        |  regexp_replace(text, ' ', '$', 'g') AS dollar_sep
+        |FROM documents WHERE doc_id <= 300
+        |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

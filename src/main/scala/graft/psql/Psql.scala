@@ -161,6 +161,10 @@ object Psql {
     reg("graft_slice_to", 2, c =>
       graft.functions.GraftSlice(c(0), None, Some(c(1))))
     reg("graft_len", 1, c => graft.functions.GraftLen(c(0)))
+    reg("graft_regexp_replace_first", 3, c =>
+      graft.functions.GraftRegexpReplace(c(0), c(1), c(2), global = false))
+    reg("graft_regexp_replace_all", 3, c =>
+      graft.functions.GraftRegexpReplace(c(0), c(1), c(2), global = true))
     // DuckDB list_prepend(value, list) vs Spark array_prepend(list, value)
     // — registered with the arguments SWAPPED (an alias can't reorder)
     reg("list_prepend", 2, c =>

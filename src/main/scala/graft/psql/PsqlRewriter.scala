@@ -2158,6 +2158,67 @@ object PsqlRewriter {
           sb.append(dateDiffSql(part, shims(parts(1)), shims(parts(2))))
           i = k
         } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) && matchesWord(text, i, "regexp_replace") && {
+          val open = nextCode(text, sc, i + 14)
+          open >= 0 && text.charAt(open) == '('
+        }) {
+        // DuckDB regexp_replace: 3-arg replaces the FIRST match only and
+        // the replacement uses \N group refs ($ is literal) — both the
+        // inverse of Spark — so every form routes through the
+        // GraftRegexpReplace expression (runtime replacement translation,
+        // cached). i/s/m flags become inline (?ism) pattern prefixes; 'g'
+        // selects the global variant; other/non-literal flags throw.
+        val open = nextCode(text, sc, i + 14)
+        var k = open + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == '(') d += 1
+            else if (text.charAt(k) == ')') d -= 1
+          }
+          k += 1
+        }
+        if (d > 0) { sb.append(text.charAt(i)); i += 1 }
+        else {
+          val inner = text.substring(open + 1, k - 1)
+          val isc = scan(inner)
+          val parts = scala.collection.mutable.ArrayBuffer[String]()
+          var depth2 = 0
+          var last = 0
+          var j = 0
+          while (j < inner.length) {
+            if (isc.code(j)) {
+              val c = inner.charAt(j)
+              if (c == '(' || c == '[') depth2 += 1
+              else if (c == ')' || c == ']') depth2 -= 1
+              else if (c == ',' && depth2 == 0) { parts += inner.substring(last, j); last = j + 1 }
+            }
+            j += 1
+          }
+          parts += inner.substring(last)
+          val args = parts.toSeq.map(_.trim)
+          if (args.length == 3) {
+            sb.append("graft_regexp_replace_first(").append(shims(args(0)))
+              .append(", ").append(shims(args(1))).append(", ")
+              .append(shims(args(2))).append(")")
+            i = k
+          } else if (args.length == 4) {
+            require(args(3).length >= 2 && args(3).startsWith("'") && args(3).endsWith("'"),
+              s"regexp_replace: flags must be a string literal, got: ${args(3)}")
+            val flags = args(3).substring(1, args(3).length - 1)
+            require(flags.forall("gism".contains(_)),
+              s"regexp_replace flag string '$flags' — supported: g, i, s, m")
+            val inline = flags.filter("ism".contains(_)).distinct
+            val re =
+              if (inline.isEmpty) shims(args(1))
+              else s"concat('(?$inline)', ${shims(args(1))})"
+            val fn = if (flags.contains('g')) "graft_regexp_replace_all"
+                     else "graft_regexp_replace_first"
+            sb.append(fn).append("(").append(shims(args(0))).append(", ")
+              .append(re).append(", ").append(shims(args(2))).append(")")
+            i = k
+          } else { sb.append(text.charAt(i)); i += 1 }
+        }
       } else if (sc.code(i) && matchesWord(text, i, "glob") && {
           val litPos = nextCode(text, sc, i + 4)
           litPos >= 0 && text.charAt(litPos) == '\''

@@ -168,6 +168,28 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(r5.contains("datediff(cast((b) as date), cast((a) as date))"), r5)
   }
 
+  test("regexp_replace: DuckDB first-only 3-arg, flags, RE2 replacement syntax") {
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    def one(expr: String): Any =
+      psql.sql(s"from (select 'aXbXc' as s) t |> select $expr as v").collect()(0).get(0)
+    // 3-arg replaces FIRST match only (probed DuckDB)
+    assert(one("regexp_replace(s, 'X', '-')") == "a-bXc")
+    // 'g' flag is global
+    assert(one("regexp_replace(s, 'X', '-', 'g')") == "a-b-c")
+    // i flag becomes an inline prefix
+    assert(one("regexp_replace(s, 'x', '-', 'gi')") == "a-b-c")
+    // RE2 replacement syntax: \1 group ref, $ literal
+    assert(one("regexp_replace(s, '(a)(X)', '\\\\2\\\\1', 'g')" ) == "XabXc")
+    assert(one("regexp_replace(s, 'X', '$9', 'g')") == "a$9b$9c")
+    // unsupported flag fails loudly
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("from (select 'a' as s) t |> select regexp_replace(s, 'a', 'b', 'q') as v")
+    }
+    assert(e.getMessage.contains("supported: g, i, s, m"), e.getMessage)
+  }
+
   test("struct and map literals (DuckDB braces)") {
     def br(s: String) = PsqlRewriter.rewriteBraces(s)
     assert(br("{'a': 1, 'b': 'x'}") == "named_struct('a', 1, 'b', 'x')")

@@ -384,11 +384,45 @@ def dotcall_select_stage():
     return f"select l_orderkey, l_linenumber, {e} as s"
 
 
+def datetime_select_stage():
+    part = rnd.choice(["year", "quarter", "month", "week", "day",
+                       "hour", "minute", "second"])
+    anchor = rnd.choice(DATES)
+    e = rnd.choice([
+        f"date_diff('{part}', date '{anchor}', l_shipdate)",
+        f"datediff('{part}', date '{anchor}', l_shipdate)",
+        "strftime(l_shipdate, '%Y-%m')",
+        "strftime(l_shipdate, '%d/%m/%Y')",
+        "strftime(l_shipdate, '%YT%j')",
+        "cast(epoch(l_shipdate) as bigint)",
+    ])
+    return f"select l_orderkey, l_linenumber, {e} as v"
+
+
+def listfn_select_stage():
+    c = rnd.choice(STR_COLS + ["l_shipmode" if False else "l_returnflag"])
+    e = rnd.choice([
+        f"len({c} || 'xy')",
+        f"len(string_split({c} || ' q', ' '))",
+        f"array_slice({c} || 'abcdef', 2, 4)",
+        f"({c} || 'abcdef')[2:4]",
+        f"({c} || 'abcdef')[-2:]",
+        f"({c} || 'abcdef')[3]",
+        f"list_element(string_split({c} || ' q r', ' '), -1)",
+        f"list_value({c}, 'z')[1]",
+        f"list_prepend({c}, list_value('a', 'b'))[1]",
+        "cast(list_position(list_value('A', 'N', 'R'), 'N') as bigint)",
+        "generate_series(1, l_linenumber % 5)",
+    ])
+    return f"select l_orderkey, l_linenumber, {e} as v"
+
+
 def ops_pipeline():
     # r11 operator families: regex-match operators, ^/**-power, //-div,
     # dot-chaining — single-text (DuckDB runs the identical spellings)
     stages = ["from lineitem", filter_stage(), regexop_stage()]
-    stages.append(rnd.choice([arith_select_stage, dotcall_select_stage])())
+    stages.append(rnd.choice([arith_select_stage, dotcall_select_stage,
+                              datetime_select_stage, listfn_select_stage])())
     stages.append("order by all")
     stages.append(f"limit {rnd.randrange(5, 50)}")
     return " |> ".join(stages)
