@@ -4247,6 +4247,32 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "q98_format_like_ops",
+      withTables { (s, _) =>
+        // DuckDB printf (% codes shared with Spark's format_string — pure
+        // alias), fmt-style format() with {} / positional {N} placeholders
+        // (fmtToPrintf translation; specs like {:d} throw), and the
+        // Postgres LIKE-operator spellings ~~ / ~~* / !~~ / !~~* → LIKE /
+        // ILIKE keyword swaps. Same spellings run natively on DuckDB.
+        Psqlish(s, """from part |>
+          |where p_name ~~ '%blue%' and p_type ~~* '%economy%'
+          |  and p_name !~~ '%anvil%' |>
+          |select p_partkey,
+          |  printf('%d:%s', p_partkey, p_name) as tag,
+          |  format('{}-{}', p_brand, p_size) as bs,
+          |  format('{1}/{0}', p_name, p_brand) as swapped |>
+          |order by p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey,
+        |  printf('%d:%s', p_partkey, p_name) AS tag,
+        |  format('{}-{}', p_brand, p_size) AS bs,
+        |  format('{1}/{0}', p_name, p_brand) AS swapped
+        |FROM part
+        |WHERE p_name ~~ '%blue%' AND p_type ~~* '%economy%'
+        |  AND p_name !~~ '%anvil%'
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

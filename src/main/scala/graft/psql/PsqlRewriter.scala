@@ -1415,6 +1415,53 @@ object PsqlRewriter {
     }
   }
 
+  /** DuckDB `format()` uses fmt-style braces; Spark's format_string is
+    * printf-style. `{}` → `%s`, `{N}` → `%(N+1)$s` (positional), `{{`/`}}`
+    * → literal braces, `%` → `%%`; format SPECS (`{:d}`) throw — the spec
+    * grammar has no faithful printf mapping for every case. */
+  private[psql] def fmtToPrintf(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') {
+        out.append('{'); i += 2
+      } else if (c == '}' && i + 1 < fmt.length && fmt.charAt(i + 1) == '}') {
+        out.append('}'); i += 2
+      } else if (c == '{') {
+        var j = i + 1
+        while (j < fmt.length && fmt.charAt(j) != '}') j += 1
+        if (j >= fmt.length) throw new IllegalArgumentException(
+          s"format: unterminated {} placeholder in: $fmt")
+        val inner = fmt.substring(i + 1, j)
+        if (inner.isEmpty) out.append("%s")
+        else if (inner.forall(Character.isDigit)) out.append(s"%${inner.toInt + 1}$$s")
+        else throw new IllegalArgumentException(
+          s"format spec '{$inner}' has no faithful printf mapping (use printf)")
+        i = j + 1
+      } else if (c == '%') { out.append("%%"); i += 1 }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** The tilde-family operator token starting at code position i — one of
+    * `!~~*` `!~~` `!~` `~~*` `~~` `~` — or null. Longest match wins. */
+  private def tildeOpAt(text: String, sc: SqlScanner.Scan, i: Int): String = {
+    def ch(k: Int, c: Char): Boolean =
+      i + k < text.length && sc.code(i + k) && text.charAt(i + k) == c
+    if (ch(0, '!')) {
+      if (ch(1, '~') && ch(2, '~') && ch(3, '*')) "!~~*"
+      else if (ch(1, '~') && ch(2, '~')) "!~~"
+      else if (ch(1, '~')) "!~"
+      else null
+    } else if (ch(0, '~')) {
+      if (ch(1, '~') && ch(2, '*')) "~~*"
+      else if (ch(1, '~')) "~~"
+      else "~"
+    } else null
+  }
+
   /** Index of the closing quote of the string literal opening at `litPos`
     * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
   private def literalEnd(text: String, litPos: Int): Int = {
@@ -1966,6 +2013,8 @@ object PsqlRewriter {
     "string_split" -> "split",
     "str_split" -> "split",
     "strlen" -> "length",
+    // printf-style formatting: identical % codes in both engines
+    "printf" -> "format_string",
     // polymorphic len (strings/binary/lists -> BIGINT, as DuckDB returns)
     "len" -> "graft_len",
     "array_length" -> "graft_len",
@@ -2219,6 +2268,26 @@ object PsqlRewriter {
             i = k
           } else { sb.append(text.charAt(i)); i += 1 }
         }
+      } else if (sc.code(i) && matchesWord(text, i, "format") && {
+          val open = nextCode(text, sc, i + 6)
+          open >= 0 && text.charAt(open) == '(' && {
+            val lit = nextCode(text, sc, open + 1)
+            lit >= 0 && text.charAt(lit) == '\''
+          }
+        }) {
+        // DuckDB fmt-style format('{} x {}', …) → format_string with the
+        // braces translated to printf codes (fmtToPrintf; specs throw).
+        // Only the literal-format form translates; anything else falls
+        // through to Spark's own unknown-function error.
+        val open = nextCode(text, sc, i + 6)
+        val lit = nextCode(text, sc, open + 1)
+        val end = literalEnd(text, lit)
+        if (end > 0) {
+          val raw = text.substring(lit + 1, end).replace("''", "'")
+          val printf = fmtToPrintf(raw).replace("'", "''")
+          sb.append("format_string('").append(printf).append("'")
+          i = end + 1
+        } else { sb.append(text.charAt(i)); i += 1 }
       } else if (sc.code(i) && matchesWord(text, i, "glob") && {
           val litPos = nextCode(text, sc, i + 4)
           litPos >= 0 && text.charAt(litPos) == '\''
@@ -2255,23 +2324,39 @@ object PsqlRewriter {
               !preBracketKeywords.contains(text.substring(st, k + 1).toLowerCase)
             }))
         } && {
-          val neg = text.charAt(i) == '!'
-          val litPos = nextCode(text, sc, i + (if (neg) 2 else 1))
-          litPos >= 0 && text.charAt(litPos) == '\''
+          val tok = tildeOpAt(text, sc, i)
+          tok != null && (tok.endsWith("~*") || tok.endsWith("~~") || {
+            val litPos = nextCode(text, sc, i + tok.length)
+            litPos >= 0 && text.charAt(litPos) == '\''
+          })
         }) {
-        // Postgres-style regex operators, DuckDB-supported: `x ~ 'p'` and
-        // `x !~ 'p'`. DuckDB 1.0 lowers BOTH to regexp_full_match (probed:
-        // 'abc' ~ 'b' is false), i.e. `~` ≡ SIMILAR TO — so the same
-        // anchored-RLIKE rewrite applies, negated via NOT RLIKE.
-        val neg = text.charAt(i) == '!'
-        val litPos = nextCode(text, sc, i + (if (neg) 2 else 1))
-        val end = literalEnd(text, litPos)
-        if (end > 0) {
-          val body = text.substring(litPos + 1, end)
-          sb.append(if (neg) "not rlike '^(?:" else "rlike '^(?:")
-            .append(body).append(")$'")
-          i = end + 1
-        } else { sb.append(text.charAt(i)); i += 1 }
+        // Postgres-operator spellings, all DuckDB-supported:
+        //   `~` / `!~`   — regex FULL match (DuckDB 1.0 lowers to
+        //     regexp_full_match, probed: 'abc' ~ 'b' is false) ≡ the same
+        //     anchored-RLIKE rewrite as SIMILAR TO (literal pattern only);
+        //   `~~` / `!~~` / `~~*` / `!~~*` — LIKE / NOT LIKE / ILIKE /
+        //     NOT ILIKE keyword swaps (any right-hand expression).
+        val tok = tildeOpAt(text, sc, i)
+        val kw = tok match {
+          case "~~"   => Some("like")
+          case "!~~"  => Some("not like")
+          case "~~*"  => Some("ilike")
+          case "!~~*" => Some("not ilike")
+          case _      => None
+        }
+        kw match {
+          case Some(k) => sb.append(k); i += tok.length
+          case None =>
+            val neg = tok.startsWith("!")
+            val litPos = nextCode(text, sc, i + tok.length)
+            val end = literalEnd(text, litPos)
+            if (end > 0) {
+              val body = text.substring(litPos + 1, end)
+              sb.append(if (neg) "not rlike '^(?:" else "rlike '^(?:")
+                .append(body).append(")$'")
+              i = end + 1
+            } else { sb.append(text.charAt(i)); i += 1 }
+        }
       } else if (sc.code(i) && matchesWord(text, i, "columns") && {
           val open = nextCode(text, sc, i + 7)
           open >= 0 && text.charAt(open) == '('

@@ -190,6 +190,24 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("supported: g, i, s, m"), e.getMessage)
   }
 
+  test("format/printf and the LIKE-operator spellings") {
+    val r = PsqlRewriter.rewrite("from t |> select format('{} x {}', a, b) as s")
+    assert(r.contains("format_string('%s x %s', a, b)"), r)
+    // positional {N} -> %(N+1)$s; braces escape; % doubles
+    val r2 = PsqlRewriter.rewrite("from t |> select format('{1}/{0} {{x}} 50%', a, b) as s")
+    assert(r2.contains("format_string('%2$s/%1$s {x} 50%%', a, b)"), r2)
+    val e = intercept[IllegalArgumentException] {
+      PsqlRewriter.rewrite("from t |> select format('{:d}', a) as s")
+    }
+    assert(e.getMessage.contains("printf"), e.getMessage)
+    val r3 = PsqlRewriter.rewrite("from t |> select printf('%d', a) as s")
+    assert(r3.contains("format_string('%d', a)"), r3)
+    // LIKE-operator spellings: keyword swaps, any right-hand side
+    val r4 = PsqlRewriter.rewrite("from t |> where a ~~ '%x%' and b !~~ c and d ~~* '%y%' and e !~~* f")
+    assert(r4.contains("a like '%x%'") && r4.contains("b not like c") &&
+      r4.contains("d ilike '%y%'") && r4.contains("e not ilike f"), r4)
+  }
+
   test("struct and map literals (DuckDB braces)") {
     def br(s: String) = PsqlRewriter.rewriteBraces(s)
     assert(br("{'a': 1, 'b': 'x'}") == "named_struct('a', 1, 'b', 'x')")
