@@ -216,6 +216,59 @@ object OpsEntry {
       .select(col("vec_id"), col("cid"), col("sim").as("cent_sim"), col("v"))
   }
 
+  /** The d36/d41 probe: top-5 rounded-cosine neighbors of queries 0..9
+    * over a PERSISTED partitioned index table — the broadcast probe side
+    * seeds dynamic partition pruning on the cid directories (pinned in
+    * PlanQualitySpec), so the scan touches only probed centroids no matter
+    * how the index was built (one write or many appends).
+    */
+  private def ivfIndexProbe(s: SparkSession, dir: String, idxTable: String): DataFrame = {
+    val idx = s.table(idxTable)
+    val probes = probesToFixedCentroids(s, dir, maxQueryId = 10, nProbe = 4)
+    val scored = idx.join(broadcast(probes), Seq("cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared d36/d41 oracle: the full-corpus IVF probe in SQL — d41's grown
+    * (base + appended delta) index holds exactly the full corpus, so
+    * append ≡ rebuild is checked by hashing both rows against the SAME
+    * statement.
+    */
+  private val ivfIndexProbeOracleSql: String =
+    """WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+      |           FROM v CROSS JOIN cent_t),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM scored WHERE vec_id < 10) WHERE rn <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      |  JOIN v q ON q.vec_id = p.query_id JOIN v c ON c.vec_id = a.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def psqlish(text: String): (SparkSession, String) => DataFrame =
     withTables { (s, _) => Psqlish(s, text) }
 
@@ -948,44 +1001,32 @@ object OpsEntry {
         Bucketing.writePartitioned(s,
           assigned.select(col("vec_id"), col("v"), col("cid")),
           "graft_ivf_idx", "cid")
-        val idx = s.table("graft_ivf_idx")
-        val probes = probesToFixedCentroids(s, dir, maxQueryId = 10, nProbe = 4)
-        val scored = idx.join(broadcast(probes), Seq("cid"))
-          .where(col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("neighbor_id").asc)
-        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-          .select(col("query_id"), col("neighbor_id"), col("sim"),
-            col("rank").cast("int").as("rank"))
-          .orderBy("query_id", "rank")
+        ivfIndexProbe(s, dir, "graft_ivf_idx")
       },
-      Some("""WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
-        |           FROM v CROSS JOIN cent_t),
-        |assign AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-        |    FROM scored) WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS query_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-        |    FROM scored WHERE vec_id < 10) WHERE rn <= 4),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(q.v, c.v), 6) AS sim
-        |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
-        |  JOIN v q ON q.vec_id = p.query_id JOIN v c ON c.vec_id = a.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM cand)
-        |SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(ivfIndexProbeOracleSql)),
+
+    QueryDef(
+      "d41_ivf_index_append",
+      withTables { (s, dir) =>
+        // GROW the persisted IVF index without rebuild — d35's
+        // append≡rebuild contract applied to vectors: the base corpus
+        // (vec_id % 10 != 0) is written partitioned-by-cid once; the delta
+        // (vec_id % 10 == 0) is assigned against the SAME fixed centroids
+        // and APPENDED — new files land only in the delta's cid
+        // directories, base files are never rewritten or re-read, so
+        // increment cost scales with |delta| while the probe path (DPP on
+        // probed cids) is oblivious to how the table was built. The oracle
+        // IS d36's full-corpus statement: base ∪ delta = corpus, so a
+        // hash-equal answer proves append ≡ rebuild end to end.
+        val assigned = assignedToFixedCentroids(s, dir)
+          .select(col("vec_id"), col("v"), col("cid"))
+        Bucketing.writePartitioned(s, assigned.where(col("vec_id") % 10 =!= 0),
+          "graft_ivf_idx_grown", "cid")
+        Bucketing.appendPartitioned(s, assigned.where(col("vec_id") % 10 === 0),
+          "graft_ivf_idx_grown", "cid")
+        ivfIndexProbe(s, dir, "graft_ivf_idx_grown")
+      },
+      Some(ivfIndexProbeOracleSql)),
 
     QueryDef(
       "d23_ivf_topk_parity",
@@ -3775,15 +3816,18 @@ object OpsEntry {
         // (bare x[i] in Spark is 0-based GetArrayItem — a silent
         // off-by-one without the shim), negative-from-end, open-ended
         // slices with clamping, and list literals. Oracle runs the
-        // IDENTICAL bracket spellings natively.
+        // IDENTICAL bracket spellings natively. List outputs ship as
+        // to_json VARCHAR — the gate's compare hashes scalar cells only
+        // (complex pandas cells are unsortable), and both engines render
+        // the same compact JSON.
         Psqlish(s, """from documents |>
           |select doc_id, string_split(text, ' ')[1] as first_word,
-          |  string_split(text, ' ')[2:4] as w24,
+          |  cast(to_json(string_split(text, ' ')[2:4]) as varchar) as w24,
           |  [n_chars, n_chars * 2][-1] as dbl |>
           |order by doc_id""".stripMargin)
       },
       Some("""SELECT doc_id, string_split(text, ' ')[1] AS first_word,
-        |  string_split(text, ' ')[2:4] AS w24,
+        |  cast(to_json(string_split(text, ' ')[2:4]) AS varchar) AS w24,
         |  [n_chars, n_chars * 2][-1] AS dbl
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -3877,17 +3921,19 @@ object OpsEntry {
         // rewritten to transform/filter higher-order lambdas (python-style
         // filter-then-map order, PsqlRewriter.tryComprehension); composes
         // with 1-based bracket slicing on the result. Same spellings run
-        // natively on DuckDB.
+        // natively on DuckDB; list outputs ship as to_json VARCHAR (the
+        // gate hashes scalar cells only — both engines render identical
+        // compact JSON).
         Psqlish(s, """from documents |>
           |select doc_id,
-          |  [upper(w) for w in string_split(text, ' ') if length(w) > 3] as longw,
-          |  [cast(length(w) as int) for w in string_split(text, ' ')][1:3] as l3 |>
+          |  cast(to_json([upper(w) for w in string_split(text, ' ') if length(w) > 3]) as varchar) as longw,
+          |  cast(to_json([cast(length(w) as int) for w in string_split(text, ' ')][1:3]) as varchar) as l3 |>
           |order by doc_id |>
           |limit 200""".stripMargin)
       },
       Some("""SELECT doc_id,
-        |  [upper(w) FOR w IN string_split(text, ' ') IF length(w) > 3] AS longw,
-        |  [cast(length(w) AS int) FOR w IN string_split(text, ' ')][1:3] AS l3
+        |  cast(to_json([upper(w) FOR w IN string_split(text, ' ') IF length(w) > 3]) AS varchar) AS longw,
+        |  cast(to_json([cast(length(w) AS int) FOR w IN string_split(text, ' ')][1:3]) AS varchar) AS l3
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin)),
 
     QueryDef(
@@ -3903,7 +3949,7 @@ object OpsEntry {
         Psqlish(s, """from orders |>
           |select o_custkey,
           |  string_agg(cast(o_orderkey as varchar), ',' order by o_orderdate, o_orderkey) as okeys,
-          |  array_agg(cast(o_totalprice as decimal(18,2)) order by o_orderdate desc, o_orderkey) as prices_desc,
+          |  cast(to_json(array_agg(cast(cast(o_totalprice as decimal(18,2)) as varchar) order by o_orderdate desc, o_orderkey)) as varchar) as prices_desc,
           |  first(o_orderstatus order by o_orderdate, o_orderkey) as first_status
           |  group by o_custkey |>
           |order by o_custkey |>
@@ -3911,7 +3957,7 @@ object OpsEntry {
       },
       Some("""SELECT o_custkey,
         |  string_agg(cast(o_orderkey AS varchar), ',' ORDER BY o_orderdate, o_orderkey) AS okeys,
-        |  array_agg(cast(o_totalprice AS decimal(18,2)) ORDER BY o_orderdate DESC, o_orderkey) AS prices_desc,
+        |  cast(to_json(array_agg(cast(cast(o_totalprice AS decimal(18,2)) AS varchar) ORDER BY o_orderdate DESC, o_orderkey)) AS varchar) AS prices_desc,
         |  first(o_orderstatus ORDER BY o_orderdate, o_orderkey) AS first_status
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 500""".stripMargin)),
 
@@ -4031,15 +4077,15 @@ object OpsEntry {
         Psqlish(s, """from customer |>
           |where c_custkey <= 300 |>
           |select c_custkey,
-          |  {'name': c_name, 'seg': c_mktsegment,
-          |    'flags': {'neg': c_acctbal < 0}} as info,
+          |  cast(to_json({'name': c_name, 'seg': c_mktsegment,
+          |    'flags': {'neg': c_acctbal < 0}}) as varchar) as info,
           |  {'k': c_custkey, 'u': c_name.upper()}.u as uname,
           |  cast(cardinality(map {'a': 1, 'b': 2}) as bigint) as mn |>
           |order by c_custkey""".stripMargin)
       },
       Some("""SELECT c_custkey,
-        |  {'name': c_name, 'seg': c_mktsegment,
-        |    'flags': {'neg': c_acctbal < 0}} AS info,
+        |  cast(to_json({'name': c_name, 'seg': c_mktsegment,
+        |    'flags': {'neg': c_acctbal < 0}}) AS varchar) AS info,
         |  {'k': c_custkey, 'u': c_name.upper()}.u AS uname,
         |  cast(cardinality(MAP {'a': 1, 'b': 2}) AS bigint) AS mn
         |FROM customer WHERE c_custkey <= 300
@@ -4060,13 +4106,17 @@ object OpsEntry {
           col("column_name"), col("column_type"),
           when(isFloat, lit(null).cast("string")).otherwise(col("min")).as("min_s"),
           when(isFloat, lit(null).cast("string")).otherwise(col("max")).as("max_s"),
-          col("count").as("n_rows"), col("null_percentage"))
+          col("count").as("n_rows"),
+          // DOUBLE, not the native DECIMAL(9,2): pandas materializes a
+          // parquet decimal as decimal.Decimal but a DuckDB decimal as
+          // float64 — equal values, different reprs, hash-red (r11 q91)
+          col("null_percentage").cast("double").as("null_pct"))
           .orderBy("column_name")
       },
       Some("""SELECT column_name, column_type,
         |  CASE WHEN column_type IN ('DOUBLE','FLOAT') THEN NULL ELSE "min" END AS min_s,
         |  CASE WHEN column_type IN ('DOUBLE','FLOAT') THEN NULL ELSE "max" END AS max_s,
-        |  "count" AS n_rows, null_percentage
+        |  "count" AS n_rows, CAST(null_percentage AS DOUBLE) AS null_pct
         |FROM (SUMMARIZE part) ORDER BY column_name""".stripMargin)),
 
     QueryDef(
@@ -4111,7 +4161,7 @@ object OpsEntry {
           |  text[3] as third,
           |  text[-1] as last_ch,
           |  string_split(text, ' ')[2] as w2,
-          |  string_split(text, ' ')[2:3] as w23 |>
+          |  cast(to_json(string_split(text, ' ')[2:3]) as varchar) as w23 |>
           |order by doc_id""".stripMargin)
       },
       Some("""SELECT doc_id,
@@ -4121,7 +4171,7 @@ object OpsEntry {
         |  text[3] AS third,
         |  text[-1] AS last_ch,
         |  string_split(text, ' ')[2] AS w2,
-        |  string_split(text, ' ')[2:3] AS w23
+        |  cast(to_json(string_split(text, ' ')[2:3]) AS varchar) AS w23
         |FROM documents WHERE doc_id <= 400
         |ORDER BY doc_id""".stripMargin)),
 
@@ -4136,13 +4186,13 @@ object OpsEntry {
         // Same spellings run natively on DuckDB.
         Psqlish(s, """from generate_series(1, 40, 3) |>
           |select generate_series as n,
-          |  generate_series(1, generate_series % 4) as lst,
-          |  generate_series(generate_series, 1, -2) as back |>
+          |  cast(to_json(generate_series(1, generate_series % 4)) as varchar) as lst,
+          |  cast(to_json(generate_series(generate_series, 1, -2)) as varchar) as back |>
           |order by n""".stripMargin)
       },
       Some("""SELECT generate_series AS n,
-        |  generate_series(1, generate_series % 4) AS lst,
-        |  generate_series(generate_series, 1, -2) AS back
+        |  cast(to_json(generate_series(1, generate_series % 4)) AS varchar) AS lst,
+        |  cast(to_json(generate_series(generate_series, 1, -2)) AS varchar) AS back
         |FROM generate_series(1, 40, 3) ORDER BY n""".stripMargin)),
 
     QueryDef(
@@ -4161,11 +4211,11 @@ object OpsEntry {
           |  len(text) as n_chars2,
           |  len(string_split(text, ' ')) as n_words,
           |  array_slice(text, 3, 8) as mid,
-          |  array_slice(string_split(text, ' '), 2, 4) as w24,
+          |  cast(to_json(array_slice(string_split(text, ' '), 2, 4)) as varchar) as w24,
           |  list_element(string_split(text, ' '), -1) as last_word,
-          |  list_value(lang, source) as tags,
-          |  list_append(list_value(lang), source) as tags2,
-          |  list_prepend(lang, list_value(source)) as tags3,
+          |  cast(to_json(list_value(lang, source)) as varchar) as tags,
+          |  cast(to_json(list_append(list_value(lang), source)) as varchar) as tags2,
+          |  cast(to_json(list_prepend(lang, list_value(source))) as varchar) as tags3,
           |  cast(list_position(string_split(text, ' '), 'the') as bigint) as pos_the |>
           |order by doc_id""".stripMargin)
       },
@@ -4173,11 +4223,11 @@ object OpsEntry {
         |  len(text) AS n_chars2,
         |  len(string_split(text, ' ')) AS n_words,
         |  array_slice(text, 3, 8) AS mid,
-        |  array_slice(string_split(text, ' '), 2, 4) AS w24,
+        |  cast(to_json(array_slice(string_split(text, ' '), 2, 4)) AS varchar) AS w24,
         |  list_element(string_split(text, ' '), -1) AS last_word,
-        |  list_value(lang, source) AS tags,
-        |  list_append(list_value(lang), source) AS tags2,
-        |  list_prepend(lang, list_value(source)) AS tags3,
+        |  cast(to_json(list_value(lang, source)) AS varchar) AS tags,
+        |  cast(to_json(list_append(list_value(lang), source)) AS varchar) AS tags2,
+        |  cast(to_json(list_prepend(lang, list_value(source))) AS varchar) AS tags3,
         |  cast(list_position(string_split(text, ' '), 'the') AS bigint) AS pos_the
         |FROM documents WHERE doc_id <= 300
         |ORDER BY doc_id""".stripMargin)),
@@ -4216,6 +4266,41 @@ object OpsEntry {
         |  date_diff('second', timestamp '2024-06-15 12:00:00', ts) AS ds,
         |  strftime(ts, '%Y-%m-%dT%H:%M') AS iso_min,
         |  epoch(ts) AS ep
+        |FROM events WHERE event_id <= 2000
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "q99_timezone_convert",
+      withTables { (s, _) =>
+        // time-zone conversion parity (both sessions pinned UTC): Spark's
+        // from_utc_timestamp(ts, tz) ≡ DuckDB timezone(tz, ts::TIMESTAMPTZ)
+        // (UTC instant → tz wall clock) and to_utc_timestamp(ts, tz) ≡
+        // (timezone(tz, ts))::TIMESTAMP (tz wall clock → UTC) — probed
+        // directly, including the DST boundary (July EDT −4 vs January EST
+        // −5), so both engines' Olson tables and offset arithmetic are
+        // hash-checked; epoch_ms/unix_millis rides along.
+        // ts is TIMESTAMP_NTZ in the parquet; the conversions take/return
+        // session-local TIMESTAMP — cast in (UTC session: wall ≡ instant)
+        // and cast back out to NTZ so the written parquet carries naive
+        // timestamps, exactly what DuckDB's TIMESTAMP outputs are
+        val t = col("ts").cast("timestamp")
+        def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+        s.table("events")
+          .where(col("event_id") <= 2000)
+          .select(col("event_id"),
+            ntz(from_utc_timestamp(t, "America/New_York")).as("ny_wall"),
+            ntz(from_utc_timestamp(t, "Asia/Tokyo")).as("tokyo_wall"),
+            ntz(from_utc_timestamp(t, "Asia/Kolkata")).as("kolkata_wall"),
+            ntz(to_utc_timestamp(t, "America/New_York")).as("utc_if_ny"),
+            unix_millis(t).as("ems"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+        |  timezone('America/New_York', ts::TIMESTAMPTZ) AS ny_wall,
+        |  timezone('Asia/Tokyo', ts::TIMESTAMPTZ) AS tokyo_wall,
+        |  timezone('Asia/Kolkata', ts::TIMESTAMPTZ) AS kolkata_wall,
+        |  (timezone('America/New_York', ts))::TIMESTAMP AS utc_if_ny,
+        |  epoch_ms(ts) AS ems
         |FROM events WHERE event_id <= 2000
         |ORDER BY event_id""".stripMargin)),
 
@@ -4666,6 +4751,41 @@ object OpsEntry {
         |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
         |  max(event_id) AS max_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "b07_zorder_layout",
+      withTables { (s, _) =>
+        // Z-order (Morton-curve) clustering — MULTI-column data skipping:
+        // lineitem laid out on the interleaved bits of two bucket codes
+        // (ZOrder.writeZOrdered: one range exchange + in-partition sort),
+        // so a box predicate on EITHER key touches few files via parquet
+        // min/max stats (file-disjointness pinned in PlanQualitySpec).
+        // The row reads the written table BACK, recomputes the curve, and
+        // the oracle states the same integer bit arithmetic over the raw
+        // table (ZOrder.zValueSql — the exact fragment the operator's
+        // codegen expression mirrors): layout changed, answer didn't, and
+        // the curve math is bit-identical cross-engine.
+        val codes = s.table("lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (col("l_orderkey") % 256).cast("bigint").as("xk"),
+            (col("l_partkey") % 256).cast("bigint").as("yk"))
+        ZOrder.writeZOrdered(s, codes, "graft_b07_z", Seq("xk", "yk"),
+          bits = 8, files = 16)
+        s.table("graft_b07_z")
+          .where(col("xk") < 16 && col("yk") < 16)
+          .withColumn("zv", ZOrder.zValue(Seq(col("xk"), col("yk")), 8))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("xk"), col("yk"), col("zv"))
+          .orderBy("zv", "l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, l_quantity,
+        |  (l_orderkey % 256)::BIGINT AS xk,
+        |  (l_partkey % 256)::BIGINT AS yk,
+        |  ${graft.operators.ZOrder.zValueSql(
+               Seq("(l_orderkey % 256)", "(l_partkey % 256)"), 8)}::BIGINT AS zv
+        |FROM lineitem
+        |WHERE l_orderkey % 256 < 16 AND l_partkey % 256 < 16
+        |ORDER BY zv, l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
     QueryDef(
       "q69_datetime_battery",

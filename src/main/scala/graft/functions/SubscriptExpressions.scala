@@ -114,8 +114,13 @@ case class GraftSeries(start: Expression, stop: Expression, step: Expression)
       val directionOk = Or(
         And(GreaterThan(st, Literal(0L)), LessThanOrEqual(a, b)),
         And(LessThan(st, Literal(0L)), GreaterThanOrEqual(a, b)))
-      If(directionOk, new Sequence(a, b, Some(st), None),
-        Literal.create(Array.empty[Long], ArrayType(LongType)))
+      // NULL bound/step → NULL result (DuckDB and Spark sequence agree).
+      // Without the explicit guard, a NULL directionOk predicate would fall
+      // into If's false branch and silently yield [] instead of NULL.
+      val anyNull = Or(Or(IsNull(a), IsNull(b)), IsNull(st))
+      If(anyNull, Literal.create(null, ArrayType(LongType)),
+        If(directionOk, new Sequence(a, b, Some(st), None),
+          Literal.create(Array.empty[Long], ArrayType(LongType))))
     case _ => new Sequence(start, stop, Some(step), None)
   }
 

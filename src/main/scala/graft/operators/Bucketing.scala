@@ -81,6 +81,31 @@ object Bucketing {
     spark.table(table)
   }
 
+  /** Append `df` into an EXISTING hive-partitioned warehouse table (the
+    * increment half of [[writePartitioned]]): new files land only under
+    * the delta's partition directories — base directories are never
+    * rewritten, never re-read. This is what makes a partitioned index
+    * GROW-able (d41 mirrors d35's append≡rebuild contract for the IVF
+    * index): the increment's write cost scales with |delta|, and the probe
+    * path (dynamic partition pruning on the probed values) is oblivious to
+    * how many appends built the table. Repeated appends fragment the
+    * directories — [[compactPartitioned]] is the matching maintenance op.
+    */
+  def appendPartitioned(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      partitionCol: String): DataFrame = {
+    require(spark.catalog.tableExists(table),
+      s"appendPartitioned: table $table does not exist — writePartitioned it first")
+    df.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
   /** Small-file compaction for a hive-partitioned warehouse table — the
     * maintenance op every streaming/incremental ingest needs: micro-batch
     * and per-executor writes leave each partition directory with dozens of
@@ -136,6 +161,12 @@ object Bucketing {
     * see a half-written table under the original name. One shuffle of the
     * table, amortized over every future probe — the same economics as
     * [[compactPartitioned]].
+    *
+    * Crash window: the rewrite is fully materialized in `__compact` BEFORE
+    * the original is dropped, so data is never lost — but a crash between
+    * the drop and the rename leaves the result under `<table>__compact`
+    * instead of `<table>` (recover by re-issuing the RENAME). Spark's
+    * catalog has no atomic two-table swap to close this metadata-only gap.
     */
   def compactBucketed(
       spark: SparkSession,
@@ -180,6 +211,12 @@ object Bucketing {
       keys: Seq[String],
       destTable: String): DataFrame = {
     require(keys.nonEmpty, "upsert: need at least one key column")
+    // destTable is DROPPED (table + files) before the lazy plan reading
+    // srcTable ever executes — an in-place spelling would delete the source
+    // under its own scan. Fail loudly instead of destroying data.
+    require(!destTable.equalsIgnoreCase(srcTable),
+      s"upsert: destTable must differ from srcTable ('$srcTable') — the dest is dropped " +
+        "before the source-reading plan runs; write to a new table and swap (see compactBucketed)")
     val target = spark.table(srcTable)
     val missing = target.columns.filterNot(c => updates.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,

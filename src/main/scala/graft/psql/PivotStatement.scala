@@ -141,26 +141,48 @@ object PivotStatement {
     val aggCols = identifiers(usingText).flatMap(w => colsLower.get(w)).distinct
       .filterNot(c => groups.exists(_.equalsIgnoreCase(c)))
 
+    // Multi-ON match key: components are backslash-escaped and joined with
+    // the unit separator (can't collide the way a bare '_' join does —
+    // ('a_b','c') vs ('a','b_c') hashed 'a_b_c' under the old scheme), and
+    // joined with `concat`, which NULL-propagates: a row with any NULL ON
+    // value gets a NULL key and matches no pivot column, as DuckDB has it
+    // (concat_ws would silently skip the NULL component and could match a
+    // shorter legitimate combo).
+    def escExpr(e: String): String =
+      s"replace(replace(CAST(($e) AS STRING), '\\\\', '\\\\\\\\'), '$comboSep', '\\\\$comboSep')"
     val keyExpr =
       if (onEntries.size == 1) s"CAST((${onEntries.head.expr}) AS STRING)"
-      else onEntries.map(e => s"CAST((${e.expr}) AS STRING)").mkString("concat_ws('_', ", ", ", ")")
+      else onEntries.map(e => escExpr(e.expr)).mkString("concat(", s", '$comboSep', ", ")")
     val proj = (groups.map(q) ++ aggCols.map(q) :+ s"$keyExpr AS `__pivot_key`").mkString(", ")
+    // Display names join value names with '_' (DuckDB's spelling) and CAN
+    // collide — DuckDB happily emits duplicate column names, and so does a
+    // Spark result. The IN-list aliases must therefore be per-combo UNIQUE
+    // internals (`__pv<i>`): the outer projection references those
+    // unambiguously and renames to the display name.
     val comboNames = combos.map(_._1.mkString("_"))
-    val inList = combos.zip(comboNames).map { case ((_, matches), name) =>
-      s"${sqlString(matches.mkString("_"))} AS ${q(name)}"
+    val comboIds = combos.indices.map(i => s"__pv$i")
+    def escMatch(m: String): String =
+      m.replace("\\", "\\\\").replace(comboSep, "\\" + comboSep)
+    val inList = combos.zip(comboIds).map { case ((_, matches), id) =>
+      val key =
+        if (onEntries.size == 1) matches.head
+        else matches.map(escMatch).mkString(comboSep)
+      s"${sqlString(key)} AS ${q(id)}"
     }.mkString(", ")
     val usingList = aggsParsed.map { case (e, a) => e + a.map(x => s" AS ${q(x)}").getOrElse("") }.mkString(", ")
 
     // DuckDB fills empty COUNT cells with 0 where Spark's PIVOT leaves NULL
     // (both leave NULL for sum/avg/…): coalesce count-backed columns in an
-    // outer projection that preserves names and column order.
+    // outer projection that renames `__pv<i>[_alias]` to the display name
+    // and preserves column order.
     def isCount(agg: String): Boolean = SqlScanner.matchesWord(agg.trim, 0, "count")
-    val outCols = comboNames.flatMap { n =>
-      if (aggsParsed.size == 1 && aggsParsed.head._2.isEmpty) Seq((n, isCount(aggsParsed.head._1)))
-      else aggsParsed.map { case (e, a) => (s"${n}_${a.get}", isCount(e)) }
+    val outCols = comboIds.zip(comboNames).flatMap { case (id, n) =>
+      if (aggsParsed.size == 1 && aggsParsed.head._2.isEmpty)
+        Seq((id, n, isCount(aggsParsed.head._1)))
+      else aggsParsed.map { case (e, a) => (s"${id}_${a.get}", s"${n}_${a.get}", isCount(e)) }
     }
-    val outer = (groups.map(q) ++ outCols.map { case (n, cnt) =>
-      if (cnt) s"coalesce(${q(n)}, 0) AS ${q(n)}" else q(n)
+    val outer = (groups.map(q) ++ outCols.map { case (id, n, cnt) =>
+      if (cnt) s"coalesce(${q(id)}, 0) AS ${q(n)}" else s"${q(id)} AS ${q(n)}"
     }).mkString(", ")
 
     val sql =
@@ -346,5 +368,18 @@ object PivotStatement {
 
   private def q(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  private def sqlString(v: String): String = "'" + v.replace("'", "''") + "'"
+  /** Separator for multi-ON pivot match keys: the ASCII unit separator,
+    * joined via NULL-propagating `concat` with backslash-escaped components
+    * — see the keyExpr construction in [[pivot]].
+    */
+  private val comboSep: String = "\u001F"
+
+  /** A Spark SQL string literal for `v` VERBATIM: quotes doubled AND
+    * backslashes doubled — the generated SQL is parsed with the default
+    * escapedStringLiterals=false, which would otherwise eat backslashes in
+    * pivot values (and in the escaped multi-ON keys, which are built from
+    * backslash escapes).
+    */
+  private def sqlString(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
 }

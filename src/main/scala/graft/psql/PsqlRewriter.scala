@@ -1462,6 +1462,15 @@ object PsqlRewriter {
     } else null
   }
 
+  /** A pattern body lifted VERBATIM from a DuckDB string literal, made safe
+    * for re-embedding in a Spark string literal: DuckDB literals carry
+    * backslashes raw, but Spark's parser (escapedStringLiterals=false, the
+    * default) unescapes them — `'\d+'` would silently become regex `d+`.
+    * Doubling restores the raw bytes, the same treatment [[globToRegex]]
+    * gives its generated backslashes. `''` quote escapes pass through
+    * unchanged (the body is re-embedded between quotes verbatim). */
+  private def reEmbed(body: String): String = body.replace("\\", "\\\\")
+
   /** Index of the closing quote of the string literal opening at `litPos`
     * (doubled quotes are escapes); -1 when unterminated or litPos < 0. */
   private def literalEnd(text: String, litPos: Int): Int = {
@@ -1628,6 +1637,17 @@ object PsqlRewriter {
     * over iterations. The base is the maximal primary chain — the same
     * shape [[rewriteArith]] extracts — so `t.s.upper()` becomes
     * `upper(t.s)` (DuckDB resolves the longest name prefix the same way).
+    *
+    * Catalog-qualified FUNCTION calls share this surface syntax
+    * (`db.fn(x)` is ambiguous between fn-on-column-db and fn-in-schema-db;
+    * DuckDB's binder disambiguates with the catalog, a string rewrite
+    * cannot). Bare identifier chains rooted at a known function-namespace
+    * marker — `system.builtin.abs(x)`, `spark_catalog.default.fn(x)`,
+    * `builtin.`/`session.` — are NEVER columns, so those skip the rewrite
+    * and reach Spark as the qualified calls they are. For any other
+    * ambiguous spelling the dot-call interpretation wins (the DuckDB-
+    * dialect reading); spell a user-schema function through its full
+    * `spark_catalog.…` name to force function resolution.
     */
   private[psql] def rewriteDotCalls(text0: String): String = {
     var text = text0
@@ -1690,7 +1710,16 @@ object PsqlRewriter {
         }
         if (any) b else -1
       }
-      if (baseStart < 0) { from = nameEnd; }
+      val baseText = if (baseStart >= 0) text.substring(baseStart, dot) else ""
+      val qualifiedFnBase = baseStart >= 0 && {
+        // bare dotted identifier chain (no calls/literals/brackets) whose
+        // head is a function-namespace marker → qualified function call
+        baseText.nonEmpty && baseText.forall(c =>
+          Character.isLetterOrDigit(c) || c == '_' || c == '$' || c == '.') &&
+        Set("system", "builtin", "session", "spark_catalog")
+          .contains(baseText.takeWhile(_ != '.').toLowerCase)
+      }
+      if (baseStart < 0 || qualifiedFnBase) { from = nameEnd; }
       else {
         // args: balanced paren group after the name
         var k = nameEnd + 1
@@ -2101,7 +2130,7 @@ object PsqlRewriter {
           }
           if (end > 0) {
             val body = text.substring(litPos + 1, end)
-            sb.append("rlike '^(?:").append(body).append(")$'")
+            sb.append("rlike '^(?:").append(reEmbed(body)).append(")$'")
             i = end + 1
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
@@ -2353,7 +2382,7 @@ object PsqlRewriter {
             if (end > 0) {
               val body = text.substring(litPos + 1, end)
               sb.append(if (neg) "not rlike '^(?:" else "rlike '^(?:")
-                .append(body).append(")$'")
+                .append(reEmbed(body)).append(")$'")
               i = end + 1
             } else { sb.append(text.charAt(i)); i += 1 }
         }

@@ -639,6 +639,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d41 index append: base files are untouched — increment writes only delta files") {
+    import org.apache.spark.sql.functions.col
+    val assigned = spark.table("embeddings")
+      .select(col("vec_id"), (col("vec_id") % 16).cast("int").as("cid"))
+    operators.Bucketing.writePartitioned(spark,
+      assigned.where(col("vec_id") % 10 =!= 0), "graft_test_idx_grow", "cid")
+    def dataFiles(): Map[String, Long] = {
+      val root = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_test_idx_grow")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = dataFiles()
+    operators.Bucketing.appendPartitioned(spark,
+      assigned.where(col("vec_id") % 10 === 0), "graft_test_idx_grow", "cid")
+    val after = dataFiles()
+    // every base file survives byte-for-byte (same path, same mtime) —
+    // the increment never rewrites or re-reads the base layout
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append rewrote base files")
+    assert(after.size > before.size, "append produced no new files")
+    // and the grown table holds exactly base ∪ delta
+    assert(spark.table("graft_test_idx_grow").count() == assigned.count())
+  }
+
   test("b04 compaction: fragmented partition dirs collapse to one file each, content identical") {
     val frag = spark.table("events").repartition(16)
     operators.Bucketing.writePartitioned(spark, frag, "graft_test_frag", "event_type")
@@ -687,6 +715,14 @@ class PlanQualitySpec extends SparkSpec {
     anti.collect()
     val p = anti.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(600))
+    // self-target upsert must FAIL LOUDLY: the dest is dropped before the
+    // lazy source-reading plan runs, so dest==src would delete the source
+    val e = intercept[IllegalArgumentException] {
+      operators.Bucketing.upsert(spark, "graft_test_ups_base",
+        upd, Seq("event_id"), "GRAFT_TEST_UPS_BASE")
+    }
+    assert(e.getMessage.contains("destTable must differ"), e.getMessage)
+    assert(spark.table("graft_test_ups_base").count() == base.count())
   }
 
   test("a11 interpolate: prev/next neighbor windows share ONE sort; observed frame broadcasts") {

@@ -66,6 +66,28 @@ class PivotStatementSpec extends SparkSpec {
     assert(df.collect().toSeq == Seq(Row("a", 0L, 1L), Row("b", 1L, 0L)))
   }
 
+  test("multi-ON keys don't collide on '_' in values; NULL component matches nothing") {
+    import spark.implicits._
+    // ('a_b','c') vs ('a','b_c'): both would key 'a_b_c' under a bare '_'
+    // join — each row must land ONLY in its own combo column
+    Seq(("a_b", "c", 1), ("a", "b_c", 10)).toDF("k1", "k2", "x")
+      .createOrReplaceTempView("pvm")
+    val df = psql.sql("PIVOT pvm ON k1, k2 USING sum(x)")
+    // combos enumerate sorted per-entry values: (a,b_c) (a,c) (a_b,b_c)
+    // (a_b,c) — note the FIRST and LAST display names collide ('a_b_c'),
+    // as they do in DuckDB; values must still land only in their own combo
+    assert(df.columns.toSeq == Seq("a_b_c", "a_c", "a_b_b_c", "a_b_c"), df.columns.toSeq)
+    val row = df.collect()(0)
+    assert(row.toSeq == Seq(10L, null, null, 1L), row.toSeq)
+    // a NULL ON component produces NO match (concat NULL-propagates); the
+    // row with NULL k2 must not leak into any shorter combo
+    Seq((Some("a"), Some("b"), 1), (Some("a"), None, 100)).toDF("k1", "k2", "x")
+      .createOrReplaceTempView("pvn2")
+    val df2 = psql.sql("PIVOT pvn2 ON k1, k2 USING sum(x)")
+    assert(df2.columns.toSeq == Seq("a_b"), df2.columns.toSeq)
+    assert(df2.collect()(0).get(0) == 1L)
+  }
+
   test("NULL pivot values produce no column") {
     import spark.implicits._
     Seq((Some("x"), 1), (None, 2)).toDF("k", "x").createOrReplaceTempView("pvn")

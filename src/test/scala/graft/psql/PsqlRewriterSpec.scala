@@ -146,6 +146,13 @@ class PsqlRewriterSpec extends AnyFunSuite {
     // end-to-end through the full rewrite, composing with arith
     val r = PsqlRewriter.rewrite("from t |> select name.upper() as u, name.len() ^ 2 as l2")
     assert(r.contains("upper(name) as u") && r.contains("power(graft_len(name), 2) as l2"), r)
+    // catalog-qualified FUNCTION calls are never dot-calls: a base chain
+    // rooted at a function-namespace marker skips the rewrite (the old
+    // behavior silently misparsed db.fn(x) → fn(db, x))
+    assert(dot("spark_catalog.default.fn(x)") == "spark_catalog.default.fn(x)")
+    assert(dot("system.builtin.abs(x)") == "system.builtin.abs(x)")
+    // ...and a dot-call ON such a call's result still rewrites
+    assert(dot("system.builtin.abs(x).upper()") == "upper(system.builtin.abs(x))")
   }
 
   test("3-arg date_diff translates to boundary arithmetic; 2-arg passes through") {
@@ -312,6 +319,44 @@ class PsqlRewriterSpec extends AnyFunSuite {
     val r = PsqlRewriter.rewrite(
       "from t |> as l join (select generate_series(1, 3) as g) r on true |> select count() as n")
     assert(!r.contains("as generate_series)"), r)
+    // NULL bound/step → NULL list, not [] (DuckDB and Spark sequence agree;
+    // the direction guard's NULL predicate must not fall into the [] branch)
+    val sn = psql.sql(
+      "from (select 1 as x) t |> select generate_series(1, cast(null as int)) as g")
+      .collect()(0)
+    assert(sn.isNullAt(0), sn)
+    val sn2 = psql.sql(
+      "from (select 1 as x) t |> select generate_series(cast(null as int), 5) as g")
+      .collect()(0)
+    assert(sn2.isNullAt(0), sn2)
+    val sn3 = psql.sql(
+      "from (select 1 as x) t |> select generate_series(1, 5, cast(null as int)) as g")
+      .collect()(0)
+    assert(sn3.isNullAt(0), sn3)
+  }
+
+  test("regex-operator patterns keep their backslashes through the rewrite") {
+    // DuckDB string literals carry backslashes RAW; the rewritten text is
+    // parsed by Spark (escapedStringLiterals=false) which unescapes — the
+    // re-embedded pattern must double them or '\d+' silently becomes 'd+'
+    val r = PsqlRewriter.rewrite("""from t |> where s ~ '\d+'""")
+    assert(r.contains("""rlike '^(?:\\d+)$'"""), r)
+    val r2 = PsqlRewriter.rewrite("""from t |> where s similar to '\w\d'""")
+    assert(r2.contains("""rlike '^(?:\\w\\d)$'"""), r2)
+    val r3 = PsqlRewriter.rewrite("""from t |> where s !~ 'a\.b'""")
+    assert(r3.contains("""not rlike '^(?:a\\.b)$'"""), r3)
+    // end-to-end: the digit class actually matches digits under Spark
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql2 = Psql(spark)
+    spark.sql("select * from (values ('a12'), ('abc')) as v(s)")
+      .createOrReplaceTempView("rx_t")
+    val got = psql2.sql("""from rx_t |> where s ~ '[a-z]\d+'""")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a12"), got)
+    val got2 = psql2.sql("""from rx_t |> where s similar to 'a\w+'""")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(got2 == Seq("a12", "abc"), got2)
   }
 
   test("strftime/strptime C formats translate to Spark patterns; epoch keeps fraction") {

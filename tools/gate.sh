@@ -14,3 +14,8 @@ OUT="$(mktemp -d /tmp/graft-gate-XXXX)"
 sbt -batch "runMain graft.Verify $SF $OUT" >"$OUT/verify.log" 2>&1 || {
   tail -30 "$OUT/verify.log"; echo "Verify FAILED"; exit 1; }
 GATE_JSON="artifacts/correctness_r${ROUND}.json" python3 tools/compare.py "$SF" "$OUT"
+# second pass with the DRIVER-faithful comparator (pandas frames, sorted by
+# every column): catches what the duckdb-read canon structurally cannot —
+# complex-typed output cells (the r11 'unhashable ndarray' errors) and
+# Decimal-vs-float repr seams (the r11 q91 hash-red)
+python3 tools/driver_compare.py "$SF" "$OUT"
