@@ -4270,6 +4270,86 @@ object OpsEntry {
         |ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "a19_seasonal_profile",
+      withTables { (s, _) =>
+        // seasonal profile + threshold anomalies: per (event_type,
+        // hour-of-day) the exact-decimal-sum mean is the seasonal baseline,
+        // then events are scored against 2× their own bucket's baseline.
+        // Two-pass shape that scales: the profile is OUTPUT-sized (|types|
+        // × 24 rows) and broadcasts back over the fact scan — no fact
+        // shuffle for the scoring pass. Float discipline: the mean comes
+        // from an exact DECIMAL(18,2) sum divided by an exact count, so
+        // both engines hold identical bits and the 2×-threshold comparison
+        // is deterministic (the Fp.scala contract); only the REPORTED mean
+        // lands on the 1e-6 grid.
+        val ev = s.table("events").where(col("value").isNotNull)
+          .select(col("event_type"), hour(col("ts")).cast("bigint").as("hod"),
+            col("value"))
+        val prof = ev.groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(value as decimal(18,2))) as double)").as("sv"))
+          .withColumn("mu", col("sv") / col("n"))
+        val hot = ev
+          .join(broadcast(prof.select("event_type", "hod", "mu")),
+            Seq("event_type", "hod"))
+          .where(col("value") > lit(2.0) * col("mu"))
+          .groupBy("event_type", "hod").agg(count(lit(1)).as("n_hot"))
+        prof.join(hot, Seq("event_type", "hod"), "left")
+          .select(col("event_type"), col("hod"), col("n"),
+            Fp.grid6(col("mu")).as("mean6"),
+            coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+          .orderBy("event_type", "hod")
+      },
+      Some("""WITH ev AS (
+        |  SELECT event_type, hour(ts)::BIGINT AS hod, value FROM events
+        |  WHERE value IS NOT NULL),
+        |prof AS (
+        |  SELECT event_type, hod, count(*)::BIGINT AS n,
+        |    sum(value::DECIMAL(18,2))::DOUBLE / count(*) AS mu
+        |  FROM ev GROUP BY 1, 2),
+        |hot AS (
+        |  SELECT e.event_type, e.hod, count(*)::BIGINT AS n_hot
+        |  FROM ev e JOIN prof p ON p.event_type = e.event_type AND p.hod = e.hod
+        |  WHERE e.value > 2.0 * p.mu GROUP BY 1, 2)
+        |SELECT p.event_type, p.hod, p.n,
+        |  floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mean6,
+        |  coalesce(h.n_hot, 0)::BIGINT AS n_hot
+        |FROM prof p LEFT JOIN hot h
+        |  ON h.event_type = p.event_type AND h.hod = p.hod
+        |ORDER BY p.event_type, p.hod""".stripMargin)),
+
+    QueryDef(
+      "d42_label_centroids",
+      withTables { (s, _) =>
+        // per-label embedding centroids (class centroids — the SemDedup/
+        // IVF seeding primitive as a standalone op): elementwise mean over
+        // the label's vectors. Float discipline: each element lands on the
+        // 1e-6 grid as an exact BIGINT first, sums are integer-exact (no
+        // double-summation order sensitivity — the reason a naive avg()
+        // can never hash cross-engine), and the mean is one exact division.
+        // Scale shape: posexplode → narrow (label, dim, long) shuffle with
+        // map-side partial sums; output is |labels| × dim rows. 1-based
+        // DuckDB subscripts align via dim = i - 1.
+        val e = s.table("embeddings")
+          .select(col("label").cast("bigint").as("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "el")))
+          .select(col("label"), col("dim").cast("bigint").as("dim"),
+            floor(col("el") * lit(1000000.0) + lit(0.5)).cast("long").as("s6"))
+        e.groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum("s6").as("sum6"))
+          .select(col("label"), col("dim"), col("n"), col("sum6"),
+            (col("sum6").cast("double") / col("n") / lit(1000000.0)).as("mean6"))
+          .orderBy("label", "dim")
+      },
+      Some("""SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+        |  count(*)::BIGINT AS n,
+        |  cast(sum(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS BIGINT) AS sum6,
+        |  cast(sum(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT) AS BIGINT)::DOUBLE
+        |    / count(*) / 1000000.0 AS mean6
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       "q99_timezone_convert",
       withTables { (s, _) =>
         // time-zone conversion parity (both sessions pinned UTC): Spark's
@@ -5370,6 +5450,41 @@ object OpsEntry {
           .orderBy("node")
       },
       Some(kCoreOracle(3, 6))),
+
+    QueryDef(
+      "g07_bfs_hops",
+      withTables { (s, _) =>
+        // single-source BFS shortest paths on the co-purchase bipartite
+        // graph (g06's graph), bounded at 4 hops, seeded at the smallest
+        // order node — the reachability/radius primitive (contamination
+        // spread, link-farm neighborhoods). Frontier-filtered rounds: each
+        // join carries only the nodes FIRST discovered last round, so work
+        // tracks the BFS wavefront; all-integer distances, unrolled
+        // level-set oracle (min hop per node) hash-exact.
+        val li = s.table("lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        val seed = li.agg((min("l_orderkey") * 2).cast("long").as("node"))
+        GraphOps.shortestPaths(edges, "src", "dst", seed, maxHops = 4)
+          .select(col("node"), col("dist").cast("bigint").as("dist"))
+          .orderBy("node")
+      },
+      Some("""WITH raw AS (
+        |  SELECT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d FROM lineitem),
+        |und AS (
+        |  SELECT s AS src, d AS dst FROM raw UNION SELECT d, s FROM raw),
+        |l0 AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem)::BIGINT AS node),
+        |l1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM und e JOIN l0 ON l0.node = e.src),
+        |l2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM und e JOIN l1 ON l1.node = e.src),
+        |l3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM und e JOIN l2 ON l2.node = e.src),
+        |l4 AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM und e JOIN l3 ON l3.node = e.src)
+        |SELECT node, cast(min(dist) AS BIGINT) AS dist FROM (
+        |  SELECT node, 0 AS dist FROM l0
+        |  UNION ALL SELECT node, 1 FROM l1
+        |  UNION ALL SELECT node, 2 FROM l2
+        |  UNION ALL SELECT node, 3 FROM l3
+        |  UNION ALL SELECT node, 4 FROM l4)
+        |GROUP BY node ORDER BY node""".stripMargin)),
 
     QueryDef(
       "g04_label_propagation",

@@ -295,6 +295,51 @@ object GraphOps {
     lastDeg
   }
 
+  /** Single-source BFS shortest paths over the undirected edge set,
+    * bounded at `maxHops` (Bellman-Ford-style level-synchronous BFS —
+    * the unweighted special case): round h joins the (h−1)-frontier
+    * against the edge list and a min-aggregation keeps each node's first
+    * discovery hop. Bounded hops keep the computation a pure function of
+    * the edge set (the cross-engine-checkable termination rule shared by
+    * [[pageRank]]/[[kCore]]); all-integer distances make the unrolled
+    * level-set oracle hash-exact.
+    *
+    * Scale shape: per round ONE equi-join of the frontier (dist = h−1
+    * rows only) against the edge layout fixed once + one min-agg; the
+    * frontier filter means work tracks the BFS wavefront, not the
+    * accumulated reach. Returns `(node, dist)` for every node reached
+    * within maxHops.
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seed: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20,
+      s"shortestPaths: maxHops must be in [1,20], got $maxHops")
+    require(seed.columns.toSeq == Seq("node"),
+      s"shortestPaths: seed must have exactly one column 'node', got ${seed.columns.mkString(",")}")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val und = raw.select(col("s").as("src"), col("d").as("dst"))
+      .union(raw.select(col("d").as("src"), col("s").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var dist = seed.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+    for (h <- 1 to maxHops) {
+      val next = und
+        .join(dist.where(col("dist") === (h - 1)).withColumnRenamed("node", "src")
+          .select("src"), "src")
+        .select(col("dst").as("node"), lit(h.toLong).as("dist"))
+      dist = dist.unionByName(next).groupBy("node").agg(min("dist").as("dist"))
+      if (h % 2 == 0 && h < maxHops) dist = dist.localCheckpoint(false)
+    }
+    dist
+  }
+
   def pageRankTopK(
       edges: DataFrame,
       srcCol: String,

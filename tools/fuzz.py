@@ -350,7 +350,12 @@ def regexop_stage():
         if op == "notglob":
             return f"where not ({col} glob '{pat}')"
     else:
-        pat = rnd.choice(["[AN]", "A|R", "[^N]", "N.*", ".", "[NRF]?"])
+        # backslash classes included since r12: DuckDB literals carry the
+        # backslash raw and graft re-embeds it doubled for Spark's literal
+        # unescape (PsqlRewriter.reEmbed) — \w matches the single-char flag
+        # values, \d never does, so both polarities fuzz differentially
+        pat = rnd.choice(["[AN]", "A|R", "[^N]", "N.*", ".", "[NRF]?",
+                          "\\w", "\\d", "\\w+", "\\D"])
     return f"where {col} {op} '{pat}'"
 
 
