@@ -4438,6 +4438,35 @@ object OpsEntry {
         |ORDER BY p_partkey""".stripMargin)),
 
     QueryDef(
+      "q100_range_battery",
+      withTables { (s, _) =>
+        // DuckDB range(): generate_series' EXCLUSIVE-stop sibling, table
+        // form (FROM position, column named range) and scalar form (a
+        // BIGINT list). Probed DuckDB 1.0 edges all exercised: range(1,1)
+        // = [] (exclusive empty), direction mismatch = [] where Spark's
+        // sequence() throws, step 0 = [], 1-arg = [0..n), and 1-arg
+        // generate_series (inclusive) rides along. functions.GraftSeries
+        // re-expresses the exclusive stop as an inclusive stop-minus-
+        // signum(step) bound, so the plan stays one codegen'd Sequence.
+        // Same spellings run natively on DuckDB.
+        Psqlish(s, """from range(2, 41, 3) |>
+          |select range as n,
+          |  cast(to_json(range(1, range % 5)) as varchar) as lst,
+          |  cast(to_json(range(range, 1, -4)) as varchar) as back,
+          |  cast(to_json(range(range % 7)) as varchar) as one_arg,
+          |  cast(to_json(range(1, range % 6, 0)) as varchar) as zstep,
+          |  cast(to_json(generate_series(range % 6)) as varchar) as gs1 |>
+          |order by n""".stripMargin)
+      },
+      Some("""SELECT range AS n,
+        |  cast(to_json(range(1, range % 5)) AS varchar) AS lst,
+        |  cast(to_json(range(range, 1, -4)) AS varchar) AS back,
+        |  cast(to_json(range(range % 7)) AS varchar) AS one_arg,
+        |  cast(to_json(range(1, range % 6, 0)) AS varchar) AS zstep,
+        |  cast(to_json(generate_series(range % 6)) AS varchar) AS gs1
+        |FROM range(2, 41, 3) ORDER BY n""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

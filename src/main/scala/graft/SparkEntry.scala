@@ -452,7 +452,7 @@ object SparkEntry {
     QueryDef(
       "q35_range_series",
       psql("""from range(1, 11) |>
-        |select id as n, id * id as sq |>
+        |select range as n, range * range as sq |>
         |order by n""".stripMargin),
       Some("SELECT range AS n, range * range AS sq FROM range(1, 11) ORDER BY n")),
 

@@ -94,8 +94,23 @@ case class GraftLen(child: Expression) extends Expression {
   * THROWS "illegal sequence boundaries". Integral inputs normalize to
   * BIGINT (DuckDB's output type); date/timestamp/interval series delegate
   * to Sequence untouched (their direction semantics already agree).
-  * Dispatch and delegation mechanics as [[GraftSubscript]]. */
-case class GraftSeries(start: Expression, stop: Expression, step: Expression)
+  * Dispatch and delegation mechanics as [[GraftSubscript]].
+  *
+  * `exclusive = true` is DuckDB's sibling `range(a, b[, s])` — the stop
+  * bound is EXCLUDED (probed on DuckDB 1.0: `range(5)` = [0..4],
+  * `range(2,5)` = [2,3,4], `range(5,2,-1)` = [5,4,3], `range(2,2)` = [],
+  * `range(1,5,0)` = [], NULL bound/step → NULL, output BIGINT[]). For
+  * integral inputs the exclusive stop is re-expressed as an inclusive
+  *  bound at `stop - signum(step)` — integer series can never land
+  * between the two — so the hot path stays one pure codegen'd Sequence.
+  * Temporal series (date/timestamp + interval step) instead drop a
+  * trailing element equal to `stop` via ArrayRemove (a monotonic
+  * sequence can only contain `stop` as its last element); note DuckDB
+  * emits TIMESTAMP[] for date ranges where Spark's Sequence keeps
+  * DATE[] — same instants, different physical type (documented
+  * divergence, same as the inclusive form). */
+case class GraftSeries(start: Expression, stop: Expression, step: Expression,
+    exclusive: Boolean = false)
   extends Expression {
   override def children: Seq[Expression] = Seq(start, stop, step)
   override protected def withNewChildrenInternal(
@@ -109,18 +124,26 @@ case class GraftSeries(start: Expression, stop: Expression, step: Expression)
   private lazy val delegate: Expression = (start.dataType, stop.dataType) match {
     case (a, b) if integral(a) && integral(b) =>
       val a = Cast(start, LongType)
-      val b = Cast(stop, LongType)
+      val b0 = Cast(stop, LongType)
       val st = Cast(step, LongType)
+      // exclusive (range): largest reachable element is < stop, so the
+      // equivalent inclusive bound is stop-1 for ascent, stop+1 for
+      // descent; step 0 falls through both direction guards to []
+      val b = if (!exclusive) b0
+        else If(GreaterThan(st, Literal(0L)),
+          Subtract(b0, Literal(1L)), Add(b0, Literal(1L)))
       val directionOk = Or(
         And(GreaterThan(st, Literal(0L)), LessThanOrEqual(a, b)),
         And(LessThan(st, Literal(0L)), GreaterThanOrEqual(a, b)))
       // NULL bound/step → NULL result (DuckDB and Spark sequence agree).
       // Without the explicit guard, a NULL directionOk predicate would fall
       // into If's false branch and silently yield [] instead of NULL.
-      val anyNull = Or(Or(IsNull(a), IsNull(b)), IsNull(st))
+      val anyNull = Or(Or(IsNull(a), IsNull(b0)), IsNull(st))
       If(anyNull, Literal.create(null, ArrayType(LongType)),
         If(directionOk, new Sequence(a, b, Some(st), None),
           Literal.create(Array.empty[Long], ArrayType(LongType))))
+    case _ if exclusive =>
+      ArrayRemove(new Sequence(start, stop, Some(step), None), stop)
     case _ => new Sequence(start, stop, Some(step), None)
   }
 

@@ -175,11 +175,32 @@ object Psql {
       FunctionIdentifier("graft_series"),
       new ExpressionInfo("graft.psql.Psql", "graft_series"),
       (children: Seq[Expression]) => children match {
+        case Seq(b)       => graft.functions.GraftSeries(
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), b,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L))
         case Seq(a, b)    => graft.functions.GraftSeries(a, b,
           org.apache.spark.sql.catalyst.expressions.Literal(1L))
         case Seq(a, b, s) => graft.functions.GraftSeries(a, b, s)
         case other => throw new IllegalArgumentException(
-          s"generate_series takes 2 or 3 arguments, got ${other.length}")
+          s"generate_series takes 1 to 3 arguments, got ${other.length}")
+      })
+    // DuckDB `range(a, b[, s])` — generate_series with an EXCLUSIVE stop
+    // (range(5) = [0,1,2,3,4]); same NULL/direction-mismatch edges. The
+    // scalar name routes here via functionAliases ("range" → "graft_range"
+    // only when followed by '('), the table form via rewriteSeriesFns —
+    // Spark's own range() is table-valued only, so nothing is shadowed.
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_range"),
+      new ExpressionInfo("graft.psql.Psql", "graft_range"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b)       => graft.functions.GraftSeries(
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), b,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), exclusive = true)
+        case Seq(a, b)    => graft.functions.GraftSeries(a, b,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), exclusive = true)
+        case Seq(a, b, s) => graft.functions.GraftSeries(a, b, s, exclusive = true)
+        case other => throw new IllegalArgumentException(
+          s"range takes 1 to 3 arguments, got ${other.length}")
       })
   }
 

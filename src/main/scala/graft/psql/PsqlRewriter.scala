@@ -1287,35 +1287,44 @@ object PsqlRewriter {
     text
   }
 
-  /** FROM-position `generate_series(a, b[, s])` — DuckDB's table form,
-    * column named `generate_series` — becomes an exploded scalar series
-    * subquery. Runs on the stage from-suffix only (scalar positions go
-    * through the functionAliases mapping to graft_series instead). */
+  /** FROM-position `generate_series(a, b[, s])` / `range(a, b[, s])` —
+    * DuckDB's table forms, output column named after the function —
+    * become exploded scalar-series subqueries. Runs on the stage
+    * from-suffix only (scalar positions go through the functionAliases
+    * mapping to graft_series / graft_range instead). */
   private[psql] def rewriteSeriesFns(text0: String): String = {
     var text = text0
     var guard = 0
+    val seriesFns = Seq("generate_series" -> "graft_series", "range" -> "graft_range")
     while (guard < 100) {
       guard += 1
       val sc = scan(text)
       var i = 0
       var hit = -1
+      var hitName = ""
+      var hitTarget = ""
       while (hit < 0 && i < text.length) {
-        if (sc.code(i) && matchesWord(text, i, "generate_series") && {
-          val open = nextCode(text, sc, i + "generate_series".length)
-          open >= 0 && text.charAt(open) == '('
-        } && {
-          // TABLE position only: directly after FROM, JOIN, or a from-list
-          // comma — a scalar generate_series inside a subquery in the
-          // suffix must stay scalar (the functionAliases path covers it)
-          var p = i - 1
-          while (p >= 0 && Character.isWhitespace(text.charAt(p))) p -= 1
-          p < 0 || (sc.code(p) && (text.charAt(p) == ',' ||
-            matchesWord(text, p - 3, "from") || matchesWord(text, p - 3, "join")))
-        }) hit = i
-        else i += 1
+        val m = seriesFns.find { case (name, _) =>
+          sc.code(i) && matchesWord(text, i, name) && {
+            val open = nextCode(text, sc, i + name.length)
+            open >= 0 && text.charAt(open) == '('
+          } && {
+            // TABLE position only: directly after FROM, JOIN, or a from-list
+            // comma — a scalar series call inside a subquery in the
+            // suffix must stay scalar (the functionAliases path covers it)
+            var p = i - 1
+            while (p >= 0 && Character.isWhitespace(text.charAt(p))) p -= 1
+            p < 0 || (sc.code(p) && (text.charAt(p) == ',' ||
+              matchesWord(text, p - 3, "from") || matchesWord(text, p - 3, "join")))
+          }
+        }
+        m match {
+          case Some((name, target)) => hit = i; hitName = name; hitTarget = target
+          case None                 => i += 1
+        }
       }
       if (hit < 0) return text
-      val open = nextCode(text, sc, hit + "generate_series".length)
+      val open = nextCode(text, sc, hit + hitName.length)
       var k = open + 1
       var d = 1
       while (d > 0 && k < text.length) {
@@ -1328,7 +1337,7 @@ object PsqlRewriter {
       if (d > 0) return text
       val args = text.substring(open + 1, k - 1)
       text = text.substring(0, hit) +
-        s"(select explode(graft_series($args)) as generate_series)" +
+        s"(select explode($hitTarget($args)) as $hitName)" +
         text.substring(k)
     }
     text
@@ -2062,6 +2071,10 @@ object PsqlRewriter {
     // (functions.GraftSeries); the FROM-position table form is rewritten
     // separately in assembleStage
     "generate_series" -> "graft_series",
+    // exclusive-stop sibling of generate_series (range(5) = [0..4]); fires
+    // only on `range(`, so RANGE window frames (never parenthesized after
+    // the keyword) and columns named range are untouched
+    "range" -> "graft_range",
     // DuckDB argmax family ≡ Spark max_by/min_by (same arg order/semantics)
     "arg_max" -> "max_by",
     "argmax" -> "max_by",

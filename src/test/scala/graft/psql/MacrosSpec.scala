@@ -44,7 +44,7 @@ class MacrosSpec extends SparkSpec {
     val p = freshPsql
     p.sql("CREATE MACRO nums_t5(n) AS TABLE SELECT id AS r FROM range(n)")
     assert(p.sql("SELECT count(*) AS c FROM nums_t5(3)").collect().toSeq == Seq(Row(3L)))
-    p.sql("CREATE MACRO piped_t5(n) AS TABLE (from range(n) |> select id * 2 as d)")
+    p.sql("CREATE MACRO piped_t5(n) AS TABLE (from range(n) |> select range * 2 as d)")
     assert(p.sql("from piped_t5(2) |> select cast(sum(d) as int) as s").collect().toSeq ==
       Seq(Row(2)))
   }

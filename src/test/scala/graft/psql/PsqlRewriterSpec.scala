@@ -335,6 +335,44 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(sn3.isNullAt(0), sn3)
   }
 
+  test("range(): exclusive stop, table + scalar forms, probed DuckDB edges") {
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    def lst(expr: String): Seq[Long] =
+      psql.sql(s"from (select 1 as x) t |> select $expr as g")
+        .collect()(0).getSeq[Long](0)
+    // probed on DuckDB 1.0: range(5)=[0..4], range(2,5)=[2,3,4],
+    // range(5,2,-1)=[5,4,3], range(8,1,-3)=[8,5,2], range(2,2)=[],
+    // range(5,2)=[], range(1,5,0)=[]
+    assert(lst("range(5)") == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(lst("range(2, 5)") == Seq(2L, 3L, 4L))
+    assert(lst("range(5, 2, -1)") == Seq(5L, 4L, 3L))
+    assert(lst("range(8, 1, -3)") == Seq(8L, 5L, 2L))
+    assert(lst("range(2, 2)") == Seq.empty)
+    assert(lst("range(5, 2)") == Seq.empty)
+    assert(lst("range(1, 5, 0)") == Seq.empty)
+    // NULL bound → NULL (same guard as generate_series)
+    val rn = psql.sql(
+      "from (select 1 as x) t |> select range(cast(null as int), 5) as g").collect()(0)
+    assert(rn.isNullAt(0), rn)
+    // 1-arg generate_series is INCLUSIVE: generate_series(3)=[0,1,2,3]
+    assert(lst("generate_series(3)") == Seq(0L, 1L, 2L, 3L))
+    // table form: column is named range, stop excluded
+    val t = psql.sql("from range(2, 11, 4) |> order by range")
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(2L, 6L, 10L))
+    // a column named range is NOT a function call; RANGE frames untouched
+    val c = psql.sql("from range(3) |> select range * 10 as v |> order by v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c == Seq(0L, 10L, 20L))
+    val w = psql.sql("""from range(3) |> select cast(sum(range) over
+      |(order by range range between 1 preceding and current row) as long) as s
+      ||> order by s""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(w == Seq(0L, 1L, 3L))
+  }
+
   test("regex-operator patterns keep their backslashes through the rewrite") {
     // DuckDB string literals carry backslashes RAW; the rewritten text is
     // parsed by Spark (escapedStringLiterals=false) which unescapes — the
