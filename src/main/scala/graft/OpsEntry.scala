@@ -4467,6 +4467,48 @@ object OpsEntry {
         |FROM range(2, 41, 3) ORDER BY n""".stripMargin)),
 
     QueryDef(
+      "q101_cast_semantics",
+      withTables { (s, _) =>
+        // DuckDB numeric-cast semantics battery (functions.GraftCast):
+        // every column is a probed SILENT cross-engine divergence —
+        // double→int rounds HALF-EVEN where Spark truncates, decimal→int
+        // rounds HALF-AWAY, string→int takes DuckDB's grammar (fractional
+        // strings round, 0x hex, 0b binary, _ digit separators — Spark
+        // NULLs all four), boolean strings are an untrimmed member set
+        // ('O' → NULL, 'F' → false where Spark accepts more spellings).
+        // l_quantity is integer-valued 1..50, so +0.5 lands EXACTLY on
+        // the rounding boundary in both engines. Same spellings run
+        // natively on DuckDB.
+        Psqlish(s, """from lineitem |>
+          |where l_orderkey <= 600 |>
+          |select l_orderkey, l_linenumber,
+          |  cast(cast(cast(l_quantity as double) + 0.5 as int) as int) as half_even,
+          |  cast(cast(l_quantity as decimal(12,2)) + 0.5 as int) as half_away,
+          |  cast(-(cast(l_quantity as double) + 0.5) as int) as neg_even,
+          |  cast(cast(cast(l_quantity as bigint) as varchar) || '.5' as int) as str_round,
+          |  cast(concat('0x', printf('%x', l_partkey)) as bigint) as hex_rt,
+          |  cast(concat('0b', bin(l_linenumber)) as bigint) as bin_rt,
+          |  cast(cast(l_orderkey as varchar) || '_' || '00' as bigint) as under_sep,
+          |  cast(try_cast(l_linestatus as boolean) as varchar) as ls_bool,
+          |  try_cast(l_extendedprice as tinyint) as overflow_null,
+          |  try_cast(l_quantity as tinyint) as qty_i8 |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  cast(cast(cast(l_quantity AS double) + 0.5 AS int) AS int) AS half_even,
+        |  cast(cast(l_quantity AS decimal(12,2)) + 0.5 AS int) AS half_away,
+        |  cast(-(cast(l_quantity AS double) + 0.5) AS int) AS neg_even,
+        |  cast(cast(cast(l_quantity AS bigint) AS varchar) || '.5' AS int) AS str_round,
+        |  cast(concat('0x', printf('%x', l_partkey)) AS bigint) AS hex_rt,
+        |  cast(concat('0b', bin(l_linenumber)) AS bigint) AS bin_rt,
+        |  cast(cast(l_orderkey AS varchar) || '_' || '00' AS bigint) AS under_sep,
+        |  cast(try_cast(l_linestatus AS boolean) AS varchar) AS ls_bool,
+        |  try_cast(l_extendedprice AS tinyint) AS overflow_null,
+        |  try_cast(l_quantity AS tinyint) AS qty_i8
+        |FROM lineitem WHERE l_orderkey <= 600
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

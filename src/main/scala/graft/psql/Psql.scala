@@ -202,6 +202,26 @@ object Psql {
         case other => throw new IllegalArgumentException(
           s"range takes 1 to 3 arguments, got ${other.length}")
       })
+    // DuckDB-semantics CAST/TRY_CAST to integer/boolean targets (the
+    // rewriter routes those target types here): double→int rounds
+    // half-even where Spark truncates, decimal→int rounds half-away,
+    // string→int takes DuckDB's grammar (hex/binary/underscores/decimal-
+    // string rounding) where Spark NULLs — functions.GraftCast probes
+    // documented at the expression. Target type rides in a string literal
+    // (one registration instead of ten).
+    def regCast(name: String, tryMode: Boolean): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.psql.Psql", name),
+        (children: Seq[Expression]) => children match {
+          case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(
+              t: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            graft.functions.GraftCast(e, t.toString, tryMode)
+          case other => throw new IllegalArgumentException(
+            s"$name takes (expr, 'type literal'), got ${other.length} args")
+        })
+    regCast("graft_cast", tryMode = false)
+    regCast("graft_try_cast", tryMode = true)
   }
 
   /** Full front-end preprocessing: multi-statement guard → pipe/block

@@ -1343,6 +1343,72 @@ object PsqlRewriter {
     text
   }
 
+  /** CAST / TRY_CAST with an integer or boolean target → graft_cast /
+    * graft_try_cast (functions.GraftCast): DuckDB's numeric-cast semantics
+    * differ from Spark's SILENTLY — double→int rounds half-even where
+    * Spark truncates, decimal→int rounds half-away, string→int takes the
+    * full DuckDB grammar ('3.9' → 4, '0x1A' → 26, '1_000' → 1000) where
+    * Spark NULLs/errors, boolean strings are untrimmed members of
+    * {true,false,t,f,1,0}. Other targets (varchar, double, date, …)
+    * pass through: those casts already agree cross-engine. Array types
+    * (`int[]`) and parameterized types (`decimal(4,1)`) are not single
+    * target words and pass through untouched.
+    */
+  private val graftCastTargets: Set[String] = Set(
+    "tinyint", "int1", "smallint", "int2", "short", "int", "int4",
+    "integer", "signed", "bigint", "int8", "long", "bool", "boolean")
+
+  private[psql] def rewriteCasts(text0: String): String = {
+    var text = text0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val sc = scan(text)
+      var i = 0
+      var changed = false
+      while (!changed && i < text.length) {
+        val fn =
+          if (sc.code(i) && matchesWord(text, i, "try_cast")) Some(("try_cast", "graft_try_cast"))
+          else if (sc.code(i) && matchesWord(text, i, "cast")) Some(("cast", "graft_cast"))
+          else None
+        fn match {
+          case Some((word, target)) =>
+            val open = nextCode(text, sc, i + word.length)
+            if (open >= 0 && text.charAt(open) == '(') {
+              var k = open + 1
+              var d = 1
+              while (d > 0 && k < text.length) {
+                if (sc.code(k)) {
+                  if (text.charAt(k) == '(') d += 1
+                  else if (text.charAt(k) == ')') d -= 1
+                }
+                k += 1
+              }
+              if (d == 0) {
+                val body = text.substring(open + 1, k - 1)
+                val bsc = scan(body)
+                topLevelKeyword(body, bsc, Seq("as")).lastOption match {
+                  case Some(asPos) =>
+                    val typeText = body.substring(asPos + 2).trim
+                      .toLowerCase(java.util.Locale.ROOT)
+                    if (graftCastTargets.contains(typeText)) {
+                      val expr = body.substring(0, asPos).trim
+                      text = text.substring(0, i) +
+                        s"$target($expr, '$typeText')" + text.substring(k)
+                      changed = true
+                    } else i = open + 1 // non-target cast: scan INSIDE it
+                  case None => i = open + 1
+                }
+              } else i += 1
+            } else i += 1
+          case None => i += 1
+        }
+      }
+      if (!changed) return text
+    }
+    text
+  }
+
   /** C-style strftime format → Spark datetime pattern. Alphabetic
     * LITERALS must be quoted on the Java side (an unquoted `T` is a
     * pattern letter there, a literal in C), quotes double. `%-X` is the
@@ -2451,6 +2517,7 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString)))))
+    rewriteCasts(
+      rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString))))))
   }
 }

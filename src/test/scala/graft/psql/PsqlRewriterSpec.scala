@@ -373,6 +373,62 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(w == Seq(0L, 1L, 3L))
   }
 
+  test("cast semantics: DuckDB rounding/grammar for integer+boolean targets") {
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    def one(expr: String): Any =
+      psql.sql(s"from (select 1 as x) t |> select $expr as v").collect()(0).get(0)
+    // DOUBLE → int: half-even (probed: 2.5::DOUBLE → 2, 3.5 → 4, -2.5 → -2)
+    assert(one("cast(cast(2.5 as double) as int)") == 2)
+    assert(one("cast(cast(3.5 as double) as int)") == 4)
+    assert(one("cast(cast(-2.5 as double) as int)") == -2)
+    assert(one("cast(cast(3.7 as double) as int)") == 4)
+    // DECIMAL → int: half away from zero (probed: 2.5 → 3, -2.5 → -3)
+    assert(one("cast(2.5 as int)") == 3)
+    assert(one("cast(-2.5 as int)") == -3)
+    // STRING → int: DuckDB grammar (probed: '3.9' → 4, '.5' → 1,
+    // '1e3' → 1000, '0x1A' → 26, '0b101' → 5, '1_000' → 1000, trim ok)
+    assert(one("cast('3.9' as int)") == 4)
+    assert(one("cast('.5' as int)") == 1)
+    assert(one("cast('-4.5' as int)") == -5)
+    assert(one("cast('1e3' as int)") == 1000)
+    assert(one("cast('0x1A' as int)") == 26)
+    assert(one("cast('0b101' as int)") == 5)
+    assert(one("cast('1_000' as int)") == 1000)
+    assert(one("cast('  42  ' as bigint)") == 42L)
+    // TRY versions NULL the failures (probed: '-0x10', 'abc', overflow,
+    // '12,3', '_1', '1__0' all NULL; '9223372036854775808' overflows)
+    assert(one("try_cast('-0x10' as int)") == null)
+    assert(one("try_cast('abc' as int)") == null)
+    assert(one("try_cast('12,3' as int)") == null)
+    assert(one("try_cast('_1' as int)") == null)
+    assert(one("try_cast('1__0' as int)") == null)
+    assert(one("try_cast('300' as tinyint)") == null)
+    assert(one("try_cast('9223372036854775808' as bigint)") == null)
+    assert(one("try_cast('9223372036854775807' as bigint)") == Long.MaxValue)
+    assert(one("try_cast(cast(1e19 as double) as bigint)") == null)
+    assert(one("try_cast(cast('NaN' as double) as int)") == null)
+    // strict failures THROW (DuckDB Conversion Error ≙ engine error)
+    intercept[Exception] { one("cast('abc' as int)") }
+    // BOOLEAN strings: untrimmed member set, case-insensitive (probed:
+    // ' true ' and 'yes' are errors where Spark would accept them)
+    assert(one("cast('tRuE' as boolean)") == true)
+    assert(one("cast('F' as boolean)") == false)
+    assert(one("try_cast(' true ' as boolean)") == null)
+    assert(one("try_cast('yes' as boolean)") == null)
+    // numeric → boolean: nonzero true (delegated; engines agree)
+    assert(one("cast(cast(0.4 as double) as boolean)") == true)
+    assert(one("cast(0 as boolean)") == false)
+    // pass-through targets unaffected; nested casts inside skipped outer
+    // casts are still rewritten
+    assert(one("cast(cast(2.5 as double) as varchar)") == "2.5")
+    assert(one("cast(cast(cast(3.7 as double) as int) as varchar)") == "4")
+    // integral sources delegate to plain Cast — identical to before
+    assert(one("cast(41 as bigint)") == 41L)
+    assert(one("cast(cast(7 as bigint) as int)") == 7)
+  }
+
   test("regex-operator patterns keep their backslashes through the rewrite") {
     // DuckDB string literals carry backslashes RAW; the rewritten text is
     // parsed by Spark (escapedStringLiterals=false) which unescapes — the
