@@ -1164,8 +1164,11 @@ object OpsEntry {
           .groupBy("vec_id")
           .agg(flatten(transform(array_sort(collect_list(struct(col("s"), col("cent")))),
             x => x.getField("cent"))).as("dv"))
-        val scored = unit.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        // query side is 10 rows by construction — broadcast it explicitly
+        // so no AQE change can turn the PQ linear scan into a shuffled
+        // cartesian (plan pinned in PlanQualitySpec)
+        val scored = broadcast(unit.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
           .crossJoin(dv.select(col("vec_id").as("neighbor_id"), col("dv")))
           .where(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
@@ -4505,6 +4508,44 @@ object OpsEntry {
         |  cast(try_cast(l_linestatus AS boolean) AS varchar) AS ls_bool,
         |  try_cast(l_extendedprice AS tinyint) AS overflow_null,
         |  try_cast(l_quantity AS tinyint) AS qty_i8
+        |FROM lineitem WHERE l_orderkey <= 600
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q102_colon_cast_semantics",
+      withTables { (s, _) =>
+        // `x::T` is the SAME operation as CAST(x AS T) in DuckDB — the two
+        // spellings must not diverge. Without rewriteColonCasts the `::`
+        // forms fell through to Spark's truncating Cast ('3.9'::int = NULL
+        // while cast('3.9' as int) = 4); every column here is the q101
+        // battery re-spelled double-colon, plus a left-to-right chain
+        // (::int::varchar casts the INT result) and a fractional
+        // underscore string. Non-target types in the chains (::double,
+        // ::decimal(12,2), ::varchar) ride Spark's native `::` untouched.
+        Psqlish(s, """from lineitem |>
+          |where l_orderkey <= 600 |>
+          |select l_orderkey, l_linenumber,
+          |  ((l_quantity::double + 0.5)::int)::int as half_even,
+          |  (l_quantity::decimal(12,2) + 0.5)::int as half_away,
+          |  (-(l_quantity::double + 0.5))::int as neg_even,
+          |  ((l_quantity::bigint)::varchar || '.5')::int as str_round,
+          |  concat('0x', printf('%x', l_partkey))::bigint as hex_rt,
+          |  ((l_orderkey)::varchar || '_' || '00')::bigint as under_sep,
+          |  ((l_quantity::bigint)::varchar || '_' || '25.5')::int as under_frac,
+          |  ((l_quantity::double + 0.5)::int)::varchar as chain_str,
+          |  ((l_linenumber % 2)::boolean)::varchar as par_bool |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  ((l_quantity::double + 0.5)::int)::int AS half_even,
+        |  (l_quantity::decimal(12,2) + 0.5)::int AS half_away,
+        |  (-(l_quantity::double + 0.5))::int AS neg_even,
+        |  ((l_quantity::bigint)::varchar || '.5')::int AS str_round,
+        |  concat('0x', printf('%x', l_partkey))::bigint AS hex_rt,
+        |  ((l_orderkey)::varchar || '_' || '00')::bigint AS under_sep,
+        |  ((l_quantity::bigint)::varchar || '_' || '25.5')::int AS under_frac,
+        |  ((l_quantity::double + 0.5)::int)::varchar AS chain_str,
+        |  ((l_linenumber % 2)::boolean)::varchar AS par_bool
         |FROM lineitem WHERE l_orderkey <= 600
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 

@@ -73,15 +73,31 @@ object GraftCastUtil {
     try {
       val v: java.math.BigDecimal =
         if (radix != 10) {
-          val digits = t.substring(2).replace("_", "")
-          if (digits.isEmpty) return bad()
-          new java.math.BigDecimal(new java.math.BigInteger(digits, radix))
+          // `_` separators strictly BETWEEN digits ('0x_1A', '0xFF_' are
+          // errors in DuckDB, same rule as the radix-10 grammar)
+          val raw = t.substring(2)
+          val dre = if (radix == 16) "[0-9A-Fa-f](?:_?[0-9A-Fa-f])*"
+                    else "[01](?:_?[01])*"
+          if (!raw.matches(dre)) return bad()
+          new java.math.BigDecimal(new java.math.BigInteger(raw.replace("_", ""), radix))
         } else {
-          // `_` digit separators are legal between digits only
-          if (t.contains("_") && !t.matches("[+-]?[0-9](_?[0-9])*")) return bad()
+          // `_` digit separators are legal between digits only, in the
+          // integer, fractional, AND exponent parts ('1_000.5', '1.2e1_0')
+          if (t.contains("_") && !t.matches(
+            "[+-]?(?:[0-9](?:_?[0-9])*(?:\\.(?:[0-9](?:_?[0-9])*)?)?|\\.[0-9](?:_?[0-9])*)(?:[eE][+-]?[0-9](?:_?[0-9])*)?"))
+            return bad()
           new java.math.BigDecimal(t.replace("_", ""))
         }
-      val rounded = v.setScale(0, java.math.RoundingMode.HALF_UP) // away from zero
+      // reject/short-circuit BEFORE setScale: a huge-exponent input like
+      // '1e2000000000' ('1e-2000000000') would otherwise materialize a
+      // billions-of-digits BigInteger (compute 10^2e9) inside setScale
+      // just to fail (round to 0) — CPU/memory blowup on malformed data
+      // where DuckDB simply errors
+      val intDigits = v.precision() - v.scale() // count of integer digits
+      if (intDigits > 19) return bad() // can't fit any 64-bit target
+      val rounded =
+        if (intDigits < 0) java.math.BigDecimal.ZERO // |v| < 0.1 → 0
+        else v.setScale(0, java.math.RoundingMode.HALF_UP) // away from zero
       if (rounded.compareTo(java.math.BigDecimal.valueOf(lo)) < 0 ||
           rounded.compareTo(java.math.BigDecimal.valueOf(hi)) > 0) bad()
       else java.lang.Long.valueOf(rounded.longValueExact())

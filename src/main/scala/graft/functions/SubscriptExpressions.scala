@@ -128,13 +128,22 @@ case class GraftSeries(start: Expression, stop: Expression, step: Expression,
       val st = Cast(step, LongType)
       // exclusive (range): largest reachable element is < stop, so the
       // equivalent inclusive bound is stop-1 for ascent, stop+1 for
-      // descent; step 0 falls through both direction guards to []
+      // descent; step 0 falls through both direction guards to [].
+      // stop-1/stop+1 would WRAP at the Long extremes (range(x,
+      // Long.MinValue) ascending → inclusive bound Long.MaxValue — a
+      // huge/erroring Sequence instead of []); those boundary stops can
+      // only ever mean an empty result, so short-circuit them before
+      // the arithmetic runs
       val b = if (!exclusive) b0
         else If(GreaterThan(st, Literal(0L)),
           Subtract(b0, Literal(1L)), Add(b0, Literal(1L)))
-      val directionOk = Or(
+      val boundOk = if (!exclusive) Literal(true)
+        else Not(Or(
+          And(GreaterThan(st, Literal(0L)), EqualTo(b0, Literal(Long.MinValue))),
+          And(LessThan(st, Literal(0L)), EqualTo(b0, Literal(Long.MaxValue)))))
+      val directionOk = And(boundOk, Or(
         And(GreaterThan(st, Literal(0L)), LessThanOrEqual(a, b)),
-        And(LessThan(st, Literal(0L)), GreaterThanOrEqual(a, b)))
+        And(LessThan(st, Literal(0L)), GreaterThanOrEqual(a, b))))
       // NULL bound/step → NULL result (DuckDB and Spark sequence agree).
       // Without the explicit guard, a NULL directionOk predicate would fall
       // into If's false branch and silently yield [] instead of NULL.

@@ -410,14 +410,23 @@ object Dedup {
     * Approximate by design (recall < 1 for borderline pairs) — hence no SQL
     * oracle; the spec checks recall against [[ngramJaccardPairs]].
     *
-    * `maxBucketSize`: a (band, bucket) holding C docs yields C² candidate
-    * pairs — on a corpus with heavy verbatim replication one hot bucket
-    * becomes a quadratic straggler task at scale. The cap DROPS buckets
-    * larger than it before the candidate self-join (the per-bucket freq is
-    * a narrow count over the banded rows, like [[ngramJaccardPairs]]'
-    * `maxShingleDocFreq`). Lossy by intent: pairs whose every agreeing band
-    * is oversized are missed — at dedup thresholds such docs are verbatim
-    * copies, which exact dedup upstream should have removed first.
+    * `maxBucketSize` (DEFAULT ON at 10 000): a (band, bucket) holding C
+    * docs yields C² candidate pairs from the self-join — on a corpus with
+    * heavy verbatim replication (identical headers/footers across millions
+    * of docs) one hot bucket becomes a quadratic straggler task at 100 TB.
+    * Buckets larger than the cap switch from all-pairs to STAR pairing:
+    * every member links to the bucket's min-id representative only, so a
+    * hot bucket of C docs emits C−1 candidates instead of C²/2, and total
+    * candidate volume is ≤ Σ min(n_b², n_b·cap) — linear in the hot mass.
+    * Recall contract: within a hot bucket, pairs passing through the
+    * representative survive the exact-Jaccard verify whenever both members
+    * are near-dups of the rep — for the boilerplate corpora that create
+    * hot buckets the members ARE verbatim copies, so the downstream
+    * transitive closure ([[neardupClusters]]) recovers the full group from
+    * the star. The loss is a pair similar to EACH OTHER but not to the
+    * rep whose every agreeing band is hot — pathological at dedup
+    * thresholds. The per-bucket occupancy/rep come from one window over
+    * the banded rows, the same (band, bucket) shuffle the self-join needs.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -427,8 +436,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rows = numHashes / bands
     // the whole numHashes-wide signature is computed per row, map-side, by
     // the codegen'd MinHashSigExpr — zero shuffle (round 1 exploded shingle
@@ -447,18 +457,25 @@ object Dedup {
     }
     val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band", "bucket")
-    val banded = maxBucketSize match {
-      case Some(cap) =>
-        val ok = banded0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= cap)
-        banded0.join(ok.select("band", "bucket"), Seq("band", "bucket"))
-      case None => banded0
-    }
-    val cand = banded.as("a").join(banded.as("b"),
+    // one window pass marks each banded row with its bucket's occupancy and
+    // min-id representative — the same (band, bucket) hash layout the
+    // candidate self-join shuffles on
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val marked = banded0
+      .withColumn("__n", count(lit(1)).over(wB))
+      .withColumn("__rep", min("id").over(wB))
+    val normal = marked.where(col("__n") <= maxBucketSize)
+      .select("id", "band", "bucket")
+    val allPairs = normal.as("a").join(normal.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // hot buckets: star pairs to the representative (rep = min id, so the
+    // id_a < id_b invariant holds by construction — no join needed)
+    val starPairs = marked
+      .where(col("__n") > maxBucketSize && col("id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("id").as("id_b"))
+    val cand = allPairs.unionByName(starPairs).distinct()
     // exact-Jaccard verification of the candidates, on hashed shingle sets
     // (intersection cardinality is hash-invariant w.h.p.; long arrays join
     // and intersect far cheaper than text arrays)

@@ -305,10 +305,18 @@ object GraphOps {
     * level-set oracle hash-exact.
     *
     * Scale shape: per round ONE equi-join of the frontier (dist = h−1
-    * rows only) against the edge layout fixed once + one min-agg; the
-    * frontier filter means work tracks the BFS wavefront, not the
-    * accumulated reach. Returns `(node, dist)` for every node reached
-    * within maxHops.
+    * rows only) against the edge layout fixed once, one frontier-sized
+    * distinct, and anti-joins against the PREVIOUS TWO frontiers only —
+    * never the accumulated reach. That exclusion is exact, not a
+    * heuristic: on an undirected graph any neighbor of a node at
+    * distance h−1 has distance in {h−2, h−1, h} (BFS distance to the
+    * seed set is 1-Lipschitz along edges), so a discovery not in
+    * frontier(h−1) ∪ frontier(h−2) is at distance exactly h. Every
+    * exchange therefore carries wavefront-sized data; the settled levels
+    * are unioned ONCE at the end with no re-aggregation (each node
+    * appears in exactly one level). Per-round shuffle volume is
+    * O(|frontier| + edges incident to it), not O(|reach|). Returns
+    * `(node, dist)` for every node reached within maxHops.
     */
   def shortestPaths(
       edges: DataFrame,
@@ -328,16 +336,25 @@ object GraphOps {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(false)
-    var dist = seed.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+    var frontier = seed.select(col("node").cast("long").as("node"))
+      .distinct().localCheckpoint(false)
+    var prevFrontier: DataFrame = null
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.withColumn("dist", lit(0L)))
     for (h <- 1 to maxHops) {
-      val next = und
-        .join(dist.where(col("dist") === (h - 1)).withColumnRenamed("node", "src")
-          .select("src"), "src")
-        .select(col("dst").as("node"), lit(h.toLong).as("dist"))
-      dist = dist.unionByName(next).groupBy("node").agg(min("dist").as("dist"))
-      if (h % 2 == 0 && h < maxHops) dist = dist.localCheckpoint(false)
+      var disc = und
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(frontier, Seq("node"), "left_anti")
+      if (prevFrontier != null)
+        disc = disc.join(prevFrontier, Seq("node"), "left_anti")
+      disc = disc.localCheckpoint(false)
+      prevFrontier = frontier
+      frontier = disc
+      levels += frontier.withColumn("dist", lit(h.toLong))
     }
-    dist
+    levels.reduce(_.unionByName(_))
   }
 
   def pageRankTopK(

@@ -217,7 +217,7 @@ object SniffingDecoder extends MediaDecoder {
   */
 object ImageIoDecoder extends MediaDecoder {
 
-  private def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private[operators] def read(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (bytes == null || bytes.length == 0) None
     else {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(

@@ -375,11 +375,11 @@ object Multimodal {
       iter.map { row =>
         val id = row.getLong(idIdx)
         val bytes = if (row.isNullAt(mediaIdx)) null else row.getAs[Array[Byte]](mediaIdx)
-        val img =
-          if (bytes == null) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+        // Memory-cached decode (the ImageIoDecoder path) — the
+        // ImageIO.read(InputStream) convenience overload would spill every
+        // blob through a temp FILE on the executor (ImageIO's default disk
+        // cache): a per-row disk tax + temp-file churn at scale.
+        val img = ImageIoDecoder.read(bytes).orNull
         if (img == null || img.getWidth < 1 || img.getHeight < 1) Row(id, null, null)
         else {
           val (hi, lo) = MediaDecoder.dHash64(img)

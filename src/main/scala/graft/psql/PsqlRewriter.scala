@@ -1340,7 +1340,10 @@ object PsqlRewriter {
         s"(select explode($hitTarget($args)) as $hitName)" +
         text.substring(k)
     }
-    text
+    // partially rewritten text would silently change series semantics —
+    // the exact cross-engine divergence this pass exists to eliminate
+    throw new IllegalArgumentException(
+      "rewriteSeriesFns: rewrite guard exhausted (>100 series calls in one statement)")
   }
 
   /** CAST / TRY_CAST with an integer or boolean target → graft_cast /
@@ -1406,7 +1409,79 @@ object PsqlRewriter {
       }
       if (!changed) return text
     }
-    text
+    // a partial rewrite would leave the remaining casts on Spark's
+    // truncation semantics — the silent divergence this pass eliminates
+    throw new IllegalArgumentException(
+      "rewriteCasts: rewrite guard exhausted (>200 casts in one statement)")
+  }
+
+  /** Double-colon casts `expr::<target>` for the graftCastTargets set →
+    * `graft_cast(expr, '<target>')`. DuckDB treats `x::int` and
+    * `cast(x AS int)` as the SAME operation, so the two spellings must
+    * not diverge: without this pass `cast('3.9' AS int)` = 4 (GraftCast)
+    * but `'3.9'::int` would fall through to Spark's Cast and yield NULL,
+    * and `3.5::int` would truncate to 3 where DuckDB rounds half-even
+    * to 4. The operand is the maximal primary chain [[arithLeft]]
+    * extracts (identifier/number/call/paren group plus postfix tails,
+    * `::` connectors included — so `x::double::int` casts the DOUBLE
+    * cast's result, matching DuckDB's left-to-right chaining).
+    * Non-target types (`::double`, `::date`, `::varchar`→string) and
+    * array targets (`::int[]`) pass through — those casts already agree
+    * cross-engine. TRY_CAST has no `::` spelling, so `graft_cast` (the
+    * throwing form) is always the right lowering. Chains the scanner
+    * cannot shape pass through to Spark's own parse.
+    */
+  private[psql] def rewriteColonCasts(text0: String): String = {
+    var text = text0
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val sc = scan(text)
+      var i = from
+      var hit = -1
+      while (hit < 0 && i + 1 < text.length) {
+        if (sc.code(i) && text.charAt(i) == ':' && sc.code(i + 1) &&
+            text.charAt(i + 1) == ':') hit = i
+        else i += 1
+      }
+      if (hit < 0) return text
+      // the target type word after `::` (whitespace allowed: `x :: int`)
+      var t = hit + 2
+      while (t < text.length && Character.isWhitespace(text.charAt(t))) t += 1
+      var te = t
+      while (te < text.length && sc.code(te) &&
+          (Character.isLetterOrDigit(text.charAt(te)) || text.charAt(te) == '_')) te += 1
+      val target = text.substring(t, te).toLowerCase(java.util.Locale.ROOT)
+      val after = nextCode(text, sc, te)
+      val arrayTail = after >= 0 && text.charAt(after) == '[' // `::int[]`
+      if (te > t && graftCastTargets.contains(target) && !arrayTail) {
+        // operand start: the arith primary chain, or a string literal
+        // ('3.9'::int) which arithLeft does not shape — the scanner
+        // marks the OPENING quote as code and everything after it in the
+        // literal (escaped '' pairs, closing quote) as non-code, so
+        // walking back over the non-code span lands on the opening quote
+        val operandStart: Option[Int] = arithLeft(text, sc, hit).orElse {
+          var q = hit
+          while (q > 0 && Character.isWhitespace(text.charAt(q - 1))) q -= 1
+          if (q > 0 && text.charAt(q - 1) == '\'' && !sc.code(q - 1)) {
+            var p = q - 1
+            while (p >= 0 && !sc.code(p)) p -= 1
+            if (p >= 0 && text.charAt(p) == '\'') Some(p) else None
+          } else None
+        }
+        operandStart match {
+          case Some(ls) =>
+            val expr = text.substring(ls, hit).trim
+            text = text.substring(0, ls) + s"graft_cast($expr, '$target')" +
+              text.substring(te)
+            from = 0 // operand may span earlier skipped `::`s; re-scan
+          case None => from = te // no usable operand: leave for Spark
+        }
+      } else from = te
+    }
+    throw new IllegalArgumentException(
+      "rewriteColonCasts: rewrite guard exhausted (>10000 `::` casts in one statement)")
   }
 
   /** C-style strftime format → Spark datetime pattern. Alphabetic
@@ -2517,7 +2592,7 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteCasts(
-      rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString))))))
+    rewriteColonCasts(rewriteCasts(
+      rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString)))))))
   }
 }

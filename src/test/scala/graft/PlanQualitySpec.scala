@@ -737,4 +737,38 @@ class PlanQualitySpec extends SparkSpec {
     // the (g,b) observed aggregate is output-sized → broadcast to the spine
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d25 PQ linear scan: 10-row query side broadcasts — never a shuffled cartesian") {
+    val df = SparkEntry.defs.find(_.name == "d25_pq_adc_parity").get.fn(spark, sf)
+    val p = plan(df)
+    // both cross joins (codebook assignment + query×corpus linear scan)
+    // ride broadcast nested-loop; a shuffled CartesianProduct would mean
+    // AQE un-pinned the 10-row side
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("g07 BFS: settled levels union once — no accumulated-reach re-aggregation") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+      .toDF("src", "dst")
+    val seed = Seq(1L).toDF("node")
+    val df = graft.operators.GraphOps.shortestPaths(edges, "src", "dst", seed, maxHops = 3)
+    // correctness on the hand graph: 1→0, 2→1, 3→1 (via the 1-3 edge),
+    // 4→2, 5→3
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L), got)
+    // plan shape: the result is a Union of per-level frontier scans —
+    // each node settles in exactly one level, so there is NO aggregate,
+    // join, or exchange above the levels. The per-round work (expand +
+    // distinct + anti-joins against the previous TWO frontiers only)
+    // lives behind the per-level checkpoints; nothing downstream ever
+    // re-shuffles the accumulated reach.
+    val p = plan(df)
+    assert(p.contains("Union"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+    // one scan per level: hops 0..3
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 4, p)
+  }
 }

@@ -643,18 +643,24 @@ class DedupSpec extends SparkSpec {
 
   test("maxBucketSize bounds the hot-bucket candidate blow-up on a verbatim-replicated corpus") {
     // 200 verbatim copies: every LSH bucket they touch holds all 200 docs,
-    // so the uncapped candidate set is the full C(200,2) — the quadratic
-    // straggler BASELINE.md documents. The cap drops those buckets before
-    // the self-join; the two unique docs are unaffected.
+    // so the all-pairs candidate set is the full C(200,2) — the quadratic
+    // straggler BASELINE.md documents. Hot buckets switch to STAR pairing
+    // (member → min-id representative): 199 linear candidates instead of
+    // 19 900, and the full duplicate group is still recoverable by
+    // transitive closure. The two unique docs are unaffected.
     val copy = (1 to 30).map(i => s"copy$i").mkString(" ")
     val corpus = ((1L to 200L).map(i => (i, copy)) ++ Seq(
       (201L, (1 to 30).map(i => s"uniq$i").mkString(" ")),
       (202L, (1 to 30).map(i => s"vern$i").mkString(" ")))).toDF("id", "text")
+    // the default cap (10 000) leaves a 200-doc bucket on the all-pairs path
     val uncapped = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.9)
     assert(uncapped.count() == 200L * 199 / 2, "expected the full quadratic pair set")
     val capped = Dedup.minhashLshPairs(corpus, "id", "text", threshold = 0.9,
-      maxBucketSize = Some(10L))
-    assert(capped.count() == 0, "capped run must drop the oversized buckets entirely")
+      maxBucketSize = 10L)
+    val star = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exactly the star around doc 1: bounded (linear) AND every duplicate
+    // is still linked into the group for the downstream closure
+    assert(star == (2L to 200L).map(i => (1L, i)).toSet, s"got ${star.size} pairs")
     // simhash: identical docs share every band key on both blocking schemes
     for (radius <- Seq(3, 6)) {
       val s0 = Dedup.simhashPairs(corpus, "id", "text", maxHamming = radius)
@@ -671,7 +677,7 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog tonight twice"),
       (3L, "entirely different text about spark and scala engines")).toDF("id", "text")
     val kept = Dedup.minhashLshPairs(small, "id", "text", threshold = 0.5,
-      maxBucketSize = Some(10L)).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      maxBucketSize = 10L).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(kept == Set((1L, 2L)), kept.toString)
   }
 

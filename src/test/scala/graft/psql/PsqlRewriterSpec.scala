@@ -352,6 +352,16 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(lst("range(2, 2)") == Seq.empty)
     assert(lst("range(5, 2)") == Seq.empty)
     assert(lst("range(1, 5, 0)") == Seq.empty)
+    // Long-extreme stops: the exclusive→inclusive bound adjustment must
+    // NOT wrap (range(x, Long.MinValue) ascending is [], not a 2^64
+    // sequence; descending to Long.MaxValue likewise)
+    assert(lst("range(0, -9223372036854775807 - 1)") == Seq.empty)
+    assert(lst("range(0, -9223372036854775807 - 1, 1)") == Seq.empty)
+    assert(lst("range(0, 9223372036854775807, -1)") == Seq.empty)
+    // ...but a genuine descent TO the (excluded) minimum still works —
+    // stop+1 = MinValue+1 does not wrap
+    assert(lst("range(-9223372036854775804, -9223372036854775807 - 1, -2)")
+      == Seq(-9223372036854775804L, -9223372036854775806L))
     // NULL bound → NULL (same guard as generate_series)
     val rn = psql.sql(
       "from (select 1 as x) t |> select range(cast(null as int), 5) as g").collect()(0)
@@ -427,6 +437,39 @@ class PsqlRewriterSpec extends AnyFunSuite {
     // integral sources delegate to plain Cast — identical to before
     assert(one("cast(41 as bigint)") == 41L)
     assert(one("cast(cast(7 as bigint) as int)") == 7)
+  }
+
+  test("double-colon casts route to graft_cast — x::int ≡ cast(x AS int)") {
+    // rewrite level: target types lower to graft_cast, whitespace allowed
+    val r = PsqlRewriter.rewrite("from t |> select x::int as a, y :: bigint as b")
+    assert(r.contains("graft_cast(x, 'int')"), r)
+    assert(r.contains("graft_cast(y, 'bigint')"), r)
+    // chained: the DOUBLE cast's RESULT is cast (DuckDB left-to-right)
+    val r2 = PsqlRewriter.rewrite("from t |> select x::double::int as a")
+    assert(r2.contains("graft_cast(x::double, 'int')"), r2)
+    // non-target and array targets pass through to Spark's native `::`
+    val r3 = PsqlRewriter.rewrite("from t |> select x::date as a")
+    assert(r3.contains("x::date"), r3)
+    // runtime parity: both spellings hit the same DuckDB-semantics kernel
+    import graft.SparkTestBase
+    val spark = SparkTestBase.spark
+    val psql = Psql(spark)
+    def one(expr: String): Any =
+      psql.sql(s"from (select 1 as x) t |> select $expr as v").collect()(0).get(0)
+    assert(one("'3.9'::int") == 4)                 // was NULL on Spark's Cast
+    assert(one("(1.5 + 2)::double::int") == 4)     // 3.5 half-even (Spark: 3)
+    assert(one("2.5::int") == 3)                   // decimal half-away
+    assert(one("'0x1A'::int") == 26)
+    assert(one("x::bigint") == 1L)
+    assert(one("'t'::boolean") == true)
+    // grammar extensions: underscores in fractional parts; strict
+    // between-digits rule for hex; huge exponents reject early
+    assert(one("'1_000.5'::int") == 1001)
+    assert(one("try_cast('0x_1A' as int)") == null)
+    assert(one("try_cast('0xFF_' as int)") == null)
+    assert(one("try_cast('1e2000000000' as int)") == null)
+    assert(one("'1e-2000000000'::int") == 0)
+    assert(one("'0xF_F'::int") == 255)
   }
 
   test("regex-operator patterns keep their backslashes through the rewrite") {
