@@ -4550,6 +4550,27 @@ object OpsEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QueryDef(
+      "q103_prepared_statements",
+      withTables { (s, _) =>
+        // PREPARE/EXECUTE (PreparedStatements): the body is a PSQL pipeline
+        // with $1/$2 positional parameters; EXECUTE inlines the argument
+        // text and re-enters the normal rewrite, so the bound literals
+        // reach the parquet scan as pushed filters. Oracle: DuckDB's OWN
+        // prepared execution of the same statement (plain-SQL body — the
+        // oracle engine has no pipe dialect), same arguments.
+        val psql = graft.psql.Psql(s)
+        psql.sql("""PREPARE graft_q103 AS from lineitem |>
+          |where l_orderkey <= $1 and l_quantity >= $2 |>
+          |select l_orderkey, l_linenumber, l_quantity, l_extendedprice |>
+          |order by l_orderkey, l_linenumber""".stripMargin)
+        psql.sql("EXECUTE graft_q103(500, 25)")
+      },
+      Some("""PREPARE graft_q103 AS SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice FROM lineitem WHERE l_orderkey <= $1 AND l_quantity >= $2
+        |  ORDER BY l_orderkey, l_linenumber;
+        |EXECUTE graft_q103(500, 25)""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the
@@ -5051,6 +5072,40 @@ object OpsEntry {
         |  SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
         |  UNION ALL SELECT * FROM upd)
         |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "b08_dml_statements",
+      withTables { (s, _) =>
+        // DuckDB statement-level DML (DmlStatements): seed a managed table,
+        // DELETE with a compound predicate, UPDATE two columns behind a
+        // WHERE — each lowered to one scan + copy-on-write shadow swap, no
+        // shuffle. The oracle is DuckDB EXECUTING THE SAME STATEMENTS on a
+        // temp copy of the same parquet — statement-for-statement parity,
+        // not an algebraic restatement. The Count result shape (probed
+        // DuckDB 1.0) is asserted inline; the gate hashes the final table.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b08_dml")
+        Bucketing.dropTableAndLocation(s, "graft_b08_dml__graft_cow")
+        s.table("orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b08_dml")
+        val del = psql.sql(
+          "delete from graft_b08_dml where o_totalprice < 50000 or o_orderstatus = 'F'")
+        require(del.columns.toSeq == Seq("Count") && del.count() == 1,
+          "DELETE must return DuckDB's one-row Count shape")
+        psql.sql("""update graft_b08_dml
+          |set o_orderstatus = 'X' || o_orderstatus, o_totalprice = o_totalprice + 1
+          |where o_custkey % 10 = 0""".stripMargin)
+        s.table("graft_b08_dml").orderBy("o_orderkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b08_dml AS
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders;
+        |DELETE FROM graft_b08_dml WHERE o_totalprice < 50000 OR o_orderstatus = 'F';
+        |UPDATE graft_b08_dml SET o_orderstatus = 'X' || o_orderstatus,
+        |  o_totalprice = o_totalprice + 1 WHERE o_custkey % 10 = 0;
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM graft_b08_dml ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
       "b05_scd2_history",

@@ -68,6 +68,20 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB DELETE/UPDATE DML — Spark's parquet tables refuse both, so
+    // they lower to copy-on-write (filter/case-projection + shadow-table
+    // swap), returning DuckDB's `Count` result shape
+    DmlStatements.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
+    // DuckDB PREPARE/EXECUTE/DEALLOCATE — session registry + bind-time
+    // argument inlining (EXECUTE re-enters sql(), so bodies may be any
+    // pipeline or statement)
+    PreparedStatements.tryHandle(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
     // (no Spark grammar for it; needs schemas, so no string rewrite)
     AsofSql.tryPipeline(spark, query) match {

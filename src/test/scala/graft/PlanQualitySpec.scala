@@ -748,6 +748,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("EXECUTE binds literals that reach the parquet scan as pushed filters") {
+    val psql = graft.psql.Psql(spark)
+    psql.sql("""PREPARE graft_plan_prep AS from lineitem |>
+      |where l_orderkey <= $1 |> select l_orderkey, l_quantity""".stripMargin)
+    val df = psql.sql("EXECUTE graft_plan_prep(123)")
+    val p = plan(df)
+    // bind-time inlining (not a plan-cache parameter) means the literal is
+    // visible to pushdown/pruning — the property a parameterized 100 TB
+    // scan lives on
+    assert(p.contains("LessThanOrEqual(l_orderkey,123)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
   test("g07 BFS: settled levels union once — no accumulated-reach re-aggregation") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))

@@ -1,0 +1,90 @@
+package graft.psql
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** DuckDB DELETE/UPDATE statement lowering: DuckDB's probed semantics
+  * (Count result shape, NULL-cond three-valued logic, assignment-cast
+  * rounding) over the copy-on-write shadow swap.
+  */
+class DmlStatementsSpec extends SparkSpec {
+
+  import spark.implicits._
+  private lazy val psql = Psql(spark)
+
+  private def seed(name: String): Unit = {
+    graft.operators.Bucketing.dropTableAndLocation(spark, name)
+    graft.operators.Bucketing.dropTableAndLocation(spark, name + "__graft_cow")
+    Seq((1L, Some(10L), "x"), (2L, Some(20L), "y"), (3L, None, "z"))
+      .toDF("id", "v", "s")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+  }
+
+  test("DELETE: Count shape, WHERE semantics, NULL condition keeps the row") {
+    seed("graft_dml_t1")
+    // v > 15 is NULL for id=3 — DuckDB keeps the row (probed 1.0)
+    val r = psql.sql("delete from graft_dml_t1 where v > 15")
+    assert(r.columns.toSeq == Seq("Count"))
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val left = spark.table("graft_dml_t1").select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(1L, 3L))
+    // unconditioned DELETE empties the table, Count = remaining rows
+    val r2 = psql.sql("delete from graft_dml_t1")
+    assert(r2.collect()(0).getLong(0) == 2L)
+    assert(spark.table("graft_dml_t1").count() == 0)
+    // schema survives the empty rewrite
+    assert(spark.table("graft_dml_t1").columns.toSeq == Seq("id", "v", "s"))
+  }
+
+  test("UPDATE: matched rows only, NULL condition leaves the row unmodified") {
+    seed("graft_dml_t2")
+    val r = psql.sql(
+      "update graft_dml_t2 set v = v + 1, s = s || '!' where v >= 10")
+    assert(r.columns.toSeq == Seq("Count"))
+    assert(r.collect()(0).getLong(0) == 2L)
+    val rows = spark.table("graft_dml_t2").orderBy("id")
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1), x.getString(2)))
+    assert(rows.toSeq == Seq((1L, 11L, "x!"), (2L, 21L, "y!"), (3L, -1L, "z")))
+  }
+
+  test("UPDATE assignment casts round like DuckDB's (probed: 2.5→3, 3.5 double→4)") {
+    seed("graft_dml_t3")
+    psql.sql("update graft_dml_t3 set v = 2.5 where id = 1")
+    psql.sql("update graft_dml_t3 set v = cast(3.5 as double) where id = 2")
+    val vs = spark.table("graft_dml_t3").orderBy("id").collect()
+      .map(x => if (x.isNullAt(1)) -1L else x.getLong(1))
+    assert(vs.toSeq == Seq(3L, 4L, -1L), vs.mkString(","))
+    // dialect features work inside SET/WHERE: :: cast + string grammar
+    psql.sql("update graft_dml_t3 set v = '4.9'::bigint where id = 3")
+    assert(spark.table("graft_dml_t3").where(col("id") === 3)
+      .collect()(0).getLong(1) == 5L)
+  }
+
+  test("DML fails loudly on unsafe/unsupported targets") {
+    seed("graft_dml_t4")
+    // temp view target: copy-on-write would rewrite files the catalog
+    // does not own
+    spark.table("graft_dml_t4").createOrReplaceTempView("graft_dml_view")
+    val e1 = intercept[IllegalArgumentException] {
+      psql.sql("delete from graft_dml_view where id = 1")
+    }
+    assert(e1.getMessage.contains("MANAGED"), e1.getMessage)
+    // join forms
+    val e2 = intercept[IllegalArgumentException] {
+      psql.sql("delete from graft_dml_t4 using other where graft_dml_t4.id = other.id")
+    }
+    assert(e2.getMessage.contains("USING"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      psql.sql("update graft_dml_t4 set v = o.v from other o where o.id = graft_dml_t4.id")
+    }
+    assert(e3.getMessage.contains("FROM"), e3.getMessage)
+    // unknown SET column
+    val e4 = intercept[IllegalArgumentException] {
+      psql.sql("update graft_dml_t4 set nope = 1")
+    }
+    assert(e4.getMessage.contains("nope"), e4.getMessage)
+    // nothing above touched the data
+    assert(spark.table("graft_dml_t4").count() == 3)
+  }
+}
