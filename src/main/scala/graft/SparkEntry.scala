@@ -680,6 +680,36 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
 
+  /** Hash-green PARITY SIBLING(s) for every `no_oracle` gate entry — the
+    * machine-checkable record of why a row without a DuckDB oracle is
+    * still covered. Each no-oracle row is approximate/stochastic by
+    * design (LSH collision curves, k-means codebooks, PNG encoder bytes,
+    * reservoir sampling); its siblings run the SAME kernels with fixed,
+    * SQL-statable parameters (trained-literal pattern) or closed-form
+    * inputs and ARE hash-checked against DuckDB. Verify dumps this map as
+    * `parity_siblings.json`; tools/compare.py refuses a rows-only pass
+    * whose sibling is not green, and refuses a no-oracle row with no
+    * declared sibling — adding an unchecked operator now fails the gate
+    * instead of quietly widening the weak set.
+    */
+  val paritySiblings: Map[String, Seq[String]] = Map(
+    "d02_minhash_lsh_dedup"   -> Seq("d19_minhash_md5_pairs"),
+    "d03_simhash_pairs"       -> Seq("d15_simhash_md5_pairs"),
+    "d06_ann_lsh_topk"        -> Seq("d24_lsh_topk_parity"),
+    "d08_ann_ivf_topk"        -> Seq("d21_ivf_assign_parity", "d23_ivf_topk_parity"),
+    "d09_embedding_neardup_lsh" -> Seq("d24_lsh_topk_parity", "d28_lsh_neardup_parity"),
+    "d13_cross_dedup_lsh"     -> Seq("d20_cross_dedup_md5"),
+    "d16_ann_pq_topk"         -> Seq("d25_pq_adc_parity"),
+    "d17_ann_ivfpq_topk"      -> Seq("d21_ivf_assign_parity", "d23_ivf_topk_parity", "d25_pq_adc_parity"),
+    "d18_semdedup"            -> Seq("d22_semdedup_parity"),
+    "m01_multimodal_features" -> Seq("m04_image_features"),
+    "m02_frame_sample"        -> Seq("m06_gif_frames"),
+    "m03_resize"              -> Seq("m04_image_features", "m06_gif_frames"),
+    "m05_image_resize"        -> Seq("m04_image_features", "m06_gif_frames"),
+    "q31_sample"              -> Seq("q75_hash_sample"),
+    "q43_approx_percentiles"  -> Seq("q37_percentiles"),
+    "q51_approx_distinct"     -> Seq("q15_count_distinct"))
+
   /** Driver-contract form: oracles at the gate's fixed sf0.01 dataset. */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 

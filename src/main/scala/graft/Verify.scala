@@ -46,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSqlFor(sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-checkable coverage record for the no-oracle rows: compare.py
+    // fails a rows-only entry whose hash-green sibling is missing/red
+    val sib = SparkEntry.paritySiblings
+      .map { case (k, v) => s"${q(k)}: ${v.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/parity_siblings.json"), sib)
     spark.stop()
   }
 }

@@ -104,6 +104,29 @@ def main():
             results[name] = f"VALUE_MISMATCH first_diffs={diffs}"
         else:
             results[name] = f"MATCH rows={len(s_rows)}"
+    # parity-sibling gate for the rows-only entries: a no-oracle row passes
+    # only when (a) it declares hash-green sibling(s) in parity_siblings.json
+    # and (b) every sibling present in this run is MATCH. Declaring no
+    # sibling is itself a failure — a new approximate operator cannot
+    # quietly widen the unchecked set.
+    sib_path = os.path.join(out_dir, "parity_siblings.json")
+    siblings = json.load(open(sib_path)) if os.path.exists(sib_path) else {}
+    sib_note = {}
+    for name, v in list(results.items()):
+        if not v.startswith("ROWS_ONLY") or "skipped by request" in v:
+            continue
+        sibs = siblings.get(name)
+        if not sibs:
+            results[name] = f"NO_PARITY_SIBLING: rows-only entry with no declared hash-green sibling ({v})"
+            continue
+        in_run = [s for s in sibs if s in results]
+        red = [s for s in in_run if not results[s].startswith("MATCH")]
+        if red:
+            results[name] = f"PARITY_SIBLING_RED: {','.join(red)} not MATCH ({v})"
+        else:
+            tag = ",".join(in_run) if in_run else f"{','.join(sibs)} (not in this run)"
+            results[name] = v + f" [parity: {tag}]"
+        sib_note[name] = sibs
     n_ok = sum(1 for v in results.values() if v.startswith(("MATCH", "ROWS_ONLY")))
     for k, v in sorted(results.items()):
         flag = "OK " if v.startswith(("MATCH", "ROWS_ONLY")) else "BAD"
@@ -128,7 +151,9 @@ def main():
             "sf_dir": sf_dir,
             "n_pass": n_ok,
             "n_total": len(results),
-            "rows": {k: {"ok": v.startswith(("MATCH", "ROWS_ONLY")), "detail": v[:200]}
+            "rows": {k: dict(
+                        {"ok": v.startswith(("MATCH", "ROWS_ONLY")), "detail": v[:200]},
+                        **({"parity_sibling": sib_note[k]} if k in sib_note else {}))
                      for k, v in sorted(results.items())},
         }
         with open(gate_json, "w") as f:
