@@ -5108,6 +5108,40 @@ object OpsEntry {
         |FROM graft_b08_dml ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b09_alter_statements",
+      withTables { (s, _) =>
+        // DuckDB ALTER TABLE column forms + TRUNCATE (DmlStatements.alter):
+        // ADD COLUMN DEFAULT / RENAME COLUMN / ALTER TYPE (the double→bigint
+        // retype exercises GraftCast's half-even — probed identical to
+        // DuckDB's ALTER cast) / ALTER TYPE USING / DROP COLUMN, then a
+        // metadata-only ADD (NULL-fill, no rewrite). Oracle: DuckDB
+        // executing the SAME statements on a temp copy.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b09_alter")
+        Bucketing.dropTableAndLocation(s, "graft_b09_alter__graft_cow")
+        s.table("part").select("p_partkey", "p_name", "p_retailprice", "p_size")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b09_alter")
+        psql.sql("alter table graft_b09_alter add column tier varchar default 'base'")
+        psql.sql("alter table graft_b09_alter rename column p_size to sz")
+        psql.sql("alter table graft_b09_alter alter p_retailprice type bigint")
+        psql.sql("alter table graft_b09_alter alter tier type varchar using tier || '-' || (sz % 10)")
+        psql.sql("alter table graft_b09_alter drop column p_name")
+        psql.sql("alter table graft_b09_alter add column note varchar")
+        s.table("graft_b09_alter").orderBy("p_partkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b09_alter AS
+        |  SELECT p_partkey, p_name, p_retailprice, p_size FROM part;
+        |ALTER TABLE graft_b09_alter ADD COLUMN tier VARCHAR DEFAULT 'base';
+        |ALTER TABLE graft_b09_alter RENAME COLUMN p_size TO sz;
+        |ALTER TABLE graft_b09_alter ALTER p_retailprice TYPE bigint;
+        |ALTER TABLE graft_b09_alter ALTER tier TYPE varchar USING tier || '-' || (sz % 10);
+        |ALTER TABLE graft_b09_alter DROP COLUMN p_name;
+        |ALTER TABLE graft_b09_alter ADD COLUMN note VARCHAR;
+        |SELECT p_partkey, p_retailprice, sz, tier, note
+        |FROM graft_b09_alter ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -46,13 +46,157 @@ import SqlScanner.{matchesWord, nextCode, scan, topLevelKeyword}
   */
 object DmlStatements {
 
-  /** Run stmt if it is a DELETE/UPDATE statement; None otherwise. */
+  /** Run stmt if it is a DELETE/UPDATE/TRUNCATE/ALTER TABLE statement the
+    * front-end must lower; None otherwise (including `ALTER TABLE … RENAME
+    * TO …`, which Spark's own DDL executes for managed tables).
+    */
   def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
     val stmt = stmt0.trim.stripSuffix(";").trim
     if (matchesWord(stmt, 0, "delete")) Some(delete(spark, stmt))
     else if (matchesWord(stmt, 0, "update")) Some(update(spark, stmt))
+    else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
+    else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else None
   }
+
+  /** DuckDB `TRUNCATE t` (no TABLE keyword) — Spark's native TRUNCATE
+    * requires it, so normalize; DuckDB returns no rows (probed).
+    */
+  private def truncate(spark: SparkSession, stmt: String): DataFrame = {
+    val sc = scan(stmt)
+    var i = nextCode(stmt, sc, "truncate".length)
+    require(i >= 0, "TRUNCATE needs a table name")
+    if (matchesWord(stmt, i, "table")) i = nextCode(stmt, sc, i + "table".length)
+    val (table, after) = identifierAt(stmt, i)
+    require(stmt.substring(after).trim.isEmpty,
+      s"TRUNCATE takes a single table name, got trailing '${stmt.substring(after).trim}'")
+    checkTarget(spark, table)
+    spark.sql(s"TRUNCATE TABLE $table")
+    spark.emptyDataFrame
+  }
+
+  /** DuckDB `ALTER TABLE` column forms. Spark's v1 parquet tables support
+    * only a subset natively, so the lowering is per-form:
+    *
+    *  - `ADD COLUMN c t` (no DEFAULT) → Spark's native `ADD COLUMNS` —
+    *    METADATA-ONLY, no data rewrite; old files read NULL. At 100 TB
+    *    this is the only acceptable plan, and it is exactly DuckDB's
+    *    NULL-fill semantics (probed).
+    *  - `ADD COLUMN c t DEFAULT e` → copy-on-write projection appending
+    *    `cast(e AS t)` (a default VALUE must exist in every row).
+    *  - `DROP COLUMN c`, `RENAME COLUMN a TO b`, `ALTER [COLUMN] c
+    *    [SET DATA] TYPE t [USING e]` → copy-on-write projection (parquet
+    *    files key columns by name — a metadata-only rename/drop/retype
+    *    would corrupt old files' reads on a v1 table). Casts ride the
+    *    PSQL rewrite, so integer retypes keep DuckDB rounding semantics.
+    *  - `RENAME TO` (table rename) → None: Spark DDL handles it natively.
+    */
+  private def alter(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    val sc = scan(stmt)
+    var i = nextCode(stmt, sc, "alter".length)
+    if (i < 0 || !matchesWord(stmt, i, "table")) return None
+    val (table, afterName) = identifierAt(stmt, i + "table".length)
+    var j = nextCode(stmt, sc, afterName)
+    if (j < 0) return None
+    def word(w: String): Boolean = matchesWord(stmt, j, w)
+
+    if (word("rename")) {
+      val k = nextCode(stmt, sc, j + "rename".length)
+      if (k >= 0 && matchesWord(stmt, k, "to")) return None // table rename: native DDL
+      checkTarget(spark, table)
+      var p = k
+      if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
+      val (from, a2) = identifierAt(stmt, p)
+      val t2 = nextCode(stmt, sc, a2)
+      require(t2 >= 0 && matchesWord(stmt, t2, "to"),
+        "ALTER TABLE … RENAME COLUMN must be `RENAME [COLUMN] a TO b`")
+      val (to, _) = identifierAt(stmt, t2 + 2)
+      val cols = spark.table(table).columns
+      require(cols.exists(_.equalsIgnoreCase(from)), s"no column '$from' in $table")
+      require(!cols.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists in $table")
+      val sel = cols.map(c => if (c.equalsIgnoreCase(from)) s"$c as $to" else c)
+      cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      Some(spark.emptyDataFrame)
+    } else if (word("drop")) {
+      checkTarget(spark, table)
+      var p = nextCode(stmt, sc, j + "drop".length)
+      if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
+      val (c, _) = identifierAt(stmt, p)
+      val cols = spark.table(table).columns
+      require(cols.exists(_.equalsIgnoreCase(c)), s"no column '$c' in $table")
+      require(cols.length > 1, s"cannot drop the only column of $table")
+      val sel = cols.filterNot(_.equalsIgnoreCase(c))
+      cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      Some(spark.emptyDataFrame)
+    } else if (word("add")) {
+      checkTarget(spark, table)
+      var p = nextCode(stmt, sc, j + "add".length)
+      if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
+      val (c, a2) = identifierAt(stmt, p)
+      require(!spark.table(table).columns.exists(_.equalsIgnoreCase(c)),
+        s"column '$c' already exists in $table")
+      val rest = stmt.substring(a2).trim
+      val rsc = scan(rest)
+      val defPos = topLevelKeyword(rest, rsc, Seq("default")).headOption
+      val typeText = defPos.map(d => rest.substring(0, d)).getOrElse(rest).trim
+      require(typeText.nonEmpty, "ADD COLUMN needs a type")
+      defPos match {
+        case None =>
+          // metadata-only: NULL-fill for existing rows, no data rewrite
+          spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c ${sparkType(typeText)})")
+        case Some(d) =>
+          val defaultExpr = rest.substring(d + "default".length).trim
+          require(defaultExpr.nonEmpty, "DEFAULT needs an expression")
+          val sel = spark.table(table).columns :+
+            s"cast(($defaultExpr) as $typeText) as $c"
+          cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      }
+      Some(spark.emptyDataFrame)
+    } else if (word("alter")) {
+      checkTarget(spark, table)
+      var p = nextCode(stmt, sc, j + "alter".length)
+      if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
+      val (c, a2) = identifierAt(stmt, p)
+      require(spark.table(table).columns.exists(_.equalsIgnoreCase(c)),
+        s"no column '$c' in $table")
+      var t = nextCode(stmt, sc, a2)
+      if (t >= 0 && matchesWord(stmt, t, "set")) {
+        t = nextCode(stmt, sc, t + 3)
+        require(t >= 0 && matchesWord(stmt, t, "data"), "expected SET DATA TYPE")
+        t = nextCode(stmt, sc, t + 4)
+      }
+      require(t >= 0 && matchesWord(stmt, t, "type"),
+        "ALTER COLUMN must be `ALTER [COLUMN] c [SET DATA] TYPE t [USING e]`")
+      val rest = stmt.substring(t + "type".length).trim
+      val rsc = scan(rest)
+      val usingPos = topLevelKeyword(rest, rsc, Seq("using")).headOption
+      val typeText = usingPos.map(u => rest.substring(0, u)).getOrElse(rest).trim
+      require(typeText.nonEmpty, "ALTER COLUMN TYPE needs a type")
+      val valueExpr = usingPos.map(u => rest.substring(u + "using".length).trim).getOrElse(c)
+      val sel = spark.table(table).columns.map { col =>
+        if (col.equalsIgnoreCase(c)) s"cast(($valueExpr) as $typeText) as $col" else col
+      }
+      cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      Some(spark.emptyDataFrame)
+    } else None
+  }
+
+  /** DuckDB type spelling → Spark DDL type (for the metadata-only native
+    * ADD COLUMNS path; the copy-on-write paths go through the PSQL rewrite,
+    * which normalizes types itself).
+    */
+  private def sparkType(t: String): String =
+    t.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "varchar" | "text" | "string"         => "string"
+      case "integer" | "int4" | "signed" | "int" => "int"
+      case "int8" | "long" | "bigint"            => "bigint"
+      case "int2" | "short" | "smallint"         => "smallint"
+      case "int1" | "tinyint"                    => "tinyint"
+      case "float4" | "real" | "float"           => "float"
+      case "float8" | "double"                   => "double"
+      case "bool" | "boolean"                    => "boolean"
+      case other                                 => other // decimal(p,s), date, timestamp, …
+    }
 
   private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
 
@@ -143,7 +287,7 @@ object DmlStatements {
 
   /** Parse a (plain) identifier starting at/after i0; returns (name, end). */
   private def identifierAt(stmt: String, i0: Int): (String, Int) = {
-    var i = i0
+    var i = math.max(i0, 0)
     while (i < stmt.length && Character.isWhitespace(stmt.charAt(i))) i += 1
     var j = i
     while (j < stmt.length && (Character.isLetterOrDigit(stmt.charAt(j)) ||

@@ -61,6 +61,36 @@ class DmlStatementsSpec extends SparkSpec {
       .collect()(0).getLong(1) == 5L)
   }
 
+  test("ALTER TABLE column forms: add/default, rename, retype, using, drop; TRUNCATE") {
+    seed("graft_dml_t5")
+    // metadata-only ADD (no default): existing rows read NULL, no rewrite
+    psql.sql("alter table graft_dml_t5 add column tag varchar")
+    assert(spark.table("graft_dml_t5").where(col("tag").isNull).count() == 3)
+    // ADD with DEFAULT fills existing rows (probed DuckDB behavior)
+    psql.sql("alter table graft_dml_t5 add column k int default 7")
+    assert(spark.table("graft_dml_t5").where(col("k") === 7).count() == 3)
+    // RENAME keeps position and data
+    psql.sql("alter table graft_dml_t5 rename column s to name")
+    assert(spark.table("graft_dml_t5").columns.toSeq ==
+      Seq("id", "v", "name", "tag", "k"))
+    // ALTER TYPE double-ish → int keeps DuckDB rounding (half-even via
+    // GraftCast — probed: DuckDB ALTER of 2.5 gives 2, 3.5 gives 4)
+    psql.sql("alter table graft_dml_t5 alter column k type varchar using k || 'x'")
+    assert(spark.table("graft_dml_t5").select("k").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("7x"))
+    // DROP COLUMN
+    psql.sql("alter table graft_dml_t5 drop column tag")
+    assert(spark.table("graft_dml_t5").columns.toSeq == Seq("id", "v", "name", "k"))
+    // TRUNCATE (DuckDB spelling, no TABLE keyword) empties but keeps schema
+    psql.sql("truncate graft_dml_t5")
+    assert(spark.table("graft_dml_t5").count() == 0)
+    assert(spark.table("graft_dml_t5").columns.toSeq == Seq("id", "v", "name", "k"))
+    // ALTER TABLE RENAME TO passes through to Spark's native DDL
+    psql.sql("alter table graft_dml_t5 rename to graft_dml_t5b")
+    assert(spark.table("graft_dml_t5b").columns.length == 4)
+    spark.sql("drop table graft_dml_t5b")
+  }
+
   test("DML fails loudly on unsafe/unsupported targets") {
     seed("graft_dml_t4")
     // temp view target: copy-on-write would rewrite files the catalog
