@@ -4273,6 +4273,39 @@ object OpsEntry {
         |ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "a20_cusum_changepoints",
+      withTables { (s, _) =>
+        // one-sided CUSUM level-shift detection per event_type
+        // (TimeSeries.cusumChangepoints): the Page recursion re-expressed
+        // as running-sum − running-min (two windows over ONE per-group
+        // sort), mean-centering kept integer-exact by scaling the whole
+        // inequality by n (the d42 trick). Oracle states the identical
+        // closed form; every output cell is BIGINT/bool/timestamp.
+        TimeSeries.cusumChangepoints(s.table("events"),
+            "ts", "event_type", "value", "event_id",
+            slack = 5.0, threshold = 500.0)
+          .orderBy("event_type", "ts", "event_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    floor(value * 1000000.0 + 0.5)::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx FROM base GROUP BY g),
+        |dev AS (
+        |  SELECT b.g, b.ts, b.event_id, st.n,
+        |    st.n * b.x - st.sx - st.n * floor(5.0 * 1000000.0 + 0.5)::BIGINT AS d
+        |  FROM base b JOIN st USING (g)),
+        |rs AS (SELECT g, ts, event_id, n,
+        |    sum(d) OVER (PARTITION BY g ORDER BY ts, event_id)::BIGINT AS rs
+        |  FROM dev),
+        |s AS (SELECT g, ts, event_id, n,
+        |    (rs - least(0::BIGINT, min(rs) OVER (PARTITION BY g ORDER BY ts, event_id)))::BIGINT AS cusum_scaled
+        |  FROM rs)
+        |SELECT g AS event_type, ts, event_id, cusum_scaled,
+        |  cusum_scaled > n * floor(500.0 * 1000000.0 + 0.5)::BIGINT AS is_change
+        |FROM s ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
       "a19_seasonal_profile",
       withTables { (s, _) =>
         // seasonal profile + threshold anomalies: per (event_type,
@@ -4569,6 +4602,34 @@ object OpsEntry {
         |  l_extendedprice FROM lineitem WHERE l_orderkey <= $1 AND l_quantity >= $2
         |  ORDER BY l_orderkey, l_linenumber;
         |EXECUTE graft_q103(500, 25)""".stripMargin)),
+
+    QueryDef(
+      "q104_lateral_join",
+      withTables { (s, _) =>
+        // LATERAL correlated derived tables — a delegated join form both
+        // engines parse natively (Spark ≥ 3.2, DuckDB 1.0), exercised as a
+        // pipeline head relation: per nation, a correlated aggregate over
+        // its customers plus a correlated top-1 (ORDER BY … LIMIT 1 inside
+        // the lateral — the classic per-group argmax spelling).
+        Psqlish(s, """from nation n,
+          |lateral (select count(*) as n_cust,
+          |         coalesce(cast(sum(cast(c.c_acctbal as decimal(18,2))) as double), 0.0) as bal_sum
+          |         from customer c where c.c_nationkey = n.n_nationkey) agg,
+          |lateral (select c.c_custkey as top_cust
+          |         from customer c where c.c_nationkey = n.n_nationkey
+          |         order by c.c_acctbal desc, c.c_custkey limit 1) top |>
+          |select n_nationkey, n_name, n_cust, bal_sum, top_cust |>
+          |order by n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_cust, bal_sum, top_cust
+        |FROM nation n,
+        |LATERAL (SELECT count(*) AS n_cust,
+        |         coalesce(cast(sum(cast(c_acctbal AS decimal(18,2))) AS double), 0.0) AS bal_sum
+        |         FROM customer c WHERE c.c_nationkey = n.n_nationkey) agg,
+        |LATERAL (SELECT c.c_custkey AS top_cust
+        |         FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 1) top
+        |ORDER BY n_nationkey""".stripMargin)),
 
     QueryDef(
       "q65_native_pipe",
@@ -5142,6 +5203,32 @@ object OpsEntry {
         |FROM graft_b09_alter ORDER BY p_partkey""".stripMargin)),
 
     QueryDef(
+      "b10_insert_statements",
+      withTables { (s, _) =>
+        // INSERT INTO statement forms over a managed table — VALUES rows
+        // (incl. expression values) and INSERT … SELECT — through the
+        // Psql entry's pass-through to Spark's native DML (delegation is
+        // the design: Spark executes INSERT on managed parquet natively;
+        // the front-end only owns what Spark refuses — b08's DELETE/
+        // UPDATE). Oracle: DuckDB executing the same statements.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b10_ins")
+        s.table("region").select("r_regionkey", "r_name")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b10_ins")
+        psql.sql("insert into graft_b10_ins values (100, 'NEWLAND'), (101, upper('borders'))")
+        psql.sql("""insert into graft_b10_ins
+          |select n_nationkey + 200, n_name from nation where n_nationkey < 5""".stripMargin)
+        s.table("graft_b10_ins").orderBy("r_regionkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b10_ins AS
+        |  SELECT r_regionkey, r_name FROM region;
+        |INSERT INTO graft_b10_ins VALUES (100, 'NEWLAND'), (101, upper('borders'));
+        |INSERT INTO graft_b10_ins
+        |  SELECT n_nationkey + 200, n_name FROM nation WHERE n_nationkey < 5;
+        |SELECT r_regionkey, r_name FROM graft_b10_ins ORDER BY r_regionkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's
@@ -5686,6 +5773,47 @@ object OpsEntry {
         |  UNION ALL SELECT node, 3 FROM l3
         |  UNION ALL SELECT node, 4 FROM l4)
         |GROUP BY node ORDER BY node""".stripMargin)),
+
+    QueryDef(
+      "g08_weighted_paths",
+      withTables { (s, _) =>
+        // bounded weighted shortest paths (GraphOps.weightedPaths —
+        // distributed Bellman-Ford, 3 min-plus rounds) on g07's bipartite
+        // graph with integer edge weights 1 + l_linenumber % 5; parallel
+        // edges keep the cheapest. Frontier-sized expansion per round,
+        // reach-sized merge (the honest BF trade); all-integer distances,
+        // unrolled min-plus oracle hash-exact.
+        val li = s.table("lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"),
+          (lit(1) + col("l_linenumber") % 5).as("w"))
+        val seed = li.agg((min("l_orderkey") * 2).cast("long").as("node"))
+        GraphOps.weightedPaths(edges, "src", "dst", "w", seed, rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH raw AS (
+        |  SELECT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS d,
+        |         (1 + l_linenumber % 5)::BIGINT AS w
+        |  FROM lineitem),
+        |und AS (
+        |  SELECT src, dst, min(w)::BIGINT AS w FROM (
+        |    SELECT s AS src, d AS dst, w FROM raw
+        |    UNION ALL SELECT d, s, w FROM raw) GROUP BY src, dst),
+        |d0 AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem)::BIGINT AS node,
+        |              0::BIGINT AS dist),
+        |r1 AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL SELECT e.dst, d0.dist + e.w FROM und e JOIN d0 ON d0.node = e.src)
+        |  GROUP BY node),
+        |r2 AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT node, dist FROM r1
+        |  UNION ALL SELECT e.dst, r1.dist + e.w FROM und e JOIN r1 ON r1.node = e.src)
+        |  GROUP BY node),
+        |r3 AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+        |  SELECT node, dist FROM r2
+        |  UNION ALL SELECT e.dst, r2.dist + e.w FROM und e JOIN r2 ON r2.node = e.src)
+        |  GROUP BY node)
+        |SELECT node, dist FROM r3 ORDER BY node""".stripMargin)),
 
     QueryDef(
       "g04_label_propagation",

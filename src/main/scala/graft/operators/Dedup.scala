@@ -457,23 +457,25 @@ object Dedup {
     }
     val banded0 = sig.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band", "bucket")
-    // one window pass marks each banded row with its bucket's occupancy and
-    // min-id representative — the same (band, bucket) hash layout the
-    // candidate self-join shuffles on
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val marked = banded0
-      .withColumn("__n", count(lit(1)).over(wB))
-      .withColumn("__rep", min("id").over(wB))
-    val normal = marked.where(col("__n") <= maxBucketSize)
-      .select("id", "band", "bucket")
+      .localCheckpoint(false) // referenced 3× below (stats, anti-join, star)
+    // hot-bucket detection is one NARROW aggregate (count+min with map-side
+    // partial combine — no sort, unlike a window) and the hot set is tiny
+    // by construction (≤ |banded|/cap buckets, empty on healthy corpora),
+    // so AQE broadcasts both joins below: the common path costs ONE cheap
+    // stats shuffle on top of the candidate self-join it always needed.
+    val hot = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"), min("id").as("__rep"))
+      .where(col("__n") > maxBucketSize)
+      .select("band", "bucket", "__rep")
+    val normal = banded0.join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
     val allPairs = normal.as("a").join(normal.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // hot buckets: star pairs to the representative (rep = min id, so the
-    // id_a < id_b invariant holds by construction — no join needed)
-    val starPairs = marked
-      .where(col("__n") > maxBucketSize && col("id") =!= col("__rep"))
+    // id_a < id_b invariant holds by construction)
+    val starPairs = banded0.join(hot, Seq("band", "bucket"))
+      .where(col("id") =!= col("__rep"))
       .select(col("__rep").as("id_a"), col("id").as("id_b"))
     val cand = allPairs.unionByName(starPairs).distinct()
     // exact-Jaccard verification of the candidates, on hashed shingle sets

@@ -357,6 +357,67 @@ object GraphOps {
     levels.reduce(_.unionByName(_))
   }
 
+  /** Bounded weighted single-source shortest paths (distributed
+    * Bellman-Ford, `rounds` relaxation rounds of min-plus) over the
+    * undirected weighted edge set — the cost-aware sibling of
+    * [[shortestPaths]] (hop counts become additive weights: latency,
+    * toll, edit cost). Bounded rounds keep the result a pure function of
+    * the edge set (the fixed-round termination rule shared by the whole
+    * graph family); all-integer weights make the unrolled min-plus oracle
+    * hash-exact. After r rounds every node whose cheapest path uses ≤ r
+    * edges carries its final distance — the standard bounded-BF contract.
+    *
+    * Scale shape, honestly stated: candidate generation each round is
+    * FRONTIER-sized (only nodes improved last round join the edge layout,
+    * which is fixed once), but unlike unweighted BFS a settled node can
+    * be re-improved by a cheaper longer path, so each round must merge
+    * improvements back into the full distance map — the per-round merge
+    * (anti-join + union + repartition) carries O(|reached|) rows. That is
+    * the textbook distributed Bellman-Ford trade: rounds × O(V) merge,
+    * never O(V·E); the win over naive BF is that the EXPENSIVE side
+    * (edge expansion + min-agg) tracks the wavefront only.
+    */
+  def weightedPaths(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seed: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"weightedPaths: rounds must be in [1,10], got $rounds")
+    require(seed.columns.toSeq == Seq("node"),
+      s"weightedPaths: seed must have exactly one column 'node', got ${seed.columns.mkString(",")}")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("s").isNotNull && col("d").isNotNull && col("w").isNotNull &&
+        col("s") =!= col("d") && col("w") >= 0)
+    val und = raw.select(col("s").as("src"), col("d").as("dst"), col("w"))
+      .unionByName(raw.select(col("d").as("src"), col("s").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
+      .repartition(col("src"))
+      .localCheckpoint(false)
+    var dist = seed.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val cand = und
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cd"))
+        .groupBy("node").agg(min("cd").as("cd")) // frontier-sized min-agg
+      val improved = cand.join(dist, Seq("node"), "left_outer")
+        .where(col("dist").isNull || col("cd") < col("dist"))
+        .select(col("node"), col("cd").as("dist"))
+        .localCheckpoint(false)
+      dist = dist.join(improved.select("node"), Seq("node"), "left_anti")
+        .unionByName(improved)
+        .localCheckpoint(false)
+      frontier = improved
+    }
+    dist
+  }
+
   def pageRankTopK(
       edges: DataFrame,
       srcCol: String,

@@ -287,4 +287,58 @@ object TimeSeries {
         col("v").as("value"), Fp.grid6(col("mu")).as("mu"),
         Fp.grid6(col("sigma")).as("sigma"), Fp.grid6(col("z")).as("z"))
   }
+
+  /** One-sided CUSUM change detection (Page 1954) per group — the
+    * level-shift detector rolling z-scores miss (a small persistent drift
+    * never trips a per-point threshold; its cumulative sum does).
+    *
+    * The textbook recursion `S_t = max(0, S_{t−1} + (x_t − μ − slack))`
+    * is NOT a Spark window aggregate, but it has a closed form that is:
+    * with `RS_t = Σ_{i≤t} d_i` (running sum of deviations),
+    * `S_t = RS_t − min(0, min_{j≤t} RS_j)` — a running sum minus a
+    * running min, two plain window passes over ONE per-group sort.
+    *
+    * Cross-engine exactness: doubles summed in window order can never
+    * hash-match another engine, so everything runs on an INTEGER grid —
+    * and the per-group mean μ = Σx/n is kept exact by scaling the whole
+    * inequality by n: `d'_i = n·x'_i − Σx' − n·slack'` (primes = 1e-6
+    * grid BIGINTs), flag when `S'_t > n·h'`. Same trick as the d42
+    * centroids: the only formulation of a mean-centered statistic two
+    * engines hash identically.
+    *
+    * Scale shape: one output-sized per-group aggregate broadcast back
+    * (the a19 baseline pattern), then ONE hash exchange + sort for the
+    * two windows. Bound check: |d'| ≤ n·max|x'|, so S' stays under 2⁶³
+    * while n·max|x'| < 9.2e18/n — at 1e6-row groups of |x| ≤ 1e6 that
+    * holds with 10× margin; larger groups should coarsen the grid.
+    */
+  def cusumChangepoints(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String,
+      tiebreakCol: String,
+      slack: Double,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"cusumChangepoints: threshold must be positive, got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    // grid6 discipline (Fp): floor(x·1e6 + 0.5) is IEEE-exact and already
+    // integral, so the BIGINT cast cannot hit the truncate-vs-half-even
+    // engine seam a bare (x*1e6)::BIGINT would
+    val micro = (x: org.apache.spark.sql.Column) =>
+      floor(x * lit(1000000.0) + lit(0.5)).cast("bigint")
+    val base = df.select(col(groupCol).as("g"), col(tsCol).as("t"),
+        col(tiebreakCol).as("tb"), micro(col(valCol)).as("x"))
+      .where(col("x").isNotNull)
+    val stats = base.groupBy("g").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val w = Window.partitionBy("g").orderBy(col("t"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(stats), Seq("g"))
+      .withColumn("d", col("n") * col("x") - col("sx") - col("n") * micro(lit(slack)))
+      .withColumn("rs", sum("d").over(w))
+      .withColumn("s", col("rs") - least(lit(0L), min("rs").over(w)))
+      .withColumn("is_change", col("s") > col("n") * micro(lit(threshold)))
+      .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
+        col("s").as("cusum_scaled"), col("is_change"))
+  }
 }

@@ -1534,6 +1534,28 @@ class TrainingPipelineSpec extends SparkSpec {
 class TimeSeriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cusumChangepoints: a level shift trips the detector only after the shift") {
+    // 20 points at 10, then 20 at 14 (mean 12): pre-shift deviations are
+    // −3 (inc. slack 1) so S pins at 0; post-shift +1 per point, so S
+    // climbs linearly and crosses h=10 ten points into the new level —
+    // the slow-drift case a per-point z-score never flags.
+    val rows = (0 until 40).map { i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, if (i < 20) 10.0 else 14.0)
+    }.toDF("g", "ts", "eid", "v")
+    val out = TimeSeries.cusumChangepoints(rows, "ts", "g", "v", "eid",
+        slack = 1.0, threshold = 10.0)
+      .orderBy("eid").collect()
+    val flags = out.map(_.getBoolean(4))
+    assert(!flags.take(30).exists(identity), "flagged before the shift settled")
+    assert(flags.drop(31).forall(identity), "tail after crossing must stay flagged")
+    // S is identically 0 before the shift (deviations negative, floor at 0)
+    assert(out.take(20).forall(_.getLong(3) == 0L))
+    // and climbs monotonically after it
+    val tail = out.drop(20).map(_.getLong(3))
+    assert(tail.zip(tail.tail).forall { case (a, b) => b > a }, tail.mkString(","))
+  }
+
   test("gapFillCounts: every bucket in [min,max] present per group, gaps zero-filled") {
     val ev = Seq(
       ("a", "2024-01-01 10:00:30"), // bucket 10:00
@@ -1661,6 +1683,26 @@ class TimeSeriesSpec extends SparkSpec {
 
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("weightedPaths: cheaper longer path wins; rounds bound the relaxation") {
+    // 1—2 (5), 2—3 (1), 1—3 (10), 3—4 (1): direct 1→3 costs 10, via 2
+    // costs 6 — round 2 must IMPROVE the settled node 3 (the re-improve
+    // case unweighted BFS never has), and 4 improves again in round 3
+    // (11 via the direct edge, then 7 via the cheaper path)
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seed = Seq(1L).toDF("node")
+    def run(r: Int): Map[Long, Long] =
+      GraphOps.weightedPaths(edges, "src", "dst", "w", seed, rounds = r)
+        .as[(Long, Long)].collect().toMap
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 11L))
+    assert(run(3) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 7L))
+    // parallel edges keep the cheapest
+    val multi = Seq((1L, 2L, 9L), (1L, 2L, 3L)).toDF("src", "dst", "w")
+    assert(GraphOps.weightedPaths(multi, "src", "dst", "w", seed, rounds = 1)
+      .as[(Long, Long)].collect().toMap == Map(1L -> 0L, 2L -> 3L))
+  }
 
   test("pageRank: one iteration on a 3-node chain matches hand-computed fixed-point values") {
     // 1->2, 1->3, 2->3; N=3, scale 1e12, base = 150000000000/3 = 50000000000
