@@ -5229,6 +5229,30 @@ object OpsEntry {
         |SELECT r_regionkey, r_name FROM graft_b10_ins ORDER BY r_regionkey""".stripMargin)),
 
     QueryDef(
+      "b11_create_or_replace",
+      withTables { (s, _) =>
+        // CREATE OR REPLACE TABLE … AS (DmlStatements.createOrReplace):
+        // Spark v1 rejects REPLACE TABLE AS SELECT; the lowering
+        // materializes shadow-first, so the SELF-REFERENCING replacement
+        // here reads the OLD content — DuckDB's probed semantics — and a
+        // failing query can never destroy the original. Block-form
+        // pipeline body exercises the CTAS rewrite path.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b11_cor")
+        Bucketing.dropTableAndLocation(s, "graft_b11_cor__graft_cow")
+        psql.sql("""create table graft_b11_cor as
+          |(| from nation |> select n_nationkey, n_name |)""".stripMargin)
+        psql.sql("""create or replace table graft_b11_cor as
+          |(| from graft_b11_cor |> where n_nationkey < 10 |)""".stripMargin)
+        s.table("graft_b11_cor").orderBy("n_nationkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b11_cor AS
+        |  SELECT n_nationkey, n_name FROM nation;
+        |CREATE OR REPLACE TEMP TABLE graft_b11_cor AS
+        |  SELECT * FROM graft_b11_cor WHERE n_nationkey < 10;
+        |SELECT n_nationkey, n_name FROM graft_b11_cor ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

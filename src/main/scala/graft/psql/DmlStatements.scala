@@ -56,7 +56,41 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "update")) Some(update(spark, stmt))
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
+    else if (matchesWord(stmt, 0, "create")) createOrReplace(spark, stmt)
     else None
+  }
+
+  /** DuckDB `CREATE OR REPLACE TABLE name AS <query>` — Spark's v1 parquet
+    * catalog rejects REPLACE TABLE AS SELECT outright. Lowered
+    * shadow-first: the new content materializes into `<name>__graft_cow`
+    * BEFORE the old table is touched, so (a) a self-referencing
+    * replacement (`… AS SELECT … FROM name`) reads the OLD data, exactly
+    * DuckDB's semantics (probed), and (b) a failing query leaves the
+    * original intact. Only the `OR REPLACE TABLE … AS` form is ours —
+    * plain CREATE TABLE, views, and OR REPLACE MACRO (handled earlier)
+    * fall through.
+    */
+  private def createOrReplace(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    val sc = scan(stmt)
+    var i = nextCode(stmt, sc, "create".length)
+    if (i < 0 || !matchesWord(stmt, i, "or")) return None
+    i = nextCode(stmt, sc, i + 2)
+    if (i < 0 || !matchesWord(stmt, i, "replace")) return None
+    i = nextCode(stmt, sc, i + "replace".length)
+    if (i < 0 || !matchesWord(stmt, i, "table")) return None
+    val (name, after) = identifierAt(stmt, i + "table".length)
+    val asPos = nextCode(stmt, sc, after)
+    require(asPos >= 0 && matchesWord(stmt, asPos, "as"),
+      "CREATE OR REPLACE TABLE supports only the AS <query> form " +
+        "(a bare column-definition list has no content to swap in)")
+    val body = stmt.substring(asPos + 2).trim
+    require(body.nonEmpty, "CREATE OR REPLACE TABLE … AS needs a query")
+    val shadow = name + "__graft_cow"
+    graft.operators.Bucketing.dropTableAndLocation(spark, shadow)
+    Psql(spark).sql(s"create table $shadow as $body") // may read the OLD name
+    graft.operators.Bucketing.dropTableAndLocation(spark, name)
+    spark.sql(s"ALTER TABLE $shadow RENAME TO $name")
+    Some(spark.emptyDataFrame)
   }
 
   /** DuckDB `TRUNCATE t` (no TABLE keyword) — Spark's native TRUNCATE

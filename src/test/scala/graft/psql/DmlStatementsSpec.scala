@@ -91,6 +91,26 @@ class DmlStatementsSpec extends SparkSpec {
     spark.sql("drop table graft_dml_t5b")
   }
 
+  test("CREATE OR REPLACE TABLE: self-reference reads old data; failure leaves original intact") {
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_dml_cor")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_dml_cor__graft_cow")
+    psql.sql("create table graft_dml_cor as select 1 as a union all select 2 union all select 3")
+    // self-referencing replacement: shadow-first means the body reads the
+    // OLD rows (probed DuckDB semantics)
+    psql.sql("create or replace table graft_dml_cor as select a from graft_dml_cor where a < 3")
+    assert(spark.table("graft_dml_cor").count() == 2)
+    // a failing body never destroys the original
+    intercept[Exception] {
+      psql.sql("create or replace table graft_dml_cor as select * from graft_dml_no_such_table")
+    }
+    assert(spark.table("graft_dml_cor").count() == 2)
+    // OR REPLACE of a non-existent table simply creates it
+    spark.sql("drop table graft_dml_cor")
+    psql.sql("create or replace table graft_dml_cor as select 9 as a")
+    assert(spark.table("graft_dml_cor").collect().map(_.getInt(0)).toSeq == Seq(9))
+    spark.sql("drop table graft_dml_cor")
+  }
+
   test("DML fails loudly on unsafe/unsupported targets") {
     seed("graft_dml_t4")
     // temp view target: copy-on-write would rewrite files the catalog
