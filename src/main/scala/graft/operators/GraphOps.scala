@@ -256,10 +256,11 @@ object GraphOps {
     * convergence on the test graph, and all-integer arithmetic makes the
     * unrolled oracle hash-exact.
     *
-    * Scale shape: per round one equi-join of the undirected edge list
-    * against the surviving node set (layout fixed once) + one count
-    * aggregation; survivors shrink monotonically. Returns `(node, degree)`
-    * of the surviving core with the final in-core degree.
+    * Scale shape: DELTA peeling — one full-degree aggregation up front,
+    * then per round one equi-join of the REMOVED frontier (not the whole
+    * graph) against the edge layout fixed once, plus a survivor-sized
+    * merge; converged rounds peel an empty frontier for free. Returns
+    * `(node, degree)` of the surviving core with the final in-core degree.
     */
   def kCore(
       edges: DataFrame,
@@ -277,22 +278,30 @@ object GraphOps {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(false)
-    var nodes = und.select(col("src").as("node")).distinct()
-    var lastDeg: DataFrame = null
-    for (i <- 1 to rounds) {
-      // degree within the surviving subgraph: BOTH endpoints must survive
-      val deg = und
-        .join(nodes.withColumnRenamed("node", "src"), "src")
-        .join(nodes.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("degree"))
-      lastDeg = deg.where(col("degree") >= k)
-      nodes = lastDeg.select("node")
-      if (i % 3 == 0 && i < rounds) {
-        nodes = nodes.localCheckpoint(false)
-      }
+    // DELTA peeling: recomputing the surviving subgraph's full degree
+    // every round is two O(E) joins per round; but removing a node only
+    // changes its NEIGHBORS' degrees, so each round subtracts the
+    // removed-frontier's edge counts instead. Candidate generation is
+    // frontier-sized (the removed set joins the edge layout fixed once);
+    // the survivor merge is one anti-join + left-join per round. Rounds
+    // after convergence peel an empty frontier and cost one empty join.
+    // Degree sequence is IDENTICAL to the recompute formulation:
+    // deg_i(n) = deg_{i-1}(n) − |edges n→removed_i| = degree within the
+    // round-i surviving set — so the unrolled oracle is unchanged.
+    var deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(false)
+    for (i <- 2 to rounds) {
+      val removed = deg.where(col("degree") < k).select("node")
+        .localCheckpoint(false) // used twice: reduction join + anti-join
+      val red = und
+        .join(removed.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__r"))
+      deg = deg.join(removed, Seq("node"), "left_anti")
+        .join(red, Seq("node"), "left_outer")
+        .select(col("node"), (col("degree") - coalesce(col("__r"), lit(0L))).as("degree"))
+        .localCheckpoint(false)
     }
-    lastDeg
+    deg.where(col("degree") >= k)
   }
 
   /** Single-source BFS shortest paths over the undirected edge set,
