@@ -37,8 +37,21 @@ def filter_stage():
 
 def project_stage():
     a, b = rnd.sample(NUM_COLS, 2)
-    return (f"select l_orderkey, l_linenumber, {a}, {b}, "
-            f"cast({a} * (1 - {b}) as double) as expr1")
+    # alternate the cast SPELLING: CAST(x AS t) and x::t are the same
+    # operation in DuckDB, and rewriteColonCasts must keep them the same
+    # through the graft front-end (both land on GraftCast for int targets)
+    if rnd.randrange(2) == 0:
+        e1 = f"cast({a} * (1 - {b}) as double) as expr1"
+    else:
+        e1 = f"({a} * (1 - {b}))::double as expr1"
+    k = rnd.choice(KEY_COLS)
+    e2 = rnd.choice([
+        f"cast({k} as int) as expr2",
+        f"{k}::int as expr2",
+        f"({k} % 97)::bigint as expr2",
+        f"(('' || {k}) || '.5')::int as expr2",
+    ])
+    return (f"select l_orderkey, l_linenumber, {a}, {b}, {e1}, {e2}")
 
 
 def agg_stage():
