@@ -926,6 +926,53 @@ object OpsEntry {
         |ORDER BY vec_id""".stripMargin)),
 
     QueryDef(
+      "d44_cross_semantic",
+      withTables { (s, dir) =>
+        // semantic CROSS-CORPUS contamination — the d12/d13/d20 cross-
+        // corpus family lifted from text shingles to embeddings (the
+        // benchmark-decontamination case exact n-gram matching misses:
+        // paraphrased eval questions): corpus vectors (even vec_id) flag
+        // when a benchmark vector (odd vec_id) in the SAME fixed centroid
+        // scores cosine ≥ 0.2. Centroid blocking keeps the pair join
+        // bucketed — never corpus × benchmark — and fixed centroids make
+        // every stage SQL-statable → full oracle (recall bounded by
+        // same-centroid blocking, the documented IVF nProbe=1 contract).
+        // Top-1 match per corpus vector, (sim desc, ref asc) determinism.
+        val assigned = assignedToFixedCentroids(s, dir).localCheckpoint(false)
+        val corpus = assigned.where(col("vec_id") % 2 === 0)
+        val ref = assigned.where(col("vec_id") % 2 === 1)
+        val pairs = corpus.as("a").join(ref.as("b"), col("a.cid") === col("b.cid"))
+          .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 6))
+          .where(col("sim") >= 0.2)
+          .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("ref_id"), col("sim"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("ref_id").asc)
+        pairs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("vec_id"), col("ref_id"), col("sim"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH cent_t(cid, cent) AS (VALUES {IVF_CENTROIDS}),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT vec_id, cid, round(list_cosine_similarity(v, cent), 6) AS sim
+        |           FROM v CROSS JOIN cent_t),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, sim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cid, v.v FROM assign a JOIN v USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS ref_id,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |  FROM av a JOIN av b ON a.cid = b.cid
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |    AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2)
+        |SELECT vec_id, ref_id, sim FROM (
+        |  SELECT vec_id, ref_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ref_id) AS rn
+        |  FROM pairs) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin)),
+
+    QueryDef(
       "d38_corpus_diff",
       withTables { (s, _) =>
         // dataset-versioning diff between two derived corpus versions:
