@@ -5606,6 +5606,43 @@ object OpsEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     QueryDef(
+      "st16_stream_cusum",
+      withTables { (s, _) =>
+        import s.implicits._
+        // streaming face of a20: online CUSUM with a FIXED trained
+        // reference level (an online detector can't know the stream's own
+        // mean), two Longs of state per key via flatMapGroupsWithState.
+        // Batch execution runs each group once from empty state = the
+        // closed form RS − min(0, running-min RS) the oracle states; the
+        // MemoryStream spec proves split-replay ≡ one-batch.
+        val ev = s.table("events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStreams.Event]
+        graft.streaming.EventStreams.streamCusum(ev,
+            target = 245.0, slack = 5.0, threshold = 500.0)
+          .toDF()
+          .orderBy("event_type", "ts", "event_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    floor(value * 1000000.0 + 0.5)::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT g, ts, event_id,
+        |    x - floor(245.0 * 1000000.0 + 0.5)::BIGINT
+        |      - floor(5.0 * 1000000.0 + 0.5)::BIGINT AS d
+        |  FROM base),
+        |rs AS (SELECT g, ts, event_id,
+        |    sum(d) OVER (PARTITION BY g ORDER BY ts, event_id)::BIGINT AS rs
+        |  FROM d),
+        |s AS (SELECT g, ts, event_id,
+        |    (rs - least(0::BIGINT, min(rs) OVER (PARTITION BY g ORDER BY ts, event_id)))::BIGINT
+        |      AS cusum_scaled
+        |  FROM rs)
+        |SELECT g AS event_type, ts, event_id, cusum_scaled,
+        |  cusum_scaled > floor(500.0 * 1000000.0 + 0.5)::BIGINT AS is_change
+        |FROM s ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
       "st14_window_ohlc",
       withTables { (s, _) =>
         // streaming face of a12: the SAME windowed min_by/max_by plan the

@@ -161,6 +161,56 @@ object EventStreams {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
+  final case class CusumPoint(
+      event_type: String, ts: Timestamp, event_id: Long,
+      cusum_scaled: Long, is_change: Boolean)
+  final case class CusumState(rs: Long, minRs: Long)
+
+  /** Streaming one-sided CUSUM level-shift monitor per event_type — the
+    * ONLINE form of [[graft.operators.TimeSeries.cusumChangepoints]]: the
+    * reference level is a FIXED `target` (trained from history — the
+    * trained-literal pattern; an online detector cannot know the stream's
+    * own mean), and the recursion carries two Longs of state per key:
+    * `rs = Σ(x − target − slack)` and its running min (both on the 1e-6
+    * integer grid, so replay/retry produce identical bits). Emits one
+    * scored point per event: `S = rs − min(0, min rs)`, flagged when
+    * `S > threshold`.
+    *
+    * Ordering contract (the st06 rule): rows sort by (ts, event_id)
+    * WITHIN a trigger; across triggers arrival must respect event time —
+    * ordered replay in tests, watermark-ordered sources in production.
+    * State is O(1) per key; per-trigger buffering is one group's batch.
+    * Batch execution runs each group once from empty state, which equals
+    * the closed form `RS_t − min(0, min_{j≤t} RS_j)` — the SQL-statable
+    * face the st16 gate row hash-checks.
+    */
+  def streamCusum(
+      events: Dataset[Event],
+      target: Double,
+      slack: Double,
+      threshold: Double): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val tM = micro(target)
+    val sM = micro(slack)
+    val hM = micro(threshold)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val rs = st.rs + (micro(e.value) - tM - sM)
+            st = CusumState(rs, math.min(st.minRs, rs)) // minRs includes RS_0=0
+            val s = rs - st.minRs
+            CusumPoint(key, e.ts, e.event_id, s, s > hM)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState: accumulates an
     * open session per user and EMITS it (zero or one row) only when the
     * event-time timeout fires — i.e. the user went quiet for `gapMs`. The

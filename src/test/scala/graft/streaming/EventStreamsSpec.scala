@@ -10,6 +10,38 @@ class EventStreamsSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("streamCusum: split replay over a MemoryStream equals the one-batch closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 6 points at 10 then 6 at 20 against target 12, slack 1: S pins at 0
+    // pre-shift (deviation −3), then climbs +7 per point — the state
+    // (rs, minRs) must carry EXACTLY across micro-batches
+    val events = (0 until 12).map(i =>
+      Event(i.toLong, ts(i), 1, "k", if (i < 6) 10.0 else 20.0))
+    val input = MemoryStream[Event]
+    val out = streamCusum(input.toDS(), target = 12.0, slack = 1.0, threshold = 20.0)
+    val q = toMemorySink(out.toDF(), "cusum_test", complete = false)
+    try {
+      input.addData(events.take(4): _*) // mid-level split
+      q.processAllAvailable()
+      input.addData(events.slice(4, 9): _*) // split straddles the shift
+      q.processAllAvailable()
+      input.addData(events.drop(9): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_test")
+        .select("event_id", "cusum_scaled", "is_change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+      // one-batch batch-face execution = the closed form
+      val batch = streamCusum(events.toDS(), 12.0, 1.0, 20.0)
+        .collect().map(p => (p.event_id, p.cusum_scaled, p.is_change)).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq, s"\nstream=${streamed.mkString(",")}\nbatch=${batch.mkString(",")}")
+      // shape: zero before the shift, +7e6/point after, flag crosses at 20
+      assert(batch.take(6).forall(_._2 == 0L))
+      assert(batch.drop(6).map(_._2).toSeq == (1 to 6).map(_ * 7000000L))
+      assert(batch.count(_._3) == 4, batch.mkString(",")) // 21, 28, 35, 42 > 20
+    } finally q.stop()
+  }
+
   test("tumblingStats over a MemoryStream aggregates per window and drops late data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
