@@ -1461,7 +1461,7 @@ object PsqlRewriter {
         // marks the OPENING quote as code and everything after it in the
         // literal (escaped '' pairs, closing quote) as non-code, so
         // walking back over the non-code span lands on the opening quote
-        val operandStart: Option[Int] = arithLeft(text, sc, hit).orElse {
+        val operandStart0: Option[Int] = arithLeft(text, sc, hit).orElse {
           var q = hit
           while (q > 0 && Character.isWhitespace(text.charAt(q - 1))) q -= 1
           if (q > 0 && text.charAt(q - 1) == '\'' && !sc.code(q - 1)) {
@@ -1469,6 +1469,27 @@ object PsqlRewriter {
             while (p >= 0 && !sc.code(p)) p -= 1
             if (p >= 0 && text.charAt(p) == '\'') Some(p) else None
           } else None
+        }
+        // bare `CASE … END::int` (no wrapping parens): the primary chain
+        // arithLeft extracts is just the END keyword — the cast applies
+        // to the whole CASE expression in DuckDB, so extend the operand
+        // back to the MATCHING case (nesting-aware)
+        val operandStart: Option[Int] = operandStart0.flatMap { ls =>
+          if (!text.substring(ls, hit).trim.equalsIgnoreCase("end")) Some(ls)
+          else {
+            var depth = 1
+            var p = ls - 1
+            var start = -1
+            while (start < 0 && p >= 0) {
+              if (sc.code(p) && matchesWord(text, p, "end")) depth += 1
+              else if (sc.code(p) && matchesWord(text, p, "case")) {
+                depth -= 1
+                if (depth == 0) start = p
+              }
+              p -= 1
+            }
+            if (start >= 0) Some(start) else None // unmatched: leave for Spark
+          }
         }
         operandStart match {
           case Some(ls) =>

@@ -470,6 +470,13 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(one("try_cast('1e2000000000' as int)") == null)
     assert(one("'1e-2000000000'::int") == 0)
     assert(one("'0xF_F'::int") == 255)
+    // bare CASE … END::int casts the WHOLE case expression (DuckDB
+    // precedence) — the operand is not the END keyword alone; nesting-aware
+    assert(one("case when x = 1 then 2.5 else 3.5 end::int") == 3)
+    assert(one(
+      "case when x = 1 then case when x > 0 then 4.5 else 0 end else 3.5 end::int") == 5)
+    // …and the parenthesized spelling stays equivalent
+    assert(one("(case when x = 1 then 2.5 else 3.5 end)::int") == 3)
   }
 
   test("regex-operator patterns keep their backslashes through the rewrite") {
