@@ -762,6 +762,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("l_comment"), readSchema)
   }
 
+  test("a20 CUSUM: stats broadcast back, ONE hash exchange + sort feeds both windows") {
+    val df = graft.operators.TimeSeries.cusumChangepoints(
+      spark.table("events"), "ts", "event_type", "value", "event_id",
+      slack = 5.0, threshold = 500.0)
+    val p = plan(df)
+    // per-group stats are output-sized and broadcast back over the fact
+    // scan (the a19 baseline pattern) — the facts never shuffle for them
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // exactly two hash exchanges: the output-sized stats aggregate's own
+    // partial/final (pre-broadcast) and the ONE fact exchange feeding the
+    // windows; the running-sum and running-min windows share ONE sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("\\bSort\\b".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("g07 BFS: settled levels union once — no accumulated-reach re-aggregation") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
