@@ -5615,7 +5615,12 @@ object OpsEntry {
         // Batch execution runs each group once from empty state = the
         // closed form RS − min(0, running-min RS) the oracle states; the
         // MemoryStream spec proves split-replay ≡ one-batch.
+        // NULL filter mirrors the oracle's WHERE value IS NOT NULL — the
+        // Event case class has a primitive Double, which would otherwise
+        // crash at deserialization if a regenerated events table ever
+        // carries NULL values (the st06 regeneration lesson)
         val ev = s.table("events")
+          .where(col("value").isNotNull)
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.EventStreams.Event]
         graft.streaming.EventStreams.streamCusum(ev,

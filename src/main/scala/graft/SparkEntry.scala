@@ -687,10 +687,13 @@ object SparkEntry {
     * reservoir sampling); its siblings run the SAME kernels with fixed,
     * SQL-statable parameters (trained-literal pattern) or closed-form
     * inputs and ARE hash-checked against DuckDB. Verify dumps this map as
-    * `parity_siblings.json`; tools/compare.py refuses a rows-only pass
-    * whose sibling is not green, and refuses a no-oracle row with no
+    * `parity_siblings.json`; tools/compare.py fails a rows-only entry
+    * whose sibling RAN and is not green, and fails a no-oracle row with no
     * declared sibling — adding an unchecked operator now fails the gate
-    * instead of quietly widening the weak set.
+    * instead of quietly widening the weak set. Siblings absent from a
+    * subset run or skipped by the at-scale pathological-oracle list are
+    * ANNOTATED, not failed — the full sf0.01 gate run (where every
+    * sibling executes) is the enforcing one.
     */
   val paritySiblings: Map[String, Seq[String]] = Map(
     "d02_minhash_lsh_dedup"   -> Seq("d19_minhash_md5_pairs"),

@@ -331,7 +331,18 @@ object Dedup {
     * then exact-Jaccard verify on the candidate pairs only, then the same
     * anti-join tail. Precision exact; recall is the LSH collision curve at
     * the chosen bands×rows (spec-checked against [[crossDedup]]).
-    * `maxBucketSize` drops oversized buckets like [[minhashLshPairs]].
+    *
+    * `maxBucketSize` (DEFAULT ON at 10 000, the [[minhashLshPairs]]
+    * contract adapted to the bipartite shape): a (band, bucket) whose
+    * occupancy exceeds the cap on EITHER side would emit |corpus∩bucket| ×
+    * |reference∩bucket| candidates — quadratic on verbatim-replicated
+    * boilerplate. Hot buckets switch to STAR candidates: every corpus
+    * member pairs with the bucket's min-id REFERENCE doc only (linear in
+    * corpus occupancy), and the exact-Jaccard verify still decides. For
+    * the boilerplate corpora that create hot buckets the members are
+    * verbatim copies of the rep, so they still flag; the loss is a corpus
+    * doc near-dup to a NON-rep reference member only, in hot buckets
+    * across all its bands — pathological at dedup thresholds.
     */
   def crossDedupLsh(
       corpus: DataFrame,
@@ -342,8 +353,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5,
-      maxBucketSize: Option[Long] = None): DataFrame = {
+      maxBucketSize: Long = 10000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rows = numHashes / bands
     val (a, b) = hashParams(numHashes)
     def banded(df: DataFrame): DataFrame = {
@@ -355,26 +367,28 @@ object Dedup {
       val bandCols = (0 until bands).map(bd => xxhash64(slice(col("sig"), bd * rows + 1, rows)))
       sig.select(col("id"), posexplode(array(bandCols: _*))).toDF("id", "band", "bucket")
     }
-    val ca0 = banded(corpus)
+    val ca0 = banded(corpus).localCheckpoint(false)   // referenced twice below
     val cb0 = banded(reference).withColumnRenamed("id", "rid")
-    // cap BOTH sides' bucket occupancy (like simhashPairs): the bipartite
-    // candidate volume of a (band, bucket) is |corpus ∩ bucket| ×
-    // |reference ∩ bucket|, so a verbatim-replicated hot bucket on EITHER
-    // side would emit occupancy × cap rows per band if only one side were
-    // capped. Keeping a bucket only when both occupancies are within the
-    // cap bounds it at cap² regardless of which side carries the skew.
-    val (ca, cb) = maxBucketSize match {
-      case Some(cap) =>
-        def within(df: DataFrame) =
-          df.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-            .where(col("__n") <= cap).select("band", "bucket")
-        val keep = within(ca0).join(within(cb0), Seq("band", "bucket"))
-        (ca0.join(keep, Seq("band", "bucket")),
-          cb0.join(keep, Seq("band", "bucket")))
-      case None => (ca0, cb0)
-    }
-    val cand = ca.join(cb, Seq("band", "bucket"))
-      .select(col("id"), col("rid")).distinct()
+      .localCheckpoint(false)
+    // hot-bucket detection watches BOTH sides' occupancy (the bipartite
+    // candidate volume of a (band, bucket) is the PRODUCT): two narrow
+    // map-side-combined aggregates, and the hot set is tiny by
+    // construction (empty on healthy corpora), so AQE broadcasts the
+    // joins below — the common path costs two cheap stats shuffles on top
+    // of the candidate equi-join it always needed
+    val aStats = ca0.groupBy("band", "bucket").agg(count(lit(1)).as("__an"))
+    val bStats = cb0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bn"), min("rid").as("__rep"))
+    val hot = aStats.join(bStats, Seq("band", "bucket"))
+      .where(col("__an") > maxBucketSize || col("__bn") > maxBucketSize)
+      .select("band", "bucket", "__rep")
+    val caN = ca0.join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
+    val cbN = cb0.join(hot.select("band", "bucket"), Seq("band", "bucket"), "left_anti")
+    val normalCand = caN.join(cbN, Seq("band", "bucket")).select(col("id"), col("rid"))
+    // hot buckets: every corpus member pairs with the reference rep only
+    val starCand = ca0.join(hot, Seq("band", "bucket"))
+      .select(col("id"), col("__rep").as("rid"))
+    val cand = normalCand.unionByName(starCand).distinct()
     val setsA = hashedShingleSets(corpus, idCol, textCol, shingleSize)
       .select(col("id"), col("hs").as("sh_a"))
     val setsB = hashedShingleSets(reference, idCol, textCol, shingleSize)

@@ -401,7 +401,15 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"),
         col(weightCol).cast("long").as("w"))
       .where(col("s").isNotNull && col("d").isNotNull && col("w").isNotNull &&
-        col("s") =!= col("d") && col("w") >= 0)
+        col("s") =!= col("d"))
+    // fail loudly on negative weights instead of silently dropping the
+    // edge: on an UNDIRECTED graph any negative edge is a negative cycle,
+    // so no shortest-path answer exists — a filtered-away edge would just
+    // compute distances on a silently different graph. One short-circuit
+    // scan (limit-1 probe), same fail-loud contract as the other requires.
+    require(raw.where(col("w") < 0).isEmpty,
+      "weightedPaths: negative edge weights found — undirected negative " +
+        "edges form negative cycles; shortest paths are undefined")
     val und = raw.select(col("s").as("src"), col("d").as("dst"), col("w"))
       .unionByName(raw.select(col("d").as("src"), col("s").as("dst"), col("w")))
       .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest

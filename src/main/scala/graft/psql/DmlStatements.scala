@@ -85,6 +85,18 @@ object DmlStatements {
         "(a bare column-definition list has no content to swap in)")
     val body = stmt.substring(asPos + 2).trim
     require(body.nonEmpty, "CREATE OR REPLACE TABLE … AS needs a query")
+    // same guards as the other copy-on-write forms, checked BEFORE the
+    // shadow materializes: dotted names would fail the swap late, and a
+    // name held by a view/external table must not be silently re-pointed
+    // at a managed table (DROP TABLE on a view also throws mid-swap)
+    require(!name.contains('.'),
+      s"CREATE OR REPLACE TABLE '$name': qualified names are not supported")
+    if (spark.catalog.tableExists(name)) {
+      val tt = spark.catalog.getTable(name).tableType
+      require(tt == "MANAGED",
+        s"CREATE OR REPLACE TABLE '$name': existing object is $tt — only MANAGED " +
+          "tables can be replaced (drop the view/external table explicitly first)")
+    }
     val shadow = name + "__graft_cow"
     graft.operators.Bucketing.dropTableAndLocation(spark, shadow)
     Psql(spark).sql(s"create table $shadow as $body") // may read the OLD name
@@ -289,6 +301,9 @@ object DmlStatements {
           s"SET target must be a bare column name, got '$lhs'")
         (lhs, part.substring(eq + 1).trim)
       }
+    require(assigns.nonEmpty,
+      s"UPDATE $table: empty SET list — nothing to assign (a no-op UPDATE " +
+        "would still rewrite the whole table copy-on-write)")
     val unknown = assigns.map(_._1)
       .filterNot(a => fields.exists(_.name.equalsIgnoreCase(a)))
     require(unknown.isEmpty,
@@ -331,6 +346,12 @@ object DmlStatements {
   }
 
   private def checkTarget(spark: SparkSession, name: String): Unit = {
+    // the copy-on-write swap (DROP + RENAME through Bucketing) handles
+    // single-part names in the current database only; a dotted name would
+    // no-op the drop and fail the rename AFTER the full rewrite ran
+    require(!name.contains('.'),
+      s"DML target '$name': qualified (database.table) names are not supported — " +
+        "USE the database and refer to the bare table name")
     require(spark.catalog.tableExists(name), s"DML target '$name' does not exist")
     val t = spark.catalog.getTable(name)
     require(t.tableType == "MANAGED",

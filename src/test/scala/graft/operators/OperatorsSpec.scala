@@ -724,18 +724,20 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.crossDedupLsh(corpus, reference, "id", "text", 3, 64, 32, 0.5)
       .select("id").as[Long].collect().toSet
     assert(uncapped == Set(200L), uncapped.toString)
-    // capped at 10: the corpus-side occupancy (100) exceeds the cap, the
-    // bucket is dropped before the join — lossy by intent (exact dedup
-    // upstream owns verbatim copies), bounded candidate volume
+    // capped at 10: the corpus-side occupancy (100) exceeds the cap, so
+    // the bucket goes STAR — every corpus member pairs with the reference
+    // rep only (100 candidates, not 100 × bands), the exact-Jaccard verify
+    // still flags all verbatim copies, and only the unique doc survives:
+    // bounded candidate volume WITHOUT the old drop-the-bucket recall loss
     val capped = Dedup.crossDedupLsh(corpus, reference, "id", "text", 3, 64, 32, 0.5,
-      maxBucketSize = Some(10L)).count()
-    assert(capped == 101, capped.toString)
+      maxBucketSize = 10L).select("id").as[Long].collect().toSet
+    assert(capped == Set(200L), capped.toString)
     // small buckets are untouched: a genuine borderline pair still dedups
     // with the cap on (reference-side path unchanged)
     val small = Seq((1L, "the quick brown fox jumps over the lazy dog tonight again")).toDF("id", "text")
     val smallRef = Seq((2L, "the quick brown fox jumps over the lazy dog tonight twice")).toDF("id", "text")
     val keptSmall = Dedup.crossDedupLsh(small, smallRef, "id", "text", 3, 64, 32, 0.5,
-      maxBucketSize = Some(10L)).count()
+      maxBucketSize = 10L).count()
     assert(keptSmall == 0, "the near-dup corpus doc must still be dropped under the cap")
   }
 

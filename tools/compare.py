@@ -119,13 +119,26 @@ def main():
         if not sibs:
             results[name] = f"NO_PARITY_SIBLING: rows-only entry with no declared hash-green sibling ({v})"
             continue
+        # a sibling whose oracle was skipped BY REQUEST (the at-scale
+        # pathological-oracle list) is unchecked this run, not red — only a
+        # sibling that RAN and failed flips the dependent; absent/skipped
+        # siblings are annotated so a full run remains the enforcing one
         in_run = [s for s in sibs if s in results]
-        red = [s for s in in_run if not results[s].startswith("MATCH")]
+        green = [s for s in in_run if results[s].startswith("MATCH")]
+        skipped = [s for s in in_run if "skipped by request" in results[s]]
+        red = [s for s in in_run if s not in green and s not in skipped]
         if red:
             results[name] = f"PARITY_SIBLING_RED: {','.join(red)} not MATCH ({v})"
         else:
-            tag = ",".join(in_run) if in_run else f"{','.join(sibs)} (not in this run)"
-            results[name] = v + f" [parity: {tag}]"
+            parts = []
+            if green:
+                parts.append(",".join(green))
+            if skipped:
+                parts.append(f"{','.join(skipped)} (oracle skipped this run)")
+            absent = [s for s in sibs if s not in results]
+            if absent:
+                parts.append(f"{','.join(absent)} (not in this run)")
+            results[name] = v + f" [parity: {'; '.join(parts)}]"
         sib_note[name] = sibs
     n_ok = sum(1 for v in results.values() if v.startswith(("MATCH", "ROWS_ONLY")))
     for k, v in sorted(results.items()):
