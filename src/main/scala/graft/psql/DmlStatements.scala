@@ -257,6 +257,12 @@ object DmlStatements {
     val (table, after) = identifierAt(stmt, fromIdx + 4)
     val wherePos = topLevelKeyword(stmt, sc, Seq("where")).headOption
     wherePos.foreach(p => require(p >= after, s"malformed DELETE near '$table'"))
+    // nothing may sit between the table name and WHERE (or end): a typo'd
+    // clause (`wehre v > 15`) must error, not silently delete every row
+    val gap = stmt.substring(after, wherePos.getOrElse(stmt.length)).trim
+    require(gap.isEmpty,
+      s"DELETE FROM $table: unexpected text '$gap' — the only clause DELETE " +
+        "accepts after the table name is WHERE")
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
     checkTarget(spark, table)
     val psql = Psql(spark)
@@ -279,9 +285,14 @@ object DmlStatements {
       "UPDATE … FROM is not supported — precompute the join into a staging " +
         "table and UPDATE with a correlated `IN`/scalar subquery instead")
     val (table, after) = identifierAt(stmt, "update".length)
-    val setPos = topLevelKeyword(stmt, sc, Seq("set")).find(_ >= after)
-      .getOrElse(throw new IllegalArgumentException(
-        "UPDATE must be `UPDATE <table> SET col = expr[, …] [WHERE <cond>]`"))
+    // SET must IMMEDIATELY follow the table name: a misplaced clause
+    // (`UPDATE t WHERE id=1 SET v=2`) would otherwise be silently dropped
+    // and the WHERE lost — an unconditional update of every row
+    val setWord = nextCode(stmt, sc, after)
+    require(setWord >= 0 && matchesWord(stmt, setWord, "set"),
+      "UPDATE must be `UPDATE <table> SET col = expr[, …] [WHERE <cond>]` — " +
+        s"expected SET right after the table name in: $stmt")
+    val setPos = setWord
     val wherePos = topLevelKeyword(stmt, sc, Seq("where")).find(_ > setPos)
     val setText = stmt.substring(setPos + "set".length, wherePos.getOrElse(stmt.length))
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)

@@ -1364,7 +1364,12 @@ object PsqlRewriter {
   private[psql] def rewriteCasts(text0: String): String = {
     var text = text0
     var guard = 0
-    while (guard < 200) {
+    // each iteration rewrites exactly one target cast and `cast(x as t)`
+    // is ≥14 chars, so text0.length/8 bounds the rewrite count — a fixed
+    // 200 rejected machine-generated statements (e.g. the DML cowSwap
+    // projection over a very wide table with many integer retypes)
+    val guardMax = math.max(200, text0.length / 8)
+    while (guard < guardMax) {
       guard += 1
       val sc = scan(text)
       var i = 0
@@ -1412,7 +1417,7 @@ object PsqlRewriter {
     // a partial rewrite would leave the remaining casts on Spark's
     // truncation semantics — the silent divergence this pass eliminates
     throw new IllegalArgumentException(
-      "rewriteCasts: rewrite guard exhausted (>200 casts in one statement)")
+      s"rewriteCasts: rewrite guard exhausted (>$guardMax casts in one statement)")
   }
 
   /** Double-colon casts `expr::<target>` for the graftCastTargets set →
@@ -1435,7 +1440,11 @@ object PsqlRewriter {
     var text = text0
     var from = 0
     var guard = 0
-    while (guard < 10000) {
+    // each iteration either rewrites one target cast or advances past one
+    // `::`; rewrites resume from the operand start (not 0), so iterations
+    // scale ~linearly with the input — size the guard with it
+    val guardMax = math.max(10000, text0.length)
+    while (guard < guardMax) {
       guard += 1
       val sc = scan(text)
       var i = from
@@ -1496,13 +1505,16 @@ object PsqlRewriter {
             val expr = text.substring(ls, hit).trim
             text = text.substring(0, ls) + s"graft_cast($expr, '$target')" +
               text.substring(te)
-            from = 0 // operand may span earlier skipped `::`s; re-scan
+            // resume from the operand start: text before `ls` is untouched,
+            // so its skip decisions still hold — restarting at 0 made the
+            // pass ~quadratic in the count of non-target `::`s before a hit
+            from = ls
           case None => from = te // no usable operand: leave for Spark
         }
       } else from = te
     }
     throw new IllegalArgumentException(
-      "rewriteColonCasts: rewrite guard exhausted (>10000 `::` casts in one statement)")
+      s"rewriteColonCasts: rewrite guard exhausted (>$guardMax steps)")
   }
 
   /** C-style strftime format → Spark datetime pattern. Alphabetic

@@ -137,4 +137,32 @@ class DmlStatementsSpec extends SparkSpec {
     // nothing above touched the data
     assert(spark.table("graft_dml_t4").count() == 3)
   }
+
+  test("typo'd clauses error instead of silently widening the statement") {
+    seed("graft_dml_t5")
+    // a typo'd WHERE must NOT fall through to an unconditional DELETE —
+    // DuckDB rejects the statement; silent acceptance is total data loss
+    val e1 = intercept[IllegalArgumentException] {
+      psql.sql("delete from graft_dml_t5 wehre v > 15")
+    }
+    assert(e1.getMessage.contains("unexpected text"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      psql.sql("delete from graft_dml_t5 where2 v > 15")
+    }
+    assert(e2.getMessage.contains("unexpected text"), e2.getMessage)
+    // a WHERE misplaced before SET must NOT become an unconditional UPDATE
+    val e3 = intercept[IllegalArgumentException] {
+      psql.sql("update graft_dml_t5 where id = 1 set v = 2")
+    }
+    assert(e3.getMessage.contains("SET right after"), e3.getMessage)
+    // nothing above touched the data
+    val rows = spark.table("graft_dml_t5").orderBy("id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, -1L)))
+    // the well-formed statements still parse
+    assert(psql.sql("delete from graft_dml_t5 where v > 15")
+      .collect()(0).getLong(0) == 1L)
+    assert(psql.sql("update graft_dml_t5 set v = 2 where id = 1")
+      .collect()(0).getLong(0) == 1L)
+  }
 }

@@ -477,6 +477,14 @@ class PsqlRewriterSpec extends AnyFunSuite {
       "case when x = 1 then case when x > 0 then 4.5 else 0 end else 3.5 end::int") == 5)
     // …and the parenthesized spelling stays equivalent
     assert(one("(case when x = 1 then 2.5 else 3.5 end)::int") == 3)
+    // machine-generated width: 150 target casts interleaved with 100
+    // non-target `::double`s rewrites in ~linear steps (the old
+    // restart-from-0 resume made this quadratic into a fixed guard)
+    val wide = (1 to 150).map(i => s"x::double::int as c$i") ++
+      (1 to 100).map(i => s"x::date as d$i")
+    val rWide = PsqlRewriter.rewrite(s"from t |> select ${wide.mkString(", ")}")
+    assert(rWide.contains("graft_cast(x::double, 'int') as c150"), "c150 rewritten")
+    assert(rWide.contains("x::date as d100"), "dates pass through")
   }
 
   test("regex-operator patterns keep their backslashes through the rewrite") {
