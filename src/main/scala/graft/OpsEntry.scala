@@ -5300,6 +5300,64 @@ object OpsEntry {
         |SELECT n_nationkey, n_name FROM graft_b11_cor ORDER BY n_nationkey""".stripMargin)),
 
     QueryDef(
+      "b12_merge_statement",
+      withTables { (s, _) =>
+        // DuckDB v1.4 MERGE INTO (MergeStatement): conditional DELETE,
+        // fall-through UPDATE (the NULL flag exercises three-valued clause
+        // skipping), conditional INSERT — one statement, copy-on-write.
+        // The local oracle (DuckDB 1.0) predates MERGE, so it executes the
+        // DOCUMENTED-EQUIVALENT sequence: DELETE USING (matched + cond),
+        // UPDATE FROM (remaining matched = fell-through), INSERT of
+        // source rows unmatched against the ORIGINAL key set — the
+        // first-clause-wins algebra spelled out statement by statement.
+        // All arithmetic integer-derived (count(*), max(linenumber)), the
+        // one double add is a single IEEE op — exact cross-engine.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b12_tgt")
+        Bucketing.dropTableAndLocation(s, "graft_b12_tgt__graft_cow")
+        s.table("orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .where(col("o_orderkey") % 4 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b12_tgt")
+        psql.sql("""from lineitem |> where l_orderkey % 2 = 0 |>
+          |select l_orderkey as okey, count() as qty,
+          |  case when max(l_linenumber) >= 4 then max(l_linenumber) else null end as flag
+          |  group by l_orderkey""".stripMargin)
+          .createOrReplaceTempView("graft_b12_src")
+        val r = psql.sql("""merge into graft_b12_tgt t using graft_b12_src s
+          |  on t.o_orderkey = s.okey
+          |when matched and s.flag > 4 then delete
+          |when matched then update set o_totalprice = t.o_totalprice + s.qty,
+          |  o_orderstatus = 'M' || t.o_orderstatus
+          |when not matched and s.qty <= 2 then
+          |  insert (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+          |  values (s.okey, -1, 'N', s.qty * 100)""".stripMargin)
+        require(r.columns.toSeq == Seq("Count") && r.count() == 1,
+          "MERGE must return DuckDB's one-row Count shape")
+        s.table("graft_b12_tgt").orderBy("o_orderkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b12_tgt AS
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0;
+        |CREATE OR REPLACE TEMP TABLE graft_b12_src AS
+        |  SELECT l_orderkey AS okey, count(*) AS qty,
+        |    CASE WHEN max(l_linenumber) >= 4 THEN max(l_linenumber) ELSE NULL END AS flag
+        |  FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_orderkey;
+        |CREATE OR REPLACE TEMP TABLE graft_b12_keys AS
+        |  SELECT o_orderkey FROM graft_b12_tgt;
+        |DELETE FROM graft_b12_tgt USING graft_b12_src s
+        |  WHERE graft_b12_tgt.o_orderkey = s.okey AND s.flag > 4;
+        |UPDATE graft_b12_tgt SET o_totalprice = o_totalprice + s.qty,
+        |  o_orderstatus = 'M' || o_orderstatus
+        |  FROM graft_b12_src s WHERE graft_b12_tgt.o_orderkey = s.okey;
+        |INSERT INTO graft_b12_tgt
+        |  SELECT s.okey, -1, 'N', s.qty * 100 FROM graft_b12_src s
+        |  WHERE s.qty <= 2 AND s.okey NOT IN (SELECT o_orderkey FROM graft_b12_keys);
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM graft_b12_tgt ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -346,7 +346,7 @@ object DmlStatements {
   }
 
   /** Parse a (plain) identifier starting at/after i0; returns (name, end). */
-  private def identifierAt(stmt: String, i0: Int): (String, Int) = {
+  private[psql] def identifierAt(stmt: String, i0: Int): (String, Int) = {
     var i = math.max(i0, 0)
     while (i < stmt.length && Character.isWhitespace(stmt.charAt(i))) i += 1
     var j = i
@@ -356,7 +356,7 @@ object DmlStatements {
     (stmt.substring(i, j), j)
   }
 
-  private def checkTarget(spark: SparkSession, name: String): Unit = {
+  private[psql] def checkTarget(spark: SparkSession, name: String): Unit = {
     // the copy-on-write swap (DROP + RENAME through Bucketing) handles
     // single-part names in the current database only; a dotted name would
     // no-op the drop and fail the rename AFTER the full rewrite ran
@@ -372,7 +372,7 @@ object DmlStatements {
   }
 
   /** Materialize `next` into a shadow table, then swap it in. */
-  private def cowSwap(spark: SparkSession, table: String, next: DataFrame): Unit = {
+  private[psql] def cowSwap(spark: SparkSession, table: String, next: DataFrame): Unit = {
     val tmp = table + "__graft_cow"
     graft.operators.Bucketing.dropTableAndLocation(spark, tmp)
     next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
@@ -380,12 +380,12 @@ object DmlStatements {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
-  private def countDf(spark: SparkSession, n: Long): DataFrame = {
+  private[psql] def countDf(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     Seq(n).toDF("Count")
   }
 
-  private def splitTopCommas(s: String): Seq[String] = {
+  private[psql] def splitTopCommas(s: String): Seq[String] = {
     val sc = scan(s)
     val parts = scala.collection.mutable.ListBuffer.empty[String]
     var start = 0

@@ -75,6 +75,12 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB v1.4 MERGE INTO — standard warehouse upsert, lowered onto the
+    // same copy-on-write shadow swap (insert-only merges append instead)
+    MergeStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB PREPARE/EXECUTE/DEALLOCATE — session registry + bind-time
     // argument inlining (EXECUTE re-enters sql(), so bodies may be any
     // pipeline or statement)

@@ -1,0 +1,160 @@
+package graft.psql
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+
+/** DuckDB v1.4 MERGE INTO lowering: first-clause-wins, NULL-condition
+  * three-valued logic, duplicate-acting-match error, by-name shorthands,
+  * NOT MATCHED BY SOURCE, insert-only append path, Count result shape.
+  */
+class MergeStatementSpec extends SparkSpec {
+
+  import spark.implicits._
+  private lazy val psql = Psql(spark)
+
+  private def seedTarget(name: String): Unit = {
+    graft.operators.Bucketing.dropTableAndLocation(spark, name)
+    graft.operators.Bucketing.dropTableAndLocation(spark, name + "__graft_cow")
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("id", "v", "s")
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+  }
+
+  private def rows(name: String): Seq[(Long, Long, String)] =
+    spark.table(name).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+  test("update / delete / insert clauses with conditions; Count totals all three") {
+    seedTarget("graft_merge_t1")
+    Seq((1L, 100L), (2L, 200L), (9L, 900L), (10L, 5L))
+      .toDF("id", "nv").createOrReplaceTempView("graft_merge_s1")
+    val r = psql.sql("""merge into graft_merge_t1 t using graft_merge_s1 s
+      |  on t.id = s.id
+      |when matched and s.nv >= 200 then delete
+      |when matched then update set v = t.v + s.nv, s = s || '!'
+      |when not matched and s.nv < 800 then insert (id, v, s) values (s.id, s.nv, 'new')
+      |""".stripMargin)
+    assert(r.columns.toSeq == Seq("Count"))
+    // 1 update (id=1), 1 delete (id=2), 1 insert (id=10; id=9 fails nv<800)
+    assert(r.collect()(0).getLong(0) == 3L)
+    assert(rows("graft_merge_t1") ==
+      Seq((1L, 110L, "a!"), (3L, 30L, "c"), (4L, 40L, "d"), (10L, 5L, "new")))
+  }
+
+  test("NULL AND-condition skips the clause (three-valued logic); falls to next") {
+    seedTarget("graft_merge_t2")
+    Seq((1L, Some(100L)), (2L, None)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_merge_s2")
+    psql.sql("""merge into graft_merge_t2 t using graft_merge_s2 s on t.id = s.id
+      |when matched and s.nv > 50 then delete
+      |when matched then update set s = 'fell-through'
+      |""".stripMargin)
+    // id=1: nv>50 true → deleted. id=2: nv NULL → clause skipped → updated.
+    assert(rows("graft_merge_t2") ==
+      Seq((2L, 20L, "fell-through"), (3L, 30L, "c"), (4L, 40L, "d")))
+  }
+
+  test("a target row acted on through two source matches is an error; table untouched") {
+    seedTarget("graft_merge_t3")
+    Seq((1L, 100L), (1L, 101L)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_merge_s3")
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("""merge into graft_merge_t3 t using graft_merge_s3 s on t.id = s.id
+        |when matched then update set v = s.nv""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    assert(rows("graft_merge_t3").head == ((1L, 10L, "a")))
+    // multiple matches are FINE when at most one acts
+    val r = psql.sql("""merge into graft_merge_t3 t using graft_merge_s3 s on t.id = s.id
+      |when matched and s.nv = 101 then update set v = s.nv
+      |when matched then do nothing""".stripMargin)
+    assert(r.collect()(0).getLong(0) == 1L)
+    assert(rows("graft_merge_t3").head == ((1L, 101L, "a")))
+  }
+
+  test("bare UPDATE and bare INSERT are by-name; unmatched columns keep/NULL") {
+    seedTarget("graft_merge_t4")
+    Seq((2L, "B"), (7L, "G")).toDF("id", "s")
+      .createOrReplaceTempView("graft_merge_s4")
+    psql.sql("""merge into graft_merge_t4 t using graft_merge_s4 s on t.id = s.id
+      |when matched then update
+      |when not matched then insert""".stripMargin)
+    val got = spark.table("graft_merge_t4").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2))).toSeq
+    // id=2 updated by name (v untouched — source has no v); id=7 inserted with NULL v
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "B"), (3L, 30L, "c"),
+      (4L, 40L, "d"), (7L, -1L, "G")))
+  }
+
+  test("NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
+    seedTarget("graft_merge_t5")
+    Seq((1L, 0L)).toDF("id", "nv").createOrReplaceTempView("graft_merge_s5")
+    val r = psql.sql("""merge into graft_merge_t5 t using graft_merge_s5 s on t.id = s.id
+      |when matched then update set s = 'kept'
+      |when not matched by source and t.v >= 40 then delete
+      |when not matched by source then update set s = 'stale'""".stripMargin)
+    assert(r.collect()(0).getLong(0) == 4L) // 1 matched-update + 1 delete + 2 updates
+    assert(rows("graft_merge_t5") ==
+      Seq((1L, 10L, "kept"), (2L, 20L, "stale"), (3L, 30L, "stale")))
+  }
+
+  test("insert-only merge appends without rewriting the table (and subquery source)") {
+    seedTarget("graft_merge_t6")
+    spark.sparkContext.setJobGroup("merge-t6", "insert-only")
+    val before = spark.table("graft_merge_t6").inputFiles.toSet
+    psql.sql("""merge into graft_merge_t6 t
+      |using (select 5 as id, 50 as v union all select 1, 999) s on t.id = s.id
+      |when not matched then insert values (s.id, s.v, 'ins')""".stripMargin)
+    assert(rows("graft_merge_t6") ==
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"), (5L, 50L, "ins")))
+    // append path: every pre-merge file is still part of the table
+    val after = spark.table("graft_merge_t6").inputFiles.toSet
+    assert(before.subsetOf(after), "insert-only merge must append, not rewrite")
+  }
+
+  test("values cast to declared column types with DuckDB assignment rounding") {
+    seedTarget("graft_merge_t7")
+    Seq((1L, 2.5), (8L, 3.5)).toDF("id", "x")
+      .createOrReplaceTempView("graft_merge_s7")
+    psql.sql("""merge into graft_merge_t7 t using graft_merge_s7 s on t.id = s.id
+      |when matched then update set v = s.x
+      |when not matched then insert (id, v) values (s.id, s.x)""".stripMargin)
+    val got = spark.table("graft_merge_t7").where("id in (1, 8)").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // double→bigint half-even: 2.5→2, 3.5→4 (GraftCast, not Spark truncate)
+    assert(got == Seq((1L, 2L), (8L, 4L)))
+  }
+
+  test("malformed statements fail loudly") {
+    seedTarget("graft_merge_t8")
+    Seq((1L, 1L)).toDF("id", "nv").createOrReplaceTempView("graft_merge_s8")
+    def bad(stmt: String, msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException](psql.sql(stmt))
+      assert(e.getMessage.contains(msgPart), s"$stmt → ${e.getMessage}")
+    }
+    bad("merge into graft_merge_t8 t using graft_merge_s8 s on t.id = s.id",
+      "at least one WHEN")
+    bad("""merge into graft_merge_t8 t using graft_merge_s8 s on t.id = s.id
+      |when matched then insert values (1, 2, 'x')""".stripMargin,
+      "cannot INSERT")
+    bad("""merge into graft_merge_t8 t using graft_merge_s8 s on t.id = s.id
+      |when not matched then update set v = 1""".stripMargin,
+      "can only INSERT")
+    bad("""merge into graft_merge_t8 t using graft_merge_s8 s on t.id = s.id
+      |when not matched then insert values (1)""".stripMargin,
+      "needs all 3")
+    bad("""merge into graft_merge_t8 t using graft_merge_s8 s on t.id = s.id
+      |when matched then update set nope = 1""".stripMargin,
+      "nope")
+    bad("""merge into graft_merge_t8 t using (select 1 as id) on t.id = id
+      |when matched then delete""".stripMargin,
+      "needs an alias")
+    // CASE inside the ON condition must not confuse WHEN/THEN splitting
+    val r = psql.sql("""merge into graft_merge_t8 t using graft_merge_s8 s
+      |on t.id = case when s.nv > 0 then s.id else -1 end
+      |when matched and case when s.nv = 1 then true else false end then delete
+      |""".stripMargin)
+    assert(r.collect()(0).getLong(0) == 1L)
+    assert(rows("graft_merge_t8").map(_._1) == Seq(2L, 3L, 4L))
+  }
+}
