@@ -5358,6 +5358,46 @@ object OpsEntry {
         |FROM graft_b12_tgt ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b13_partitioned_dml",
+      withTables { (s, _) =>
+        // Partition-pruned DML (DmlStatements pruned path): the target is
+        // PARTITIONED by event_type, the DELETE's predicate isolates two
+        // partitions and the UPDATE's one — each statement finds the
+        // affected partitions with one aggregate, then dynamic-partition-
+        // overwrites ONLY those directories; the other partitions' files
+        // stay byte-identical (asserted in DmlStatementsSpec via file
+        // listings). At 100 TB: rewrite one day, not the warehouse.
+        // Oracle: DuckDB executing the SAME statements (partitioning is
+        // physical layout only — the logical result is identical).
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b13_part")
+        Bucketing.dropTableAndLocation(s, "graft_b13_part__graft_cow")
+        s.table("events")
+          .select("event_id", "user_id", "value", "event_type")
+          .where(col("event_id") % 3 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").partitionBy("event_type")
+          .saveAsTable("graft_b13_part")
+        psql.sql("""delete from graft_b13_part
+          |where event_type in ('click', 'view') and value < 0.7""".stripMargin)
+        psql.sql("""update graft_b13_part
+          |set user_id = user_id + 1000000, value = -value
+          |where event_type = 'purchase' and user_id % 5 = 0""".stripMargin)
+        s.table("graft_b13_part")
+          .select("event_id", "user_id", "value", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b13_part AS
+        |  SELECT event_id, user_id, value, event_type FROM events
+        |  WHERE event_id % 3 = 0;
+        |DELETE FROM graft_b13_part
+        |  WHERE event_type IN ('click', 'view') AND value < 0.7;
+        |UPDATE graft_b13_part SET user_id = user_id + 1000000, value = -value
+        |  WHERE event_type = 'purchase' AND user_id % 5 = 0;
+        |SELECT event_id, user_id, value, event_type
+        |FROM graft_b13_part ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -33,11 +33,14 @@ import SqlScanner.{matchesWord, nextCode, scan, topLevelKeyword}
   *
   * Scale shape: one filter/projection scan + one columnar write — no
   * shuffle anywhere; the affected-count pass is a second scan that prunes
-  * to the predicate columns. Copy-on-write rewrites the whole table — the
-  * right default for bulk analytics DML; a partition-pruned selective
-  * rewrite (touch only affected partition dirs) would layer on
-  * [[graft.operators.Bucketing]]'s partitioned layout the way b04
-  * compaction does.
+  * to the predicate columns. PARTITIONED targets take the pruned path:
+  * one aggregate finds the partitions containing affected rows, and a
+  * dynamic partition overwrite rewrites ONLY those directories (untouched
+  * partitions keep their files byte-identical; fully-deleted partitions
+  * are dropped). Whole-table copy-on-write remains for unpartitioned
+  * targets, UPDATEs that assign a partition column (rows may move across
+  * directories), unrenderable partition values, and >10k affected
+  * partitions — where a full rewrite is the honest plan.
   *
   * Fails loudly on: non-MANAGED targets (temp views, external tables —
   * rewriting files under a shared location would corrupt state the
@@ -266,6 +269,32 @@ object DmlStatements {
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
     checkTarget(spark, table)
     val psql = Psql(spark)
+    // partition-pruned path: when the target is partitioned, rewrite ONLY
+    // the partition directories that contain affected rows (dynamic
+    // partition overwrite); partitions the predicate never touches keep
+    // their files byte-identical. At 100 TB this is the difference between
+    // rewriting one day and rewriting the warehouse. Partitions whose rows
+    // were ALL deleted get no new data from the dynamic write, so they are
+    // dropped explicitly. Trade-off vs the shadow swap: the overwrite
+    // commits per partition (not atomic across partitions); the affected
+    // counts come from the same single aggregate that finds the partitions.
+    cond.foreach { c =>
+      val condSql = s"coalesce(($c), false)"
+      affectedPartitions(psql, spark, table, condSql).foreach { case (pcols, parts) =>
+        if (parts.isEmpty) return countDf(spark, 0L)
+        val affPred = partitionPredicate(pcols, parts.map(_._1))
+        val survivors = psql.sql(s"from $table |> where ($affPred) and not $condSql")
+        withDynamicOverwrite(spark) {
+          survivors.write.mode(SaveMode.Overwrite).insertInto(table)
+        }
+        parts.filter(_._3 == 0L).foreach { case (vals, _, _) =>
+          val spec = pcols.zip(vals)
+            .map { case (p, v) => s"$p = ${specLit(v).get}" }.mkString(", ")
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
+        }
+        return countDf(spark, parts.map(_._2).sum)
+      }
+    }
     val (affected, next) = cond match {
       case Some(c) =>
         val n = psql.sql(
@@ -334,6 +363,27 @@ object DmlStatements {
       }
     }
     val psql = Psql(spark)
+    // partition-pruned path (same shape as DELETE's): only partitions with
+    // matching rows are rewritten. Requires the SET list to leave partition
+    // columns untouched — an assigned partition column can MOVE rows across
+    // directories, where only the full rewrite relocates correctly. Every
+    // affected partition keeps ≥1 row (its own, updated in place), so the
+    // dynamic overwrite covers all of them — no drops needed.
+    cond.foreach { c =>
+      if (!partitionColsOf(spark, table).exists(p => byCol.contains(p.toLowerCase))) {
+        val cSql = s"coalesce(($c), false)"
+        affectedPartitions(psql, spark, table, cSql).foreach { case (pcols, parts) =>
+          if (parts.isEmpty) return countDf(spark, 0L)
+          val affPred = partitionPredicate(pcols, parts.map(_._1))
+          val updated = psql.sql(
+            s"from $table |> where ($affPred) |> select ${selList.mkString(", ")}")
+          withDynamicOverwrite(spark) {
+            updated.write.mode(SaveMode.Overwrite).insertInto(table)
+          }
+          return countDf(spark, parts.map(_._2).sum)
+        }
+      }
+    }
     val affected = cond match {
       case Some(c) =>
         psql.sql(s"from $table |> where coalesce(($c), false) |> select count(*) as n")
@@ -371,13 +421,99 @@ object DmlStatements {
         "tables (CTAS/saveAsTable). Materialize the view into a table first.")
   }
 
-  /** Materialize `next` into a shadow table, then swap it in. */
+  /** Materialize `next` into a shadow table, then swap it in. A
+    * partitioned target keeps its partition layout through the swap —
+    * silently flattening the b02-style layout would break every
+    * partition-pruned scan downstream of the DML.
+    */
   private[psql] def cowSwap(spark: SparkSession, table: String, next: DataFrame): Unit = {
+    val pcols = partitionColsOf(spark, table)
     val tmp = table + "__graft_cow"
     graft.operators.Bucketing.dropTableAndLocation(spark, tmp)
-    next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(tmp)
+    val w = next.write.mode(SaveMode.Overwrite).format("parquet")
+    (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).saveAsTable(tmp)
     graft.operators.Bucketing.dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // RENAME moves the table directory but the catalog's PARTITION entries
+    // keep their old locations (probed: scans then read zero files) — re-sync
+    // them from the filesystem
+    if (pcols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+  }
+
+  private def partitionColsOf(spark: SparkSession, table: String): Seq[String] =
+    spark.catalog.listColumns(table).collect().toSeq
+      .filter(_.isPartition).map(_.name)
+
+  /** SQL literal for a collected partition value in a WHERE predicate;
+    * None for types the pruned path does not render (→ full rewrite).
+    */
+  private def whereLit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => Some(v.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case d: java.sql.Date => Some(s"date '$d'")
+    case d: java.time.LocalDate => Some(s"date '$d'")
+    case _ => None // null partitions (__HIVE_DEFAULT_PARTITION__), exotic types
+  }
+
+  /** Same value in ALTER TABLE … PARTITION (spec) syntax (no type keyword). */
+  private def specLit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => Some(v.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case d: java.sql.Date => Some(s"'$d'")
+    case d: java.time.LocalDate => Some(s"'$d'")
+    case _ => None
+  }
+
+  /** Per-partition affected/surviving row counts for a DML predicate:
+    * one aggregate over the target, returning only partitions that
+    * contain affected rows. None when the table is unpartitioned, a
+    * partition value is unrenderable, or the affected-partition count
+    * exceeds the literal-predicate cap (then the whole-table rewrite is
+    * the honest plan anyway).
+    */
+  private def affectedPartitions(psql: Psql, spark: SparkSession, table: String,
+      condSql: String): Option[(Seq[String], Seq[(Seq[Any], Long, Long)])] = {
+    val pcols = partitionColsOf(spark, table)
+    if (pcols.isEmpty) return None
+    val cap = if (pcols.size == 1) 10000 else 1000
+    val rows = psql.sql(
+      s"""from $table |> select ${pcols.mkString(", ")},
+         |  sum(case when $condSql then 1 else 0 end) as __n_aff,
+         |  sum(case when $condSql then 0 else 1 end) as __n_keep
+         |  group by ${pcols.mkString(", ")}
+         ||> where __n_aff > 0""".stripMargin).limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val parts = rows.map { r =>
+      (pcols.indices.map(r.get), r.getLong(pcols.size), r.getLong(pcols.size + 1))
+    }
+    if (parts.exists(_._1.exists(v => whereLit(v).isEmpty))) return None
+    Some((pcols, parts.toSeq))
+  }
+
+  /** `p IN (…)` / OR-of-ANDs predicate selecting exactly the given
+    * partitions — literal, so Catalyst prunes the scan AND the dynamic
+    * overwrite touches only these directories.
+    */
+  private def partitionPredicate(pcols: Seq[String], parts: Seq[Seq[Any]]): String =
+    if (pcols.size == 1)
+      s"${pcols.head} in (${parts.map(p => whereLit(p.head).get).mkString(", ")})"
+    else parts.map { p =>
+      pcols.zip(p).map { case (c, v) => s"$c = ${whereLit(v).get}" }
+        .mkString("(", " and ", ")")
+    }.mkString(" or ")
+
+  private def withDynamicOverwrite[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   private[psql] def countDf(spark: SparkSession, n: Long): DataFrame = {

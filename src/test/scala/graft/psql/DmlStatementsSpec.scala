@@ -138,6 +138,65 @@ class DmlStatementsSpec extends SparkSpec {
     assert(spark.table("graft_dml_t4").count() == 3)
   }
 
+  private def seedPartitioned(name: String): Unit = {
+    graft.operators.Bucketing.dropTableAndLocation(spark, name)
+    graft.operators.Bucketing.dropTableAndLocation(spark, name + "__graft_cow")
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "b"),
+        (5L, 50L, "c"), (6L, 60L, "c"))
+      .toDF("id", "v", "pt")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("pt").saveAsTable(name)
+  }
+
+  private def filesByPartition(name: String): Map[String, Set[String]] =
+    spark.table(name).inputFiles.toSet.groupBy { f =>
+      f.split("/").find(_.startsWith("pt=")).getOrElse("?")
+    }
+
+  test("partitioned DELETE rewrites only affected partition dirs; emptied partition dropped") {
+    seedPartitioned("graft_dml_p1")
+    val before = filesByPartition("graft_dml_p1")
+    // kills all of pt=a, one row of pt=b, nothing in pt=c
+    val r = psql.sql("delete from graft_dml_p1 where v <= 30")
+    assert(r.collect()(0).getLong(0) == 3L)
+    val rows = spark.table("graft_dml_p1").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(2))).toSeq
+    assert(rows == Seq((4L, "b"), (5L, "c"), (6L, "c")))
+    val after = filesByPartition("graft_dml_p1")
+    // untouched partition keeps its files byte-identical
+    assert(after("pt=c") == before("pt=c"), "pt=c must not be rewritten")
+    // affected-with-survivors partition was rewritten
+    assert(after("pt=b") != before("pt=b"), "pt=b must be rewritten")
+    // fully-deleted partition is gone
+    assert(!after.contains("pt=a"), "pt=a must be dropped")
+    // no-match predicate touches nothing at all
+    val files0 = spark.table("graft_dml_p1").inputFiles.toSet
+    assert(psql.sql("delete from graft_dml_p1 where v > 999").collect()(0).getLong(0) == 0L)
+    assert(spark.table("graft_dml_p1").inputFiles.toSet == files0)
+  }
+
+  test("partitioned UPDATE rewrites only matching partitions; SET on a partition column relocates via full rewrite") {
+    seedPartitioned("graft_dml_p2")
+    val before = filesByPartition("graft_dml_p2")
+    val r = psql.sql("update graft_dml_p2 set v = v + 1 where pt = 'a'")
+    assert(r.collect()(0).getLong(0) == 2L)
+    val after = filesByPartition("graft_dml_p2")
+    assert(after("pt=b") == before("pt=b") && after("pt=c") == before("pt=c"),
+      "only pt=a may be rewritten")
+    assert(spark.table("graft_dml_p2").where("pt = 'a'").orderBy("id")
+      .collect().map(_.getLong(1)).toSeq == Seq(11L, 21L))
+    // assigning the partition column moves rows between directories —
+    // full rewrite path, layout preserved
+    psql.sql("update graft_dml_p2 set pt = 'c' where id = 1")
+    val moved = spark.table("graft_dml_p2").where("pt = 'c'").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(moved == Seq(1L, 5L, 6L))
+    assert(spark.table("graft_dml_p2").where("pt = 'a'").count() == 1)
+    // partition layout survived the copy-on-write swap
+    assert(spark.catalog.listColumns("graft_dml_p2").collect()
+      .filter(_.isPartition).map(_.name).toSeq == Seq("pt"))
+  }
+
   test("typo'd clauses error instead of silently widening the statement") {
     seed("graft_dml_t5")
     // a typo'd WHERE must NOT fall through to an unconditional DELETE —
