@@ -418,7 +418,8 @@ object GraphOps {
     var dist = seed.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
       .localCheckpoint(false)
     var frontier = dist
-    for (r <- 1 to rounds) {
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val cand = und
         .join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("cd"))
@@ -427,10 +428,17 @@ object GraphOps {
         .where(col("dist").isNull || col("cd") < col("dist"))
         .select(col("node"), col("cd").as("dist"))
         .localCheckpoint(false)
-      dist = dist.join(improved.select("node"), Seq("node"), "left_anti")
-        .unionByName(improved)
-        .localCheckpoint(false)
-      frontier = improved
+      // an empty frontier is a fixed point: rounds r+1… would only run
+      // empty joins and full-map merges — the `rounds` cap is a BOUND, not
+      // a cost. One cheap isEmpty probe on the already-checkpointed
+      // frontier (limit-1 over materialized partitions, no recompute).
+      if (improved.isEmpty) converged = true
+      else {
+        dist = dist.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(false)
+        frontier = improved
+      }
     }
     dist
   }

@@ -1706,6 +1706,36 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == Map(1L -> 0L, 2L -> 3L))
   }
 
+  test("weightedPaths: empty frontier short-circuits the remaining rounds") {
+    // a 2-edge path converges after round 2 (round 3 improves nothing);
+    // with rounds=10 the loop must stop scheduling jobs once the frontier
+    // empties — the cap is a bound, not a cost
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val seed = Seq(1L).toDF("node")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = GraphOps.weightedPaths(edges, "src", "dst", "w", seed, rounds = 3)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+      Thread.sleep(300) // let queued listener events drain
+      val convergedJobs = counter.get()
+      counter.set(0)
+      // same graph, far larger cap: converged run must not schedule more
+      val out10 = GraphOps.weightedPaths(edges, "src", "dst", "w", seed, rounds = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(out10 == out)
+      Thread.sleep(300) // let queued listener events drain
+      assert(counter.get() == convergedJobs,
+        s"rounds=10 scheduled ${counter.get()} jobs vs $convergedJobs at rounds=3 — " +
+          "the empty-frontier short-circuit is not firing")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pageRank: one iteration on a 3-node chain matches hand-computed fixed-point values") {
     // 1->2, 1->3, 2->3; N=3, scale 1e12, base = 150000000000/3 = 50000000000
     // r0 = 333333333333 each; outdeg(1)=2, outdeg(2)=1
