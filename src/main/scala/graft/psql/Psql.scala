@@ -81,6 +81,12 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB SET/RESET/PRAGMA options → spark.conf mapping; Spark's own
+    // SET would otherwise accept any DuckDB option name silently
+    SessionOptions.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB PREPARE/EXECUTE/DEALLOCATE — session registry + bind-time
     // argument inlining (EXECUTE re-enters sql(), so bodies may be any
     // pipeline or statement)
