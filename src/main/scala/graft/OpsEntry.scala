@@ -5398,6 +5398,32 @@ object OpsEntry {
         |FROM graft_b13_part ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      "b14_attach_catalog",
+      withTables { (s, dir) =>
+        // ATTACH/DETACH (AttachStatement): the sf directory attaches as a
+        // second catalog namespace; qualified scans resolve through
+        // Spark's analyzer (full pushdown/pruning), and the query joins
+        // ACROSS catalogs — an attached table against a session view. The
+        // attachment registers EXTERNAL tables only, so DETACH never
+        // touches data. Oracle: the same join over the same parquet (the
+        // namespace is physical catalog layout, not logical content).
+        val psql = graft.psql.Psql(s)
+        psql.sql("detach if exists graft_att") // idempotent re-runs
+        psql.sql(s"attach '$dir' as graft_att (READ_ONLY)")
+        psql.sql("""from graft_att.nation |>
+          |as n join region r on n.n_regionkey = r.r_regionkey |>
+          |join graft_att.supplier sup on n_nationkey = sup.s_nationkey |>
+          |select r_name, n_name, count() as n_suppliers,
+          |  min(s_name) as first_supplier group by r_name, n_name |>
+          |order by r_name, n_name""".stripMargin)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_suppliers,
+        |  min(s_name) AS first_supplier
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN supplier sup ON n.n_nationkey = sup.s_nationkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

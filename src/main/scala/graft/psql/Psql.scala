@@ -87,6 +87,12 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB ATTACH/DETACH — a directory of columnar tables becomes a
+    // catalog namespace; `name.table` resolves through Spark's analyzer
+    AttachStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB PREPARE/EXECUTE/DEALLOCATE — session registry + bind-time
     // argument inlining (EXECUTE re-enters sql(), so bodies may be any
     // pipeline or statement)

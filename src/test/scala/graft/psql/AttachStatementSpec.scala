@@ -1,0 +1,84 @@
+package graft.psql
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** ATTACH/DETACH: a directory of columnar tables becomes a catalog
+  * namespace; qualified scans resolve through Spark's analyzer; detach
+  * drops entries but never data; attached tables are read-only for DML.
+  */
+class AttachStatementSpec extends SparkSpec {
+
+  private lazy val psql = Psql(spark)
+
+  test("attach a parquet warehouse dir; qualified scans and cross-catalog joins work") {
+    psql.sql("detach if exists graft_att_a")
+    psql.sql("attach '/root/testdata/sf0.001' as graft_att_a (READ_ONLY)")
+    try {
+      assert(psql.sql("from graft_att_a.nation |> select count() as n")
+        .collect()(0).getLong(0) == 25L)
+      // cross-catalog: attached table joined against a session temp view
+      spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        .createOrReplaceTempView("graft_att_region")
+      val joined = psql.sql("""from graft_att_a.nation |>
+        |as n join graft_att_region r on n.n_regionkey = r.r_regionkey |>
+        |select r_name, count() as cnt group by r_name |> order by r_name""".stripMargin)
+      assert(joined.collect().map(_.getLong(1)).sum == 25L)
+      // default-name attach: basename of the path
+      psql.sql("detach if exists sf0")
+      psql.sql("attach '/root/testdata/sf0.001'")
+      assert(spark.catalog.databaseExists("sf0"))
+      psql.sql("detach sf0")
+    } finally psql.sql("detach if exists graft_att_a")
+  }
+
+  test("detach drops the namespace but never the files; DML refuses attached tables") {
+    val dir = Files.createTempDirectory("graft_attach").toFile
+    val sub = new java.io.File(dir, "tiny")
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("id", "s")
+      .write.mode("overwrite").parquet(sub.getAbsolutePath)
+    // stray non-table files are skipped, not fatal
+    Files.writeString(new java.io.File(dir, "README.txt").toPath, "notes")
+    psql.sql("detach if exists graft_att_b")
+    psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_b")
+    assert(psql.sql("from graft_att_b.tiny |> select count() as n")
+      .collect()(0).getLong(0) == 2L)
+    // attached tables are EXTERNAL → the DML guard refuses them
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("delete from graft_att_b.tiny where id = 1")
+    }
+    assert(e.getMessage.contains("qualified") || e.getMessage.contains("MANAGED"),
+      e.getMessage)
+    psql.sql("detach graft_att_b")
+    assert(!spark.catalog.databaseExists("graft_att_b"))
+    // files survive the detach
+    assert(spark.read.parquet(sub.getAbsolutePath).count() == 2L)
+    // double-detach errors without IF EXISTS
+    val e2 = intercept[IllegalArgumentException](psql.sql("detach graft_att_b"))
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // duplicate attach errors
+    psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_b")
+    val e3 = intercept[IllegalArgumentException](
+      psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_b"))
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    psql.sql("detach graft_att_b")
+  }
+
+  test("csv and json entries register with their formats") {
+    val dir = Files.createTempDirectory("graft_attach_fmt").toFile
+    Files.writeString(new java.io.File(dir, "people.csv").toPath,
+      "id,name\n1,ada\n2,lin\n")
+    Files.writeString(new java.io.File(dir, "facts.json").toPath,
+      """{"k": 1, "v": "a"}
+        |{"k": 2, "v": "b"}""".stripMargin)
+    psql.sql("detach if exists graft_att_c")
+    psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_c")
+    try {
+      assert(psql.sql("from graft_att_c.people |> select count() as n")
+        .collect()(0).getLong(0) == 2L)
+      assert(psql.sql("from graft_att_c.facts |> select max(k) as m")
+        .collect()(0).getLong(0) == 2L)
+    } finally psql.sql("detach graft_att_c")
+  }
+}
