@@ -50,8 +50,14 @@ object FuzzRun {
     }.toList
     queries.foreach { case (name, q) =>
       val target = java.nio.file.Paths.get(outDir, "out", name + ".parquet").toString
-      try psql.sql(q).coalesce(1).write.mode("overwrite").parquet(target)
-      catch {
+      // statement-script entries: statements separated by a `;;` line run
+      // in order (DDL/DML execute eagerly inside sql()); the LAST
+      // statement's result is the comparable output
+      try {
+        val stmts = q.split("\n;;\n").map(_.trim).filter(_.nonEmpty)
+        stmts.init.foreach(psql.sql)
+        psql.sql(stmts.last).coalesce(1).write.mode("overwrite").parquet(target)
+      } catch {
         case e: Throwable =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir, "out"))
           java.nio.file.Files.write(

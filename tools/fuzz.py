@@ -546,6 +546,108 @@ def pipeline():
     return " |> ".join(stages)
 
 
+def stmt_pred(cols=("k", "ln", "q", "f")):
+    """Random predicate over the DML scratch table; nullif injects NULLs to
+    probe three-valued WHERE/clause logic in both engines."""
+    kind = rnd.randrange(5)
+    if kind == 0:
+        return f"q > {rnd.randrange(1, 40)}"
+    if kind == 1:
+        return f"k % {rnd.randrange(2, 9)} = {rnd.randrange(0, 2)}"
+    if kind == 2:
+        return f"nullif(q, {rnd.randrange(1, 30)}) > {rnd.randrange(1, 30)}"
+    if kind == 3:
+        return f"f = '{rnd.choice(['A', 'N', 'R'])}'"
+    return (f"q > {rnd.randrange(1, 20)} and ln <= {rnd.randrange(2, 6)}")
+
+
+def stmt_assign():
+    """SET assignments exercising assignment-cast semantics: decimal
+    half-away, double half-even, string concat — GraftCast vs DuckDB."""
+    return rnd.choice([
+        "q = q + ln",
+        f"q = (q * 1.5)::bigint",            # decimal → bigint: half-away
+        f"q = (q * 0.5e0)::bigint",          # double → bigint: half-even
+        f"q = cast(q + 0.5 as bigint)",      # cast() spelling, same kernel
+        "f = f || 'x'",
+        f"ln = (ln * 2.5)::int",
+    ])
+
+
+def dml_script(name):
+    """Statement-script family: CREATE OR REPLACE TABLE seed, then random
+    DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
+    spark side executes the script through the front-end (graft.FuzzRun
+    splits on `;;` lines); DuckDB executes the SAME statements — except
+    MERGE (absent in 1.0), which gets the documented-equivalent
+    DELETE USING / UPDATE FROM / INSERT sequence generated here, i.e. an
+    INDEPENDENT python formulation of the clause algebra, so the
+    differential covers MERGE semantics, not just its parsing."""
+    t = f"fz_{name}"
+    p = rnd.choice([3, 5, 7])
+    seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
+                f"cast(l_quantity as bigint) as q, l_returnflag as f "
+                f"from lineitem where l_orderkey % {p} = 0")
+    spark = [f"create or replace table {t} as {seed_sel}"]
+    duck = [f"CREATE OR REPLACE TEMP TABLE {t} AS {seed_sel}"]
+    for _ in range(rnd.randrange(2, 5)):
+        kind = rnd.randrange(4)
+        if kind == 0:
+            s = f"delete from {t} where {stmt_pred()}"
+            spark.append(s)
+            duck.append(s)
+        elif kind == 1:
+            # 1-2 assignments, distinct target columns (duplicates error)
+            by_col = dict(a.split(" = ", 1)
+                          for a in [stmt_assign() for _ in range(rnd.randrange(1, 3))])
+            assigns = ", ".join(f"{c} = {e}" for c, e in by_col.items())
+            s = f"update {t} set {assigns} where {stmt_pred()}"
+            spark.append(s)
+            duck.append(s)
+        elif kind == 2:
+            k1, k2 = rnd.randrange(10 ** 7, 2 * 10 ** 7), rnd.randrange(10 ** 7, 2 * 10 ** 7)
+            if rnd.randrange(2) == 0:
+                s = (f"insert into {t} values ({k1}, 1, {rnd.randrange(1, 50)}, 'Z'), "
+                     f"({k2}, 2, {rnd.randrange(1, 50)} + 3, 'Y')")
+            else:
+                s = (f"insert into {t} select l_orderkey + {k1}, l_linenumber, "
+                     f"cast(l_quantity as bigint), l_returnflag from lineitem "
+                     f"where l_orderkey % 11 = {rnd.randrange(0, 3)} and l_linenumber = 1")
+            spark.append(s)
+            duck.append(s)
+        else:
+            m = rnd.choice([4, 6, 9])
+            src_sel = (f"select l_orderkey % {m * 100} as k, count(*) as q2, "
+                       f"min(l_linenumber) as ln2 from lineitem group by 1")
+            spark.append(f"create or replace table {t}_src as {src_sel}")
+            duck.append(f"CREATE OR REPLACE TEMP TABLE {t}_src AS {src_sel}")
+            c1 = rnd.choice([f"s.q2 > {rnd.randrange(2, 9)}",
+                             f"nullif(s.q2, {rnd.randrange(2, 6)}) > {rnd.randrange(2, 6)}"])
+            c2 = rnd.choice([f"s.q2 <= {rnd.randrange(2, 9)}",
+                             f"s.k % 2 = {rnd.randrange(0, 2)}"])
+            spark.append(
+                f"merge into {t} tt using {t}_src s on tt.k = s.k "
+                f"when matched and {c1} then delete "
+                f"when matched then update set q = tt.q + s.q2 "
+                f"when not matched and {c2} then "
+                f"insert (k, ln, q, f) values (s.k, s.ln2, s.q2, 'M')")
+            # equivalent sequence, derived from the clause algebra and NOT
+            # from the Scala lowering: delete first-wins rows, update the
+            # fall-through matches (deleted rows are gone; c1 false/NULL
+            # remain), insert against the ORIGINAL key set
+            duck.append(f"CREATE OR REPLACE TEMP TABLE {t}_keys AS SELECT k FROM {t}")
+            duck.append(f"DELETE FROM {t} USING {t}_src s "
+                        f"WHERE {t}.k = s.k AND coalesce(({c1}), false)")
+            duck.append(f"UPDATE {t} SET q = {t}.q + s.q2 FROM {t}_src s "
+                        f"WHERE {t}.k = s.k")
+            duck.append(f"INSERT INTO {t} SELECT s.k, s.ln2, s.q2, 'M' FROM {t}_src s "
+                        f"WHERE coalesce(({c2}), false) "
+                        f"AND s.k NOT IN (SELECT k FROM {t}_keys)")
+    spark.append(f"from {t} |> order by all")
+    duck.append(f"SELECT * FROM {t} ORDER BY ALL")
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
 def reference_rewrite(q):
     # replicate the reference's two regex passes (psql_extension.cpp:28-73):
     # each (| body |) block becomes "( <pipe-rewritten body> )", surrounding
@@ -585,8 +687,13 @@ def canon(v):
 
 
 def main():
+    stmt_mode = os.environ.get("FUZZ_STMT", "") == "1"
     queries = []
     for i in range(N):
+        # statement-mode runs are all scripts; normal runs mix 1-in-5 in
+        if stmt_mode or rnd.random() < 0.20:
+            queries.append(dml_script(f"f{i:03d}"))
+            continue
         q = pipeline()
         if isinstance(q, tuple):  # (graft_text, duckdb_text) family
             queries.append({"name": f"f{i:03d}", "psql": q[0], "duck_psql": q[1]})
@@ -617,7 +724,8 @@ def main():
     fails = 0
     for q in queries:
         name = q["name"]
-        ref_sql = reference_rewrite(q.get("duck_psql") or q["psql"])
+        ref_sql = None if "duck_script" in q else \
+            reference_rewrite(q.get("duck_psql") or q["psql"])
         err = os.path.join(WORK, "out", name + ".error")
         if os.path.exists(err):
             print(f"ERR  {name}: spark-side: {open(err).read()[:100]}")
@@ -631,11 +739,16 @@ def main():
             fails += 1
             continue
         try:
-            cur = con.execute(ref_sql)
+            if "duck_script" in q:
+                for s in q["duck_script"][:-1]:
+                    con.execute(s)
+                cur = con.execute(q["duck_script"][-1])
+            else:
+                cur = con.execute(ref_sql)
         except Exception as e:
             print(f"ORACLE_ERR {name}: {str(e)[:120]}")
             print(f"     psql: {q['psql']}")
-            print(f"     ref:  {ref_sql[:200]}")
+            print(f"     ref:  {str(ref_sql)[:200]}")
             fails += 1
             continue
         cols = [d[0] for d in cur.description]
