@@ -5424,6 +5424,43 @@ object OpsEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
 
     QueryDef(
+      "b15_dml_returning",
+      withTables { (s, _) =>
+        // DML RETURNING (DmlStatements): DELETE returns the deleted rows,
+        // UPDATE the post-update values, INSERT the inserted rows — each
+        // materialized BEFORE the copy-on-write mutation so the returned
+        // snapshot is exact. Oracle: DuckDB executing the SAME statements;
+        // its last relation IS the final UPDATE's RETURNING set, compared
+        // directly (statement-for-statement parity, b08 style).
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b15_ret")
+        Bucketing.dropTableAndLocation(s, "graft_b15_ret__graft_cow")
+        s.table("part").select("p_partkey", "p_name", "p_size")
+          .where(col("p_partkey") % 5 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b15_ret")
+        val del = psql.sql("""delete from graft_b15_ret where p_size > 40
+          |returning p_partkey, p_size * 2 as dbl""".stripMargin)
+        require(del.columns.toSeq == Seq("p_partkey", "dbl"),
+          s"DELETE RETURNING shape: ${del.columns.mkString(",")}")
+        val ins = psql.sql("""insert into graft_b15_ret (p_partkey, p_size)
+          |values (9000001, 7), (9000002, 8) returning p_partkey, p_name""".stripMargin)
+        require(ins.count() == 2, "INSERT RETURNING must return the inserted rows")
+        psql.sql("""update graft_b15_ret set p_size = p_size + 100
+          |where p_partkey % 10 = 0
+          |returning p_partkey, p_size, p_name""".stripMargin)
+          .orderBy("p_partkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b15_ret AS
+        |  SELECT p_partkey, p_name, p_size FROM part WHERE p_partkey % 5 = 0;
+        |DELETE FROM graft_b15_ret WHERE p_size > 40
+        |  RETURNING p_partkey, p_size * 2 AS dbl;
+        |INSERT INTO graft_b15_ret (p_partkey, p_size)
+        |  VALUES (9000001, 7), (9000002, 8) RETURNING p_partkey, p_name;
+        |UPDATE graft_b15_ret SET p_size = p_size + 100 WHERE p_partkey % 10 = 0
+        |  RETURNING p_partkey, p_size, p_name""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -60,7 +60,26 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else if (matchesWord(stmt, 0, "create")) createOrReplace(spark, stmt)
+    // plain INSERT delegates to Spark's native DML (b10); only the
+    // RETURNING form needs the front-end (Spark has no RETURNING)
+    else if (matchesWord(stmt, 0, "insert") && splitReturning(stmt)._2.isDefined)
+      Some(insertReturning(spark, stmt))
     else None
+  }
+
+  /** Split a trailing top-level `RETURNING <exprs>` clause (DuckDB DML
+    * forms; probed 1.0: DELETE returns the deleted rows, UPDATE the NEW
+    * values, INSERT the inserted rows — each replacing the Count shape).
+    */
+  private def splitReturning(stmt: String): (String, Option[String]) = {
+    val sc = scan(stmt)
+    topLevelKeyword(stmt, sc, Seq("returning")).headOption match {
+      case Some(p) =>
+        val list = stmt.substring(p + "returning".length).trim
+        require(list.nonEmpty, "RETURNING needs an expression list")
+        (stmt.substring(0, p).trim, Some(list))
+      case None => (stmt, None)
+    }
   }
 
   /** DuckDB `CREATE OR REPLACE TABLE name AS <query>` — Spark's v1 parquet
@@ -249,7 +268,8 @@ object DmlStatements {
 
   private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
 
-  private def delete(spark: SparkSession, stmt: String): DataFrame = {
+  private def delete(spark: SparkSession, stmt0: String): DataFrame = {
+    val (stmt, returning) = splitReturning(stmt0)
     val sc = scan(stmt)
     val fromIdx = nextCode(stmt, sc, "delete".length)
     require(fromIdx >= 0 && matchesWord(stmt, fromIdx, "from"),
@@ -269,6 +289,13 @@ object DmlStatements {
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
     checkTarget(spark, table)
     val psql = Psql(spark)
+    // RETURNING = the deleted rows' values, MATERIALIZED before any
+    // mutation (the lazy plan would read the rewritten table otherwise)
+    val retDf = returning.map { list =>
+      val w = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
+      psql.sql(s"from $table |> where $w |> select $list").localCheckpoint(true)
+    }
+    def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
     // partition-pruned path: when the target is partitioned, rewrite ONLY
     // the partition directories that contain affected rows (dynamic
     // partition overwrite); partitions the predicate never touches keep
@@ -280,19 +307,33 @@ object DmlStatements {
     // counts come from the same single aggregate that finds the partitions.
     cond.foreach { c =>
       val condSql = s"coalesce(($c), false)"
-      affectedPartitions(psql, spark, table, condSql).foreach { case (pcols, parts) =>
-        if (parts.isEmpty) return countDf(spark, 0L)
+      // the stats/survivor scans filter on the RAW condition where
+      // possible: WHERE already treats NULL as false, and the coalesce
+      // wrapper would block partition pruning (probed: PartitionFilters
+      // goes empty under coalesce)
+      affectedPartitions(psql, spark, table, s"($c)").foreach { case (pcols, parts) =>
+        if (parts.isEmpty) return finish(0L)
         val affPred = partitionPredicate(pcols, parts.map(_._1))
+        // per-partition totals WITHIN the affected set (pruned scan) tell
+        // which partitions empty out entirely
+        val totals: Map[Seq[String], Long] = psql.sql(
+          s"""from $table |> where ($affPred)
+             ||> select ${pcols.mkString(", ")}, count(*) as __n
+             |  group by ${pcols.mkString(", ")}""".stripMargin).collect()
+          .map(r => (pcols.indices.map(i => whereLit(r.get(i)).get), r.getLong(pcols.size)))
+          .toMap
         val survivors = psql.sql(s"from $table |> where ($affPred) and not $condSql")
         withDynamicOverwrite(spark) {
           survivors.write.mode(SaveMode.Overwrite).insertInto(table)
         }
-        parts.filter(_._3 == 0L).foreach { case (vals, _, _) =>
+        parts.filter { case (vals, nAff) =>
+          totals.get(vals.map(v => whereLit(v).get)).contains(nAff)
+        }.foreach { case (vals, _) =>
           val spec = pcols.zip(vals)
             .map { case (p, v) => s"$p = ${specLit(v).get}" }.mkString(", ")
           spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
         }
-        return countDf(spark, parts.map(_._2).sum)
+        return finish(parts.map(_._2).sum)
       }
     }
     val (affected, next) = cond match {
@@ -305,10 +346,11 @@ object DmlStatements {
         (spark.table(table).count(), spark.table(table).limit(0))
     }
     cowSwap(spark, table, next)
-    countDf(spark, affected)
+    finish(affected)
   }
 
-  private def update(spark: SparkSession, stmt: String): DataFrame = {
+  private def update(spark: SparkSession, stmt0: String): DataFrame = {
+    val (stmt, returning) = splitReturning(stmt0)
     val sc = scan(stmt)
     require(topLevelKeyword(stmt, sc, Seq("from")).isEmpty,
       "UPDATE … FROM is not supported — precompute the join into a staging " +
@@ -363,6 +405,15 @@ object DmlStatements {
       }
     }
     val psql = Psql(spark)
+    // RETURNING = the matched rows' NEW values (probed DuckDB semantics),
+    // materialized before any mutation: project the post-update columns,
+    // then the user's expressions over them
+    val retDf = returning.map { list =>
+      val w = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
+      psql.sql(s"from $table |> where $w |> select ${selList.mkString(", ")} " +
+        s"|> select $list").localCheckpoint(true)
+    }
+    def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
     // partition-pruned path (same shape as DELETE's): only partitions with
     // matching rows are rewritten. Requires the SET list to leave partition
     // columns untouched — an assigned partition column can MOVE rows across
@@ -371,16 +422,16 @@ object DmlStatements {
     // dynamic overwrite covers all of them — no drops needed.
     cond.foreach { c =>
       if (!partitionColsOf(spark, table).exists(p => byCol.contains(p.toLowerCase))) {
-        val cSql = s"coalesce(($c), false)"
-        affectedPartitions(psql, spark, table, cSql).foreach { case (pcols, parts) =>
-          if (parts.isEmpty) return countDf(spark, 0L)
+        // raw condition: WHERE treats NULL as false, and stays prunable
+        affectedPartitions(psql, spark, table, s"($c)").foreach { case (pcols, parts) =>
+          if (parts.isEmpty) return finish(0L)
           val affPred = partitionPredicate(pcols, parts.map(_._1))
           val updated = psql.sql(
             s"from $table |> where ($affPred) |> select ${selList.mkString(", ")}")
           withDynamicOverwrite(spark) {
             updated.write.mode(SaveMode.Overwrite).insertInto(table)
           }
-          return countDf(spark, parts.map(_._2).sum)
+          return finish(parts.map(_._2).sum)
         }
       }
     }
@@ -392,7 +443,72 @@ object DmlStatements {
     }
     val next = psql.sql(s"from $table |> select ${selList.mkString(", ")}")
     cowSwap(spark, table, next)
-    countDf(spark, affected)
+    finish(affected)
+  }
+
+  /** `INSERT INTO t [(cols)] (VALUES …|<query>) RETURNING <exprs>` — the
+    * inserted rows (declared-type casts applied, unlisted columns NULL),
+    * materialized once: the SAME rows feed the table append and the
+    * RETURNING projection, so a self-referencing `INSERT … SELECT FROM t`
+    * reads the pre-insert snapshot exactly as DuckDB does (probed).
+    */
+  private def insertReturning(spark: SparkSession, stmt0: String): DataFrame = {
+    val (stmt, retOpt) = splitReturning(stmt0)
+    val list = retOpt.get
+    val sc = scan(stmt)
+    val intoPos = nextCode(stmt, sc, "insert".length)
+    require(intoPos >= 0 && matchesWord(stmt, intoPos, "into"),
+      "INSERT … RETURNING must be `INSERT INTO <table> [(cols)] <source> RETURNING …`")
+    val (table, afterT) = identifierAt(stmt, intoPos + "into".length)
+    require(!table.contains('.'),
+      s"INSERT … RETURNING target '$table': qualified names are not supported")
+    require(spark.catalog.tableExists(table), s"INSERT target '$table' does not exist")
+    val fields = spark.table(table).schema.fields.toSeq
+    var p = nextCode(stmt, sc, afterT)
+    require(p >= 0, "INSERT needs VALUES or a query")
+    val cols: Option[Seq[String]] =
+      if (stmt.charAt(p) == '(') {
+        var k = p + 1
+        while (k < stmt.length &&
+          !(sc.code(k) && sc.depth(k) == sc.depth(p) && stmt.charAt(k) == ')')) k += 1
+        require(k < stmt.length, "INSERT: unbalanced column list")
+        val cs = splitTopCommas(stmt.substring(p + 1, k)).map(_.trim)
+        cs.foreach { c =>
+          require(fields.exists(_.name.equalsIgnoreCase(c)),
+            s"INSERT: column '$c' not in $table")
+        }
+        p = nextCode(stmt, sc, k + 1)
+        require(p >= 0, "INSERT: missing VALUES/query after the column list")
+        Some(cs)
+      } else None
+    val source = stmt.substring(p).trim
+    val psql = Psql(spark)
+    val srcDf =
+      if (matchesWord(source, 0, "values")) spark.sql(s"SELECT * FROM $source")
+      else psql.sql(source)
+    val names = cols.getOrElse(fields.map(_.name))
+    require(srcDf.columns.length == names.length,
+      s"INSERT: ${names.length} target columns but the source has " +
+        s"${srcDf.columns.length}")
+    // synthetic source names (VALUES columns / expression labels are not
+    // reference-safe), then declared-type casts via the PSQL projection so
+    // GraftCast applies to integer/boolean targets
+    val view = "graft_ins_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    srcDf.toDF(names.indices.map(i => s"__graft_c$i"): _*).createOrReplaceTempView(view)
+    val sel = fields.map { f =>
+      names.indexWhere(_.equalsIgnoreCase(f.name)) match {
+        case -1 => s"cast(null as ${f.dataType.sql}) as ${f.name}"
+        case i  => s"cast(__graft_c$i as ${f.dataType.sql}) as ${f.name}"
+      }
+    }
+    val proj = psql.sql(s"from $view |> select ${sel.mkString(", ")}")
+      .localCheckpoint(true) // ONE evaluation: append + RETURNING see the same rows
+    proj.write.mode(SaveMode.Append).insertInto(table)
+    val retView = view + "_ret"
+    proj.createOrReplaceTempView(retView)
+    val out = psql.sql(s"from $retView |> select $list")
+    spark.catalog.dropTempView(view)
+    out
   }
 
   /** Parse a (plain) identifier starting at/after i0; returns (name, end). */
@@ -468,27 +584,28 @@ object DmlStatements {
     case _ => None
   }
 
-  /** Per-partition affected/surviving row counts for a DML predicate:
-    * one aggregate over the target, returning only partitions that
-    * contain affected rows. None when the table is unpartitioned, a
-    * partition value is unrenderable, or the affected-partition count
-    * exceeds the literal-predicate cap (then the whole-table rewrite is
-    * the honest plan anyway).
+  /** Per-partition affected-row counts for a DML predicate: one aggregate
+    * over `WHERE <cond>`, so when the predicate constrains partition
+    * columns Catalyst prunes this scan to the affected directories — a
+    * `DELETE WHERE day = …` at 100 TB never reads the other days at ALL,
+    * in any of its passes. Returns only partitions containing affected
+    * rows. None when the table is unpartitioned, a partition value is
+    * unrenderable, or the affected-partition count exceeds the
+    * literal-predicate cap (then the whole-table rewrite is the honest
+    * plan anyway).
     */
   private def affectedPartitions(psql: Psql, spark: SparkSession, table: String,
-      condSql: String): Option[(Seq[String], Seq[(Seq[Any], Long, Long)])] = {
+      condSql: String): Option[(Seq[String], Seq[(Seq[Any], Long)])] = {
     val pcols = partitionColsOf(spark, table)
     if (pcols.isEmpty) return None
     val cap = if (pcols.size == 1) 10000 else 1000
     val rows = psql.sql(
-      s"""from $table |> select ${pcols.mkString(", ")},
-         |  sum(case when $condSql then 1 else 0 end) as __n_aff,
-         |  sum(case when $condSql then 0 else 1 end) as __n_keep
-         |  group by ${pcols.mkString(", ")}
-         ||> where __n_aff > 0""".stripMargin).limit(cap + 1).collect()
+      s"""from $table |> where $condSql
+         ||> select ${pcols.mkString(", ")}, count(*) as __n_aff
+         |  group by ${pcols.mkString(", ")}""".stripMargin).limit(cap + 1).collect()
     if (rows.length > cap) return None
     val parts = rows.map { r =>
-      (pcols.indices.map(r.get), r.getLong(pcols.size), r.getLong(pcols.size + 1))
+      (pcols.indices.map(r.get), r.getLong(pcols.size))
     }
     if (parts.exists(_._1.exists(v => whereLit(v).isEmpty))) return None
     Some((pcols, parts.toSeq))

@@ -197,6 +197,34 @@ class DmlStatementsSpec extends SparkSpec {
       .filter(_.isPartition).map(_.name).toSeq == Seq("pt"))
   }
 
+  test("RETURNING: DELETE old rows, UPDATE new values, INSERT inserted rows (probed DuckDB)") {
+    seed("graft_dml_r1")
+    // DELETE returns the deleted rows' values (expressions allowed)
+    val d = psql.sql("delete from graft_dml_r1 where v >= 20 returning id, v * 2 as dbl")
+    assert(d.columns.toSeq == Seq("id", "dbl"))
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 40L)))
+    assert(spark.table("graft_dml_r1").count() == 2)
+    // UPDATE returns the NEW values
+    val u = psql.sql("update graft_dml_r1 set v = v + 5 where id = 1 returning *")
+    assert(u.columns.toSeq == Seq("id", "v", "s"))
+    assert(u.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 15L)))
+    assert(spark.table("graft_dml_r1").where("id = 1").collect()(0).getLong(1) == 15L)
+    // INSERT with a column list: unlisted columns come back NULL; the
+    // returned rows are the inserted ones with declared-type casts applied
+    val i = psql.sql(
+      "insert into graft_dml_r1 (id, v) values (10, 2.5), (11, 7) returning id, v, s")
+    assert(i.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) "NULL" else r.getString(2))).toSeq ==
+      Seq((10L, 3L, "NULL"), (11L, 7L, "NULL"))) // 2.5 → 3: half-even via GraftCast
+    // self-referencing INSERT … SELECT reads the PRE-insert snapshot
+    val i2 = psql.sql("""insert into graft_dml_r1
+      |select id + 100, v, s from graft_dml_r1 where id >= 10 returning id""".stripMargin)
+    assert(i2.as[Long].collect().sorted.toSeq == Seq(110L, 111L))
+    assert(spark.table("graft_dml_r1").count() == 6)
+    // empty match: empty result, not a Count row
+    assert(psql.sql("delete from graft_dml_r1 where v > 999 returning id").count() == 0)
+  }
+
   test("typo'd clauses error instead of silently widening the statement") {
     seed("graft_dml_t5")
     // a typo'd WHERE must NOT fall through to an unconditional DELETE —
