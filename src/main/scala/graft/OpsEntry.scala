@@ -5461,6 +5461,55 @@ object OpsEntry {
         |  RETURNING p_partkey, p_size, p_name""".stripMargin)),
 
     QueryDef(
+      "b16_export_database",
+      withTables { (s, _) =>
+        // EXPORT/IMPORT DATABASE (ExportStatement): a scratch database's
+        // managed tables export as <dir>/<t>.parquet + schema/load
+        // scripts, then IMPORT re-registers them in a fresh database and
+        // the query joins the imported copies. Oracle: DuckDB EXPORTing
+        // its own database and reading the exported files back — both
+        // engines round-trip their own export, same logical content.
+        val psql = graft.psql.Psql(s)
+        s.sql("DROP DATABASE IF EXISTS graft_b16db CASCADE")
+        s.sql("DROP DATABASE IF EXISTS graft_b16imp CASCADE")
+        // physical cleanup too: a crashed prior run can leave orphan
+        // managed-table locations under <db>.db that block re-creation
+        locally {
+          val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+          val fs = wh.getFileSystem(s.sessionState.newHadoopConf())
+          Seq("graft_b16db.db", "graft_b16imp.db").foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(wh, d), true)
+          }
+        }
+        s.sql("CREATE DATABASE graft_b16db")
+        s.sql("CREATE DATABASE graft_b16imp")
+        val prev = s.catalog.currentDatabase
+        try {
+          s.catalog.setCurrentDatabase("graft_b16db")
+          psql.sql("""create table bexp_n as
+            |(| from nation |> where n_nationkey < 15 |> select n_nationkey, n_name |)""".stripMargin)
+          psql.sql("""create table bexp_r as
+            |(| from region |> select r_regionkey, r_name |)""".stripMargin)
+          psql.sql("export database '/tmp/graft_b16_export'")
+          s.catalog.setCurrentDatabase("graft_b16imp")
+          psql.sql("import database '/tmp/graft_b16_export'")
+          psql.sql("""from bexp_n |>
+            |as n join bexp_r r on n.n_nationkey % 5 = r.r_regionkey |>
+            |select r_name, count() as cnt, min(n_name) as first_nation
+            |  group by r_name |> order by r_name""".stripMargin)
+        } finally s.catalog.setCurrentDatabase(prev)
+      },
+      Some("""CREATE OR REPLACE TABLE bexp_n AS
+        |  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15;
+        |CREATE OR REPLACE TABLE bexp_r AS SELECT r_regionkey, r_name FROM region;
+        |EXPORT DATABASE '/tmp/duck_b16_export' (FORMAT PARQUET);
+        |SELECT r_name, count(*) AS cnt, min(n_name) AS first_nation
+        |FROM '/tmp/duck_b16_export/bexp_n.parquet' n
+        |JOIN '/tmp/duck_b16_export/bexp_r.parquet' r
+        |  ON n.n_nationkey % 5 = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -86,25 +86,25 @@ object AttachStatement {
     val entries = fs.listStatus(hPath).toSeq
     val tables: Seq[(String, String, String)] = entries.flatMap { st =>
       val base = st.getPath.getName
-      if (st.isDirectory) {
-        if (identRe.pattern.matcher(base).matches())
+      val dot = base.lastIndexOf('.')
+      if (dot <= 0) {
+        // extensionless DIRECTORY: a parquet dataset (incl. partitioned)
+        if (st.isDirectory && identRe.pattern.matcher(base).matches())
           Some((base, st.getPath.toString, "parquet"))
         else None
       } else {
-        val dot = base.lastIndexOf('.')
-        if (dot <= 0) None
-        else {
-          val (stem, ext) = (base.substring(0, dot),
-            base.substring(dot + 1).toLowerCase(java.util.Locale.ROOT))
-          val fmt = ext match {
-            case "parquet"           => Some("parquet")
-            case "csv"               => Some("csv")
-            case "json" | "jsonl" | "ndjson" => Some("json")
-            case _                   => None
-          }
-          fmt.filter(_ => identRe.pattern.matcher(stem).matches())
-            .map(f => (stem, st.getPath.toString, f))
+        // extension carries the format for files AND dataset directories
+        // (Spark writes `t.parquet` as a directory of part files)
+        val (stem, ext) = (base.substring(0, dot),
+          base.substring(dot + 1).toLowerCase(java.util.Locale.ROOT))
+        val fmt = ext match {
+          case "parquet"                   => Some("parquet")
+          case "csv"                       => Some("csv")
+          case "json" | "jsonl" | "ndjson" => Some("json")
+          case _                           => None
         }
+        fmt.filter(_ => identRe.pattern.matcher(stem).matches())
+          .map(f => (stem, st.getPath.toString, f))
       }
     }
     require(tables.nonEmpty, s"ATTACH: no recognizable tables under '$path'")

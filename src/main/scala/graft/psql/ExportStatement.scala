@@ -1,0 +1,129 @@
+package graft.psql
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import SqlScanner.{matchesWord, nextCode, scan}
+
+/** DuckDB `EXPORT DATABASE` / `IMPORT DATABASE` — whole-database
+  * round-trips through a directory of columnar tables.
+  *
+  * DuckDB's EXPORT writes every table of the current database as a data
+  * file plus `schema.sql`/`load.sql` scripts; IMPORT replays them. The
+  * Spark-native shape is the same directory layout over the session
+  * catalog's CURRENT database:
+  *
+  *  - `EXPORT DATABASE '<dir>' [(FORMAT PARQUET|CSV)]` writes every
+  *    MANAGED table as `<dir>/<table>.parquet` (or `.csv` with header —
+  *    DuckDB's default CSV export shape), plus a `schema.sql` of
+  *    `CREATE TABLE` statements (declared Spark SQL types) and a
+  *    `load.sql` of `COPY … FROM` statements, mirroring DuckDB's script
+  *    pair. Views and external/attached tables are NOT exported — same
+  *    as DuckDB, whose data files cover base tables only.
+  *  - `IMPORT DATABASE '<dir>'` registers each data file's content as a
+  *    MANAGED table in the current database (errors if a table already
+  *    exists — DuckDB's behavior; nothing is half-imported because the
+  *    existence check runs for ALL entries first).
+  *
+  * The exported directory is exactly the layout [[AttachStatement]]
+  * attaches, so `EXPORT → ATTACH` gives a read-only published snapshot
+  * and `EXPORT → IMPORT` a writable copy.
+  *
+  * Scale shape: one columnar write per table (no shuffle, no collect);
+  * tables stream through the writers one at a time.
+  */
+object ExportStatement {
+
+  def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    if (matchesWord(stmt, 0, "export")) Some(export(spark, stmt))
+    else if (matchesWord(stmt, 0, "import")) Some(importDb(spark, stmt))
+    else None
+  }
+
+  private def pathAfterDatabase(stmt: String, kw: String): (String, Int) = {
+    val sc = scan(stmt)
+    var p = nextCode(stmt, sc, kw.length)
+    require(p >= 0 && matchesWord(stmt, p, "database"),
+      s"${kw.toUpperCase} must be `${kw.toUpperCase} DATABASE '<dir>'`")
+    p = nextCode(stmt, sc, p + "database".length)
+    require(p >= 0 && stmt.charAt(p) == '\'',
+      s"${kw.toUpperCase} DATABASE needs a quoted directory path")
+    val q2 = stmt.indexOf('\'', p + 1)
+    require(q2 > p, s"${kw.toUpperCase} DATABASE: unterminated path literal")
+    (stmt.substring(p + 1, q2), q2 + 1)
+  }
+
+  private def export(spark: SparkSession, stmt: String): DataFrame = {
+    val (path, after) = pathAfterDatabase(stmt, "export")
+    val rest = stmt.substring(after).trim
+    val format =
+      if (rest.isEmpty) "parquet"
+      else {
+        val norm = rest.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        norm match {
+          case "(format parquet)" => "parquet"
+          case "(format csv)"     => "csv"
+          case other => throw new IllegalArgumentException(
+            s"EXPORT DATABASE: unsupported options '$other' (FORMAT PARQUET|CSV)")
+        }
+      }
+    val db = spark.catalog.currentDatabase
+    val tables = spark.catalog.listTables(db).collect().toSeq
+      .filter(_.tableType == "MANAGED").map(_.name).sorted
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    tables.foreach { t =>
+      val df = spark.table(t)
+      val target = s"$path/$t.$format"
+      val w = df.write.mode(SaveMode.Overwrite)
+      if (format == "csv") w.option("header", "true").csv(target)
+      else w.parquet(target)
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      schemaSql.append(s"CREATE TABLE $t ($cols);\n")
+      loadSql.append(s"COPY $t FROM '$target'" +
+        (if (format == "csv") " (FORMAT CSV, HEADER)" else "") + ";\n")
+    }
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def writeText(name: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(hPath, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    writeText("schema.sql", schemaSql.toString)
+    writeText("load.sql", loadSql.toString)
+    spark.emptyDataFrame
+  }
+
+  private def importDb(spark: SparkSession, stmt: String): DataFrame = {
+    val (path, after) = pathAfterDatabase(stmt, "import")
+    require(stmt.substring(after).trim.isEmpty,
+      s"IMPORT DATABASE takes only a path, got '${stmt.substring(after).trim}'")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(hPath), s"IMPORT DATABASE: '$path' does not exist")
+    val entries = fs.listStatus(hPath).toSeq.flatMap { st =>
+      val base = st.getPath.getName
+      val dot = base.lastIndexOf('.')
+      if (dot <= 0) None
+      else base.substring(dot + 1).toLowerCase(java.util.Locale.ROOT) match {
+        case "parquet" => Some((base.substring(0, dot), st.getPath.toString, "parquet"))
+        case "csv"     => Some((base.substring(0, dot), st.getPath.toString, "csv"))
+        case _         => None
+      }
+    }.sortBy(_._1)
+    require(entries.nonEmpty, s"IMPORT DATABASE: no table files under '$path'")
+    // all-or-nothing existence check BEFORE any write (DuckDB errors on
+    // existing tables; checking first means nothing is half-imported)
+    val existing = entries.map(_._1).filter(spark.catalog.tableExists)
+    require(existing.isEmpty,
+      s"IMPORT DATABASE: tables already exist: ${existing.mkString(", ")}")
+    entries.foreach { case (t, loc, fmt) =>
+      val df =
+        if (fmt == "csv") spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(loc)
+        else spark.read.parquet(loc)
+      df.write.mode(SaveMode.ErrorIfExists).format("parquet").saveAsTable(t)
+    }
+    spark.emptyDataFrame
+  }
+}

@@ -93,6 +93,11 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB EXPORT/IMPORT DATABASE — whole-database directory round-trip
+    ExportStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB PREPARE/EXECUTE/DEALLOCATE — session registry + bind-time
     // argument inlining (EXECUTE re-enters sql(), so bodies may be any
     // pipeline or statement)

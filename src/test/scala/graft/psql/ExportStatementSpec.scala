@@ -1,0 +1,65 @@
+package graft.psql
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** EXPORT/IMPORT DATABASE round-trips: every managed table of the current
+  * database exports as a columnar file + schema/load scripts; IMPORT
+  * re-registers them and refuses half-imports; the exported dir ATTACHes.
+  */
+class ExportStatementSpec extends SparkSpec {
+
+  import spark.implicits._
+  private lazy val psql = Psql(spark)
+
+  test("export managed tables of a scratch database; import round-trips; attach works") {
+    val dir = Files.createTempDirectory("graft_exp").toFile.getAbsolutePath
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_expdb")
+    spark.sql("DROP DATABASE IF EXISTS graft_impdb CASCADE")
+    spark.sql("CREATE DATABASE graft_impdb")
+    val prev = spark.catalog.currentDatabase
+    try {
+      spark.catalog.setCurrentDatabase("graft_expdb")
+      spark.sql("DROP TABLE IF EXISTS exp_a")
+      spark.sql("DROP TABLE IF EXISTS exp_b")
+      Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+        .write.mode("overwrite").format("parquet").saveAsTable("exp_a")
+      Seq((10L, 1.5), (20L, 2.5)).toDF("k", "v")
+        .write.mode("overwrite").format("parquet").saveAsTable("exp_b")
+      // a temp view must NOT be exported (DuckDB exports base tables)
+      spark.table("exp_a").createOrReplaceTempView("exp_view")
+      psql.sql(s"export database '$dir'")
+      val files = new java.io.File(dir).list().toSet
+      assert(files.contains("exp_a.parquet") && files.contains("exp_b.parquet"),
+        files.mkString(","))
+      assert(files.contains("schema.sql") && files.contains("load.sql"))
+      assert(!files.exists(_.startsWith("exp_view")), "views must not export")
+      val schema = Files.readString(new java.io.File(dir, "schema.sql").toPath)
+      assert(schema.contains("CREATE TABLE exp_a (id BIGINT, s STRING);"), schema)
+      // import into a fresh database
+      spark.catalog.setCurrentDatabase("graft_impdb")
+      psql.sql(s"import database '$dir'")
+      assert(spark.table("exp_a").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+      assert(spark.table("exp_b").count() == 2)
+      // re-import refuses existing tables BEFORE touching anything
+      val e = intercept[IllegalArgumentException](psql.sql(s"import database '$dir'"))
+      assert(e.getMessage.contains("already exist"), e.getMessage)
+      // the exported layout is attachable (read-only snapshot path)
+      psql.sql("detach if exists graft_exp_att")
+      psql.sql(s"attach '$dir' as graft_exp_att")
+      assert(psql.sql("from graft_exp_att.exp_b |> select count() as n")
+        .collect()(0).getLong(0) == 2L)
+      psql.sql("detach graft_exp_att")
+      // csv format variant
+      val dir2 = Files.createTempDirectory("graft_exp_csv").toFile.getAbsolutePath
+      spark.catalog.setCurrentDatabase("graft_expdb")
+      psql.sql(s"export database '$dir2' (format csv)")
+      assert(new java.io.File(dir2).list().toSet.contains("exp_a.csv"))
+    } finally {
+      spark.catalog.setCurrentDatabase(prev)
+      spark.sql("DROP DATABASE IF EXISTS graft_expdb CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS graft_impdb CASCADE")
+    }
+  }
+}
