@@ -802,4 +802,47 @@ class PlanQualitySpec extends SparkSpec {
     // one scan per level: hops 0..3
     assert("Scan ExistingRDD".r.findAllIn(p).size == 4, p)
   }
+
+  test("MERGE: map-side-combinable tid aggregate, anti-join insert side, no cartesian") {
+    import spark.implicits._
+    val psql = graft.psql.Psql(spark)
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_merge")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_merge__graft_cow")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable("graft_plan_merge")
+    Seq((1L, 100L), (9L, 900L)).toDF("k", "nv")
+      .createOrReplaceTempView("graft_plan_merge_src")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      psql.sql("""merge into graft_plan_merge t using graft_plan_merge_src s on t.k = s.k
+        |when matched then update set v = s.nv
+        |when not matched then insert values (s.k, s.nv)""".stripMargin)
+      Thread.sleep(500) // QueryExecutionListener delivers async
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        plans.iterator()).asScala.toList
+      assert(all.nonEmpty, "listener captured no plans")
+      // never a cartesian anywhere in the statement's jobs
+      assert(!all.exists(_.contains("CartesianProduct")), "cartesian in MERGE")
+      // the multiplicity collapse is a hash aggregate on the synthetic row
+      // id WITH a partial (map-side) phase — the single-exchange promise
+      val agg = all.filter(p => p.contains("__graft_tid") &&
+        p.contains("partial_max_by"))
+      assert(agg.nonEmpty, "no partial max_by aggregate over __graft_tid:\n" +
+        all.mkString("\n----\n").take(2000))
+      // the insert side is a LEFT ANTI join, not a filtered outer join
+      assert(all.exists(_.contains("LeftAnti")), "no anti-join insert side")
+    } finally spark.listenerManager.unregister(listener)
+    // semantics held too
+    val got = spark.table("graft_plan_merge").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 20L), (3L, 30L), (9L, 900L)), got)
+  }
 }
