@@ -60,11 +60,29 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else if (matchesWord(stmt, 0, "create")) createOrReplace(spark, stmt)
-    // plain INSERT delegates to Spark's native DML (b10); only the
-    // RETURNING form needs the front-end (Spark has no RETURNING)
-    else if (matchesWord(stmt, 0, "insert") && splitReturning(stmt)._2.isDefined)
-      Some(insertReturning(spark, stmt))
+    // plain INSERT delegates to Spark's native DML (b10); the RETURNING
+    // and BY NAME forms need the front-end (Spark has neither)
+    else if (matchesWord(stmt, 0, "insert") &&
+        (splitReturning(stmt)._2.isDefined || insertIsByName(stmt)))
+      Some(insertFrontend(spark, stmt))
     else None
+  }
+
+  /** True when BY NAME immediately follows the INSERT target — anchored
+    * positionally, so a `GROUP BY name` inside the source never matches.
+    */
+  private def insertIsByName(stmt: String): Boolean = {
+    val sc = scan(stmt)
+    val intoPos = nextCode(stmt, sc, "insert".length)
+    if (intoPos < 0 || !matchesWord(stmt, intoPos, "into")) return false
+    try {
+      val (_, afterT) = identifierAt(stmt, intoPos + "into".length)
+      val p = nextCode(stmt, sc, afterT)
+      p >= 0 && matchesWord(stmt, p, "by") && {
+        val q = nextCode(stmt, sc, p + 2)
+        q >= 0 && matchesWord(stmt, q, "name")
+      }
+    } catch { case _: IllegalArgumentException => false }
   }
 
   /** Split a trailing top-level `RETURNING <exprs>` clause (DuckDB DML
@@ -446,28 +464,39 @@ object DmlStatements {
     finish(affected)
   }
 
-  /** `INSERT INTO t [(cols)] (VALUES …|<query>) RETURNING <exprs>` — the
-    * inserted rows (declared-type casts applied, unlisted columns NULL),
-    * materialized once: the SAME rows feed the table append and the
-    * RETURNING projection, so a self-referencing `INSERT … SELECT FROM t`
-    * reads the pre-insert snapshot exactly as DuckDB does (probed).
+  /** `INSERT INTO t [BY NAME] [(cols)] (VALUES …|<query>) [RETURNING
+    * <exprs>]` — the front-end insert forms Spark lacks. BY NAME matches
+    * source columns to target columns by NAME (probed DuckDB 1.0: every
+    * source column must exist in the target; missing targets NULL-fill).
+    * RETURNING yields the inserted rows (declared-type casts applied,
+    * unlisted columns NULL), materialized once: the SAME rows feed the
+    * table append and the RETURNING projection, so a self-referencing
+    * `INSERT … SELECT FROM t` reads the pre-insert snapshot exactly as
+    * DuckDB does (probed).
     */
-  private def insertReturning(spark: SparkSession, stmt0: String): DataFrame = {
+  private def insertFrontend(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, retOpt) = splitReturning(stmt0)
-    val list = retOpt.get
     val sc = scan(stmt)
     val intoPos = nextCode(stmt, sc, "insert".length)
     require(intoPos >= 0 && matchesWord(stmt, intoPos, "into"),
-      "INSERT … RETURNING must be `INSERT INTO <table> [(cols)] <source> RETURNING …`")
+      "INSERT must be `INSERT INTO <table> [BY NAME] [(cols)] <source> [RETURNING …]`")
     val (table, afterT) = identifierAt(stmt, intoPos + "into".length)
     require(!table.contains('.'),
-      s"INSERT … RETURNING target '$table': qualified names are not supported")
+      s"INSERT front-end target '$table': qualified names are not supported")
     require(spark.catalog.tableExists(table), s"INSERT target '$table' does not exist")
     val fields = spark.table(table).schema.fields.toSeq
     var p = nextCode(stmt, sc, afterT)
     require(p >= 0, "INSERT needs VALUES or a query")
+    var byName = false
+    if (matchesWord(stmt, p, "by")) {
+      val q = nextCode(stmt, sc, p + 2)
+      require(q >= 0 && matchesWord(stmt, q, "name"), "INSERT: expected BY NAME")
+      byName = true
+      p = nextCode(stmt, sc, q + "name".length)
+      require(p >= 0, "INSERT BY NAME needs a query")
+    }
     val cols: Option[Seq[String]] =
-      if (stmt.charAt(p) == '(') {
+      if (!byName && stmt.charAt(p) == '(') {
         var k = p + 1
         while (k < stmt.length &&
           !(sc.code(k) && sc.depth(k) == sc.depth(p) && stmt.charAt(k) == ')')) k += 1
@@ -486,7 +515,14 @@ object DmlStatements {
     val srcDf =
       if (matchesWord(source, 0, "values")) spark.sql(s"SELECT * FROM $source")
       else psql.sql(source)
-    val names = cols.getOrElse(fields.map(_.name))
+    val names: Seq[String] =
+      if (byName) srcDf.columns.toSeq.map { c =>
+        fields.find(_.name.equalsIgnoreCase(c)).getOrElse(throw
+          new IllegalArgumentException(
+            s"INSERT BY NAME: source column '$c' is not in $table")).name
+      } else cols.getOrElse(fields.map(_.name))
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"INSERT: duplicate target column in ${names.mkString(", ")}")
     require(srcDf.columns.length == names.length,
       s"INSERT: ${names.length} target columns but the source has " +
         s"${srcDf.columns.length}")
@@ -504,9 +540,13 @@ object DmlStatements {
     val proj = psql.sql(s"from $view |> select ${sel.mkString(", ")}")
       .localCheckpoint(true) // ONE evaluation: append + RETURNING see the same rows
     proj.write.mode(SaveMode.Append).insertInto(table)
-    val retView = view + "_ret"
-    proj.createOrReplaceTempView(retView)
-    val out = psql.sql(s"from $retView |> select $list")
+    val out = retOpt match {
+      case Some(list) =>
+        val retView = view + "_ret"
+        proj.createOrReplaceTempView(retView)
+        psql.sql(s"from $retView |> select $list")
+      case None => countDf(spark, proj.count()) // DuckDB's Count shape
+    }
     spark.catalog.dropTempView(view)
     out
   }

@@ -225,6 +225,27 @@ class DmlStatementsSpec extends SparkSpec {
     assert(psql.sql("delete from graft_dml_r1 where v > 999 returning id").count() == 0)
   }
 
+  test("INSERT BY NAME matches source columns by name; unknown source column errors") {
+    seed("graft_dml_bn")
+    // reordered + partial column set: s before id, v omitted → NULL
+    psql.sql("insert into graft_dml_bn by name select 'byname' as s, 77 as id")
+    val row = spark.table("graft_dml_bn").where("id = 77").collect()(0)
+    assert(row.isNullAt(1) && row.getString(2) == "byname")
+    // BY NAME + RETURNING compose
+    val r = psql.sql(
+      "insert into graft_dml_bn by name select 88 as id, 5 as v returning id, v, s")
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.isNullAt(2))).toSeq ==
+      Seq((88L, 5L, true)))
+    // unknown source column fails loudly (probed DuckDB behavior)
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("insert into graft_dml_bn by name select 1 as nope")
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    // plain BY NAME (no RETURNING) returns the Count shape
+    val c = psql.sql("insert into graft_dml_bn by name select 99 as id")
+    assert(c.columns.toSeq == Seq("Count") && c.collect()(0).getLong(0) == 1L)
+  }
+
   test("typo'd clauses error instead of silently widening the statement") {
     seed("graft_dml_t5")
     // a typo'd WHERE must NOT fall through to an unconditional DELETE —

@@ -606,13 +606,19 @@ def dml_script(name):
             duck.append(s)
         elif kind == 2:
             k1, k2 = rnd.randrange(10 ** 7, 2 * 10 ** 7), rnd.randrange(10 ** 7, 2 * 10 ** 7)
-            if rnd.randrange(2) == 0:
+            v = rnd.randrange(3)
+            if v == 0:
                 s = (f"insert into {t} values ({k1}, 1, {rnd.randrange(1, 50)}, 'Z'), "
                      f"({k2}, 2, {rnd.randrange(1, 50)} + 3, 'Y')")
-            else:
+            elif v == 1:
                 s = (f"insert into {t} select l_orderkey + {k1}, l_linenumber, "
                      f"cast(l_quantity as bigint), l_returnflag from lineitem "
                      f"where l_orderkey % 11 = {rnd.randrange(0, 3)} and l_linenumber = 1")
+            else:
+                # BY NAME: reordered + partial column set, NULL-filled rest
+                s = (f"insert into {t} by name select 'B' as f, "
+                     f"l_orderkey + {k1} as k from lineitem "
+                     f"where l_orderkey % 13 = {rnd.randrange(0, 3)} and l_linenumber = 1")
             spark.append(s)
             duck.append(s)
         else:
@@ -643,8 +649,18 @@ def dml_script(name):
             duck.append(f"INSERT INTO {t} SELECT s.k, s.ln2, s.q2, 'M' FROM {t}_src s "
                         f"WHERE coalesce(({c2}), false) "
                         f"AND s.k NOT IN (SELECT k FROM {t}_keys)")
-    spark.append(f"from {t} |> order by all")
-    duck.append(f"SELECT * FROM {t} ORDER BY ALL")
+    if rnd.random() < 0.25:
+        # RETURNING differential: the compared relation is the statement's
+        # own returned rows (DuckDB executes the same text)
+        ret = rnd.choice([
+            f"delete from {t} where {stmt_pred()} returning k, ln, q, f",
+            f"update {t} set q = q + 1 where {stmt_pred()} returning k, q",
+        ])
+        spark.append(ret)
+        duck.append(ret)
+    else:
+        spark.append(f"from {t} |> order by all")
+        duck.append(f"SELECT * FROM {t} ORDER BY ALL")
     return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 
