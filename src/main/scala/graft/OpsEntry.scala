@@ -5510,6 +5510,56 @@ object OpsEntry {
         |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
     QueryDef(
+      "b17_join_dml",
+      withTables { (s, _) =>
+        // Join DML (r14): DELETE USING (correlated-EXISTS lowering — a
+        // target row deletes once however many source rows match) and
+        // UPDATE FROM (MERGE-pipeline lowering — SET reads the joined
+        // row; source deduped per key so both engines are deterministic).
+        // Oracle: DuckDB executing the SAME statements natively.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b17_t")
+        Bucketing.dropTableAndLocation(s, "graft_b17_t__graft_cow")
+        s.table("customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b17_t")
+        // multi-row-per-key source for the delete (EXISTS dedups);
+        // unique-key aggregate for the update
+        psql.sql("""create or replace table graft_b17_src as
+          |(| from orders |> where o_orderkey % 3 = 0 |>
+          |   select o_custkey, o_orderkey, o_totalprice |)""".stripMargin)
+        psql.sql("""delete from graft_b17_t using graft_b17_src s
+          |where graft_b17_t.c_custkey = s.o_custkey
+          |  and s.o_totalprice > 300000""".stripMargin)
+        psql.sql("""create or replace table graft_b17_agg as
+          |(| from graft_b17_src |> select o_custkey, count() as n_ord
+          |   group by o_custkey |)""".stripMargin)
+        psql.sql("""update graft_b17_t set c_acctbal = c_acctbal + a.n_ord,
+          |  c_name = c_name || '#'
+          |from graft_b17_agg a where graft_b17_t.c_custkey = a.o_custkey
+          |  and a.n_ord >= 3""".stripMargin)
+        s.table("graft_b17_t").orderBy("c_custkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b17_t AS
+        |  SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer;
+        |CREATE OR REPLACE TEMP TABLE graft_b17_src AS
+        |  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0;
+        |DELETE FROM graft_b17_t USING graft_b17_src s
+        |  WHERE graft_b17_t.c_custkey = s.o_custkey
+        |  AND s.o_totalprice > 300000;
+        |CREATE OR REPLACE TEMP TABLE graft_b17_agg AS
+        |  SELECT o_custkey, count(*) AS n_ord FROM graft_b17_src
+        |  GROUP BY o_custkey;
+        |UPDATE graft_b17_t SET c_acctbal = c_acctbal + a.n_ord,
+        |  c_name = c_name || '#'
+        |  FROM graft_b17_agg a WHERE graft_b17_t.c_custkey = a.o_custkey
+        |  AND a.n_ord >= 3;
+        |SELECT c_custkey, c_name, c_acctbal, c_nationkey
+        |FROM graft_b17_t ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -42,10 +42,17 @@ import SqlScanner.{matchesWord, nextCode, scan, topLevelKeyword}
   * directories), unrenderable partition values, and >10k affected
   * partitions — where a full rewrite is the honest plan.
   *
+  * Join forms (r14): `DELETE … USING <rel> WHERE …` lowers to a
+  * correlated EXISTS (multi-matches dedup exactly as DuckDB's do) and
+  * rides the whole plain-DELETE path — counts, RETURNING, partition
+  * pruning; `UPDATE … SET … FROM <rel> WHERE …` lowers onto the MERGE
+  * pipeline (WHEN MATCHED THEN UPDATE), erroring on a target row with
+  * multiple source matches where DuckDB picks one arbitrarily —
+  * fail-loud beats nondeterministic.
+  *
   * Fails loudly on: non-MANAGED targets (temp views, external tables —
   * rewriting files under a shared location would corrupt state the
-  * catalog does not own), join forms (`DELETE … USING`, `UPDATE … FROM`),
-  * and SET columns absent from the target.
+  * catalog does not own) and SET columns absent from the target.
   */
 object DmlStatements {
 
@@ -291,27 +298,44 @@ object DmlStatements {
     val sc = scan(stmt)
     val fromIdx = nextCode(stmt, sc, "delete".length)
     require(fromIdx >= 0 && matchesWord(stmt, fromIdx, "from"),
-      "DELETE must be `DELETE FROM <table> [WHERE <cond>]`")
-    require(topLevelKeyword(stmt, sc, Seq("using")).isEmpty,
-      "DELETE … USING is not supported — express the join condition with " +
-        "`WHERE key IN (FROM other |> select key)` instead")
+      "DELETE must be `DELETE FROM <table> [USING <rel>] [WHERE <cond>]`")
     val (table, after) = identifierAt(stmt, fromIdx + 4)
+    val usingPos = topLevelKeyword(stmt, sc, Seq("using")).headOption
     val wherePos = topLevelKeyword(stmt, sc, Seq("where")).headOption
     wherePos.foreach(p => require(p >= after, s"malformed DELETE near '$table'"))
-    // nothing may sit between the table name and WHERE (or end): a typo'd
-    // clause (`wehre v > 15`) must error, not silently delete every row
-    val gap = stmt.substring(after, wherePos.getOrElse(stmt.length)).trim
+    usingPos.foreach { u =>
+      require(u >= after && wherePos.forall(_ > u),
+        s"malformed DELETE USING near '$table'")
+    }
+    // nothing may sit between the table name and USING/WHERE (or end): a
+    // typo'd clause (`wehre v > 15`) must error, not silently delete all
+    val gap = stmt.substring(after,
+      usingPos.orElse(wherePos).getOrElse(stmt.length)).trim
     require(gap.isEmpty,
-      s"DELETE FROM $table: unexpected text '$gap' — the only clause DELETE " +
-        "accepts after the table name is WHERE")
-    val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
+      s"DELETE FROM $table: unexpected text '$gap' — the only clauses DELETE " +
+        "accepts after the table name are USING and WHERE")
+    val cond0 = wherePos.map(p => stmt.substring(p + "where".length).trim)
+    // DELETE … USING <rel> WHERE <cond> (DuckDB's join-delete): a target
+    // row is deleted when ANY rel row satisfies the condition — exactly a
+    // correlated EXISTS, which also dedups multi-matches the way DuckDB
+    // does. The rewrite then rides the whole plain-DELETE path: counts,
+    // RETURNING, and the partition-pruned rewrite all just work.
+    val cond = usingPos match {
+      case Some(u) =>
+        val relText = stmt.substring(u + "using".length,
+          wherePos.getOrElse(stmt.length)).trim
+        val (rel, alias) = relAlias(relText)
+        val inner = cond0.getOrElse("true")
+        Some(s"exists (select * from $rel as $alias where ($inner))")
+      case None => cond0
+    }
     checkTarget(spark, table)
     val psql = Psql(spark)
     // RETURNING = the deleted rows' values, MATERIALIZED before any
     // mutation (the lazy plan would read the rewritten table otherwise)
     val retDf = returning.map { list =>
       val w = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
-      psql.sql(s"from $table |> where $w |> select $list").localCheckpoint(true)
+      psql.sql(s"from $table |> as $table where $w |> select $list").localCheckpoint(true)
     }
     def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
     // partition-pruned path: when the target is partitioned, rewrite ONLY
@@ -340,7 +364,7 @@ object DmlStatements {
              |  group by ${pcols.mkString(", ")}""".stripMargin).collect()
           .map(r => (pcols.indices.map(i => whereLit(r.get(i)).get), r.getLong(pcols.size)))
           .toMap
-        val survivors = psql.sql(s"from $table |> where ($affPred) and not $condSql")
+        val survivors = psql.sql(s"from $table |> as $table where ($affPred) and not $condSql")
         withDynamicOverwrite(spark) {
           survivors.write.mode(SaveMode.Overwrite).insertInto(table)
         }
@@ -357,9 +381,9 @@ object DmlStatements {
     val (affected, next) = cond match {
       case Some(c) =>
         val n = psql.sql(
-          s"from $table |> where coalesce(($c), false) |> select count(*) as n")
+          s"from $table |> as $table where coalesce(($c), false) |> select count(*) as n")
           .collect()(0).getLong(0)
-        (n, psql.sql(s"from $table |> where not coalesce(($c), false)"))
+        (n, psql.sql(s"from $table |> as $table where not coalesce(($c), false)"))
       case None =>
         (spark.table(table).count(), spark.table(table).limit(0))
     }
@@ -370,20 +394,23 @@ object DmlStatements {
   private def update(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, returning) = splitReturning(stmt0)
     val sc = scan(stmt)
-    require(topLevelKeyword(stmt, sc, Seq("from")).isEmpty,
-      "UPDATE … FROM is not supported — precompute the join into a staging " +
-        "table and UPDATE with a correlated `IN`/scalar subquery instead")
     val (table, after) = identifierAt(stmt, "update".length)
     // SET must IMMEDIATELY follow the table name: a misplaced clause
     // (`UPDATE t WHERE id=1 SET v=2`) would otherwise be silently dropped
     // and the WHERE lost — an unconditional update of every row
     val setWord = nextCode(stmt, sc, after)
     require(setWord >= 0 && matchesWord(stmt, setWord, "set"),
-      "UPDATE must be `UPDATE <table> SET col = expr[, …] [WHERE <cond>]` — " +
-        s"expected SET right after the table name in: $stmt")
+      "UPDATE must be `UPDATE <table> SET col = expr[, …] [FROM <rel>] " +
+        s"[WHERE <cond>]` — expected SET right after the table name in: $stmt")
     val setPos = setWord
-    val wherePos = topLevelKeyword(stmt, sc, Seq("where")).find(_ > setPos)
-    val setText = stmt.substring(setPos + "set".length, wherePos.getOrElse(stmt.length))
+    // `FROM <rel>` (DuckDB's join-update): SET/WHERE expressions may
+    // reference the joined row, so this lowers onto the MERGE pipeline
+    // (WHEN MATCHED THEN UPDATE) further below
+    val fromPos = topLevelKeyword(stmt, sc, Seq("from")).find(_ > setPos)
+    val wherePos = topLevelKeyword(stmt, sc, Seq("where"))
+      .find(p => p > setPos && fromPos.forall(p > _))
+    val setText = stmt.substring(setPos + "set".length,
+      fromPos.orElse(wherePos).getOrElse(stmt.length))
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
     checkTarget(spark, table)
     val fields = spark.table(table).schema.fields
@@ -410,6 +437,17 @@ object DmlStatements {
       s"UPDATE $table: SET columns not in table: ${unknown.mkString(", ")}")
     val dup = assigns.groupBy(_._1.toLowerCase).collect { case (k, v) if v.size > 1 => k }
     require(dup.isEmpty, s"UPDATE $table: column assigned twice: ${dup.mkString(", ")}")
+    fromPos.foreach { fp =>
+      require(returning.isEmpty,
+        "RETURNING is not supported with UPDATE … FROM — run the MERGE form " +
+          "and query the table after")
+      val whereP = wherePos.getOrElse(throw new IllegalArgumentException(
+        "UPDATE … FROM needs a WHERE join condition (an unconditioned " +
+          "cross-join update is never what you want)"))
+      val (rel, alias) = relAlias(stmt.substring(fp + "from".length, whereP).trim)
+      val c = stmt.substring(whereP + "where".length).trim
+      return MergeStatement.updateFrom(spark, table, table, rel, alias, c, assigns)
+    }
     val byCol = assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
     val condSql = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
     // assigned columns keep their declared type: the cast spelling routes
@@ -455,7 +493,7 @@ object DmlStatements {
     }
     val affected = cond match {
       case Some(c) =>
-        psql.sql(s"from $table |> where coalesce(($c), false) |> select count(*) as n")
+        psql.sql(s"from $table |> as $table where coalesce(($c), false) |> select count(*) as n")
           .collect()(0).getLong(0)
       case None => spark.table(table).count()
     }
@@ -551,6 +589,38 @@ object DmlStatements {
     out
   }
 
+  /** Parse a `<rel> [AS] [alias]` fragment (table name or parenthesized
+    * subquery) into (relation text, alias). A subquery requires an alias;
+    * a bare table defaults to its own name.
+    */
+  private def relAlias(text0: String): (String, String) = {
+    val text = text0.trim
+    require(text.nonEmpty, "expected a relation")
+    val sc = scan(text)
+    val (rel, after): (String, Int) =
+      if (text.charAt(0) == '(') {
+        var k = 1
+        while (k < text.length &&
+          !(sc.code(k) && sc.depth(k) == sc.depth(0) && text.charAt(k) == ')')) k += 1
+        require(k < text.length, s"unbalanced subquery in '$text'")
+        (text.substring(0, k + 1), k + 1)
+      } else {
+        val (n, e) = identifierAt(text, 0)
+        (n, e)
+      }
+    var p = nextCode(text, sc, after)
+    var alias = if (rel.startsWith("(")) "" else rel
+    if (p >= 0 && matchesWord(text, p, "as")) p = nextCode(text, sc, p + 2)
+    if (p >= 0) {
+      val (a, e) = identifierAt(text, p)
+      require(text.substring(e).trim.isEmpty,
+        s"unexpected text after the relation alias: '${text.substring(e).trim}'")
+      alias = a
+    }
+    require(alias.nonEmpty, s"a subquery relation needs an alias: '$text'")
+    (rel, alias)
+  }
+
   /** Parse a (plain) identifier starting at/after i0; returns (name, end). */
   private[psql] def identifierAt(stmt: String, i0: Int): (String, Int) = {
     var i = math.max(i0, 0)
@@ -640,7 +710,7 @@ object DmlStatements {
     if (pcols.isEmpty) return None
     val cap = if (pcols.size == 1) 10000 else 1000
     val rows = psql.sql(
-      s"""from $table |> where $condSql
+      s"""from $table |> as $table where $condSql
          ||> select ${pcols.mkString(", ")}, count(*) as __n_aff
          |  group by ${pcols.mkString(", ")}""".stripMargin).limit(cap + 1).collect()
     if (rows.length > cap) return None

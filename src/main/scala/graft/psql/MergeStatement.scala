@@ -184,7 +184,24 @@ object MergeStatement {
       val end = if (idx + 1 < whens.length) whens(idx + 1) else stmt.length
       parseClause(stmt, sc, w, end)
     }
+    lower(spark, table, tAlias, srcRel, sA, onCond, clauses)
+  }
 
+  /** `UPDATE t SET … FROM s WHERE cond` lowered onto the MERGE pipeline:
+    * the statement IS `MERGE INTO t USING s ON cond WHEN MATCHED THEN
+    * UPDATE SET …`. One divergence, deliberate: a target row matching
+    * MULTIPLE source rows ERRORS here (the MERGE standard rule) where
+    * DuckDB picks an arbitrary match — fail-loud beats nondeterministic.
+    */
+  private[psql] def updateFrom(spark: SparkSession, table: String, tAlias: String,
+      srcRel: String, srcAlias: String, cond: String,
+      assigns: Seq[(String, String)]): DataFrame =
+    lower(spark, table, tAlias, srcRel, srcAlias, cond,
+      Seq(Clause(Matched, None, UpdateSet(assigns))))
+
+  private def lower(spark: SparkSession, table: String, tAlias: String,
+      srcRel: String, sA: String, onCond: String,
+      clauses: Seq[Clause]): DataFrame = {
     // ---- semantic checks and schema capture -------------------------------
     DmlStatements.checkTarget(spark, table)
     val psql = Psql(spark)

@@ -120,15 +120,11 @@ class DmlStatementsSpec extends SparkSpec {
       psql.sql("delete from graft_dml_view where id = 1")
     }
     assert(e1.getMessage.contains("MANAGED"), e1.getMessage)
-    // join forms
-    val e2 = intercept[IllegalArgumentException] {
-      psql.sql("delete from graft_dml_t4 using other where graft_dml_t4.id = other.id")
-    }
-    assert(e2.getMessage.contains("USING"), e2.getMessage)
+    // join-update without a WHERE would be a cross-join update — refuse
     val e3 = intercept[IllegalArgumentException] {
-      psql.sql("update graft_dml_t4 set v = o.v from other o where o.id = graft_dml_t4.id")
+      psql.sql("update graft_dml_t4 set v = o.v from graft_dml_t4 o")
     }
-    assert(e3.getMessage.contains("FROM"), e3.getMessage)
+    assert(e3.getMessage.contains("WHERE"), e3.getMessage)
     // unknown SET column
     val e4 = intercept[IllegalArgumentException] {
       psql.sql("update graft_dml_t4 set nope = 1")
@@ -223,6 +219,44 @@ class DmlStatementsSpec extends SparkSpec {
     assert(spark.table("graft_dml_r1").count() == 6)
     // empty match: empty result, not a Count row
     assert(psql.sql("delete from graft_dml_r1 where v > 999 returning id").count() == 0)
+  }
+
+  test("DELETE USING and UPDATE FROM: join DML (probed DuckDB semantics)") {
+    seed("graft_dml_j1")
+    Seq((1L, 100L), (1L, 101L), (3L, 300L), (9L, 900L)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_dml_j1_src")
+    // DELETE USING: a row matching ANY source row (even several) deletes
+    // once; unmatched source rows are ignored
+    val d = psql.sql("""delete from graft_dml_j1 using graft_dml_j1_src s
+      |where graft_dml_j1.id = s.id and s.nv < 500""".stripMargin)
+    assert(d.collect()(0).getLong(0) == 2L) // ids 1 (two matches) and 3
+    assert(spark.table("graft_dml_j1").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // UPDATE FROM: SET references the joined row
+    seed("graft_dml_j2")
+    Seq((1L, 100L), (3L, 300L)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_dml_j2_src")
+    val u = psql.sql("""update graft_dml_j2 set v = s.nv, s = 'joined'
+      |from graft_dml_j2_src s where graft_dml_j2.id = s.id""".stripMargin)
+    assert(u.collect()(0).getLong(0) == 2L)
+    val rows = spark.table("graft_dml_j2").orderBy("id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1), x.getString(2)))
+    assert(rows.toSeq == Seq((1L, 100L, "joined"), (2L, 20L, "y"), (3L, 300L, "joined")))
+    // multi-match UPDATE FROM errors (fail-loud where DuckDB picks one
+    // arbitrarily — documented divergence)
+    Seq((1L, 5L), (1L, 6L)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_dml_j2_dup")
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("""update graft_dml_j2 set v = s.nv
+        |from graft_dml_j2_dup s where graft_dml_j2.id = s.id""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    // DELETE USING + RETURNING composes (returning rides the exists form)
+    seed("graft_dml_j3")
+    Seq(Tuple1(2L)).toDF("id").createOrReplaceTempView("graft_dml_j3_src")
+    val r = psql.sql("""delete from graft_dml_j3 using graft_dml_j3_src s
+      |where graft_dml_j3.id = s.id returning id, v""".stripMargin)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((2L, 20L)))
   }
 
   test("INSERT BY NAME matches source columns by name; unknown source column errors") {

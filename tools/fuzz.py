@@ -591,7 +591,27 @@ def dml_script(name):
     spark = [f"create or replace table {t} as {seed_sel}"]
     duck = [f"CREATE OR REPLACE TEMP TABLE {t} AS {seed_sel}"]
     for _ in range(rnd.randrange(2, 5)):
-        kind = rnd.randrange(4)
+        kind = rnd.randrange(5)
+        if kind == 4:
+            # join DML, same text in both engines: DELETE USING (multi-
+            # match dedups) and UPDATE FROM (unique-keyed source, so
+            # DuckDB's arbitrary-pick and graft's fail-loud never diverge)
+            m = rnd.choice([40, 60, 90])
+            jsrc_sel = (f"select l_orderkey % {m * 10} as jk, count(*) as jq "
+                        f"from lineitem group by 1")
+            spark.append(f"create or replace table {t}_jsrc as {jsrc_sel}")
+            duck.append(f"CREATE OR REPLACE TEMP TABLE {t}_jsrc AS {jsrc_sel}")
+            jc = rnd.choice([f"s.jq > {rnd.randrange(2, 12)}",
+                             f"nullif(s.jq, {rnd.randrange(2, 8)}) > {rnd.randrange(2, 8)}"])
+            if rnd.randrange(2) == 0:
+                s = (f"delete from {t} using {t}_jsrc s "
+                     f"where {t}.k = s.jk and {jc}")
+            else:
+                s = (f"update {t} set q = {t}.q + s.jq from {t}_jsrc s "
+                     f"where {t}.k = s.jk and {jc}")
+            spark.append(s)
+            duck.append(s)
+            continue
         if kind == 0:
             s = f"delete from {t} where {stmt_pred()}"
             spark.append(s)
