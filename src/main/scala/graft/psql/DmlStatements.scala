@@ -666,14 +666,14 @@ object DmlStatements {
     if (pcols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
   }
 
-  private def partitionColsOf(spark: SparkSession, table: String): Seq[String] =
+  private[psql] def partitionColsOf(spark: SparkSession, table: String): Seq[String] =
     spark.catalog.listColumns(table).collect().toSeq
       .filter(_.isPartition).map(_.name)
 
   /** SQL literal for a collected partition value in a WHERE predicate;
     * None for types the pruned path does not render (→ full rewrite).
     */
-  private def whereLit(v: Any): Option[String] = v match {
+  private[psql] def whereLit(v: Any): Option[String] = v match {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case _: java.lang.Long | _: java.lang.Integer |
          _: java.lang.Short | _: java.lang.Byte => Some(v.toString)
@@ -684,7 +684,7 @@ object DmlStatements {
   }
 
   /** Same value in ALTER TABLE … PARTITION (spec) syntax (no type keyword). */
-  private def specLit(v: Any): Option[String] = v match {
+  private[psql] def specLit(v: Any): Option[String] = v match {
     case s: String => Some("'" + s.replace("'", "''") + "'")
     case _: java.lang.Long | _: java.lang.Integer |
          _: java.lang.Short | _: java.lang.Byte => Some(v.toString)
@@ -725,7 +725,7 @@ object DmlStatements {
     * partitions — literal, so Catalyst prunes the scan AND the dynamic
     * overwrite touches only these directories.
     */
-  private def partitionPredicate(pcols: Seq[String], parts: Seq[Seq[Any]]): String =
+  private[psql] def partitionPredicate(pcols: Seq[String], parts: Seq[Seq[Any]]): String =
     if (pcols.size == 1)
       s"${pcols.head} in (${parts.map(p => whereLit(p.head).get).mkString(", ")})"
     else parts.map { p =>
@@ -733,7 +733,7 @@ object DmlStatements {
         .mkString("(", " and ", ")")
     }.mkString(" or ")
 
-  private def withDynamicOverwrite[T](spark: SparkSession)(f: => T): T = {
+  private[psql] def withDynamicOverwrite[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val old = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

@@ -310,34 +310,30 @@ object MergeStatement {
 
     // the per-pair projection lives in the SAME stage as the join: the
     // side aliases ($tAlias/$sA) only exist in that stage's scope, and a
-    // bare `SELECT *` over a self-join would duplicate column names
-    val pairsBase =
-      s"""from $table
+    // bare `SELECT *` over a self-join would duplicate column names.
+    // headFilter restricts the TARGET scan (literal partition predicate →
+    // Catalyst prunes the content pass to the affected directories)
+    def pairsFor(headFilter: Option[String]): String = {
+      val head = headFilter match {
+        case Some(p) => s"from $table |> where ($p)"
+        case None    => s"from $table"
+      }
+      s"""$head
          ||> as __graft_t0 select __graft_t0.*, monotonically_increasing_id() as __graft_tid
          ||> as $tAlias left join (| from $srcRel as __graft_s0 |> as __graft_s1 select __graft_s1.*, true as __graft_m |) as $sA on ($onCond) select __graft_tid, $actCase as __graft_act, $updCase as __graft_upd, $delCase as __graft_del, ${valCols.mkString(", ")}
          ||> select __graft_tid, sum(__graft_act) as __n_act, sum(__graft_upd) as __n_upd,
          |     sum(case when __graft_del then 1 else 0 end) as __n_del,
          |     max_by(named_struct('__graft_del', __graft_del${fields.map(f => s", '${f.name}', ${f.name}").mkString}), __graft_act) as __p
          |   group by __graft_tid""".stripMargin
-
-    var nUpd = 0L
-    var nDel = 0L
-    val targetContent: Option[DataFrame] =
-      if (!targetActing) None
-      else {
-        val check = psql.sql(pairsBase +
-          "\n|> select coalesce(max(__n_act), 0) as mx, coalesce(sum(__n_upd), 0) as nu, " +
-          "coalesce(sum(__n_del), 0) as nd").collect()(0)
-        require(check.getLong(0) <= 1L,
-          s"MERGE INTO $table: a target row matches multiple source rows with an " +
-            "applying UPDATE/DELETE clause — the standard forbids updating the same " +
-            "row twice; deduplicate the source on the ON keys")
-        nUpd = check.getLong(1)
-        nDel = check.getLong(2)
-        Some(psql.sql(pairsBase +
-          s"\n|> where not __p.__graft_del\n|> select ${
-            fields.map(f => s"__p.${f.name} as ${f.name}").mkString(", ")}"))
-      }
+    }
+    val pairsBase = pairsFor(None)
+    def contentSql(base: String): String = base +
+      s"\n|> where not __p.__graft_del\n|> select ${
+        fields.map(f => s"__p.${f.name} as ${f.name}").mkString(", ")}"
+    val dupMatchMsg =
+      s"MERGE INTO $table: a target row matches multiple source rows with an " +
+        "applying UPDATE/DELETE clause — the standard forbids updating the same " +
+        "row twice; deduplicate the source on the ON keys"
 
     val insertContent: Option[DataFrame] =
       if (!insertActing) None
@@ -377,14 +373,110 @@ object MergeStatement {
              ||> select ${fields.map(_.name).mkString(", ")}""".stripMargin))
       }
 
-    val nIns = insertContent.map(_.count()).getOrElse(0L)
-    (targetContent, insertContent) match {
-      case (Some(t), Some(i)) => DmlStatements.cowSwap(spark, table, t.union(i))
-      case (Some(t), None)    => DmlStatements.cowSwap(spark, table, t)
-      case (None, Some(i))    =>
-        // insert-only merge: append the batch, never rewrite the warehouse
-        i.write.mode(SaveMode.Append).insertInto(table)
-      case (None, None)       => () // every clause is DO NOTHING
+    // ---- execution --------------------------------------------------------
+    // PRUNED path (partitioned target, no clause assigns a partition
+    // column): per-PARTITION stats over the same per-tid aggregate find
+    // where acting rows live — payload partition values are pre-action by
+    // construction — then the content pass re-runs with the literal
+    // partition predicate pushed into the TARGET scan (pruned), and a
+    // dynamic partition overwrite touches only those directories plus the
+    // insert destinations. Fully-deleted partitions (every row of the
+    // partition acted on by DELETE, nothing inserted there) are dropped.
+    val pcols = DmlStatements.partitionColsOf(spark, table)
+    def assignsPartitionCol(c: Clause): Boolean = c.action match {
+      case UpdateSet(assigns) =>
+        assigns.exists(a => pcols.exists(_.equalsIgnoreCase(a._1)))
+      case UpdateByName =>
+        srcFields.exists(sf => pcols.exists(_.equalsIgnoreCase(sf.name)))
+      case _ => false
+    }
+    val prunable = pcols.nonEmpty && !targetClauses.exists(assignsPartitionCol)
+    val cap = if (pcols.size == 1) 10000 else 1000
+
+    def fullPath(): DataFrame = {
+      var nUpd = 0L
+      var nDel = 0L
+      val targetContent: Option[DataFrame] =
+        if (!targetActing) None
+        else {
+          val check = psql.sql(pairsBase +
+            "\n|> select coalesce(max(__n_act), 0) as mx, coalesce(sum(__n_upd), 0) as nu, " +
+            "coalesce(sum(__n_del), 0) as nd").collect()(0)
+          require(check.getLong(0) <= 1L, dupMatchMsg)
+          nUpd = check.getLong(1)
+          nDel = check.getLong(2)
+          Some(psql.sql(contentSql(pairsBase)))
+        }
+      val nIns = insertContent.map(_.count()).getOrElse(0L)
+      (targetContent, insertContent) match {
+        case (Some(t), Some(i)) => DmlStatements.cowSwap(spark, table, t.union(i))
+        case (Some(t), None)    => DmlStatements.cowSwap(spark, table, t)
+        case (None, Some(i))    =>
+          // insert-only merge: append the batch, never rewrite the warehouse
+          i.write.mode(SaveMode.Append).insertInto(table)
+        case (None, None)       => () // every clause is DO NOTHING
+      }
+      DmlStatements.countDf(spark, nUpd + nDel + nIns)
+    }
+
+    if (!targetActing || !prunable) return fullPath()
+
+    // one stats pass: per affected partition, acting counts + total rows
+    val statRows = psql.sql(pairsBase +
+      s"\n|> select ${pcols.map(p => s"__p.$p as $p").mkString(", ")}, " +
+      "count(*) as __n_tot, max(__n_act) as __mx, " +
+      "sum(__n_upd) as __nu, sum(__n_del) as __nd " +
+      s"group by ${pcols.mkString(", ")}\n|> where __nu + __nd > 0")
+      .limit(cap + 1).collect()
+    if (statRows.length > cap) return fullPath() // honest full rewrite
+    require(statRows.forall(_.getLong(pcols.size + 1) <= 1L), dupMatchMsg)
+    val affParts: Seq[Seq[Any]] = statRows.map(r => pcols.indices.map(r.get)).toSeq
+    if (affParts.exists(_.exists(v => DmlStatements.whereLit(v).isEmpty)))
+      return fullPath()
+    val nUpd = statRows.map(_.getLong(pcols.size + 2)).sum
+    val nDel = statRows.map(_.getLong(pcols.size + 3)).sum
+
+    // insert destinations: checkpoint once, the same rows feed the
+    // partition discovery, the count, and the write
+    val insChk = insertContent.map(_.localCheckpoint(true))
+    val nIns = insChk.map(_.count()).getOrElse(0L)
+    val insParts: Seq[Seq[Any]] = insChk match {
+      case Some(df) if nIns > 0 =>
+        df.select(pcols.head, pcols.tail: _*).distinct().limit(cap + 1)
+          .collect().map(r => pcols.indices.map(r.get)).toSeq
+      case _ => Seq.empty
+    }
+    if (insParts.length > cap ||
+        insParts.exists(_.exists(v => DmlStatements.whereLit(v).isEmpty)))
+      return fullPath()
+    def key(p: Seq[Any]): Seq[String] = p.map(v => DmlStatements.whereLit(v).get)
+    val writeParts = (affParts ++ insParts)
+      .groupBy(key).map(_._2.head).toSeq
+    val insKeys = insParts.map(key).toSet
+
+    if (writeParts.nonEmpty) {
+      val affPred = DmlStatements.partitionPredicate(pcols, writeParts)
+      // post-merge rows of the touched partitions ONLY (pruned scan), plus
+      // the inserts; a dynamic overwrite replaces exactly these dirs
+      val content = psql.sql(contentSql(pairsFor(Some(affPred))))
+      val toWrite = insChk match {
+        case Some(i) if nIns > 0 => content.union(i)
+        case _                   => content
+      }
+      DmlStatements.withDynamicOverwrite(spark) {
+        toWrite.write.mode(SaveMode.Overwrite).insertInto(table)
+      }
+    }
+    // partitions emptied by DELETE with no inserts landing there got no
+    // data from the write: drop them explicitly
+    statRows.filter { r =>
+      r.getLong(pcols.size) == r.getLong(pcols.size + 3) && // n_tot == n_del
+        !insKeys.contains(key(pcols.indices.map(r.get)))
+    }.foreach { r =>
+      val spec = pcols.zipWithIndex.map { case (p, i) =>
+        s"$p = ${DmlStatements.specLit(r.get(i)).get}"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($spec)")
     }
     DmlStatements.countDf(spark, nUpd + nDel + nIns)
   }

@@ -125,6 +125,45 @@ class MergeStatementSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (8L, 4L)))
   }
 
+  test("partitioned target: MERGE rewrites only affected partitions") {
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_merge_p1")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_merge_p1__graft_cow")
+    Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, 40L, "c"))
+      .toDF("id", "v", "pt")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy("pt").saveAsTable("graft_merge_p1")
+    Seq((1L, 100L), (3L, 300L), (7L, 700L)).toDF("id", "nv")
+      .createOrReplaceTempView("graft_merge_p1_src")
+    def files(): Map[String, Set[String]] =
+      spark.table("graft_merge_p1").inputFiles.toSet.groupBy { f =>
+        f.split("/").find(_.startsWith("pt=")).getOrElse("?")
+      }
+    val before = files()
+    val r = psql.sql("""merge into graft_merge_p1 t using graft_merge_p1_src s
+      |  on t.id = s.id
+      |when matched and s.nv >= 300 then delete
+      |when matched then update set v = s.nv
+      |when not matched then insert (id, v, pt) values (s.id, s.nv, 'd')
+      |""".stripMargin)
+    assert(r.collect()(0).getLong(0) == 3L) // 1 update + 1 delete + 1 insert
+    val got = spark.table("graft_merge_p1").orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSeq
+    assert(got == Seq((1L, 100L, "a"), (2L, 20L, "a"), (4L, 40L, "c"), (7L, 700L, "d")))
+    val after = files()
+    assert(after("pt=c") == before("pt=c"), "untouched partition must keep its files")
+    assert(after("pt=a") != before("pt=a"), "acted-on partition must be rewritten")
+    assert(!after.contains("pt=b"), "fully-deleted partition must be dropped")
+    assert(after.contains("pt=d"), "insert destination partition must exist")
+    // partition layout survived
+    assert(spark.catalog.listColumns("graft_merge_p1").collect()
+      .filter(_.isPartition).map(_.name).toSeq == Seq("pt"))
+    // a SET on the partition column relocates via the full rewrite
+    psql.sql("""merge into graft_merge_p1 t using graft_merge_p1_src s on t.id = s.id
+      |when matched and s.nv = 100 then update set pt = 'z'""".stripMargin)
+    assert(spark.table("graft_merge_p1").where("pt = 'z'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("malformed statements fail loudly") {
     seedTarget("graft_merge_t8")
     Seq((1L, 1L)).toDF("id", "nv").createOrReplaceTempView("graft_merge_s8")
