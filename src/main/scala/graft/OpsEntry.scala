@@ -4679,6 +4679,33 @@ object OpsEntry {
         |ORDER BY n_nationkey""".stripMargin)),
 
     QueryDef(
+      "q105_union_by_name",
+      withTables { (s, _) =>
+        // DuckDB `UNION [ALL] BY NAME` (Psql.byNamePlan — a Catalyst
+        // byName Union; no Spark SQL text form exists): columns match by
+        // NAME not position, sides missing a column NULL-fill, the
+        // left-assoc chain dedups through the plain UNION link (25 nation
+        // rows → 5 distinct) and keeps duplicates through UNION ALL; the
+        // trailing ORDER BY binds to the whole set operation. Oracle:
+        // DuckDB executing the SAME statement natively.
+        // sides after the first link are pipe-free on purpose: the dialect
+        // splits pipes BEFORE set ops (reference rewrite order), so a `|>`
+        // after a link is a stage over the WHOLE set operation
+        Psqlish(s, """from nation |> select n_regionkey as k, 'r' || n_regionkey as name
+          |union by name
+          |select r_name as name, r_regionkey + 100 as k from region
+          |union all by name
+          |select s_suppkey + 1000 as k from supplier where s_suppkey % 10 = 0
+          ||> order by k nulls first, name nulls first""".stripMargin)
+      },
+      Some("""SELECT n_regionkey AS k, 'r' || n_regionkey AS name FROM nation
+        |UNION BY NAME
+        |SELECT r_name AS name, r_regionkey + 100 AS k FROM region
+        |UNION ALL BY NAME
+        |SELECT s_suppkey + 1000 AS k FROM supplier WHERE s_suppkey % 10 = 0
+        |ORDER BY k NULLS FIRST, name NULLS FIRST""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the
@@ -5558,6 +5585,63 @@ object OpsEntry {
         |  AND a.n_ord >= 3;
         |SELECT c_custkey, c_name, c_acctbal, c_nationkey
         |FROM graft_b17_t ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "b18_on_conflict",
+      withTables { (s, _) =>
+        // INSERT … ON CONFLICT (DmlStatements.insertOnConflict → MERGE
+        // pipeline): a DO UPDATE batch folds re-inserted orders into the
+        // target — bare names read the TARGET row, excluded.* the proposed
+        // row, the WHERE gates on the pre-update value (all probed DuckDB
+        // scoping) — then a DO NOTHING batch with a partial column list
+        // appends only genuinely-new keys (insert-only merge: anti-join +
+        // APPEND, the target's files never rewritten). Oracle: DuckDB
+        // executing the SAME statements against a PRIMARY KEY temp table
+        // (its ON CONFLICT needs a unique index; the Spark side takes the
+        // explicit conflict target instead — documented seam). The one
+        // double add / halving are single IEEE ops — exact cross-engine.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b18_t")
+        Bucketing.dropTableAndLocation(s, "graft_b18_t__graft_cow")
+        s.table("orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .where(col("o_orderkey") % 5 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable("graft_b18_t")
+        val r = psql.sql("""insert into graft_b18_t
+          |select o_orderkey, o_custkey, o_orderstatus, o_totalprice from orders
+          |where o_orderkey % 3 = 0
+          |on conflict (o_orderkey) do update set
+          |  o_totalprice = o_totalprice + excluded.o_totalprice,
+          |  o_orderstatus = 'U' || o_orderstatus
+          |where o_totalprice < 200000""".stripMargin)
+        require(r.columns.toSeq == Seq("Count") && r.count() == 1,
+          "ON CONFLICT must return DuckDB's one-row Count shape")
+        psql.sql("""insert into graft_b18_t (o_orderkey, o_custkey, o_totalprice)
+          |select o_orderkey + 9000000, o_custkey, o_totalprice / 2 from orders
+          |where o_orderkey % 7 = 0
+          |on conflict (o_orderkey) do nothing""".stripMargin)
+        s.table("graft_b18_t").orderBy("o_orderkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b18_t (
+        |  o_orderkey BIGINT PRIMARY KEY, o_custkey BIGINT,
+        |  o_orderstatus VARCHAR, o_totalprice DOUBLE);
+        |INSERT INTO graft_b18_t
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0;
+        |INSERT INTO graft_b18_t
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  ON CONFLICT (o_orderkey) DO UPDATE SET
+        |    o_totalprice = o_totalprice + excluded.o_totalprice,
+        |    o_orderstatus = 'U' || o_orderstatus
+        |  WHERE o_totalprice < 200000;
+        |INSERT INTO graft_b18_t (o_orderkey, o_custkey, o_totalprice)
+        |  SELECT o_orderkey + 9000000, o_custkey, o_totalprice / 2 FROM orders
+        |  WHERE o_orderkey % 7 = 0
+        |  ON CONFLICT (o_orderkey) DO NOTHING;
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM graft_b18_t ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
       "b05_scd2_history",

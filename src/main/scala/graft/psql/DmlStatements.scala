@@ -67,11 +67,22 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else if (matchesWord(stmt, 0, "create")) createOrReplace(spark, stmt)
-    // plain INSERT delegates to Spark's native DML (b10); the RETURNING
-    // and BY NAME forms need the front-end (Spark has neither)
-    else if (matchesWord(stmt, 0, "insert") &&
-        (splitReturning(stmt)._2.isDefined || insertIsByName(stmt)))
-      Some(insertFrontend(spark, stmt))
+    // plain INSERT delegates to Spark's native DML (b10); ON CONFLICT,
+    // RETURNING and BY NAME forms need the front-end (Spark has none)
+    else if (matchesWord(stmt, 0, "insert")) {
+      val sc = scan(stmt)
+      val p = nextCode(stmt, sc, "insert".length)
+      if (p >= 0 && matchesWord(stmt, p, "or"))
+        throw new IllegalArgumentException(
+          "INSERT OR REPLACE/IGNORE infers its conflict target from a PRIMARY " +
+            "KEY, which Spark tables do not carry — spell the upsert as " +
+            "`INSERT … ON CONFLICT (key columns) DO UPDATE SET …/DO NOTHING`")
+      if (SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).nonEmpty)
+        Some(insertOnConflict(spark, stmt))
+      else if (splitReturning(stmt)._2.isDefined || insertIsByName(stmt))
+        Some(insertFrontend(spark, stmt))
+      else None
+    }
     else None
   }
 
@@ -414,20 +425,7 @@ object DmlStatements {
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
     checkTarget(spark, table)
     val fields = spark.table(table).schema.fields
-    val assigns: Seq[(String, String)] = splitTopCommas(setText).map(_.trim)
-      .filter(_.nonEmpty).map { part =>
-        val psc = scan(part)
-        var eq = -1
-        var i = 0
-        while (eq < 0 && i < part.length) {
-          if (psc.topLevel(i) && part.charAt(i) == '=') eq = i else i += 1
-        }
-        require(eq > 0, s"malformed SET assignment '$part'")
-        val lhs = part.substring(0, eq).trim
-        require(identRe.pattern.matcher(lhs).matches(),
-          s"SET target must be a bare column name, got '$lhs'")
-        (lhs, part.substring(eq + 1).trim)
-      }
+    val assigns: Seq[(String, String)] = parseSetList(setText)
     require(assigns.nonEmpty,
       s"UPDATE $table: empty SET list — nothing to assign (a no-op UPDATE " +
         "would still rewrite the whole table copy-on-write)")
@@ -514,6 +512,27 @@ object DmlStatements {
     */
   private def insertFrontend(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, retOpt) = splitReturning(stmt0)
+    val (table, _, proj) = insertBatch(spark, stmt)
+    proj.write.mode(SaveMode.Append).insertInto(table)
+    retOpt match {
+      case Some(list) =>
+        val retView =
+          "graft_ins_ret_" + java.util.UUID.randomUUID.toString.replace("-", "")
+        proj.createOrReplaceTempView(retView)
+        Psql(spark).sql(s"from $retView |> select $list")
+      case None => countDf(spark, proj.count()) // DuckDB's Count shape
+    }
+  }
+
+  /** Parse `INSERT INTO t [BY NAME] [(cols)] <source>` and build the batch
+    * projected to the target's FULL schema — declared-type casts (GraftCast
+    * assignment semantics for integer/boolean targets), unlisted columns
+    * NULL-filled — materialized exactly once (localCheckpoint), so callers
+    * appending AND projecting see the same rows, and a self-referencing
+    * `INSERT … SELECT FROM t` reads the pre-insert snapshot as DuckDB does.
+    */
+  private def insertBatch(spark: SparkSession, stmt: String)
+      : (String, Seq[org.apache.spark.sql.types.StructField], DataFrame) = {
     val sc = scan(stmt)
     val intoPos = nextCode(stmt, sc, "insert".length)
     require(intoPos >= 0 && matchesWord(stmt, intoPos, "into"),
@@ -576,17 +595,169 @@ object DmlStatements {
       }
     }
     val proj = psql.sql(s"from $view |> select ${sel.mkString(", ")}")
-      .localCheckpoint(true) // ONE evaluation: append + RETURNING see the same rows
-    proj.write.mode(SaveMode.Append).insertInto(table)
-    val out = retOpt match {
-      case Some(list) =>
-        val retView = view + "_ret"
-        proj.createOrReplaceTempView(retView)
-        psql.sql(s"from $retView |> select $list")
-      case None => countDf(spark, proj.count()) // DuckDB's Count shape
-    }
+      .localCheckpoint(true) // ONE evaluation: every consumer sees the same rows
     spark.catalog.dropTempView(view)
-    out
+    (table, fields, proj)
+  }
+
+  /** DuckDB `INSERT INTO t [BY NAME] [(cols)] <source> ON CONFLICT (keys)
+    * DO NOTHING | DO UPDATE SET … [WHERE …]` — the Postgres-style upsert
+    * statement, lowered onto the MERGE pipeline
+    * ([[MergeStatement.onConflict]]). Probed DuckDB 1.0 semantics, matched
+    * exactly:
+    *
+    *  - Count = inserted + updated rows; a DO UPDATE WHERE that rejects a
+    *    matched row counts 0 and leaves the row unchanged;
+    *  - in DO UPDATE expressions BARE column names are the TARGET row and
+    *    `excluded.col` the proposed insert row — bare names are qualified
+    *    onto the target before lowering (the merge join has both sides in
+    *    scope, where Spark would call them ambiguous);
+    *  - a batch proposing the same conflict key twice ERRORS on BOTH forms
+    *    ("can not update the same row twice" / duplicate key — probed), as
+    *    does a NULL conflict-key value (PRIMARY KEY is NOT NULL);
+    *  - the conflict target must be spelled explicitly: Spark tables carry
+    *    no PRIMARY KEY/unique index to infer one from (DuckDB's bare
+    *    `ON CONFLICT` and `INSERT OR REPLACE/IGNORE` need exactly that —
+    *    both fail loudly here with this pointer).
+    *
+    * Scale shape: DO NOTHING lowers to an insert-only merge — one anti
+    * join + APPEND, never a table rewrite; DO UPDATE rides the MERGE
+    * copy-on-write, partition-pruned on partitioned targets. The
+    * duplicate-key guard is one batch-sized aggregate over the (already
+    * checkpointed) insert batch.
+    */
+  private def insertOnConflict(spark: SparkSession, stmt0: String): DataFrame = {
+    val (stmt, ret) = splitReturning(stmt0)
+    require(ret.isEmpty,
+      "INSERT … ON CONFLICT does not support RETURNING — query the table " +
+        "after the statement")
+    val sc = scan(stmt)
+    val onPos = SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).last
+    val head = stmt.substring(0, onPos).trim
+    val confPos = nextCode(stmt, sc, onPos + 2) // start of CONFLICT
+    var p = nextCode(stmt, sc, confPos + "conflict".length)
+    require(p >= 0 && stmt.charAt(p) == '(',
+      "ON CONFLICT needs an explicit conflict target `(key columns)` — Spark " +
+        "tables carry no PRIMARY KEY/unique index to infer one from")
+    var k = p + 1
+    while (k < stmt.length &&
+      !(sc.code(k) && sc.depth(k) == sc.depth(p) && stmt.charAt(k) == ')')) k += 1
+    require(k < stmt.length, "ON CONFLICT: unbalanced conflict-target list")
+    val keyCols = splitTopCommas(stmt.substring(p + 1, k)).map(_.trim)
+    require(keyCols.nonEmpty && keyCols.forall(identRe.pattern.matcher(_).matches()),
+      "ON CONFLICT target must be a list of plain column names")
+    p = nextCode(stmt, sc, k + 1)
+    require(p >= 0 && matchesWord(stmt, p, "do"),
+      "ON CONFLICT needs DO NOTHING or DO UPDATE SET …")
+    p = nextCode(stmt, sc, p + 2)
+    require(p >= 0, "ON CONFLICT: dangling DO")
+    val update: Option[(Seq[(String, String)], Option[String])] =
+      if (matchesWord(stmt, p, "nothing")) {
+        val trail = stmt.substring(p + "nothing".length).trim
+        require(trail.isEmpty, s"unexpected text after DO NOTHING: '$trail'")
+        None
+      } else {
+        require(matchesWord(stmt, p, "update"),
+          "ON CONFLICT action must be DO NOTHING or DO UPDATE SET …")
+        p = nextCode(stmt, sc, p + "update".length)
+        require(p >= 0 && matchesWord(stmt, p, "set"), "DO UPDATE needs a SET list")
+        val tail = stmt.substring(p + 3)
+        val tsc = scan(tail)
+        val wherePos = topLevelKeyword(tail, tsc, Seq("where")).headOption
+        val setText = wherePos.map(w => tail.substring(0, w)).getOrElse(tail)
+        val whereText = wherePos.map(w => tail.substring(w + "where".length).trim)
+        whereText.foreach(w => require(w.nonEmpty, "DO UPDATE … WHERE needs a condition"))
+        Some((parseSetList(setText), whereText))
+      }
+    val (table, fields, proj) = insertBatch(spark, head)
+    val names = keyCols.map { kc =>
+      fields.find(_.name.equalsIgnoreCase(kc)).getOrElse(throw
+        new IllegalArgumentException(
+          s"ON CONFLICT: key column '$kc' is not in $table")).name
+    }
+    // DuckDB errors on a batch hitting the same key twice (both forms) and
+    // on NULL key values — one aggregate over the checkpointed batch
+    import org.apache.spark.sql.functions.{col, lit}
+    val viol = proj.groupBy(names.map(col): _*).count()
+      .where(col("count") > lit(1L) || names.map(n => col(n).isNull).reduce(_ || _))
+      .limit(1).collect()
+    viol.headOption.foreach { r =>
+      val vals = names.indices.map(i => String.valueOf(r.get(i))).mkString(", ")
+      if (names.indices.exists(r.isNullAt))
+        throw new IllegalArgumentException(
+          s"INSERT … ON CONFLICT into $table: NULL conflict-key value ($vals) — " +
+            "DuckDB's conflict target is a PRIMARY KEY, which is NOT NULL")
+      throw new IllegalArgumentException(
+        s"INSERT … ON CONFLICT into $table: the batch proposes conflict key " +
+          s"($vals) twice — DuckDB: ON CONFLICT DO UPDATE can not update the " +
+          "same row twice in the same command")
+    }
+    // DuckDB scoping: bare target-column names in DO UPDATE expressions are
+    // the TARGET row (probed: `SET v = v + excluded.v` adds old + proposed)
+    val targetCols = fields.map(_.name.toLowerCase).toSet
+    val qualified = update.map { case (assigns, where) =>
+      (assigns.map { case (c, e) => (c, qualifyBareColumns(e, targetCols, table)) },
+        where.map(w => qualifyBareColumns(w, targetCols, table)))
+    }
+    val view = "graft_conf_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    proj.createOrReplaceTempView(view)
+    try MergeStatement.onConflict(spark, table, view, names, qualified)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  /** Parse `col = expr[, …]` (top-level commas/equals only; LHS must be a
+    * bare column name) — the SET list shape shared by UPDATE and
+    * ON CONFLICT DO UPDATE.
+    */
+  private def parseSetList(setText: String): Seq[(String, String)] =
+    splitTopCommas(setText).map(_.trim).filter(_.nonEmpty).map { part =>
+      val psc = scan(part)
+      var eq = -1
+      var i = 0
+      while (eq < 0 && i < part.length) {
+        if (psc.topLevel(i) && part.charAt(i) == '=') eq = i else i += 1
+      }
+      require(eq > 0, s"malformed SET assignment '$part'")
+      val lhs = part.substring(0, eq).trim
+      require(identRe.pattern.matcher(lhs).matches(),
+        s"SET target must be a bare column name, got '$lhs'")
+      (lhs, part.substring(eq + 1).trim)
+    }
+
+  /** Qualify bare identifiers naming target columns with `qualifier.` —
+    * DuckDB's ON CONFLICT scoping resolves bare names to the target row,
+    * but in the merge join BOTH sides carry every target column, so Spark
+    * would reject them as ambiguous. Skips qualified references (`x.y` —
+    * either side of the dot), function calls (`f(`), strings and comments
+    * (scanner mask); `cols` must be lower-cased.
+    */
+  private[psql] def qualifyBareColumns(expr: String, cols: Set[String],
+      qualifier: String): String = {
+    val sc = scan(expr)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < expr.length) {
+      val ch = expr.charAt(i)
+      if (sc.code(i) && (Character.isLetter(ch) || ch == '_')) {
+        var j = i + 1
+        while (j < expr.length && (Character.isLetterOrDigit(expr.charAt(j)) ||
+          expr.charAt(j) == '_')) j += 1
+        val word = expr.substring(i, j)
+        var pv = i - 1
+        while (pv >= 0 && Character.isWhitespace(expr.charAt(pv))) pv -= 1
+        val prevDot = pv >= 0 && expr.charAt(pv) == '.'
+        var n = j
+        while (n < expr.length && Character.isWhitespace(expr.charAt(n))) n += 1
+        val nextDot = n < expr.length && expr.charAt(n) == '.'
+        val nextParen = n < expr.length && expr.charAt(n) == '('
+        if (!prevDot && !nextDot && !nextParen &&
+            cols.contains(word.toLowerCase(java.util.Locale.ROOT)))
+          sb.append(qualifier).append('.').append(word)
+        else sb.append(word)
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** Parse a `<rel> [AS] [alias]` fragment (table name or parenthesized

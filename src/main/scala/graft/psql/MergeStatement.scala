@@ -199,6 +199,31 @@ object MergeStatement {
     lower(spark, table, tAlias, srcRel, srcAlias, cond,
       Seq(Clause(Matched, None, UpdateSet(assigns))))
 
+  /** `INSERT … ON CONFLICT` lowered onto the MERGE pipeline
+    * ([[DmlStatements.insertOnConflict]] parses; the batch arrives as a
+    * full-schema view already cast to declared types). The statement IS a
+    * merge: conflict keys become the ON equality, `DO UPDATE SET … [WHERE
+    * w]` a WHEN MATCHED [AND w] THEN UPDATE clause, and the insert side a
+    * by-name WHEN NOT MATCHED THEN INSERT. The source aliases as
+    * `excluded`, so DuckDB's `excluded.col` references resolve naturally.
+    * `DO NOTHING` produces an insert-only merge — the APPEND path, never a
+    * table rewrite; DO UPDATE rides the partition-pruned rewrite when the
+    * target is partitioned.
+    */
+  private[psql] def onConflict(spark: SparkSession, table: String, srcView: String,
+      keyCols: Seq[String], update: Option[(Seq[(String, String)], Option[String])])
+      : DataFrame = {
+    val onCond = keyCols.map(k => s"$table.$k = excluded.$k").mkString(" and ")
+    val clauses = update match {
+      case Some((assigns, where)) =>
+        Seq(Clause(Matched, where, UpdateSet(assigns)),
+          Clause(NotMatchedTarget, None, InsertByName))
+      case None =>
+        Seq(Clause(NotMatchedTarget, None, InsertByName))
+    }
+    lower(spark, table, table, srcView, "excluded", onCond, clauses)
+  }
+
   private def lower(spark: SparkSession, table: String, tAlias: String,
       srcRel: String, sA: String, onCond: String,
       clauses: Seq[Clause]): DataFrame = {
