@@ -87,6 +87,12 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB ANALYZE/VACUUM/CHECKPOINT/COMMENT ON — maintenance statements
+    // mapped to Spark stats DDL / table properties (or documented no-ops)
+    MaintenanceStatements.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // DuckDB ATTACH/DETACH — a directory of columnar tables becomes a
     // catalog namespace; `name.table` resolves through Spark's analyzer
     AttachStatement.run(spark, t) match {
