@@ -2882,6 +2882,15 @@ object OpsEntry {
     * parenthesized to match Spark's expression-tree association exactly,
     * score summed left-to-right over the literal term order.
     */
+  /** `(rank, weight)` VALUES literals for DCG@k — rendered from the SAME
+    * doubles the Spark plan uses (Retrieval.log2Weights) via shortest
+    * round-trip repr, so both engines parse identical bits.
+    */
+  private def dcgWeightsValues(k: Int): String =
+    Retrieval.log2Weights(k)
+      .map { case (r, w) => s"($r, ${java.lang.Double.toString(w)})" }
+      .mkString(", ")
+
   private def bm25ScoredCte(terms: Seq[String]): String = {
     val dfCols = terms.indices.map(i =>
       s"sum(CASE WHEN list_contains(w, '${terms(i)}') THEN 1 ELSE 0 END) AS df_$i")
@@ -4351,6 +4360,63 @@ object OpsEntry {
         |SELECT g AS event_type, ts, event_id, cusum_scaled,
         |  cusum_scaled > n * floor(500.0 * 1000000.0 + 0.5)::BIGINT AS is_change
         |FROM s ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "a21_robust_outliers",
+      withTables { (s, _) =>
+        // Hampel identifier per event_type (TimeSeries.robustOutliers):
+        // |x − median| > 3·MAD — the resistant outlier flag a mean/σ
+        // z-score can't give (extremes inflate σ and mask themselves).
+        // Interpolated medians are a cross-engine hash seam, so both
+        // medians run on the 1e-6 integer grid where midpoints are exact
+        // (the d42/a20 discipline, two grids deep). Two narrow aggregates
+        // broadcast back; the frame itself never shuffles.
+        TimeSeries.robustOutliers(s.table("events").where(col("value").isNotNull),
+            "event_id", "event_type", "value", k = 3.0)
+          .orderBy("event_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT event_id, event_type AS g, value,
+        |    floor(value * 1000000.0 + 0.5)::BIGINT AS vs
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g, median(vs)::DOUBLE AS med FROM base GROUP BY g),
+        |dev AS (SELECT b.event_id, b.g, b.value, m.med, abs(b.vs - m.med) AS ad
+        |        FROM base b JOIN med m USING (g)),
+        |mad AS (SELECT g, median(ad)::DOUBLE AS mad FROM dev GROUP BY g)
+        |SELECT d.event_id, d.g AS event_type, d.value,
+        |  d.med / 1000000.0 AS med, m2.mad / 1000000.0 AS mad,
+        |  CASE WHEN m2.mad = 0.0 THEN NULL
+        |       ELSE floor((d.ad / m2.mad) * 1000000.0 + 0.5) / 1000000.0 END AS score6
+        |FROM dev d JOIN mad m2 USING (g)
+        |WHERE d.ad > 3.0 * m2.mad
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "a22_m4_downsample",
+      withTables { (s, _) =>
+        // M4 downsampling (TimeSeries.m4Downsample; Jugel et al. VLDB'14):
+        // per (event_type, hour) the four pixel-exact extremes — first/
+        // last by (ts, event_id), min/max by value. ONE map-side-combined
+        // hash aggregate, no window, no sort; values pass through with
+        // zero float arithmetic. The oracle states first/last via a
+        // row_number (DuckDB 1.0 arg_min takes no composite key) — same
+        // answer, different spelling.
+        TimeSeries.m4Downsample(s.table("events").where(col("value").isNotNull),
+            "ts", "event_type", "value", "event_id", bucket = "hour")
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""WITH base AS (
+        |  SELECT event_type AS g, date_trunc('hour', ts) AS bucket_start,
+        |    ts, event_id, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rn AS (SELECT *, row_number() OVER (
+        |    PARTITION BY g, bucket_start ORDER BY ts, event_id) AS rn
+        |  FROM base)
+        |SELECT g AS event_type, bucket_start,
+        |  arg_min(v, rn) AS v_first, arg_max(v, rn) AS v_last,
+        |  min(v) AS v_min, max(v) AS v_max, count(*)::BIGINT AS n
+        |FROM rn GROUP BY g, bucket_start
+        |ORDER BY event_type, bucket_start""".stripMargin)),
 
     QueryDef(
       "a19_seasonal_profile",
@@ -6066,6 +6132,72 @@ object OpsEntry {
           .orderBy("rank")
       },
       Some(prfOracleSql)),
+
+    QueryDef(
+      "r06_ranking_eval",
+      withTables { (s, _) =>
+        // ranking-quality evaluation (Retrieval.evalRanking): nDCG@10 /
+        // MRR / hit counts for a term-frequency ranking scored against
+        // graded labels drawn from a DIFFERENT signal (term count in the
+        // first 50 tokens, capped at 3) — so the metrics exercise real
+        // rank/label disagreement, not a tautology. Exactness: gains are
+        // integers, the 1/log2(r+1) weights are SHARED literals
+        // (Retrieval.log2Weights — engines' log2 differ in the last ulp),
+        // each contribution is one multiply snapped to the 1e-6 grid, and
+        // DCG/IDCG are order-independent BIGINT sums; ndcg is one division
+        // of those integers.
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.table("documents")
+        val perTerm = bm25Terms.map { t =>
+          docs.select(lit(t).as("query"), col("doc_id"),
+            expr(s"cast(size(filter(split(text, ' '), x -> x = '$t')) as bigint)").as("tf"),
+            expr(s"cast(least(size(filter(slice(split(text, ' '), 1, 50), x -> x = '$t')), 3) as bigint)")
+              .as("rel"))
+        }.reduce(_ unionAll _).where(col("tf") > 0)
+        val ranked = perTerm.withColumn("rank", row_number().over(
+            Window.partitionBy("query").orderBy(col("tf").desc, col("doc_id"))))
+          .where(col("rank") <= 10).select("query", "doc_id", "rank")
+        val qrels = perTerm.select("query", "doc_id", "rel")
+        Retrieval.evalRanking(ranked, qrels, "query", "doc_id", k = 10)
+          .orderBy("query")
+      },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |terms(query) AS (VALUES ${bm25Terms.map(t => s"('$t')").mkString(", ")}),
+        |nz AS (
+        |  SELECT t.query, k.doc_id,
+        |    len(list_filter(k.w, x -> x = t.query))::BIGINT AS tf,
+        |    least(len(list_filter(k.w[1:50], x -> x = t.query)), 3)::BIGINT AS rel
+        |  FROM tok k CROSS JOIN terms t
+        |  WHERE len(list_filter(k.w, x -> x = t.query)) > 0),
+        |weights(wr, wv) AS (VALUES ${dcgWeightsValues(10)}),
+        |ranked AS (
+        |  SELECT query, doc_id, tf,
+        |    row_number() OVER (PARTITION BY query ORDER BY tf DESC, doc_id) AS rank
+        |  FROM nz QUALIFY rank <= 10),
+        |qrels AS (SELECT query, doc_id, rel FROM nz WHERE rel > 0),
+        |sys AS (
+        |  SELECT r.query,
+        |    sum(floor(((1::BIGINT << coalesce(q.rel, 0))::BIGINT - 1)::DOUBLE * w.wv * 1000000.0 + 0.5)::BIGINT)::BIGINT AS dcg_s,
+        |    sum(CASE WHEN coalesce(q.rel, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel_at_k,
+        |    min(CASE WHEN q.rel > 0 THEN r.rank END) AS first_rel
+        |  FROM ranked r LEFT JOIN qrels q USING (query, doc_id)
+        |  JOIN weights w ON w.wr = r.rank
+        |  GROUP BY r.query),
+        |ideal AS (
+        |  SELECT query,
+        |    sum(floor(((1::BIGINT << rel)::BIGINT - 1)::DOUBLE * w.wv * 1000000.0 + 0.5)::BIGINT)::BIGINT AS idcg_s
+        |  FROM (SELECT query, doc_id, rel,
+        |          row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS rn
+        |        FROM qrels) i
+        |  JOIN weights w ON w.wr = i.rn
+        |  WHERE i.rn <= 10 GROUP BY query),
+        |totals AS (SELECT query, count(*)::BIGINT AS n_rel FROM qrels GROUP BY query)
+        |SELECT s.query, t.n_rel, s.n_rel_at_k,
+        |  coalesce(1000000 // s.first_rel, 0)::BIGINT AS mrr_scaled,
+        |  s.dcg_s, i.idcg_s, s.dcg_s::DOUBLE / i.idcg_s::DOUBLE AS ndcg
+        |FROM sys s JOIN ideal i USING (query) JOIN totals t USING (query)
+        |ORDER BY s.query""".stripMargin)),
 
     QueryDef(
       "a14_ewma",

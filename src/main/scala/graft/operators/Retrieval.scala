@@ -314,4 +314,79 @@ object Retrieval {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
   }
+
+  /** Ideal-DCG rank weights `1/log₂(r+1)` for ranks 1..k, computed ONCE on
+    * the driver — both the Spark plan and any cross-engine oracle must see
+    * the SAME double bits (engines' log2 differ in the last ulp), so the
+    * weights travel as literals, never as per-engine transcendentals.
+    * Render with `java.lang.Double.toString` (shortest round-trip repr):
+    * any IEEE engine parses it back to the identical double.
+    */
+  def log2Weights(k: Int): Seq[(Int, Double)] =
+    (1 to k).map(r => r -> 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ranking-quality evaluation — nDCG@k, MRR, hit counts — for a system
+    * ranking against graded relevance judgments: the measurement half of
+    * the retrieval family (r01–r05 produce rankings; this scores them, the
+    * way a RAG/recall pipeline is tuned).
+    *
+    * Inputs: `ranked(queryCol, idCol, rank)` (rank 1-based per query) and
+    * `qrels(queryCol, idCol, rel)` (graded relevance; rel ≤ 30 keeps the
+    * 2^rel gain in range). Returns one row per ranked query:
+    * `(queryCol, n_rel, n_rel_at_k, mrr_scaled, dcg_s, idcg_s, ndcg)`.
+    *
+    * Cross-engine exactness: gains `2^rel − 1` are integers (shiftleft);
+    * rank weights are shared literals ([[log2Weights]]); each contribution
+    * `gain·w` is ONE IEEE multiply snapped to the 1e-6 grid, and the
+    * per-query DCG/IDCG are SUMS OF BIGINTS — order-independent, so the
+    * aggregate cannot hash-diverge the way a double sum would. `ndcg` is
+    * one division of those exact integers; `mrr_scaled` = 1e6 // first
+    * relevant rank (exact integer division).
+    *
+    * Scale shape: the system side touches only top-k rows per query; the
+    * qrels side is one window sort per query (ideal ordering) + narrow
+    * aggregates; the weights table broadcasts. Nothing corpus-sized
+    * shuffles more than once.
+    */
+  def evalRanking(
+      ranked: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"evalRanking: k must be positive, got $k")
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val w = broadcast(log2Weights(k).toDF("__r", "__w"))
+    val micro = (x: Column) => floor(x * lit(1000000.0) + lit(0.5)).cast("bigint")
+    val gainS = micro((expr("shiftleft(1L, cast(rel as int))") - lit(1L))
+      .cast("double") * col("__w"))
+    val q = qrels.select(col(queryCol).as("q"), col(idCol).as("id"),
+        col("rel").cast("long").as("rel"))
+      .where(col("rel") > 0)
+    val top = ranked.select(col(queryCol).as("q"), col(idCol).as("id"),
+        col("rank").cast("int").as("rank"))
+      .where(col("rank") <= k)
+    val sys = top.join(q, Seq("q", "id"), "left").na.fill(0L, Seq("rel"))
+      .join(w, col("rank") === col("__r"))
+      .groupBy("q").agg(
+        sum(gainS).as("dcg_s"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_at_k"),
+        min(when(col("rel") > 0, col("rank"))).as("__first"))
+      .withColumn("mrr_scaled",
+        coalesce(lit(1000000L) / col("__first").cast("bigint"), lit(0L)).cast("bigint"))
+      .drop("__first")
+    val ideal = q.withColumn("__rn", row_number().over(
+        Window.partitionBy("q").orderBy(col("rel").desc, col("id"))))
+      .where(col("__rn") <= k)
+      .join(w, col("__rn") === col("__r"))
+      .groupBy("q").agg(sum(gainS).as("idcg_s"))
+    val totals = q.groupBy("q").agg(count(lit(1)).as("n_rel"))
+    sys.join(ideal, Seq("q"), "left").join(totals, Seq("q"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .select(col("q").as(queryCol), col("n_rel"), col("n_rel_at_k"),
+        col("mrr_scaled"), col("dcg_s"), col("idcg_s"),
+        // a query with zero relevant documents has no ideal ranking: NULL
+        (col("dcg_s").cast("double") / col("idcg_s").cast("double")).as("ndcg"))
+  }
 }

@@ -341,4 +341,97 @@ object TimeSeries {
       .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
         col("s").as("cusum_scaled"), col("is_change"))
   }
+
+  /** Robust per-group outliers via median/MAD — the resistant alternative
+    * to the z-score family (a15): one extreme point inflates a mean AND
+    * its stddev, masking itself; the median and the median absolute
+    * deviation move by at most one order statistic, so the flag
+    * `|x − med| > k·MAD` survives up to 50% contamination (Hampel's
+    * classic identifier).
+    *
+    * Cross-engine exactness: interpolated medians of raw doubles are a
+    * hash seam (engines state the midpoint as `(a+b)/2` vs `a+(b−a)/2` —
+    * different IEEE roundings), so both medians run on the 1e-6 integer
+    * grid: midpoints of integers (and of the .5-grid absolute deviations)
+    * are exactly representable, making every downstream op (−, abs, ·3,
+    * >, /1e6) bit-identical in any IEEE engine. The d42/a20 trick, two
+    * grids deep.
+    *
+    * Scale shape: two narrow per-group aggregates (group count–sized)
+    * broadcast back onto the frame — two full passes, zero wide shuffles
+    * of the data itself; exact percentile state is per-group value-count
+    * sized, bounded here by the 1e-6 grid's distinct-value cap. Returns
+    * only the flagged rows: (idCol, groupCol, valueCol, med, mad, score6)
+    * with score6 = |x−med|/MAD on the output grid.
+    */
+  def robustOutliers(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valueCol: String,
+      k: Double): DataFrame = {
+    require(k > 0.0, s"robustOutliers: k must be positive, got $k")
+    val micro = (x: org.apache.spark.sql.Column) =>
+      floor(x * lit(1000000.0) + lit(0.5)).cast("bigint")
+    val base = df.select(col(idCol), col(groupCol).as("g"), col(valueCol))
+      .withColumn("__vs", micro(col(valueCol)))
+      .where(col("__vs").isNotNull)
+    val med = base.groupBy("g")
+      .agg(expr("percentile(__vs, 0.5d)").as("__med")) // exact; integer operands
+    val dev = base.join(broadcast(med), Seq("g"))
+      .withColumn("__ad", abs(col("__vs") - col("__med"))) // .5-grid, exact
+    val mad = dev.groupBy("g")
+      .agg(expr("percentile(__ad, 0.5d)").as("__mad")) // .25-grid, exact
+    dev.join(broadcast(mad), Seq("g"))
+      .where(col("__ad") > lit(k) * col("__mad"))
+      .select(col(idCol), col("g").as(groupCol), col(valueCol),
+        (col("__med") / lit(1000000.0)).as("med"),
+        (col("__mad") / lit(1000000.0)).as("mad"),
+        // guard the all-identical group (MAD 0): every deviating point is
+        // flagged; its score reports as NULL rather than ±Inf
+        when(col("__mad") === lit(0.0), lit(null).cast("double"))
+          .otherwise(Fp.grid6(col("__ad") / col("__mad"))).as("score6"))
+  }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (group, time bucket)
+    * keep the four extreme points — first/last by time, min/max by value —
+    * the smallest point set that renders a pixel-exact line chart of the
+    * full series. The standard first cut for "plot a year of 100 TB of
+    * ticks": output is bucket-count sized, error-free for min/max
+    * envelopes.
+    *
+    * Scale shape: ONE aggregate with map-side partial combine and a single
+    * exchange on (group, bucket); no window. First/last tie-break on
+    * (ts, tiebreak) via struct-ordered min_by/max_by, so duplicate
+    * timestamps cannot make the answer run-dependent — and that composite
+    * ordering key is the one deliberate trade: Spark's hash aggregate
+    * cannot hold a struct ordering buffer (probed: min_by(v, BIGINT) hash-
+    * aggregates, min_by(v, struct) does not), so the plan is a
+    * SortAggregate — each input partition sorts by the grouping key, still
+    * collapsing to bucket-count rows before the shuffle. The alternatives
+    * are worse at 100 TB: a scalar-packed key overflows/collides for
+    * general (ts, tiebreak), and a two-pass broadcast-back argmin reads
+    * the full series twice. On time-partitioned layouts the partial sort
+    * is near-free (data arrives bucket-clustered). Values pass through
+    * untouched (no float arithmetic at all — exact in any engine).
+    */
+  def m4Downsample(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valueCol: String,
+      tiebreakCol: String,
+      bucket: String): DataFrame = {
+    df.select(col(groupCol).as("g"),
+        date_trunc(bucket, col(tsCol)).as("bucket_start"),
+        col(tsCol).as("t"), col(tiebreakCol).as("tb"), col(valueCol).as("v"))
+      .groupBy("g", "bucket_start")
+      .agg(
+        min_by(col("v"), struct(col("t"), col("tb"))).as("v_first"),
+        max_by(col("v"), struct(col("t"), col("tb"))).as("v_last"),
+        min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"),
+        count(lit(1)).as("n"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

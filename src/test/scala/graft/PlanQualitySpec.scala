@@ -606,6 +606,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("a21 robust outliers: both stats frames broadcast back — the fact scan never shuffles") {
+    val df = SparkEntry.defs.find(_.name == "a21_robust_outliers").get.fn(spark, sf)
+    val p = plan(df)
+    // median and MAD ride back as broadcast joins on the group key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only exchanges feed the two GROUP-COUNT-sized aggregates (and the
+    // final presentation sort) — never a repartition of the event frame for
+    // the join itself
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("a22 M4 downsample: ONE exchange, map-side partial combine, no window") {
+    val df = graft.operators.TimeSeries.m4Downsample(
+      spark.table("events").where(col("value").isNotNull),
+      "ts", "event_type", "value", "event_id", bucket = "hour")
+    val p = plan(df)
+    // single exchange on the (group, bucket) grouping key — the partial
+    // phase combines to bucket-count rows BEFORE it
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    assert(p.contains("partial_min_by"), p)
+    // no window operator and no join — one straight aggregate over the scan
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the documented trade: struct-ordered min_by forces a SortAggregate
+    // (per-partition sort by grouping key), never a second shuffle — if
+    // this ever flips to HashAggregate, even better; both pass
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"), p)
+  }
+
   test("b02 partitioned scan: month predicate prunes directories at planning time") {
     val df = SparkEntry.defs.find(_.name == "b02_partition_pruned_scan").get.fn(spark, sf)
     val p = plan(df)

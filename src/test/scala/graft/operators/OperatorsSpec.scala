@@ -3073,3 +3073,64 @@ class KCoreSpec extends SparkSpec {
     assert(r6.nonEmpty)
   }
 }
+
+/** TimeSeries additions of r14: Hampel median/MAD outliers (a21) and M4
+  * downsampling (a22) — hand-computed fixtures incl. the exact-grid median
+  * interpolation and MAD-0 degenerate group.
+  */
+class TimeSeriesRobustSpec extends SparkSpec {
+
+  test("robustOutliers: Hampel flag on hand-computed median/MAD; MAD-0 group flags nothing equal") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 4.0),
+      (5L, "g", 100.0), (6L, "h", 5.0), (7L, "h", 5.0), (8L, "h", 5.0))
+      .toDF("id", "grp", "v")
+    // g: med 3, ads 2,1,0,1,97 → MAD 1 → only 100 exceeds 3·MAD
+    val res = TimeSeries.robustOutliers(df, "id", "grp", "v", k = 3.0)
+      .orderBy("id").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(5L))
+    assert(res(0).getDouble(3) == 3.0 && res(0).getDouble(4) == 1.0)
+    assert(res(0).getDouble(5) == 97.0) // |100-3|/1 on the grid
+  }
+
+  test("robustOutliers: even-count medians interpolate exactly on the grid") {
+    import spark.implicits._
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0), (4L, "g", 10.0))
+      .toDF("id", "grp", "v")
+    // med (2+3)/2 = 2.5; ads 1.5,0.5,0.5,7.5 → MAD (0.5+1.5)/2 = 1.0
+    val res = TimeSeries.robustOutliers(df, "id", "grp", "v", k = 3.0)
+      .orderBy("id").collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(4L))
+    assert(res(0).getDouble(3) == 2.5 && res(0).getDouble(4) == 1.0)
+  }
+
+  test("robustOutliers: MAD-0 group flags every deviating point with NULL score") {
+    import spark.implicits._
+    val df = Seq((1L, "h", 5.0), (2L, "h", 5.0), (3L, "h", 5.0), (4L, "h", 6.0))
+      .toDF("id", "grp", "v")
+    // med 5, ads 0,0,0,1 → MAD 0 → the one deviator flags, score NULL not Inf
+    val res = TimeSeries.robustOutliers(df, "id", "grp", "v", k = 3.0).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(4L))
+    assert(res(0).isNullAt(5))
+  }
+
+  test("m4Downsample: per-bucket first/last/min/max, duplicate-ts first tie-broken by id") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "2024-01-01 10:05:00", "g", 7.0), // same ts as id 1: id 0 wins first
+      (1L, "2024-01-01 10:05:00", "g", 5.0),
+      (2L, "2024-01-01 10:30:00", "g", 1.0),
+      (3L, "2024-01-01 10:45:00", "g", 9.0),
+      (4L, "2024-01-01 11:10:00", "g", 4.0))
+      .toDF("id", "tss", "grp", "v")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val res = TimeSeries.m4Downsample(df, "ts", "grp", "v", "id", bucket = "hour")
+      .orderBy("bucket_start").collect()
+    assert(res.length == 2)
+    val b10 = res(0)
+    assert(b10.getDouble(2) == 7.0 && b10.getDouble(3) == 9.0) // first, last
+    assert(b10.getDouble(4) == 1.0 && b10.getDouble(5) == 9.0) // min, max
+    assert(b10.getLong(6) == 4L)
+    assert(res(1).getLong(6) == 1L && res(1).getDouble(2) == 4.0)
+  }
+}

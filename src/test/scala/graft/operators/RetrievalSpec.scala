@@ -177,4 +177,39 @@ class RetrievalSpec extends SparkSpec {
       (3L, r6(1.0 / 62.0)))
     assert(res.map(r => (r.getLong(0), r.getDouble(1))).toSeq == expected)
   }
+
+  test("evalRanking: hand-computed nDCG@k / MRR / hits on a tiny ranking") {
+    import spark.implicits._
+    val ranked = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2)).toDF("query", "doc_id", "rank")
+    val qrels = Seq(("q1", 11L, 3L), ("q1", 12L, 1L), ("q1", 99L, 2L),
+      ("q2", 77L, 1L)).toDF("query", "doc_id", "rel")
+    val res = Retrieval.evalRanking(ranked, qrels, "query", "doc_id", k = 3)
+      .orderBy("query").collect()
+    val w = Retrieval.log2Weights(3).toMap
+    def c(g: Long, r: Int): Long =
+      math.floor(((1L << g) - 1).toDouble * w(r) * 1e6 + 0.5).toLong
+    // q1 system: ranks 1..3 carry rel 0,3,1; ideal: rel 3,2,1
+    val dcg1 = c(0, 1) + c(3, 2) + c(1, 3)
+    val idcg1 = c(3, 1) + c(2, 2) + c(1, 3)
+    val r1 = res(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L) // n_rel, n_rel_at_k
+    assert(r1.getLong(3) == 500000L)                   // first relevant at rank 2
+    assert(r1.getLong(4) == dcg1 && r1.getLong(5) == idcg1)
+    assert(r1.getDouble(6) == dcg1.toDouble / idcg1.toDouble)
+    // q2: its one relevant doc was not retrieved — zero dcg/mrr, nonzero ideal
+    val r2 = res(1)
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+    assert(r2.getLong(4) == 0L && r2.getLong(5) == c(1, 1))
+    assert(r2.getDouble(6) == 0.0)
+  }
+
+  test("evalRanking: perfect ranking scores ndcg 1.0; rel beyond k ignored in DCG") {
+    import spark.implicits._
+    val ranked = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query", "doc_id", "rank")
+    val qrels = Seq(("q", 1L, 2L), ("q", 2L, 1L), ("q", 3L, 1L)).toDF("query", "doc_id", "rel")
+    val res = Retrieval.evalRanking(ranked, qrels, "query", "doc_id", k = 2).collect()
+    assert(res(0).getDouble(6) == 1.0) // doc3's rel can't enter the top-2 ideal
+    assert(res(0).getLong(1) == 3L)    // but it counts in n_rel
+  }
 }
