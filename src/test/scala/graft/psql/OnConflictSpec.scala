@@ -57,6 +57,22 @@ class OnConflictSpec extends SparkSpec {
     assert(rows("graft_oc_t3") == Seq((1L, 10.0, "a"), (2L, 20.0, "b")))
   }
 
+  test("DO UPDATE WHERE NULL: row unchanged, count 0 (three-valued logic)") {
+    // DuckDB 1.0 is INTERNALLY INCONSISTENT on this edge: its small-batch
+    // conflict path leaves the row unchanged (probed: WHERE nullif(v,55)>24
+    // on a 5-row insert) while its bulk path UPDATES the same row (probed:
+    // identical predicate, 7500-row insert — found by fuzz seed 9101).
+    // Graft pins the small-batch/Postgres semantics — a NULL condition
+    // never applies — matching every other NULL-cond statement here
+    // (DELETE/UPDATE/MERGE clause guards).
+    seed("graft_oc_t9")
+    val r = psql.sql("""insert into graft_oc_t9 values (1, 4.0, 'q')
+      |on conflict (k) do update set v = excluded.v
+      |where nullif(v, 10.0) > 100""".stripMargin) // target v = 10 → NULL
+    assert(r.collect()(0).getLong(0) == 0L)
+    assert(rows("graft_oc_t9") == Seq((1L, 10.0, "a"), (2L, 20.0, "b")))
+  }
+
   test("column-list + query source: unlisted columns NULL into inserts, kept on updates") {
     seed("graft_oc_t4")
     Seq((1L, 77.0), (5L, 55.0)).toDF("kk", "vv").createOrReplaceTempView("graft_oc_s4")

@@ -574,6 +574,64 @@ def stmt_assign():
     ])
 
 
+def onconflict_script(name):
+    """INSERT … ON CONFLICT family: a unique-keyed scratch table (the duck
+    side declares the PRIMARY KEY its ON CONFLICT needs; the graft side
+    takes the explicit conflict target — the documented seam), then random
+    DO UPDATE [WHERE] / DO NOTHING batches exercising bare-target-name
+    scoping, excluded.* references, NULL-WHERE three-valued logic and
+    partial column lists. Same statement TEXT in both engines; sources
+    aggregate per key so the duplicate-batch-key error path never fires."""
+    t = f"fz_{name}"
+    p = rnd.choice([3, 5, 7])
+    seed_sel = (f"select l_orderkey as k, max(l_linenumber) as ln, "
+                f"cast(sum(cast(l_quantity as bigint)) as bigint) as q, "
+                f"min(l_returnflag) as f "
+                f"from lineitem where l_orderkey % {p} = 0 group by l_orderkey")
+    spark = [f"create or replace table {t} as {seed_sel}"]
+    duck = [f"CREATE OR REPLACE TEMP TABLE {t} "
+            f"(k BIGINT PRIMARY KEY, ln INTEGER, q BIGINT, f VARCHAR)",
+            f"INSERT INTO {t} {seed_sel}"]
+    for _ in range(rnd.randrange(2, 4)):
+        m = rnd.choice([2, 4, 6, 11])
+        off = rnd.randrange(0, 3) * 10 ** 7  # 0 → overlaps the seed keys
+        src = (f"select l_orderkey + {off} as k, min(l_linenumber) as ln, "
+               f"cast(count(*) as bigint) as q, 'C' as f from lineitem "
+               f"where l_orderkey % {m} = 0 group by l_orderkey")
+        kind = rnd.randrange(3)
+        if kind == 0:
+            s = f"insert into {t} {src} on conflict (k) do nothing"
+        elif kind == 1:
+            assigns = rnd.choice([
+                "q = q + excluded.q, f = f || excluded.f",
+                "q = excluded.q, ln = excluded.ln",
+                "f = 'U' || f",
+            ])
+            # WHERE stays NULL-free: DuckDB 1.0's BULK conflict path treats a
+            # NULL DO-UPDATE-WHERE as TRUE while its small-batch path (and
+            # Postgres, and graft) treat it as FALSE — probed live: the same
+            # `nullif(q,55)>24` row updates in a 7500-row batch and stays put
+            # in a 5-row one. The NULL-WHERE contract is pinned in
+            # OnConflictSpec instead; the differential here would be testing
+            # the oracle's bug, not the engine.
+            w = rnd.choice([
+                "", f" where q < {rnd.randrange(50, 400)}",
+                f" where excluded.q > {rnd.randrange(1, 8)}",
+                f" where q % 7 < {rnd.randrange(2, 6)}"])
+            s = f"insert into {t} {src} on conflict (k) do update set {assigns}{w}"
+        else:
+            # partial column list: unlisted columns NULL-fill on inserts
+            s = (f"insert into {t} (k, q) select l_orderkey + {off}, "
+                 f"cast(count(*) as bigint) from lineitem "
+                 f"where l_orderkey % {m} = 0 group by l_orderkey "
+                 f"on conflict (k) do update set q = q + excluded.q")
+        spark.append(s)
+        duck.append(s)
+    spark.append(f"from {t} |> order by all")
+    duck.append(f"SELECT * FROM {t} ORDER BY ALL")
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
 def dml_script(name):
     """Statement-script family: CREATE OR REPLACE TABLE seed, then random
     DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
@@ -582,7 +640,10 @@ def dml_script(name):
     MERGE (absent in 1.0), which gets the documented-equivalent
     DELETE USING / UPDATE FROM / INSERT sequence generated here, i.e. an
     INDEPENDENT python formulation of the clause algebra, so the
-    differential covers MERGE semantics, not just its parsing."""
+    differential covers MERGE semantics, not just its parsing.
+    1-in-4 scripts are instead the INSERT … ON CONFLICT family."""
+    if rnd.random() < 0.25:
+        return onconflict_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
