@@ -5710,6 +5710,42 @@ object OpsEntry {
         |FROM graft_b18_t ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b19_sequences",
+      withTables { (s, _) =>
+        // DuckDB sequences (SequenceStatements): CREATE SEQUENCE with
+        // start/step, per-OCCURRENCE nextval in VALUES rows (the
+        // surrogate-key insert pattern), currval arithmetic, a FROM-less
+        // INSERT..SELECT — all inlined to dispensed literals at bind time.
+        // Per-row nextval over a scanned relation throws instead (session
+        // counter state does not distribute; asserted inline). Oracle:
+        // DuckDB executing the SAME statements with its native sequences.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b19_t")
+        psql.sql("create or replace sequence graft_b19_seq start 1000 increment 3")
+        psql.sql("""create or replace table graft_b19_t as
+          |select cast(0 as bigint) as id, 'x' as name where 1 = 0""".stripMargin)
+        psql.sql("""insert into graft_b19_t values (nextval('graft_b19_seq'), 'a'),
+          |(nextval('graft_b19_seq'), 'b'), (nextval('graft_b19_seq'), 'c')""".stripMargin)
+        psql.sql("""insert into graft_b19_t values (currval('graft_b19_seq') + 100, 'd'),
+          |(nextval('graft_b19_seq'), 'e')""".stripMargin)
+        psql.sql("insert into graft_b19_t select nextval('graft_b19_seq'), 'f'")
+        val threw =
+          try { psql.sql("select nextval('graft_b19_seq') from region"); false }
+          catch { case e: IllegalArgumentException => e.getMessage.contains("row_number") }
+        require(threw, "per-row nextval must throw with the scalable recipe")
+        psql.sql("from graft_b19_t |> order by id")
+      },
+      Some("""CREATE OR REPLACE SEQUENCE graft_b19_seq START 1000 INCREMENT 3;
+        |CREATE OR REPLACE TEMP TABLE graft_b19_t AS
+        |  SELECT cast(0 AS BIGINT) AS id, 'x' AS name WHERE 1 = 0;
+        |INSERT INTO graft_b19_t VALUES (nextval('graft_b19_seq'), 'a'),
+        |  (nextval('graft_b19_seq'), 'b'), (nextval('graft_b19_seq'), 'c');
+        |INSERT INTO graft_b19_t VALUES (currval('graft_b19_seq') + 100, 'd'),
+        |  (nextval('graft_b19_seq'), 'e');
+        |INSERT INTO graft_b19_t SELECT nextval('graft_b19_seq'), 'f';
+        |SELECT id, name FROM graft_b19_t ORDER BY id""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -24,7 +24,15 @@ class Psql(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = {
     engineFns
-    val t = query.trim
+    // DuckDB CREATE/DROP SEQUENCE — session registry; nextval/currval
+    // occurrences inline to dispensed literals at bind time (FROM-queries
+    // throw: per-row sequence state does not distribute)
+    SequenceStatements.run(spark, query) match {
+      case Some(df) => return df
+      case None     => ()
+    }
+    val q2 = SequenceStatements.inline(query)
+    val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
     // output shape, one aggregate pass (SummarizeStatement; replaces the
     // earlier Dataset.summary() mapping, whose shape was Spark's, not
@@ -113,19 +121,19 @@ class Psql(val spark: SparkSession) {
     }
     // DuckDB `ASOF JOIN` stage: executed through the AsofJoin operator plan
     // (no Spark grammar for it; needs schemas, so no string rewrite)
-    AsofSql.tryPipeline(spark, query) match {
+    AsofSql.tryPipeline(spark, q2) match {
       case Some(df) => return df
       case None     => ()
     }
     // DuckDB `UNION [ALL] BY NAME` has no Spark SQL text form: lift it into
     // a Catalyst byName Union plan (sides parsed recursively as PSQL)
-    Psql.byNamePlan(spark, query, s => spark.sql(s).queryExecution.logical) match {
+    Psql.byNamePlan(spark, q2, s => spark.sql(s).queryExecution.logical) match {
       case Some(plan) =>
         return org.apache.spark.sql.graftbridge.ColumnBridge.dataFrame(spark, plan)
       case None => ()
     }
     // fallback path (native pipe syntax) must also see macro calls inlined
-    runWithFallback(Macros.expand(spark, query), Psql.preprocess(spark, query), "")
+    runWithFallback(Macros.expand(spark, q2), Psql.preprocess(spark, q2), "")
   }
 
   /** Execute `prefix + rewritten`, falling back to `prefix + original` on a

@@ -1,0 +1,232 @@
+package graft.psql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import SqlScanner.{matchesWord, nextCode, scan}
+
+/** DuckDB `CREATE/DROP SEQUENCE` + `nextval('s')`/`currval('s')` — the
+  * surrogate-key statement family, as a session-scoped registry with
+  * BIND-TIME per-occurrence inlining.
+  *
+  * Probed DuckDB 1.0 semantics, matched exactly where evaluation is
+  * per-occurrence:
+  *
+  *  - `SELECT nextval('s'), nextval('s')` (no FROM) → two consecutive
+  *    values (each textual occurrence advances once);
+  *  - `INSERT … VALUES (nextval('s'), …), (nextval('s'), …)` → each row's
+  *    occurrence advances once — the surrogate-key insert pattern;
+  *  - `currval('s')` → last value dispensed (error before first nextval);
+  *  - `CREATE SEQUENCE s [START [WITH] n] [INCREMENT [BY] n]`, duplicate
+  *    CREATE errors, OR REPLACE resets, `DROP SEQUENCE [IF EXISTS]`.
+  *
+  * The one form that CANNOT be honest on a distributed engine is per-ROW
+  * nextval over a scanned relation (`SELECT nextval('s') FROM t`): DuckDB
+  * advances the sequence once per row in engine-execution order — already
+  * nondeterministic under its own parallelism, and meaningless across
+  * Spark executors (the counter lives on the driver; shipping it would
+  * serialize the scan). Those statements THROW with the scalable recipe
+  * (row_number() over an explicit ordering + the sequence's start/step)
+  * instead of silently handing every row the same bind-time literal.
+  * Inlining happens at bind time, so EXPLAIN of a nextval statement also
+  * advances the sequence (documented divergence; DuckDB's EXPLAIN does
+  * not execute).
+  *
+  * PREPARE bodies and macro definitions are exempt from inlining — their
+  * text must evaluate at EXECUTE/call time, and both re-enter
+  * [[Psql.sql]] where the inlining then runs.
+  */
+object SequenceStatements {
+
+  private final class SeqState(val start: Long, val increment: Long) {
+    var last: Option[Long] = None
+    def nextval(): Long = synchronized {
+      val v = last.map(_ + increment).getOrElse(start)
+      last = Some(v)
+      v
+    }
+    def currval(name: String): Long = synchronized {
+      last.getOrElse(throw new IllegalArgumentException(
+        s"currval: sequence '$name' has not been used yet in this session " +
+          "(call nextval first — DuckDB's rule)"))
+    }
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
+
+  /** True once any CREATE SEQUENCE ran this session — the inline() fast
+    * path keys off this, NOT registry emptiness, so `nextval('dropped')`
+    * still gets the DuckDB catalog error instead of Spark's unresolved-
+    * function one.
+    */
+  @volatile private var everCreated = false
+
+  /** Handle CREATE/DROP SEQUENCE; None for everything else. */
+  def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val sc = scan(stmt)
+    if (matchesWord(stmt, 0, "drop")) {
+      val p = nextCode(stmt, sc, "drop".length)
+      if (p < 0 || !matchesWord(stmt, p, "sequence")) return None
+      var q = nextCode(stmt, sc, p + "sequence".length)
+      var ifExists = false
+      if (q >= 0 && matchesWord(stmt, q, "if")) {
+        val e = nextCode(stmt, sc, q + 2)
+        require(e >= 0 && matchesWord(stmt, e, "exists"), "expected IF EXISTS")
+        ifExists = true
+        q = nextCode(stmt, sc, e + "exists".length)
+      }
+      val (name, after) = DmlStatements.identifierAt(stmt, q)
+      require(stmt.substring(after).trim.isEmpty,
+        s"DROP SEQUENCE: trailing '${stmt.substring(after).trim}'")
+      val removed = registry.remove(key(name)) != null
+      require(removed || ifExists, s"Sequence with name $name does not exist!")
+      return Some(spark.emptyDataFrame)
+    }
+    if (!matchesWord(stmt, 0, "create")) return None
+    var p = nextCode(stmt, sc, "create".length)
+    var orReplace = false
+    if (p >= 0 && matchesWord(stmt, p, "or")) {
+      val r = nextCode(stmt, sc, p + 2)
+      if (r < 0 || !matchesWord(stmt, r, "replace")) return None
+      orReplace = true
+      p = nextCode(stmt, sc, r + "replace".length)
+    }
+    if (p < 0 || !matchesWord(stmt, p, "sequence")) return None
+    var q = nextCode(stmt, sc, p + "sequence".length)
+    var ifNotExists = false
+    if (q >= 0 && matchesWord(stmt, q, "if")) {
+      val n = nextCode(stmt, sc, q + 2)
+      require(n >= 0 && matchesWord(stmt, n, "not"), "expected IF NOT EXISTS")
+      val e = nextCode(stmt, sc, n + 3)
+      require(e >= 0 && matchesWord(stmt, e, "exists"), "expected IF NOT EXISTS")
+      ifNotExists = true
+      q = nextCode(stmt, sc, e + "exists".length)
+    }
+    val (name, afterName) = DmlStatements.identifierAt(stmt, q)
+    var i = nextCode(stmt, sc, afterName)
+    var start = 1L
+    var increment = 1L
+    while (i >= 0) {
+      if (matchesWord(stmt, i, "start")) {
+        var v = nextCode(stmt, sc, i + "start".length)
+        if (v >= 0 && matchesWord(stmt, v, "with")) v = nextCode(stmt, sc, v + 4)
+        val (n, e) = longAt(stmt, v)
+        start = n; i = nextCode(stmt, sc, e)
+      } else if (matchesWord(stmt, i, "increment")) {
+        var v = nextCode(stmt, sc, i + "increment".length)
+        if (v >= 0 && matchesWord(stmt, v, "by")) v = nextCode(stmt, sc, v + 2)
+        val (n, e) = longAt(stmt, v)
+        require(n != 0L, "CREATE SEQUENCE: increment must be non-zero")
+        increment = n; i = nextCode(stmt, sc, e)
+      } else {
+        throw new IllegalArgumentException(
+          s"CREATE SEQUENCE: unsupported clause at '${stmt.substring(i).take(30)}' " +
+            "(supported: START [WITH] n, INCREMENT [BY] n)")
+      }
+    }
+    val k = key(name)
+    if (registry.containsKey(k) && !orReplace) {
+      require(ifNotExists, s"""Sequence with name "$name" already exists!""")
+      return Some(spark.emptyDataFrame) // IF NOT EXISTS: keep the old one
+    }
+    registry.put(k, new SeqState(start, increment))
+    everCreated = true
+    Some(spark.emptyDataFrame)
+  }
+
+  /** Replace each `nextval('s')` / `currval('s')` occurrence with its
+    * dispensed literal. Statements that would need PER-ROW evaluation
+    * (any FROM present) throw; PREPARE/macro definitions pass through
+    * untouched (they inline when their bodies execute).
+    */
+  def inline(stmt: String): String = {
+    if (!everCreated) return stmt
+    if (matchesWord(stmt, 0, "prepare") || isMacroDef(stmt)) return stmt
+    val sc = scan(stmt)
+    val calls = findCalls(stmt, sc)
+    if (calls.isEmpty) return stmt
+    // per-row guard: a FROM anywhere in the statement means occurrences
+    // would repeat once per scanned row in DuckDB — refuse to fake that
+    val hasFrom = Iterator.range(0, stmt.length).exists(i =>
+      sc.code(i) && matchesWord(stmt, i, "from"))
+    if (hasFrom)
+      throw new IllegalArgumentException(
+        "nextval/currval inside a query with a FROM clause evaluates once per " +
+          "ROW in DuckDB — that does not distribute (the counter is session " +
+          "state). Assign keys scalably with row_number() over an explicit " +
+          "ordering plus the sequence's start/step, or use nextval in " +
+          "VALUES lists / FROM-less selects.")
+    val sb = new StringBuilder
+    var pos = 0
+    calls.foreach { case (s, e, fn, name) =>
+      sb.append(stmt.substring(pos, s))
+      val st = Option(registry.get(key(name))).getOrElse(throw
+        new IllegalArgumentException(s"Sequence with name $name does not exist!"))
+      val v = if (fn == "nextval") st.nextval() else st.currval(name)
+      sb.append(v).append('L')
+      pos = e
+    }
+    sb.append(stmt.substring(pos))
+    sb.toString
+  }
+
+  /** (start, end, fn, seqName) for each nextval('s')/currval('s') call. */
+  private def findCalls(stmt: String, sc: SqlScanner.Scan)
+      : List[(Int, Int, String, String)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int, String, String)]
+    var i = 0
+    while (i < stmt.length) {
+      if (sc.code(i) && (matchesWord(stmt, i, "nextval") || matchesWord(stmt, i, "currval"))) {
+        val fn = stmt.substring(i, i + 7).toLowerCase(java.util.Locale.ROOT)
+        var p = nextCode(stmt, sc, i + 7)
+        if (p >= 0 && stmt.charAt(p) == '(') {
+          // argument must be a plain string literal (DuckDB also allows
+          // expressions; those have no bind-time value here)
+          var q = p + 1
+          while (q < stmt.length && Character.isWhitespace(stmt.charAt(q))) q += 1
+          if (q < stmt.length && stmt.charAt(q) == '\'') {
+            var r = q + 1
+            while (r < stmt.length && stmt.charAt(r) != '\'') r += 1
+            var close = r + 1
+            while (close < stmt.length && Character.isWhitespace(stmt.charAt(close))) close += 1
+            if (r < stmt.length && close < stmt.length && stmt.charAt(close) == ')') {
+              out += ((i, close + 1, fn, stmt.substring(q + 1, r)))
+              i = close + 1
+            } else i += 7
+          } else throw new IllegalArgumentException(
+            s"$fn: the sequence name must be a plain string literal " +
+              "(bind-time inlining has no value for computed names)")
+        } else i += 7
+      } else i += 1
+    }
+    out.toList
+  }
+
+  private def isMacroDef(stmt: String): Boolean = {
+    val sc = scan(stmt)
+    var p = 0
+    if (!matchesWord(stmt, p, "create")) return false
+    p = nextCode(stmt, sc, "create".length)
+    if (p >= 0 && matchesWord(stmt, p, "or")) {
+      val r = nextCode(stmt, sc, p + 2)
+      if (r < 0 || !matchesWord(stmt, r, "replace")) return false
+      p = nextCode(stmt, sc, r + "replace".length)
+    }
+    p >= 0 && (matchesWord(stmt, p, "macro") || matchesWord(stmt, p, "function"))
+  }
+
+  private def longAt(stmt: String, i0: Int): (Long, Int) = {
+    require(i0 >= 0, "CREATE SEQUENCE: missing numeric value")
+    var i = i0
+    var j = if (stmt.charAt(i) == '-') i + 1 else i
+    while (j < stmt.length && Character.isDigit(stmt.charAt(j))) j += 1
+    require(j > i && (j > i + 1 || stmt.charAt(i) != '-'),
+      s"CREATE SEQUENCE: expected a number at '${stmt.substring(i0).take(15)}'")
+    (stmt.substring(i, j).toLong, j)
+  }
+
+  private def key(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Test hook: forget every sequence (sessions share one JVM in specs). */
+  private[psql] def reset(): Unit = { registry.clear(); everCreated = false }
+}
