@@ -65,7 +65,41 @@ object MaintenanceStatements {
       else None
     }
     else if (matchesWord(stmt, 0, "comment")) Some(comment(spark, afterWord(stmt, "comment")))
+    else if (matchesWord(stmt, 0, "install")) Some(installLoad(spark, stmt, "install"))
+    else if (matchesWord(stmt, 0, "load")) Some(installLoad(spark, stmt, "load"))
+    else if (matchesWord(stmt, 0, "begin") || matchesWord(stmt, 0, "commit") ||
+        matchesWord(stmt, 0, "rollback") || matchesWord(stmt, 0, "abort"))
+      throw new IllegalArgumentException(
+        "multi-statement transactions are not available on a Spark warehouse " +
+          "(each write statement commits atomically on its own; the DML/MERGE " +
+          "lowerings are shadow-first crash-safe) — remove the " +
+          "BEGIN/COMMIT/ROLLBACK wrapper and rely on per-statement atomicity")
     else None
+  }
+
+  /** `INSTALL <ext> [FROM community]` / `LOAD <ext>` — the reference's own
+    * setup statements (`README.md:98,104`: `install psql from community;
+    * load psql;`). Every capability those extensions add in DuckDB is
+    * BUILT IN here (psql = this front-end; httpfs = the HTTP path scans;
+    * json/parquet = native Spark readers; icu = JVM time zones; fts ≈ the
+    * r01 BM25 operator), so the known names are accepted as documented
+    * no-ops — a reference user's init script runs unchanged. Unknown
+    * extensions throw: pretending to load code we do not have would
+    * misrepresent the session's capabilities.
+    */
+  private def installLoad(spark: SparkSession, stmt: String, kw: String): DataFrame = {
+    val rest = afterWord(stmt, kw)
+    val (name, after) = DmlStatements.identifierAt(rest, 0)
+    val trail = rest.substring(after).trim.toLowerCase(java.util.Locale.ROOT)
+    require(trail.isEmpty || trail == "from community" || trail == "from core_nightly",
+      s"${kw.toUpperCase(java.util.Locale.ROOT)}: unexpected trailing '$trail'")
+    val builtIn = Set("psql", "httpfs", "json", "parquet", "icu", "fts", "autocomplete")
+    if (!builtIn.contains(name.toLowerCase(java.util.Locale.ROOT)))
+      throw new IllegalArgumentException(
+        s"${kw.toUpperCase(java.util.Locale.ROOT)} '$name': no such loadable " +
+          "extension here — the built-in surface already covers " +
+          builtIn.mkString(", "))
+    spark.emptyDataFrame
   }
 
   private def afterWord(s: String, w: String): String = s.substring(w.length).trim

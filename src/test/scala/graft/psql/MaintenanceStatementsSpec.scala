@@ -77,6 +77,22 @@ class MaintenanceStatementsSpec extends SparkSpec {
     assert(e.getMessage.contains("TABLE, VIEW, COLUMN"))
   }
 
+  test("INSTALL/LOAD: the reference's own setup script runs; unknown extensions throw") {
+    // reference README.md:98,104 — `install psql from community; load psql;`
+    assert(psql.sql("install psql from community").count() == 0)
+    assert(psql.sql("load psql").count() == 0)
+    assert(psql.sql("LOAD httpfs").count() == 0)
+    val e = intercept[IllegalArgumentException] { psql.sql("load spatial") }
+    assert(e.getMessage.contains("no such loadable extension"))
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK throw the per-statement-atomicity explanation") {
+    val e = intercept[IllegalArgumentException] { psql.sql("begin transaction") }
+    assert(e.getMessage.contains("per-statement atomicity"))
+    intercept[IllegalArgumentException] { psql.sql("rollback") }
+    intercept[IllegalArgumentException] { psql.sql("commit") }
+  }
+
   test("Spark's native ANALYZE TABLE spelling still delegates") {
     seed("graft_mt_t5")
     psql.sql("ANALYZE TABLE graft_mt_t5 COMPUTE STATISTICS")
