@@ -4419,6 +4419,40 @@ object OpsEntry {
         |ORDER BY event_type, bucket_start""".stripMargin)),
 
     QueryDef(
+      "a23_seasonal_decompose",
+      withTables { (s, _) =>
+        // classical additive decomposition per event_type
+        // (TimeSeries.seasonalDecompose): hourly exact-decimal means →
+        // centered 24-bucket MA trend (ordered window fold, the a14/a15
+        // device) → per-hour-of-day seasonal means on the 1e-6 grid
+        // (BIGINT sums — order-independent) → residual. One full-data
+        // aggregate; everything downstream is bucket-count sized.
+        TimeSeries.seasonalDecompose(s.table("events"), "ts", "event_type", "value")
+          .orderBy("event_type", "bucket_start")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT event_type AS g, date_trunc('hour', ts) AS b,
+        |    count(*)::BIGINT AS n,
+        |    cast(sum(cast(value AS decimal(18,2))) AS double) AS sv
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT g, b, n, sv / n AS m FROM hourly),
+        |tr AS (SELECT g, b, n, m,
+        |    array_agg(m) OVER (PARTITION BY g ORDER BY b
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS arr
+        |  FROM m),
+        |t2 AS (SELECT g, b, n, m,
+        |    list_reduce(arr, (a, x) -> a + x) / len(arr) AS trend FROM tr),
+        |d AS (SELECT g, b, n, m, trend, m - trend AS dtr,
+        |    floor((m - trend) * 1000000.0 + 0.5)::BIGINT AS ds, hour(b) AS ph FROM t2),
+        |seas AS (SELECT g, ph, sum(ds)::BIGINT AS ss, count(*)::BIGINT AS np
+        |  FROM d GROUP BY g, ph)
+        |SELECT d.g AS event_type, d.b AS bucket_start, d.n, d.m AS hourly_mean,
+        |  d.trend, (seas.ss::DOUBLE / seas.np) / 1000000.0 AS seasonal,
+        |  d.dtr - (seas.ss::DOUBLE / seas.np) / 1000000.0 AS resid
+        |FROM d JOIN seas ON d.g = seas.g AND d.ph = seas.ph
+        |ORDER BY event_type, bucket_start""".stripMargin)),
+
+    QueryDef(
       "a19_seasonal_profile",
       withTables { (s, _) =>
         // seasonal profile + threshold anomalies: per (event_type,

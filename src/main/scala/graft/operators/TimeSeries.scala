@@ -415,6 +415,56 @@ object TimeSeries {
     * is near-free (data arrives bucket-clustered). Values pass through
     * untouched (no float arithmetic at all — exact in any engine).
     */
+  /** STL-lite seasonal decomposition per group over hourly buckets:
+    * `value ≈ trend + seasonal + resid` with trend = centered 24-bucket
+    * moving average of the hourly means and seasonal = per-hour-of-day
+    * mean of the detrended series (the classical additive decomposition;
+    * one robustness iteration short of full STL, which needs loess).
+    *
+    * Cross-engine exactness, layer by layer: hourly means are exact
+    * DECIMAL sums / exact counts (the a19 discipline); the trend is an
+    * ORDERED left-fold over the window's collected array (the a14/a15
+    * device — both engines add identical doubles in identical order);
+    * the seasonal means snap the detrended values to the 1e-6 grid first
+    * so the per-phase aggregate is a SUM OF BIGINTS (order-independent),
+    * divided back out with the same two divisions on both sides.
+    *
+    * Scale shape: ONE full-data pass (the hourly aggregate, map-side
+    * combinable); everything after runs on the bucket-count-sized frame —
+    * the trend window, the phase aggregate and its broadcast-back join
+    * are all OUTPUT-sized. At 100 TB the series grows in rows per bucket,
+    * not buckets, so the decomposition cost is constant past the first
+    * aggregate.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      tsCol: String,
+      groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), date_trunc("hour", col(tsCol)).as("b"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"cast(sum(cast($valCol as decimal(18,2))) as double)").as("sv"))
+      .withColumn("m", col("sv") / col("n"))
+    val w = Window.partitionBy("g").orderBy("b").rowsBetween(-11, 12)
+    val tr = hourly
+      .withColumn("arr", collect_list(col("m")).over(w))
+      .withColumn("trend",
+        expr("aggregate(arr, cast(0.0 as double), (a, x) -> a + x)") / size(col("arr")))
+      .withColumn("dtr", col("m") - col("trend"))
+      .withColumn("ds",
+        floor((col("m") - col("trend")) * lit(1000000.0) + lit(0.5)).cast("bigint"))
+      .withColumn("ph", hour(col("b")))
+    val seas = tr.groupBy("g", "ph")
+      .agg(sum("ds").as("ss"), count(lit(1)).as("np"))
+    tr.join(broadcast(seas), Seq("g", "ph"))
+      .withColumn("seasonal", col("ss").cast("double") / col("np") / lit(1000000.0))
+      .select(col("g").as(groupCol), col("b").as("bucket_start"), col("n"),
+        col("m").as("hourly_mean"), col("trend"), col("seasonal"),
+        (col("dtr") - col("seasonal")).as("resid"))
+  }
+
   def m4Downsample(
       df: DataFrame,
       tsCol: String,

@@ -3114,6 +3114,46 @@ class TimeSeriesRobustSpec extends SparkSpec {
     assert(res(0).isNullAt(5))
   }
 
+  test("seasonalDecompose: constant series → trend = c, seasonal = 0, resid = 0 exactly") {
+    import spark.implicits._
+    val rows = for (d <- 0 until 3; h <- 0 until 24; i <- 0 until 2)
+      yield (d.toLong * 48 + h * 2 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:${i * 20}%02d:00"),
+        "g", 7.25)
+    val df = rows.toDF("id", "ts", "grp", "v")
+    val res = TimeSeries.seasonalDecompose(df, "ts", "grp", "v").collect()
+    assert(res.length == 72)
+    assert(res.forall(r => r.getDouble(3) == 7.25 && r.getDouble(4) == 7.25 &&
+      r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0))
+  }
+
+  test("seasonalDecompose: pure daily cycle → interior trend = cycle mean, resid on-grid 0") {
+    import spark.implicits._
+    // value depends ONLY on hour-of-day; hourly means are exact quarters
+    val rows = for (d <- 0 until 4; h <- 0 until 24)
+      yield (d.toLong * 24 + h,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00"),
+        "g", 10.0 + (h % 4) * 0.25)
+    val df = rows.toDF("id", "ts", "grp", "v")
+    val res = TimeSeries.seasonalDecompose(df, "ts", "grp", "v")
+      .orderBy("bucket_start").collect()
+    val mu = (10.0 + 10.25 + 10.5 + 10.75) / 4.0 // one-cycle mean
+    // interior buckets (full 24-wide centered window covers one exact cycle)
+    val interior = res.slice(11, res.length - 12)
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      assert(r.getDouble(4) == mu, s"trend ${r.getDouble(4)} != $mu")
+      // the seasonal mean also averages over the partial-window EDGE
+      // buckets (whose detrend deviates), so interior resid is small but
+      // not zero; the EXACT contract is the identity resid = dtr - seasonal
+      assert(r.getDouble(6) == (r.getDouble(3) - r.getDouble(4)) - r.getDouble(5))
+      assert(math.abs(r.getDouble(6)) < 0.05, s"resid ${r.getDouble(6)}")
+    }
+    // seasonal is constant per hour-of-day across days (grid-exact equality)
+    val byHour = res.groupBy(r => r.getTimestamp(1).toLocalDateTime.getHour)
+    byHour.values.foreach(g => assert(g.map(_.getDouble(5)).distinct.length == 1))
+  }
+
   test("m4Downsample: per-bucket first/last/min/max, duplicate-ts first tie-broken by id") {
     import spark.implicits._
     val df = Seq(
