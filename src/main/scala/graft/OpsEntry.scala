@@ -1375,6 +1375,68 @@ object OpsEntry {
       Some(minhashMd5OracleSql)),
 
     QueryDef(
+      "d45_lsh_recall_eval",
+      withTables { (s, _) =>
+        // recall/precision of the banded MinHash pipeline (d19) against the
+        // EXACT all-pairs Jaccard ground truth (d04) — the measurement row
+        // for the dedup family: every hot-bucket cap and banding choice
+        // trades recall, and this row is where that trade is OBSERVED
+        // rather than asserted. One-row output; the joins are
+        // pair-set-sized, the 1-row aggregates broadcast.
+        val docs = s.table("documents")
+        val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val found = Dedup.minhashLshPairsMd5(docs, "doc_id", "text", threshold = 0.5)
+          .select("id_a", "id_b")
+        val hit = truth.join(found, Seq("id_a", "id_b"))
+        truth.select(count(lit(1)).as("n_truth"))
+          .crossJoin(broadcast(found.select(count(lit(1)).as("n_found"))))
+          .crossJoin(broadcast(hit.select(count(lit(1)).as("n_hit"))))
+          .select(col("n_truth"), col("n_found"), col("n_hit"),
+            Fp.grid6(col("n_hit").cast("double") / col("n_truth")).as("recall6"),
+            Fp.grid6(col("n_hit").cast("double") / col("n_found")).as("precision6"))
+      },
+      Some(s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_distinct(list_transform(range(len(w) - 2),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])),
+        |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT)) AS hs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |sig AS (SELECT doc_id, hs, [
+        |    $md5SigSqlEntries] AS sig FROM sh),
+        |banded AS (
+        |  SELECT doc_id, t.band, array_to_string(sig[t.band*2+1 : t.band*2+2], ',') AS bucket
+        |  FROM sig, unnest(range(32)) AS t(band)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+        |    AND x.doc_id < y.doc_id),
+        |found AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh p ON p.doc_id = c.id_a JOIN sh q ON q.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(p.hs, q.hs))::DOUBLE /
+        |    (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))), 6) >= 0.5),
+        |raw AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3),
+        |truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM raw a, raw b WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |hit AS (SELECT count(*)::BIGINT AS n
+        |  FROM found JOIN truth USING (id_a, id_b)),
+        |tot AS (SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+        |  (SELECT count(*) FROM found)::BIGINT AS n_found, n AS n_hit FROM hit)
+        |SELECT n_truth, n_found, n_hit,
+        |  floor((n_hit::DOUBLE / n_truth) * 1000000.0 + 0.5) / 1000000.0 AS recall6,
+        |  floor((n_hit::DOUBLE / n_found) * 1000000.0 + 0.5) / 1000000.0 AS precision6
+        |FROM tot""".stripMargin)),
+
+    QueryDef(
       "d39_sig_jaccard_pairs",
       withTables { (s, _) =>
         // d19's banded pipeline with SIGNATURE-ONLY verification: the
@@ -3289,6 +3351,61 @@ object OpsEntry {
         |  FROM f CROSS JOIN wv)
         |SELECT doc_id, quality_logit, quality_logit >= 0 AS keep
         |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "t15_score_calibration",
+      withTables { (s, dir) =>
+        // reliability table + ECE for the t13 classifier against its own
+        // training heuristic label (TrainingPipeline.calibrationTable):
+        // fixed bins over the logit range, per-bin mean score vs positive
+        // fraction, grid-snapped ECE contributions so every aggregate is a
+        // BIGINT sum. The filter-tuning question t13 raises — "can this
+        // score be thresholded?" — answered as a gate row.
+        val (w, b) = fixedQualityModel(dir)
+        val scored = graft.operators.TrainingPipeline.qualityClassify(
+            s.table("documents"), "doc_id", "text", w, b)
+          .join(s.table("documents")
+            .select(col("doc_id"), (col("lang") === "en").as("label")), "doc_id")
+        // bin range = the gate corpus's observed logit spread (clamping
+        // keeps other SFs valid); the oracle states width as the SAME
+        // (hi-lo)/bins expression — a decimal literal would differ in ulps
+        graft.operators.TrainingPipeline.calibrationTable(
+            scored, "quality_logit", "label", bins = 10, lo = -0.264, hi = -0.247)
+          .orderBy("bin")
+      },
+      Some("""WITH wv AS (SELECT {QC_WEIGHTS} AS r),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_concat(w, CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS fs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(round(list_sum(list_transform(fs,
+        |      x -> r[(('0x' || substr(md5(x), 1, 7))::BIGINT % 1024)::INT + 1])), 6)
+        |      / len(fs) + {QC_BIAS}, 6) AS score
+        |  FROM f CROSS JOIN wv),
+        |lab AS (
+        |  SELECT s.doc_id,
+        |    least(greatest((s.score - (-0.264)) / ((-0.247) - (-0.264)), 0.0), 1.0) AS ns,
+        |    (d.lang = 'en') AS label
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |per AS (
+        |  SELECT least(floor(ns * 10.0), 9.0)::INT AS bin,
+        |    count(*)::BIGINT AS n,
+        |    sum(floor(ns * 1000000.0 + 0.5)::BIGINT)::BIGINT AS ss,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM lab GROUP BY 1),
+        |m AS (
+        |  SELECT bin, n, n_pos,
+        |    (ss::DOUBLE / n) / 1000000.0 AS conf,
+        |    n_pos::DOUBLE / n AS acc
+        |  FROM per),
+        |c AS (SELECT *, floor(abs(acc - conf) * n * 1000000.0 + 0.5)::BIGINT AS cs FROM m)
+        |SELECT bin, n, n_pos, conf, acc,
+        |  ((sum(cs) OVER ())::DOUBLE / (sum(n) OVER ())) / 1000000.0 AS ece6
+        |FROM c ORDER BY bin""".stripMargin)),
 
     QueryDef(
       "r01_bm25_topk",

@@ -829,4 +829,55 @@ object TrainingPipeline {
     df.select(col(idCol), logit.as("quality_logit"))
       .withColumn("keep", col("quality_logit") >= 0.0)
   }
+
+  /** Score-calibration (reliability) table + expected calibration error
+    * for a classifier's scores against boolean labels — the measurement
+    * half of the quality-filter family (t13 scores documents; this says
+    * whether those scores can be TRUSTED as thresholds, the question every
+    * filter-tuning pass asks before sweeping a cutoff).
+    *
+    * Scores are min-max normalized to [0, 1] over [lo, hi] first (clamped;
+    * a monotone, transcendental-free stand-in for a fitted link function —
+    * `exp` would differ across engines in the last ulp), so `conf` and
+    * `acc` compare like with like. Fixed equal-width bins over the
+    * normalized range; per bin: count, mean normalized score (`conf`),
+    * positive fraction (`acc`); `ece6` = Σ n·|acc − conf| / N on the 1e-6
+    * grid, repeated on every row.
+    *
+    * Cross-engine exactness: normalized scores snap to the 1e-6 grid
+    * before the per-bin sum, so it is a BIGINT sum — order-independent;
+    * `acc` is an integer ratio; each bin's ECE contribution snaps to the
+    * grid BEFORE the cross-bin sum, again BIGINT. Scale shape: one
+    * map-side-combinable aggregate to bin-count rows; the ECE window runs
+    * over ≤`bins` rows.
+    */
+  def calibrationTable(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, s"calibrationTable: need bins>0 and hi>lo")
+    import org.apache.spark.sql.expressions.Window
+    val ns = least(greatest(
+      (col(scoreCol) - lit(lo)) / lit(hi - lo), lit(0.0)), lit(1.0))
+    val per = scored
+      .withColumn("__ns", ns)
+      .withColumn("bin",
+        least(floor(col("__ns") * lit(bins.toDouble)), lit((bins - 1).toDouble)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("__ns") * lit(1000000.0) + lit(0.5)).cast("bigint")).as("ss"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("conf", col("ss").cast("double") / col("n") / lit(1000000.0))
+      .withColumn("acc", col("n_pos").cast("double") / col("n"))
+      .withColumn("cs", floor(abs(col("acc") - col("conf")) * col("n") *
+        lit(1000000.0) + lit(0.5)).cast("bigint"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("ece6",
+        (sum("cs").over(w).cast("double") / sum("n").over(w)) / lit(1000000.0))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf"), col("acc"), col("ece6"))
+  }
 }

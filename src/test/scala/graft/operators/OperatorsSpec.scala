@@ -3114,6 +3114,26 @@ class TimeSeriesRobustSpec extends SparkSpec {
     assert(res(0).isNullAt(5))
   }
 
+  test("calibrationTable: hand-computed bins, normalization clamps, exact ECE") {
+    import spark.implicits._
+    // lo=0, hi=1 → ns = score clamped; bins=2 → [0,0.5) and [0.5,1]
+    val df = Seq(
+      (1L, 0.2, true), (2L, 0.4, false),         // bin 0: conf 0.3, acc 0.5
+      (3L, 0.6, true), (4L, 0.8, true),          // bin 1 with (5): conf 0.8, acc 1.0
+      (5L, 1.5, true)                            //   clamped to ns = 1.0
+    ).toDF("id", "score", "label")
+    val res = TrainingPipeline.calibrationTable(df, "score", "label", bins = 2,
+      lo = 0.0, hi = 1.0).orderBy("bin").collect()
+    assert(res.length == 2)
+    val b0 = res(0); val b1 = res(1)
+    assert(b0.getLong(1) == 2 && b0.getLong(2) == 1)
+    assert(b0.getDouble(3) == 0.3 && b0.getDouble(4) == 0.5)
+    assert(b1.getLong(1) == 3 && b1.getLong(2) == 3)
+    assert(b1.getDouble(3) == 0.8 && b1.getDouble(4) == 1.0)
+    // ECE = (2*|0.5-0.3| + 3*|1.0-0.8|) / 5 = 0.2 on the 1e-6 grid
+    assert(res.forall(r => math.abs(r.getDouble(5) - 0.2) < 1e-9))
+  }
+
   test("seasonalDecompose: constant series → trend = c, seasonal = 0, resid = 0 exactly") {
     import spark.implicits._
     val rows = for (d <- 0 until 3; h <- 0 until 24; i <- 0 until 2)
