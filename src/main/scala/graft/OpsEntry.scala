@@ -4923,6 +4923,75 @@ object OpsEntry {
         |ORDER BY k NULLS FIRST, name NULLS FIRST""".stripMargin)),
 
     QueryDef(
+      "q106_ignore_nulls",
+      withTables { (s, _) =>
+        // window null-treatment modifiers (rewriteIgnoreNulls): DuckDB
+        // spells IGNORE/RESPECT NULLS INSIDE the call, Spark immediately
+        // after it, and each parser rejects the other's form (probed) —
+        // the rewriter moves the modifier across the closing paren. The
+        // oracle executes the SAME DuckDB-spelled text natively; values
+        // pass through with zero arithmetic.
+        Psqlish(s, """from events |>
+          |select event_id, event_type, ts,
+          |  case when event_id % 5 = 0 then null else value end as v |>
+          |as e select event_id, event_type, v,
+          |  lag(v ignore nulls) over (partition by event_type order by ts, event_id) as prev_nn,
+          |  lag(v respect nulls) over (partition by event_type order by ts, event_id) as prev_raw,
+          |  lead(v ignore nulls) over (partition by event_type order by ts, event_id) as next_nn,
+          |  first_value(v ignore nulls) over (partition by event_type order by ts, event_id
+          |    rows between unbounded preceding and current row) as first_nn,
+          |  last_value(v ignore nulls) over (partition by event_type order by ts, event_id
+          |    rows between unbounded preceding and current row) as last_nn |>
+          |order by event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, event_type, v,
+        |  lag(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_nn,
+        |  lag(v RESPECT NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_raw,
+        |  lead(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_nn,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nn
+        |FROM (SELECT event_id, event_type, ts,
+        |        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |      FROM events) e
+        |ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "q107_session_variables",
+      withTables { (s, _) =>
+        // DuckDB session variables (SessionVariables): SET VARIABLE
+        // evaluates its expression EAGERLY (decimal-exact mean, so the
+        // captured double is cross-engine deterministic), getvariable
+        // inlines the value's literal at bind time — constant per
+        // statement, so the inlining IS the semantics, FROM-queries
+        // included; unset reads as NULL. The local oracle (DuckDB 1.0)
+        // predates SET VARIABLE (1.1), so it states the
+        // documented-equivalent inlined form: the same scalar derived in
+        // SQL, the same literals in place.
+        val psql = graft.psql.Psql(s)
+        psql.sql("""set variable gv_thresh = (select
+          |cast(cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*) as double)
+          |from orders)""".stripMargin)
+        psql.sql("set variable gv_label = 'hi-' || 'value'")
+        psql.sql("set variable gv_k = cast(7 as bigint)")
+        psql.sql("""from orders
+          ||> where o_totalprice > getvariable('gv_thresh')
+          |    and o_orderkey % getvariable('gv_k') = 0
+          ||> select o_orderkey, o_totalprice, getvariable('gv_label') as tag,
+          |    cast(getvariable('gv_unset') as string) as missing
+          ||> order by o_orderkey""".stripMargin)
+      },
+      Some("""WITH t AS (SELECT
+        |  cast(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(*) AS double) AS thr
+        |  FROM orders)
+        |SELECT o_orderkey, o_totalprice, 'hi-value' AS tag,
+        |  cast(NULL AS VARCHAR) AS missing
+        |FROM orders, t
+        |WHERE o_totalprice > t.thr AND o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -31,7 +31,9 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
-    val q2 = SequenceStatements.inline(query)
+    // DuckDB session variables: getvariable('x') → the value's literal
+    // (constant per statement — bind-time inlining IS the semantics)
+    val q2 = SessionVariables.inline(SequenceStatements.inline(query))
     val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
     // output shape, one aggregate pass (SummarizeStatement; replaces the
@@ -133,7 +135,7 @@ class Psql(val spark: SparkSession) {
       case None => ()
     }
     // fallback path (native pipe syntax) must also see macro calls inlined
-    runWithFallback(Macros.expand(spark, q2), Psql.preprocess(spark, q2), "")
+    runWithFallback(SessionVariables.inline(Macros.expand(spark, q2)), Psql.preprocess(spark, q2), "")
   }
 
   /** Execute `prefix + rewritten`, falling back to `prefix + original` on a
@@ -282,7 +284,8 @@ object Psql {
     */
   private[psql] def preprocess(spark: SparkSession, query: String): String = {
     rejectMultiStatement(query)
-    val rewritten = rewriteOnly(Macros.expand(spark, query))
+    // macro bodies may carry getvariable calls that bind at CALL time
+    val rewritten = rewriteOnly(SessionVariables.inline(Macros.expand(spark, query)))
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     finalSql

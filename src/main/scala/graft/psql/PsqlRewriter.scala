@@ -2625,7 +2625,49 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteColonCasts(rewriteCasts(
-      rewriteArith(rewriteDotCalls(rewriteBraces(rewriteBrackets(rewriteReaderFns(sb.toString)))))))
+    rewriteColonCasts(rewriteCasts(rewriteArith(rewriteDotCalls(
+      rewriteBraces(rewriteBrackets(rewriteReaderFns(rewriteIgnoreNulls(sb.toString))))))))
+  }
+
+  /** DuckDB spells the window null-treatment modifier INSIDE the call —
+    * `lag(v IGNORE NULLS)` — while Spark wants it immediately AFTER —
+    * `lag(v) IGNORE NULLS` — and each parser rejects the other's form
+    * (probed both on 1.0 / Spark 4). Move the modifier across the closing
+    * paren. Applies only where `IGNORE|RESPECT NULLS` directly precedes a
+    * `)` (DuckDB's grammar slot: last thing in the argument list);
+    * Spark-spelled text is untouched (the keywords there precede OVER).
+    */
+  private[psql] def rewriteIgnoreNulls(text0: String): String = {
+    var text = text0
+    var steps = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      val sc = scan(text)
+      var i = 0
+      while (i < text.length && !changed) {
+        val kw =
+          if (sc.code(i) && matchesWord(text, i, "ignore")) "ignore"
+          else if (sc.code(i) && matchesWord(text, i, "respect")) "respect"
+          else null
+        if (kw != null) {
+          val j = nextCode(text, sc, i + kw.length)
+          if (j >= 0 && matchesWord(text, j, "nulls")) {
+            val k = nextCode(text, sc, j + "nulls".length)
+            if (k >= 0 && text.charAt(k) == ')') {
+              val mod = text.substring(i, j + "nulls".length)
+              text = text.substring(0, i).stripTrailing() + ") " + mod +
+                text.substring(k + 1)
+              changed = true
+            }
+          }
+        }
+        i += 1
+      }
+      steps += 1
+      require(steps <= 1000,
+        "rewriteIgnoreNulls: rewrite guard exhausted (>1000 modifiers)")
+    }
+    text
   }
 }

@@ -202,7 +202,7 @@ object SequenceStatements {
     out.toList
   }
 
-  private def isMacroDef(stmt: String): Boolean = {
+  private[psql] def isMacroDef(stmt: String): Boolean = {
     val sc = scan(stmt)
     var p = 0
     if (!matchesWord(stmt, p, "create")) return false

@@ -77,6 +77,9 @@ object SessionOptions {
     val sc = scan(stmt)
     var p = nextCode(stmt, sc, 3)
     if (p < 0) return None // bare `SET`: Spark's list-all form
+    // DuckDB session variables: SET VARIABLE name = <expr>
+    if (matchesWord(stmt, p, "variable"))
+      return Some(SessionVariables.set(spark, stmt, p))
     // scope keywords: accepted and ignored (single-session engine)
     if (matchesWord(stmt, p, "session") || matchesWord(stmt, p, "global") ||
         matchesWord(stmt, p, "local"))
@@ -99,6 +102,8 @@ object SessionOptions {
     val sc = scan(stmt)
     val p = nextCode(stmt, sc, "reset".length)
     if (p < 0) return None
+    if (matchesWord(stmt, p, "variable"))
+      return Some(SessionVariables.reset(spark, stmt, p))
     val (key0, after) = ident(stmt, p).getOrElse(return None)
     if (key0.contains('.') || stmt.substring(after).trim.nonEmpty) return None
     val key = key0.toLowerCase(java.util.Locale.ROOT)

@@ -718,4 +718,17 @@ class PsqlRewriterSpec extends AnyFunSuite {
     assert(PsqlRewriter.rewriteBrackets("select [upper(w) for w in string_split(t, ' ')] as v")
       .startsWith("select transform(string_split(t, ' '), w -> upper(w))"))
   }
+
+  test("IGNORE/RESPECT NULLS moves from inside the call (DuckDB) to after it (Spark)") {
+    assert(PsqlRewriter.rewriteIgnoreNulls("lag(v ignore nulls) over (order by i)")
+      == "lag(v) ignore nulls over (order by i)")
+    assert(PsqlRewriter.rewriteIgnoreNulls(
+      "first_value(x RESPECT NULLS) over w, lead(y IGNORE NULLS) over w")
+      == "first_value(x) RESPECT NULLS over w, lead(y) IGNORE NULLS over w")
+    // Spark-spelled text and string literals stay untouched
+    assert(PsqlRewriter.rewriteIgnoreNulls("lag(v) ignore nulls over (order by i)")
+      == "lag(v) ignore nulls over (order by i)")
+    assert(PsqlRewriter.rewriteIgnoreNulls("select 'lag(v ignore nulls)' as s")
+      == "select 'lag(v ignore nulls)' as s")
+  }
 }
