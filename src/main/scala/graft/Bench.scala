@@ -42,8 +42,10 @@ import org.apache.spark.sql.SparkSession
   *     the artifact (`first_median`/`first_min`/`first_max` + `retried`);
   *   - SUSTAINED bursts defeat the spread test (all three runs slow → tight
   *     spread, proportional gc), so queries are also checked against the
-  *     repo's own artifact HISTORY (`artifacts/bench_r*.json`, skipping
-  *     self-labeled-contended files): a final median above 5× its best
+  *     repo's own artifact HISTORY (`artifacts/bench_r*.json`; from
+  *     self-labeled-contended files only the `_meta.best_known` map is
+  *     ingested — their raw medians are inflated, but best_known is by
+  *     construction non-contended data): a final median above 5× its best
   *     historical median (and above 0.5 s absolute) is re-timed once more
   *     after the pass, when the burst has usually moved on. Whatever stays
   *     elevated is listed in `_meta.elevated` — either the host is still
@@ -54,9 +56,13 @@ import org.apache.spark.sql.SparkSession
   *     queries at once; a loaded host routinely does);
   *   - a query still >5x history whose retry pass AGREES with the first
   *     (two clean concordant passes minutes apart) is a confirmed COST
-  *     CHANGE, not contention: listed in `_meta.cost_changed`, kept out of
-  *     the contended trigger, and reported at its current median in
-  *     best_known (its history measured different work under the same name);
+  *     CHANGE, not contention: listed in `_meta.cost_changed` and kept out
+  *     of the contended trigger. It does NOT re-stamp `best_known` on a
+  *     contended run (r14 post-mortem: a fully-contended run slows both
+  *     passes alike, so they "agree" at an inflated number — d05 was
+  *     stamped 2.44 s where its idle cost is 0.55 s; the label survives
+  *     for eyes, but best_known keeps the historical idle median, falling
+  *     back to this run's median only for queries with no history at all);
   *   - history excludes the r99 throwaway slot (the judge's own re-runs) and
   *     artifacts recorded under a different `_meta.host` fingerprint —
   *     medians from a faster host would spuriously flag this host's honest
@@ -194,8 +200,21 @@ object Bench {
             case JString(h) => h == hostFp
             case _ => true // legacy artifacts predate the fingerprint
           }
-          if (contended || !sameSf || !sameHost) Seq.empty
-          else j match {
+          if (!sameSf || !sameHost) Seq.empty
+          else if (contended) {
+            // A contended run's raw medians are inflated and unusable — but
+            // its _meta.best_known is by construction the best NON-contended
+            // historical median per query (or the run's own, only where
+            // better or new). Ingesting it keeps history alive across a
+            // stretch of contended rounds (r8–r14 all self-flagged, starving
+            // history down to the single r07 file and blinding the elevated
+            // and regressed tiers). min-across-files still applies, so one
+            // file's imperfect stamp cannot override a better one elsewhere.
+            (j \ "_meta" \ "best_known") match {
+              case JObject(qs) => qs.collect { case (name, JDouble(m)) if m > 0 => name -> m }
+              case _ => Seq.empty
+            }
+          } else j match {
             case JObject(fields) => fields.collect {
               case (name, JObject(q)) if name != "_meta" =>
                 q.collectFirst { case ("median", JDouble(m)) if m > 0 => name -> m }
@@ -280,13 +299,11 @@ object Bench {
     val bestKnown: Option[(String, Double)] =
       if (!contended) None
       else {
+        // cost_changed rows deliberately get NO special case here: this
+        // block only runs on contended runs, where their "confirmed" median
+        // is as inflated as everyone else's (see bestKnownMedian scaladoc)
         val per = regressionChecked.filter(_.median >= 0).map { r =>
-          // cost-changed queries keep their CURRENT median: their history
-          // was measured on different work under the same name
-          val best =
-            if (costChanged.contains(r.name)) r.median
-            else history.get(r.name).map(h => math.min(h, r.median)).getOrElse(r.median)
-          r.name -> best
+          r.name -> bestKnownMedian(history.get(r.name), r.median)
         }
         val js = per.map { case (n, v) => s""""$n":${num(v)}""" }.mkString("{", ",", "}")
         Some((js, per.map(_._2).sum))
@@ -324,6 +341,23 @@ object Bench {
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"contended":$contended$bestKnownTotal,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"n_queries":${regressionChecked.size},"slowest5":$slowest,"degraded":$degradedJson,"artifact":"$artifactPath"}""")
     spark.stop()
   }
+
+  /** The per-query number reported in `_meta.best_known` — which is only
+    * emitted on CONTENDED runs, where every median from this run is suspect
+    * (sustained contention slows both the main pass and the retry alike, so
+    * a cost_changed "confirmation" at an inflated number is vacuous; r14
+    * stamped d05 at 2.44 s vs its true idle 0.55 s this way). Rule: never
+    * let this run's median REPLACE a historical idle median — a
+    * cost_changed row keeps its history (the label in `_meta.cost_changed`
+    * still points eyes at it); any row may still report this run's median
+    * when it is LOWER than history (a lower number under contention is
+    * achievable idle) or when no history exists (new query).
+    */
+  private[graft] def bestKnownMedian(history: Option[Double], median: Double): Double =
+    history match {
+      case Some(h) => math.min(h, median)
+      case None    => median
+    }
 
   private case class BenchResult(name: String, median: Double, times: Seq[Double], runs: Int,
       warmOk: Boolean, firstPass: Option[BenchResult] = None,

@@ -6449,10 +6449,11 @@ object OpsEntry {
         |  JOIN weights w ON w.wr = i.rn
         |  WHERE i.rn <= 10 GROUP BY query),
         |totals AS (SELECT query, count(*)::BIGINT AS n_rel FROM qrels GROUP BY query)
-        |SELECT s.query, t.n_rel, s.n_rel_at_k,
+        |SELECT s.query, coalesce(t.n_rel, 0)::BIGINT AS n_rel, s.n_rel_at_k,
         |  coalesce(1000000 // s.first_rel, 0)::BIGINT AS mrr_scaled,
         |  s.dcg_s, i.idcg_s, s.dcg_s::DOUBLE / i.idcg_s::DOUBLE AS ndcg
-        |FROM sys s JOIN ideal i USING (query) JOIN totals t USING (query)
+        |FROM sys s LEFT JOIN ideal i ON i.query = s.query
+        |LEFT JOIN totals t ON t.query = s.query
         |ORDER BY s.query""".stripMargin)),
 
     QueryDef(

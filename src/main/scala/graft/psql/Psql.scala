@@ -33,7 +33,7 @@ class Psql(val spark: SparkSession) {
     }
     // DuckDB session variables: getvariable('x') → the value's literal
     // (constant per statement — bind-time inlining IS the semantics)
-    val q2 = SessionVariables.inline(SequenceStatements.inline(query))
+    val q2 = SessionVariables.inline(spark, SequenceStatements.inline(spark, query))
     val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
     // output shape, one aggregate pass (SummarizeStatement; replaces the
@@ -134,8 +134,13 @@ class Psql(val spark: SparkSession) {
         return org.apache.spark.sql.graftbridge.ColumnBridge.dataFrame(spark, plan)
       case None => ()
     }
-    // fallback path (native pipe syntax) must also see macro calls inlined
-    runWithFallback(SessionVariables.inline(Macros.expand(spark, q2)), Psql.preprocess(spark, q2), "")
+    // Expand macros + inline session state ONCE, then derive both the
+    // fallback (native pipe syntax) and the rewritten branch from that one
+    // text: nextval dispensing is STATEFUL, so inlining separately per
+    // branch would advance the sequence twice per statement (preprocess's
+    // own expand+inline passes are no-ops on the already-inlined text).
+    val expanded = Psql.inlineSessionState(spark, Macros.expand(spark, q2))
+    runWithFallback(expanded, Psql.preprocess(spark, expanded), "")
   }
 
   /** Execute `prefix + rewritten`, falling back to `prefix + original` on a
@@ -277,6 +282,15 @@ object Psql {
     regCast("graft_try_cast", tryMode = true)
   }
 
+  /** Macro bodies may carry getvariable()/nextval() calls that must bind
+    * at CALL time — re-apply BOTH inliners to macro-expanded text (r14
+    * advice: only variables were re-inlined, so nextval in a macro body
+    * hit Spark's unresolved-function error despite the scaladoc promise
+    * that macro bodies "re-enter Psql.sql where the inlining then runs").
+    */
+  private[psql] def inlineSessionState(spark: SparkSession, stmt: String): String =
+    SessionVariables.inline(spark, SequenceStatements.inline(spark, stmt))
+
   /** Full front-end preprocessing: multi-statement guard → pipe/block
     * rewrite → quoted-path relation registration. Shared by the library
     * entry point ([[Psql.sql]]) and the parser injection
@@ -284,8 +298,8 @@ object Psql {
     */
   private[psql] def preprocess(spark: SparkSession, query: String): String = {
     rejectMultiStatement(query)
-    // macro bodies may carry getvariable calls that bind at CALL time
-    val rewritten = rewriteOnly(SessionVariables.inline(Macros.expand(spark, query)))
+    // macro bodies may carry getvariable/nextval calls that bind at CALL time
+    val rewritten = rewriteOnly(Psql.inlineSessionState(spark, Macros.expand(spark, query)))
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     finalSql
@@ -514,7 +528,8 @@ object PathRelations {
     var i = 0
     while (i < sqlText.length) {
       var consumed = false
-      if (sc.code(i) && (SqlScanner.matchesWord(sqlText, i, "from") || SqlScanner.matchesWord(sqlText, i, "join"))) {
+      if (sc.code(i) && (SqlScanner.matchesWord(sqlText, i, "join") ||
+          (SqlScanner.matchesWord(sqlText, i, "from") && !SqlScanner.fnArgFrom(sqlText, sc, i)))) {
         val kwLen = 4
         val j = SqlScanner.nextCode(sqlText, sc, i + kwLen)
         if (j >= 0 && sqlText.charAt(j) == '\'') {

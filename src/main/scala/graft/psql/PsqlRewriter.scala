@@ -2634,8 +2634,11 @@ object PsqlRewriter {
     * `lag(v) IGNORE NULLS` — and each parser rejects the other's form
     * (probed both on 1.0 / Spark 4). Move the modifier across the closing
     * paren. Applies only where `IGNORE|RESPECT NULLS` directly precedes a
-    * `)` (DuckDB's grammar slot: last thing in the argument list);
-    * Spark-spelled text is untouched (the keywords there precede OVER).
+    * `)` (DuckDB's grammar slot: last thing in the argument list) AND does
+    * not directly follow one (a completed call before the keyword means
+    * the text is already Spark-spelled — window `lag(v) IGNORE NULLS
+    * OVER …` or an aggregate modifier nested in another call like
+    * `coalesce(0, first(x) ignore nulls)`).
     */
   private[psql] def rewriteIgnoreNulls(text0: String): String = {
     var text = text0
@@ -2654,7 +2657,18 @@ object PsqlRewriter {
           val j = nextCode(text, sc, i + kw.length)
           if (j >= 0 && matchesWord(text, j, "nulls")) {
             val k = nextCode(text, sc, j + "nulls".length)
-            if (k >= 0 && text.charAt(k) == ')') {
+            // The keyword must follow an ARGUMENT expression, not a
+            // completed call: `coalesce(0, first(x) ignore nulls)` is
+            // already Spark-spelled (the ')' before IGNORE closes
+            // `first(x)`) and hoisting the modifier out of coalesce would
+            // corrupt it (r14 advice). Cost: a DuckDB in-call spelling
+            // whose final argument is itself parenthesized —
+            // `lag((a+b) ignore nulls)` — is left alone; spell it
+            // `lag((a+b)) ignore nulls` (the Spark form passes through).
+            var p = i - 1
+            while (p >= 0 && (Character.isWhitespace(text.charAt(p)) || !sc.code(p))) p -= 1
+            val afterCompletedCall = p >= 0 && text.charAt(p) == ')'
+            if (k >= 0 && text.charAt(k) == ')' && !afterCompletedCall) {
               val mod = text.substring(i, j + "nulls".length)
               text = text.substring(0, i).stripTrailing() + ") " + mod +
                 text.substring(k + 1)

@@ -50,15 +50,29 @@ object SequenceStatements {
     }
   }
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
-
-  /** True once any CREATE SEQUENCE ran this session — the inline() fast
-    * path keys off this, NOT registry emptiness, so `nextval('dropped')`
+  /** Per-SparkSession sequence state. `everCreated` is what the inline()
+    * fast path keys off — NOT registry emptiness — so `nextval('dropped')`
     * still gets the DuckDB catalog error instead of Spark's unresolved-
     * function one.
     */
-  @volatile private var everCreated = false
+  private final class SessionSeqs {
+    val registry = new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
+    @volatile var everCreated = false
+  }
+
+  // Keyed by SparkSession (the Macros.scala pattern): DuckDB scopes
+  // sequences per database connection; two sessions in one JVM must not
+  // share counters. WeakHashMap keeps dropped sessions collectable.
+  private val sessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SessionSeqs]())
+
+  private def state(spark: SparkSession): SessionSeqs =
+    sessions.synchronized {
+      var r = sessions.get(spark)
+      if (r == null) { r = new SessionSeqs; sessions.put(spark, r) }
+      r
+    }
 
   /** Handle CREATE/DROP SEQUENCE; None for everything else. */
   def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
@@ -78,7 +92,7 @@ object SequenceStatements {
       val (name, after) = DmlStatements.identifierAt(stmt, q)
       require(stmt.substring(after).trim.isEmpty,
         s"DROP SEQUENCE: trailing '${stmt.substring(after).trim}'")
-      val removed = registry.remove(key(name)) != null
+      val removed = state(spark).registry.remove(key(name)) != null
       require(removed || ifExists, s"Sequence with name $name does not exist!")
       return Some(spark.emptyDataFrame)
     }
@@ -125,12 +139,13 @@ object SequenceStatements {
       }
     }
     val k = key(name)
-    if (registry.containsKey(k) && !orReplace) {
+    val ss = state(spark)
+    if (ss.registry.containsKey(k) && !orReplace) {
       require(ifNotExists, s"""Sequence with name "$name" already exists!""")
       return Some(spark.emptyDataFrame) // IF NOT EXISTS: keep the old one
     }
-    registry.put(k, new SeqState(start, increment))
-    everCreated = true
+    ss.registry.put(k, new SeqState(start, increment))
+    ss.everCreated = true
     Some(spark.emptyDataFrame)
   }
 
@@ -139,16 +154,26 @@ object SequenceStatements {
     * (any FROM present) throw; PREPARE/macro definitions pass through
     * untouched (they inline when their bodies execute).
     */
-  def inline(stmt: String): String = {
-    if (!everCreated) return stmt
-    if (matchesWord(stmt, 0, "prepare") || isMacroDef(stmt)) return stmt
+  def inline(spark: SparkSession, stmt: String): String = {
+    val ss = state(spark)
+    if (!ss.everCreated) return stmt
     val sc = scan(stmt)
+    // PREPARE check at the first CODE position, not char 0 — leading
+    // whitespace/comments must not defeat the EXECUTE-time exemption
+    val first = nextCode(stmt, sc, 0)
+    if (first >= 0 && matchesWord(stmt, first, "prepare")) return stmt
+    if (isMacroDef(stmt)) return stmt
     val calls = findCalls(stmt, sc)
     if (calls.isEmpty) return stmt
-    // per-row guard: a FROM anywhere in the statement means occurrences
-    // would repeat once per scanned row in DuckDB — refuse to fake that
+    // per-row guard: a relation-introducing FROM means occurrences would
+    // repeat once per scanned row in DuckDB — refuse to fake that. The
+    // FROM keyword inside extract/substring/trim/position/overlay argument
+    // lists is SQL syntax, not a relation source (r14 advice: `INSERT …
+    // VALUES (nextval('s'), extract(year from date '…'))` was spuriously
+    // rejected), so skip a FROM whose innermost enclosing call is one of
+    // those functions.
     val hasFrom = Iterator.range(0, stmt.length).exists(i =>
-      sc.code(i) && matchesWord(stmt, i, "from"))
+      sc.code(i) && matchesWord(stmt, i, "from") && !SqlScanner.fnArgFrom(stmt, sc, i))
     if (hasFrom)
       throw new IllegalArgumentException(
         "nextval/currval inside a query with a FROM clause evaluates once per " +
@@ -160,7 +185,7 @@ object SequenceStatements {
     var pos = 0
     calls.foreach { case (s, e, fn, name) =>
       sb.append(stmt.substring(pos, s))
-      val st = Option(registry.get(key(name))).getOrElse(throw
+      val st = Option(ss.registry.get(key(name))).getOrElse(throw
         new IllegalArgumentException(s"Sequence with name $name does not exist!"))
       val v = if (fn == "nextval") st.nextval() else st.currval(name)
       sb.append(v).append('L')
@@ -204,9 +229,9 @@ object SequenceStatements {
 
   private[psql] def isMacroDef(stmt: String): Boolean = {
     val sc = scan(stmt)
-    var p = 0
-    if (!matchesWord(stmt, p, "create")) return false
-    p = nextCode(stmt, sc, "create".length)
+    var p = nextCode(stmt, sc, 0)
+    if (p < 0 || !matchesWord(stmt, p, "create")) return false
+    p = nextCode(stmt, sc, p + "create".length)
     if (p >= 0 && matchesWord(stmt, p, "or")) {
       val r = nextCode(stmt, sc, p + 2)
       if (r < 0 || !matchesWord(stmt, r, "replace")) return false
@@ -228,5 +253,7 @@ object SequenceStatements {
   private def key(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
   /** Test hook: forget every sequence (sessions share one JVM in specs). */
-  private[psql] def reset(): Unit = { registry.clear(); everCreated = false }
+  private[psql] def reset(spark: SparkSession): Unit = {
+    val ss = state(spark); ss.registry.clear(); ss.everCreated = false
+  }
 }

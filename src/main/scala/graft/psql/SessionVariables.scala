@@ -23,7 +23,23 @@ import SqlScanner.{matchesWord, nextCode, scan}
   */
 object SessionVariables {
 
-  private val vars = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+  // Keyed by SparkSession (the Macros.scala / PreparedStatements.scala
+  // pattern): DuckDB scopes variables per connection, and two sessions in
+  // one JVM must not share state. WeakHashMap: a dropped session's
+  // variables are GC-collectable, not a leak.
+  private val registries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Any]]())
+
+  private def vars(spark: SparkSession): java.util.concurrent.ConcurrentHashMap[String, Any] =
+    registries.synchronized {
+      var r = registries.get(spark)
+      if (r == null) {
+        r = new java.util.concurrent.ConcurrentHashMap[String, Any]()
+        registries.put(spark, r)
+      }
+      r
+    }
 
   /** `SET VARIABLE name = <expr>`; pos points at `variable`. */
   private[psql] def set(spark: SparkSession, stmt: String, pos: Int): DataFrame = {
@@ -41,7 +57,7 @@ object SessionVariables {
       s"SET VARIABLE $name: the expression must evaluate to exactly one row")
     val value = rows(0).get(0)
     literal(value) // reject non-scalar types NOW, not at first use
-    vars.put(key(name), value)
+    vars(spark).put(key(name), value)
     spark.emptyDataFrame
   }
 
@@ -54,18 +70,23 @@ object SessionVariables {
     val (name, after) = DmlStatements.identifierAt(stmt, p)
     require(stmt.substring(after).trim.isEmpty,
       s"RESET VARIABLE: trailing '${stmt.substring(after).trim}'")
-    vars.remove(key(name))
+    vars(spark).remove(key(name))
     spark.emptyDataFrame
   }
 
   /** Replace each `getvariable('name')` occurrence with the value's
     * literal (NULL when unset — DuckDB's contract).
     */
-  def inline(stmt: String): String = {
+  def inline(spark: SparkSession, stmt: String): String = {
     // cheap containment pre-check: the scan below is per-statement work
     if (!stmt.toLowerCase(java.util.Locale.ROOT).contains("getvariable")) return stmt
-    if (matchesWord(stmt, 0, "prepare") || SequenceStatements.isMacroDef(stmt)) return stmt
     val sc = scan(stmt)
+    // PREPARE check at the first CODE position, not char 0 — leading
+    // whitespace/comments must not defeat the EXECUTE-time-binding
+    // exemption (r14 advice: `  PREPARE p AS …` was inlined at definition)
+    val first = nextCode(stmt, sc, 0)
+    if (first >= 0 && matchesWord(stmt, first, "prepare")) return stmt
+    if (SequenceStatements.isMacroDef(stmt)) return stmt
     val sb = new StringBuilder
     var i = 0
     var last = 0
@@ -88,7 +109,7 @@ object SessionVariables {
             "string literal is inlinable at bind time")
         val name = stmt.substring(q + 1, r)
         sb.append(stmt.substring(last, i))
-        sb.append(Option(vars.get(key(name))).map(literal).getOrElse("null"))
+        sb.append(Option(vars(spark).get(key(name))).map(literal).getOrElse("null"))
         i = close + 1
         last = i
       } else i += 1
@@ -120,5 +141,5 @@ object SessionVariables {
   private def key(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
   /** Test hook. */
-  private[psql] def clear(): Unit = vars.clear()
+  private[psql] def clear(spark: SparkSession): Unit = vars(spark).clear()
 }

@@ -61,7 +61,7 @@ object SqlScanner {
     Scan(code, depth)
   }
 
-  private def isWordChar(c: Char): Boolean =
+  private[psql] def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
   /** True when s(i..) matches `word` (case-insensitive) with word boundaries
@@ -75,6 +75,39 @@ object SqlScanner {
     val after = i + word.length
     val afterOk = after >= n || !isWordChar(s.charAt(after))
     beforeOk && afterOk
+  }
+
+  /** True when the FROM keyword at code position i is SQL-function-call
+    * syntax — the innermost unclosed call enclosing it is extract/
+    * substring/trim/position/overlay — not a relation source. Walks back
+    * tracking paren balance; the identifier immediately before the
+    * unmatched '(' names the call. Used by the sequence per-row guard and
+    * the quoted-path relation extractor, both of which must not mistake
+    * `trim(leading 'x' from 'abc')` for a table scan.
+    */
+  def fnArgFrom(s: String, sc: Scan, i: Int): Boolean = {
+    var j = i - 1
+    var balance = 0
+    while (j >= 0) {
+      if (sc.code(j)) {
+        val c = s.charAt(j)
+        if (c == ')') balance += 1
+        else if (c == '(') {
+          if (balance == 0) {
+            var e = j - 1
+            while (e >= 0 && Character.isWhitespace(s.charAt(e))) e -= 1
+            var st = e
+            while (st >= 0 && isWordChar(s.charAt(st))) st -= 1
+            if (e < 0 || st == e) return false
+            val fn = s.substring(st + 1, e + 1).toLowerCase(java.util.Locale.ROOT)
+            return Set("extract", "substring", "trim", "position", "overlay").contains(fn)
+          }
+          balance -= 1
+        }
+      }
+      j -= 1
+    }
+    false
   }
 
   /** Next non-whitespace code position at or after i, or -1. */

@@ -12,7 +12,7 @@ class SequenceStatementsSpec extends SparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    SequenceStatements.reset()
+    SequenceStatements.reset(spark)
   }
 
   test("nextval advances per OCCURRENCE; currval repeats the last value (probed DuckDB)") {
@@ -44,7 +44,7 @@ class SequenceStatementsSpec extends SparkSpec {
   }
 
   test("catalog rules: duplicate CREATE errors, IF NOT EXISTS keeps, OR REPLACE resets, DROP removes") {
-    SequenceStatements.reset()
+    SequenceStatements.reset(spark)
     psql.sql("create sequence s_d start 5")
     val dup = intercept[IllegalArgumentException] { psql.sql("create sequence s_d") }
     assert(dup.getMessage.contains("already exists"))
@@ -61,7 +61,7 @@ class SequenceStatementsSpec extends SparkSpec {
   }
 
   test("currval before any nextval errors; PREPARE bodies inline at EXECUTE time") {
-    SequenceStatements.reset()
+    SequenceStatements.reset(spark)
     psql.sql("create sequence s_e start 7 increment 3")
     val e = intercept[IllegalArgumentException] { psql.sql("select currval('s_e') as v") }
     assert(e.getMessage.contains("not been used"))
@@ -69,5 +69,50 @@ class SequenceStatementsSpec extends SparkSpec {
     assert(psql.sql("execute seqp").collect()(0).getLong(0) == 7L)
     assert(psql.sql("execute seqp").collect()(0).getLong(0) == 10L) // re-EXECUTE advances
     psql.sql("deallocate seqp")
+  }
+
+  test("PREPARE with leading whitespace is still exempt from inlining (r15 fix)") {
+    SequenceStatements.reset(spark)
+    psql.sql("create sequence s_ws start 1")
+    psql.sql("  \n prepare seqws as select nextval('s_ws') as v")
+    assert(psql.sql("execute seqws").collect()(0).getLong(0) == 1L)
+    assert(psql.sql("execute seqws").collect()(0).getLong(0) == 2L)
+    psql.sql("deallocate seqws")
+  }
+
+  test("function-syntax FROM (extract/substring/trim) is not a per-row relation (r15 fix)") {
+    SequenceStatements.reset(spark)
+    psql.sql("create sequence s_fn start 40 increment 2")
+    val r = psql.sql("select nextval('s_fn') as id, " +
+      "extract(year from date '2024-03-01') as y, " +
+      "substring('abcdef' from 2 for 3) as s, " +
+      "trim(leading 'x' from 'xxabc') as t").collect()(0)
+    assert(r.getLong(0) == 40L && r.getInt(1) == 2024 &&
+      r.getString(2) == "bcd" && r.getString(3) == "abc")
+    // a REAL relation FROM still throws with the scalable recipe
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("select nextval('s_fn') as id, extract(year from date '2024-03-01') as y from range(3)")
+    }
+    assert(e.getMessage.contains("row_number"))
+  }
+
+  test("macro bodies using nextval inline at CALL time (r15 fix)") {
+    SequenceStatements.reset(spark)
+    psql.sql("create sequence s_m start 100 increment 10")
+    psql.sql("create or replace macro graft_seq_m() as nextval('s_m') + 1")
+    assert(psql.sql("select graft_seq_m() as v").collect()(0).getLong(0) == 101L)
+    assert(psql.sql("select graft_seq_m() as v").collect()(0).getLong(0) == 111L)
+  }
+
+  test("sequences are scoped per SparkSession (DuckDB per-connection scoping)") {
+    SequenceStatements.reset(spark)
+    val other = spark.newSession()
+    psql.sql("create sequence s_scope start 1")
+    // the sibling session has no such sequence: nextval falls through to
+    // Spark's unresolved-function error (everCreated=false fast path), and
+    // creating SAME-NAMED state there must not advance or clash with ours
+    Psql(other).sql("create sequence s_scope start 500")
+    assert(Psql(other).sql("select nextval('s_scope') as v").collect()(0).getLong(0) == 500L)
+    assert(psql.sql("select nextval('s_scope') as v").collect()(0).getLong(0) == 1L)
   }
 }

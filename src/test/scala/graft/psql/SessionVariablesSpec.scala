@@ -13,7 +13,7 @@ class SessionVariablesSpec extends SparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    SessionVariables.clear()
+    SessionVariables.clear(spark)
   }
 
   test("SET evaluates eagerly (subqueries included); getvariable works in FROM queries") {
@@ -60,6 +60,24 @@ class SessionVariablesSpec extends SparkSpec {
     psql.sql("create or replace macro graft_vm() as getvariable('vp') + 1")
     psql.sql("set variable vp = 30")
     assert(psql.sql("select graft_vm() as x").collect()(0).getInt(0) == 31)
+  }
+
+  test("PREPARE with leading whitespace still binds at EXECUTE time (r15 fix)") {
+    psql.sql("set variable vws = 1")
+    psql.sql("\n   prepare varws as select getvariable('vws') as x")
+    psql.sql("set variable vws = 2")
+    assert(psql.sql("execute varws").collect()(0).getInt(0) == 2)
+    psql.sql("deallocate varws")
+  }
+
+  test("variables are scoped per SparkSession (DuckDB per-connection scoping)") {
+    val other = spark.newSession()
+    psql.sql("set variable vscope = 'mine'")
+    // the sibling session must NOT see it…
+    assert(Psql(other).sql("select getvariable('vscope') as x").collect()(0).isNullAt(0))
+    // …and its own writes must not leak back
+    Psql(other).sql("set variable vscope = 'theirs'")
+    assert(psql.sql("select getvariable('vscope') as x").collect()(0).getString(0) == "mine")
   }
 
   test("computed names and non-scalar values fail loudly") {
