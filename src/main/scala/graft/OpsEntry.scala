@@ -5966,6 +5966,81 @@ object OpsEntry {
         |SELECT id, name FROM graft_b19_t ORDER BY id""".stripMargin)),
 
     QueryDef(
+      "b20_create_constraints",
+      withTables { (s, _) =>
+        // CREATE TABLE constraint clauses (TableConstraints): PRIMARY KEY /
+        // NOT NULL / DEFAULT / CHECK parse-and-record over a Spark parquet
+        // table, DEFAULT fill on a column-list insert, then the PK-inferring
+        // upsert family — INSERT OR REPLACE (every non-key column from
+        // excluded), INSERT OR IGNORE (DO NOTHING), and bare ON CONFLICT —
+        // all reading the recorded key. NOT NULL/CHECK guards are map-side
+        // raise_error filters fused into each write; PK uniqueness on the
+        // plain INSERTs is one batch aggregate + a key-pruned broadcast-semi
+        // probe. Oracle: DuckDB executes the SAME statements with native
+        // constraints. The one double add is a single IEEE op — exact.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b20_t")
+        Bucketing.dropTableAndLocation(s, "graft_b20_t__graft_cow")
+        psql.sql("""create or replace table graft_b20_t (
+          |  o_orderkey bigint primary key,
+          |  o_custkey bigint not null,
+          |  o_orderstatus varchar default 'N',
+          |  o_totalprice double,
+          |  check (o_totalprice >= 0))""".stripMargin)
+        psql.sql("""insert into graft_b20_t select o_orderkey, o_custkey,
+          |o_orderstatus, o_totalprice from orders where o_orderkey % 5 = 0""".stripMargin)
+        // DEFAULT fill: the column list omits o_orderstatus → 'N'
+        psql.sql("""insert into graft_b20_t (o_orderkey, o_custkey, o_totalprice)
+          |select o_orderkey + 9000000, o_custkey, o_totalprice from orders
+          |where o_orderkey % 11 = 0""".stripMargin)
+        psql.sql("""insert or replace into graft_b20_t
+          |select o_orderkey, o_custkey, 'R', o_totalprice + 1 from orders
+          |where o_orderkey % 10 = 0""".stripMargin)
+        psql.sql("""insert or ignore into graft_b20_t
+          |select o_orderkey, o_custkey, 'I', o_totalprice from orders
+          |where o_orderkey % 3 = 0""".stripMargin)
+        psql.sql("""insert into graft_b20_t select o_orderkey, o_custkey, 'C',
+          |o_totalprice from orders where o_orderkey % 7 = 2
+          |on conflict do update set
+          |  o_totalprice = o_totalprice + excluded.o_totalprice""".stripMargin)
+        // enforcement probes (DuckDB errors the same way; asserted inline
+        // because a thrown statement produces no comparable rows)
+        val nnThrew =
+          try { psql.sql("insert into graft_b20_t values (1, null, 'x', 1.0)"); false }
+          catch { case e: Exception =>
+            e.getMessage.contains("NOT NULL constraint failed: graft_b20_t.o_custkey") }
+        require(nnThrew, "NOT NULL violation must fail with DuckDB's message")
+        val ckThrew =
+          try { psql.sql("insert into graft_b20_t values (98765431, 1, 'x', -5.0)").collect(); false }
+          catch { case e: Exception => e.getMessage.contains("CHECK constraint failed") }
+        require(ckThrew, "CHECK violation must fail with DuckDB's message")
+        s.table("graft_b20_t").orderBy("o_orderkey")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_b20_t (
+        |  o_orderkey BIGINT PRIMARY KEY,
+        |  o_custkey BIGINT NOT NULL,
+        |  o_orderstatus VARCHAR DEFAULT 'N',
+        |  o_totalprice DOUBLE,
+        |  CHECK (o_totalprice >= 0));
+        |INSERT INTO graft_b20_t SELECT o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 = 0;
+        |INSERT INTO graft_b20_t (o_orderkey, o_custkey, o_totalprice)
+        |  SELECT o_orderkey + 9000000, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 = 0;
+        |INSERT OR REPLACE INTO graft_b20_t
+        |  SELECT o_orderkey, o_custkey, 'R', o_totalprice + 1 FROM orders
+        |  WHERE o_orderkey % 10 = 0;
+        |INSERT OR IGNORE INTO graft_b20_t
+        |  SELECT o_orderkey, o_custkey, 'I', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0;
+        |INSERT INTO graft_b20_t SELECT o_orderkey, o_custkey, 'C',
+        |  o_totalprice FROM orders WHERE o_orderkey % 7 = 2
+        |  ON CONFLICT DO UPDATE SET
+        |    o_totalprice = o_totalprice + excluded.o_totalprice;
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM graft_b20_t ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -66,24 +66,41 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "update")) Some(update(spark, stmt))
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
-    else if (matchesWord(stmt, 0, "create")) createOrReplace(spark, stmt)
+    else if (matchesWord(stmt, 0, "create"))
+      // column-def lists with constraint clauses (and OR REPLACE of a def
+      // list) first; then the OR REPLACE … AS form; else Spark native DDL
+      TableConstraints.create(spark, stmt).orElse(createOrReplace(spark, stmt))
     // plain INSERT delegates to Spark's native DML (b10); ON CONFLICT,
-    // RETURNING and BY NAME forms need the front-end (Spark has none)
+    // OR REPLACE/IGNORE, RETURNING, BY NAME and constrained-target forms
+    // need the front-end (Spark has none)
     else if (matchesWord(stmt, 0, "insert")) {
       val sc = scan(stmt)
       val p = nextCode(stmt, sc, "insert".length)
       if (p >= 0 && matchesWord(stmt, p, "or"))
-        throw new IllegalArgumentException(
-          "INSERT OR REPLACE/IGNORE infers its conflict target from a PRIMARY " +
-            "KEY, which Spark tables do not carry — spell the upsert as " +
-            "`INSERT … ON CONFLICT (key columns) DO UPDATE SET …/DO NOTHING`")
-      if (SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).nonEmpty)
+        Some(insertOrX(spark, stmt, p))
+      else if (SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).nonEmpty)
         Some(insertOnConflict(spark, stmt))
       else if (splitReturning(stmt)._2.isDefined || insertIsByName(stmt))
         Some(insertFrontend(spark, stmt))
-      else None
+      else plainInsertTarget(stmt) match {
+        // a target with recorded NOT NULL/CHECK/PRIMARY KEY constraints
+        // must go through the enforcing front-end; everything else stays
+        // on Spark's native INSERT (which applies DEFAULTs itself)
+        case Some(t) if TableConstraints.load(spark, t).enforceable =>
+          Some(insertFrontend(spark, stmt))
+        case _ => None
+      }
     }
     else None
+  }
+
+  /** Target table of a plain `INSERT INTO t …`, when parseable. */
+  private def plainInsertTarget(stmt: String): Option[String] = {
+    val sc = scan(stmt)
+    val intoPos = nextCode(stmt, sc, "insert".length)
+    if (intoPos < 0 || !matchesWord(stmt, intoPos, "into")) return None
+    try Some(identifierAt(stmt, intoPos + "into".length)._1)
+    catch { case _: IllegalArgumentException => None }
   }
 
   /** True when BY NAME immediately follows the INSERT target — anchored
@@ -468,6 +485,13 @@ object DmlStatements {
         s"|> select $list").localCheckpoint(true)
     }
     def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
+    // recorded NOT NULL/CHECK constraints: SET values can violate — guard
+    // the rewritten rows map-side (raise_error, no extra pass)
+    val consGuard: DataFrame => DataFrame = {
+      val c = TableConstraints.load(spark, table)
+      df => TableConstraints.enforcementFilter(spark, table, c)
+        .map(df.where).getOrElse(df)
+    }
     // partition-pruned path (same shape as DELETE's): only partitions with
     // matching rows are rewritten. Requires the SET list to leave partition
     // columns untouched — an assigned partition column can MOVE rows across
@@ -483,7 +507,7 @@ object DmlStatements {
           val updated = psql.sql(
             s"from $table |> where ($affPred) |> select ${selList.mkString(", ")}")
           withDynamicOverwrite(spark) {
-            updated.write.mode(SaveMode.Overwrite).insertInto(table)
+            consGuard(updated).write.mode(SaveMode.Overwrite).insertInto(table)
           }
           return finish(parts.map(_._2).sum)
         }
@@ -496,7 +520,7 @@ object DmlStatements {
       case None => spark.table(table).count()
     }
     val next = psql.sql(s"from $table |> select ${selList.mkString(", ")}")
-    cowSwap(spark, table, next)
+    cowSwap(spark, table, consGuard(next))
     finish(affected)
   }
 
@@ -513,7 +537,14 @@ object DmlStatements {
   private def insertFrontend(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, retOpt) = splitReturning(stmt0)
     val (table, _, proj) = insertBatch(spark, stmt)
-    proj.write.mode(SaveMode.Append).insertInto(table)
+    // recorded constraints: NOT NULL/CHECK guards fuse into the write scan
+    // (raise_error, map-side); PRIMARY KEY uniqueness is one batch-sized
+    // aggregate + a key-pruned broadcast-semi probe of the table
+    val cons = TableConstraints.load(spark, table)
+    TableConstraints.checkPkUnique(spark, table, cons, proj)
+    val out = TableConstraints.enforcementFilter(spark, table, cons)
+      .map(proj.where).getOrElse(proj)
+    out.write.mode(SaveMode.Append).insertInto(table)
     retOpt match {
       case Some(list) =>
         val retView =
@@ -588,9 +619,16 @@ object DmlStatements {
     // GraftCast applies to integer/boolean targets
     val view = "graft_ins_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
     srcDf.toDF(names.indices.map(i => s"__graft_c$i"): _*).createOrReplaceTempView(view)
+    // unlisted columns take their recorded DEFAULT (DuckDB applies
+    // defaults whenever a column is not specified), NULL otherwise
+    val defaults = TableConstraints.load(spark, table).defaults
     val sel = fields.map { f =>
       names.indexWhere(_.equalsIgnoreCase(f.name)) match {
-        case -1 => s"cast(null as ${f.dataType.sql}) as ${f.name}"
+        case -1 =>
+          defaults.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(e) => s"cast(($e) as ${f.dataType.sql}) as ${f.name}"
+            case None    => s"cast(null as ${f.dataType.sql}) as ${f.name}"
+          }
         case i  => s"cast(__graft_c$i as ${f.dataType.sql}) as ${f.name}"
       }
     }
@@ -636,17 +674,22 @@ object DmlStatements {
     val head = stmt.substring(0, onPos).trim
     val confPos = nextCode(stmt, sc, onPos + 2) // start of CONFLICT
     var p = nextCode(stmt, sc, confPos + "conflict".length)
-    require(p >= 0 && stmt.charAt(p) == '(',
-      "ON CONFLICT needs an explicit conflict target `(key columns)` — Spark " +
-        "tables carry no PRIMARY KEY/unique index to infer one from")
-    var k = p + 1
-    while (k < stmt.length &&
-      !(sc.code(k) && sc.depth(k) == sc.depth(p) && stmt.charAt(k) == ')')) k += 1
-    require(k < stmt.length, "ON CONFLICT: unbalanced conflict-target list")
-    val keyCols = splitTopCommas(stmt.substring(p + 1, k)).map(_.trim)
-    require(keyCols.nonEmpty && keyCols.forall(identRe.pattern.matcher(_).matches()),
-      "ON CONFLICT target must be a list of plain column names")
-    p = nextCode(stmt, sc, k + 1)
+    require(p >= 0, "ON CONFLICT needs a conflict target or DO action")
+    // explicit `(key columns)` target, or BARE form — inferred from the
+    // table's recorded PRIMARY KEY (DuckDB's rule), resolved after the
+    // target table is known
+    val keyCols: Option[Seq[String]] =
+      if (stmt.charAt(p) == '(') {
+        var k = p + 1
+        while (k < stmt.length &&
+          !(sc.code(k) && sc.depth(k) == sc.depth(p) && stmt.charAt(k) == ')')) k += 1
+        require(k < stmt.length, "ON CONFLICT: unbalanced conflict-target list")
+        val cs = splitTopCommas(stmt.substring(p + 1, k)).map(_.trim)
+        require(cs.nonEmpty && cs.forall(identRe.pattern.matcher(_).matches()),
+          "ON CONFLICT target must be a list of plain column names")
+        p = nextCode(stmt, sc, k + 1)
+        Some(cs)
+      } else None
     require(p >= 0 && matchesWord(stmt, p, "do"),
       "ON CONFLICT needs DO NOTHING or DO UPDATE SET …")
     p = nextCode(stmt, sc, p + 2)
@@ -670,6 +713,28 @@ object DmlStatements {
         Some((parseSetList(setText), whereText))
       }
     val (table, fields, proj) = insertBatch(spark, head)
+    conflictLower(spark, table, fields, proj, keyCols, update)
+  }
+
+  /** Shared tail of ON CONFLICT / INSERT OR REPLACE / INSERT OR IGNORE:
+    * key resolution (explicit target or recorded PRIMARY KEY), the
+    * duplicate/NULL-key batch guard, DO-UPDATE scoping, MERGE lowering.
+    * `update`: None = DO NOTHING; Some = DO UPDATE assignments + WHERE.
+    */
+  private def conflictLower(spark: SparkSession, table: String,
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      proj: org.apache.spark.sql.DataFrame,
+      keyColsOpt: Option[Seq[String]],
+      update: Option[(Seq[(String, String)], Option[String])])
+      : DataFrame = {
+    val keyCols = keyColsOpt.getOrElse {
+      val pk = TableConstraints.load(spark, table).primaryKey
+      require(pk.nonEmpty,
+        s"the conflict target could not be inferred: $table declares no " +
+          "PRIMARY KEY — create the table with one, or spell the upsert as " +
+          "`INSERT … ON CONFLICT (key columns) DO UPDATE SET …/DO NOTHING`")
+      pk
+    }
     val names = keyCols.map { kc =>
       fields.find(_.name.equalsIgnoreCase(kc)).getOrElse(throw
         new IllegalArgumentException(
@@ -703,6 +768,50 @@ object DmlStatements {
     proj.createOrReplaceTempView(view)
     try MergeStatement.onConflict(spark, table, view, names, qualified)
     finally spark.catalog.dropTempView(view)
+  }
+
+  /** DuckDB `INSERT OR REPLACE|IGNORE INTO t …` — shorthand upserts whose
+    * conflict target is the table's PRIMARY KEY (recorded by
+    * [[TableConstraints.create]]). REPLACE lowers to ON CONFLICT DO UPDATE
+    * SET <every non-key column> = excluded.<col>; IGNORE to DO NOTHING.
+    * A key-only table has nothing to replace, so REPLACE degenerates to
+    * DO NOTHING (DuckDB's observable behavior: the row already equals the
+    * proposed one).
+    */
+  private def insertOrX(spark: SparkSession, stmt0: String, orPos: Int): DataFrame = {
+    val (stmt, ret) = splitReturning(stmt0)
+    require(ret.isEmpty,
+      "INSERT OR REPLACE/IGNORE does not support RETURNING — query the " +
+        "table after the statement")
+    val sc = scan(stmt)
+    val m = nextCode(stmt, sc, orPos + 2)
+    val replace =
+      if (m >= 0 && matchesWord(stmt, m, "replace")) true
+      else if (m >= 0 && matchesWord(stmt, m, "ignore")) false
+      else throw new IllegalArgumentException(
+        "INSERT OR … must be INSERT OR REPLACE or INSERT OR IGNORE")
+    require(SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).isEmpty,
+      "INSERT OR REPLACE/IGNORE already implies a conflict action — drop " +
+        "the ON CONFLICT clause or use the plain INSERT … ON CONFLICT form")
+    val head = "insert " +
+      stmt.substring(m + (if (replace) "replace" else "ignore").length).trim
+    val (table, fields, proj) = insertBatch(spark, head)
+    val pk = TableConstraints.load(spark, table).primaryKey
+    require(pk.nonEmpty,
+      s"INSERT OR ${if (replace) "REPLACE" else "IGNORE"} infers its conflict " +
+        s"target from a PRIMARY KEY, but $table declares none — create the " +
+        "table with one, or spell the upsert as `INSERT … ON CONFLICT " +
+        "(key columns) DO UPDATE SET …/DO NOTHING`")
+    val update =
+      if (!replace) None
+      else {
+        val pkLower = pk.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val assigns = fields
+          .filterNot(f => pkLower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+          .map(f => (f.name, s"excluded.${f.name}"))
+        if (assigns.isEmpty) None else Some((assigns, None))
+      }
+    conflictLower(spark, table, fields, proj, Some(pk), update)
   }
 
   /** Parse `col = expr[, …]` (top-level commas/equals only; LHS must be a
@@ -825,12 +934,24 @@ object DmlStatements {
     */
   private[psql] def cowSwap(spark: SparkSession, table: String, next: DataFrame): Unit = {
     val pcols = partitionColsOf(spark, table)
+    // user-level table properties (constraint metadata, COMMENT ON) must
+    // survive the swap — the shadow is a fresh table that knows none of them
+    val keepProps =
+      try spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .properties.filter { case (k, _) =>
+          k.startsWith("graft.") || k == "comment" || k.startsWith("comment.") }
+      catch { case _: Throwable => Map.empty[String, String] }
     val tmp = table + "__graft_cow"
     graft.operators.Bucketing.dropTableAndLocation(spark, tmp)
     val w = next.write.mode(SaveMode.Overwrite).format("parquet")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).saveAsTable(tmp)
     graft.operators.Bucketing.dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (keepProps.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
+        keepProps.map { case (k, v) =>
+          s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
     // RENAME moves the table directory but the catalog's PARTITION entries
     // keep their old locations (probed: scans then read zero files) — re-sync
     // them from the filesystem

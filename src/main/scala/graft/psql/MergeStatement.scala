@@ -418,6 +418,15 @@ object MergeStatement {
     val prunable = pcols.nonEmpty && !targetClauses.exists(assignsPartitionCol)
     val cap = if (pcols.size == 1) 10000 else 1000
 
+    // recorded NOT NULL/CHECK constraints guard every row about to be
+    // written (map-side raise_error fused into the write scan — UPDATE SET
+    // and INSERT values can violate; pre-existing rows already satisfy)
+    val consGuard: DataFrame => DataFrame = {
+      val c = TableConstraints.load(spark, table)
+      df => TableConstraints.enforcementFilter(spark, table, c)
+        .map(df.where).getOrElse(df)
+    }
+
     def fullPath(): DataFrame = {
       var nUpd = 0L
       var nDel = 0L
@@ -432,13 +441,17 @@ object MergeStatement {
           nDel = check.getLong(2)
           Some(psql.sql(contentSql(pairsBase)))
         }
-      val nIns = insertContent.map(_.count()).getOrElse(0L)
-      (targetContent, insertContent) match {
-        case (Some(t), Some(i)) => DmlStatements.cowSwap(spark, table, t.union(i))
-        case (Some(t), None)    => DmlStatements.cowSwap(spark, table, t)
+      // checkpoint ONCE: the same rows feed the count and the write (the
+      // r14 verdict's double source-anti-join execution; the pruned path
+      // below already did this)
+      val insChkF = insertContent.map(_.localCheckpoint(true))
+      val nIns = insChkF.map(_.count()).getOrElse(0L)
+      (targetContent, insChkF) match {
+        case (Some(t), Some(i)) => DmlStatements.cowSwap(spark, table, consGuard(t.union(i)))
+        case (Some(t), None)    => DmlStatements.cowSwap(spark, table, consGuard(t))
         case (None, Some(i))    =>
           // insert-only merge: append the batch, never rewrite the warehouse
-          i.write.mode(SaveMode.Append).insertInto(table)
+          consGuard(i).write.mode(SaveMode.Append).insertInto(table)
         case (None, None)       => () // every clause is DO NOTHING
       }
       DmlStatements.countDf(spark, nUpd + nDel + nIns)
@@ -489,7 +502,7 @@ object MergeStatement {
         case _                   => content
       }
       DmlStatements.withDynamicOverwrite(spark) {
-        toWrite.write.mode(SaveMode.Overwrite).insertInto(table)
+        consGuard(toWrite).write.mode(SaveMode.Overwrite).insertInto(table)
       }
     }
     // partitions emptied by DELETE with no inserts landing there got no

@@ -1,0 +1,181 @@
+package graft.psql
+
+import graft.SparkSpec
+
+/** CREATE TABLE constraint clauses (TableConstraints): parse-and-record of
+  * PRIMARY KEY / NOT NULL / DEFAULT / CHECK / UNIQUE / FOREIGN KEY (column
+  * and table forms), catalog round-trip, DEFAULT fill on the front-end
+  * insert paths, NOT NULL + CHECK enforcement with DuckDB's error texts,
+  * PRIMARY KEY uniqueness on plain INSERT, and the PK-inferring upserts
+  * (INSERT OR REPLACE / OR IGNORE / bare ON CONFLICT). Counts and final
+  * contents probed against DuckDB 1.0 executing the SAME statements.
+  */
+class TableConstraintsSpec extends SparkSpec {
+
+  private lazy val psql = Psql(spark)
+
+  private def drop(name: String): Unit = {
+    graft.operators.Bucketing.dropTableAndLocation(spark, name)
+    graft.operators.Bucketing.dropTableAndLocation(spark, name + "__graft_cow")
+  }
+
+  test("constraints parse, strip, and round-trip through table properties") {
+    drop("graft_ct_a")
+    psql.sql("""create table graft_ct_a (
+      |  i integer primary key,
+      |  v varchar not null,
+      |  n int default 7,
+      |  u double unique,
+      |  check (n >= 0),
+      |  unique (v, n),
+      |  foreign key (n) references other_t (n))""".stripMargin)
+    val c = TableConstraints.load(spark, "graft_ct_a")
+    assert(c.primaryKey == Seq("i"))
+    assert(c.notNull.toSet == Set("v", "i")) // PK implies NOT NULL
+    assert(c.uniques.map(_.toList).toSet == Set(List("u"), List("v", "n")))
+    assert(c.checks == Seq("n >= 0"))
+    assert(c.defaults == Map("n" -> "7"))
+    assert(c.foreignKeys.size == 1 && c.foreignKeys.head.contains("other_t"))
+    // bare VARCHAR mapped to string; schema records the columns
+    val sch = spark.table("graft_ct_a").schema
+    assert(sch.fields.map(_.name).toSeq == Seq("i", "v", "n", "u"))
+    assert(sch("v").dataType.sql.toLowerCase == "string")
+  }
+
+  test("DEFAULT fills unlisted columns; probed DuckDB content parity") {
+    drop("graft_ct_b")
+    psql.sql("create table graft_ct_b (i integer primary key, v varchar not null, n int default 7)")
+    // front-end path (table has constraints): count 1, n takes the default
+    val r = psql.sql("insert into graft_ct_b (i, v) values (1, 'a')")
+    assert(r.collect()(0).getLong(0) == 1L)
+    val row = spark.table("graft_ct_b").collect()(0)
+    assert((row.getInt(0), row.getString(1), row.getInt(2)) == ((1, "a", 7)))
+  }
+
+  test("NOT NULL and CHECK violations fail with DuckDB's message; nothing is written") {
+    drop("graft_ct_c")
+    psql.sql("create table graft_ct_c (i integer primary key, v varchar not null, n int default 7, check (n >= 0))")
+    psql.sql("insert into graft_ct_c values (1, 'a', 1)")
+    val nn = intercept[Exception] {
+      psql.sql("insert into graft_ct_c values (2, null, 2)").collect()
+    }
+    assert(nn.getMessage.contains("NOT NULL constraint failed: graft_ct_c.v"))
+    val ck = intercept[Exception] {
+      psql.sql("insert into graft_ct_c values (2, 'c', -5)").collect()
+    }
+    assert(ck.getMessage.contains("CHECK constraint failed: graft_ct_c"))
+    // a failing batch must not leave partial rows behind
+    assert(spark.table("graft_ct_c").count() == 1L)
+  }
+
+  test("PRIMARY KEY uniqueness on plain INSERT: table dup and batch dup error") {
+    drop("graft_ct_d")
+    psql.sql("create table graft_ct_d (i integer primary key, v varchar)")
+    psql.sql("insert into graft_ct_d values (1, 'a')")
+    val dup = intercept[IllegalArgumentException] {
+      psql.sql("insert into graft_ct_d values (1, 'b')")
+    }
+    assert(dup.getMessage.contains("violates primary key constraint"))
+    val batch = intercept[IllegalArgumentException] {
+      psql.sql("insert into graft_ct_d values (5, 'x'), (5, 'y')")
+    }
+    assert(batch.getMessage.contains("violates primary key constraint"))
+    assert(spark.table("graft_ct_d").count() == 1L)
+  }
+
+  test("INSERT OR REPLACE / OR IGNORE / bare ON CONFLICT infer the PK (probed DuckDB)") {
+    drop("graft_ct_e")
+    psql.sql("create table graft_ct_e (i integer primary key, v varchar not null, n int default 7)")
+    psql.sql("insert into graft_ct_e (i, v) values (1, 'a')")
+    // probed: INSERT OR REPLACE count 1, row becomes (1, z, 9)
+    assert(psql.sql("insert or replace into graft_ct_e values (1, 'z', 9)")
+      .collect()(0).getLong(0) == 1L)
+    // probed: OR IGNORE count 1 (key 1 ignored, key 3 inserted)
+    assert(psql.sql("insert or ignore into graft_ct_e values (1, 'q', 3), (3, 'd', 4)")
+      .collect()(0).getLong(0) == 1L)
+    // probed: bare ON CONFLICT count 1, row 3 updated to v='x' (n kept)
+    assert(psql.sql("insert into graft_ct_e values (3, 'x', 5) " +
+      "on conflict do update set v = excluded.v").collect()(0).getLong(0) == 1L)
+    val rows = spark.table("graft_ct_e").orderBy("i").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "z", 9), (3, "x", 4)))
+    // probed: batch proposing the same key twice errors on BOTH forms
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("insert or replace into graft_ct_e values (5,'m',1),(5,'n',2)")
+    }
+    assert(e.getMessage.contains("twice"))
+  }
+
+  test("pk-only table: OR REPLACE degenerates to DO NOTHING (probed count 0)") {
+    drop("graft_ct_f")
+    psql.sql("create table graft_ct_f (i int primary key)")
+    assert(psql.sql("insert or replace into graft_ct_f values (1)")
+      .collect()(0).getLong(0) == 1L)
+    assert(psql.sql("insert or replace into graft_ct_f values (1)")
+      .collect()(0).getLong(0) == 0L) // probed DuckDB: [(0,)]
+    assert(spark.table("graft_ct_f").count() == 1L)
+  }
+
+  test("UPDATE and MERGE-lowered upserts enforce NOT NULL/CHECK (probed DuckDB errors)") {
+    drop("graft_ct_g")
+    psql.sql("create table graft_ct_g (i integer primary key, v varchar not null, n int default 7, check (n >= 0))")
+    psql.sql("insert into graft_ct_g values (1, 'a', 1)")
+    val un = intercept[Exception] {
+      psql.sql("update graft_ct_g set v = null where i = 1").collect()
+    }
+    assert(un.getMessage.contains("NOT NULL constraint failed: graft_ct_g.v"))
+    val uc = intercept[Exception] {
+      psql.sql("update graft_ct_g set n = -1 where i = 1").collect()
+    }
+    assert(uc.getMessage.contains("CHECK constraint failed"))
+    val oc = intercept[Exception] {
+      psql.sql("insert into graft_ct_g values (1, 'b', 2) " +
+        "on conflict do update set n = -9").collect()
+    }
+    assert(oc.getMessage.contains("CHECK constraint failed"))
+    val row = spark.table("graft_ct_g").collect()(0)
+    assert((row.getInt(0), row.getString(1), row.getInt(2)) == ((1, "a", 1)))
+  }
+
+  test("CREATE OR REPLACE TABLE with a column-def list drops and recreates") {
+    drop("graft_ct_h")
+    psql.sql("create table graft_ct_h (i int primary key, v varchar)")
+    psql.sql("insert into graft_ct_h values (1, 'a')")
+    psql.sql("create or replace table graft_ct_h (k bigint, s varchar default 'd')")
+    assert(spark.table("graft_ct_h").columns.toSeq == Seq("k", "s"))
+    assert(spark.table("graft_ct_h").count() == 0L)
+    assert(TableConstraints.load(spark, "graft_ct_h").defaults == Map("s" -> "'d'"))
+  }
+
+  test("IF NOT EXISTS keeps the existing table; duplicate CREATE errors") {
+    drop("graft_ct_i")
+    psql.sql("create table graft_ct_i (i int primary key)")
+    psql.sql("create table if not exists graft_ct_i (j varchar not null)")
+    assert(spark.table("graft_ct_i").columns.toSeq == Seq("i"))
+    val e = intercept[Exception] {
+      psql.sql("create table graft_ct_i (j varchar not null)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+  }
+
+  test("unconstrained CREATE TABLE and plain INSERT stay on Spark's native path") {
+    drop("graft_ct_j")
+    // no constraints, no OR REPLACE: TableConstraints.create returns None
+    psql.sql("create table graft_ct_j (i int, v string) using parquet")
+    assert(TableConstraints.load(spark, "graft_ct_j").isEmpty)
+    psql.sql("insert into graft_ct_j values (1, 'a')")
+    assert(spark.table("graft_ct_j").count() == 1L)
+  }
+
+  test("typed defaults and expressions: date, arithmetic, parenthesized") {
+    drop("graft_ct_k")
+    psql.sql("create table graft_ct_k (i int primary key, " +
+      "d date default date '2024-01-01', m int default (2 + 3) not null)")
+    psql.sql("insert into graft_ct_k (i) values (1)")
+    val r = spark.table("graft_ct_k").collect()(0)
+    assert(r.getDate(1).toString == "2024-01-01")
+    assert(r.getInt(2) == 5)
+    val c = TableConstraints.load(spark, "graft_ct_k")
+    assert(c.notNull.toSet == Set("m", "i"))
+  }
+}
