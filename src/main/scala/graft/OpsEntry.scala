@@ -6532,6 +6532,55 @@ object OpsEntry {
         |ORDER BY s.query""".stripMargin)),
 
     QueryDef(
+      "r07_fts_match",
+      withTables { (s, _) =>
+        // DuckDB fts surface (FtsIndex): PRAGMA create_fts_index builds a
+        // PERSISTED postings table (term, id, tf, dl — dl denormalized;
+        // range-partitioned + sorted by term so the query's `term IN`
+        // prunes row groups), a broadcast docfreq table and one stats row;
+        // fts_main_<t>.match_bm25(id, 'q') lowers to a correlated scalar
+        // subquery over a scores view — scoring touches ONLY the query
+        // terms' postings, never re-reads the corpus. Per-term BM25
+        // contributions snap to the 1e-6 grid and sum as BIGINTs
+        // (order-independent). Oracle: the same formula in plain DuckDB SQL
+        // (the real fts extension cannot load offline — documented; the
+        // tokenizer here is whitespace-exact, no stemming).
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "fts_main_documents_terms")
+        Bucketing.dropTableAndLocation(s, "fts_main_documents_docfreq")
+        Bucketing.dropTableAndLocation(s, "fts_main_documents_stats")
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+        psql.sql("""from documents
+          ||> select doc_id,
+          |    fts_main_documents.match_bm25(doc_id, 'merge window scan') as score
+          ||> where score is not null
+          ||> order by score desc, doc_id
+          ||> limit 20""".stripMargin)
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+        |posting AS (
+        |  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
+        |  FROM tok, unnest(w) AS u(t)
+        |  WHERE u.t IN ('merge', 'window', 'scan')
+        |  GROUP BY doc_id, u.t),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    sum(floor(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+        |      * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl::DOUBLE / s.n_docs))))
+        |      * 1000000.0 + 0.5)::BIGINT)::BIGINT AS s6
+        |  FROM posting p JOIN dl l USING (doc_id) CROSS JOIN stats s
+        |  JOIN dfreq d ON d.term = p.term
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, s6::DOUBLE / 1000000.0 AS score
+        |FROM (SELECT * FROM scored ORDER BY s6 DESC, doc_id LIMIT 20)
+        |ORDER BY score DESC, doc_id""".stripMargin)),
+
+    QueryDef(
       "a14_ewma",
       withTables { (s, _) =>
         // truncated EWMA per event type: trailing-32 ordered fold seeded

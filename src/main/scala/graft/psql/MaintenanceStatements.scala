@@ -81,8 +81,9 @@ object MaintenanceStatements {
     * setup statements (`README.md:98,104`: `install psql from community;
     * load psql;`). Every capability those extensions add in DuckDB is
     * BUILT IN here (psql = this front-end; httpfs = the HTTP path scans;
-    * json/parquet = native Spark readers; icu = JVM time zones; fts ≈ the
-    * r01 BM25 operator), so the known names are accepted as documented
+    * json/parquet = native Spark readers; icu = JVM time zones; fts = the
+    * real PRAGMA create_fts_index / match_bm25 surface in [[FtsIndex]],
+    * backed by persisted index tables), so the known names are accepted as
     * no-ops — a reference user's init script runs unchanged. Unknown
     * extensions throw: pretending to load code we do not have would
     * misrepresent the session's capabilities.

@@ -33,7 +33,10 @@ class Psql(val spark: SparkSession) {
     }
     // DuckDB session variables: getvariable('x') → the value's literal
     // (constant per statement — bind-time inlining IS the semantics)
-    val q2 = SessionVariables.inline(spark, SequenceStatements.inline(spark, query))
+    val q1 = SessionVariables.inline(spark, SequenceStatements.inline(spark, query))
+    // fts_main_<t>.match_bm25(id, 'q') → correlated scalar subquery over
+    // the persisted FTS index (cheap containment pre-check inside)
+    val q2 = FtsIndex.rewriteMatchBm25(spark, q1)
     val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
     // output shape, one aggregate pass (SummarizeStatement; replaces the

@@ -148,6 +148,13 @@ object SessionOptions {
       case "database_size" | "database_list" | "storage_info" =>
         throw new IllegalArgumentException(
           s"PRAGMA $key: no Spark equivalent (there is no single-file database)")
+      case "create_fts_index" | "drop_fts_index" =>
+        require(rest.startsWith("(") && rest.endsWith(")"),
+          s"PRAGMA $key needs an argument list")
+        val args = rest.substring(1, rest.length - 1)
+        return Some(
+          if (key == "create_fts_index") FtsIndex.createIndex(spark, args)
+          else FtsIndex.dropIndex(spark, args))
       case _ => ()
     }
     // assignment forms: PRAGMA k = v and PRAGMA k(v)
