@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * the pruned dynamic-overwrite path — and (b) an unpartitioned copy —
   * the whole-table shadow swap. The pruned statement's cost should track
   * the AFFECTED partition's size; the unpartitioned one tracks the whole
-  * table. Also times MERGE (full copy-on-write by design) across the
-  * same growth for the statement-family table.
+  * table. Also times MERGE two ways across the same growth: against the
+  * unpartitioned copy (full copy-on-write by design) and against the
+  * partitioned table with a source confined to one partition — the
+  * partition-pruned MERGE path, which should track the touched
+  * partition, not the table (r14 verdict item 6).
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.DmlGrowthBench"
   */
@@ -36,7 +39,7 @@ object DmlGrowthBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    println("# scale | rows | del_pruned_s | del_full_s | upd_pruned_s | upd_full_s | merge_s")
+    println("# scale | rows | del_pruned_s | del_full_s | upd_pruned_s | upd_full_s | merge_full_s | merge_pruned_s")
     for (k <- Seq(1, 4, 16)) {
       val big = events.crossJoin(
           spark.range(k).select(col("id").as("rep")))
@@ -71,8 +74,20 @@ object DmlGrowthBench {
           |when matched then update set value = s.mv
           |when not matched and s.mk % 2 = 0 then
           |  insert (event_id, value) values (s.mk + 900000000, s.mv)""".stripMargin))
+      // pruned MERGE: the source's matches live in ONE partition (keys are
+      // drawn from click rows) and the insert clause lands there too, so
+      // the stats pass confines the dynamic overwrite to that directory
+      big.where(col("event_type") === "click").limit(20000)
+        .select(col("event_id").as("mk"), col("value").as("mv"))
+        .groupBy("mk").agg(max("mv").as("mv"))
+        .createOrReplaceTempView("graft_dgb_src_click")
+      val mergePruned = timed(psql.sql(
+        """merge into graft_dgb_p t using graft_dgb_src_click s on t.event_id = s.mk
+          |when matched then update set value = s.mv
+          |when not matched and s.mk % 2 = 0 then
+          |  insert (event_id, value, event_type) values (s.mk + 900000000, s.mv, 'click')""".stripMargin))
       println(f"$k%5d | $rows%9d | $delPruned%10.2f | $delFull%9.2f | " +
-        f"$updPruned%10.2f | $updFull%9.2f | $mergeS%7.2f")
+        f"$updPruned%10.2f | $updFull%9.2f | $mergeS%7.2f | $mergePruned%7.2f")
     }
     Seq("graft_dgb_p", "graft_dgb_f").foreach { t =>
       graft.operators.Bucketing.dropTableAndLocation(spark, t)

@@ -79,10 +79,25 @@ object AttachStatement {
     require(!spark.catalog.databaseExists(name),
       s"""ATTACH: database "$name" already exists — DETACH it first""")
 
+    // the reference dialect's literal `ATTACH 'other.duckdb'` points at a
+    // DuckDB single-file database — a format no Spark reader understands.
+    // Name the working bridge instead of failing with a generic listing
+    // error: EXPORT DATABASE (in DuckDB) writes a directory this ATTACH
+    // reads directly.
+    val lowerPath = path.toLowerCase(java.util.Locale.ROOT)
+    if (lowerPath.endsWith(".duckdb") || lowerPath.endsWith(".db") ||
+        lowerPath.endsWith(".ddb"))
+      throw new IllegalArgumentException(
+        s"ATTACH: '$path' looks like a DuckDB database FILE, which this " +
+          "engine cannot read. Bridge it through a directory: in DuckDB run " +
+          s"EXPORT DATABASE '<dir>' (FORMAT PARQUET), then ATTACH '<dir>' " +
+          s"AS $name here (IMPORT DATABASE works on the same layout)")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory,
-      s"ATTACH: '$path' is not a directory of tables")
+      s"ATTACH: '$path' is not a directory of tables — a DuckDB .duckdb " +
+        "file must first be exported (EXPORT DATABASE '<dir>' (FORMAT " +
+        "PARQUET) in DuckDB), then attached as that directory")
     val entries = fs.listStatus(hPath).toSeq
     val tables: Seq[(String, String, String)] = entries.flatMap { st =>
       val base = st.getPath.getName

@@ -81,4 +81,16 @@ class AttachStatementSpec extends SparkSpec {
         .collect()(0).getLong(0) == 2L)
     } finally psql.sql("detach graft_att_c")
   }
+
+  test("a .duckdb database FILE names the EXPORT DATABASE directory bridge") {
+    val e = intercept[IllegalArgumentException](
+      psql.sql("attach '/tmp/other.duckdb' as graft_att_d"))
+    assert(e.getMessage.contains("EXPORT DATABASE"), e.getMessage)
+    assert(e.getMessage.contains("FORMAT PARQUET"), e.getMessage)
+    // a path that exists but is a plain FILE gets the same pointer
+    val f = java.nio.file.Files.createTempFile("graft_att", ".bin").toFile
+    val e2 = intercept[Exception](
+      psql.sql(s"attach '${f.getAbsolutePath}' as graft_att_d"))
+    assert(e2.getMessage.contains("EXPORT DATABASE"), e2.getMessage)
+  }
 }
