@@ -38,16 +38,28 @@ object FuzzRun {
         .createOrReplaceTempView("pos_r")
     }
     val psql = Psql(spark)
-    // minimal JSON parsing (name/psql string fields, no nesting)
+    // real JSON parsing (the earlier regex extraction StackOverflowed on
+    // long statement scripts — java.util.regex recurses per alternation
+    // iteration); entries may carry extra fields (duck_psql/duck_script)
+    // that only the python side reads
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(outDir, "queries.json")), "UTF-8")
-    // match the (name, psql) pair without anchoring on the closing brace:
-    // entries may carry extra fields (duck_psql for families where the
-    // DuckDB side needs an equivalent formulation instead of the same text)
-    val entry = """"name"\s*:\s*"([^"]+)"\s*,\s*"psql"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val queries = entry.findAllMatchIn(text).map { m =>
-      (m.group(1), m.group(2).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
-    }.toList
+    val queries: List[(String, String)] = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(text) match {
+        case JArray(items) => items.collect {
+          case JObject(fields) =>
+            val m = fields.toMap
+            (m.get("name"), m.get("psql")) match {
+              case (Some(JString(n)), Some(JString(q))) => (n, q)
+              case _ => throw new IllegalArgumentException(
+                "queries.json entry without name/psql string fields")
+            }
+        }
+        case _ => throw new IllegalArgumentException("queries.json is not a JSON array")
+      }
+    }
     queries.foreach { case (name, q) =>
       val target = java.nio.file.Paths.get(outDir, "out", name + ".parquet").toString
       // statement-script entries: statements separated by a `;;` line run

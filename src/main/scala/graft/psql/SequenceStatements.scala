@@ -15,8 +15,12 @@ import SqlScanner.{matchesWord, nextCode, scan}
   *  - `INSERT … VALUES (nextval('s'), …), (nextval('s'), …)` → each row's
   *    occurrence advances once — the surrogate-key insert pattern;
   *  - `currval('s')` → last value dispensed (error before first nextval);
-  *  - `CREATE SEQUENCE s [START [WITH] n] [INCREMENT [BY] n]`, duplicate
-  *    CREATE errors, OR REPLACE resets, `DROP SEQUENCE [IF EXISTS]`.
+  *  - `CREATE SEQUENCE s [START [WITH] n] [INCREMENT [BY] n] [MINVALUE n]
+  *    [MAXVALUE n] [[NO] CYCLE]` with DuckDB's defaults (ascending: min 1,
+  *    start = min; descending: max -1, start = max), its out-of-bounds
+  *    START parser errors, its reached-max/min nextval errors, and CYCLE
+  *    wrap-around (all probed); duplicate CREATE errors, OR REPLACE
+  *    resets, `DROP SEQUENCE [IF EXISTS]`.
   *
   * The one form that CANNOT be honest on a distributed engine is per-ROW
   * nextval over a scanned relation (`SELECT nextval('s') FROM t`): DuckDB
@@ -36,10 +40,27 @@ import SqlScanner.{matchesWord, nextCode, scan}
   */
 object SequenceStatements {
 
-  private final class SeqState(val start: Long, val increment: Long) {
+  private final class SeqState(val start: Long, val increment: Long,
+      val minV: Long, val maxV: Long, val cycle: Boolean) {
     var last: Option[Long] = None
-    def nextval(): Long = synchronized {
-      val v = last.map(_ + increment).getOrElse(start)
+    def nextval(name: String): Long = synchronized {
+      val v = last match {
+        case None => start
+        case Some(l) =>
+          val n =
+            try Math.addExact(l, increment)
+            catch { case _: ArithmeticException =>
+              if (increment > 0) maxV + 1 else minV - 1 } // out of bounds
+          if (increment > 0 && (n > maxV || n < l)) {
+            if (cycle) minV
+            else throw new IllegalArgumentException(
+              s"""nextval: reached maximum value of sequence "$name" ($maxV)""")
+          } else if (increment < 0 && (n < minV || n > l)) {
+            if (cycle) maxV
+            else throw new IllegalArgumentException(
+              s"""nextval: reached minimum value of sequence "$name" ($minV)""")
+          } else n
+      }
       last = Some(v)
       v
     }
@@ -118,33 +139,65 @@ object SequenceStatements {
     }
     val (name, afterName) = DmlStatements.identifierAt(stmt, q)
     var i = nextCode(stmt, sc, afterName)
-    var start = 1L
+    var startOpt: Option[Long] = None
+    var minOpt: Option[Long] = None
+    var maxOpt: Option[Long] = None
     var increment = 1L
+    var cycle = false
     while (i >= 0) {
       if (matchesWord(stmt, i, "start")) {
         var v = nextCode(stmt, sc, i + "start".length)
         if (v >= 0 && matchesWord(stmt, v, "with")) v = nextCode(stmt, sc, v + 4)
         val (n, e) = longAt(stmt, v)
-        start = n; i = nextCode(stmt, sc, e)
+        startOpt = Some(n); i = nextCode(stmt, sc, e)
       } else if (matchesWord(stmt, i, "increment")) {
         var v = nextCode(stmt, sc, i + "increment".length)
         if (v >= 0 && matchesWord(stmt, v, "by")) v = nextCode(stmt, sc, v + 2)
         val (n, e) = longAt(stmt, v)
         require(n != 0L, "CREATE SEQUENCE: increment must be non-zero")
         increment = n; i = nextCode(stmt, sc, e)
+      } else if (matchesWord(stmt, i, "minvalue")) {
+        val (n, e) = longAt(stmt, nextCode(stmt, sc, i + "minvalue".length))
+        minOpt = Some(n); i = nextCode(stmt, sc, e)
+      } else if (matchesWord(stmt, i, "maxvalue")) {
+        val (n, e) = longAt(stmt, nextCode(stmt, sc, i + "maxvalue".length))
+        maxOpt = Some(n); i = nextCode(stmt, sc, e)
+      } else if (matchesWord(stmt, i, "cycle")) {
+        cycle = true; i = nextCode(stmt, sc, i + "cycle".length)
+      } else if (matchesWord(stmt, i, "no")) {
+        val v = nextCode(stmt, sc, i + 2)
+        require(v >= 0 && (matchesWord(stmt, v, "cycle") ||
+          matchesWord(stmt, v, "minvalue") || matchesWord(stmt, v, "maxvalue")),
+          "CREATE SEQUENCE: NO must be followed by CYCLE/MINVALUE/MAXVALUE")
+        // NO <x> = the default, which is what an unset option already means
+        if (matchesWord(stmt, v, "cycle")) cycle = false
+        i = nextCode(stmt, sc, v + (if (matchesWord(stmt, v, "cycle")) 5 else 8))
       } else {
         throw new IllegalArgumentException(
           s"CREATE SEQUENCE: unsupported clause at '${stmt.substring(i).take(30)}' " +
-            "(supported: START [WITH] n, INCREMENT [BY] n)")
+            "(supported: START [WITH] n, INCREMENT [BY] n, MINVALUE n, " +
+            "MAXVALUE n, [NO] CYCLE)")
       }
     }
+    // DuckDB/Postgres defaults: ascending → min 1, max 2^63-1, start = min;
+    // descending → max -1, min -(2^63-1), start = max. An explicit START
+    // outside the bounds is the probed parser error.
+    val minV = minOpt.getOrElse(if (increment > 0) 1L else Long.MinValue + 1)
+    val maxV = maxOpt.getOrElse(if (increment > 0) Long.MaxValue else -1L)
+    val start = startOpt.getOrElse(if (increment > 0) minV else maxV)
+    require(minV <= maxV,
+      s"CREATE SEQUENCE: MINVALUE ($minV) must not exceed MAXVALUE ($maxV)")
+    require(start <= maxV,
+      s"START value ($start) cannot be greater than MAXVALUE ($maxV)")
+    require(start >= minV,
+      s"START value ($start) cannot be less than MINVALUE ($minV)")
     val k = key(name)
     val ss = state(spark)
     if (ss.registry.containsKey(k) && !orReplace) {
       require(ifNotExists, s"""Sequence with name "$name" already exists!""")
       return Some(spark.emptyDataFrame) // IF NOT EXISTS: keep the old one
     }
-    ss.registry.put(k, new SeqState(start, increment))
+    ss.registry.put(k, new SeqState(start, increment, minV, maxV, cycle))
     ss.everCreated = true
     Some(spark.emptyDataFrame)
   }
@@ -187,7 +240,7 @@ object SequenceStatements {
       sb.append(stmt.substring(pos, s))
       val st = Option(ss.registry.get(key(name))).getOrElse(throw
         new IllegalArgumentException(s"Sequence with name $name does not exist!"))
-      val v = if (fn == "nextval") st.nextval() else st.currval(name)
+      val v = if (fn == "nextval") st.nextval(name) else st.currval(name)
       sb.append(v).append('L')
       pos = e
     }

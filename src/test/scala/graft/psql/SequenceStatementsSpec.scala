@@ -104,6 +104,39 @@ class SequenceStatementsSpec extends SparkSpec {
     assert(psql.sql("select graft_seq_m() as v").collect()(0).getLong(0) == 111L)
   }
 
+  test("bounds + cycle: DuckDB's defaults, parser errors, reached-max/min, wrap (probed)") {
+    SequenceStatements.reset(spark)
+    // probed: descending without MAXVALUE → parser error naming (-1)
+    val e1 = intercept[IllegalArgumentException] {
+      psql.sql("create sequence s_b1 start 10 increment -2")
+    }
+    assert(e1.getMessage.contains("cannot be greater than MAXVALUE (-1)"))
+    val e2 = intercept[IllegalArgumentException] {
+      psql.sql("create sequence s_b2 start 0 increment 2")
+    }
+    assert(e2.getMessage.contains("cannot be less than MINVALUE (1)"))
+    // probed: START 10 INC -2 MAXVALUE 10 → 10, 8
+    psql.sql("create sequence s_b3 start 10 increment -2 maxvalue 10")
+    assert(psql.sql("select nextval('s_b3') as a, nextval('s_b3') as b")
+      .collect()(0).toSeq == Seq(10L, 8L))
+    // probed: START 5 INC 3 MAXVALUE 9 → 5, 8, then reached-max error
+    psql.sql("create sequence s_b4 start 5 increment 3 maxvalue 9")
+    assert(psql.sql("select nextval('s_b4') as a, nextval('s_b4') as b")
+      .collect()(0).toSeq == Seq(5L, 8L))
+    val e3 = intercept[IllegalArgumentException] {
+      psql.sql("select nextval('s_b4') as v")
+    }
+    assert(e3.getMessage.contains("""reached maximum value of sequence "s_b4" (9)"""))
+    // probed: CYCLE wraps to MINVALUE (default 1): 5, 8, 1
+    psql.sql("create sequence s_b5 start 5 increment 3 maxvalue 9 cycle")
+    assert(psql.sql("select nextval('s_b5') as a, nextval('s_b5') as b, nextval('s_b5') as c")
+      .collect()(0).toSeq == Seq(5L, 8L, 1L))
+    // probed: bare INCREMENT -3 defaults to start = maxvalue = -1: -1, -4
+    psql.sql("create sequence s_b6 increment -3")
+    assert(psql.sql("select nextval('s_b6') as a, nextval('s_b6') as b")
+      .collect()(0).toSeq == Seq(-1L, -4L))
+  }
+
   test("sequences are scoped per SparkSession (DuckDB per-connection scoping)") {
     SequenceStatements.reset(spark)
     val other = spark.newSession()

@@ -632,6 +632,68 @@ def onconflict_script(name):
     return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 
+def seqvar_script(name):
+    """Session-state family (r14 verdict item 8): sequences — the SAME
+    statement text in both engines (DuckDB 1.0 has native sequences; graft
+    inlines per-occurrence at bind time) — and session variables, where
+    DuckDB 1.0 predates SET VARIABLE so the oracle is the documented
+    equivalent: an EAGER snapshot table captured at SET time, read back as
+    a scalar subquery wherever graft reads getvariable()."""
+    t = f"fz_{name}"
+    if rnd.randrange(2) == 0:
+        start = rnd.randrange(1, 5000)
+        inc = rnd.choice([1, 2, 3, 5, -2])
+        # descending sequences need an explicit MAXVALUE >= start (DuckDB's
+        # default descending MAXVALUE is -1 and out-of-bounds START is a
+        # parser error — probed; graft mirrors it); occasionally exercise
+        # CYCLE wrap-around on a tight ascending bound
+        bounds = f" maxvalue {start}" if inc < 0 else (
+            f" maxvalue {start + rnd.randrange(4, 9)} cycle"
+            if rnd.randrange(4) == 0 else "")
+        stmts = [f"create or replace sequence {t}_seq start {start} increment {inc}{bounds}",
+                 f"create or replace table {t} as "
+                 f"select cast(0 as bigint) as id, cast(0 as bigint) as q where 1 = 0"]
+        for _ in range(rnd.randrange(2, 4)):
+            vals = ", ".join(
+                f"(nextval('{t}_seq'), {rnd.randrange(1, 99)})"
+                for _ in range(rnd.randrange(1, 4)))
+            stmts.append(f"insert into {t} values {vals}")
+        if rnd.randrange(2) == 0:
+            stmts.append(
+                f"insert into {t} values (currval('{t}_seq') + {rnd.randrange(100, 999)}, 1)")
+        spark = stmts + [f"from {t} |> order by all"]
+        duck = [st.replace(f"create or replace table {t} as",
+                           f"CREATE OR REPLACE TEMP TABLE {t} AS") for st in stmts]
+        duck.append(f"SELECT * FROM {t} ORDER BY ALL")
+        return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+    p = rnd.choice([3, 5, 7])
+    seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
+                f"cast(l_quantity as bigint) as q, l_returnflag as f "
+                f"from lineitem where l_orderkey % {p} = 0")
+    expr = rnd.choice([
+        f"(select max(l_orderkey) from lineitem where l_orderkey % {rnd.randrange(3, 9)} = 0)",
+        f"{rnd.randrange(5, 60)}",
+        f"(select cast(count(*) as bigint) from lineitem "
+        f"where l_linenumber = {rnd.randrange(1, 5)})",
+    ])
+    d = rnd.randrange(2, 6)
+    m = rnd.randrange(17, 53)
+    v = f"{t}_v"
+    spark = [f"create or replace table {t} as {seed_sel}",
+             f"set variable {v} = {expr}",
+             f"delete from {t} where k < getvariable('{v}') / {d}",
+             f"update {t} set q = q + getvariable('{v}') % 7 where ln = 1",
+             f"from {t} |> where q % {m} <> getvariable('{v}') % {m} |> order by all"]
+    duck = [f"CREATE OR REPLACE TEMP TABLE {t} AS {seed_sel}",
+            # the documented equivalent of eager SET-time evaluation
+            f"CREATE OR REPLACE TEMP TABLE {v}_snap AS SELECT ({expr}) AS v",
+            f"DELETE FROM {t} WHERE k < (SELECT v FROM {v}_snap) / {d}",
+            f"UPDATE {t} SET q = q + (SELECT v FROM {v}_snap) % 7 WHERE ln = 1",
+            f"SELECT * FROM {t} WHERE q % {m} <> (SELECT v FROM {v}_snap) % {m} "
+            f"ORDER BY ALL"]
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
 def dml_script(name):
     """Statement-script family: CREATE OR REPLACE TABLE seed, then random
     DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
@@ -641,9 +703,13 @@ def dml_script(name):
     DELETE USING / UPDATE FROM / INSERT sequence generated here, i.e. an
     INDEPENDENT python formulation of the clause algebra, so the
     differential covers MERGE semantics, not just its parsing.
-    1-in-4 scripts are instead the INSERT … ON CONFLICT family."""
-    if rnd.random() < 0.25:
+    1-in-5 scripts are instead the INSERT … ON CONFLICT family, another
+    1-in-5 the session-state (sequences/variables) family."""
+    r0 = rnd.random()
+    if r0 < 0.20:
         return onconflict_script(name)
+    if r0 < 0.40:
+        return seqvar_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
@@ -712,12 +778,23 @@ def dml_script(name):
                              f"nullif(s.q2, {rnd.randrange(2, 6)}) > {rnd.randrange(2, 6)}"])
             c2 = rnd.choice([f"s.q2 <= {rnd.randrange(2, 9)}",
                              f"s.k % 2 = {rnd.randrange(0, 2)}"])
+            # optional NOT MATCHED BY SOURCE tail clause (r14 verdict
+            # item 8): acts on ORIGINAL target rows with no source match —
+            # null-free condition on target columns
+            bys = rnd.randrange(3)
+            r3 = rnd.randrange(0, 5)
+            bys_clause = (
+                "" if bys == 0 else
+                f" when not matched by source and tt.q % 5 = {r3} then "
+                "update set f = f || '!'" if bys == 1 else
+                " when not matched by source then delete")
             spark.append(
                 f"merge into {t} tt using {t}_src s on tt.k = s.k "
                 f"when matched and {c1} then delete "
                 f"when matched then update set q = tt.q + s.q2 "
                 f"when not matched and {c2} then "
-                f"insert (k, ln, q, f) values (s.k, s.ln2, s.q2, 'M')")
+                f"insert (k, ln, q, f) values (s.k, s.ln2, s.q2, 'M')"
+                + bys_clause)
             # equivalent sequence, derived from the clause algebra and NOT
             # from the Scala lowering: delete first-wins rows, update the
             # fall-through matches (deleted rows are gone; c1 false/NULL
@@ -727,6 +804,16 @@ def dml_script(name):
                         f"WHERE {t}.k = s.k AND coalesce(({c1}), false)")
             duck.append(f"UPDATE {t} SET q = {t}.q + s.q2 FROM {t}_src s "
                         f"WHERE {t}.k = s.k")
+            # by-source equivalent BEFORE the inserts: the acted-on set is
+            # target rows whose key has no source match (disjoint from every
+            # matched clause; inserts must not be acted on)
+            if bys == 1:
+                duck.append(f"UPDATE {t} SET f = f || '!' "
+                            f"WHERE q % 5 = {r3} "
+                            f"AND k NOT IN (SELECT k FROM {t}_src)")
+            elif bys == 2:
+                duck.append(f"DELETE FROM {t} "
+                            f"WHERE k NOT IN (SELECT k FROM {t}_src)")
             duck.append(f"INSERT INTO {t} SELECT s.k, s.ln2, s.q2, 'M' FROM {t}_src s "
                         f"WHERE coalesce(({c2}), false) "
                         f"AND s.k NOT IN (SELECT k FROM {t}_keys)")
