@@ -196,4 +196,39 @@ class MergeStatementSpec extends SparkSpec {
     assert(r.collect()(0).getLong(0) == 1L)
     assert(rows("graft_merge_t8").map(_._1) == Seq(2L, 3L, 4L))
   }
+
+  test("full-path insert side executes ONCE (r14 verdict #3: checkpoint reuse)") {
+    // an insert-only merge whose source overlaps nothing: every source row
+    // is NOT MATCHED, so the anti-join side is the only source consumer.
+    // A counting UDF in the source projection observes evaluations: the
+    // localCheckpoint must make the count() and the append read the SAME
+    // materialized rows — one evaluation per source row, not two.
+    seedTarget("graft_merge_t9")
+    // the counter lives in a top-level object: a captured local would be
+    // CLONED per task by closure serialization even in local mode
+    spark.udf.register("graft_count_eval",
+      (x: Long) => { MergeEvalCounter.calls.incrementAndGet(); x })
+    val nSrc = 50L
+    spark.range(100, 100 + nSrc)
+      .selectExpr("id", "graft_count_eval(id * 2) as nv")
+      .createOrReplaceTempView("graft_merge_s9")
+    MergeEvalCounter.calls.set(0L)
+    val r = psql.sql("""merge into graft_merge_t9 t using graft_merge_s9 s on t.id = s.id
+      |when not matched then insert (id, v, s) values (s.id, s.nv, 'i')""".stripMargin)
+    assert(r.collect()(0).getLong(0) == nSrc)
+    val c = MergeEvalCounter.calls.get()
+    assert(c >= nSrc, s"source must be evaluated at least once per row: $c of $nSrc")
+    assert(c < 2 * nSrc,
+      s"insert side evaluated the source twice ($c calls for $nSrc rows) — " +
+        "the fullPath localCheckpoint-once contract is broken")
+    assert(spark.table("graft_merge_t9").count() == 4 + nSrc)
+  }
+}
+
+/** JVM-singleton evaluation counter for the checkpoint-reuse spec (a
+  * lambda-captured counter would be cloned per task by closure
+  * serialization, even in local mode).
+  */
+object MergeEvalCounter {
+  val calls = new java.util.concurrent.atomic.AtomicLong
 }
