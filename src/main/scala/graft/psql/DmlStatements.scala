@@ -68,8 +68,15 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else if (matchesWord(stmt, 0, "create"))
       // column-def lists with constraint clauses (and OR REPLACE of a def
-      // list) first; then the OR REPLACE … AS form; else Spark native DDL
-      TableConstraints.create(spark, stmt).orElse(createOrReplace(spark, stmt))
+      // list) first; then CREATE [UNIQUE] INDEX; then the OR REPLACE … AS
+      // form; else Spark native DDL
+      TableConstraints.create(spark, stmt)
+        .orElse(TableConstraints.createIndexStmt(spark, stmt))
+        .orElse(createOrReplace(spark, stmt))
+    else if (matchesWord(stmt, 0, "drop"))
+      // DROP INDEX is ours (Spark has no index DDL for v1 tables); every
+      // other DROP stays native
+      TableConstraints.dropIndexStmt(spark, stmt)
     // plain INSERT delegates to Spark's native DML (b10); ON CONFLICT,
     // OR REPLACE/IGNORE, RETURNING, BY NAME and constrained-target forms
     // need the front-end (Spark has none)

@@ -141,9 +141,16 @@ object SessionOptions {
         val t = unquote(rest.stripPrefix("(").stripSuffix(")").trim)
         import spark.implicits._
         val fields = spark.table(t).schema.fields.toSeq
+        // recorded constraint metadata surfaces exactly like DuckDB's
+        // table_info: notnull true for NOT NULL + PK columns, dflt_value
+        // as the expression text, pk flag per key column (probed shape)
+        val cons = TableConstraints.load(spark, t)
+        def has(cols: Seq[String], n: String) = cols.exists(_.equalsIgnoreCase(n))
         return Some(fields.zipWithIndex.map { case (f, i) =>
-          (i, f.name, f.dataType.sql, !f.nullable,
-            null.asInstanceOf[String], false)
+          (i, f.name, f.dataType.sql, !f.nullable ||
+              has(cons.notNull, f.name) || has(cons.primaryKey, f.name),
+            cons.defaults.get(f.name.toLowerCase(java.util.Locale.ROOT)).orNull,
+            has(cons.primaryKey, f.name))
         }.toDF("cid", "name", "type", "notnull", "dflt_value", "pk"))
       case "database_size" | "database_list" | "storage_info" =>
         throw new IllegalArgumentException(

@@ -31,9 +31,12 @@ import SqlScanner.{matchesWord, nextCode, scan}
   *    reads ONLY the key columns). `CREATE OR REPLACE TABLE t (cols)` is
   *    also handled here (Spark v1 cannot REPLACE): drop-then-create,
   *    DuckDB's semantics;
-  *  - UNIQUE constraints and FOREIGN KEYs are recorded but NOT enforced
-  *    (documented divergence: enforcing FKs needs a reference-table join
-  *    per write; declare them for tooling, enforce in pipelines).
+  *  - UNIQUE constraints (declared or created as UNIQUE INDEXes) are
+  *    enforced on front-end INSERTs the same way as the PK, with NULL
+  *    keys exempt (SQL's rule); FOREIGN KEYs are recorded but NOT
+  *    enforced (documented divergence: enforcing FKs needs a
+  *    reference-table join per write; declare them for tooling, enforce
+  *    in pipelines).
   *
   * CHECK null semantics follow SQL/DuckDB: a NULL check result PASSES
   * (only FALSE violates) — the guards coalesce to TRUE.
@@ -52,7 +55,8 @@ object TableConstraints {
         checks.isEmpty && defaults.isEmpty && foreignKeys.isEmpty
     /** Anything the write paths must actively guard. */
     def enforceable: Boolean =
-      primaryKey.nonEmpty || notNull.nonEmpty || checks.nonEmpty
+      primaryKey.nonEmpty || notNull.nonEmpty || checks.nonEmpty ||
+        uniques.nonEmpty
   }
 
   val empty: Constraints =
@@ -355,6 +359,124 @@ object TableConstraints {
     }
   }
 
+  // ------------------------------------------------------ secondary indexes
+
+  private val IDX = P + "index."
+
+  /** `CREATE [UNIQUE] INDEX [IF NOT EXISTS] name ON t (cols)` — DuckDB's
+    * ART indexes have no Spark analog, but every DuckDB schema dump spells
+    * them, so the statement surface is accepted:
+    *
+    *  - UNIQUE indexes are REAL constraints here: existing data is
+    *    verified (one aggregate over the key columns), the set is recorded
+    *    and enforced on front-end INSERTs exactly like the PRIMARY KEY
+    *    (NULL keys exempt, per SQL);
+    *  - non-unique indexes are recorded as advisory metadata only — scan
+    *    acceleration on Spark comes from LAYOUT (Z-order, bucketing,
+    *    partitioning), not from per-row index structures (documented).
+    */
+  def createIndexStmt(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val sc = scan(stmt)
+    if (!matchesWord(stmt, 0, "create")) return None
+    var p = nextCode(stmt, sc, "create".length)
+    var unique = false
+    if (p >= 0 && matchesWord(stmt, p, "unique")) {
+      unique = true
+      p = nextCode(stmt, sc, p + "unique".length)
+    }
+    if (p < 0 || !matchesWord(stmt, p, "index")) return None
+    p = nextCode(stmt, sc, p + "index".length)
+    var ifNotExists = false
+    if (p >= 0 && matchesWord(stmt, p, "if")) {
+      val n = nextCode(stmt, sc, p + 2)
+      require(n >= 0 && matchesWord(stmt, n, "not"), "expected IF NOT EXISTS")
+      val e = nextCode(stmt, sc, n + 3)
+      require(e >= 0 && matchesWord(stmt, e, "exists"), "expected IF NOT EXISTS")
+      ifNotExists = true
+      p = nextCode(stmt, sc, e + "exists".length)
+    }
+    val (name, afterName) = DmlStatements.identifierAt(stmt, p)
+    val onPos = nextCode(stmt, sc, afterName)
+    require(onPos >= 0 && matchesWord(stmt, onPos, "on"),
+      "CREATE INDEX must be `CREATE [UNIQUE] INDEX name ON table (columns)`")
+    val (table, afterT) = DmlStatements.identifierAt(stmt, onPos + 2)
+    require(!table.contains('.'),
+      s"CREATE INDEX on '$table': qualified names are not supported")
+    require(spark.catalog.tableExists(table),
+      s"CREATE INDEX: table '$table' does not exist")
+    val open = nextCode(stmt, sc, afterT)
+    val cols = parenNameList(stmt, sc, open).map { c =>
+      spark.table(table).schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"CREATE INDEX: column '$c' is not in $table")).name
+    }
+    if (indexOwner(spark, name).isDefined) {
+      if (ifNotExists) return Some(spark.emptyDataFrame)
+      throw new IllegalArgumentException(
+        s"""Index with name "$name" already exists!""")
+    }
+    if (unique) {
+      // DuckDB verifies existing data while building the index
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dup = spark.table(table)
+        .where(cols.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > lit(1L)).limit(1).collect()
+      dup.headOption.foreach { r =>
+        val kv = cols.zipWithIndex
+          .map { case (c, i) => s"$c: ${String.valueOf(r.get(i))}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"""Duplicate key "$kv" violates unique constraint — existing """ +
+            s"rows in $table are not unique on (${cols.mkString(", ")})")
+      }
+    }
+    val kind = if (unique) "unique" else "plain"
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$IDX$name' = " +
+      s"'$kind|${cols.mkString(",")}')")
+    Some(spark.emptyDataFrame)
+  }
+
+  /** `DROP INDEX [IF EXISTS] name`. */
+  def dropIndexStmt(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val sc = scan(stmt)
+    if (!matchesWord(stmt, 0, "drop")) return None
+    var p = nextCode(stmt, sc, "drop".length)
+    if (p < 0 || !matchesWord(stmt, p, "index")) return None
+    p = nextCode(stmt, sc, p + "index".length)
+    var ifExists = false
+    if (p >= 0 && matchesWord(stmt, p, "if")) {
+      val e = nextCode(stmt, sc, p + 2)
+      require(e >= 0 && matchesWord(stmt, e, "exists"), "expected IF EXISTS")
+      ifExists = true
+      p = nextCode(stmt, sc, e + "exists".length)
+    }
+    val (name, after) = DmlStatements.identifierAt(stmt, p)
+    require(stmt.substring(after).trim.isEmpty,
+      s"DROP INDEX: trailing '${stmt.substring(after).trim}'")
+    indexOwner(spark, name) match {
+      case Some(table) =>
+        spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ('$IDX$name')")
+        Some(spark.emptyDataFrame)
+      case None =>
+        require(ifExists, s"""Index with name "$name" does not exist!""")
+        Some(spark.emptyDataFrame)
+    }
+  }
+
+  /** The (current-database) table carrying index `name`, if any. */
+  private def indexOwner(spark: SparkSession, name: String): Option[String] = {
+    val cat = spark.sessionState.catalog
+    cat.listTables(cat.getCurrentDatabase).iterator
+      .map(_.table)
+      .find { t =>
+        try cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .properties.contains(IDX + name)
+        catch { case _: Throwable => false }
+      }
+  }
+
   // -------------------------------------------------------- catalog codec
 
   private def render(c: Constraints): Seq[(String, String)] = {
@@ -383,10 +505,16 @@ object TableConstraints {
       props.collect { case (k, v) if k.startsWith(P + kind + ".") =>
         (k.substring(P.length + kind.length + 1).toInt, v) }
         .toSeq.sortBy(_._1).map(_._2)
+    // UNIQUE secondary indexes are constraints too: fold them in so the
+    // insert-path uniqueness enforcement sees one list
+    val idxUniques = props.collect {
+      case (k, v) if k.startsWith(IDX) && v.startsWith("unique|") =>
+        v.substring("unique|".length).split(",").toSeq
+    }.toSeq
     Constraints(
       primaryKey = props.get(P + "primary_key").map(_.split(",").toSeq).getOrElse(Nil),
       notNull = props.get(P + "not_null").map(_.split(",").toSeq).getOrElse(Nil),
-      uniques = numbered("unique").map(_.split(",").toSeq),
+      uniques = numbered("unique").map(_.split(",").toSeq) ++ idxUniques,
       checks = numbered("check"),
       defaults = props.collect { case (k, v) if k.startsWith(P + "default.") =>
         k.substring(P.length + "default.".length) -> v }.toMap,
@@ -422,34 +550,40 @@ object TableConstraints {
     enforcementFilter(spark, table, c).map(df.where).getOrElse(df)
   }
 
-  /** PRIMARY KEY uniqueness guard for an insert batch: (a) the batch must
-    * not propose a key twice, (b) no proposed key may already exist in the
-    * table. (b) is a key-column-pruned scan of the target semi-joined
-    * against the BROADCAST batch keys — the scalable stand-in for DuckDB's
-    * index probe (reads only the key columns, no shuffle of the table).
+  /** PRIMARY KEY + UNIQUE uniqueness guard for an insert batch: per key
+    * set, (a) the batch must not propose a key twice, (b) no proposed key
+    * may already exist in the table. (b) is a key-column-pruned scan of
+    * the target semi-joined against the BROADCAST batch keys — the
+    * scalable stand-in for DuckDB's index probe (reads only the key
+    * columns, no shuffle of the table). UNIQUE sets exempt NULL keys
+    * (SQL's rule; the PK's NOT NULL is enforced separately).
     */
   def checkPkUnique(spark: SparkSession, table: String, c: Constraints,
       batch: DataFrame): Unit = {
-    if (c.primaryKey.isEmpty) return
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val keys = c.primaryKey
-    val dup = batch.groupBy(keys.map(col): _*).count()
-      .where(col("count") > lit(1L)).limit(1).collect()
-    dup.headOption.foreach { r =>
-      val vals = keys.indices.map(i => String.valueOf(r.get(i))).mkString(", ")
-      throw new IllegalArgumentException(
-        s"INSERT into $table: Duplicate key (${keys.mkString(", ")}) = " +
-          s"($vals) violates primary key constraint (proposed twice in one batch)")
+    def check(keys: Seq[String], kind: String): Unit = {
+      def nonNull(df: DataFrame) = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+      def kv(r: org.apache.spark.sql.Row) = keys.zipWithIndex
+        .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+      val dup = nonNull(batch).groupBy(keys.map(col): _*).count()
+        .where(col("count") > lit(1L)).limit(1).collect()
+      dup.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"""INSERT into $table: Duplicate key "${kv(r)}" violates $kind """ +
+            "constraint (proposed twice in one batch)")
+      }
+      val existing = nonNull(spark.table(table).select(keys.map(col): _*))
+        .join(broadcast(nonNull(batch.select(keys.map(col): _*)).distinct()),
+          keys, "leftsemi")
+        .limit(1).collect()
+      existing.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"""INSERT into $table: Duplicate key "${kv(r)}" violates $kind """ +
+            "constraint — use INSERT OR REPLACE/IGNORE or INSERT … " +
+            "ON CONFLICT to upsert")
+      }
     }
-    val existing = spark.table(table).select(keys.map(col): _*)
-      .join(broadcast(batch.select(keys.map(col): _*).distinct()), keys, "leftsemi")
-      .limit(1).collect()
-    existing.headOption.foreach { r =>
-      val vals = keys.indices.map(i => String.valueOf(r.get(i))).mkString(", ")
-      throw new IllegalArgumentException(
-        s"INSERT into $table: Duplicate key (${keys.mkString(", ")}) = " +
-          s"($vals) violates primary key constraint — use INSERT OR " +
-          "REPLACE/IGNORE or INSERT … ON CONFLICT to upsert")
-    }
+    if (c.primaryKey.nonEmpty) check(c.primaryKey, "primary key")
+    c.uniques.foreach(u => check(u, "unique"))
   }
 }

@@ -167,6 +167,58 @@ class TableConstraintsSpec extends SparkSpec {
     assert(spark.table("graft_ct_j").count() == 1L)
   }
 
+  test("PRAGMA table_info surfaces recorded constraints (probed DuckDB shape)") {
+    drop("graft_ct_ti")
+    psql.sql("create table graft_ct_ti (i integer primary key, v varchar not null, n int default 7)")
+    // probed DuckDB: [(0,'i','INTEGER',True,None,True),(1,'v',...,True,None,False),
+    //                 (2,'n',...,False,'7',False)]
+    val rows = psql.sql("pragma table_info('graft_ct_ti')").orderBy("cid").collect()
+      .map(r => (r.getString(1), r.getBoolean(3),
+        if (r.isNullAt(4)) null else r.getString(4), r.getBoolean(5))).toSeq
+    assert(rows == Seq(("i", true, null, true), ("v", true, null, false),
+      ("n", false, "7", false)))
+  }
+
+  test("CREATE [UNIQUE] INDEX: recorded, enforced, dropped; existing dups rejected") {
+    drop("graft_ct_ix")
+    psql.sql("create table graft_ct_ix (i int primary key, v varchar, n int)")
+    psql.sql("insert into graft_ct_ix values (1, 'a', 5), (2, 'b', 6)")
+    // plain index: advisory metadata only
+    psql.sql("create index graft_v_idx on graft_ct_ix (v)")
+    // unique index: a real constraint from now on
+    psql.sql("create unique index graft_n_idx on graft_ct_ix (n)")
+    assert(TableConstraints.load(spark, "graft_ct_ix").uniques.map(_.toList)
+      .contains(List("n")))
+    val dup = intercept[IllegalArgumentException] {
+      psql.sql("insert into graft_ct_ix values (3, 'c', 5)")
+    }
+    assert(dup.getMessage.contains("violates unique constraint"), dup.getMessage)
+    // NULL keys are exempt (SQL's rule): two NULL n values insert fine
+    psql.sql("insert into graft_ct_ix values (3, 'c', null), (4, 'd', null)")
+    assert(spark.table("graft_ct_ix").count() == 4L)
+    // building a unique index over non-unique existing data errors:
+    // v now holds a duplicate ('a' twice) after this insert
+    psql.sql("insert into graft_ct_ix values (9, 'a', 7)")
+    val pre = intercept[IllegalArgumentException] {
+      psql.sql("create unique index graft_v_uidx on graft_ct_ix (v)")
+    }
+    assert(pre.getMessage.contains("violates unique constraint"), pre.getMessage)
+    // duplicate index name; IF NOT EXISTS keeps
+    val dn = intercept[IllegalArgumentException] {
+      psql.sql("create index graft_n_idx on graft_ct_ix (v)")
+    }
+    assert(dn.getMessage.contains("already exists"))
+    psql.sql("create index if not exists graft_n_idx on graft_ct_ix (v)")
+    // DROP INDEX releases the constraint
+    psql.sql("drop index graft_n_idx")
+    psql.sql("insert into graft_ct_ix values (5, 'e', 5)") // n=5 again: fine now
+    assert(spark.table("graft_ct_ix").count() == 6L)
+    val gone = intercept[IllegalArgumentException] { psql.sql("drop index graft_n_idx") }
+    assert(gone.getMessage.contains("does not exist"))
+    psql.sql("drop index if exists graft_n_idx") // no error
+    psql.sql("drop index graft_v_idx")
+  }
+
   test("typed defaults and expressions: date, arithmetic, parenthesized") {
     drop("graft_ct_k")
     psql.sql("create table graft_ct_k (i int primary key, " +
