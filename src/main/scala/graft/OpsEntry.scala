@@ -1437,6 +1437,44 @@ object OpsEntry {
         |FROM tot""".stripMargin)),
 
     QueryDef(
+      "d46_decontaminate",
+      withTables { (s, _) =>
+        // benchmark DECONTAMINATION (Dedup.decontaminate): the training-
+        // data hygiene pass — flag corpus docs sharing any exact 13-token
+        // gram with an eval set. The eval set here is CONSTRUCTED from the
+        // data (each %29 doc's first 13 tokens as its "benchmark
+        // question"), so every benchmark doc is guaranteed contaminated
+        // (its own source doc contains the snippet) and cross-hits are
+        // possible — deterministic in both engines. Scale shape: grams are
+        // map-side per-row transforms; the (small) benchmark gram set
+        // BROADCASTS; only matched rows reach the one doc-keyed aggregate —
+        // nothing corpus-sized shuffles. md5 gram keys → full oracle.
+        val docs = s.table("documents")
+        val toks = filter(split(coalesce(col("text"), lit("")), " "),
+          w => length(w) > lit(0))
+        val bench = docs.where(col("doc_id") % 29 === 0)
+          .select(col("doc_id"), concat_ws(" ", slice(toks, 1, 13)).as("text"))
+          .where(length(col("text")) > 0)
+        Dedup.decontaminate(docs, bench, "doc_id", "text", n = 13)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+        |  FROM documents),
+        |benchtok AS (
+        |  SELECT doc_id, w[1:13] AS w FROM tok WHERE doc_id % 29 = 0 AND len(w) > 0),
+        |bench AS (
+        |  SELECT DISTINCT md5(array_to_string(w[n.g:n.g+12], ' ')) AS h
+        |  FROM benchtok, LATERAL (SELECT unnest(range(1, greatest(len(w) - 11, 2))) AS g) n),
+        |grams AS (
+        |  SELECT doc_id, md5(array_to_string(w[n.g:n.g+12], ' ')) AS h
+        |  FROM tok, LATERAL (SELECT unnest(range(1, greatest(len(w) - 11, 2))) AS g) n),
+        |hits AS (
+        |  SELECT g.doc_id, count(DISTINCT g.h)::BIGINT AS n_hits
+        |  FROM grams g JOIN bench b ON g.h = b.h GROUP BY g.doc_id)
+        |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
       "d39_sig_jaccard_pairs",
       withTables { (s, _) =>
         // d19's banded pipeline with SIGNATURE-ONLY verification: the

@@ -1451,4 +1451,43 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Per-doc md5 n-gram keys: each consecutive n-token window joined with
+    * one space and md5-hashed; a doc shorter than n tokens contributes its
+    * whole token list as the single gram (both engines state the same
+    * rule). Entirely map-side — gram construction is a per-row transform
+    * over the token array, no shuffle.
+    */
+  private def md5Grams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        filter(split(coalesce(col(textCol), lit("")), " "),
+          w => length(w) > lit(0)).as("__w"))
+      .where(size(col("__w")) > 0)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), greatest(size(col("__w")) - lit(n - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__w"), i, n))))).as("h"))
+
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing any exact
+    * n-token gram with a benchmark/eval set — the training-data hygiene
+    * pass that keeps eval answers out of the training corpus (the
+    * standard 13-gram rule). Returns one row per CONTAMINATED corpus doc:
+    * (doc_id, n_hits = distinct benchmark grams it contains).
+    *
+    * Scale shape: grams are map-side per-row transforms (no shuffle to
+    * build); the benchmark side — eval sets are orders of magnitude
+    * smaller than the corpus — deduplicates to a distinct gram set and
+    * BROADCASTS, so the corpus is scanned once, joined map-side, and only
+    * MATCHED (id, gram) rows reach the one narrow doc-keyed aggregate.
+    * Nothing corpus-sized ever shuffles. md5 gram keys keep the broadcast
+    * rows narrow and are reproducible in any engine (full oracle).
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 13): DataFrame = {
+    val corpusGrams = md5Grams(corpus, idCol, textCol, n)
+    val benchGrams = md5Grams(bench, idCol, textCol, n).select("h").distinct()
+    corpusGrams.join(broadcast(benchGrams), Seq("h"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("h")).as("n_hits"))
+  }
 }

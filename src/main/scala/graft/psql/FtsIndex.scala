@@ -101,7 +101,10 @@ object FtsIndex {
     val posting = tok.select(col("__id"), col("dl"), explode(col("__w")).as("term"))
       .groupBy("term", "__id", "dl").agg(count(lit(1)).as("tf"))
     dropIfExists(spark, termsTable(table))
-    posting.repartitionByRange(32, col("term"))
+    // range-partitioned by term at the session's shuffle parallelism: at
+    // corpus scale each output file covers a narrow term range, so a
+    // query's `term IN (…)` prunes to a handful of files via min/max stats
+    posting.repartitionByRange(spark.sessionState.conf.numShufflePartitions, col("term"))
       .sortWithinPartitions("term")
       .write.format("parquet").saveAsTable(termsTable(table))
     // stats over ALL documents (a zero-token doc has no postings but still
