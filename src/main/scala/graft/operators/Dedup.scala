@@ -1466,7 +1466,7 @@ object Dedup {
       .where(size(col("__w")) > 0)
       .select(col("id"), explode(transform(
         sequence(lit(1), greatest(size(col("__w")) - lit(n - 1), lit(1))),
-        i => md5(concat_ws(" ", slice(col("__w"), i, n))))).as("h"))
+        i => md5(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as("h"))
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing any exact
     * n-token gram with a benchmark/eval set — the training-data hygiene

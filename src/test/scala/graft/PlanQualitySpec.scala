@@ -876,4 +876,67 @@ class PlanQualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 100L), (2L, 20L), (3L, 30L), (9L, 900L)), got)
   }
+
+  test("FTS match_bm25 scoring: postings pruned by term filter, stats/docfreq broadcast, corpus-free") {
+    val psql = graft.psql.Psql(spark)
+    Seq("fts_main_documents_terms", "fts_main_documents_docfreq",
+      "fts_main_documents_stats").foreach(
+      graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+    try {
+      // the scores view alone: the index is the ONLY thing scanned
+      val scores = psql.sql(
+        "from documents |> select doc_id, " +
+          "fts_main_documents.match_bm25(doc_id, 'merge window scan') as score " +
+          "|> where score is not null")
+      val p = plan(scores)
+      // the postings scan carries the term IN-filter (pushed → row-group
+      // pruning over the range-partitioned, term-sorted table)
+      assert(p.contains("PushedFilters: [In(term,"), p.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n"))
+      // docfreq joins BROADCAST (tiny) — no sort-merge anywhere
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the postings reader schema is pruned to the scoring columns
+      val termsRead = p.linesIterator
+        .filter(l => l.contains("ReadSchema") && l.contains("tf")).mkString
+      assert(termsRead.contains("dl") && termsRead.contains("__id"), termsRead)
+    } finally {
+      psql.sql("PRAGMA drop_fts_index('documents')")
+    }
+  }
+
+  test("constrained-INSERT PK probe: key-column-pruned target scan + broadcast batch keys") {
+    val psql = graft.psql.Psql(spark)
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_pk")
+    psql.sql("create table graft_plan_pk (k bigint primary key, v varchar, x double)")
+    psql.sql("insert into graft_plan_pk values (1, 'a', 0.5)")
+    // capture every executed plan of the next INSERT's jobs
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      psql.sql("insert into graft_plan_pk values (2, 'b', 1.5)")
+      Thread.sleep(500) // QueryExecutionListener delivers async
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        plans.iterator()).asScala.toList
+      // the uniqueness probe scans ONLY the key column of the target and
+      // broadcasts the (tiny) batch keys into a semi join
+      val probe = all.filter(p => p.contains("LeftSemi"))
+      assert(probe.nonEmpty, "no semi-join PK probe executed:\n" +
+        all.mkString("\n----\n").take(1500))
+      assert(probe.exists(_.contains("BroadcastHashJoin")), probe.mkString.take(1500))
+      val read = probe.flatMap(_.linesIterator.filter(l =>
+        l.contains("ReadSchema") && l.contains("graft_plan_pk")))
+      assert(read.exists(l => l.contains("k:bigint") && !l.contains("v:") && !l.contains("x:")),
+        s"PK probe must read only the key column:\n${read.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+    assert(spark.table("graft_plan_pk").count() == 2L)
+  }
 }
