@@ -1439,16 +1439,18 @@ object OpsEntry {
     QueryDef(
       "d46_decontaminate",
       withTables { (s, _) =>
-        // benchmark DECONTAMINATION (Dedup.decontaminate): the training-
-        // data hygiene pass — flag corpus docs sharing any exact 13-token
-        // gram with an eval set. The eval set here is CONSTRUCTED from the
-        // data (each %29 doc's first 13 tokens as its "benchmark
-        // question"), so every benchmark doc is guaranteed contaminated
-        // (its own source doc contains the snippet) and cross-hits are
-        // possible — deterministic in both engines. Scale shape: grams are
-        // map-side per-row transforms; the (small) benchmark gram set
-        // BROADCASTS; only matched rows reach the one doc-keyed aggregate —
-        // nothing corpus-sized shuffles. md5 gram keys → full oracle.
+        // benchmark DECONTAMINATION at the standard 13-gram rule
+        // (Dedup.decontaminate) — the CORPUS-side audit (which training
+        // docs leak eval content, with distinct-hit counts), complementing
+        // c01 (the filter) and c08 (the bench-side report), both of which
+        // run 3-gram inverted-index JOINS; this row exercises the other
+        // scale shape — eval sets are orders of magnitude smaller than the
+        // corpus, so the benchmark gram set BROADCASTS and the corpus is
+        // scanned once map-side, only matched rows reaching the one
+        // doc-keyed aggregate. The eval set is CONSTRUCTED from the data
+        // (each %29 doc's first 13 tokens as its "benchmark question"), so
+        // contamination is guaranteed and deterministic in both engines.
+        // md5 gram keys → full oracle.
         val docs = s.table("documents")
         val toks = filter(split(coalesce(col("text"), lit("")), " "),
           w => length(w) > lit(0))

@@ -101,6 +101,43 @@ object DmlStatements {
     else None
   }
 
+  /** Replace bare `DEFAULT` items in VALUES tuples with the positionally
+    * corresponding column's recorded default expression (NULL when the
+    * column declares none — probed DuckDB). Only single-word DEFAULT items
+    * rewrite; DEFAULT inside an expression stays an error downstream, as
+    * in DuckDB.
+    */
+  private def rewriteValuesDefaults(spark: SparkSession, src: String,
+      names: Seq[String], fields: Seq[org.apache.spark.sql.types.StructField],
+      table: String): String = {
+    if (!src.toLowerCase(java.util.Locale.ROOT).contains("default")) return src
+    val defaults = TableConstraints.load(spark, table).defaults
+    val tuples = splitTopCommas(src.substring("values".length))
+    val out = tuples.map { t0 =>
+      val t = t0.trim
+      if (!(t.startsWith("(") && t.endsWith(")"))) t
+      else {
+        val items = splitTopCommas(t.substring(1, t.length - 1))
+        val repl = items.zipWithIndex.map { case (it, i) =>
+          if (!it.trim.equalsIgnoreCase("default")) it
+          else {
+            require(i < names.length,
+              s"INSERT: DEFAULT at position ${i + 1} has no target column")
+            val f = fields.find(_.name.equalsIgnoreCase(names(i))).getOrElse(
+              throw new IllegalArgumentException(
+                s"INSERT: column '${names(i)}' is not in $table"))
+            defaults.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(e) => s"($e)"
+              case None    => s"cast(null as ${f.dataType.sql})"
+            }
+          }
+        }
+        "(" + repl.mkString(", ") + ")"
+      }
+    }
+    "values " + out.mkString(", ")
+  }
+
   /** Target table of a plain `INSERT INTO t …`, when parseable. */
   private def plainInsertTarget(stmt: String): Option[String] = {
     val sc = scan(stmt)
@@ -470,7 +507,15 @@ object DmlStatements {
       val c = stmt.substring(whereP + "where".length).trim
       return MergeStatement.updateFrom(spark, table, table, rel, alias, c, assigns)
     }
-    val byCol = assigns.map { case (c, e) => c.toLowerCase -> e }.toMap
+    // SET c = DEFAULT → the recorded default expression (NULL when none —
+    // probed DuckDB)
+    val tblDefaults = TableConstraints.load(spark, table).defaults
+    val byCol = assigns.map { case (c, e) =>
+      val expr =
+        if (!e.trim.equalsIgnoreCase("default")) e
+        else tblDefaults.getOrElse(c.toLowerCase, "null")
+      c.toLowerCase -> expr
+    }.toMap
     val condSql = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
     // assigned columns keep their declared type: the cast spelling routes
     // through rewriteCasts → GraftCast for integer/boolean targets, so
@@ -605,7 +650,14 @@ object DmlStatements {
         require(p >= 0, "INSERT: missing VALUES/query after the column list")
         Some(cs)
       } else None
-    val source = stmt.substring(p).trim
+    val source0 = stmt.substring(p).trim
+    // DuckDB's bare DEFAULT keyword in VALUES tuples: positionally resolve
+    // each to the column's recorded default (NULL when none, DuckDB's rule)
+    val source =
+      if (!byName && matchesWord(source0, 0, "values"))
+        rewriteValuesDefaults(spark, source0, cols.getOrElse(fields.map(_.name)),
+          fields, table)
+      else source0
     val psql = Psql(spark)
     val srcDf =
       if (matchesWord(source, 0, "values")) spark.sql(s"SELECT * FROM $source")

@@ -730,5 +730,15 @@ class PsqlRewriterSpec extends AnyFunSuite {
       == "lag(v) ignore nulls over (order by i)")
     assert(PsqlRewriter.rewriteIgnoreNulls("select 'lag(v ignore nulls)' as s")
       == "select 'lag(v ignore nulls)' as s")
+    // r15: an already-Spark-spelled aggregate modifier NESTED in another
+    // call (the keyword follows a completed call, before the ENCLOSING
+    // close paren) must not be hoisted out of the wrong call
+    assert(PsqlRewriter.rewriteIgnoreNulls("coalesce(0, first(x) ignore nulls)")
+      == "coalesce(0, first(x) ignore nulls)")
+    assert(PsqlRewriter.rewriteIgnoreNulls("f(g(first(x) respect nulls))")
+      == "f(g(first(x) respect nulls))")
+    // …while the DuckDB in-call spelling nested in another call still moves
+    assert(PsqlRewriter.rewriteIgnoreNulls("coalesce(0, first(x ignore nulls))")
+      == "coalesce(0, first(x) ignore nulls)")
   }
 }

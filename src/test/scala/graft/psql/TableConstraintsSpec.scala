@@ -219,6 +219,26 @@ class TableConstraintsSpec extends SparkSpec {
     psql.sql("drop index graft_v_idx")
   }
 
+  test("bare DEFAULT keyword in VALUES and UPDATE SET (probed DuckDB)") {
+    drop("graft_ct_dk")
+    psql.sql("create table graft_ct_dk (i int primary key, v varchar default 'x', n int)")
+    // probed: INSERT INTO t VALUES (1, DEFAULT, DEFAULT) → (1, 'x', NULL)
+    psql.sql("insert into graft_ct_dk values (1, default, default)")
+    val r1 = spark.table("graft_ct_dk").collect()(0)
+    assert(r1.getInt(0) == 1 && r1.getString(1) == "x" && r1.isNullAt(2))
+    // probed: column-list form INSERT (i, n) VALUES (2, DEFAULT) → n NULL
+    psql.sql("insert into graft_ct_dk (i, n) values (2, default)")
+    val r2 = spark.table("graft_ct_dk").where("i = 2").collect()(0)
+    assert(r2.getString(1) == "x" && r2.isNullAt(2))
+    // probed: UPDATE SET v = DEFAULT, n = 5
+    psql.sql("update graft_ct_dk set v = default, n = 5 where i = 1")
+    val r3 = spark.table("graft_ct_dk").where("i = 1").collect()(0)
+    assert(r3.getString(1) == "x" && r3.getInt(2) == 5)
+    // a string literal 'default' is DATA, never the keyword
+    psql.sql("insert into graft_ct_dk values (3, 'default', default)")
+    assert(spark.table("graft_ct_dk").where("i = 3").collect()(0).getString(1) == "default")
+  }
+
   test("typed defaults and expressions: date, arithmetic, parenthesized") {
     drop("graft_ct_k")
     psql.sql("create table graft_ct_k (i int primary key, " +
