@@ -588,7 +588,7 @@ object DmlStatements {
     */
   private def insertFrontend(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, retOpt) = splitReturning(stmt0)
-    val (table, _, proj) = insertBatch(spark, stmt)
+    val (table, _, _, proj) = insertBatch(spark, stmt)
     // recorded constraints: NOT NULL/CHECK guards fuse into the write scan
     // (raise_error, map-side); PRIMARY KEY uniqueness is one batch-sized
     // aggregate + a key-pruned broadcast-semi probe of the table
@@ -615,7 +615,7 @@ object DmlStatements {
     * `INSERT … SELECT FROM t` reads the pre-insert snapshot as DuckDB does.
     */
   private def insertBatch(spark: SparkSession, stmt: String)
-      : (String, Seq[org.apache.spark.sql.types.StructField], DataFrame) = {
+      : (String, Seq[org.apache.spark.sql.types.StructField], Seq[String], DataFrame) = {
     val sc = scan(stmt)
     val intoPos = nextCode(stmt, sc, "insert".length)
     require(intoPos >= 0 && matchesWord(stmt, intoPos, "into"),
@@ -694,7 +694,7 @@ object DmlStatements {
     val proj = psql.sql(s"from $view |> select ${sel.mkString(", ")}")
       .localCheckpoint(true) // ONE evaluation: every consumer sees the same rows
     spark.catalog.dropTempView(view)
-    (table, fields, proj)
+    (table, fields, names, proj)
   }
 
   /** DuckDB `INSERT INTO t [BY NAME] [(cols)] <source> ON CONFLICT (keys)
@@ -771,7 +771,7 @@ object DmlStatements {
         whereText.foreach(w => require(w.nonEmpty, "DO UPDATE … WHERE needs a condition"))
         Some((parseSetList(setText), whereText))
       }
-    val (table, fields, proj) = insertBatch(spark, head)
+    val (table, fields, _, proj) = insertBatch(spark, head)
     conflictLower(spark, table, fields, proj, keyCols, update)
   }
 
@@ -854,7 +854,7 @@ object DmlStatements {
         "the ON CONFLICT clause or use the plain INSERT … ON CONFLICT form")
     val head = "insert " +
       stmt.substring(m + (if (replace) "replace" else "ignore").length).trim
-    val (table, fields, proj) = insertBatch(spark, head)
+    val (table, fields, listed, proj) = insertBatch(spark, head)
     val pk = TableConstraints.load(spark, table).primaryKey
     require(pk.nonEmpty,
       s"INSERT OR ${if (replace) "REPLACE" else "IGNORE"} infers its conflict " +
@@ -864,10 +864,15 @@ object DmlStatements {
     val update =
       if (!replace) None
       else {
+        // probed DuckDB: a partial column list REPLACES only the LISTED
+        // columns — unlisted ones keep the OLD row's values (NOT the
+        // declared defaults; defaults apply only on the not-matched
+        // INSERT side). A listing of key columns only has nothing to
+        // set → DO NOTHING (probed count 0 on an existing key).
         val pkLower = pk.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        val assigns = fields
-          .filterNot(f => pkLower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-          .map(f => (f.name, s"excluded.${f.name}"))
+        val assigns = listed
+          .filterNot(c => pkLower.contains(c.toLowerCase(java.util.Locale.ROOT)))
+          .map(c => (c, s"excluded.$c"))
         if (assigns.isEmpty) None else Some((assigns, None))
       }
     conflictLower(spark, table, fields, proj, Some(pk), update)

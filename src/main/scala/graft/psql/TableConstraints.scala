@@ -139,6 +139,11 @@ object TableConstraints {
         graft.operators.Bucketing.dropTableAndLocation(spark, name)
       } else throw new IllegalArgumentException(
         s"""Table with name "$name" already exists!""")
+    } else {
+      // a stale orphan directory under the warehouse (left by a table
+      // dropped in a previous session) would fail the CREATE below with
+      // LOCATION_ALREADY_EXISTS — clean it like every other write path
+      graft.operators.Bucketing.dropTableAndLocation(spark, name)
     }
 
     // PRIMARY KEY implies NOT NULL (DuckDB's rule)

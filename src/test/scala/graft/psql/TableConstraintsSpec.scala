@@ -106,6 +106,26 @@ class TableConstraintsSpec extends SparkSpec {
     assert(e.getMessage.contains("twice"))
   }
 
+  test("partial-column OR REPLACE keeps UNLISTED columns' OLD values (probed DuckDB)") {
+    drop("graft_ct_pr")
+    psql.sql("create table graft_ct_pr (k int primary key, v varchar default 'x', n int default 7)")
+    psql.sql("insert into graft_ct_pr values (1, 'orig', 99)")
+    // probed: (1,'orig',99) + OR REPLACE (k,n)=(1,5) → (1,'orig',5):
+    // v keeps the OLD value, NOT the default
+    psql.sql("insert or replace into graft_ct_pr (k, n) values (1, 5)")
+    val r1 = spark.table("graft_ct_pr").collect()(0)
+    assert((r1.getInt(0), r1.getString(1), r1.getInt(2)) == ((1, "orig", 5)))
+    // …while a NOT-matched key through the same statement gets defaults
+    psql.sql("insert or replace into graft_ct_pr (k, n) values (3, 43)")
+    val r3 = spark.table("graft_ct_pr").where("k = 3").collect()(0)
+    assert((r3.getString(1), r3.getInt(2)) == (("x", 43)))
+    // probed: pk-only column list on an existing key → count 0, unchanged
+    assert(psql.sql("insert or replace into graft_ct_pr (k) values (1)")
+      .collect()(0).getLong(0) == 0L)
+    val r1b = spark.table("graft_ct_pr").where("k = 1").collect()(0)
+    assert((r1b.getString(1), r1b.getInt(2)) == (("orig", 5)))
+  }
+
   test("pk-only table: OR REPLACE degenerates to DO NOTHING (probed count 0)") {
     drop("graft_ct_f")
     psql.sql("create table graft_ct_f (i int primary key)")

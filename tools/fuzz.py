@@ -694,6 +694,63 @@ def seqvar_script(name):
     return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 
+def constraints_script(name):
+    """Constraint-surface family (r15): CREATE TABLE with PRIMARY KEY /
+    NOT NULL / DEFAULT / CHECK, default-filling column-list inserts, the
+    bare DEFAULT keyword in VALUES, UPDATE SET c = DEFAULT, and the
+    PK-inferring upserts (INSERT OR REPLACE incl. partial column lists,
+    OR IGNORE, bare ON CONFLICT) — the SAME statement text in both engines
+    (DuckDB 1.0 carries all of it natively). Scripts stay violation-free:
+    the differential compares final contents, not error paths (those are
+    spec-pinned with DuckDB's exact messages)."""
+    t = f"fz_{name}"
+    d = rnd.randrange(1, 50)
+    p = rnd.choice([3, 5, 7])
+    create = (f"create or replace table {t} (k bigint primary key, "
+              f"ln integer not null, q bigint default {d}, "
+              f"f varchar default 'D', check (q >= 0))")
+    seed = (f"insert into {t} (k, ln, q) select l_orderkey, "
+            f"cast(min(l_linenumber) as integer), "
+            f"cast(sum(cast(l_quantity as bigint)) as bigint) from lineitem "
+            f"where l_orderkey % {p} = 0 group by l_orderkey")
+    spark = [create, seed]
+    duck = [create.replace(f"create or replace table {t}",
+                           f"CREATE OR REPLACE TEMP TABLE {t}"), seed]
+    lit_key = 9 * 10 ** 8 + rnd.randrange(0, 10 ** 6)
+    for _ in range(rnd.randrange(2, 4)):
+        kind = rnd.randrange(5)
+        m = rnd.choice([2, 4, 6, 11])
+        off = rnd.choice([0, 10 ** 7])
+        src = (f"select l_orderkey + {off} as k, "
+               f"cast(count(*) as integer) as ln, "
+               f"cast(count(*) * {rnd.randrange(1, 9)} as bigint) as q "
+               f"from lineitem where l_orderkey % {m} = 0 group by l_orderkey")
+        if kind == 0:
+            # partial column list: unlisted columns keep OLD values on
+            # replaced rows, take defaults on inserted ones (probed)
+            stmt = f"insert or replace into {t} (k, ln, q) {src}"
+        elif kind == 1:
+            stmt = (f"insert or ignore into {t} (k, ln) "
+                    f"select k, ln from ({src}) s")
+        elif kind == 2:
+            stmt = (f"insert into {t} (k, ln) select k, ln from ({src}) s "
+                    f"on conflict do update set q = q + 1, f = f || '+'")
+        elif kind == 3:
+            vals = ", ".join(
+                f"({lit_key + j}, {rnd.randrange(1, 9)}, default, default)"
+                for j in range(rnd.randrange(1, 3)))
+            lit_key += 10
+            stmt = f"insert into {t} values {vals}"
+        else:
+            stmt = (f"update {t} set f = default, q = q + 1 "
+                    f"where k % {rnd.randrange(5, 17)} = 1")
+        spark.append(stmt)
+        duck.append(stmt)
+    spark.append(f"from {t} |> order by all")
+    duck.append(f"SELECT * FROM {t} ORDER BY ALL")
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
 def dml_script(name):
     """Statement-script family: CREATE OR REPLACE TABLE seed, then random
     DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
@@ -703,13 +760,15 @@ def dml_script(name):
     DELETE USING / UPDATE FROM / INSERT sequence generated here, i.e. an
     INDEPENDENT python formulation of the clause algebra, so the
     differential covers MERGE semantics, not just its parsing.
-    1-in-5 scripts are instead the INSERT … ON CONFLICT family, another
-    1-in-5 the session-state (sequences/variables) family."""
+    The script families rotate: INSERT … ON CONFLICT, session state
+    (sequences/variables), and the r15 constraint surface."""
     r0 = rnd.random()
-    if r0 < 0.20:
+    if r0 < 0.15:
         return onconflict_script(name)
-    if r0 < 0.40:
+    if r0 < 0.30:
         return seqvar_script(name)
+    if r0 < 0.45:
+        return constraints_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
