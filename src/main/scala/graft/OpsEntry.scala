@@ -6081,6 +6081,49 @@ object OpsEntry {
         |FROM graft_b20_t ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b21_enum_type",
+      withTables { (s, _) =>
+        // CREATE TYPE … AS ENUM (TableConstraints): the statement every
+        // DuckDB schema dump opens with. Enum columns lower to STRING + a
+        // membership CHECK (enforced map-side on every front-end write)
+        // + the dependency marker DROP TYPE honors. Out-of-domain inserts
+        // error in both engines (probed; message class differs —
+        // conversion vs CHECK — documented). The final select casts to
+        // VARCHAR explicitly so both engines emit identical string
+        // columns. Documented divergence: ORDER BY an enum column here is
+        // lexical, not declaration-order — the row orders by the key.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_b21_t")
+        Bucketing.dropTableAndLocation(s, "graft_b21_t__graft_cow")
+        psql.sql("drop type if exists graft_b21_status")
+        psql.sql("create type graft_b21_status as enum ('F', 'O', 'P')")
+        psql.sql("""create or replace table graft_b21_t (
+          |o_orderkey bigint primary key, st graft_b21_status, total double)""".stripMargin)
+        psql.sql("""insert into graft_b21_t select o_orderkey, o_orderstatus,
+          |o_totalprice from orders where o_orderkey % 6 = 0""".stripMargin)
+        psql.sql("""insert or replace into graft_b21_t select o_orderkey, 'P',
+          |o_totalprice + 1 from orders where o_orderkey % 12 = 0""".stripMargin)
+        val bad =
+          try { psql.sql("insert into graft_b21_t values (999999991, 'Z', 1.0)").collect(); false }
+          catch { case e: Exception => e.getMessage.contains("CHECK constraint failed") }
+        require(bad, "out-of-domain enum value must fail the membership check")
+        psql.sql("""from graft_b21_t
+          ||> select o_orderkey, cast(st as varchar) as st, total
+          ||> order by o_orderkey""".stripMargin)
+      },
+      Some("""DROP TABLE IF EXISTS graft_b21_t;
+        |DROP TYPE IF EXISTS graft_b21_status;
+        |CREATE TYPE graft_b21_status AS ENUM ('F', 'O', 'P');
+        |CREATE OR REPLACE TEMP TABLE graft_b21_t (
+        |  o_orderkey BIGINT PRIMARY KEY, st graft_b21_status, total DOUBLE);
+        |INSERT INTO graft_b21_t SELECT o_orderkey, o_orderstatus,
+        |  o_totalprice FROM orders WHERE o_orderkey % 6 = 0;
+        |INSERT OR REPLACE INTO graft_b21_t SELECT o_orderkey, 'P',
+        |  o_totalprice + 1 FROM orders WHERE o_orderkey % 12 = 0;
+        |SELECT o_orderkey, cast(st AS VARCHAR) AS st, total
+        |FROM graft_b21_t ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

@@ -68,15 +68,17 @@ object DmlStatements {
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
     else if (matchesWord(stmt, 0, "create"))
       // column-def lists with constraint clauses (and OR REPLACE of a def
-      // list) first; then CREATE [UNIQUE] INDEX; then the OR REPLACE … AS
-      // form; else Spark native DDL
+      // list) first; then CREATE [UNIQUE] INDEX and CREATE TYPE … AS ENUM;
+      // then the OR REPLACE … AS form; else Spark native DDL
       TableConstraints.create(spark, stmt)
         .orElse(TableConstraints.createIndexStmt(spark, stmt))
+        .orElse(TableConstraints.createType(spark, stmt))
         .orElse(createOrReplace(spark, stmt))
     else if (matchesWord(stmt, 0, "drop"))
-      // DROP INDEX is ours (Spark has no index DDL for v1 tables); every
-      // other DROP stays native
+      // DROP INDEX / DROP TYPE are ours (Spark has neither for v1
+      // tables); every other DROP stays native
       TableConstraints.dropIndexStmt(spark, stmt)
+        .orElse(TableConstraints.dropType(spark, stmt))
     // plain INSERT delegates to Spark's native DML (b10); ON CONFLICT,
     // OR REPLACE/IGNORE, RETURNING, BY NAME and constrained-target forms
     // need the front-end (Spark has none)

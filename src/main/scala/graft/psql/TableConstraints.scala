@@ -49,7 +49,8 @@ object TableConstraints {
       uniques: Seq[Seq[String]],
       checks: Seq[String],
       defaults: Map[String, String], // lower-cased column -> expr text
-      foreignKeys: Seq[String]) {
+      foreignKeys: Seq[String],
+      enumCols: Map[String, String] = Map.empty) { // lower col -> type name
     def isEmpty: Boolean =
       primaryKey.isEmpty && notNull.isEmpty && uniques.isEmpty &&
         checks.isEmpty && defaults.isEmpty && foreignKeys.isEmpty
@@ -60,7 +61,7 @@ object TableConstraints {
   }
 
   val empty: Constraints =
-    Constraints(Nil, Nil, Nil, Nil, Map.empty, Nil)
+    Constraints(Nil, Nil, Nil, Nil, Map.empty, Nil, Map.empty)
 
   private val P = "graft.constraints."
 
@@ -115,7 +116,7 @@ object TableConstraints {
     val body = stmt.substring(open + 1, close)
     val tail = stmt.substring(close + 1).trim
 
-    val (colDefs, cons) = parseDefs(body)
+    val (colDefs, cons) = parseDefs(body, enumsView(spark))
     if (colDefs.isEmpty) return None
     if (cons.isEmpty && !orReplace) return None // native DDL is strictly better
 
@@ -167,14 +168,21 @@ object TableConstraints {
   }
 
   private final case class ColDef(name: String, sparkType: String,
-      default: Option[String])
+      default: Option[String], enumType: Option[String] = None)
 
   /** Keywords that terminate a type / DEFAULT expression at depth 0. */
   private val consKw = Set("primary", "not", "null", "unique", "default",
     "check", "references", "collate")
 
+  /** Read-only view of the session's enum registry. */
+  private def enumsView(spark: SparkSession): Map[String, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    enums(spark).asScala.toMap
+  }
+
   /** Split the paren body into column defs + collected constraints. */
-  private def parseDefs(body: String): (Seq[ColDef], Constraints) = {
+  private def parseDefs(body: String,
+      enumTypes: Map[String, Seq[String]]): (Seq[ColDef], Constraints) = {
     val cols = scala.collection.mutable.ListBuffer.empty[ColDef]
     var pk = Seq.empty[String]
     val nn = scala.collection.mutable.ListBuffer.empty[String]
@@ -270,15 +278,27 @@ object TableConstraints {
                 s"column $cname: unsupported clause at '${item.substring(j).take(30)}'")
             }
           }
-          cols += ColDef(cname, mapType(duckType), default)
+          enumTypes.get(duckType.trim.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(values) =>
+              // enum column → STRING + membership CHECK (NULL passes, like
+              // any check) + the dependency marker for DROP TYPE
+              ck += s"$cname in (${values.map(v =>
+                "'" + v.replace("'", "''") + "'").mkString(", ")})"
+              cols += ColDef(cname, "string", default,
+                enumType = Some(duckType.trim))
+            case None =>
+              cols += ColDef(cname, mapType(duckType), default)
+          }
         }
       }
     }
     (cols.toList,
       Constraints(pk, nn.toList.distinct, uq.toList, ck.toList,
-        cols.collect { case ColDef(n, _, Some(e)) =>
+        cols.collect { case ColDef(n, _, Some(e), _) =>
           n.toLowerCase(java.util.Locale.ROOT) -> e }.toMap,
-        fk.toList))
+        fk.toList,
+        cols.collect { case ColDef(n, _, _, Some(t)) =>
+          n.toLowerCase(java.util.Locale.ROOT) -> t }.toMap))
   }
 
   private def sc0(s: String, sc: SqlScanner.Scan, i: Int): Boolean =
@@ -362,6 +382,108 @@ object TableConstraints {
       case "utinyint"                             => "smallint"
       case _                                      => t
     }
+  }
+
+  // ------------------------------------------------------------ enum types
+
+  // Session-scoped ENUM type registry (the Macros pattern): DuckDB schema
+  // dumps open with `CREATE TYPE x AS ENUM (…)`. An enum-typed column
+  // lowers to STRING + a membership CHECK (enforced on every front-end
+  // write like any other check) + a `graft.constraints.enum.<col>` marker.
+  // Documented divergence: ORDER BY on an enum column sorts LEXICALLY here
+  // where DuckDB sorts by declaration order — enum-order-sensitive sorts
+  // need an explicit array_position(...) key.
+  private val enumRegistries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]())
+
+  private def enums(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Seq[String]] =
+    enumRegistries.synchronized {
+      var r = enumRegistries.get(spark)
+      if (r == null) {
+        r = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+        enumRegistries.put(spark, r)
+      }
+      r
+    }
+
+  /** `CREATE TYPE name AS ENUM ('v1', 'v2', …)`. */
+  def createType(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val sc = scan(stmt)
+    if (!matchesWord(stmt, 0, "create")) return None
+    var p = nextCode(stmt, sc, "create".length)
+    if (p < 0 || !matchesWord(stmt, p, "type")) return None
+    val (name, afterName) = DmlStatements.identifierAt(stmt, p + "type".length)
+    p = nextCode(stmt, sc, afterName)
+    require(p >= 0 && matchesWord(stmt, p, "as"), "CREATE TYPE must be `AS ENUM (…)`")
+    p = nextCode(stmt, sc, p + 2)
+    require(p >= 0 && matchesWord(stmt, p, "enum"),
+      "only CREATE TYPE … AS ENUM is supported (struct/union aliases have " +
+        "no Spark DDL mapping)")
+    val open = nextCode(stmt, sc, p + "enum".length)
+    require(open >= 0 && stmt.charAt(open) == '(', "ENUM needs a ('v1', …) list")
+    val close = {
+      var c = open + 1
+      while (c < stmt.length &&
+        !(sc.code(c) && sc.depth(c) == sc.depth(open) && stmt.charAt(c) == ')')) c += 1
+      require(c < stmt.length, "ENUM: unbalanced value list")
+      c
+    }
+    require(stmt.substring(close + 1).trim.isEmpty,
+      s"CREATE TYPE: trailing '${stmt.substring(close + 1).trim}'")
+    val values = DmlStatements.splitTopCommas(stmt.substring(open + 1, close))
+      .map(_.trim).map { v =>
+        require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+          s"ENUM values must be string literals, got '$v'")
+        v.substring(1, v.length - 1).replace("''", "'")
+      }
+    require(values.nonEmpty, "ENUM needs at least one value")
+    require(values.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == values.size,
+      "ENUM values must be distinct")
+    val k = name.toLowerCase(java.util.Locale.ROOT)
+    require(enums(spark).putIfAbsent(k, values) == null,
+      s"""Type with name "$name" already exists!""")
+    Some(spark.emptyDataFrame)
+  }
+
+  /** `DROP TYPE [IF EXISTS] name` — refuses while a table column records
+    * the type (DuckDB's dependency rule).
+    */
+  def dropType(spark: SparkSession, stmt0: String): Option[DataFrame] = {
+    val stmt = stmt0.trim.stripSuffix(";").trim
+    val sc = scan(stmt)
+    if (!matchesWord(stmt, 0, "drop")) return None
+    var p = nextCode(stmt, sc, "drop".length)
+    if (p < 0 || !matchesWord(stmt, p, "type")) return None
+    p = nextCode(stmt, sc, p + "type".length)
+    var ifExists = false
+    if (p >= 0 && matchesWord(stmt, p, "if")) {
+      val e = nextCode(stmt, sc, p + 2)
+      require(e >= 0 && matchesWord(stmt, e, "exists"), "expected IF EXISTS")
+      ifExists = true
+      p = nextCode(stmt, sc, e + "exists".length)
+    }
+    val (name, after) = DmlStatements.identifierAt(stmt, p)
+    require(stmt.substring(after).trim.isEmpty,
+      s"DROP TYPE: trailing '${stmt.substring(after).trim}'")
+    val k = name.toLowerCase(java.util.Locale.ROOT)
+    val cat = spark.sessionState.catalog
+    val dependent = cat.listTables(cat.getCurrentDatabase).iterator.map(_.table)
+      .find { t =>
+        try cat.getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .properties.exists { case (pk, pv) =>
+            pk.startsWith(P + "enum.") && pv.equalsIgnoreCase(name) }
+        catch { case _: Throwable => false }
+      }
+    dependent.foreach(t => throw new IllegalArgumentException(
+      s"""Cannot drop entry "$name" because there are entries that depend """ +
+        s"""on it.\ntable "$t" depends on type "$name"."""))
+    val removed = enums(spark).remove(k) != null
+    require(removed || ifExists, s"""Type with name "$name" does not exist!""")
+    Some(spark.emptyDataFrame)
   }
 
   // ------------------------------------------------------ secondary indexes
@@ -494,6 +616,7 @@ object TableConstraints {
     c.defaults.foreach { case (col, e) => b += (P + s"default.$col") -> e }
     c.foreignKeys.zipWithIndex.foreach { case (e, i) =>
       b += (P + s"foreign_key.$i") -> e }
+    c.enumCols.foreach { case (col, t) => b += (P + s"enum.$col") -> t }
     b.result()
   }
 
@@ -523,7 +646,9 @@ object TableConstraints {
       checks = numbered("check"),
       defaults = props.collect { case (k, v) if k.startsWith(P + "default.") =>
         k.substring(P.length + "default.".length) -> v }.toMap,
-      foreignKeys = numbered("foreign_key"))
+      foreignKeys = numbered("foreign_key"),
+      enumCols = props.collect { case (k, v) if k.startsWith(P + "enum.") =>
+        k.substring(P.length + "enum.".length) -> v }.toMap)
   }
 
   // ---------------------------------------------------------- enforcement

@@ -259,6 +259,39 @@ class TableConstraintsSpec extends SparkSpec {
     assert(spark.table("graft_ct_dk").where("i = 3").collect()(0).getString(1) == "default")
   }
 
+  test("CREATE TYPE … AS ENUM: membership enforced, dependency blocks DROP TYPE") {
+    drop("graft_ct_en")
+    psql.sql("drop type if exists graft_mood")
+    psql.sql("create type graft_mood as enum ('sad', 'ok', 'happy')")
+    val dup = intercept[IllegalArgumentException] {
+      psql.sql("create type graft_mood as enum ('x')")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    psql.sql("create table graft_ct_en (name varchar, m graft_mood)")
+    psql.sql("insert into graft_ct_en values ('a', 'happy'), ('b', 'sad')")
+    // probed DuckDB: an out-of-domain value errors (its message is a
+    // conversion error; ours is the membership CHECK — both constraint-class)
+    val bad = intercept[Exception] {
+      psql.sql("insert into graft_ct_en values ('c', 'angry')").collect()
+    }
+    assert(bad.getMessage.contains("CHECK constraint failed"), bad.getMessage)
+    assert(spark.table("graft_ct_en").count() == 2L)
+    // NULL passes (the column is nullable)
+    psql.sql("insert into graft_ct_en values ('d', null)")
+    // the enum column lowered to string; the marker records the type
+    val c = TableConstraints.load(spark, "graft_ct_en")
+    assert(c.enumCols == Map("m" -> "graft_mood"))
+    assert(spark.table("graft_ct_en").schema("m").dataType.sql.toLowerCase == "string")
+    // DROP TYPE refuses while the table depends on it (DuckDB's rule)
+    val dep = intercept[IllegalArgumentException] { psql.sql("drop type graft_mood") }
+    assert(dep.getMessage.contains("depend"), dep.getMessage)
+    psql.sql("drop table graft_ct_en")
+    psql.sql("drop type graft_mood")
+    val gone = intercept[IllegalArgumentException] { psql.sql("drop type graft_mood") }
+    assert(gone.getMessage.contains("does not exist"))
+    psql.sql("drop type if exists graft_mood") // no error
+  }
+
   test("typed defaults and expressions: date, arithmetic, parenthesized") {
     drop("graft_ct_k")
     psql.sql("create table graft_ct_k (i int primary key, " +
