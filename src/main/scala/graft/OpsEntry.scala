@@ -6472,6 +6472,54 @@ object OpsEntry {
         |FROM s ORDER BY event_type, ts, event_id""".stripMargin)),
 
     QueryDef(
+      "st17_stream_upsert",
+      withTables { (s, _) =>
+        // streaming AGGREGATION MAINTENANCE of a keyed warehouse table —
+        // the foreachBatch body of a CDC/metrics pipeline, staged three
+        // times (the batch face, st15's pattern): each micro-batch upserts
+        // its per-user partials via bare ON CONFLICT (the PRIMARY KEY
+        // infers the target), folding counts additively and maxima
+        // monotonically. The per-wave upsert is the insert-only APPEND /
+        // pruned-rewrite MERGE pipeline, so the maintained table never
+        // fully rewrites for a small batch on a partitioned layout.
+        // Inline invariant: after all waves, the folded totals equal the
+        // one-shot whole-table aggregation (nothing lost or double-counted
+        // across batch boundaries). Oracle: DuckDB executes the SAME
+        // statements on a PK temp table.
+        val psql = graft.psql.Psql(s)
+        Bucketing.dropTableAndLocation(s, "graft_st17_t")
+        Bucketing.dropTableAndLocation(s, "graft_st17_t__graft_cow")
+        psql.sql("""create or replace table graft_st17_t (
+          |user_id bigint primary key, n_events bigint not null, v_max double)""".stripMargin)
+        for (w <- 0 to 2)
+          psql.sql(s"""insert into graft_st17_t
+            |select user_id, count(*), max(coalesce(value, 0)) from events
+            |where event_id % 3 = $w group by user_id
+            |on conflict do update set n_events = n_events + excluded.n_events,
+            |  v_max = greatest(v_max, excluded.v_max)""".stripMargin)
+        val total = s.table("graft_st17_t")
+          .agg(sum("n_events")).collect()(0).getLong(0)
+        require(total == s.table("events").count(),
+          "maintained totals must equal the one-shot aggregation")
+        psql.sql("from graft_st17_t |> order by user_id")
+      },
+      Some("""CREATE OR REPLACE TEMP TABLE graft_st17_t (
+        |  user_id BIGINT PRIMARY KEY, n_events BIGINT NOT NULL, v_max DOUBLE);
+        |INSERT INTO graft_st17_t SELECT user_id, count(*), max(coalesce(value, 0))
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+        |  ON CONFLICT DO UPDATE SET n_events = n_events + excluded.n_events,
+        |    v_max = greatest(v_max, excluded.v_max);
+        |INSERT INTO graft_st17_t SELECT user_id, count(*), max(coalesce(value, 0))
+        |  FROM events WHERE event_id % 3 = 1 GROUP BY user_id
+        |  ON CONFLICT DO UPDATE SET n_events = n_events + excluded.n_events,
+        |    v_max = greatest(v_max, excluded.v_max);
+        |INSERT INTO graft_st17_t SELECT user_id, count(*), max(coalesce(value, 0))
+        |  FROM events WHERE event_id % 3 = 2 GROUP BY user_id
+        |  ON CONFLICT DO UPDATE SET n_events = n_events + excluded.n_events,
+        |    v_max = greatest(v_max, excluded.v_max);
+        |SELECT user_id, n_events, v_max FROM graft_st17_t ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       "st14_window_ohlc",
       withTables { (s, _) =>
         // streaming face of a12: the SAME windowed min_by/max_by plan the
