@@ -5032,6 +5032,28 @@ object OpsEntry {
         |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "q108_recursive_cte",
+      withTables { (s, _) =>
+        // WITH RECURSIVE — identical text in BOTH engines (Spark 4 grew
+        // native recursive CTEs; DuckDB has always had them). A binary-heap
+        // ancestry walk over nation: each key chases parent (k-1)/2 down
+        // to the root, floor-then-cast spelled explicitly so integer
+        // division is identical in both dialects.
+        graft.psql.Psql(s).sql("""WITH RECURSIVE anc(k, anc_k, depth) AS (
+          |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+          |  UNION ALL
+          |  SELECT a.k, cast(floor((a.anc_k - 1) / 2.0) as integer), a.depth + 1
+          |  FROM anc a WHERE a.anc_k > 0)
+          |SELECT k, anc_k, depth FROM anc ORDER BY k, depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(k, anc_k, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+        |  UNION ALL
+        |  SELECT a.k, cast(floor((a.anc_k - 1) / 2.0) as integer), a.depth + 1
+        |  FROM anc a WHERE a.anc_k > 0)
+        |SELECT k, anc_k, depth FROM anc ORDER BY k, depth""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -2284,7 +2284,7 @@ object PsqlRewriter {
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
       } else if (sc.code(i) && matchesWord(text, i, "exclude") && {
-          // only in DuckDB's one legal context — `* EXCLUDE (…)` — so a
+          // only in DuckDB's one legal context — `* EXCLUDE …` — so a
           // column or alias literally named `exclude` is left alone
           var k = i - 1
           while (k >= 0 && Character.isWhitespace(text.charAt(k))) k -= 1
@@ -2292,6 +2292,15 @@ object PsqlRewriter {
         }) {
         sb.append("EXCEPT")
         i += 7
+        // DuckDB's parenless single-column form (`* EXCLUDE c`): Spark's
+        // EXCEPT requires the parens — wrap the bare identifier
+        val n = nextCode(text, sc, i)
+        if (n >= 0 && text.charAt(n) != '(' && SqlScanner.isWordChar(text.charAt(n))) {
+          var e = n
+          while (e < text.length && SqlScanner.isWordChar(text.charAt(e))) e += 1
+          sb.append(" (").append(text.substring(n, e)).append(')')
+          i = e
+        }
       } else if (sc.code(i) && matchesWord(text, i, "similar") && {
           val toPos = nextCode(text, sc, i + "similar".length)
           toPos >= 0 && matchesWord(text, toPos, "to")
