@@ -62,7 +62,8 @@ object DmlStatements {
     */
   def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
     val stmt = stmt0.trim.stripSuffix(";").trim
-    if (matchesWord(stmt, 0, "delete")) Some(delete(spark, stmt))
+    if (matchesWord(stmt, 0, "with")) withDml(spark, stmt)
+    else if (matchesWord(stmt, 0, "delete")) Some(delete(spark, stmt))
     else if (matchesWord(stmt, 0, "update")) Some(update(spark, stmt))
     else if (matchesWord(stmt, 0, "truncate")) Some(truncate(spark, stmt))
     else if (matchesWord(stmt, 0, "alter")) alter(spark, stmt)
@@ -101,6 +102,69 @@ object DmlStatements {
       }
     }
     else None
+  }
+
+  /** `WITH name AS (body)[, …] <DML statement>` — DuckDB allows CTE
+    * prefixes on DELETE/UPDATE/INSERT (probed; Postgres heritage). Spark
+    * has no DML at all, so the lowering registers each CTE as a temp view
+    * for the statement's duration and re-enters [[run]] on the remainder
+    * (the DML's pipelines then resolve the names; reads happen against
+    * PRE-statement state because every lowering materializes into the
+    * shadow before swapping). A WITH whose remainder is a plain query
+    * returns None — Spark executes it natively.
+    */
+  private def withDml(spark: SparkSession, stmt: String): Option[DataFrame] = {
+    // the parse phase must NEVER throw: any WITH text that is not a plain
+    // unquoted-CTE prefix over a DML statement belongs to Spark's parser
+    val parsed: Option[(Seq[(String, String)], String)] =
+      try {
+        val sc = scan(stmt)
+        var p = nextCode(stmt, sc, "with".length)
+        if (p >= 0 && matchesWord(stmt, p, "recursive")) return None // native
+        val ctes = Seq.newBuilder[(String, String)]
+        var more = true
+        while (more) {
+          val (name, afterName) = identifierAt(stmt, p)
+          val a = nextCode(stmt, sc, afterName)
+          if (a < 0 || !matchesWord(stmt, a, "as")) return None
+          val open = nextCode(stmt, sc, a + 2)
+          if (open < 0 || stmt.charAt(open) != '(') return None
+          var close = open + 1
+          while (close < stmt.length &&
+            !(sc.code(close) && sc.depth(close) == sc.depth(open) && stmt.charAt(close) == ')'))
+            close += 1
+          if (close >= stmt.length) return None
+          ctes += ((name, stmt.substring(open + 1, close)))
+          val next = nextCode(stmt, sc, close + 1)
+          if (next >= 0 && stmt.charAt(next) == ',') {
+            p = nextCode(stmt, sc, next + 1)
+            if (p < 0) return None
+          } else { p = next; more = false }
+        }
+        if (p < 0) None else Some((ctes.result(), stmt.substring(p).trim))
+      } catch { case _: IllegalArgumentException => None }
+    if (parsed.isEmpty) return None
+    val (cteDefs, rest) = parsed.get
+    val isDml = Seq("delete", "update", "insert", "merge")
+      .exists(matchesWord(rest, 0, _))
+    if (!isDml) return None // plain WITH query: Spark native
+    val psql = Psql(spark)
+    val names = cteDefs
+    names.foreach { case (n, _) =>
+      require(!spark.catalog.tableExists(n) ||
+          spark.catalog.getTable(n).tableType == "TEMPORARY",
+        s"WITH-DML: CTE name '$n' shadows an existing table — rename the CTE " +
+          "(the DML lowering resolves relation names through the catalog)")
+    }
+    try {
+      names.foreach { case (n, body) => psql.sql(body).createOrReplaceTempView(n) }
+      // MERGE dispatches through its own handler; everything else re-enters
+      // run(). A plain unconstrained INSERT remainder (run() → None) stays
+      // on Spark's native INSERT, executed inside the temp-view scope.
+      MergeStatement.run(spark, rest)
+        .orElse(run(spark, rest))
+        .orElse(Some(spark.sql(rest)))
+    } finally names.foreach { case (n, _) => spark.catalog.dropTempView(n) }
   }
 
   /** Replace bare `DEFAULT` items in VALUES tuples with the positionally

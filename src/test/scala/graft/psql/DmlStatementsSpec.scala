@@ -280,6 +280,35 @@ class DmlStatementsSpec extends SparkSpec {
     assert(c.columns.toSeq == Seq("Count") && c.collect()(0).getLong(0) == 1L)
   }
 
+  test("WITH-prefixed DML: CTEs visible to DELETE/UPDATE/INSERT (probed DuckDB)") {
+    import spark.implicits._
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_wdml_t")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_wdml_t__graft_cow")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable("graft_wdml_t")
+    // probed DuckDB: WITH big AS (...) DELETE ... → Count 2
+    val d = psql.sql("with big as (select k from graft_wdml_t where v > 15) " +
+      "delete from graft_wdml_t where k in (select k from big)")
+    assert(d.collect()(0).getLong(0) == 2L)
+    assert(spark.table("graft_wdml_t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // UPDATE through a CTE
+    val u = psql.sql("with big as (select k from graft_wdml_t) " +
+      "update graft_wdml_t set v = v + 1 where k in (select k from big)")
+    assert(u.collect()(0).getLong(0) == 1L)
+    // INSERT through a CTE (plain remainder runs Spark-native in scope)
+    psql.sql("with src as (select 9 as k, 90 as v) " +
+      "insert into graft_wdml_t select * from src")
+    val got = spark.table("graft_wdml_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (9L, 90L)))
+    // the CTE names are gone after the statement
+    assert(!spark.catalog.tableExists("big") && !spark.catalog.tableExists("src"))
+    // plain WITH queries stay native (incl. RECURSIVE)
+    assert(psql.sql("with a as (select 1 as x) select x + 1 as y from a")
+      .collect()(0).getInt(0) == 2)
+  }
+
   test("typo'd clauses error instead of silently widening the statement") {
     seed("graft_dml_t5")
     // a typo'd WHERE must NOT fall through to an unconditional DELETE —
