@@ -46,6 +46,13 @@ class Psql(val spark: SparkSession) {
       case Some(df) => return df
       case None     => ()
     }
+    // DuckDB `DESCRIBE <table>` (bare single-identifier form) — DuckDB's
+    // six-column shape with its type spellings; every other DESCRIBE
+    // spelling keeps Spark's native output
+    DescribeStatement.run(spark, t) match {
+      case Some(df) => return df
+      case None     => ()
+    }
     // `EXPLAIN [modifier] <pipeline>` — the rewriter would otherwise fold
     // the keyword into the head relation (`FROM ( explain from t )`).
     // Strip the prefix, rewrite the pipeline, re-prepend: Spark's EXPLAIN
