@@ -6734,6 +6734,71 @@ object OpsEntry {
         |ORDER BY score DESC, doc_id""".stripMargin)),
 
     QueryDef(
+      "r08_hybrid_index_search",
+      withTables { (s, _) =>
+        // the persisted indexes COMPOSE: the sparse half probes the r07
+        // FTS index through the statement surface (match_bm25 — only the
+        // query terms' postings are read), the dense half is brute cosine
+        // against query vector 0, and RRF fuses the two top-50 lists. The
+        // r03 pipeline with its sparse side swapped from an in-query scan
+        // to a PERSISTED index probe — the shape a serving layer runs.
+        val psql = graft.psql.Psql(s)
+        Seq("fts_main_documents_terms", "fts_main_documents_docfreq",
+          "fts_main_documents_stats").foreach(Bucketing.dropTableAndLocation(s, _))
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+        val sparse = psql.sql("""from documents
+          ||> select doc_id,
+          |    fts_main_documents.match_bm25(doc_id, 'merge window scan') as score
+          ||> where score is not null
+          ||> order by score desc, doc_id |> limit 50""".stripMargin)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+        val emb = s.table("embeddings")
+        val dense = Similarity.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(sparse, dense, k = 20).orderBy("rank")
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+        |posting AS (
+        |  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
+        |  FROM tok, unnest(w) AS u(t)
+        |  WHERE u.t IN ('merge', 'window', 'scan')
+        |  GROUP BY doc_id, u.t),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    sum(floor(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+        |      * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl::DOUBLE / s.n_docs))))
+        |      * 1000000.0 + 0.5)::BIGINT)::BIGINT AS s6
+        |  FROM posting p JOIN dl l USING (doc_id) CROSS JOIN stats s
+        |  JOIN dfreq d ON d.term = p.term
+        |  GROUP BY p.doc_id),
+        |sparse AS (
+        |  SELECT doc_id, cast(row_number() OVER (ORDER BY s6 DESC, doc_id) as int) AS rank_a
+        |  FROM (SELECT * FROM scored ORDER BY s6 DESC, doc_id LIMIT 50)),
+        |qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |densescore AS (
+        |  SELECT vec_id AS doc_id, round(list_cosine_similarity(qv, embedding::DOUBLE[]), 6) AS sim
+        |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        |dense AS (
+        |  SELECT doc_id, cast(row_number() OVER (ORDER BY sim DESC, doc_id) as int) AS rank_b
+        |  FROM (SELECT * FROM densescore ORDER BY sim DESC, doc_id LIMIT 50)),
+        |fused AS (
+        |  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60.0 + s.rank_a::DOUBLE), 0.0)
+        |      + coalesce(1.0 / (60.0 + d.rank_b::DOUBLE), 0.0), 6) AS rrf
+        |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, rrf, cast(row_number() OVER (ORDER BY rrf DESC, doc_id) as int) AS rank
+        |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+        |ORDER BY rank""".stripMargin)),
+
+    QueryDef(
       "a14_ewma",
       withTables { (s, _) =>
         // truncated EWMA per event type: trailing-32 ordered fold seeded
