@@ -292,6 +292,21 @@ class TableConstraintsSpec extends SparkSpec {
     psql.sql("drop type if exists graft_mood") // no error
   }
 
+  test("enum types are scoped per SparkSession (like macros/variables/sequences)") {
+    psql.sql("drop type if exists graft_scope_mood")
+    psql.sql("create type graft_scope_mood as enum ('a', 'b')")
+    val other = spark.newSession()
+    // the sibling session does not know the type: a table using it treats
+    // the name as an (unknown) plain type and fails in Spark's parser
+    val e = intercept[Exception] {
+      Psql(other).sql("create table graft_scope_t (m graft_scope_mood not null)")
+    }
+    assert(!e.getMessage.contains("CHECK"), e.getMessage)
+    // …and can declare its own same-named type independently
+    Psql(other).sql("create type graft_scope_mood as enum ('x')")
+    psql.sql("drop type graft_scope_mood")
+  }
+
   test("typed defaults and expressions: date, arithmetic, parenthesized") {
     drop("graft_ct_k")
     psql.sql("create table graft_ct_k (i int primary key, " +
