@@ -347,6 +347,9 @@ object DmlStatements {
       require(!cols.exists(_.equalsIgnoreCase(to)), s"column '$to' already exists in $table")
       val sel = cols.map(c => if (c.equalsIgnoreCase(from)) s"$c as $to" else c)
       cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      // recorded constraint metadata follows the rename (DuckDB renames
+      // keys/defaults/checks through — probed)
+      TableConstraints.applyRenameColumnFixups(spark, table, from, to)
       Some(spark.emptyDataFrame)
     } else if (word("drop")) {
       checkTarget(spark, table)
@@ -356,8 +359,11 @@ object DmlStatements {
       val cols = spark.table(table).columns
       require(cols.exists(_.equalsIgnoreCase(c)), s"no column '$c' in $table")
       require(cols.length > 1, s"cannot drop the only column of $table")
+      // DuckDB refuses to drop key/check-referenced columns (probed)
+      TableConstraints.validateDropColumn(spark, table, c)
       val sel = cols.filterNot(_.equalsIgnoreCase(c))
       cowSwap(spark, table, Psql(spark).sql(s"from $table |> select ${sel.mkString(", ")}"))
+      TableConstraints.applyDropColumnFixups(spark, table, c)
       Some(spark.emptyDataFrame)
     } else if (word("add")) {
       checkTarget(spark, table)

@@ -651,6 +651,117 @@ object TableConstraints {
         k.substring(P.length + "enum.".length) -> v }.toMap)
   }
 
+  // ------------------------------------------------- ALTER column migration
+
+  /** DROP COLUMN guard (call BEFORE the rewrite): DuckDB refuses to drop
+    * columns a key or CHECK depends on (probed wording for keys).
+    */
+  def validateDropColumn(spark: SparkSession, table: String, c: String): Unit = {
+    val cons = load(spark, table)
+    def in(cols: Seq[String]) = cols.exists(_.equalsIgnoreCase(c))
+    if (in(cons.primaryKey) || cons.uniques.exists(u => in(u)))
+      throw new IllegalArgumentException(
+        s"""Cannot drop column "$c" because there is a UNIQUE constraint """ +
+          "that depends on it")
+    if (cons.checks.exists(e => wordIn(e, c)))
+      throw new IllegalArgumentException(
+        s"""Cannot drop column "$c" because a CHECK constraint depends on """ +
+          "it — drop the constraint metadata first (recreate the table)")
+  }
+
+  /** Post-swap fix-ups after DROP COLUMN: forget the dropped column's
+    * default/not-null/enum markers so a later same-named ADD COLUMN does
+    * not inherit stale constraints.
+    */
+  def applyDropColumnFixups(spark: SparkSession, table: String, c: String): Unit = {
+    val cons = load(spark, table)
+    if (cons.isEmpty && cons.enumCols.isEmpty) return
+    val lower = c.toLowerCase(java.util.Locale.ROOT)
+    rewriteProps(spark, table, cons.copy(
+      notNull = cons.notNull.filterNot(_.equalsIgnoreCase(c)),
+      defaults = cons.defaults - lower,
+      enumCols = cons.enumCols - lower))
+  }
+
+  /** Post-swap fix-ups after RENAME COLUMN: every recorded list, default/
+    * enum key and CHECK expression follows the new name (DuckDB renames
+    * metadata through — probed).
+    */
+  def applyRenameColumnFixups(spark: SparkSession, table: String,
+      from: String, to: String): Unit = {
+    val cons = load(spark, table)
+    val touches = cons.primaryKey.exists(_.equalsIgnoreCase(from)) ||
+      cons.notNull.exists(_.equalsIgnoreCase(from)) ||
+      cons.uniques.exists(_.exists(_.equalsIgnoreCase(from))) ||
+      cons.checks.exists(e => wordIn(e, from)) ||
+      cons.defaults.contains(from.toLowerCase(java.util.Locale.ROOT)) ||
+      cons.enumCols.contains(from.toLowerCase(java.util.Locale.ROOT))
+    if (!touches) return
+    def ren(cols: Seq[String]) = cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+    val fromL = from.toLowerCase(java.util.Locale.ROOT)
+    val toL = to.toLowerCase(java.util.Locale.ROOT)
+    def renKey(m: Map[String, String]) =
+      m.map { case (k, v) => (if (k == fromL) toL else k) -> v }
+    rewriteProps(spark, table, cons.copy(
+      primaryKey = ren(cons.primaryKey),
+      notNull = ren(cons.notNull),
+      uniques = cons.uniques.map(ren),
+      checks = cons.checks.map(e => renameWord(e, from, to)),
+      defaults = renKey(cons.defaults),
+      enumCols = renKey(cons.enumCols)))
+    // secondary-index column lists follow too
+    val props = tableProps(spark, table)
+    props.collect { case (k, v) if k.startsWith(IDX) =>
+      val Array(kind, colsTxt) = v.split("\\|", 2)
+      val cols = colsTxt.split(",").toSeq
+      if (cols.exists(_.equalsIgnoreCase(from)))
+        spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = " +
+          s"'$kind|${ren(cols).mkString(",")}')")
+    }
+  }
+
+  /** Scanner-aware whole-word occurrence test in a constraint expression. */
+  private def wordIn(exprText: String, word: String): Boolean = {
+    val sc = scan(exprText)
+    Iterator.range(0, exprText.length)
+      .exists(i => sc.code(i) && matchesWord(exprText, i, word))
+  }
+
+  /** Scanner-aware whole-word rename in a constraint expression. */
+  private def renameWord(exprText: String, from: String, to: String): String = {
+    val sc = scan(exprText)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < exprText.length) {
+      if (sc.code(i) && matchesWord(exprText, i, from)) {
+        sb.append(to)
+        i += from.length
+      } else { sb.append(exprText.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def tableProps(spark: SparkSession, table: String): Map[String, String] =
+    try spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.filter(_._1.startsWith(P))
+    catch { case _: Throwable => Map.empty }
+
+  /** Replace the table's `graft.constraints.*` metadata wholesale (index
+    * entries keep their own keys and are handled by the callers).
+    */
+  private def rewriteProps(spark: SparkSession, table: String,
+      next: Constraints): Unit = {
+    val old = tableProps(spark, table).keys.filterNot(_.startsWith(IDX))
+    if (old.nonEmpty)
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS (${
+        old.map(k => s"'$k'").mkString(", ")})")
+    val props = render(next)
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
+        props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+  }
+
   // ---------------------------------------------------------- enforcement
 
   /** Map-side raise_error guard enforcing NOT NULL + CHECK over rows about

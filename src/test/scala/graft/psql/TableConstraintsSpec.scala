@@ -292,6 +292,43 @@ class TableConstraintsSpec extends SparkSpec {
     psql.sql("drop type if exists graft_mood") // no error
   }
 
+  test("ALTER TABLE over constrained columns: key drops refuse, renames migrate metadata") {
+    drop("graft_ct_alt")
+    psql.sql("create table graft_ct_alt (i int primary key, " +
+      "v varchar default 'x', n int not null, check (n >= 0), q int)")
+    psql.sql("insert into graft_ct_alt values (1, 'a', 5, 9)")
+    // probed DuckDB wording: key-column drops refuse
+    val dk = intercept[IllegalArgumentException] {
+      psql.sql("alter table graft_ct_alt drop column i")
+    }
+    assert(dk.getMessage.contains("UNIQUE constraint that depends on it"))
+    val dc = intercept[IllegalArgumentException] {
+      psql.sql("alter table graft_ct_alt drop column n")
+    }
+    assert(dc.getMessage.contains("CHECK constraint"))
+    // a plain column drops fine; a default-bearing one cleans its marker
+    psql.sql("alter table graft_ct_alt drop column q")
+    psql.sql("alter table graft_ct_alt drop column v")
+    assert(TableConstraints.load(spark, "graft_ct_alt").defaults.isEmpty)
+    // renames migrate every piece of metadata (probed DuckDB renames through)
+    psql.sql("alter table graft_ct_alt rename column i to j")
+    psql.sql("alter table graft_ct_alt rename column n to m")
+    val c = TableConstraints.load(spark, "graft_ct_alt")
+    assert(c.primaryKey == Seq("j"))
+    assert(c.notNull.map(_.toLowerCase).toSet == Set("j", "m"))
+    assert(c.checks == Seq("m >= 0"))
+    // …and the migrated constraints still ENFORCE
+    val pk = intercept[IllegalArgumentException] {
+      psql.sql("insert into graft_ct_alt values (1, 3)")
+    }
+    assert(pk.getMessage.contains("violates primary key"))
+    val ck = intercept[Exception] {
+      psql.sql("insert into graft_ct_alt values (2, -4)").collect()
+    }
+    assert(ck.getMessage.contains("CHECK constraint failed"))
+    assert(psql.sql("insert into graft_ct_alt values (2, 4)").collect()(0).getLong(0) == 1L)
+  }
+
   test("enum types are scoped per SparkSession (like macros/variables/sequences)") {
     psql.sql("drop type if exists graft_scope_mood")
     psql.sql("create type graft_scope_mood as enum ('a', 'b')")
