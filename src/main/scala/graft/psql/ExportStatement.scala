@@ -77,9 +77,25 @@ object ExportStatement {
       val w = df.write.mode(SaveMode.Overwrite)
       if (format == "csv") w.option("header", "true").csv(target)
       else w.parquet(target)
-      val cols = df.schema.fields
-        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-      schemaSql.append(s"CREATE TABLE $t ($cols);\n")
+      // schema.sql is the CONSTRAINT carrier (DuckDB's own layout): column
+      // defs in DuckDB type spellings + the recorded NOT NULL/DEFAULT and
+      // table-level PRIMARY KEY/UNIQUE/CHECK/FK clauses — the script runs
+      // in real DuckDB, and IMPORT re-records the metadata here
+      val cons = TableConstraints.load(spark, t)
+      val nnAll = (cons.notNull ++ cons.primaryKey).distinct
+      val colDefs = df.schema.fields.map { f =>
+        val nn = if (nnAll.exists(_.equalsIgnoreCase(f.name))) " NOT NULL" else ""
+        val dflt = cons.defaults.get(f.name.toLowerCase(java.util.Locale.ROOT))
+          .map(e => s" DEFAULT $e").getOrElse("")
+        s"${f.name} ${DescribeStatement.duckTypeName(f.dataType)}$nn$dflt"
+      }.toSeq
+      val tableCons =
+        (if (cons.primaryKey.nonEmpty)
+          Seq(s"PRIMARY KEY (${cons.primaryKey.mkString(", ")})") else Nil) ++
+        cons.uniques.map(u => s"UNIQUE (${u.mkString(", ")})") ++
+        cons.checks.map(e => s"CHECK ($e)") ++
+        cons.foreignKeys
+      schemaSql.append(s"CREATE TABLE $t (${(colDefs ++ tableCons).mkString(", ")});\n")
       loadSql.append(s"COPY $t FROM '$target'" +
         (if (format == "csv") " (FORMAT CSV, HEADER)" else "") + ";\n")
     }
@@ -117,13 +133,72 @@ object ExportStatement {
     val existing = entries.map(_._1).filter(spark.catalog.tableExists)
     require(existing.isEmpty,
       s"IMPORT DATABASE: tables already exist: ${existing.mkString(", ")}")
+    // constraint metadata rides schema.sql (DuckDB's carrier) — map each
+    // CREATE TABLE's def-list body by table name for re-recording
+    val defLists: Map[String, String] = {
+      val sp = new org.apache.hadoop.fs.Path(hPath, "schema.sql")
+      if (!fs.exists(sp)) Map.empty
+      else {
+        val in = fs.open(sp)
+        val text =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            new String(buf.toByteArray, "UTF-8")
+          } finally in.close()
+        splitTopSemicolons(text).flatMap(parseCreateBody).toMap
+      }
+    }
     entries.foreach { case (t, loc, fmt) =>
       val df =
         if (fmt == "csv") spark.read.option("header", "true")
           .option("inferSchema", "true").csv(loc)
         else spark.read.parquet(loc)
       df.write.mode(SaveMode.ErrorIfExists).format("parquet").saveAsTable(t)
+      defLists.get(t.toLowerCase(java.util.Locale.ROOT))
+        .foreach(TableConstraints.recordFromDefList(spark, t, _))
     }
     spark.emptyDataFrame
+  }
+
+  /** Split script text on top-level semicolons (scanner-aware: semicolons
+    * inside string literals or parens never split).
+    */
+  private def splitTopSemicolons(text: String): Seq[String] = {
+    val sc = scan(text)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      if (sc.code(i) && sc.depth(i) == 0 && text.charAt(i) == ';') {
+        out += text.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out += text.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `(tableName, defListBody)` of a CREATE TABLE statement, else None. */
+  private def parseCreateBody(stmt0: String): Option[(String, String)] = {
+    val stmt = stmt0.trim
+    val sc = scan(stmt)
+    if (!matchesWord(stmt, 0, "create")) return None
+    var p = nextCode(stmt, sc, "create".length)
+    if (p < 0 || !matchesWord(stmt, p, "table")) return None
+    val (name, afterName) =
+      try DmlStatements.identifierAt(stmt, p + "table".length)
+      catch { case _: IllegalArgumentException => return None }
+    val open = nextCode(stmt, sc, afterName)
+    if (open < 0 || stmt.charAt(open) != '(') return None
+    var close = open + 1
+    while (close < stmt.length &&
+      !(sc.code(close) && sc.depth(close) == sc.depth(open) && stmt.charAt(close) == ')'))
+      close += 1
+    if (close >= stmt.length) return None
+    Some((name.toLowerCase(java.util.Locale.ROOT), stmt.substring(open + 1, close)))
   }
 }

@@ -651,6 +651,25 @@ object TableConstraints {
         k.substring(P.length + "enum.".length) -> v }.toMap)
   }
 
+  /** Parse a CREATE TABLE def-list body and RECORD its constraints onto an
+    * already-created table (the IMPORT DATABASE path: data arrives from
+    * the exported files; schema.sql carries the constraint clauses).
+    * Enum types do not round-trip as TYPES (session-scoped) — their
+    * membership CHECKs do.
+    */
+  private[psql] def recordFromDefList(spark: SparkSession, table: String,
+      body: String): Unit = {
+    val (colDefs, cons0) =
+      try parseDefs(body, Map.empty)
+      catch { case _: IllegalArgumentException => return } // foreign dialect
+    if (colDefs.isEmpty) return
+    val cons = cons0.copy(notNull = (cons0.notNull ++ cons0.primaryKey).distinct)
+    val props = render(cons)
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
+        props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+  }
+
   // ------------------------------------------------- ALTER column migration
 
   /** DROP COLUMN guard (call BEFORE the rewrite): DuckDB refuses to drop

@@ -35,7 +35,7 @@ class ExportStatementSpec extends SparkSpec {
       assert(files.contains("schema.sql") && files.contains("load.sql"))
       assert(!files.exists(_.startsWith("exp_view")), "views must not export")
       val schema = Files.readString(new java.io.File(dir, "schema.sql").toPath)
-      assert(schema.contains("CREATE TABLE exp_a (id BIGINT, s STRING);"), schema)
+      assert(schema.contains("CREATE TABLE exp_a (id BIGINT, s VARCHAR);"), schema)
       // import into a fresh database
       spark.catalog.setCurrentDatabase("graft_impdb")
       psql.sql(s"import database '$dir'")
@@ -60,6 +60,46 @@ class ExportStatementSpec extends SparkSpec {
       spark.catalog.setCurrentDatabase(prev)
       spark.sql("DROP DATABASE IF EXISTS graft_expdb CASCADE")
       spark.sql("DROP DATABASE IF EXISTS graft_impdb CASCADE")
+    }
+  }
+
+  test("constraint metadata rides schema.sql through EXPORT → IMPORT (r15)") {
+    val prev = spark.catalog.currentDatabase
+    try {
+      spark.sql("DROP DATABASE IF EXISTS graft_expc CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS graft_impc CASCADE")
+      spark.sql("CREATE DATABASE graft_expc")
+      spark.catalog.setCurrentDatabase("graft_expc")
+      psql.sql("create table cons_t (i integer primary key, " +
+        "v varchar default 'x', n bigint not null, check (n >= 0))")
+      psql.sql("insert into cons_t values (1, 'a', 5)")
+      val dir = java.nio.file.Files.createTempDirectory("graft_exp_cons")
+        .toFile.getAbsolutePath
+      psql.sql(s"export database '$dir'")
+      // the exported schema.sql spells the constraints in DuckDB types
+      val schema = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "schema.sql")), "UTF-8")
+      assert(schema.contains("PRIMARY KEY (i)"), schema)
+      assert(schema.contains("v VARCHAR DEFAULT 'x'"), schema)
+      assert(schema.contains("n BIGINT NOT NULL"), schema)
+      assert(schema.contains("CHECK (n >= 0)"), schema)
+      // import into a fresh database: the constraints ENFORCE again
+      spark.sql("CREATE DATABASE graft_impc")
+      spark.catalog.setCurrentDatabase("graft_impc")
+      psql.sql(s"import database '$dir'")
+      val c = TableConstraints.load(spark, "cons_t")
+      assert(c.primaryKey == Seq("i") && c.checks == Seq("n >= 0"))
+      assert(c.defaults == Map("v" -> "'x'"))
+      val dup = intercept[IllegalArgumentException] {
+        psql.sql("insert into cons_t values (1, 'b', 2)")
+      }
+      assert(dup.getMessage.contains("violates primary key"))
+      assert(psql.sql("insert or ignore into cons_t values (1, 'b', 2), (2, 'c', 3)")
+        .collect()(0).getLong(0) == 1L)
+    } finally {
+      spark.catalog.setCurrentDatabase(prev)
+      spark.sql("DROP DATABASE IF EXISTS graft_expc CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS graft_impc CASCADE")
     }
   }
 }
