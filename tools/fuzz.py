@@ -799,7 +799,15 @@ def dml_script(name):
             duck.append(s)
             continue
         if kind == 0:
-            s = f"delete from {t} where {stmt_pred()}"
+            # occasionally CTE-prefixed (r15 WITH-DML): same text in both
+            # engines — the CTE captures a key set the DELETE consumes
+            if rnd.randrange(3) == 0:
+                m2 = rnd.randrange(2, 7)
+                s = (f"with doomed as (select k from {t} where k % {m2} = 0) "
+                     f"delete from {t} where k in (select k from doomed) "
+                     f"and {stmt_pred()}")
+            else:
+                s = f"delete from {t} where {stmt_pred()}"
             spark.append(s)
             duck.append(s)
         elif kind == 1:
