@@ -85,15 +85,19 @@ object AttachStatement {
     // error: EXPORT DATABASE (in DuckDB) writes a directory this ATTACH
     // reads directly.
     val lowerPath = path.toLowerCase(java.util.Locale.ROOT)
-    if (lowerPath.endsWith(".duckdb") || lowerPath.endsWith(".db") ||
-        lowerPath.endsWith(".ddb"))
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a .duckdb suffix only means "single-file database" when the path IS a
+    // file (or does not exist); a perfectly valid exported DIRECTORY that
+    // happens to be named `corpus.db` attaches like any other directory
+    if ((lowerPath.endsWith(".duckdb") || lowerPath.endsWith(".db") ||
+        lowerPath.endsWith(".ddb")) &&
+        (!fs.exists(hPath) || fs.getFileStatus(hPath).isFile))
       throw new IllegalArgumentException(
         s"ATTACH: '$path' looks like a DuckDB database FILE, which this " +
           "engine cannot read. Bridge it through a directory: in DuckDB run " +
           s"EXPORT DATABASE '<dir>' (FORMAT PARQUET), then ATTACH '<dir>' " +
           s"AS $name here (IMPORT DATABASE works on the same layout)")
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory,
       s"ATTACH: '$path' is not a directory of tables — a DuckDB .duckdb " +
         "file must first be exported (EXPORT DATABASE '<dir>' (FORMAT " +

@@ -156,6 +156,13 @@ object DmlStatements {
         s"WITH-DML: CTE name '$n' shadows an existing table — rename the CTE " +
           "(the DML lowering resolves relation names through the catalog)")
     }
+    // a CTE may legitimately shadow an existing TEMPORARY view for the
+    // statement's duration, but in DuckDB a CTE never mutates session
+    // state — capture each shadowed view's plan and re-register it after
+    // (a temp view's plan inlines at analysis, so the capture is stable)
+    val priors: Seq[(String, Option[DataFrame])] = names.map { case (n, _) =>
+      n -> (if (spark.catalog.tableExists(n)) Some(spark.table(n)) else None)
+    }
     try {
       names.foreach { case (n, body) => psql.sql(body).createOrReplaceTempView(n) }
       // MERGE dispatches through its own handler; everything else re-enters
@@ -164,7 +171,10 @@ object DmlStatements {
       MergeStatement.run(spark, rest)
         .orElse(run(spark, rest))
         .orElse(Some(spark.sql(rest)))
-    } finally names.foreach { case (n, _) => spark.catalog.dropTempView(n) }
+    } finally priors.foreach {
+      case (n, Some(prior)) => prior.createOrReplaceTempView(n)
+      case (n, None)        => spark.catalog.dropTempView(n)
+    }
   }
 
   /** Replace bare `DEFAULT` items in VALUES tuples with the positionally
@@ -611,19 +621,47 @@ object DmlStatements {
     def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
     // recorded NOT NULL/CHECK constraints: SET values can violate — guard
     // the rewritten rows map-side (raise_error, no extra pass)
+    val tableCons = TableConstraints.load(spark, table)
     val consGuard: DataFrame => DataFrame = {
-      val c = TableConstraints.load(spark, table)
-      df => TableConstraints.enforcementFilter(spark, table, c)
+      df => TableConstraints.enforcementFilter(spark, table, tableCons)
         .map(df.where).getOrElse(df)
     }
+    // a SET list touching recorded PRIMARY KEY/UNIQUE columns can collapse
+    // keys into duplicates (`UPDATE t SET pk = 1`) — DuckDB raises a
+    // constraint violation. Those key sets are re-verified over the
+    // materialized shadow (key-column-pruned aggregate) before the swap;
+    // untouched key sets stay unique by induction and are not re-checked.
+    val touchedKeySets: Seq[(Seq[String], String)] =
+      ((if (tableCons.primaryKey.nonEmpty)
+          Seq((tableCons.primaryKey, "primary key")) else Nil) ++
+        tableCons.uniques.map((_, "unique")))
+        .filter(_._1.exists(k => byCol.contains(k.toLowerCase(java.util.Locale.ROOT))))
+    val keyRecheck: DataFrame => Unit =
+      if (touchedKeySets.isEmpty) null
+      else shadow => touchedKeySets.foreach { case (keys, kind) =>
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dup = shadow
+          .where(keys.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > lit(1L)).limit(1).collect()
+        dup.headOption.foreach { r =>
+          val kv = keys.zipWithIndex
+            .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+          throw new IllegalArgumentException(
+            s"""UPDATE $table: Duplicate key "$kv" violates $kind constraint""")
+        }
+      }
     // partition-pruned path (same shape as DELETE's): only partitions with
     // matching rows are rewritten. Requires the SET list to leave partition
     // columns untouched — an assigned partition column can MOVE rows across
-    // directories, where only the full rewrite relocates correctly. Every
-    // affected partition keeps ≥1 row (its own, updated in place), so the
-    // dynamic overwrite covers all of them — no drops needed.
+    // directories, where only the full rewrite relocates correctly — and no
+    // key-touching SET (the uniqueness re-check must see the WHOLE table:
+    // a collapsed key can collide with a row in an untouched partition).
+    // Every affected partition keeps ≥1 row (its own, updated in place), so
+    // the dynamic overwrite covers all of them — no drops needed.
     cond.foreach { c =>
-      if (!partitionColsOf(spark, table).exists(p => byCol.contains(p.toLowerCase))) {
+      if (touchedKeySets.isEmpty &&
+          !partitionColsOf(spark, table).exists(p => byCol.contains(p.toLowerCase))) {
         // raw condition: WHERE treats NULL as false, and stays prunable
         affectedPartitions(psql, spark, table, s"($c)").foreach { case (pcols, parts) =>
           if (parts.isEmpty) return finish(0L)
@@ -644,7 +682,7 @@ object DmlStatements {
       case None => spark.table(table).count()
     }
     val next = psql.sql(s"from $table |> select ${selList.mkString(", ")}")
-    cowSwap(spark, table, consGuard(next))
+    cowSwap(spark, table, consGuard(next), validateShadow = keyRecheck)
     finish(affected)
   }
 
@@ -1066,9 +1104,13 @@ object DmlStatements {
   /** Materialize `next` into a shadow table, then swap it in. A
     * partitioned target keeps its partition layout through the swap —
     * silently flattening the b02-style layout would break every
-    * partition-pruned scan downstream of the DML.
+    * partition-pruned scan downstream of the DML. `validateShadow` runs
+    * over the MATERIALIZED shadow (so the check costs a key-pruned scan of
+    * written files, never a second plan execution) BEFORE the swap — a
+    * throwing validation drops the shadow and leaves the target untouched.
     */
-  private[psql] def cowSwap(spark: SparkSession, table: String, next: DataFrame): Unit = {
+  private[psql] def cowSwap(spark: SparkSession, table: String, next: DataFrame,
+      validateShadow: DataFrame => Unit = null): Unit = {
     val pcols = partitionColsOf(spark, table)
     // user-level table properties (constraint metadata, COMMENT ON) must
     // survive the swap — the shadow is a fresh table that knows none of them
@@ -1082,6 +1124,13 @@ object DmlStatements {
     graft.operators.Bucketing.dropTableAndLocation(spark, tmp)
     val w = next.write.mode(SaveMode.Overwrite).format("parquet")
     (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w).saveAsTable(tmp)
+    if (validateShadow != null) {
+      try validateShadow(spark.table(tmp))
+      catch { case e: Throwable =>
+        graft.operators.Bucketing.dropTableAndLocation(spark, tmp)
+        throw e
+      }
+    }
     graft.operators.Bucketing.dropTableAndLocation(spark, table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
     if (keepProps.nonEmpty)

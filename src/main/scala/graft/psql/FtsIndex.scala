@@ -158,9 +158,15 @@ object FtsIndex {
 
   /** Rewrite every `fts_main_<t>.match_bm25(<idExpr>, 'query'[, args])`
     * call into a correlated scalar subquery over a registered scores view.
-    * Returns the statement unchanged when no call is present.
+    * Returns the statement unchanged when no call is present. Views
+    * registered during the rewrite are collected into `createdViews` so the
+    * caller can drop them once the statement is analyzed (Spark inlines a
+    * temp view's plan at analysis, so dropping after is safe) — without
+    * that, a long-lived session running many distinct match_bm25 queries
+    * accumulates one catalog entry per (table, query, args) tuple.
     */
-  def rewriteMatchBm25(spark: SparkSession, stmt: String): String = {
+  def rewriteMatchBm25(spark: SparkSession, stmt: String,
+      createdViews: scala.collection.mutable.Buffer[String] = null): String = {
     if (!stmt.toLowerCase(java.util.Locale.ROOT).contains("match_bm25")) return stmt
     val sc = scan(stmt)
     val sb = new StringBuilder
@@ -212,6 +218,7 @@ object FtsIndex {
           }
         }
         val view = scoresView(spark, table, query, k1, b, conjunctive)
+        if (createdViews != null) createdViews += view
         sb.append(stmt.substring(last, i))
         sb.append(s"(select __score from $view where $view.__id = ($idExpr))")
         i = close + 1

@@ -35,8 +35,17 @@ class Psql(val spark: SparkSession) {
     // (constant per statement — bind-time inlining IS the semantics)
     val q1 = SessionVariables.inline(spark, SequenceStatements.inline(spark, query))
     // fts_main_<t>.match_bm25(id, 'q') → correlated scalar subquery over
-    // the persisted FTS index (cheap containment pre-check inside)
-    val q2 = FtsIndex.rewriteMatchBm25(spark, q1)
+    // the persisted FTS index (cheap containment pre-check inside). The
+    // scores views registered by the rewrite are statement-scoped: every
+    // handler below analyzes eagerly (temp-view plans inline at analysis),
+    // so the finally-drop never invalidates a returned DataFrame.
+    val ftsViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = FtsIndex.rewriteMatchBm25(spark, q1, ftsViews)
+    try sqlAfterFtsRewrite(q2)
+    finally ftsViews.foreach(spark.catalog.dropTempView(_))
+  }
+
+  private def sqlAfterFtsRewrite(q2: String): DataFrame = {
     val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
     // output shape, one aggregate pass (SummarizeStatement; replaces the

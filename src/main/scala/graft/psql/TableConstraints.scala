@@ -696,8 +696,15 @@ object TableConstraints {
     val cons = load(spark, table)
     if (cons.isEmpty && cons.enumCols.isEmpty) return
     val lower = c.toLowerCase(java.util.Locale.ROOT)
+    // strip the unique-INDEX key sets `load` folded in: re-rendering them
+    // as unique.N constraint properties would double-record each index
+    val idxUniques = tableProps(spark, table).collect {
+      case (k, v) if k.startsWith(IDX) && v.startsWith("unique|") =>
+        v.substring("unique|".length).split(",").toSeq
+    }.toSeq
     rewriteProps(spark, table, cons.copy(
       notNull = cons.notNull.filterNot(_.equalsIgnoreCase(c)),
+      uniques = cons.uniques.filterNot(idxUniques.contains),
       defaults = cons.defaults - lower,
       enumCols = cons.enumCols - lower))
   }
@@ -709,26 +716,11 @@ object TableConstraints {
   def applyRenameColumnFixups(spark: SparkSession, table: String,
       from: String, to: String): Unit = {
     val cons = load(spark, table)
-    val touches = cons.primaryKey.exists(_.equalsIgnoreCase(from)) ||
-      cons.notNull.exists(_.equalsIgnoreCase(from)) ||
-      cons.uniques.exists(_.exists(_.equalsIgnoreCase(from))) ||
-      cons.checks.exists(e => wordIn(e, from)) ||
-      cons.defaults.contains(from.toLowerCase(java.util.Locale.ROOT)) ||
-      cons.enumCols.contains(from.toLowerCase(java.util.Locale.ROOT))
-    if (!touches) return
     def ren(cols: Seq[String]) = cols.map(c => if (c.equalsIgnoreCase(from)) to else c)
-    val fromL = from.toLowerCase(java.util.Locale.ROOT)
-    val toL = to.toLowerCase(java.util.Locale.ROOT)
-    def renKey(m: Map[String, String]) =
-      m.map { case (k, v) => (if (k == fromL) toL else k) -> v }
-    rewriteProps(spark, table, cons.copy(
-      primaryKey = ren(cons.primaryKey),
-      notNull = ren(cons.notNull),
-      uniques = cons.uniques.map(ren),
-      checks = cons.checks.map(e => renameWord(e, from, to)),
-      defaults = renKey(cons.defaults),
-      enumCols = renKey(cons.enumCols)))
-    // secondary-index column lists follow too
+    // secondary-index column lists follow the rename too — including PLAIN
+    // (non-unique) indexes, which `cons` never sees (load folds only the
+    // unique ones into `uniques`), so their rename runs BEFORE any early
+    // return keyed off the constraint lists
     val props = tableProps(spark, table)
     props.collect { case (k, v) if k.startsWith(IDX) =>
       val Array(kind, colsTxt) = v.split("\\|", 2)
@@ -737,6 +729,35 @@ object TableConstraints {
         spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$k' = " +
           s"'$kind|${ren(cols).mkString(",")}')")
     }
+    // declared-constraint uniques only: `load` folds unique-INDEX key sets
+    // into `uniques` for enforcement, but re-rendering those as
+    // `unique.N` constraint properties would double-record them (the index
+    // property above already carries the renamed list)
+    val declaredUniques = {
+      val idxUniques = props.collect {
+        case (k, v) if k.startsWith(IDX) && v.startsWith("unique|") =>
+          v.substring("unique|".length).split(",").toSeq
+      }.toSeq
+      cons.uniques.filterNot(idxUniques.contains)
+    }
+    val touches = cons.primaryKey.exists(_.equalsIgnoreCase(from)) ||
+      cons.notNull.exists(_.equalsIgnoreCase(from)) ||
+      declaredUniques.exists(_.exists(_.equalsIgnoreCase(from))) ||
+      cons.checks.exists(e => wordIn(e, from)) ||
+      cons.defaults.contains(from.toLowerCase(java.util.Locale.ROOT)) ||
+      cons.enumCols.contains(from.toLowerCase(java.util.Locale.ROOT))
+    if (!touches) return
+    val fromL = from.toLowerCase(java.util.Locale.ROOT)
+    val toL = to.toLowerCase(java.util.Locale.ROOT)
+    def renKey(m: Map[String, String]) =
+      m.map { case (k, v) => (if (k == fromL) toL else k) -> v }
+    rewriteProps(spark, table, cons.copy(
+      primaryKey = ren(cons.primaryKey),
+      notNull = ren(cons.notNull),
+      uniques = declaredUniques.map(ren),
+      checks = cons.checks.map(e => renameWord(e, from, to)),
+      defaults = renKey(cons.defaults),
+      enumCols = renKey(cons.enumCols)))
   }
 
   /** Scanner-aware whole-word occurrence test in a constraint expression. */
@@ -810,17 +831,31 @@ object TableConstraints {
     enforcementFilter(spark, table, c).map(df.where).getOrElse(df)
   }
 
+  /** Batch-row ceiling under which the uniqueness probe HINTS broadcast of
+    * the batch keys. VALUES-sized and pipeline-sized batches stay far below
+    * it; a bulk `INSERT INTO pk_table SELECT … FROM huge_source` must NOT
+    * force a driver-materialized broadcast of millions of keys — above the
+    * ceiling the semi join is left unhinted and AQE picks the strategy
+    * (the key-column-pruned scan side is preserved either way).
+    */
+  private[psql] val BroadcastProbeMaxRows = 500000L
+
   /** PRIMARY KEY + UNIQUE uniqueness guard for an insert batch: per key
     * set, (a) the batch must not propose a key twice, (b) no proposed key
     * may already exist in the table. (b) is a key-column-pruned scan of
-    * the target semi-joined against the BROADCAST batch keys — the
-    * scalable stand-in for DuckDB's index probe (reads only the key
-    * columns, no shuffle of the table). UNIQUE sets exempt NULL keys
-    * (SQL's rule; the PK's NOT NULL is enforced separately).
+    * the target semi-joined against the batch keys — the scalable stand-in
+    * for DuckDB's index probe (reads only the key columns, no shuffle of
+    * the table); the batch side is broadcast-HINTED only when the
+    * (already-checkpointed) batch counts under [[BroadcastProbeMaxRows]].
+    * UNIQUE sets exempt NULL keys (SQL's rule; the PK's NOT NULL is
+    * enforced separately).
     */
   def checkPkUnique(spark: SparkSession, table: String, c: Constraints,
       batch: DataFrame): Unit = {
+    if (c.primaryKey.isEmpty && c.uniques.isEmpty) return
     import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // one count over the checkpointed batch, shared by every key set
+    val small = batch.count() <= BroadcastProbeMaxRows
     def check(keys: Seq[String], kind: String): Unit = {
       def nonNull(df: DataFrame) = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
       def kv(r: org.apache.spark.sql.Row) = keys.zipWithIndex
@@ -832,9 +867,9 @@ object TableConstraints {
           s"""INSERT into $table: Duplicate key "${kv(r)}" violates $kind """ +
             "constraint (proposed twice in one batch)")
       }
+      val batchKeys = nonNull(batch.select(keys.map(col): _*)).distinct()
       val existing = nonNull(spark.table(table).select(keys.map(col): _*))
-        .join(broadcast(nonNull(batch.select(keys.map(col): _*)).distinct()),
-          keys, "leftsemi")
+        .join(if (small) broadcast(batchKeys) else batchKeys, keys, "leftsemi")
         .limit(1).collect()
       existing.headOption.foreach { r =>
         throw new IllegalArgumentException(
@@ -845,5 +880,20 @@ object TableConstraints {
     }
     if (c.primaryKey.nonEmpty) check(c.primaryKey, "primary key")
     c.uniques.foreach(u => check(u, "unique"))
+  }
+
+  /** The uniqueness-probe plan for one key set, exposed for plan pins:
+    * (plan with broadcast decision applied, smallBatch flag). Mirrors the
+    * probe [[checkPkUnique]] builds, without executing it.
+    */
+  private[graft] def pkProbePlan(spark: SparkSession, table: String,
+      keys: Seq[String], batch: DataFrame): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val small = batch.count() <= BroadcastProbeMaxRows
+    def nonNull(df: DataFrame) = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
+    val batchKeys = nonNull(batch.select(keys.map(col): _*)).distinct()
+    (nonNull(spark.table(table).select(keys.map(col): _*))
+      .join(if (small) broadcast(batchKeys) else batchKeys, keys, "leftsemi"),
+      small)
   }
 }

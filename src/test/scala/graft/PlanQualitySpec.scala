@@ -939,4 +939,34 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
     assert(spark.table("graft_plan_pk").count() == 2L)
   }
+
+  test("PK probe broadcast is size-guarded: bulk batches take the unhinted plan") {
+    val psql = graft.psql.Psql(spark)
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_pk2")
+    psql.sql("create table graft_plan_pk2 (k bigint primary key, v varchar)")
+    psql.sql("insert into graft_plan_pk2 values (1, 'a')")
+    // a VALUES-sized batch stays under BroadcastProbeMaxRows → hinted
+    val smallBatch = spark.range(3).selectExpr("id as k", "cast(id as string) as v")
+    val (smallPlan, smallFlag) = graft.psql.TableConstraints.pkProbePlan(
+      spark, "graft_plan_pk2", Seq("k"), smallBatch)
+    assert(smallFlag)
+    assert(plan(smallPlan).contains("BroadcastHashJoin"), plan(smallPlan).take(800))
+    // a bulk batch (> 500k rows) must NOT force a driver-side broadcast of
+    // its keys — the join is left to the planner/AQE
+    val bigBatch = spark.range(500001L)
+      .selectExpr("id + 1000 as k", "cast(id as string) as v")
+    val (bigPlan, bigFlag) = graft.psql.TableConstraints.pkProbePlan(
+      spark, "graft_plan_pk2", Seq("k"), bigBatch)
+    assert(!bigFlag)
+    // the logical plan carries no forced broadcast hint of the batch side;
+    // with a 1-row TARGET the planner may still broadcast the TARGET side,
+    // so pin the absence of the hint, not the physical operator
+    val lp = bigPlan.queryExecution.analyzed.toString
+    assert(!lp.toLowerCase.contains("unresolvedhint") &&
+      !lp.contains("ResolvedHint"), lp.take(800))
+    // the target scan is still key-column-pruned either way
+    val read = plan(bigPlan).linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("graft_plan_pk2")).mkString
+    assert(read.contains("k:bigint") && !read.contains("v:"), read)
+  }
 }

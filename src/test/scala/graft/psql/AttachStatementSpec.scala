@@ -93,4 +93,19 @@ class AttachStatementSpec extends SparkSpec {
       psql.sql(s"attach '${f.getAbsolutePath}' as graft_att_d"))
     assert(e2.getMessage.contains("EXPORT DATABASE"), e2.getMessage)
   }
+
+  test("a DIRECTORY named like a database file attaches normally") {
+    // the bridge recipe only applies to actual FILES (or missing paths):
+    // an exported directory someone named `corpus.db` is a valid attach
+    val dir = java.nio.file.Files.createTempDirectory("graft_att_dir").toFile
+    val sub = new java.io.File(dir, "corpus.db")
+    assert(sub.mkdir())
+    import spark.implicits._
+    Seq((1, "a"), (2, "b")).toDF("id", "s")
+      .write.mode("overwrite").parquet(new java.io.File(sub, "t1").getAbsolutePath)
+    psql.sql(s"attach '${sub.getAbsolutePath}' as graft_att_dirdb")
+    assert(psql.sql("from graft_att_dirdb.t1 |> select count(*) as n")
+      .collect()(0).getLong(0) == 2L)
+    psql.sql("detach graft_att_dirdb")
+  }
 }

@@ -309,6 +309,26 @@ class DmlStatementsSpec extends SparkSpec {
       .collect()(0).getInt(0) == 2)
   }
 
+  test("WITH-DML CTE shadowing a pre-existing temp view restores it after") {
+    import spark.implicits._
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_wdml_sh")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_wdml_sh__graft_cow")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable("graft_wdml_sh")
+    // a user temp view that a CTE name will shadow — in DuckDB a CTE never
+    // mutates session state, so the view must survive the statement
+    Seq((99L, 1L)).toDF("k", "marker").createOrReplaceTempView("graft_sh_cte")
+    val d = psql.sql("with graft_sh_cte as (select k from graft_wdml_sh where v > 15) " +
+      "delete from graft_wdml_sh where k in (select k from graft_sh_cte)")
+    assert(d.collect()(0).getLong(0) == 1L)
+    // the pre-existing view is back, with ITS content (not the CTE's)
+    assert(spark.catalog.tableExists("graft_sh_cte"))
+    val r = spark.table("graft_sh_cte").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((99L, 1L)))
+    spark.catalog.dropTempView("graft_sh_cte")
+  }
+
   test("typo'd clauses error instead of silently widening the statement") {
     seed("graft_dml_t5")
     // a typo'd WHERE must NOT fall through to an unconditional DELETE —

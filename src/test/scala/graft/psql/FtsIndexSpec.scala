@@ -94,6 +94,25 @@ class FtsIndexSpec extends SparkSpec {
     cleanup()
   }
 
+  test("match_bm25 scores views are statement-scoped: catalog stays stable") {
+    seed()
+    psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content')")
+    def viewCount: Int = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_fts_scores_"))
+    val before = viewCount
+    // N distinct queries — each registers a distinct-keyed view during the
+    // rewrite; all must be dropped once the statement is analyzed
+    (1 to 5).foreach { i =>
+      val r = psql.sql(s"select id, fts_main_graft_fts_d.match_bm25(id, 'hello q$i') as s " +
+        "from graft_fts_d order by id").collect()
+      assert(r.length == 5)
+    }
+    assert(viewCount == before,
+      s"scores views leaked: $viewCount registered vs $before before")
+    psql.sql("PRAGMA drop_fts_index('graft_fts_d')")
+    cleanup()
+  }
+
   test("the reference-style fts script runs end-to-end after LOAD fts") {
     seed()
     psql.sql("install fts")

@@ -355,4 +355,71 @@ class TableConstraintsSpec extends SparkSpec {
     val c = TableConstraints.load(spark, "graft_ct_k")
     assert(c.notNull.toSet == Set("m", "i"))
   }
+
+  test("RENAME COLUMN follows a column referenced only by a PLAIN index") {
+    drop("graft_ct_pidx")
+    psql.sql("create table graft_ct_pidx (i int primary key, tag varchar)")
+    psql.sql("create index graft_pidx_tag on graft_ct_pidx (tag)")
+    // `tag` appears in NO constraint list — only in the plain index; the
+    // rename must still migrate the index's recorded column list
+    psql.sql("alter table graft_ct_pidx rename column tag to label")
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_ct_pidx"))
+      .properties
+    val idx = props("graft.constraints.index.graft_pidx_tag")
+    assert(idx == "plain|label", idx)
+    // ...and a rename touching a unique INDEX does not double-record it as
+    // a unique.N constraint property
+    psql.sql("create unique index graft_pidx_u on graft_ct_pidx (label)")
+    psql.sql("alter table graft_ct_pidx rename column label to name2")
+    val props2 = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_ct_pidx"))
+      .properties
+    assert(props2("graft.constraints.index.graft_pidx_u") == "unique|name2")
+    assert(!props2.keys.exists(_.startsWith("graft.constraints.unique.")),
+      props2.keys.filter(_.startsWith("graft.constraints.")).mkString(", "))
+    psql.sql("drop index graft_pidx_tag")
+    psql.sql("drop index graft_pidx_u")
+  }
+
+  test("UPDATE touching key columns re-checks uniqueness (probed DuckDB)") {
+    drop("graft_ct_upk")
+    psql.sql("create table graft_ct_upk (i int primary key, v varchar, u int unique)")
+    psql.sql("insert into graft_ct_upk values (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    // collapsing the PK raises and leaves the table untouched
+    val pk = intercept[IllegalArgumentException] {
+      psql.sql("update graft_ct_upk set i = 1 where i in (1, 2)")
+    }
+    assert(pk.getMessage.contains("violates primary key"), pk.getMessage)
+    assert(spark.table("graft_ct_upk").count() == 3)
+    assert(psql.sql("from graft_ct_upk |> where i = 2 |> select v")
+      .collect()(0).getString(0) == "b")
+    // collapsing a UNIQUE column raises too
+    val uq = intercept[IllegalArgumentException] {
+      psql.sql("update graft_ct_upk set u = 10 where i = 2")
+    }
+    assert(uq.getMessage.contains("violates unique"), uq.getMessage)
+    // a key-moving UPDATE that keeps keys distinct passes (count 1)
+    val ok = psql.sql("update graft_ct_upk set i = 9 where i = 3")
+    assert(ok.collect()(0).getLong(0) == 1L)
+    assert(spark.table("graft_ct_upk").where("i = 9").count() == 1)
+    // a SET not touching keys skips the re-check and still updates
+    assert(psql.sql("update graft_ct_upk set v = 'z' where i = 9")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("UPDATE key re-check sees collisions across partitions (pruned path disabled)") {
+    drop("graft_ct_upkp")
+    spark.sql("drop table if exists graft_ct_upkp")
+    // partitioned target: the collapsed key's victim lives in ANOTHER
+    // partition, so a per-partition check would miss it
+    psql.sql("create table graft_ct_upkp (i int primary key, p int) " +
+      "using parquet partitioned by (p)")
+    psql.sql("insert into graft_ct_upkp values (1, 100), (2, 200)")
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("update graft_ct_upkp set i = 1 where p = 200")
+    }
+    assert(e.getMessage.contains("violates primary key"), e.getMessage)
+    assert(spark.table("graft_ct_upkp").where("i = 2").count() == 1)
+  }
 }
