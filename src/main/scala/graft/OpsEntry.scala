@@ -6146,6 +6146,74 @@ object OpsEntry {
         |FROM graft_b21_t ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b22_schema_qualified_dml",
+      withTables { (s, _) =>
+        // Schema-qualified DML targets (DmlStatements.resolveTarget): every
+        // schema-organized DuckDB dump spells `CREATE SCHEMA s; INSERT INTO
+        // s.t …` and the default-namespace prefix `main.t`. The front-end
+        // resolves `main.` to Spark's default database and routes REAL
+        // database qualifiers (`gsch.t`) through the same constraint-aware
+        // lowerings — enforcement, upserts, copy-on-write UPDATE/DELETE and
+        // the catalog-property round-trip all run on the qualified target.
+        // Oracle: DuckDB executes the SAME script (its main schema is the
+        // default namespace natively).
+        val psql = graft.psql.Psql(s)
+        psql.sql("create schema if not exists gsch")
+        Bucketing.dropTableAndLocation(s, "gsch.t__graft_cow")
+        Bucketing.dropTableAndLocation(s, "graft_b22_t2__graft_cow")
+        psql.sql("""create or replace table gsch.t (
+          |  o_orderkey bigint primary key,
+          |  o_custkey bigint not null,
+          |  status varchar default 'N',
+          |  total double,
+          |  check (total >= 0))""".stripMargin)
+        psql.sql("""insert into gsch.t select o_orderkey, o_custkey,
+          |o_orderstatus, o_totalprice from orders where o_orderkey % 6 = 0""".stripMargin)
+        psql.sql("""insert into gsch.t (o_orderkey, o_custkey, total)
+          |select o_orderkey + 9000000, o_custkey, o_totalprice from orders
+          |where o_orderkey % 13 = 0""".stripMargin)
+        psql.sql("create or replace table main.graft_b22_t2 (o_orderkey bigint primary key, tag varchar)")
+        psql.sql("insert into main.graft_b22_t2 select o_orderkey, 'k' from orders where o_orderkey % 9 = 0")
+        psql.sql("update gsch.t set total = total + 1 where o_orderkey % 12 = 0")
+        psql.sql("delete from main.graft_b22_t2 where o_orderkey % 18 = 0")
+        psql.sql("""insert into gsch.t select o_orderkey, o_custkey, 'C',
+          |o_totalprice from orders where o_orderkey % 8 = 4
+          |on conflict (o_orderkey) do update set status = excluded.status""".stripMargin)
+        // qualified targets enforce exactly like bare ones (advisor case:
+        // `INSERT INTO main.t` must not bypass the NOT NULL guard)
+        val nnThrew =
+          try { psql.sql("insert into gsch.t values (1, null, 'x', 1.0)"); false }
+          catch { case e: Exception => e.getMessage.contains("NOT NULL constraint failed") }
+        require(nnThrew, "qualified-target NOT NULL violation must fail")
+        psql.sql("""from gsch.t
+          ||> as g left join graft_b22_t2 on graft_b22_t2.o_orderkey = g.o_orderkey
+          |   select g.o_orderkey, g.o_custkey, g.status, g.total, graft_b22_t2.tag
+          ||> order by o_orderkey""".stripMargin)
+      },
+      Some("""CREATE SCHEMA IF NOT EXISTS gsch;
+        |CREATE OR REPLACE TABLE gsch.t (
+        |  o_orderkey BIGINT PRIMARY KEY,
+        |  o_custkey BIGINT NOT NULL,
+        |  status VARCHAR DEFAULT 'N',
+        |  total DOUBLE,
+        |  CHECK (total >= 0));
+        |INSERT INTO gsch.t SELECT o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 6 = 0;
+        |INSERT INTO gsch.t (o_orderkey, o_custkey, total)
+        |  SELECT o_orderkey + 9000000, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 13 = 0;
+        |CREATE OR REPLACE TABLE main.graft_b22_t2 (o_orderkey BIGINT PRIMARY KEY, tag VARCHAR);
+        |INSERT INTO main.graft_b22_t2 SELECT o_orderkey, 'k' FROM orders WHERE o_orderkey % 9 = 0;
+        |UPDATE gsch.t SET total = total + 1 WHERE o_orderkey % 12 = 0;
+        |DELETE FROM main.graft_b22_t2 WHERE o_orderkey % 18 = 0;
+        |INSERT INTO gsch.t SELECT o_orderkey, o_custkey, 'C', o_totalprice
+        |  FROM orders WHERE o_orderkey % 8 = 4
+        |  ON CONFLICT (o_orderkey) DO UPDATE SET status = excluded.status;
+        |SELECT g.o_orderkey, g.o_custkey, g.status, g.total, graft_b22_t2.tag
+        |FROM gsch.t g LEFT JOIN graft_b22_t2 ON graft_b22_t2.o_orderkey = g.o_orderkey
+        |ORDER BY g.o_orderkey""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

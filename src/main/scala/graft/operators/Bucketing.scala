@@ -25,11 +25,25 @@ object Bucketing {
     * writer here (review finding: the block lived in four copies).
     */
   private[graft] def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // a db-qualified name drops inside that database and cleans the
+    // database's OWN location (not the warehouse root); bare names keep the
+    // original warehouse-root cleanup
+    val parts = table.split('.')
+    if (parts.length == 2) {
+      spark.sql(s"DROP TABLE IF EXISTS `${parts(0)}`.`${parts(1)}`")
+      val dbLoc =
+        try spark.catalog.getDatabase(parts(0)).locationUri
+        catch { case _: Throwable => return }
+      val loc = new org.apache.hadoop.fs.Path(dbLoc, parts(1).toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    } else {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
   }
 
   /** Write `df` as a bucketed+sorted warehouse table (overwriting any

@@ -94,11 +94,18 @@ object DmlStatements {
         Some(insertFrontend(spark, stmt))
       else plainInsertTarget(stmt) match {
         // a target with recorded NOT NULL/CHECK/PRIMARY KEY constraints
-        // must go through the enforcing front-end; everything else stays
-        // on Spark's native INSERT (which applies DEFAULTs itself)
-        case Some(t) if TableConstraints.load(spark, t).enforceable =>
-          Some(insertFrontend(spark, stmt))
-        case _ => None
+        // must go through the enforcing front-end — resolved through
+        // resolveTarget first, so `INSERT INTO main.t` enforces exactly
+        // like `INSERT INTO t`. A spelling Spark's catalog cannot resolve
+        // natively (`main.`, `memory.main.`) also routes through the
+        // front-end; everything else stays on Spark's native INSERT
+        // (which applies DEFAULTs itself)
+        case Some(t0) =>
+          val t = resolveTarget(spark, t0)
+          if (t != t0 || TableConstraints.load(spark, t).enforceable)
+            Some(insertFrontend(spark, stmt))
+          else None
+        case None => None
       }
     }
     else None
@@ -273,7 +280,7 @@ object DmlStatements {
     if (i < 0 || !matchesWord(stmt, i, "replace")) return None
     i = nextCode(stmt, sc, i + "replace".length)
     if (i < 0 || !matchesWord(stmt, i, "table")) return None
-    val (name, after) = identifierAt(stmt, i + "table".length)
+    val (rawName, after) = identifierAt(stmt, i + "table".length)
     val asPos = nextCode(stmt, sc, after)
     require(asPos >= 0 && matchesWord(stmt, asPos, "as"),
       "CREATE OR REPLACE TABLE supports only the AS <query> form " +
@@ -281,11 +288,10 @@ object DmlStatements {
     val body = stmt.substring(asPos + 2).trim
     require(body.nonEmpty, "CREATE OR REPLACE TABLE … AS needs a query")
     // same guards as the other copy-on-write forms, checked BEFORE the
-    // shadow materializes: dotted names would fail the swap late, and a
-    // name held by a view/external table must not be silently re-pointed
-    // at a managed table (DROP TABLE on a view also throws mid-swap)
-    require(!name.contains('.'),
-      s"CREATE OR REPLACE TABLE '$name': qualified names are not supported")
+    // shadow materializes: a name held by a view/external table must not be
+    // silently re-pointed at a managed table (DROP TABLE on a view also
+    // throws mid-swap)
+    val name = resolveTarget(spark, rawName)
     if (spark.catalog.tableExists(name)) {
       val tt = spark.catalog.getTable(name).tableType
       require(tt == "MANAGED",
@@ -308,9 +314,10 @@ object DmlStatements {
     var i = nextCode(stmt, sc, "truncate".length)
     require(i >= 0, "TRUNCATE needs a table name")
     if (matchesWord(stmt, i, "table")) i = nextCode(stmt, sc, i + "table".length)
-    val (table, after) = identifierAt(stmt, i)
+    val (rawTable, after) = identifierAt(stmt, i)
     require(stmt.substring(after).trim.isEmpty,
       s"TRUNCATE takes a single table name, got trailing '${stmt.substring(after).trim}'")
+    val table = resolveTarget(spark, rawTable)
     checkTarget(spark, table)
     spark.sql(s"TRUNCATE TABLE $table")
     spark.emptyDataFrame
@@ -336,7 +343,8 @@ object DmlStatements {
     val sc = scan(stmt)
     var i = nextCode(stmt, sc, "alter".length)
     if (i < 0 || !matchesWord(stmt, i, "table")) return None
-    val (table, afterName) = identifierAt(stmt, i + "table".length)
+    val (rawTable, afterName) = identifierAt(stmt, i + "table".length)
+    val table = resolveTarget(spark, rawTable)
     var j = nextCode(stmt, sc, afterName)
     if (j < 0) return None
     def word(w: String): Boolean = matchesWord(stmt, j, w)
@@ -453,7 +461,9 @@ object DmlStatements {
     val fromIdx = nextCode(stmt, sc, "delete".length)
     require(fromIdx >= 0 && matchesWord(stmt, fromIdx, "from"),
       "DELETE must be `DELETE FROM <table> [USING <rel>] [WHERE <cond>]`")
-    val (table, after) = identifierAt(stmt, fromIdx + 4)
+    val (rawTable, after) = identifierAt(stmt, fromIdx + 4)
+    val table = resolveTarget(spark, rawTable)
+    val tAs = aliasOf(table)
     val usingPos = topLevelKeyword(stmt, sc, Seq("using")).headOption
     val wherePos = topLevelKeyword(stmt, sc, Seq("where")).headOption
     wherePos.foreach(p => require(p >= after, s"malformed DELETE near '$table'"))
@@ -489,7 +499,7 @@ object DmlStatements {
     // mutation (the lazy plan would read the rewritten table otherwise)
     val retDf = returning.map { list =>
       val w = cond.map(c => s"coalesce(($c), false)").getOrElse("true")
-      psql.sql(s"from $table |> as $table where $w |> select $list").localCheckpoint(true)
+      psql.sql(s"from $table |> as $tAs where $w |> select $list").localCheckpoint(true)
     }
     def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
     // partition-pruned path: when the target is partitioned, rewrite ONLY
@@ -518,7 +528,7 @@ object DmlStatements {
              |  group by ${pcols.mkString(", ")}""".stripMargin).collect()
           .map(r => (pcols.indices.map(i => whereLit(r.get(i)).get), r.getLong(pcols.size)))
           .toMap
-        val survivors = psql.sql(s"from $table |> as $table where ($affPred) and not $condSql")
+        val survivors = psql.sql(s"from $table |> as $tAs where ($affPred) and not $condSql")
         withDynamicOverwrite(spark) {
           survivors.write.mode(SaveMode.Overwrite).insertInto(table)
         }
@@ -535,9 +545,9 @@ object DmlStatements {
     val (affected, next) = cond match {
       case Some(c) =>
         val n = psql.sql(
-          s"from $table |> as $table where coalesce(($c), false) |> select count(*) as n")
+          s"from $table |> as $tAs where coalesce(($c), false) |> select count(*) as n")
           .collect()(0).getLong(0)
-        (n, psql.sql(s"from $table |> as $table where not coalesce(($c), false)"))
+        (n, psql.sql(s"from $table |> as $tAs where not coalesce(($c), false)"))
       case None =>
         (spark.table(table).count(), spark.table(table).limit(0))
     }
@@ -548,7 +558,9 @@ object DmlStatements {
   private def update(spark: SparkSession, stmt0: String): DataFrame = {
     val (stmt, returning) = splitReturning(stmt0)
     val sc = scan(stmt)
-    val (table, after) = identifierAt(stmt, "update".length)
+    val (rawTable, after) = identifierAt(stmt, "update".length)
+    val table = resolveTarget(spark, rawTable)
+    val tAs = aliasOf(table)
     // SET must IMMEDIATELY follow the table name: a misplaced clause
     // (`UPDATE t WHERE id=1 SET v=2`) would otherwise be silently dropped
     // and the WHERE lost — an unconditional update of every row
@@ -587,7 +599,7 @@ object DmlStatements {
           "cross-join update is never what you want)"))
       val (rel, alias) = relAlias(stmt.substring(fp + "from".length, whereP).trim)
       val c = stmt.substring(whereP + "where".length).trim
-      return MergeStatement.updateFrom(spark, table, table, rel, alias, c, assigns)
+      return MergeStatement.updateFrom(spark, table, tAs, rel, alias, c, assigns)
     }
     // SET c = DEFAULT → the recorded default expression (NULL when none —
     // probed DuckDB)
@@ -677,7 +689,7 @@ object DmlStatements {
     }
     val affected = cond match {
       case Some(c) =>
-        psql.sql(s"from $table |> as $table where coalesce(($c), false) |> select count(*) as n")
+        psql.sql(s"from $table |> as $tAs where coalesce(($c), false) |> select count(*) as n")
           .collect()(0).getLong(0)
       case None => spark.table(table).count()
     }
@@ -730,9 +742,8 @@ object DmlStatements {
     val intoPos = nextCode(stmt, sc, "insert".length)
     require(intoPos >= 0 && matchesWord(stmt, intoPos, "into"),
       "INSERT must be `INSERT INTO <table> [BY NAME] [(cols)] <source> [RETURNING …]`")
-    val (table, afterT) = identifierAt(stmt, intoPos + "into".length)
-    require(!table.contains('.'),
-      s"INSERT front-end target '$table': qualified names are not supported")
+    val (rawTable, afterT) = identifierAt(stmt, intoPos + "into".length)
+    val table = resolveTarget(spark, rawTable)
     require(spark.catalog.tableExists(table), s"INSERT target '$table' does not exist")
     val fields = spark.table(table).schema.fields.toSeq
     var p = nextCode(stmt, sc, afterT)
@@ -928,10 +939,13 @@ object DmlStatements {
     }
     // DuckDB scoping: bare target-column names in DO UPDATE expressions are
     // the TARGET row (probed: `SET v = v + excluded.v` adds old + proposed)
+    // — qualified with the target's BARE alias (a db-qualified target's
+    // merge-side alias is its bare table name)
     val targetCols = fields.map(_.name.toLowerCase).toSet
+    val tAs = aliasOf(table)
     val qualified = update.map { case (assigns, where) =>
-      (assigns.map { case (c, e) => (c, qualifyBareColumns(e, targetCols, table)) },
-        where.map(w => qualifyBareColumns(w, targetCols, table)))
+      (assigns.map { case (c, e) => (c, qualifyBareColumns(e, targetCols, tAs)) },
+        where.map(w => qualifyBareColumns(w, targetCols, tAs)))
     }
     val view = "graft_conf_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
     proj.createOrReplaceTempView(view)
@@ -1075,6 +1089,52 @@ object DmlStatements {
     (rel, alias)
   }
 
+  /** Normalize a possibly-qualified DML target name. DuckDB scripts
+    * routinely spell the default namespace (`main.t` — DuckDB's default
+    * schema; `memory.main.t` with its in-memory catalog; Spark's own
+    * `spark_catalog.default.t`), and schema-organized dumps use
+    * `CREATE SCHEMA s; INSERT INTO s.t …`. Lowering:
+    *
+    *  - `spark_catalog.` / `memory.` catalog prefixes strip (when no such
+    *    DATABASE exists — an ATTACH'd namespace with that name wins);
+    *  - `main.` maps to Spark's `default` database (DuckDB's default
+    *    schema) unless a real database named `main` exists;
+    *  - the current database's own prefix strips (bare-name code paths —
+    *    warehouse-location cleanup, constraint loads — then apply);
+    *  - any other single qualifier must name a REAL database and is kept —
+    *    every front-end path below handles `db.t`.
+    */
+  private[psql] def resolveTarget(spark: SparkSession, name0: String): String = {
+    if (!name0.contains('.')) return name0
+    var parts = name0.split('.').toList
+    require(parts.forall(_.nonEmpty), s"malformed qualified name '$name0'")
+    if (parts.length == 3 &&
+        (parts.head.equalsIgnoreCase("spark_catalog") ||
+          (parts.head.equalsIgnoreCase("memory") &&
+            !spark.catalog.databaseExists(parts.head))))
+      parts = parts.tail
+    require(parts.length <= 2,
+      s"DML target '$name0': at most database.table qualification is supported")
+    if (parts.length == 2) {
+      if (parts.head.equalsIgnoreCase("main") &&
+          !spark.catalog.databaseExists("main"))
+        parts = "default" :: parts.tail
+      if (parts.head.equalsIgnoreCase(spark.catalog.currentDatabase))
+        parts = parts.tail
+      else require(spark.catalog.databaseExists(parts.head),
+        s"DML target '$name0': database '${parts.head}' does not exist")
+    }
+    parts.mkString(".")
+  }
+
+  /** Bare relation alias for a (possibly db-qualified) table name — the
+    * `|> as <alias>` stages inside the DML lowerings need a plain
+    * identifier, and DuckDB resolves references to an unaliased qualified
+    * target by its bare table name.
+    */
+  private[psql] def aliasOf(table: String): String =
+    table.substring(table.lastIndexOf('.') + 1)
+
   /** Parse a (plain) identifier starting at/after i0; returns (name, end). */
   private[psql] def identifierAt(stmt: String, i0: Int): (String, Int) = {
     var i = math.max(i0, 0)
@@ -1087,12 +1147,8 @@ object DmlStatements {
   }
 
   private[psql] def checkTarget(spark: SparkSession, name: String): Unit = {
-    // the copy-on-write swap (DROP + RENAME through Bucketing) handles
-    // single-part names in the current database only; a dotted name would
-    // no-op the drop and fail the rename AFTER the full rewrite ran
-    require(!name.contains('.'),
-      s"DML target '$name': qualified (database.table) names are not supported — " +
-        "USE the database and refer to the bare table name")
+    // callers resolve through resolveTarget first: at most db.table here,
+    // and a kept qualifier names a real database
     require(spark.catalog.tableExists(name), s"DML target '$name' does not exist")
     val t = spark.catalog.getTable(name)
     require(t.tableType == "MANAGED",
@@ -1116,7 +1172,7 @@ object DmlStatements {
     // survive the swap — the shadow is a fresh table that knows none of them
     val keepProps =
       try spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
         .properties.filter { case (k, _) =>
           k.startsWith("graft.") || k == "comment" || k.startsWith("comment.") }
       catch { case _: Throwable => Map.empty[String, String] }
@@ -1187,7 +1243,7 @@ object DmlStatements {
     if (pcols.isEmpty) return None
     val cap = if (pcols.size == 1) 10000 else 1000
     val rows = psql.sql(
-      s"""from $table |> as $table where $condSql
+      s"""from $table |> as ${aliasOf(table)} where $condSql
          ||> select ${pcols.mkString(", ")}, count(*) as __n_aff
          |  group by ${pcols.mkString(", ")}""".stripMargin).limit(cap + 1).collect()
     if (rows.length > cap) return None

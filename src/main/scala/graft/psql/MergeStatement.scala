@@ -128,11 +128,13 @@ object MergeStatement {
     var p = nextCode(stmt, sc, "merge".length)
     require(p >= 0 && matchesWord(stmt, p, "into"),
       "MERGE must be `MERGE INTO <table> USING <source> ON <cond> WHEN …`")
-    val (table, afterT) = DmlStatements.identifierAt(stmt, p + "into".length)
-    // optional target alias
+    val (rawTable, afterT) = DmlStatements.identifierAt(stmt, p + "into".length)
+    val table = DmlStatements.resolveTarget(spark, rawTable)
+    // optional target alias; an unaliased qualified target resolves by its
+    // BARE table name (DuckDB's rule — `gsch.t.col` is not a column ref)
     p = nextCode(stmt, sc, afterT)
     require(p >= 0, "MERGE INTO needs a USING clause")
-    var tAlias = table
+    var tAlias = DmlStatements.aliasOf(table)
     if (matchesWord(stmt, p, "as")) {
       val (a, e) = DmlStatements.identifierAt(stmt, p + 2)
       tAlias = a; p = nextCode(stmt, sc, e)
@@ -213,7 +215,8 @@ object MergeStatement {
   private[psql] def onConflict(spark: SparkSession, table: String, srcView: String,
       keyCols: Seq[String], update: Option[(Seq[(String, String)], Option[String])])
       : DataFrame = {
-    val onCond = keyCols.map(k => s"$table.$k = excluded.$k").mkString(" and ")
+    val tAlias = DmlStatements.aliasOf(table)
+    val onCond = keyCols.map(k => s"$tAlias.$k = excluded.$k").mkString(" and ")
     val clauses = update match {
       case Some((assigns, where)) =>
         Seq(Clause(Matched, where, UpdateSet(assigns)),
@@ -221,7 +224,7 @@ object MergeStatement {
       case None =>
         Seq(Clause(NotMatchedTarget, None, InsertByName))
     }
-    lower(spark, table, table, srcView, "excluded", onCond, clauses)
+    lower(spark, table, tAlias, srcView, "excluded", onCond, clauses)
   }
 
   private def lower(spark: SparkSession, table: String, tAlias: String,

@@ -100,7 +100,7 @@ object TableConstraints {
       p = nextCode(stmt, sc, e + "exists".length)
     }
     if (p < 0) return None
-    val (name, afterName) = DmlStatements.identifierAt(stmt, p)
+    val (rawName, afterName) = DmlStatements.identifierAt(stmt, p)
     val open = nextCode(stmt, sc, afterName)
     // only the column-definition-list form is ours; CTAS and bare names
     // fall through to the other handlers / Spark native
@@ -120,9 +120,7 @@ object TableConstraints {
     if (colDefs.isEmpty) return None
     if (cons.isEmpty && !orReplace) return None // native DDL is strictly better
 
-    require(!name.contains('.'),
-      s"CREATE TABLE '$name': qualified names are not supported by the " +
-        "constraint front-end — USE the database and the bare name")
+    val name = DmlStatements.resolveTarget(spark, rawName)
     cons.primaryKey.foreach(c => require(
       colDefs.exists(_.name.equalsIgnoreCase(c)),
       s"PRIMARY KEY column '$c' is not defined in $name"))
@@ -527,9 +525,11 @@ object TableConstraints {
     val onPos = nextCode(stmt, sc, afterName)
     require(onPos >= 0 && matchesWord(stmt, onPos, "on"),
       "CREATE INDEX must be `CREATE [UNIQUE] INDEX name ON table (columns)`")
-    val (table, afterT) = DmlStatements.identifierAt(stmt, onPos + 2)
+    val (rawT, afterT) = DmlStatements.identifierAt(stmt, onPos + 2)
+    val table = DmlStatements.resolveTarget(spark, rawT)
     require(!table.contains('.'),
-      s"CREATE INDEX on '$table': qualified names are not supported")
+      s"CREATE INDEX on '$table': indexes live in the CURRENT database " +
+        "(the index registry scans it) — USE the database first")
     require(spark.catalog.tableExists(table),
       s"CREATE INDEX: table '$table' does not exist")
     val open = nextCode(stmt, sc, afterT)
@@ -622,10 +622,10 @@ object TableConstraints {
 
   /** Read recorded constraints back from the table's catalog properties. */
   def load(spark: SparkSession, table: String): Constraints = {
-    if (table.contains('.') || !spark.catalog.tableExists(table)) return empty
+    if (!spark.catalog.tableExists(table)) return empty
     val props =
       try spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
         .properties
       catch { case _: Throwable => return empty }
     if (!props.keys.exists(_.startsWith(P))) return empty
@@ -783,7 +783,7 @@ object TableConstraints {
 
   private def tableProps(spark: SparkSession, table: String): Map[String, String] =
     try spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .properties.filter(_._1.startsWith(P))
     catch { case _: Throwable => Map.empty }
 
