@@ -6110,15 +6110,18 @@ object OpsEntry {
         // membership CHECK (enforced map-side on every front-end write)
         // + the dependency marker DROP TYPE honors. Out-of-domain inserts
         // error in both engines (probed; message class differs —
-        // conversion vs CHECK — documented). The final select casts to
-        // VARCHAR explicitly so both engines emit identical string
-        // columns. Documented divergence: ORDER BY an enum column here is
-        // lexical, not declaration-order — the row orders by the key.
+        // conversion vs CHECK — documented). ORDER BY the enum column
+        // sorts by DECLARATION order exactly like DuckDB (the front-end
+        // rewrites the bare reference to an array_position key; the
+        // members are deliberately NON-alphabetical and the LIMIT crosses
+        // the P→F boundary, so a lexical sort would change the CONTENT).
+        // The final select casts to VARCHAR so both engines emit
+        // identical string columns.
         val psql = graft.psql.Psql(s)
         Bucketing.dropTableAndLocation(s, "graft_b21_t")
         Bucketing.dropTableAndLocation(s, "graft_b21_t__graft_cow")
         psql.sql("drop type if exists graft_b21_status")
-        psql.sql("create type graft_b21_status as enum ('F', 'O', 'P')")
+        psql.sql("create type graft_b21_status as enum ('P', 'F', 'O')")
         psql.sql("""create or replace table graft_b21_t (
           |o_orderkey bigint primary key, st graft_b21_status, total double)""".stripMargin)
         psql.sql("""insert into graft_b21_t select o_orderkey, o_orderstatus,
@@ -6130,12 +6133,14 @@ object OpsEntry {
           catch { case e: Exception => e.getMessage.contains("CHECK constraint failed") }
         require(bad, "out-of-domain enum value must fail the membership check")
         psql.sql("""from graft_b21_t
+          ||> order by st, o_orderkey
+          ||> limit 1800
           ||> select o_orderkey, cast(st as varchar) as st, total
           ||> order by o_orderkey""".stripMargin)
       },
       Some("""DROP TABLE IF EXISTS graft_b21_t;
         |DROP TYPE IF EXISTS graft_b21_status;
-        |CREATE TYPE graft_b21_status AS ENUM ('F', 'O', 'P');
+        |CREATE TYPE graft_b21_status AS ENUM ('P', 'F', 'O');
         |CREATE OR REPLACE TEMP TABLE graft_b21_t (
         |  o_orderkey BIGINT PRIMARY KEY, st graft_b21_status, total DOUBLE);
         |INSERT INTO graft_b21_t SELECT o_orderkey, o_orderstatus,
@@ -6143,7 +6148,8 @@ object OpsEntry {
         |INSERT OR REPLACE INTO graft_b21_t SELECT o_orderkey, 'P',
         |  o_totalprice + 1 FROM orders WHERE o_orderkey % 12 = 0;
         |SELECT o_orderkey, cast(st AS VARCHAR) AS st, total
-        |FROM graft_b21_t ORDER BY o_orderkey""".stripMargin)),
+        |FROM (SELECT * FROM graft_b21_t ORDER BY st, o_orderkey LIMIT 1800)
+        |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(
       "b22_schema_qualified_dml",

@@ -158,7 +158,12 @@ class Psql(val spark: SparkSession) {
     // text: nextval dispensing is STATEFUL, so inlining separately per
     // branch would advance the sequence twice per statement (preprocess's
     // own expand+inline passes are no-ops on the already-inlined text).
-    val expanded = Psql.inlineSessionState(spark, Macros.expand(spark, q2))
+    // enum columns sort by DECLARATION order in DuckDB: rewrite bare
+    // ORDER BY references before the pipe rewrite (idempotent — a
+    // rewritten item is no longer a bare reference), on the shared text so
+    // the native-pipe fallback branch sorts identically
+    val expanded = TableConstraints.enumOrderRewrite(spark,
+      Psql.inlineSessionState(spark, Macros.expand(spark, q2)))
     runWithFallback(expanded, Psql.preprocess(spark, expanded), "")
   }
 
@@ -318,7 +323,8 @@ object Psql {
   private[psql] def preprocess(spark: SparkSession, query: String): String = {
     rejectMultiStatement(query)
     // macro bodies may carry getvariable/nextval calls that bind at CALL time
-    val rewritten = rewriteOnly(Psql.inlineSessionState(spark, Macros.expand(spark, query)))
+    val rewritten = rewriteOnly(TableConstraints.enumOrderRewrite(spark,
+      Psql.inlineSessionState(spark, Macros.expand(spark, query))))
     val (finalSql, paths) = PathRelations.extractPaths(rewritten)
     paths.foreach { case (view, path) => PathRelations.register(spark, view, path) }
     finalSql

@@ -162,6 +162,14 @@ object TableConstraints {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (${
         props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+    // record declared member lists for the ORDER BY declaration-order
+    // rewrite (the catalog property only carries the TYPE name)
+    if (full.enumCols.nonEmpty) {
+      val ev = enumsView(spark)
+      enumTables(spark).put(name.toLowerCase(java.util.Locale.ROOT),
+        full.enumCols.flatMap { case (c, t) =>
+          ev.get(t.toLowerCase(java.util.Locale.ROOT)).map(c -> _) })
+    } else enumTables(spark).remove(name.toLowerCase(java.util.Locale.ROOT))
     Some(spark.emptyDataFrame)
   }
 
@@ -406,6 +414,159 @@ object TableConstraints {
       }
       r
     }
+
+  // Tables with enum-typed columns, per session: lower-cased table name →
+  // (lower col → declared members). Feeds the ORDER BY rewrite below —
+  // DuckDB sorts enum columns by DECLARATION order, and the STRING lowering
+  // would otherwise sort lexically. Session-scoped like the types
+  // themselves (an enum column created in another session keeps the
+  // documented lexical divergence).
+  private val enumTableRegistries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]]())
+
+  private def enumTables(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]] =
+    enumTableRegistries.synchronized {
+      var r = enumTableRegistries.get(spark)
+      if (r == null) {
+        r = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]()
+        enumTableRegistries.put(spark, r)
+      }
+      r
+    }
+
+  /** Rewrite bare enum-column references in ORDER BY item lists (pipe
+    * stages, plain SQL and window OVER clauses alike) to
+    * `array_position(array(<members>), col)` — DuckDB's declaration-order
+    * sort. Applies only to items that are a plain (optionally one-level
+    * qualified) reference to a column some session-created enum table
+    * declares, with the table MENTIONED in the statement and its enum
+    * marker still recorded in the catalog (a re-created table without the
+    * property never rewrites). NULL ordering is unchanged:
+    * array_position(…, NULL) is NULL exactly where the column is. Known
+    * edge: `SELECT cast(e AS varchar) AS e … ORDER BY e` resolves to the
+    * OUTPUT alias in both engines (lexical); the rewrite cannot see output
+    * aliases and applies declaration order there — sort the enum column
+    * before projecting it away.
+    */
+  def enumOrderRewrite(spark: SparkSession, stmt: String): String = {
+    val reg = enumTables(spark)
+    if (reg.isEmpty) return stmt
+    val sc = scan(stmt)
+    def mentioned(table: String): Boolean = {
+      val bare = table.substring(table.lastIndexOf('.') + 1)
+      Iterator.range(0, stmt.length)
+        .exists(i => sc.code(i) && matchesWord(stmt, i, bare))
+    }
+    // columns resolvable unambiguously across every mentioned enum table
+    // whose catalog marker is still present
+    import scala.jdk.CollectionConverters._
+    val colMaps = reg.asScala.toSeq
+      .filter { case (t, _) => mentioned(t) }
+      .filter { case (t, cols) =>
+        load(spark, t).enumCols.keySet == cols.keySet }
+      .flatMap(_._2)
+    if (colMaps.isEmpty) return stmt
+    val byCol = colMaps.groupBy(_._1).collect {
+      case (c, ms) if ms.map(_._2).distinct.size == 1 => c -> ms.head._2
+    }
+    if (byCol.isEmpty) return stmt
+    // locate every ORDER BY and rewrite its item list
+    val sb = new StringBuilder
+    var i = 0
+    var last = 0
+    while (i < stmt.length) {
+      if (sc.code(i) && matchesWord(stmt, i, "order") && {
+          val b = nextCode(stmt, sc, i + 5)
+          b >= 0 && matchesWord(stmt, b, "by")
+        }) {
+        val by = nextCode(stmt, sc, i + 5)
+        val start = by + 2
+        val d0 = sc.depth(start - 1)
+        // find the end of the item list: closing paren below d0, a ws-
+        // guarded |> token, a frame/limit keyword at d0, or ';'
+        var e = start
+        var end = -1
+        while (e < stmt.length && end < 0) {
+          val atCode = sc.code(e)
+          if (atCode && sc.depth(e) < d0) end = e
+          else if (sc.topLevel(e) && stmt.charAt(e) == ';') end = e
+          else if (atCode && sc.depth(e) == d0 && stmt.charAt(e) == '|' &&
+              e + 1 < stmt.length && stmt.charAt(e + 1) == '>' &&
+              e > 0 && Character.isWhitespace(stmt.charAt(e - 1))) end = e
+          else if (atCode && sc.depth(e) == d0 &&
+              Seq("limit", "offset", "rows", "range", "groups", "exclude")
+                .exists(matchesWord(stmt, e, _))) end = e
+          else e += 1
+        }
+        if (end < 0) end = stmt.length
+        // split items on commas at d0 and rewrite each qualifying one
+        val items = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        var s0 = start
+        var j = start
+        while (j < end) {
+          if (sc.code(j) && sc.depth(j) == d0 && stmt.charAt(j) == ',') {
+            items += ((s0, j)); s0 = j + 1
+          }
+          j += 1
+        }
+        items += ((s0, end))
+        sb.append(stmt.substring(last, start))
+        var firstItem = true
+        items.foreach { case (a, b) =>
+          if (!firstItem) sb.append(',')
+          firstItem = false
+          sb.append(rewriteSortItem(stmt.substring(a, b), byCol))
+        }
+        last = end
+        i = end
+      } else i += 1
+    }
+    if (last == 0) stmt else { sb.append(stmt.substring(last)); sb.toString }
+  }
+
+  /** One sort item: when it is `[qualifier.]col [ASC|DESC] [NULLS
+    * FIRST|LAST]` with `col` a known enum column, wrap the reference in the
+    * declaration-order key; anything else passes through untouched.
+    */
+  private def rewriteSortItem(item: String, byCol: Map[String, Seq[String]]): String = {
+    val isc = scan(item)
+    val p0 = nextCode(item, isc, 0)
+    if (p0 < 0) return item
+    // reference: ident, optionally preceded by `qualifier.`
+    val refStart = p0
+    var q = p0
+    if (!Character.isLetter(item.charAt(q)) && item.charAt(q) != '_') return item
+    var e1 = q
+    while (e1 < item.length && SqlScanner.isWordChar(item.charAt(e1))) e1 += 1
+    var refEnd = e1
+    var colName = item.substring(q, e1)
+    if (refEnd < item.length && item.charAt(refEnd) == '.') {
+      var e2 = refEnd + 1
+      if (e2 >= item.length ||
+          (!Character.isLetter(item.charAt(e2)) && item.charAt(e2) != '_')) return item
+      var e3 = e2
+      while (e3 < item.length && SqlScanner.isWordChar(item.charAt(e3))) e3 += 1
+      colName = item.substring(e2, e3)
+      refEnd = e3
+    }
+    // the remainder may only be sort modifiers
+    val tailWords = item.substring(refEnd).trim
+    val mods = Set("asc", "desc", "nulls", "first", "last")
+    if (tailWords.nonEmpty &&
+        !tailWords.split("\\s+").forall(w => mods.contains(w.toLowerCase(java.util.Locale.ROOT))))
+      return item
+    byCol.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some(members) =>
+        val arr = members.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
+        val ref = item.substring(refStart, refEnd)
+        item.substring(0, refStart) +
+          s"array_position(array($arr), $ref)" + item.substring(refEnd)
+      case None => item
+    }
+  }
 
   /** `CREATE TYPE name AS ENUM ('v1', 'v2', …)`. */
   def createType(spark: SparkSession, stmt0: String): Option[DataFrame] = {
@@ -707,6 +868,9 @@ object TableConstraints {
       uniques = cons.uniques.filterNot(idxUniques.contains),
       defaults = cons.defaults - lower,
       enumCols = cons.enumCols - lower))
+    val tKey = table.toLowerCase(java.util.Locale.ROOT)
+    Option(enumTables(spark).get(tKey))
+      .foreach(m => enumTables(spark).put(tKey, m - lower))
   }
 
   /** Post-swap fix-ups after RENAME COLUMN: every recorded list, default/
@@ -758,6 +922,12 @@ object TableConstraints {
       checks = cons.checks.map(e => renameWord(e, from, to)),
       defaults = renKey(cons.defaults),
       enumCols = renKey(cons.enumCols)))
+    // the enum ORDER BY registry follows the rename too
+    val tKey = table.toLowerCase(java.util.Locale.ROOT)
+    Option(enumTables(spark).get(tKey)).foreach { m =>
+      enumTables(spark).put(tKey,
+        m.map { case (k, v) => (if (k == fromL) toL else k) -> v })
+    }
   }
 
   /** Scanner-aware whole-word occurrence test in a constraint expression. */

@@ -356,6 +356,39 @@ class TableConstraintsSpec extends SparkSpec {
     assert(c.notNull.toSet == Set("m", "i"))
   }
 
+  test("ORDER BY an enum column sorts by DECLARATION order (probed DuckDB)") {
+    drop("graft_ct_eord")
+    psql.sql("drop type if exists graft_eord_mood")
+    // deliberately non-alphabetical declaration: lexical would differ
+    psql.sql("create type graft_eord_mood as enum ('sad', 'ok', 'happy')")
+    psql.sql("create table graft_ct_eord (i int primary key, m graft_eord_mood)")
+    psql.sql("insert into graft_ct_eord values (1, 'happy'), (2, 'sad'), (3, 'ok'), (4, null)")
+    val asc = psql.sql("from graft_ct_eord |> where m is not null |> order by m |> select i")
+      .collect().map(_.getInt(0)).toSeq
+    assert(asc == Seq(2, 3, 1), asc) // sad < ok < happy (declaration order)
+    val desc = psql.sql("from graft_ct_eord |> where m is not null " +
+      "|> order by m desc, i |> select i").collect().map(_.getInt(0)).toSeq
+    assert(desc == Seq(1, 3, 2), desc)
+    // window ORDER BY rewrites too
+    val rk = psql.sql("from graft_ct_eord |> where m is not null |> select i, " +
+      "row_number() over (order by m, i) as rk |> order by i")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rk == Seq((1, 3), (2, 1), (3, 2)), rk)
+    // a NON-enum column in the same list is untouched; expressions pass through
+    val both = psql.sql("from graft_ct_eord |> where m is not null " +
+      "|> order by i desc, m |> select i").collect().map(_.getInt(0)).toSeq
+    assert(both == Seq(3, 2, 1), both)
+    // a re-created table WITHOUT the enum column stops rewriting (stale
+    // registry entries are catalog-checked)
+    drop("graft_ct_eord")
+    psql.sql("create table graft_ct_eord (i int primary key, m varchar)")
+    psql.sql("insert into graft_ct_eord values (1, 'b'), (2, 'a')")
+    val lex = psql.sql("from graft_ct_eord |> order by m |> select i")
+      .collect().map(_.getInt(0)).toSeq
+    assert(lex == Seq(2, 1), lex) // plain lexical again
+    psql.sql("drop type graft_eord_mood")
+  }
+
   test("RENAME COLUMN follows a column referenced only by a PLAIN index") {
     drop("graft_ct_pidx")
     psql.sql("create table graft_ct_pidx (i int primary key, tag varchar)")
