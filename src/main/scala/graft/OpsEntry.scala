@@ -3459,6 +3459,105 @@ object OpsEntry {
         |ORDER BY rank""".stripMargin)),
 
     QueryDef(
+      "r09_fts_default_porter",
+      withTables { (s, _) =>
+        // the DEFAULTED create_fts_index — the form every real user writes —
+        // applies DuckDB's documented default normalization: porter
+        // stemming + english stopword removal + lower + strip_accents +
+        // the ignore pattern (FtsTokenizer; stemmers spec'd against the
+        // published Porter/porter2 vectors). The query string normalizes
+        // through the INDEX'S recorded options, so 'Merging Windows!'
+        // probes the stemmed postings. No SQL oracle can stem (the fts
+        // extension cannot load in the driver's DuckDB) -> rows-only, with
+        // hash-green siblings r10 (same pipeline minus the stem step, full
+        // oracle) and r07 (exact-token contract, full oracle).
+        val psql = graft.psql.Psql(s)
+        Seq("fts_main_documents_terms", "fts_main_documents_docfreq",
+          "fts_main_documents_stats").foreach(Bucketing.dropTableAndLocation(s, _))
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+        val out = psql.sql("""from documents
+          ||> select doc_id,
+          |    fts_main_documents.match_bm25(doc_id, 'Merging the Windows!') as score
+          ||> where score is not null
+          ||> order by score desc, doc_id
+          ||> limit 20""".stripMargin).localCheckpoint(true)
+        psql.sql("PRAGMA drop_fts_index('documents')")
+        out
+      },
+      None),
+
+    QueryDef(
+      "r10_fts_normalized_tokens",
+      withTables { (s, _) =>
+        // the default pipeline MINUS the stem step (stemmer := 'none',
+        // everything else defaulted): stopword removal, lower,
+        // strip_accents and the ignore-pattern tokenization are all
+        // SQL-expressible, so DuckDB replicates the WHOLE chain as a plain
+        // query - dl counts post-stopword tokens, df/tf over normalized
+        // terms, the same grid-snapped BM25. This pins every stage of the
+        // conformant tokenizer except stem() (spec'd against published
+        // vectors; r09 runs the full default).
+        val psql = graft.psql.Psql(s)
+        Seq("fts_main_documents_terms", "fts_main_documents_docfreq",
+          "fts_main_documents_stats").foreach(Bucketing.dropTableAndLocation(s, _))
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text', stemmer := 'none')")
+        val out = psql.sql("""from documents
+          ||> select doc_id,
+          |    fts_main_documents.match_bm25(doc_id, 'merge window scan') as score
+          ||> where score is not null
+          ||> order by score desc, doc_id
+          ||> limit 20""".stripMargin).localCheckpoint(true)
+        psql.sql("PRAGMA drop_fts_index('documents')")
+        out
+      },
+      Some("""WITH toks AS (
+        |  SELECT s.doc_id, u.t AS term
+        |  FROM (SELECT doc_id, string_split_regex(regexp_replace(lower(
+        |          strip_accents(text)), '(\.|[^a-z])+', ' ', 'g'), '\s+') AS w
+        |        FROM documents) s, unnest(s.w) AS u(t)
+        |  WHERE len(u.t) > 0 AND u.t NOT IN (
+        |    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves', 'you',
+        |    'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his',
+        |    'himself', 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself',
+        |    'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which',
+        |    'who', 'whom', 'this', 'that', 'these', 'those', 'am', 'is', 'are',
+        |    'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had',
+        |    'having', 'do', 'does', 'did', 'doing', 'would', 'should', 'could',
+        |    'ought', 'cannot', 'a', 'an', 'the', 'and', 'but', 'if', 'or',
+        |    'because', 'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with',
+        |    'about', 'against', 'between', 'into', 'through', 'during',
+        |    'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down',
+        |    'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further',
+        |    'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how',
+        |    'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other',
+        |    'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so',
+        |    'than', 'too', 'very', 's', 't', 'd', 'm', 'll', 're', 've', 'don',
+        |    'isn', 'aren', 'wasn', 'weren', 'hasn', 'haven', 'hadn', 'doesn',
+        |    'didn', 'won', 'wouldn', 'shan', 'shouldn', 'can', 'couldn',
+        |    'mustn', 'let', 'will', 'just', 'now'
+        |  )),
+        |dl0 AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+        |dl AS (SELECT d.doc_id, coalesce(dl0.dl, 0)::BIGINT AS dl
+        |       FROM documents d LEFT JOIN dl0 USING (doc_id)),
+        |posting AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('merge', 'window', 'scan') GROUP BY doc_id, term),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    sum(floor(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+        |      * (p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl::DOUBLE / s.n_docs))))
+        |      * 1000000.0 + 0.5)::BIGINT)::BIGINT AS s6
+        |  FROM posting p JOIN dl l USING (doc_id) CROSS JOIN stats s
+        |  JOIN dfreq d ON d.term = p.term
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, s6::DOUBLE / 1000000.0 AS score
+        |FROM (SELECT * FROM scored ORDER BY s6 DESC, doc_id LIMIT 20)
+        |ORDER BY score DESC, doc_id""".stripMargin)),
+
+
+    QueryDef(
       "r02_hybrid_rerank",
       withTables { (s, _) =>
         // sparse candidate generation → dense cosine rerank against the
@@ -6770,13 +6869,16 @@ object OpsEntry {
         // terms' postings, never re-reads the corpus. Per-term BM25
         // contributions snap to the 1e-6 grid and sum as BIGINTs
         // (order-independent). Oracle: the same formula in plain DuckDB SQL
-        // (the real fts extension cannot load offline — documented; the
-        // tokenizer here is whitespace-exact, no stemming).
+        // (the real fts extension cannot load offline), with the
+        // exact-token options spelled out; r09/r10 cover the DEFAULT
+        // porter+stopword normalization pipeline.
         val psql = graft.psql.Psql(s)
         Bucketing.dropTableAndLocation(s, "fts_main_documents_terms")
         Bucketing.dropTableAndLocation(s, "fts_main_documents_docfreq")
         Bucketing.dropTableAndLocation(s, "fts_main_documents_stats")
-        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text', " +
+          "stemmer := 'none', stopwords := 'none', ignore := '', " +
+          "lower := 0, strip_accents := 0)")
         psql.sql("""from documents
           ||> select doc_id,
           |    fts_main_documents.match_bm25(doc_id, 'merge window scan') as score
@@ -6819,7 +6921,9 @@ object OpsEntry {
         val psql = graft.psql.Psql(s)
         Seq("fts_main_documents_terms", "fts_main_documents_docfreq",
           "fts_main_documents_stats").foreach(Bucketing.dropTableAndLocation(s, _))
-        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text')")
+        psql.sql("PRAGMA create_fts_index('documents', 'doc_id', 'text', " +
+          "stemmer := 'none', stopwords := 'none', ignore := '', " +
+          "lower := 0, strip_accents := 0)")
         val sparse = psql.sql("""from documents
           ||> select doc_id,
           |    fts_main_documents.match_bm25(doc_id, 'merge window scan') as score

@@ -710,6 +710,7 @@ object SparkEntry {
     "m03_resize"              -> Seq("m04_image_features", "m06_gif_frames"),
     "m05_image_resize"        -> Seq("m04_image_features", "m06_gif_frames"),
     "q31_sample"              -> Seq("q75_hash_sample"),
+    "r09_fts_default_porter"  -> Seq("r10_fts_normalized_tokens", "r07_fts_match"),
     "q43_approx_percentiles"  -> Seq("q37_percentiles"),
     "q51_approx_distinct"     -> Seq("q15_count_distinct"))
 

@@ -31,15 +31,24 @@ import SqlScanner.{matchesWord, nextCode, scan}
   * to the 1e-6 grid and summed as BIGINTs, so the per-document score is
   * order-independent — bit-stable across engines and partitionings.
   *
-  * Documented divergences from the DuckDB extension (which cannot load in
-  * an offline environment — its PRAGMA downloads a binary): tokenization
-  * is whitespace splitting with no stemming, no stopword removal and no
-  * accent stripping. `stemmer := 'none'` / `stopwords := 'none'` are
-  * accepted; asking for a real stemmer or stopword list throws. Scores
-  * for stemmed corpora therefore differ from DuckDB's; rankings on
-  * already-normalized text (the documents table) are identical.
+  * Tokenization follows DuckDB's documented DEFAULTS: porter stemming
+  * ([[graft.functions.PorterStemmer]], the extension's `stemmer :=
+  * 'porter'` default), English stopword removal, `lower := 1`,
+  * `strip_accents := 1` and the `ignore := '(\.|[^a-z])+'` pattern —
+  * see [[graft.functions.FtsTokenizer]] for the chain and the stopword
+  * list caveat (Snowball list, not the binary extension's 571-word list —
+  * the extension cannot load offline to copy it). Options persist in the
+  * stats table, so `match_bm25` normalizes QUERY terms with the index's
+  * own options. `stemmer := 'english'` selects porter2;
+  * `stemmer/stopwords := 'none', lower := 0, strip_accents := 0,
+  * ignore := ''` is the exact-token contract (shared with
+  * [[graft.operators.Retrieval.bm25TopK]]), kept on the codegen'd
+  * split/filter path.
   */
 object FtsIndex {
+
+  import graft.functions.{FtsOptions, FtsTokenizer, FtsTokenizeExpr}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
   private def termsTable(t: String) = s"fts_main_${t}_terms"
   private def dfTable(t: String) = s"fts_main_${t}_docfreq"
@@ -61,22 +70,31 @@ object FtsIndex {
     val (table, idCol) = (pos(0), pos(1))
     val valueCols = pos.drop(2)
     var overwrite = false
+    var opts = FtsOptions() // DuckDB's documented defaults
+    def bool(k: String, v: String): Boolean = v match {
+      case "1" => true
+      case "0" => false
+      case _ if v.equalsIgnoreCase("true")  => true
+      case _ if v.equalsIgnoreCase("false") => false
+      case _ => throw new IllegalArgumentException(
+        s"create_fts_index: $k must be 0 or 1, got '$v'")
+    }
     named.foreach { case (k, v) =>
       k match {
-        case "overwrite" => overwrite = v == "1" || v.equalsIgnoreCase("true")
-        case "stemmer" => require(v.equalsIgnoreCase("none"),
-          s"create_fts_index: stemmer '$v' is not available here — only " +
-            "stemmer := 'none' (whitespace tokenization; stemming diverges " +
-            "from this engine's exact-token BM25 contract)")
-        case "stopwords" => require(v.equalsIgnoreCase("none"),
-          s"create_fts_index: stopword list '$v' is not available here — " +
-            "only stopwords := 'none'")
-        case "lower" | "strip_accents" => require(v == "0",
-          s"create_fts_index: $k := $v is not applied here (tokens are " +
-            s"indexed verbatim); pre-normalize the column or pass $k := 0")
-        case "ignore" => throw new IllegalArgumentException(
-          "create_fts_index: ignore-pattern tokenization is not supported — " +
-            "pre-clean the column (regexp_replace) before indexing")
+        case "overwrite" => overwrite = bool(k, v)
+        case "stemmer" =>
+          val s = v.toLowerCase(java.util.Locale.ROOT)
+          FtsTokenizer.stemFn(s) // validates
+          opts = opts.copy(stemmer = s)
+        case "stopwords" =>
+          val s = v.toLowerCase(java.util.Locale.ROOT)
+          FtsTokenizer.stopwordsFor(s) // validates
+          opts = opts.copy(stopwords = s)
+        case "ignore" =>
+          if (v.nonEmpty) java.util.regex.Pattern.compile(v) // validates
+          opts = opts.copy(ignore = v)
+        case "lower" => opts = opts.copy(lower = bool(k, v))
+        case "strip_accents" => opts = opts.copy(stripAccents = bool(k, v))
         case other => throw new IllegalArgumentException(
           s"create_fts_index: unknown argument '$other'")
       }
@@ -93,10 +111,15 @@ object FtsIndex {
       s"create_fts_index: id column '$idCol' is not in $table")
     // one corpus pass: concatenate the value columns (single space — the
     // boundary IS a token break), explode to (term, id), aggregate tf and
-    // carry dl denormalized
+    // carry dl denormalized. Exact-token options keep the codegen'd
+    // split/filter; any normalization routes through the tokenizer
+    // expression (a one-time build pass — CodegenFallback is fine there)
     val text = valueCols.map(c => coalesce(col(c), lit(""))).reduce(concat_ws(" ", _, _))
-    val tok = src.select(col(idCol).as("__id"),
-      tokensOf(if (valueCols.size == 1) coalesce(col(valueCols.head), lit("")) else text).as("__w"))
+    val textOne = if (valueCols.size == 1) coalesce(col(valueCols.head), lit("")) else text
+    val tokens =
+      if (opts.isExact) tokensOf(textOne)
+      else ColumnBridge.column(FtsTokenizeExpr(ColumnBridge.expression(textOne), opts))
+    val tok = src.select(col(idCol).as("__id"), tokens.as("__w"))
       .withColumn("dl", size(col("__w")).cast("long"))
     val posting = tok.select(col("__id"), col("dl"), explode(col("__w")).as("term"))
       .groupBy("term", "__id", "dl").agg(count(lit(1)).as("tf"))
@@ -109,9 +132,16 @@ object FtsIndex {
       .write.format("parquet").saveAsTable(termsTable(table))
     // stats over ALL documents (a zero-token doc has no postings but still
     // counts toward N and avgdl — DuckDB's denominator); docfreq from the
-    // persisted postings (no second corpus tokenization)
+    // persisted postings (no second corpus tokenization). The one-row
+    // stats table also carries the index's TOKENIZATION OPTIONS, so
+    // match_bm25 normalizes query terms exactly the way the corpus was
     dropIfExists(spark, statsTable(table))
     tok.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("stemmer", lit(opts.stemmer))
+      .withColumn("stopwords", lit(opts.stopwords))
+      .withColumn("ignore", lit(opts.ignore))
+      .withColumn("lower", lit(if (opts.lower) 1 else 0))
+      .withColumn("strip_accents", lit(if (opts.stripAccents) 1 else 0))
       .coalesce(1).write.format("parquet").saveAsTable(statsTable(table))
     dropIfExists(spark, dfTable(table))
     spark.table(termsTable(table)).groupBy("term").agg(count(lit(1)).as("df"))
@@ -234,22 +264,48 @@ object FtsIndex {
     * the range-partitioned postings table; docfreq + the one-row stats are
     * broadcast; the per-doc aggregate is grid-snapped BIGINT (exact).
     */
+  /** The index's recorded tokenization options (older stats layouts
+    * without option columns read as the exact-token contract they were
+    * built under).
+    */
+  private def optionsOf(spark: SparkSession, table: String): FtsOptions = {
+    val st = spark.table(statsTable(table))
+    if (!st.columns.contains("stemmer"))
+      return FtsOptions("none", "none", "", stripAccents = false, lower = false)
+    val r = st.select("stemmer", "stopwords", "ignore", "lower", "strip_accents").first()
+    FtsOptions(r.getString(0), r.getString(1), r.getString(2),
+      stripAccents = r.getInt(4) == 1, lower = r.getInt(3) == 1)
+  }
+
   private def scoresView(spark: SparkSession, table: String, query: String,
       k1: Double, b: Double, conjunctive: Boolean): String = {
     require(spark.catalog.tableExists(termsTable(table)),
       s"no FTS index exists on '$table' — run " +
         s"PRAGMA create_fts_index('$table', '<id>', '<col>') first")
-    val qterms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(qterms.nonEmpty, "match_bm25: empty query string")
+    require(query.trim.nonEmpty, "match_bm25: empty query string")
+    // query terms go through the INDEX'S normalization (stemmed queries
+    // probe stemmed postings — DuckDB's macro does the same)
+    val opts = optionsOf(spark, table)
+    val qterms =
+      (if (opts.isExact) query.split("\\s+").filter(_.nonEmpty)
+       else FtsTokenizer.tokenize(query, opts)).distinct.toSeq
     val key = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
         s"$table|$query|$k1|$b|$conjunctive"))
     // always (re)registered: the view is plan-only (cheap) and a memoized
     // one would go stale when the index is rebuilt with overwrite := 1
     val view = s"graft_fts_scores_$key"
+    if (qterms.isEmpty) {
+      // every query term was a stopword: no document scores (all-NULL
+      // lookups, DuckDB's observable shape) — an empty scores view
+      spark.table(termsTable(table)).select(col("__id"),
+        lit(null).cast("double").as("__score")).where(lit(false))
+        .createOrReplaceTempView(view)
+      return view
+    }
     val posting = spark.table(termsTable(table)).where(col("term").isin(qterms: _*))
     val dfs = broadcast(spark.table(dfTable(table)).where(col("term").isin(qterms: _*)))
-    val st = broadcast(spark.table(statsTable(table)))
+    val st = broadcast(spark.table(statsTable(table)).select("n_docs", "sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idf = round(log(lit(1.0) +
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -243,6 +243,18 @@ object Psql {
     reg("graft_slice_to", 2, c =>
       graft.functions.GraftSlice(c(0), None, Some(c(1))))
     reg("graft_len", 1, c => graft.functions.GraftLen(c(0)))
+    // DuckDB fts `stem(input, 'stemmer')` — pure-Scala porter/porter2, so
+    // unlike the binary extension it is ALWAYS available here
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("stem"),
+      new ExpressionInfo("graft.psql.Psql", "stem"),
+      (children: Seq[Expression]) => children match {
+        case Seq(e, org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.FtsStemExpr(e, s.toString.toLowerCase(java.util.Locale.ROOT))
+        case other => throw new IllegalArgumentException(
+          "stem takes (expr, 'stemmer literal') — 'none', 'porter' or 'english'")
+      })
     reg("graft_regexp_replace_first", 3, c =>
       graft.functions.GraftRegexpReplace(c(0), c(1), c(2), global = false))
     reg("graft_regexp_replace_all", 3, c =>

@@ -78,19 +78,56 @@ class FtsIndexSpec extends SparkSpec {
     assert(miss.getMessage.contains("create_fts_index"))
   }
 
-  test("stemmer/stopwords requests the engine cannot satisfy throw honestly") {
+  test("DEFAULT tokenization is DuckDB's: porter + stopwords + lower + strip_accents + ignore") {
+    cleanup()
+    Seq(
+      (1L, "The RUNNING föxes ran quickly!"),
+      (2L, "a fox is not a dog; the dogs were running."),
+      (3L, "nothing relevant here at all"))
+      .toDF("id", "content").createOrReplaceTempView("graft_fts_d")
+    psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content')")
+    // dl counts POST-stopword tokens: doc1 = running foxes ran quickly (4),
+    // doc2 = fox dog dogs running (4), doc3 = nothing relevant (2)
+    val st = spark.table("fts_main_graft_fts_d_stats").collect()(0)
+    assert(st.getLong(0) == 3L && st.getLong(1) == 10L, st.toString)
+    // the index holds STEMS: running→run, foxes→fox (accent stripped), dogs→dog
+    val terms = spark.table("fts_main_graft_fts_d_terms")
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(terms.contains("run") && terms.contains("fox") && terms.contains("dog"), terms.mkString(","))
+    assert(!terms.contains("running") && !terms.contains("the"), terms.mkString(","))
+    // QUERY terms normalize with the index's own options: "Running FOX!"
+    // probes run+fox — both docs 1 and 2 score, doc 1 higher (2 hits incl. ran? no: run once, fox once each)
+    val r = psql.sql("select id, fts_main_graft_fts_d.match_bm25(id, 'Running FOX!') as s " +
+      "from graft_fts_d order by id").collect()
+    assert(!r(0).isNullAt(1) && !r(1).isNullAt(1) && r(2).isNullAt(1), r.mkString(";"))
+    // an all-stopword query yields NULL for every document (no error)
+    val allStop = psql.sql("select id, fts_main_graft_fts_d.match_bm25(id, 'the is of') as s " +
+      "from graft_fts_d order by id").collect()
+    assert(allStop.forall(_.isNullAt(1)), allStop.mkString(";"))
+    psql.sql("PRAGMA drop_fts_index('graft_fts_d')")
+    cleanup()
+  }
+
+  test("stemmer := 'english' (porter2) and the stem() scalar are available") {
     seed()
+    psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content', stemmer := 'english')")
+    assert(spark.catalog.tableExists("fts_main_graft_fts_d_terms"))
+    psql.sql("PRAGMA drop_fts_index('graft_fts_d')")
+    // unknown stemmers still throw honestly
     val e1 = intercept[IllegalArgumentException] {
-      psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content', stemmer := 'porter')")
+      psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content', stemmer := 'arabic')")
     }
-    assert(e1.getMessage.contains("stemmer"))
-    val e2 = intercept[IllegalArgumentException] {
-      psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content', stopwords := 'english')")
-    }
-    assert(e2.getMessage.contains("stopword"))
-    // the accepted spellings work
+    assert(e1.getMessage.contains("stemmer"), e1.getMessage)
+    // DuckDB fts stem() scalar, always available here
+    val s = psql.sql("select stem('consistency', 'porter') as a, " +
+      "stem('running', 'english') as b, stem('fox', 'none') as c").collect()(0)
+    assert((s.getString(0), s.getString(1), s.getString(2)) == (("consist", "run", "fox")))
+    // the exact-token spelling keeps the r07 contract
     psql.sql("PRAGMA create_fts_index('graft_fts_d', 'id', 'content', " +
-      "stemmer := 'none', stopwords := 'none', overwrite := 1)")
+      "stemmer := 'none', stopwords := 'none', ignore := '', lower := 0, " +
+      "strip_accents := 0, overwrite := 1)")
+    val st = spark.table("fts_main_graft_fts_d_stats").collect()(0)
+    assert(st.getLong(0) == 5L && st.getLong(1) == 12L)
     cleanup()
   }
 
