@@ -6319,6 +6319,58 @@ object OpsEntry {
         |ORDER BY g.o_orderkey""".stripMargin)),
 
     QueryDef(
+      "b23_foreign_key_enforce",
+      withTables { (s, _) =>
+        // opt-in FOREIGN KEY enforcement (TableConstraints.checkForeignKeys):
+        // `SET graft_enforce_foreign_keys = true` makes every front-end
+        // INSERT anti-join its batch's non-NULL FK tuples against the
+        // referenced table's key column (key-pruned scan, AQE-broadcast
+        // dim). DuckDB enforces FKs natively, so the oracle is the SAME
+        // script minus the SET; the violating insert is asserted inline
+        // (a thrown statement produces no comparable rows) with DuckDB's
+        // error wording, probed on 1.0.
+        val psql = graft.psql.Psql(s)
+        Seq("graft_b23_par", "graft_b23_chi").foreach { t =>
+          Bucketing.dropTableAndLocation(s, t)
+          Bucketing.dropTableAndLocation(s, t + "__graft_cow")
+        }
+        psql.sql("create or replace table graft_b23_par (k bigint primary key, seg varchar)")
+        psql.sql("insert into graft_b23_par select c_custkey, c_mktsegment from customer")
+        psql.sql("set graft_enforce_foreign_keys = true")
+        try {
+          psql.sql("""create or replace table graft_b23_chi (
+            |  id bigint primary key,
+            |  k bigint references graft_b23_par (k),
+            |  total double)""".stripMargin)
+          psql.sql("""insert into graft_b23_chi select o_orderkey, o_custkey,
+            |o_totalprice from orders where o_orderkey % 7 = 0""".stripMargin)
+          // NULL FK values pass (SQL MATCH SIMPLE — probed DuckDB)
+          psql.sql("insert into graft_b23_chi values (999999988, null, 1.0)")
+          val fkThrew =
+            try { psql.sql("insert into graft_b23_chi values (999999989, -5, 1.0)"); false }
+            catch { case e: Exception =>
+              e.getMessage.contains("Violates foreign key constraint") }
+          require(fkThrew, "an orphan FK value must fail the statement")
+          psql.sql("""from graft_b23_chi
+            ||> as c left join graft_b23_par on graft_b23_par.k = c.k
+            |   select c.id, c.k, graft_b23_par.seg, c.total
+            ||> order by id""".stripMargin).localCheckpoint(true)
+        } finally psql.sql("reset graft_enforce_foreign_keys")
+      },
+      Some("""CREATE OR REPLACE TABLE graft_b23_par (k BIGINT PRIMARY KEY, seg VARCHAR);
+        |INSERT INTO graft_b23_par SELECT c_custkey, c_mktsegment FROM customer;
+        |CREATE OR REPLACE TABLE graft_b23_chi (
+        |  id BIGINT PRIMARY KEY,
+        |  k BIGINT REFERENCES graft_b23_par (k),
+        |  total DOUBLE);
+        |INSERT INTO graft_b23_chi SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0;
+        |INSERT INTO graft_b23_chi VALUES (999999988, NULL, 1.0);
+        |SELECT c.id, c.k, p.seg, c.total
+        |FROM graft_b23_chi c LEFT JOIN graft_b23_par p ON p.k = c.k
+        |ORDER BY c.id""".stripMargin)),
+
+    QueryDef(
       "b05_scd2_history",
       withTables { (s, _) =>
         // SCD2 dimension history from the events change log: each user's

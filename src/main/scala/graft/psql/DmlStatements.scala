@@ -716,6 +716,7 @@ object DmlStatements {
     // aggregate + a key-pruned broadcast-semi probe of the table
     val cons = TableConstraints.load(spark, table)
     TableConstraints.checkPkUnique(spark, table, cons, proj)
+    TableConstraints.checkForeignKeys(spark, table, cons, proj)
     val out = TableConstraints.enforcementFilter(spark, table, cons)
       .map(proj.where).getOrElse(proj)
     out.write.mode(SaveMode.Append).insertInto(table)
@@ -947,6 +948,8 @@ object DmlStatements {
       (assigns.map { case (c, e) => (c, qualifyBareColumns(e, targetCols, tAs)) },
         where.map(w => qualifyBareColumns(w, targetCols, tAs)))
     }
+    TableConstraints.checkForeignKeys(spark, table,
+      TableConstraints.load(spark, table), proj)
     val view = "graft_conf_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
     proj.createOrReplaceTempView(view)
     try MergeStatement.onConflict(spark, table, view, names, qualified)

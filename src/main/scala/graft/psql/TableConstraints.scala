@@ -1052,6 +1052,91 @@ object TableConstraints {
     c.uniques.foreach(u => check(u, "unique"))
   }
 
+  /** Conf key behind `SET graft_enforce_foreign_keys = true`. */
+  val FkEnforceConf = "spark.graft.enforceForeignKeys"
+
+  private def fkEnforcementOn(spark: SparkSession): Boolean =
+    spark.conf.getOption(FkEnforceConf).exists(_.equalsIgnoreCase("true"))
+
+  /** Parse a recorded FK string — `FOREIGN KEY (cols) REFERENCES t
+    * [(refCols)] [tail…]` — into (cols, refTable, refCols or None). */
+  private[psql] def parseForeignKey(fk: String)
+      : Option[(Seq[String], String, Option[Seq[String]])] =
+    try {
+      val sc = scan(fk)
+      var p = nextCode(fk, sc, 0)
+      if (p < 0 || !matchesWord(fk, p, "foreign")) return None
+      p = nextCode(fk, sc, p + "foreign".length)
+      if (p < 0 || !matchesWord(fk, p, "key")) return None
+      p = nextCode(fk, sc, p + 3)
+      if (p < 0 || fk.charAt(p) != '(') return None
+      var close = p + 1
+      while (close < fk.length &&
+        !(sc.code(close) && sc.depth(close) == sc.depth(p) && fk.charAt(close) == ')'))
+        close += 1
+      if (close >= fk.length) return None
+      val cols = DmlStatements.splitTopCommas(fk.substring(p + 1, close)).map(_.trim)
+      p = nextCode(fk, sc, close + 1)
+      if (p < 0 || !matchesWord(fk, p, "references")) return None
+      val (refTable, afterT) = DmlStatements.identifierAt(fk, p + "references".length)
+      val q = nextCode(fk, sc, afterT)
+      val refCols =
+        if (q >= 0 && fk.charAt(q) == '(') {
+          var c2 = q + 1
+          while (c2 < fk.length &&
+            !(sc.code(c2) && sc.depth(c2) == sc.depth(q) && fk.charAt(c2) == ')'))
+            c2 += 1
+          if (c2 >= fk.length) return None
+          Some(DmlStatements.splitTopCommas(fk.substring(q + 1, c2)).map(_.trim))
+        } else None
+      if (cols.isEmpty || !cols.forall(isIdent)) None
+      else Some((cols, refTable, refCols))
+    } catch { case _: IllegalArgumentException => None }
+
+  /** Opt-in FOREIGN KEY enforcement (`SET graft_enforce_foreign_keys =
+    * true`): every recorded FK of the target anti-joins the batch's
+    * non-NULL key tuples against the referenced table's key column(s) —
+    * a key-column-pruned scan of the referenced table; the join side
+    * stays unhinted so AQE broadcasts the (small, by star-schema
+    * construction) referenced keys at runtime. NULL FK values pass, per
+    * SQL (MATCH SIMPLE). No-op when the option is off or the table
+    * records no FKs.
+    */
+  def checkForeignKeys(spark: SparkSession, table: String, c: Constraints,
+      batch: DataFrame): Unit = {
+    if (c.foreignKeys.isEmpty || !fkEnforcementOn(spark)) return
+    import org.apache.spark.sql.functions.col
+    c.foreignKeys.foreach { fkText =>
+      parseForeignKey(fkText).foreach { case (cols, refTable0, refColsOpt) =>
+        val refTable = DmlStatements.resolveTarget(spark, refTable0)
+        require(spark.catalog.tableExists(refTable),
+          s"FOREIGN KEY on $table references '$refTable', which does not exist")
+        val refCols = refColsOpt.getOrElse {
+          val pk = load(spark, refTable).primaryKey
+          require(pk.nonEmpty,
+            s"FOREIGN KEY on $table references $refTable without naming " +
+              "columns, and the referenced table records no PRIMARY KEY")
+          pk
+        }
+        require(refCols.size == cols.size,
+          s"FOREIGN KEY on $table: ${cols.size} columns vs ${refCols.size} " +
+            s"referenced columns of $refTable")
+        val refKeys = spark.table(refTable)
+          .select(refCols.map(col): _*).toDF(cols: _*).distinct()
+        val orphan = batch.select(cols.map(col): _*)
+          .where(cols.map(col(_).isNotNull).reduce(_ && _))
+          .join(refKeys, cols, "left_anti").limit(1).collect()
+        orphan.headOption.foreach { r =>
+          val kv = cols.zipWithIndex
+            .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+          throw new IllegalArgumentException(
+            s"""INSERT into $table: Violates foreign key constraint because """ +
+              s"""key "$kv" does not exist in the referenced table $refTable""")
+        }
+      }
+    }
+  }
+
   /** The uniqueness-probe plan for one key set, exposed for plan pins:
     * (plan with broadcast decision applied, smallBatch flag). Mirrors the
     * probe [[checkPkUnique]] builds, without executing it.

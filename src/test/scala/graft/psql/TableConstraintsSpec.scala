@@ -356,6 +356,45 @@ class TableConstraintsSpec extends SparkSpec {
     assert(c.notNull.toSet == Set("m", "i"))
   }
 
+  test("FOREIGN KEY enforcement is opt-in: SET graft_enforce_foreign_keys") {
+    drop("graft_ct_fkp"); drop("graft_ct_fkc")
+    psql.sql("create table graft_ct_fkp (k int primary key, s varchar)")
+    psql.sql("insert into graft_ct_fkp values (1, 'a'), (2, 'b')")
+    psql.sql("create table graft_ct_fkc (id int primary key, k int references graft_ct_fkp (k))")
+    // OFF (default): recorded, not enforced — the orphan insert passes
+    psql.sql("insert into graft_ct_fkc values (10, 99)")
+    psql.sql("delete from graft_ct_fkc where id = 10")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    try {
+      // valid and NULL FK values pass (probed DuckDB: MATCH SIMPLE)
+      psql.sql("insert into graft_ct_fkc values (11, 1), (12, null)")
+      // an orphan fails with DuckDB's wording and writes nothing
+      val e = intercept[IllegalArgumentException] {
+        psql.sql("insert into graft_ct_fkc values (13, 99)")
+      }
+      assert(e.getMessage.contains("Violates foreign key constraint"), e.getMessage)
+      assert(e.getMessage.contains("k: 99"), e.getMessage)
+      assert(spark.table("graft_ct_fkc").count() == 2)
+      // the ON CONFLICT path enforces too
+      val e2 = intercept[IllegalArgumentException] {
+        psql.sql("insert into graft_ct_fkc values (11, 77) " +
+          "on conflict (id) do update set k = excluded.k")
+      }
+      assert(e2.getMessage.contains("foreign key"), e2.getMessage)
+      // table-form FK with explicit columns parses and enforces
+      drop("graft_ct_fkc2")
+      psql.sql("create table graft_ct_fkc2 (id int primary key, pk int, " +
+        "foreign key (pk) references graft_ct_fkp (k))")
+      val e3 = intercept[IllegalArgumentException] {
+        psql.sql("insert into graft_ct_fkc2 values (1, 42)")
+      }
+      assert(e3.getMessage.contains("pk: 42"), e3.getMessage)
+    } finally psql.sql("reset graft_enforce_foreign_keys")
+    // OFF again after RESET
+    psql.sql("insert into graft_ct_fkc values (14, 88)")
+    assert(spark.table("graft_ct_fkc").count() == 3)
+  }
+
   test("ORDER BY an enum column sorts by DECLARATION order (probed DuckDB)") {
     drop("graft_ct_eord")
     psql.sql("drop type if exists graft_eord_mood")
