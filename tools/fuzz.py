@@ -763,12 +763,16 @@ def dml_script(name):
     The script families rotate: INSERT … ON CONFLICT, session state
     (sequences/variables), and the r15 constraint surface."""
     r0 = rnd.random()
-    if r0 < 0.15:
+    if r0 < 0.13:
         return onconflict_script(name)
-    if r0 < 0.30:
+    if r0 < 0.26:
         return seqvar_script(name)
-    if r0 < 0.45:
+    if r0 < 0.39:
         return constraints_script(name)
+    if r0 < 0.50:
+        return fts_script(name)
+    if r0 < 0.60:
+        return recursive_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
@@ -937,6 +941,118 @@ def canon(v):
     return str(v)
 
 
+
+def fts_script(name):
+    """FTS lifecycle family (r16): build a persisted index over a derived
+    text table, MUTATE the base table, rebuild with overwrite := 1, then
+    probe match_bm25 with random k/b/conjunctive — the probe must reflect
+    the POST-mutation state. DuckDB computes the identical whitespace-exact
+    BM25 in plain SQL over the same final table (the binary fts extension
+    cannot load offline; default-normalization conformance is pinned by
+    the r09/r10 gate rows + the published stemmer vectors in StemmersSpec,
+    so this family runs the exact-token option set both engines share)."""
+    t = f"fz_{name}"
+    p = rnd.choice([2, 3, 5])
+    exact = ("stemmer := 'none', stopwords := 'none', ignore := '', "
+             "lower := 0, strip_accents := 0")
+    seed_sel = f"select doc_id, text from documents where doc_id % {p} > 0"
+    spark = [f"create or replace table {t} as {seed_sel}",
+             f"PRAGMA create_fts_index('{t}', 'doc_id', 'text', {exact})"]
+    duck = [f"CREATE OR REPLACE TEMP TABLE {t} AS {seed_sel}"]
+    m = rnd.randrange(2, 6)
+    mut = rnd.randrange(3)
+    if mut == 0:
+        stmt = f"delete from {t} where doc_id % {m} = 1"
+    elif mut == 1:
+        stmt = (f"insert into {t} select doc_id + 1000000, text "
+                f"from {t} where doc_id % {m} = 0")
+    else:
+        stmt = f"update {t} set text = text || ' graftfuzz' where doc_id % {m} = 0"
+    spark.append(stmt)
+    duck.append(stmt)
+    spark.append(f"PRAGMA create_fts_index('{t}', 'doc_id', 'text', {exact}, "
+                 "overwrite := 1)")
+    terms = rnd.sample(["merge", "window", "scan", "join", "filter",
+                        "graftfuzz", "shuffle"], rnd.randrange(1, 4))
+    k1 = rnd.choice([1.2, 0.9, 2.0])
+    b = rnd.choice([0.75, 0.4])
+    conj = len(terms) > 1 and rnd.randrange(4) == 0
+    args = f", k := {k1!r}, b := {b!r}" + (", conjunctive := 1" if conj else "")
+    qstr = " ".join(terms)
+    lim = rnd.choice([20, 50])
+    spark.append(
+        f"from {t} |> select doc_id, "
+        f"fts_main_{t}.match_bm25(doc_id, '{qstr}'{args}) as score "
+        f"|> where score is not null |> order by score desc, doc_id "
+        f"|> limit {lim}")
+    in_list = ", ".join(f"'{w}'" for w in terms)
+    conj_having = f"HAVING count(*) = {len(terms)}" if conj else ""
+    # identical IEEE literals on both sides: repr() of the python floats is
+    # exactly what the Scala side computes from the k/b argument text
+    duck.append(f"""WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+  FROM {t}),
+dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+posting AS (
+  SELECT doc_id, u.t AS term, count(*)::BIGINT AS tf
+  FROM tok, unnest(w) AS u(t) WHERE u.t IN ({in_list})
+  GROUP BY doc_id, u.t),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+    sum(floor(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6)
+      * (p.tf * {k1 + 1.0!r} / (p.tf + {k1!r} * ({1.0 - b!r} + {b!r} * l.dl / (s.sum_dl::DOUBLE / s.n_docs))))
+      * 1000000.0 + 0.5)::BIGINT)::BIGINT AS s6
+  FROM posting p JOIN dl l USING (doc_id) CROSS JOIN stats s
+  JOIN dfreq d ON d.term = p.term
+  GROUP BY p.doc_id {conj_having})
+SELECT doc_id, s6::DOUBLE / 1000000.0 AS score
+FROM (SELECT * FROM scored ORDER BY s6 DESC, doc_id LIMIT {lim})
+ORDER BY score DESC, doc_id""")
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
+def recursive_script(name):
+    """WITH RECURSIVE family (r16): identical statement text in BOTH
+    engines (the q108 pattern — Spark 4 and DuckDB 1.0 share the grammar):
+    numeric series accumulation, a bounded hierarchy walk over a derived
+    edge table, and a bounded collatz-style orbit."""
+    t = f"fz_{name}"
+    v = rnd.randrange(3)
+    if v == 0:
+        k = rnd.randrange(5, 40)
+        a = rnd.randrange(1, 4)
+        q = (f"with recursive r(n, s) as (select 1 as n, cast({a} as bigint) as s "
+             f"union all select n + 1, s + n * {a} from r where n < {k}) "
+             f"select n, s from r order by n")
+        return {"name": name, "psql": q, "duck_script": [q]}
+    if v == 1:
+        d = rnd.choice([2, 3])
+        cap = rnd.randrange(500, 1500)
+        edges = (f"select o_orderkey as child, "
+                 f"cast(floor(o_orderkey / {d}) as bigint) as parent "
+                 f"from orders where o_orderkey % 5 = 0 and o_orderkey <= {cap}")
+        spark = [f"create or replace table {t}_e as {edges}"]
+        duck = [f"CREATE OR REPLACE TEMP TABLE {t}_e AS {edges}"]
+        q = (f"with recursive up(node, root, depth) as ("
+             f"select child, child, 0 from {t}_e "
+             f"union all select u.node, e.parent, u.depth + 1 "
+             f"from up u join {t}_e e on e.child = u.root where u.depth < 10) "
+             f"select node, max(depth) as d, min(root) as r from up "
+             f"group by node order by node")
+        spark.append(q)
+        duck.append(q)
+        return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+    start = rnd.randrange(7, 28)
+    q = (f"with recursive c(i, x) as (select 0 as i, cast({start} as bigint) as x "
+         f"union all select i + 1, "
+         f"case when x % 2 = 0 then x / 2 else 3 * x + 1 end "
+         f"from c where x > 1 and i < 40) "
+         f"select i, x from c order by i")
+    return {"name": name, "psql": q, "duck_script": [q]}
+
+
 def main():
     stmt_mode = os.environ.get("FUZZ_STMT", "") == "1"
     queries = []
@@ -963,7 +1079,7 @@ def main():
                    cwd="/root/repo", check=True, capture_output=True)
 
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "events"]:
+    for t in ["lineitem", "orders", "events", "documents"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     # auxiliary views mirroring graft.FuzzRun's Spark-side temp views (the
     # asof/positional right sides); definitions must stay in lockstep
