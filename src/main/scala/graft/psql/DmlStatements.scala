@@ -725,7 +725,10 @@ object DmlStatements {
         val retView =
           "graft_ins_ret_" + java.util.UUID.randomUUID.toString.replace("-", "")
         proj.createOrReplaceTempView(retView)
-        Psql(spark).sql(s"from $retView |> select $list")
+        // statement-scoped: the RETURNING projection analyzes eagerly
+        // (temp-view plans inline at analysis), so the view drops here
+        try Psql(spark).sql(s"from $retView |> select $list")
+        finally spark.catalog.dropTempView(retView)
       case None => countDf(spark, proj.count()) // DuckDB's Count shape
     }
   }

@@ -424,11 +424,45 @@ object MergeStatement {
     // recorded NOT NULL/CHECK constraints guard every row about to be
     // written (map-side raise_error fused into the write scan — UPDATE SET
     // and INSERT values can violate; pre-existing rows already satisfy)
+    val tableCons = TableConstraints.load(spark, table)
     val consGuard: DataFrame => DataFrame = {
-      val c = TableConstraints.load(spark, table)
-      df => TableConstraints.enforcementFilter(spark, table, c)
+      df => TableConstraints.enforcementFilter(spark, table, tableCons)
         .map(df.where).getOrElse(df)
     }
+    // an UPDATE clause assigning recorded PRIMARY KEY/UNIQUE columns can
+    // collapse keys into duplicates (DuckDB raises) — those key sets are
+    // re-verified over the materialized shadow before the swap, exactly
+    // like plain UPDATE's re-check; key-touching merges also skip the
+    // pruned path (a collapsed key can collide across partitions).
+    // Insert-side duplicates stay on the documented ON CONFLICT guards.
+    val touchedKeySets: Seq[(Seq[String], String)] = {
+      def assignedCols(c: Clause): Seq[String] = c.action match {
+        case UpdateSet(assigns) => assigns.map(_._1)
+        case UpdateByName       => srcFields.map(_.name)
+        case _                  => Nil
+      }
+      val assigned = clauses.flatMap(assignedCols)
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      ((if (tableCons.primaryKey.nonEmpty)
+          Seq((tableCons.primaryKey, "primary key")) else Nil) ++
+        tableCons.uniques.map((_, "unique")))
+        .filter(_._1.exists(k => assigned.contains(k.toLowerCase(java.util.Locale.ROOT))))
+    }
+    val keyRecheck: DataFrame => Unit =
+      if (touchedKeySets.isEmpty) null
+      else shadow => touchedKeySets.foreach { case (keys, kind) =>
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val dup = shadow
+          .where(keys.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > lit(1L)).limit(1).collect()
+        dup.headOption.foreach { r =>
+          val kv = keys.zipWithIndex
+            .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+          throw new IllegalArgumentException(
+            s"""MERGE into $table: Duplicate key "$kv" violates $kind constraint""")
+        }
+      }
 
     def fullPath(): DataFrame = {
       var nUpd = 0L
@@ -450,8 +484,12 @@ object MergeStatement {
       val insChkF = insertContent.map(_.localCheckpoint(true))
       val nIns = insChkF.map(_.count()).getOrElse(0L)
       (targetContent, insChkF) match {
-        case (Some(t), Some(i)) => DmlStatements.cowSwap(spark, table, consGuard(t.union(i)))
-        case (Some(t), None)    => DmlStatements.cowSwap(spark, table, consGuard(t))
+        case (Some(t), Some(i)) =>
+          DmlStatements.cowSwap(spark, table, consGuard(t.union(i)),
+            validateShadow = keyRecheck)
+        case (Some(t), None)    =>
+          DmlStatements.cowSwap(spark, table, consGuard(t),
+            validateShadow = keyRecheck)
         case (None, Some(i))    =>
           // insert-only merge: append the batch, never rewrite the warehouse
           consGuard(i).write.mode(SaveMode.Append).insertInto(table)
@@ -460,7 +498,7 @@ object MergeStatement {
       DmlStatements.countDf(spark, nUpd + nDel + nIns)
     }
 
-    if (!targetActing || !prunable) return fullPath()
+    if (!targetActing || !prunable || touchedKeySets.nonEmpty) return fullPath()
 
     // one stats pass: per affected partition, acting counts + total rows
     val statRows = psql.sql(pairsBase +

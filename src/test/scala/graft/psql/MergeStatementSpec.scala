@@ -223,6 +223,30 @@ class MergeStatementSpec extends SparkSpec {
         "the fullPath localCheckpoint-once contract is broken")
     assert(spark.table("graft_merge_t9").count() == 4 + nSrc)
   }
+
+  test("MERGE UPDATE SET touching key columns re-checks uniqueness (probed DuckDB)") {
+    import spark.implicits._
+    Seq("graft_merge_upk", "graft_merge_upk__graft_cow").foreach(
+      graft.operators.Bucketing.dropTableAndLocation(spark, _))
+    psql.sql("create table graft_merge_upk (k int primary key, v int)")
+    psql.sql("insert into graft_merge_upk values (1, 10), (2, 20), (3, 30)")
+    Seq((2, 1), (3, 9)).toDF("sk", "nk").createOrReplaceTempView("graft_merge_upk_s")
+    // SET k = s.nk collapses key 2 onto existing key 1 — must raise and
+    // leave the table untouched
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("""merge into graft_merge_upk t using graft_merge_upk_s s on t.k = s.sk
+        |when matched then update set k = s.nk""".stripMargin)
+    }
+    assert(e.getMessage.contains("violates primary key"), e.getMessage)
+    assert(spark.table("graft_merge_upk").count() == 3)
+    assert(spark.table("graft_merge_upk").where("k = 2").count() == 1)
+    // a key-moving merge that keeps keys distinct passes
+    Seq((3, 99)).toDF("sk", "nk").createOrReplaceTempView("graft_merge_upk_s2")
+    val ok = psql.sql("""merge into graft_merge_upk t using graft_merge_upk_s2 s on t.k = s.sk
+      |when matched then update set k = s.nk""".stripMargin)
+    assert(ok.collect()(0).getLong(0) == 1L)
+    assert(spark.table("graft_merge_upk").where("k = 99").count() == 1)
+  }
 }
 
 /** JVM-singleton evaluation counter for the checkpoint-reuse spec (a
