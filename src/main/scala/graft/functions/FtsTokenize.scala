@@ -106,21 +106,35 @@ object FtsTokenizer {
       s"unknown stopword list '$other' — available: 'none', 'english'")
   }
 
-  /** Full normalization chain; `null` text tokenizes to nothing. */
-  def tokenize(text: String, o: FtsOptions): Array[String] = {
-    if (text == null) return Array.empty
-    var s = text
-    if (o.stripAccents) s = stripAccents(s)
-    if (o.lower) s = s.toLowerCase(java.util.Locale.ROOT)
-    if (o.ignore.nonEmpty) s = s.replaceAll(o.ignore, " ")
-    val stop = stopwordsFor(o.stopwords)
-    val stem = stemFn(o.stemmer)
-    s.split("\\s+").iterator
-      .filter(_.nonEmpty)
-      .filterNot(stop.contains)
-      .map(stem)
-      .toArray
+  /** Pre-compiled normalization chain — the build pass calls this once per
+    * document, so the ignore/whitespace patterns must compile ONCE per
+    * task, not per row (String.replaceAll/split recompile every call).
+    */
+  final class Compiled(o: FtsOptions) extends Serializable {
+    private val ignoreP =
+      if (o.ignore.nonEmpty) java.util.regex.Pattern.compile(o.ignore) else null
+    private val wsP = java.util.regex.Pattern.compile("\\s+")
+    private val stop = stopwordsFor(o.stopwords)
+    private val stem = stemFn(o.stemmer)
+    def tokenize(text: String): Array[String] = {
+      if (text == null) return Array.empty
+      var s = text
+      if (o.stripAccents) s = stripAccents(s)
+      if (o.lower) s = s.toLowerCase(java.util.Locale.ROOT)
+      if (ignoreP != null) s = ignoreP.matcher(s).replaceAll(" ")
+      wsP.split(s).iterator
+        .filter(_.nonEmpty)
+        .filterNot(stop.contains)
+        .map(stem)
+        .toArray
+    }
   }
+
+  /** Full normalization chain; `null` text tokenizes to nothing. (One-shot
+    * convenience — hot paths hold a [[Compiled]].)
+    */
+  def tokenize(text: String, o: FtsOptions): Array[String] =
+    new Compiled(o).tokenize(text)
 }
 
 /** Catalyst expression applying [[FtsTokenizer.tokenize]] — the fts index
@@ -148,11 +162,11 @@ case class FtsTokenizeExpr(child: Expression, options: FtsOptions)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
-  @transient private lazy val opts = options
+  @transient private lazy val compiled = new FtsTokenizer.Compiled(options)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     val text = if (v == null) null else v.asInstanceOf[UTF8String].toString
-    val toks = FtsTokenizer.tokenize(text, opts)
+    val toks = compiled.tokenize(text)
     new GenericArrayData(toks.map(UTF8String.fromString(_)))
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -131,12 +131,17 @@ object FtsIndex {
       .sortWithinPartitions("term")
       .write.format("parquet").saveAsTable(termsTable(table))
     // stats over ALL documents (a zero-token doc has no postings but still
-    // counts toward N and avgdl — DuckDB's denominator); docfreq from the
-    // persisted postings (no second corpus tokenization). The one-row
-    // stats table also carries the index's TOKENIZATION OPTIONS, so
-    // match_bm25 normalizes query terms exactly the way the corpus was
+    // counts toward N and avgdl — DuckDB's denominator) WITHOUT a second
+    // corpus tokenization: n_docs is a plain count of the source and
+    // sum_dl ≡ Σ tf over the persisted postings (dl is Σ tf per doc by
+    // construction) — the corpus pays the tokenizer exactly ONCE, which
+    // matters when the porter chain is on. The one-row stats table also
+    // carries the index's TOKENIZATION OPTIONS, so match_bm25 normalizes
+    // query terms exactly the way the corpus was
     dropIfExists(spark, statsTable(table))
-    tok.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    src.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(spark.table(termsTable(table))
+        .agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
       .withColumn("stemmer", lit(opts.stemmer))
       .withColumn("stopwords", lit(opts.stopwords))
       .withColumn("ignore", lit(opts.ignore))
