@@ -773,6 +773,8 @@ def dml_script(name):
         return fts_script(name)
     if r0 < 0.60:
         return recursive_script(name)
+    if r0 < 0.68:
+        return enumorder_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
@@ -941,6 +943,46 @@ def canon(v):
     return str(v)
 
 
+
+
+def enumorder_script(name):
+    """r16 family: enum declaration-order ORDER BY + main.-qualified DML.
+    The enum member list is SHUFFLED (never alphabetical by construction
+    when it matters) and the final probe sorts by the enum column under a
+    LIMIT, so a lexical sort would change the CONTENT. DML targets are
+    spelled main.<t> — DuckDB's default schema natively, the front-end's
+    resolveTarget here. The duck side uses NON-temp tables (a TEMP table
+    lives in temp.main, where the main. spelling would not resolve)."""
+    t = f"fz_{name}"
+    ty = f"{t}_e"
+    members = rnd.sample(["A", "N", "R"], 3)
+    mem_sql = ", ".join(f"'{m}'" for m in members)
+    p = rnd.choice([3, 5, 7])
+    m = rnd.randrange(2, 9)
+    lim = rnd.randrange(200, 900)
+    spark = [
+        f"drop table if exists {t}",
+        f"drop type if exists {ty}",
+        f"create type {ty} as enum ({mem_sql})",
+        f"create table {t} (k bigint primary key, fl {ty}, q bigint default 1)",
+        f"insert into main.{t} (k, fl) select l_orderkey, min(l_returnflag) "
+        f"from lineitem where l_orderkey % {p} = 0 group by l_orderkey",
+        f"update main.{t} set q = q + 1 where k % {m} = 0",
+        f"from {t} |> order by fl, k |> limit {lim} "
+        f"|> select k, cast(fl as varchar) as fl, q |> order by k",
+    ]
+    duck = [
+        f"DROP TABLE IF EXISTS {t}",
+        f"DROP TYPE IF EXISTS {ty}",
+        f"CREATE TYPE {ty} AS ENUM ({mem_sql})",
+        f"CREATE TABLE {t} (k BIGINT PRIMARY KEY, fl {ty}, q BIGINT DEFAULT 1)",
+        f"INSERT INTO main.{t} (k, fl) SELECT l_orderkey, min(l_returnflag) "
+        f"FROM lineitem WHERE l_orderkey % {p} = 0 GROUP BY l_orderkey",
+        f"UPDATE main.{t} SET q = q + 1 WHERE k % {m} = 0",
+        f"SELECT k, cast(fl AS VARCHAR) AS fl, q "
+        f"FROM (SELECT * FROM {t} ORDER BY fl, k LIMIT {lim}) ORDER BY k",
+    ]
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 def fts_script(name):
     """FTS lifecycle family (r16): build a persisted index over a derived
