@@ -715,7 +715,10 @@ object DmlStatements {
     // (raise_error, map-side); PRIMARY KEY uniqueness is one batch-sized
     // aggregate + a key-pruned broadcast-semi probe of the table
     val cons = TableConstraints.load(spark, table)
-    TableConstraints.checkPkUnique(spark, table, cons, proj)
+    // ONE count of the checkpointed batch serves the probe's broadcast
+    // guard AND the DuckDB Count result shape
+    val nRows = proj.count()
+    TableConstraints.checkPkUnique(spark, table, cons, proj, batchRows = nRows)
     TableConstraints.checkForeignKeys(spark, table, cons, proj)
     val out = TableConstraints.enforcementFilter(spark, table, cons)
       .map(proj.where).getOrElse(proj)
@@ -729,7 +732,7 @@ object DmlStatements {
         // (temp-view plans inline at analysis), so the view drops here
         try Psql(spark).sql(s"from $retView |> select $list")
         finally spark.catalog.dropTempView(retView)
-      case None => countDf(spark, proj.count()) // DuckDB's Count shape
+      case None => countDf(spark, nRows) // DuckDB's Count shape
     }
   }
 

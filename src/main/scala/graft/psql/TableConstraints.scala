@@ -33,10 +33,12 @@ import SqlScanner.{matchesWord, nextCode, scan}
   *    DuckDB's semantics;
   *  - UNIQUE constraints (declared or created as UNIQUE INDEXes) are
   *    enforced on front-end INSERTs the same way as the PK, with NULL
-  *    keys exempt (SQL's rule); FOREIGN KEYs are recorded but NOT
-  *    enforced (documented divergence: enforcing FKs needs a
-  *    reference-table join per write; declare them for tooling, enforce
-  *    in pipelines).
+  *    keys exempt (SQL's rule); UPDATE/MERGE clauses ASSIGNING key
+  *    columns re-verify their key sets over the materialized shadow
+  *    before the swap; FOREIGN KEYs are recorded, and enforced OPT-IN
+  *    via `SET graft_enforce_foreign_keys = true` ([[checkForeignKeys]])
+  *    — a reference-table join per write stays out of the write path
+  *    unless asked for.
   *
   * CHECK null semantics follow SQL/DuckDB: a NULL check result PASSES
   * (only FALSE violates) — the guards coalesce to TRUE.
@@ -1021,11 +1023,13 @@ object TableConstraints {
     * enforced separately).
     */
   def checkPkUnique(spark: SparkSession, table: String, c: Constraints,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchRows: Long = -1L): Unit = {
     if (c.primaryKey.isEmpty && c.uniques.isEmpty) return
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    // one count over the checkpointed batch, shared by every key set
-    val small = batch.count() <= BroadcastProbeMaxRows
+    // one count over the checkpointed batch, shared by every key set —
+    // callers that already counted the batch pass it in (no extra job)
+    val small =
+      (if (batchRows >= 0) batchRows else batch.count()) <= BroadcastProbeMaxRows
     def check(keys: Seq[String], kind: String): Unit = {
       def nonNull(df: DataFrame) = df.where(keys.map(col(_).isNotNull).reduce(_ && _))
       def kv(r: org.apache.spark.sql.Row) = keys.zipWithIndex

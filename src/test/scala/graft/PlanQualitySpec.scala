@@ -940,6 +940,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(spark.table("graft_plan_pk").count() == 2L)
   }
 
+  test("FK enforcement probe: referenced-key scan pruned to key columns, anti-join shape") {
+    val psql = graft.psql.Psql(spark)
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_fkp")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_fkc")
+    psql.sql("create table graft_plan_fkp (k bigint primary key, pad1 varchar, pad2 double)")
+    psql.sql("insert into graft_plan_fkp values (1, 'a', 0.5), (2, 'b', 1.5)")
+    psql.sql("create table graft_plan_fkc (id bigint primary key, " +
+      "k bigint references graft_plan_fkp (k))")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      psql.sql("insert into graft_plan_fkc values (10, 1), (11, 2)")
+      Thread.sleep(500)
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        plans.iterator()).asScala.toList
+      val probe = all.filter(p => p.contains("LeftAnti") && p.contains("graft_plan_fkp"))
+      assert(probe.nonEmpty, "no anti-join FK probe executed:\n" +
+        all.mkString("\n----\n").take(1500))
+      // the referenced table is scanned on its key column only — never the
+      // payload columns
+      val read = probe.flatMap(_.linesIterator.filter(l =>
+        l.contains("ReadSchema") && l.contains("graft_plan_fkp")))
+      assert(read.exists(l => l.contains("k:bigint") && !l.contains("pad1") &&
+        !l.contains("pad2")),
+        s"FK probe must read only the referenced key column:\n${read.mkString("\n")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      psql.sql("reset graft_enforce_foreign_keys")
+    }
+    assert(spark.table("graft_plan_fkc").count() == 2L)
+  }
+
   test("PK probe broadcast is size-guarded: bulk batches take the unhinted plan") {
     val psql = graft.psql.Psql(spark)
     graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_pk2")
