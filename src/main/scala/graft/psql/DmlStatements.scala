@@ -90,7 +90,8 @@ object DmlStatements {
         Some(insertOrX(spark, stmt, p))
       else if (SqlScanner.topLevelKeyword(stmt, sc, Seq("on", "conflict")).nonEmpty)
         Some(insertOnConflict(spark, stmt))
-      else if (splitReturning(stmt)._2.isDefined || insertIsByName(stmt))
+      else if (splitReturning(stmt)._2.isDefined || insertIsByName(stmt) ||
+          insertIsDefaultValues(stmt))
         Some(insertFrontend(spark, stmt))
       else plainInsertTarget(stmt) match {
         // a target with recorded NOT NULL/CHECK/PRIMARY KEY constraints
@@ -243,6 +244,26 @@ object DmlStatements {
       p >= 0 && matchesWord(stmt, p, "by") && {
         val q = nextCode(stmt, sc, p + 2)
         q >= 0 && matchesWord(stmt, q, "name")
+      }
+    } catch { case _: IllegalArgumentException => false }
+  }
+
+  /** True when the INSERT source is the bare `DEFAULT VALUES` form —
+    * DuckDB inserts ONE all-defaults row (probed; a column list with
+    * DEFAULT VALUES is a parser error there, and here the natural
+    * downstream error applies). Spark has no such form, so the front-end
+    * handles it.
+    */
+  private def insertIsDefaultValues(stmt: String): Boolean = {
+    val sc = scan(stmt)
+    val intoPos = nextCode(stmt, sc, "insert".length)
+    if (intoPos < 0 || !matchesWord(stmt, intoPos, "into")) return false
+    try {
+      val (_, afterT) = identifierAt(stmt, intoPos + "into".length)
+      val p = nextCode(stmt, sc, afterT)
+      p >= 0 && matchesWord(stmt, p, "default") && {
+        val q = nextCode(stmt, sc, p + "default".length)
+        q >= 0 && matchesWord(stmt, q, "values")
       }
     } catch { case _: IllegalArgumentException => false }
   }
@@ -778,7 +799,21 @@ object DmlStatements {
         require(p >= 0, "INSERT: missing VALUES/query after the column list")
         Some(cs)
       } else None
-    val source0 = stmt.substring(p).trim
+    val source1 = stmt.substring(p).trim
+    // `DEFAULT VALUES` — one all-defaults row (probed DuckDB; rejected
+    // after a column list, matching its parser) — lowers to a VALUES
+    // tuple of DEFAULT keywords, which the rewrite below resolves
+    val source0 =
+      if (!byName && matchesWord(source1, 0, "default") && {
+            val s1c = scan(source1)
+            val q = nextCode(source1, s1c, "default".length)
+            q >= 0 && matchesWord(source1, q, "values") &&
+              nextCode(source1, s1c, q + "values".length) < 0
+          }) {
+        require(cols.isEmpty,
+          "INSERT: DEFAULT VALUES cannot follow a column list (DuckDB parser rule)")
+        "values (" + fields.map(_ => "default").mkString(", ") + ")"
+      } else source1
     // DuckDB's bare DEFAULT keyword in VALUES tuples: positionally resolve
     // each to the column's recorded default (NULL when none, DuckDB's rule)
     val source =

@@ -309,6 +309,26 @@ class DmlStatementsSpec extends SparkSpec {
       .collect()(0).getInt(0) == 2)
   }
 
+  test("INSERT INTO t DEFAULT VALUES inserts one all-defaults row (probed DuckDB)") {
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_dml_defv")
+    psql.sql("create table graft_dml_defv (i int default 7, v varchar default 'd', n int)")
+    assert(psql.sql("insert into graft_dml_defv default values")
+      .collect()(0).getLong(0) == 1L)
+    val r = spark.table("graft_dml_defv").collect()(0)
+    assert((r.getInt(0), r.getString(1), r.isNullAt(2)) == ((7, "d", true)))
+    // RETURNING rides the same path (probed DuckDB)
+    val ret = psql.sql("insert into graft_dml_defv default values returning i, v")
+      .collect()(0)
+    assert((ret.getInt(0), ret.getString(1)) == ((7, "d")))
+    // a column list before DEFAULT VALUES is rejected, like DuckDB's parser
+    // (routes to Spark's parser, which has no such form either — any loud
+    // error is correct; nothing may be written)
+    intercept[Exception] {
+      psql.sql("insert into graft_dml_defv (i) default values")
+    }
+    assert(spark.table("graft_dml_defv").count() == 2)
+  }
+
   test("WITH-DML CTE shadowing a pre-existing temp view restores it after") {
     import spark.implicits._
     graft.operators.Bucketing.dropTableAndLocation(spark, "graft_wdml_sh")
