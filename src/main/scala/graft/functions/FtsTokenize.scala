@@ -70,6 +70,15 @@ object FtsTokenizer {
     * for Latin text (müller → muller, café → cafe).
     */
   def stripAccents(s: String): String = {
+    // ASCII fast path: English-dominant corpora skip the NFD pass (which
+    // allocates a normalized copy of EVERY document) entirely
+    var ascii = true
+    var a = 0
+    while (a < s.length && ascii) {
+      if (s.charAt(a) >= 0x80) ascii = false
+      a += 1
+    }
+    if (ascii) return s
     var hasMark = false
     val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     var i = 0
@@ -116,6 +125,21 @@ object FtsTokenizer {
     private val wsP = java.util.regex.Pattern.compile("\\s+")
     private val stop = stopwordsFor(o.stopwords)
     private val stem = stemFn(o.stemmer)
+    // per-task stem memo: corpora are Zipfian, so most stem calls repeat a
+    // small vocabulary — bounded (the cap bounds memory on adversarial
+    // vocabularies), NOT thread-safe by design (each Spark task holds its
+    // own deserialized Compiled)
+    @transient private lazy val memo = new java.util.HashMap[String, String](1 << 12)
+    private def stemCached(w: String): String = {
+      if (o.stemmer == "none") return w
+      val hit = memo.get(w)
+      if (hit != null) hit
+      else {
+        val r = stem(w)
+        if (memo.size < 65536) memo.put(w, r)
+        r
+      }
+    }
     def tokenize(text: String): Array[String] = {
       if (text == null) return Array.empty
       var s = text
@@ -125,7 +149,7 @@ object FtsTokenizer {
       wsP.split(s).iterator
         .filter(_.nonEmpty)
         .filterNot(stop.contains)
-        .map(stem)
+        .map(stemCached)
         .toArray
     }
   }
