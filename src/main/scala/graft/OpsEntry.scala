@@ -6321,14 +6321,23 @@ object OpsEntry {
     QueryDef(
       "b23_foreign_key_enforce",
       withTables { (s, _) =>
-        // opt-in FOREIGN KEY enforcement (TableConstraints.checkForeignKeys):
-        // `SET graft_enforce_foreign_keys = true` makes every front-end
-        // INSERT anti-join its batch's non-NULL FK tuples against the
-        // referenced table's key column (key-pruned scan, AQE-broadcast
-        // dim). DuckDB enforces FKs natively, so the oracle is the SAME
-        // script minus the SET; the violating insert is asserted inline
-        // (a thrown statement produces no comparable rows) with DuckDB's
-        // error wording, probed on 1.0.
+        // opt-in FOREIGN KEY enforcement, full referential surface
+        // (TableConstraints.checkForeignKeys / checkStillReferenced):
+        // `SET graft_enforce_foreign_keys = true` makes (a) every INSERT
+        // and FK-assigning UPDATE anti-join its rows' non-NULL FK tuples
+        // against the referenced table's key (key-pruned scan,
+        // AQE-broadcast dim) and (b) every parent-side DELETE / key UPDATE
+        // probe the children for surviving references. DuckDB enforces
+        // FKs natively, so the oracle is the SAME script minus the SET;
+        // the four REJECTED statements are asserted inline (a thrown
+        // statement produces no comparable rows; the oracle runner cannot
+        // tolerate a failing script statement) with DuckDB 1.0's exact
+        // wording, probed: orphan inserts/updates name the REFERENCED
+        // column ("does not exist in the referenced table"), parent-side
+        // violations name the CHILD column ("is still referenced by a
+        // foreign key in a different table"). The child carries no
+        // PRIMARY KEY: DuckDB 1.0's documented ART limitation rejects any
+        // UPDATE of a PK+FK table with a spurious duplicate-key error.
         val psql = graft.psql.Psql(s)
         Seq("graft_b23_par", "graft_b23_chi").foreach { t =>
           Bucketing.dropTableAndLocation(s, t)
@@ -6339,7 +6348,7 @@ object OpsEntry {
         psql.sql("set graft_enforce_foreign_keys = true")
         try {
           psql.sql("""create or replace table graft_b23_chi (
-            |  id bigint primary key,
+            |  id bigint,
             |  k bigint references graft_b23_par (k),
             |  total double)""".stripMargin)
           psql.sql("""insert into graft_b23_chi select o_orderkey, o_custkey,
@@ -6349,8 +6358,35 @@ object OpsEntry {
           val fkThrew =
             try { psql.sql("insert into graft_b23_chi values (999999989, -5, 1.0)"); false }
             catch { case e: Exception =>
-              e.getMessage.contains("Violates foreign key constraint") }
-          require(fkThrew, "an orphan FK value must fail the statement")
+              e.getMessage.contains("Violates foreign key constraint") &&
+                e.getMessage.contains("does not exist in the referenced table") }
+          require(fkThrew, "an orphan FK insert must fail the statement")
+          // child UPDATE to an existing parent passes (both engines)
+          psql.sql("update graft_b23_chi set k = 1 where id % 35 = 0")
+          // child UPDATE to an orphan fails, nothing written
+          val updThrew =
+            try { psql.sql("update graft_b23_chi set k = -7 where id % 7 = 0"); false }
+            catch { case e: Exception =>
+              e.getMessage.contains("does not exist in the referenced table") }
+          require(updThrew, "an orphan FK update must fail the statement")
+          // parent non-key UPDATE passes even on referenced rows (probed)
+          psql.sql("update graft_b23_par set seg = 'Z' where k % 100 = 7")
+          // parent DELETE of unreferenced keys passes (both engines)
+          psql.sql("""delete from graft_b23_par where k not in
+            |(select k from graft_b23_chi where k is not null)""".stripMargin)
+          // parent DELETE of a referenced key fails, nothing deleted
+          val delThrew =
+            try { psql.sql("delete from graft_b23_par where k = 1"); false }
+            catch { case e: Exception => e.getMessage.contains(
+              "is still referenced by a foreign key in a different table") }
+          require(delThrew, "deleting a referenced parent key must fail")
+          // parent key UPDATE fails while referenced — even a no-op
+          // reassignment (probed: DuckDB rejects `SET k = k`)
+          val keyThrew =
+            try { psql.sql("update graft_b23_par set k = k where k = 1"); false }
+            catch { case e: Exception => e.getMessage.contains(
+              "is still referenced by a foreign key in a different table") }
+          require(keyThrew, "reassigning a referenced parent key must fail")
           psql.sql("""from graft_b23_chi
             ||> as c left join graft_b23_par on graft_b23_par.k = c.k
             |   select c.id, c.k, graft_b23_par.seg, c.total
@@ -6360,12 +6396,16 @@ object OpsEntry {
       Some("""CREATE OR REPLACE TABLE graft_b23_par (k BIGINT PRIMARY KEY, seg VARCHAR);
         |INSERT INTO graft_b23_par SELECT c_custkey, c_mktsegment FROM customer;
         |CREATE OR REPLACE TABLE graft_b23_chi (
-        |  id BIGINT PRIMARY KEY,
+        |  id BIGINT,
         |  k BIGINT REFERENCES graft_b23_par (k),
         |  total DOUBLE);
         |INSERT INTO graft_b23_chi SELECT o_orderkey, o_custkey, o_totalprice
         |  FROM orders WHERE o_orderkey % 7 = 0;
         |INSERT INTO graft_b23_chi VALUES (999999988, NULL, 1.0);
+        |UPDATE graft_b23_chi SET k = 1 WHERE id % 35 = 0;
+        |UPDATE graft_b23_par SET seg = 'Z' WHERE k % 100 = 7;
+        |DELETE FROM graft_b23_par WHERE k NOT IN
+        |  (SELECT k FROM graft_b23_chi WHERE k IS NOT NULL);
         |SELECT c.id, c.k, p.seg, c.total
         |FROM graft_b23_chi c LEFT JOIN graft_b23_par p ON p.k = c.k
         |ORDER BY c.id""".stripMargin)),

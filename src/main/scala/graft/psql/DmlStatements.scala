@@ -103,7 +103,12 @@ object DmlStatements {
         // (which applies DEFAULTs itself)
         case Some(t0) =>
           val t = resolveTarget(spark, t0)
-          if (t != t0 || TableConstraints.load(spark, t).enforceable)
+          val cons = TableConstraints.load(spark, t)
+          // a recorded FK only forces the front-end while the enforcement
+          // opt-in is set — an FK-ONLY table (no PK/NOT NULL/CHECK) would
+          // otherwise ride Spark's native INSERT around the check
+          if (t != t0 || cons.enforceable ||
+              (cons.foreignKeys.nonEmpty && TableConstraints.fkEnforcementOn(spark)))
             Some(insertFrontend(spark, stmt))
           else None
         case None => None
@@ -523,6 +528,15 @@ object DmlStatements {
       psql.sql(s"from $table |> as $tAs where $w |> select $list").localCheckpoint(true)
     }
     def finish(n: Long): DataFrame = retDf.getOrElse(countDf(spark, n))
+    // opt-in FK enforcement, parent side (probed DuckDB 1.0): deleting a
+    // row whose key any recorded FK still references throws BEFORE any
+    // mutation; the probe sees the PRE-delete child state (DuckDB rejects
+    // even a self-referential "delete the whole family" statement)
+    TableConstraints.checkStillReferenced(spark, table,
+      cond match {
+        case Some(c) => psql.sql(s"from $table |> as $tAs where coalesce(($c), false)")
+        case None    => spark.table(table)
+      }, touched = None, verb = "DELETE from")
     // partition-pruned path: when the target is partitioned, rewrite ONLY
     // the partition directories that contain affected rows (dynamic
     // partition overwrite); partitions the predicate never touches keep
@@ -684,6 +698,28 @@ object DmlStatements {
             s"""UPDATE $table: Duplicate key "$kv" violates $kind constraint""")
         }
       }
+    // opt-in FK enforcement (probed DuckDB 1.0 semantics):
+    //  - child side: a SET list touching this table's own FK columns
+    //    re-resolves the POST-update matched rows against the referenced
+    //    tables (untouched FKs hold by induction and are not re-read);
+    //  - parent side: reassigning a key column some recorded FK references
+    //    violates when the OLD value is still referenced — even when the
+    //    value is unchanged (probed: DuckDB rejects `SET k = k` on a
+    //    referenced row).
+    if (TableConstraints.fkEnforcementOn(spark)) {
+      val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+      val touchedFks = tableCons.foreignKeys.filter(fk =>
+        TableConstraints.parseForeignKey(fk)
+          .exists(_._1.exists(c => byCol.contains(lc(c)))))
+      if (touchedFks.nonEmpty)
+        TableConstraints.checkForeignKeys(spark, table,
+          tableCons.copy(foreignKeys = touchedFks),
+          psql.sql(s"from $table |> where $condSql |> select ${selList.mkString(", ")}"),
+          verb = "UPDATE")
+      TableConstraints.checkStillReferenced(spark, table,
+        psql.sql(s"from $table |> as $tAs where $condSql"),
+        touched = Some(byCol.keySet.map(lc)), verb = "UPDATE")
+    }
     // partition-pruned path (same shape as DELETE's): only partitions with
     // matching rows are rewritten. Requires the SET list to leave partition
     // columns untouched — an assigned partition column can MOVE rows across
@@ -989,8 +1025,11 @@ object DmlStatements {
       (assigns.map { case (c, e) => (c, qualifyBareColumns(e, targetCols, tAs)) },
         where.map(w => qualifyBareColumns(w, targetCols, tAs)))
     }
-    TableConstraints.checkForeignKeys(spark, table,
-      TableConstraints.load(spark, table), proj)
+    // FK enforcement rides the MERGE lowering: the anti-joined insert
+    // batch FK-checks exactly like INSERT, and DO UPDATE SET touching FK
+    // columns re-validates over the shadow — a conflicting source row
+    // whose FK value never lands is NOT checked (DuckDB takes the update
+    // branch before index maintenance sees the proposed insert)
     val view = "graft_conf_src_" + java.util.UUID.randomUUID.toString.replace("-", "")
     proj.createOrReplaceTempView(view)
     try MergeStatement.onConflict(spark, table, view, names, qualified)

@@ -435,19 +435,21 @@ object MergeStatement {
     // like plain UPDATE's re-check; key-touching merges also skip the
     // pruned path (a collapsed key can collide across partitions).
     // Insert-side duplicates stay on the documented ON CONFLICT guards.
-    val touchedKeySets: Seq[(Seq[String], String)] = {
+    val assignedLower: Set[String] = {
       def assignedCols(c: Clause): Seq[String] = c.action match {
         case UpdateSet(assigns) => assigns.map(_._1)
         case UpdateByName       => srcFields.map(_.name)
         case _                  => Nil
       }
-      val assigned = clauses.flatMap(assignedCols)
+      clauses.flatMap(assignedCols)
         .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }
+    val touchedKeySets: Seq[(Seq[String], String)] =
       ((if (tableCons.primaryKey.nonEmpty)
           Seq((tableCons.primaryKey, "primary key")) else Nil) ++
         tableCons.uniques.map((_, "unique")))
-        .filter(_._1.exists(k => assigned.contains(k.toLowerCase(java.util.Locale.ROOT))))
-    }
+        .filter(_._1.exists(k =>
+          assignedLower.contains(k.toLowerCase(java.util.Locale.ROOT))))
     val keyRecheck: DataFrame => Unit =
       if (touchedKeySets.isEmpty) null
       else shadow => touchedKeySets.foreach { case (keys, kind) =>
@@ -462,6 +464,43 @@ object MergeStatement {
           throw new IllegalArgumentException(
             s"""MERGE into $table: Duplicate key "$kv" violates $kind constraint""")
         }
+      }
+
+    // opt-in FK enforcement across the MERGE family (MERGE, INSERT … ON
+    // CONFLICT, UPDATE … FROM): insert batches FK-check exactly like plain
+    // INSERT (at the checkpoint sites below); an UPDATE clause assigning FK
+    // columns re-validates the touched FKs over the MATERIALIZED shadow
+    // (untouched rows hold by induction under the always-checked opt-in);
+    // and when this table is REFERENCED, key values that disappear from the
+    // post-image (DELETE clauses or key reassignment) must not be
+    // referenced by any child. FK-sensitive merges take the full
+    // copy-on-write path — the shadow checks need the whole post-image.
+    val fkOn = TableConstraints.fkEnforcementOn(spark)
+    val fkTouched: Seq[String] =
+      if (!fkOn) Nil
+      else tableCons.foreignKeys.filter(fk =>
+        TableConstraints.parseForeignKey(fk).exists(_._1.exists(c =>
+          assignedLower.contains(c.toLowerCase(java.util.Locale.ROOT)))))
+    val parentRefs =
+      if (fkOn) TableConstraints.referencingForeignKeys(spark, table) else Nil
+    val parentSensitive = parentRefs.nonEmpty &&
+      (clauses.exists(_.action == Delete) ||
+        parentRefs.exists(_._3.exists(rc =>
+          assignedLower.contains(rc.toLowerCase(java.util.Locale.ROOT)))))
+    val fkInsertCheck: Option[DataFrame] => Unit = insChk =>
+      insChk.foreach(i =>
+        TableConstraints.checkForeignKeys(spark, table, tableCons, i,
+          verb = "MERGE into"))
+    val shadowValidate: DataFrame => Unit =
+      if (keyRecheck == null && fkTouched.isEmpty && !parentSensitive) null
+      else { shadow =>
+        if (keyRecheck != null) keyRecheck(shadow)
+        if (fkTouched.nonEmpty)
+          TableConstraints.checkForeignKeys(spark, table,
+            tableCons.copy(foreignKeys = fkTouched), shadow, verb = "MERGE into")
+        if (parentSensitive)
+          TableConstraints.checkRemovedKeysNotReferenced(spark, table, shadow,
+            "MERGE into")
       }
 
     def fullPath(): DataFrame = {
@@ -482,14 +521,15 @@ object MergeStatement {
       // r14 verdict's double source-anti-join execution; the pruned path
       // below already did this)
       val insChkF = insertContent.map(_.localCheckpoint(true))
+      fkInsertCheck(insChkF)
       val nIns = insChkF.map(_.count()).getOrElse(0L)
       (targetContent, insChkF) match {
         case (Some(t), Some(i)) =>
           DmlStatements.cowSwap(spark, table, consGuard(t.union(i)),
-            validateShadow = keyRecheck)
+            validateShadow = shadowValidate)
         case (Some(t), None)    =>
           DmlStatements.cowSwap(spark, table, consGuard(t),
-            validateShadow = keyRecheck)
+            validateShadow = shadowValidate)
         case (None, Some(i))    =>
           // insert-only merge: append the batch, never rewrite the warehouse
           consGuard(i).write.mode(SaveMode.Append).insertInto(table)
@@ -498,7 +538,8 @@ object MergeStatement {
       DmlStatements.countDf(spark, nUpd + nDel + nIns)
     }
 
-    if (!targetActing || !prunable || touchedKeySets.nonEmpty) return fullPath()
+    if (!targetActing || !prunable || touchedKeySets.nonEmpty ||
+        fkTouched.nonEmpty || parentSensitive) return fullPath()
 
     // one stats pass: per affected partition, acting counts + total rows
     val statRows = psql.sql(pairsBase +
@@ -518,6 +559,7 @@ object MergeStatement {
     // insert destinations: checkpoint once, the same rows feed the
     // partition discovery, the count, and the write
     val insChk = insertContent.map(_.localCheckpoint(true))
+    fkInsertCheck(insChk)
     val nIns = insChk.map(_.count()).getOrElse(0L)
     val insParts: Seq[Seq[Any]] = insChk match {
       case Some(df) if nIns > 0 =>

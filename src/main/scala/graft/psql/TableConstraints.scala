@@ -1059,7 +1059,7 @@ object TableConstraints {
   /** Conf key behind `SET graft_enforce_foreign_keys = true`. */
   val FkEnforceConf = "spark.graft.enforceForeignKeys"
 
-  private def fkEnforcementOn(spark: SparkSession): Boolean =
+  private[psql] def fkEnforcementOn(spark: SparkSession): Boolean =
     spark.conf.getOption(FkEnforceConf).exists(_.equalsIgnoreCase("true"))
 
   /** Parse a recorded FK string — `FOREIGN KEY (cols) REFERENCES t
@@ -1104,10 +1104,16 @@ object TableConstraints {
     * stays unhinted so AQE broadcasts the (small, by star-schema
     * construction) referenced keys at runtime. NULL FK values pass, per
     * SQL (MATCH SIMPLE). No-op when the option is off or the table
-    * records no FKs.
+    * records no FKs. The violation names the REFERENCED table's column(s)
+    * — probed DuckDB 1.0 wording (`key "k: 77" does not exist in the
+    * referenced table` with the parent's column name even when the child
+    * column is named differently). Same-batch self-references are rejected
+    * (the anti-join sees the pre-statement parent state) exactly like
+    * DuckDB 1.0, which refuses `INSERT INTO emp VALUES (1, NULL), (2, 1)`
+    * on a self-referential FK — probed.
     */
   def checkForeignKeys(spark: SparkSession, table: String, c: Constraints,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, verb: String = "INSERT into"): Unit = {
     if (c.foreignKeys.isEmpty || !fkEnforcementOn(spark)) return
     import org.apache.spark.sql.functions.col
     c.foreignKeys.foreach { fkText =>
@@ -1131,12 +1137,125 @@ object TableConstraints {
           .where(cols.map(col(_).isNotNull).reduce(_ && _))
           .join(refKeys, cols, "left_anti").limit(1).collect()
         orphan.headOption.foreach { r =>
-          val kv = cols.zipWithIndex
+          val kv = refCols.zipWithIndex
             .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
           throw new IllegalArgumentException(
-            s"""INSERT into $table: Violates foreign key constraint because """ +
-              s"""key "$kv" does not exist in the referenced table $refTable""")
+            s"""$verb $table: Violates foreign key constraint because """ +
+              s"""key "$kv" does not exist in the referenced table""")
         }
+      }
+    }
+  }
+
+  /** Every recorded FK in the catalog that references `table`:
+    * (childTable, childCols, referencedCols). A metadata-only sweep of the
+    * session catalog (listDatabases × listTables × table properties) — it
+    * runs per parent-side DELETE/UPDATE only while the FK-enforcement
+    * opt-in is set, and never touches data.
+    */
+  private[psql] def referencingForeignKeys(spark: SparkSession, table: String)
+      : Seq[(String, Seq[String], Seq[String])] = {
+    val cat = spark.sessionState.catalog
+    val target = fqName(spark, table)
+    cat.listDatabases().flatMap { db =>
+      cat.listTables(db).filter(_.database.isDefined).flatMap { ti =>
+        val child =
+          if (ti.database.exists(_.equalsIgnoreCase(spark.catalog.currentDatabase)))
+            ti.table
+          else s"${ti.database.get}.${ti.table}"
+        load(spark, child).foreignKeys.flatMap(parseForeignKey).flatMap {
+          case (cols, refT0, refColsOpt) =>
+            val resolved =
+              try Some(DmlStatements.resolveTarget(spark, refT0))
+              catch { case _: IllegalArgumentException => None }
+            resolved.filter(fqName(spark, _) == target).flatMap { refT =>
+              val refCols = refColsOpt.getOrElse(load(spark, refT).primaryKey)
+              if (refCols.size == cols.size && refCols.nonEmpty)
+                Some((child, cols, refCols))
+              else None
+            }
+        }
+      }
+    }
+  }
+
+  /** Fully-qualified lower-cased `db.table` for catalog-identity compares. */
+  private def fqName(spark: SparkSession, t: String): String = {
+    val lc = t.toLowerCase(java.util.Locale.ROOT)
+    if (lc.contains('.')) lc else s"${spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)}.$lc"
+  }
+
+  /** Opt-in parent-side referential check for DELETE and key-assigning
+    * UPDATE: `affected` is the PRE-statement image of the rows about to be
+    * deleted (or whose key columns are about to be reassigned). For every
+    * recorded FK referencing `table`, the child's non-NULL FK tuples
+    * semi-join the affected rows' referenced-key values — a hit throws
+    * DuckDB's "is still referenced by a foreign key in a different table"
+    * violation, spelled with the CHILD's column names (probed 1.0). The
+    * child scan is FK-column-pruned; the join stays unhinted (AQE picks
+    * the broadcast side). Probed DuckDB edges this reproduces: a no-op
+    * reassignment (`SET k = k`) of a referenced key still violates, and a
+    * self-referential "delete the whole family" statement is rejected
+    * because the check sees the pre-delete child state. `touched` (UPDATE)
+    * skips FKs whose referenced columns are not assigned — DuckDB only
+    * re-indexes rewritten key columns.
+    */
+  private[psql] def checkStillReferenced(spark: SparkSession, table: String,
+      affected: => DataFrame, touched: Option[Set[String]],
+      verb: String): Unit = {
+    if (!fkEnforcementOn(spark)) return
+    import org.apache.spark.sql.functions.col
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val refs = referencingForeignKeys(spark, table).filter {
+      case (_, _, refCols) =>
+        touched.forall(t => refCols.exists(rc => t.contains(lc(rc))))
+    }
+    if (refs.isEmpty) return
+    val aff = affected
+    refs.foreach { case (child, cCols, refCols) =>
+      val keys = aff.select(refCols.map(col): _*).toDF(cCols: _*).distinct()
+      val hit = spark.table(child).select(cCols.map(col): _*)
+        .where(cCols.map(col(_).isNotNull).reduce(_ && _))
+        .join(keys, cCols, "leftsemi").limit(1).collect()
+      hit.headOption.foreach { r =>
+        val kv = cCols.zipWithIndex
+          .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"""$verb $table: Violates foreign key constraint because key """ +
+            s""""$kv" is still referenced by a foreign key in a different table""")
+      }
+    }
+  }
+
+  /** Parent-side referential check for the MERGE family (DuckDB 1.0 has no
+    * MERGE, so there is no wording to mirror statement-for-statement; the
+    * invariant enforced is the clean one — a key VALUE that disappears
+    * from the parent's post-image must not be referenced): per referencing
+    * FK, `pre-keys EXCEPT shadow-keys` semi-joins the child's FK tuples.
+    * Runs over the MATERIALIZED shadow before the copy-on-write swap. For
+    * a self-referential FK the child side reads the SHADOW — the invariant
+    * is "the post-image has no orphans".
+    */
+  private[psql] def checkRemovedKeysNotReferenced(spark: SparkSession,
+      table: String, shadow: DataFrame, verb: String): Unit = {
+    if (!fkEnforcementOn(spark)) return
+    import org.apache.spark.sql.functions.col
+    referencingForeignKeys(spark, table).foreach { case (child, cCols, refCols) =>
+      val removed = spark.table(table).select(refCols.map(col): _*).distinct()
+        .except(shadow.select(refCols.map(col): _*).distinct())
+        .toDF(cCols: _*)
+      val childDf =
+        if (fqName(spark, child) == fqName(spark, table)) shadow
+        else spark.table(child)
+      val hit = childDf.select(cCols.map(col): _*)
+        .where(cCols.map(col(_).isNotNull).reduce(_ && _))
+        .join(removed, cCols, "leftsemi").limit(1).collect()
+      hit.headOption.foreach { r =>
+        val kv = cCols.zipWithIndex
+          .map { case (k, i) => s"$k: ${String.valueOf(r.get(i))}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          s"""$verb $table: Violates foreign key constraint because key """ +
+            s""""$kv" is still referenced by a foreign key in a different table""")
       }
     }
   }

@@ -388,11 +388,148 @@ class TableConstraintsSpec extends SparkSpec {
       val e3 = intercept[IllegalArgumentException] {
         psql.sql("insert into graft_ct_fkc2 values (1, 42)")
       }
-      assert(e3.getMessage.contains("pk: 42"), e3.getMessage)
+      // probed DuckDB 1.0: the orphan-key violation names the REFERENCED
+      // table's column (k), not the child's (pk)
+      assert(e3.getMessage.contains("k: 42"), e3.getMessage)
     } finally psql.sql("reset graft_enforce_foreign_keys")
     // OFF again after RESET
     psql.sql("insert into graft_ct_fkc values (14, 88)")
     assert(spark.table("graft_ct_fkc").count() == 3)
+  }
+
+  test("FK enforcement, parent side: DELETE/UPDATE of a referenced key throws") {
+    drop("graft_ct_fpp"); drop("graft_ct_fpc")
+    psql.sql("create table graft_ct_fpp (k int primary key, s varchar)")
+    psql.sql("insert into graft_ct_fpp values (1, 'a'), (2, 'b'), (3, 'c')")
+    psql.sql("create table graft_ct_fpc (id int, pk int references graft_ct_fpp (k))")
+    psql.sql("insert into graft_ct_fpc values (10, 1), (11, 2)")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    try {
+      // deleting a referenced parent row throws DuckDB's wording, with the
+      // CHILD's column name (probed 1.0), and writes nothing
+      val e = intercept[IllegalArgumentException] {
+        psql.sql("delete from graft_ct_fpp where k = 1")
+      }
+      assert(e.getMessage.contains(
+        """key "pk: 1" is still referenced by a foreign key in a different table"""),
+        e.getMessage)
+      assert(spark.table("graft_ct_fpp").count() == 3)
+      // an unreferenced parent row deletes fine
+      psql.sql("delete from graft_ct_fpp where k = 3")
+      assert(spark.table("graft_ct_fpp").count() == 2)
+      // reassigning a referenced key violates EVEN when the value is
+      // unchanged (probed: DuckDB rejects `SET k = k` on a referenced row)
+      val e2 = intercept[IllegalArgumentException] {
+        psql.sql("update graft_ct_fpp set k = k where k = 1")
+      }
+      assert(e2.getMessage.contains("is still referenced"), e2.getMessage)
+      // non-key parent columns update freely (probed DuckDB)
+      psql.sql("update graft_ct_fpp set s = 'z' where k = 1")
+      assert(spark.table("graft_ct_fpp").where("k = 1 and s = 'z'").count() == 1)
+      // deleting the child first unblocks the parent
+      psql.sql("delete from graft_ct_fpc where pk = 1")
+      psql.sql("delete from graft_ct_fpp where k = 1")
+      assert(spark.table("graft_ct_fpp").count() == 1)
+    } finally psql.sql("reset graft_enforce_foreign_keys")
+  }
+
+  test("FK enforcement, child UPDATE: assigned FK columns re-resolve") {
+    drop("graft_ct_fup"); drop("graft_ct_fuc")
+    psql.sql("create table graft_ct_fup (k int primary key)")
+    psql.sql("insert into graft_ct_fup values (1), (2)")
+    psql.sql("create table graft_ct_fuc (id int, k int references graft_ct_fup (k), v int)")
+    psql.sql("insert into graft_ct_fuc values (10, 1, 0), (11, 2, 0)")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        psql.sql("update graft_ct_fuc set k = -5 where id = 10")
+      }
+      assert(e.getMessage.contains(
+        """key "k: -5" does not exist in the referenced table"""), e.getMessage)
+      assert(spark.table("graft_ct_fuc").where("k = -5").count() == 0)
+      // valid reassignment and NULLing pass (probed DuckDB)
+      psql.sql("update graft_ct_fuc set k = 2 where id = 10")
+      psql.sql("update graft_ct_fuc set k = null where id = 11")
+      // non-FK columns update without touching the parent
+      psql.sql("update graft_ct_fuc set v = 9")
+      assert(spark.table("graft_ct_fuc").where("v = 9").count() == 2)
+    } finally psql.sql("reset graft_enforce_foreign_keys")
+  }
+
+  test("FK enforcement covers the MERGE family (insert + update + delete)") {
+    drop("graft_ct_fmp"); drop("graft_ct_fmc")
+    psql.sql("create table graft_ct_fmp (k int primary key)")
+    psql.sql("insert into graft_ct_fmp values (1), (2)")
+    psql.sql("create table graft_ct_fmc (id int primary key, k int references graft_ct_fmp (k))")
+    psql.sql("insert into graft_ct_fmc values (10, 1), (11, 2)")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    try {
+      // MERGE insert clause: orphan FK value in the inserted batch throws
+      val e = intercept[IllegalArgumentException] {
+        psql.sql("""merge into graft_ct_fmc using (select 12 as id, 77 as k) s
+          |on graft_ct_fmc.id = s.id
+          |when not matched then insert values (s.id, s.k)""".stripMargin)
+      }
+      assert(e.getMessage.contains("Violates foreign key constraint"), e.getMessage)
+      assert(spark.table("graft_ct_fmc").count() == 2)
+      // MERGE update clause assigning the FK column to an orphan throws
+      val e2 = intercept[IllegalArgumentException] {
+        psql.sql("""merge into graft_ct_fmc using (select 10 as id, -3 as k) s
+          |on graft_ct_fmc.id = s.id
+          |when matched then update set k = s.k""".stripMargin)
+      }
+      assert(e2.getMessage.contains("does not exist in the referenced table"),
+        e2.getMessage)
+      // parent-side through MERGE: deleting a still-referenced parent throws
+      val e3 = intercept[IllegalArgumentException] {
+        psql.sql("""merge into graft_ct_fmp using (select 1 as k) s
+          |on graft_ct_fmp.k = s.k
+          |when matched then delete""".stripMargin)
+      }
+      assert(e3.getMessage.contains("is still referenced"), e3.getMessage)
+      assert(spark.table("graft_ct_fmp").count() == 2)
+      // valid MERGE passes: insert a row referencing an existing parent
+      psql.sql("""merge into graft_ct_fmc using (select 13 as id, 2 as k) s
+        |on graft_ct_fmc.id = s.id
+        |when not matched then insert values (s.id, s.k)""".stripMargin)
+      assert(spark.table("graft_ct_fmc").count() == 3)
+      // UPDATE … FROM (the join-update rides the MERGE pipeline) enforces
+      val e4 = intercept[IllegalArgumentException] {
+        psql.sql("""update graft_ct_fmc set k = src.nk
+          |from (select 10 as id, -9 as nk) as src
+          |where graft_ct_fmc.id = src.id""".stripMargin)
+      }
+      assert(e4.getMessage.contains("does not exist in the referenced table"),
+        e4.getMessage)
+    } finally psql.sql("reset graft_enforce_foreign_keys")
+  }
+
+  test("FK enforcement, self-referential: same-batch parents rejected like DuckDB") {
+    drop("graft_ct_femp")
+    psql.sql("create table graft_ct_femp (id int primary key, mgr int references graft_ct_femp (id))")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    try {
+      // probed DuckDB 1.0: a batch referencing its OWN rows is rejected —
+      // the FK probe sees the pre-statement parent state
+      val e = intercept[IllegalArgumentException] {
+        psql.sql("insert into graft_ct_femp values (1, null), (2, 1)")
+      }
+      assert(e.getMessage.contains("does not exist in the referenced table"),
+        e.getMessage)
+      // row-at-a-time works
+      psql.sql("insert into graft_ct_femp values (1, null)")
+      psql.sql("insert into graft_ct_femp values (2, 1)")
+      psql.sql("insert into graft_ct_femp values (3, 2)")
+      // probed DuckDB: DELETE of the whole self-referencing family is
+      // rejected — the child probe sees the PRE-delete state
+      val e2 = intercept[IllegalArgumentException] { psql.sql("delete from graft_ct_femp") }
+      assert(e2.getMessage.contains("is still referenced"), e2.getMessage)
+      // leaf-first deletion works
+      psql.sql("delete from graft_ct_femp where id = 3")
+      psql.sql("delete from graft_ct_femp where id = 2")
+      psql.sql("delete from graft_ct_femp where id = 1")
+      assert(spark.table("graft_ct_femp").count() == 0)
+    } finally psql.sql("reset graft_enforce_foreign_keys")
   }
 
   test("ORDER BY an enum column sorts by DECLARATION order (probed DuckDB)") {
