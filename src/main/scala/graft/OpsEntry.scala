@@ -6231,10 +6231,20 @@ object OpsEntry {
           try { psql.sql("insert into graft_b21_t values (999999991, 'Z', 1.0)").collect(); false }
           catch { case e: Exception => e.getMessage.contains("CHECK constraint failed") }
         require(bad, "out-of-domain enum value must fail the membership check")
+        // two content-visible sorts (LIMIT under each): the FIRST order by
+        // st sees the enum column — DECLARATION order (P, F, O) — while
+        // the SECOND sees the same-named OUTPUT ALIAS of the varchar cast,
+        // which shadows the enum in both engines (probed DuckDB 1.0) —
+        // LEXICAL order (F, O, P). The 900-row cut lands inside different
+        // member groups under each ordering, so either rewrite misfiring
+        // (missing declaration order, or wrongly declaration-ordering the
+        // alias) changes the CONTENT.
         psql.sql("""from graft_b21_t
           ||> order by st, o_orderkey
           ||> limit 1800
           ||> select o_orderkey, cast(st as varchar) as st, total
+          ||> order by st, o_orderkey
+          ||> limit 900
           ||> order by o_orderkey""".stripMargin)
       },
       Some("""DROP TABLE IF EXISTS graft_b21_t;
@@ -6246,8 +6256,10 @@ object OpsEntry {
         |  o_totalprice FROM orders WHERE o_orderkey % 6 = 0;
         |INSERT OR REPLACE INTO graft_b21_t SELECT o_orderkey, 'P',
         |  o_totalprice + 1 FROM orders WHERE o_orderkey % 12 = 0;
-        |SELECT o_orderkey, cast(st AS VARCHAR) AS st, total
-        |FROM (SELECT * FROM graft_b21_t ORDER BY st, o_orderkey LIMIT 1800)
+        |SELECT o_orderkey, st, total FROM (
+        |  SELECT o_orderkey, cast(st AS VARCHAR) AS st, total
+        |  FROM (SELECT * FROM graft_b21_t ORDER BY st, o_orderkey LIMIT 1800)
+        |  ORDER BY st, o_orderkey LIMIT 900)
         |ORDER BY o_orderkey""".stripMargin)),
 
     QueryDef(

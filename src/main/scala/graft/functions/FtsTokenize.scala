@@ -174,10 +174,12 @@ object FtsTokenizer {
 case class FtsStemExpr(child: Expression, stemmer: String)
     extends UnaryExpression with CodegenFallback {
   FtsTokenizer.stemFn(stemmer) // validate at construction
+  // resolved once per task, not per row (transient: re-resolves after
+  // deserialization on the executor)
+  @transient private lazy val stem = FtsTokenizer.stemFn(stemmer)
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(
-      FtsTokenizer.stemFn(stemmer)(v.asInstanceOf[UTF8String].toString))
+    UTF8String.fromString(stem(v.asInstanceOf[UTF8String].toString))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -294,12 +294,13 @@ object FtsIndex {
     val qterms =
       (if (opts.isExact) query.split("\\s+").filter(_.nonEmpty)
        else FtsTokenizer.tokenize(query, opts)).distinct.toSeq
-    val key = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        s"$table|$query|$k1|$b|$conjunctive"))
-    // always (re)registered: the view is plan-only (cheap) and a memoized
-    // one would go stale when the index is rebuilt with overwrite := 1
-    val view = s"graft_fts_scores_$key"
+    // unique per INVOCATION, not per content: the views are
+    // statement-scoped (registered here, dropped in Psql.sql's finally),
+    // so a content-hashed name would let two concurrent identical
+    // match_bm25 statements race — one thread dropping the shared view
+    // between the other's registration and analysis
+    val view = "graft_fts_scores_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
     if (qterms.isEmpty) {
       // every query term was a stopword: no document scores (all-NULL
       // lookups, DuckDB's observable shape) — an empty scores view

@@ -398,9 +398,13 @@ object TableConstraints {
   // dumps open with `CREATE TYPE x AS ENUM (…)`. An enum-typed column
   // lowers to STRING + a membership CHECK (enforced on every front-end
   // write like any other check) + a `graft.constraints.enum.<col>` marker.
-  // Documented divergence: ORDER BY on an enum column sorts LEXICALLY here
-  // where DuckDB sorts by declaration order — enum-order-sensitive sorts
-  // need an explicit array_position(...) key.
+  // ORDER BY on an enum column sorts by DECLARATION order exactly like
+  // DuckDB ([[enumOrderRewrite]] wraps qualifying sort items in an
+  // array_position key); output aliases shadow the rewrite the way they
+  // shadow resolution in both engines. Remaining edges (documented in
+  // README): a subquery that casts the enum away under an outer ORDER BY,
+  // and tables created in ANOTHER session (the member list lives with the
+  // session's type registry) — both sort lexically there.
   private val enumRegistries =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -439,42 +443,203 @@ object TableConstraints {
       r
     }
 
-  /** Rewrite bare enum-column references in ORDER BY item lists (pipe
-    * stages, plain SQL and window OVER clauses alike) to
+  /** Rewrite enum-column references in ORDER BY item lists (pipe stages,
+    * plain SQL and window OVER clauses alike) to
     * `array_position(array(<members>), col)` — DuckDB's declaration-order
-    * sort. Applies only to items that are a plain (optionally one-level
-    * qualified) reference to a column some session-created enum table
-    * declares, with the table MENTIONED in the statement and its enum
-    * marker still recorded in the catalog (a re-created table without the
-    * property never rewrites). NULL ordering is unchanged:
-    * array_position(…, NULL) is NULL exactly where the column is. Known
-    * edge: `SELECT cast(e AS varchar) AS e … ORDER BY e` resolves to the
-    * OUTPUT alias in both engines (lexical); the rewrite cannot see output
-    * aliases and applies declaration order there — sort the enum column
-    * before projecting it away.
+    * sort. Resolution mirrors both engines' scoping (each rule probed on
+    * DuckDB 1.0):
+    *
+    *  - only tables appearing in FROM/JOIN relation position count as in
+    *    scope (a word collision elsewhere in the statement no longer
+    *    drags a table in);
+    *  - a QUALIFIED item `q.col` rewrites only when `q` is the enum
+    *    table's bare name (unaliased) or its declared alias, and `col` is
+    *    that table's enum column — `o.status` against a non-enum relation
+    *    `o` stays lexical;
+    *  - a BARE item is shadowed by a same-named OUTPUT alias in the
+    *    visible select list (`SELECT cast(e AS varchar) AS e … ORDER BY
+    *    e` is lexical in both engines, explicit or implicit alias form) —
+    *    unless the aliased expression is itself a bare reference to an
+    *    enum column (`e AS raw … ORDER BY raw` keeps declaration order);
+    *  - catalog marker must still be present (a re-created table without
+    *    the property never rewrites).
+    *
+    * NULL ordering is unchanged: array_position(…, NULL) is NULL exactly
+    * where the column is. Remaining edge (README): a SUBQUERY that casts
+    * the enum away with an ORDER BY outside it — the outer list cannot
+    * see through the inner projection.
     */
   def enumOrderRewrite(spark: SparkSession, stmt: String): String = {
     val reg = enumTables(spark)
     if (reg.isEmpty) return stmt
     val sc = scan(stmt)
-    def mentioned(table: String): Boolean = {
-      val bare = table.substring(table.lastIndexOf('.') + 1)
-      Iterator.range(0, stmt.length)
-        .exists(i => sc.code(i) && matchesWord(stmt, i, bare))
+    val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    def bareOf(t: String) = t.substring(t.lastIndexOf('.') + 1)
+
+    // ---- relation scope: identifiers in FROM/JOIN position, with aliases
+    val stopWords = Set("where", "group", "order", "by", "having", "limit",
+      "offset", "on", "using", "join", "left", "right", "full", "inner",
+      "outer", "cross", "anti", "semi", "asof", "lateral", "natural",
+      "window", "qualify", "union", "intersect", "except", "select",
+      "values", "as", "positional", "set", "when", "returning", "for",
+      "tablesample", "pivot", "unpivot")
+    val rels = scala.collection.mutable.ListBuffer.empty[(String, Option[String])]
+    locally {
+      var i = 0
+      while (i < stmt.length) {
+        if (sc.code(i) &&
+            (matchesWord(stmt, i, "from") || matchesWord(stmt, i, "join")) &&
+            !SqlScanner.fnArgFrom(stmt, sc, i)) {
+          var p = nextCode(stmt, sc, i + 4)
+          var more = true
+          while (more && p >= 0 && p < stmt.length &&
+              (Character.isLetter(stmt.charAt(p)) || stmt.charAt(p) == '_')) {
+            more = false
+            var e = p
+            while (e < stmt.length &&
+                (SqlScanner.isWordChar(stmt.charAt(e)) || stmt.charAt(e) == '.')) e += 1
+            val rn = stmt.substring(p, e)
+            var q = nextCode(stmt, sc, e)
+            var alias: Option[String] = None
+            if (q >= 0 && matchesWord(stmt, q, "as")) {
+              val a0 = nextCode(stmt, sc, q + 2)
+              if (a0 >= 0 &&
+                  (Character.isLetter(stmt.charAt(a0)) || stmt.charAt(a0) == '_')) {
+                var a1 = a0
+                while (a1 < stmt.length && SqlScanner.isWordChar(stmt.charAt(a1))) a1 += 1
+                alias = Some(stmt.substring(a0, a1))
+                q = nextCode(stmt, sc, a1)
+              }
+            } else if (q >= 0 &&
+                (Character.isLetter(stmt.charAt(q)) || stmt.charAt(q) == '_')) {
+              var a1 = q
+              while (a1 < stmt.length && SqlScanner.isWordChar(stmt.charAt(a1))) a1 += 1
+              val w = stmt.substring(q, a1)
+              if (!stopWords.contains(lc(w))) {
+                alias = Some(w)
+                q = nextCode(stmt, sc, a1)
+              }
+            }
+            if (!stopWords.contains(lc(rn))) rels += ((rn, alias))
+            // comma-separated FROM list continues with another relation
+            if (q >= 0 && stmt.charAt(q) == ',') {
+              val n = nextCode(stmt, sc, q + 1)
+              if (n >= 0) { p = n; more = true }
+            }
+          }
+        }
+        i += 1
+      }
     }
-    // columns resolvable unambiguously across every mentioned enum table
-    // whose catalog marker is still present
+    if (rels.isEmpty) return stmt
+    // enum tables among the scoped relations (catalog marker verified),
+    // keyed by their effective qualifier (alias when given, bare name else)
     import scala.jdk.CollectionConverters._
-    val colMaps = reg.asScala.toSeq
-      .filter { case (t, _) => mentioned(t) }
-      .filter { case (t, cols) =>
-        load(spark, t).enumCols.keySet == cols.keySet }
-      .flatMap(_._2)
-    if (colMaps.isEmpty) return stmt
-    val byCol = colMaps.groupBy(_._1).collect {
-      case (c, ms) if ms.map(_._2).distinct.size == 1 => c -> ms.head._2
+    val regMap = reg.asScala.toMap
+    val qualCols = scala.collection.mutable.Map.empty[String, Map[String, Seq[String]]]
+    val inScope = scala.collection.mutable.ListBuffer.empty[Map[String, Seq[String]]]
+    rels.foreach { case (rn, alias) =>
+      regMap.find { case (t, _) => lc(bareOf(t)) == lc(bareOf(rn)) }.foreach {
+        case (t, cols) =>
+          if (load(spark, t).enumCols.keySet == cols.keySet) {
+            inScope += cols
+            qualCols(lc(alias.getOrElse(bareOf(rn)))) = cols
+          }
+      }
     }
-    if (byCol.isEmpty) return stmt
+    if (inScope.isEmpty) return stmt
+    // bare columns resolvable unambiguously across the in-scope enum tables
+    val byCol: Map[String, Seq[String]] = inScope.flatten.groupBy(_._1).collect {
+      case (c, ms) if ms.map(_._2).distinct.size == 1 => c -> ms.head._2
+    }.toMap
+    if (byCol.isEmpty && qualCols.isEmpty) return stmt
+
+    // ---- output-alias detection for one ORDER BY's visible select list:
+    // nearest preceding SELECT in the same paren block; its items' output
+    // aliases (explicit AS and the implicit `expr name` form) map to the
+    // aliased expression text
+    def outputAliases(obPos: Int, d0: Int): Map[String, String] = {
+      var sPos = -1
+      var j = obPos - 1
+      while (j >= 0 && sPos < 0) {
+        if (sc.code(j)) {
+          if (sc.depth(j) < d0) j = -1 // left the enclosing block
+          else if (sc.depth(j) == d0 && matchesWord(stmt, j, "select")) sPos = j
+        }
+        if (sPos < 0) j -= 1
+      }
+      if (sPos < 0) return Map.empty
+      var e = sPos + 6
+      var end = -1
+      while (e < obPos && end < 0) {
+        val atCode = sc.code(e)
+        if (atCode && sc.depth(e) < d0) end = e
+        else if (atCode && sc.depth(e) == d0 && (
+            Seq("from", "where", "group", "having", "window", "order",
+              "limit", "qualify").exists(matchesWord(stmt, e, _)) ||
+            (stmt.charAt(e) == '|' && e + 1 < stmt.length &&
+              stmt.charAt(e + 1) == '>'))) end = e
+        else e += 1
+      }
+      if (end < 0) end = obPos
+      val listText = stmt.substring(sPos + 6, end)
+      DmlStatements.splitTopCommas(listText).flatMap { item0 =>
+        val item = item0.trim
+        if (item.isEmpty) None
+        else {
+          val isc = scan(item)
+          // last depth-0 identifier of the item
+          var z = item.length - 1
+          while (z >= 0 && Character.isWhitespace(item.charAt(z))) z -= 1
+          var w0 = z
+          while (w0 >= 0 && SqlScanner.isWordChar(item.charAt(w0))) w0 -= 1
+          if (z < 0 || w0 == z || isc.depth(z) != 0 || !isc.code(z) ||
+              !(Character.isLetter(item.charAt(w0 + 1)) || item.charAt(w0 + 1) == '_'))
+            None
+          else {
+            val name = item.substring(w0 + 1, z + 1)
+            // preceding non-ws char decides the form
+            var pb = w0
+            while (pb >= 0 && Character.isWhitespace(item.charAt(pb))) pb -= 1
+            if (pb < 0) None // the item IS the bare identifier — no alias
+            else if (pb >= 1 && matchesWord(item, pb - 1, "as") && isc.code(pb - 1))
+              Some(lc(name) -> item.substring(0, pb - 1).trim)
+            else if (pb == w0) None // directly attached (qualified ref, fn name)
+            else {
+              val pc = item.charAt(pb)
+              // `cast(…) e`, `'lit' e`, `1 e`, `col e` — an implicit alias;
+              // `a + b`, `a . b` are not
+              if (pc == ')' || pc == '\'' || pc == '"' ||
+                  SqlScanner.isWordChar(pc))
+                Some(lc(name) -> item.substring(0, pb + 1).trim)
+              else None
+            }
+          }
+        }
+      }.toMap
+    }
+    // a bare [qual.]col reference (the shape whose alias keeps enum order)
+    val bareRefRe = "(?i)^(?:[A-Za-z_][A-Za-z0-9_$]*\\.)?([A-Za-z_][A-Za-z0-9_$]*)$".r
+    def membersFor(colName: String, qualifier: Option[String],
+        aliases: Map[String, String]): Option[Seq[String]] = qualifier match {
+      case Some(q) =>
+        // qualified: resolves to the INPUT relation in both engines
+        qualCols.get(lc(q)).flatMap(_.get(lc(colName)))
+      case None =>
+        aliases.get(lc(colName)) match {
+          case Some(expr) => bareRefRe.findFirstMatchIn(expr.trim) match {
+            // alias of a bare enum-column reference keeps the enum through
+            // the projection (probed: `e AS raw … ORDER BY raw` is
+            // declaration-ordered); anything else is the output
+            // expression's own type — lexical for our string lowering
+            case Some(m) =>
+              val under = m.group(1)
+              byCol.get(lc(under))
+            case None => None
+          }
+          case None => byCol.get(lc(colName))
+        }
+    }
     // locate every ORDER BY and rewrite its item list
     val sb = new StringBuilder
     var i = 0
@@ -516,11 +681,13 @@ object TableConstraints {
         }
         items += ((s0, end))
         sb.append(stmt.substring(last, start))
+        val aliases = outputAliases(i, d0)
         var firstItem = true
         items.foreach { case (a, b) =>
           if (!firstItem) sb.append(',')
           firstItem = false
-          sb.append(rewriteSortItem(stmt.substring(a, b), byCol))
+          sb.append(rewriteSortItem(stmt.substring(a, b),
+            (c, q) => membersFor(c, q, aliases)))
         }
         last = end
         i = end
@@ -530,10 +697,12 @@ object TableConstraints {
   }
 
   /** One sort item: when it is `[qualifier.]col [ASC|DESC] [NULLS
-    * FIRST|LAST]` with `col` a known enum column, wrap the reference in the
-    * declaration-order key; anything else passes through untouched.
+    * FIRST|LAST]` and the resolver yields a member list for (col,
+    * qualifier), wrap the reference in the declaration-order key; anything
+    * else passes through untouched.
     */
-  private def rewriteSortItem(item: String, byCol: Map[String, Seq[String]]): String = {
+  private def rewriteSortItem(item: String,
+      resolve: (String, Option[String]) => Option[Seq[String]]): String = {
     val isc = scan(item)
     val p0 = nextCode(item, isc, 0)
     if (p0 < 0) return item
@@ -545,12 +714,14 @@ object TableConstraints {
     while (e1 < item.length && SqlScanner.isWordChar(item.charAt(e1))) e1 += 1
     var refEnd = e1
     var colName = item.substring(q, e1)
+    var qualifier: Option[String] = None
     if (refEnd < item.length && item.charAt(refEnd) == '.') {
       var e2 = refEnd + 1
       if (e2 >= item.length ||
           (!Character.isLetter(item.charAt(e2)) && item.charAt(e2) != '_')) return item
       var e3 = e2
       while (e3 < item.length && SqlScanner.isWordChar(item.charAt(e3))) e3 += 1
+      qualifier = Some(colName)
       colName = item.substring(e2, e3)
       refEnd = e3
     }
@@ -560,7 +731,7 @@ object TableConstraints {
     if (tailWords.nonEmpty &&
         !tailWords.split("\\s+").forall(w => mods.contains(w.toLowerCase(java.util.Locale.ROOT))))
       return item
-    byCol.get(colName.toLowerCase(java.util.Locale.ROOT)) match {
+    resolve(colName, qualifier) match {
       case Some(members) =>
         val arr = members.map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
         val ref = item.substring(refStart, refEnd)

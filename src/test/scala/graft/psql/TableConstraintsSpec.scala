@@ -565,6 +565,52 @@ class TableConstraintsSpec extends SparkSpec {
     psql.sql("drop type graft_eord_mood")
   }
 
+  test("enum ORDER BY scoping: output aliases, qualifiers, FROM/JOIN position (probed DuckDB)") {
+    drop("graft_ct_esc"); drop("graft_ct_esco")
+    psql.sql("drop type if exists graft_esc_mood")
+    psql.sql("create type graft_esc_mood as enum ('sad', 'ok', 'happy')")
+    psql.sql("create table graft_ct_esc (i int primary key, e graft_esc_mood)")
+    psql.sql("insert into graft_ct_esc values (1, 'happy'), (2, 'sad'), (3, 'ok')")
+    // same-named VARCHAR column on a different relation
+    psql.sql("create table graft_ct_esco (i int primary key, e varchar)")
+    psql.sql("insert into graft_ct_esco values (1, 'happy'), (2, 'sad'), (3, 'ok')")
+    def ids(q: String): Seq[Int] =
+      psql.sql(q).select("i").collect().map(_.getInt(0)).toSeq
+    // 1. explicit output alias shadows the enum column → LEXICAL (probed)
+    assert(ids("select i, cast(e as string) as e from graft_ct_esc order by e")
+      == Seq(1, 3, 2))
+    // 2. implicit alias form shadows too (probed)
+    assert(ids("select i, cast(e as string) e from graft_ct_esc order by e")
+      == Seq(1, 3, 2))
+    // 3. alias of a BARE enum reference keeps declaration order (probed)
+    assert(ids("select i, e as raw from graft_ct_esc order by raw, i")
+      == Seq(2, 3, 1))
+    // 4. self-alias keeps declaration order (probed)
+    assert(ids("select i, e as e from graft_ct_esc order by e") == Seq(2, 3, 1))
+    // 5. qualified item against a NON-enum relation stays lexical even
+    //    when an enum table is mentioned in the statement (advisor case)
+    assert(ids("""select o.i, o.e from graft_ct_esco o
+      |where o.i in (select i from graft_ct_esc) order by o.e""".stripMargin)
+      == Seq(1, 3, 2))
+    // 6. qualified item through the enum table's ALIAS rewrites (probed)
+    assert(ids("""select t.i, t.e from graft_ct_esc as t
+      |join graft_ct_esco o on t.i = o.i order by t.e""".stripMargin)
+      == Seq(2, 3, 1))
+    // 7. a word collision OUTSIDE relation position does not drag the
+    //    enum table into scope: string literal mention, lexical sort
+    assert(ids("""select i, e from graft_ct_esco
+      |where 'graft_ct_esc' <> '' order by e""".stripMargin) == Seq(1, 3, 2))
+    // 8. pipe-stage alias shadowing: the cast stage's alias wins (lexical)
+    assert(ids("""from graft_ct_esc
+      ||> select i, cast(e as varchar) as e
+      ||> order by e""".stripMargin) == Seq(1, 3, 2))
+    // 9. pipe ORDER BY before any projection keeps declaration order
+    assert(ids("from graft_ct_esc |> order by e |> select i") == Seq(2, 3, 1))
+    psql.sql("drop table graft_ct_esc")
+    psql.sql("drop table graft_ct_esco")
+    psql.sql("drop type graft_esc_mood")
+  }
+
   test("RENAME COLUMN follows a column referenced only by a PLAIN index") {
     drop("graft_ct_pidx")
     psql.sql("create table graft_ct_pidx (i int primary key, tag varchar)")
