@@ -64,10 +64,21 @@ object FuzzRun {
       val target = java.nio.file.Paths.get(outDir, "out", name + ".parquet").toString
       // statement-script entries: statements separated by a `;;` line run
       // in order (DDL/DML execute eagerly inside sql()); the LAST
-      // statement's result is the comparable output
+      // statement's result is the comparable output. A statement whose
+      // first line is `--expect-error` MUST throw (the FK-enforcement
+      // family's rejected writes) — succeeding is the failure.
+      def runStmt(s: String): Unit =
+        if (s.startsWith("--expect-error")) {
+          val body = s.stripPrefix("--expect-error").trim
+          val threw =
+            try { psql.sql(body); false }
+            catch { case _: Throwable => true }
+          if (!threw) throw new IllegalStateException(
+            s"expected failure but statement succeeded: ${body.take(120)}")
+        } else psql.sql(s): Unit
       try {
         val stmts = q.split("\n;;\n").map(_.trim).filter(_.nonEmpty)
-        stmts.init.foreach(psql.sql)
+        stmts.init.foreach(runStmt)
         psql.sql(stmts.last).coalesce(1).write.mode("overwrite").parquet(target)
       } catch {
         case e: Throwable =>
@@ -75,6 +86,10 @@ object FuzzRun {
           java.nio.file.Files.write(
             java.nio.file.Paths.get(outDir, "out", name + ".error"),
             String.valueOf(e.getMessage).getBytes("UTF-8"))
+      } finally {
+        // script-scoped session options must not leak into the next
+        // fuzz query (the FK-enforcement family SETs this)
+        spark.conf.unset(graft.psql.TableConstraints.FkEnforceConf)
       }
     }
     println(s"fuzz: executed ${queries.size} queries")

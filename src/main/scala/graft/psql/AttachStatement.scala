@@ -37,6 +37,16 @@ object AttachStatement {
 
   private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
 
+  /** True when `db` was created by ATTACH (marker database property) —
+    * the DML lowerings then refuse writes with DuckDB's read-only-mode
+    * wording. Catalog-metadata read only.
+    */
+  def isAttached(spark: SparkSession, db: String): Boolean =
+    try spark.catalog.databaseExists(db) &&
+      spark.sessionState.catalog.getDatabaseMetadata(db)
+        .properties.get("graft.attached").contains("true")
+    catch { case _: Throwable => false }
+
   def run(spark: SparkSession, stmt0: String): Option[DataFrame] = {
     val stmt = stmt0.trim.stripSuffix(";").trim
     if (matchesWord(stmt, 0, "attach")) Some(attach(spark, stmt))
@@ -127,7 +137,9 @@ object AttachStatement {
       }
     }
     require(tables.nonEmpty, s"ATTACH: no recognizable tables under '$path'")
-    spark.sql(s"CREATE DATABASE $name")
+    // the marker [[isAttached]] reads: attached namespaces are read-only —
+    // every DML lowering refuses them with DuckDB's wording
+    spark.sql(s"CREATE DATABASE $name WITH DBPROPERTIES ('graft.attached'='true')")
     try tables.foreach { case (t, loc, fmt) =>
       val opts = Map("path" -> loc) ++
         (if (fmt == "csv") Map("header" -> "true", "inferSchema" -> "true")

@@ -80,6 +80,23 @@ object DmlStatements {
       // tables); every other DROP stays native
       TableConstraints.dropIndexStmt(spark, stmt)
         .orElse(TableConstraints.dropType(spark, stmt))
+    // COPY … FROM lowers to INSERT in the REWRITER (after this router
+    // declines), so the read-only-attachment guard must read the target
+    // here; the statement itself stays on the rewrite path (None)
+    else if (matchesWord(stmt, 0, "copy")) {
+      val sc = scan(stmt)
+      if (SqlScanner.topLevelKeyword(stmt, sc, Seq("to")).isEmpty) {
+        val p = nextCode(stmt, sc, "copy".length)
+        if (p >= 0 && (Character.isLetter(stmt.charAt(p)) || stmt.charAt(p) == '_')) {
+          val (rawT, _) = identifierAt(stmt, p)
+          val resolved =
+            try Some(resolveTarget(spark, rawT))
+            catch { case _: IllegalArgumentException => None }
+          resolved.foreach(checkNotAttached(spark, _, "INSERT"))
+        }
+      }
+      None
+    }
     // plain INSERT delegates to Spark's native DML (b10); ON CONFLICT,
     // OR REPLACE/IGNORE, RETURNING, BY NAME and constrained-target forms
     // need the front-end (Spark has none)
@@ -103,6 +120,9 @@ object DmlStatements {
         // (which applies DEFAULTs itself)
         case Some(t0) =>
           val t = resolveTarget(spark, t0)
+          // refuse BEFORE the native fall-through: Spark's own INSERT
+          // would append files into the attached directory
+          checkNotAttached(spark, t, "INSERT")
           val cons = TableConstraints.load(spark, t)
           // a recorded FK only forces the front-end while the enforcement
           // opt-in is set — an FK-ONLY table (no PK/NOT NULL/CHECK) would
@@ -344,7 +364,7 @@ object DmlStatements {
     require(stmt.substring(after).trim.isEmpty,
       s"TRUNCATE takes a single table name, got trailing '${stmt.substring(after).trim}'")
     val table = resolveTarget(spark, rawTable)
-    checkTarget(spark, table)
+    checkTarget(spark, table, "DELETE")
     spark.sql(s"TRUNCATE TABLE $table")
     spark.emptyDataFrame
   }
@@ -378,7 +398,7 @@ object DmlStatements {
     if (word("rename")) {
       val k = nextCode(stmt, sc, j + "rename".length)
       if (k >= 0 && matchesWord(stmt, k, "to")) return None // table rename: native DDL
-      checkTarget(spark, table)
+      checkTarget(spark, table, "ALTER")
       var p = k
       if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
       val (from, a2) = identifierAt(stmt, p)
@@ -396,7 +416,7 @@ object DmlStatements {
       TableConstraints.applyRenameColumnFixups(spark, table, from, to)
       Some(spark.emptyDataFrame)
     } else if (word("drop")) {
-      checkTarget(spark, table)
+      checkTarget(spark, table, "ALTER")
       var p = nextCode(stmt, sc, j + "drop".length)
       if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
       val (c, _) = identifierAt(stmt, p)
@@ -410,7 +430,7 @@ object DmlStatements {
       TableConstraints.applyDropColumnFixups(spark, table, c)
       Some(spark.emptyDataFrame)
     } else if (word("add")) {
-      checkTarget(spark, table)
+      checkTarget(spark, table, "ALTER")
       var p = nextCode(stmt, sc, j + "add".length)
       if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
       val (c, a2) = identifierAt(stmt, p)
@@ -434,7 +454,7 @@ object DmlStatements {
       }
       Some(spark.emptyDataFrame)
     } else if (word("alter")) {
-      checkTarget(spark, table)
+      checkTarget(spark, table, "ALTER")
       var p = nextCode(stmt, sc, j + "alter".length)
       if (p >= 0 && matchesWord(stmt, p, "column")) p = nextCode(stmt, sc, p + "column".length)
       val (c, a2) = identifierAt(stmt, p)
@@ -519,7 +539,7 @@ object DmlStatements {
         Some(s"exists (select * from $rel as $alias where ($inner))")
       case None => cond0
     }
-    checkTarget(spark, table)
+    checkTarget(spark, table, "DELETE")
     val psql = Psql(spark)
     // RETURNING = the deleted rows' values, MATERIALIZED before any
     // mutation (the lazy plan would read the rewritten table otherwise)
@@ -613,7 +633,7 @@ object DmlStatements {
     val setText = stmt.substring(setPos + "set".length,
       fromPos.orElse(wherePos).getOrElse(stmt.length))
     val cond = wherePos.map(p => stmt.substring(p + "where".length).trim)
-    checkTarget(spark, table)
+    checkTarget(spark, table, "UPDATE")
     val fields = spark.table(table).schema.fields
     val assigns: Seq[(String, String)] = parseSetList(setText)
     require(assigns.nonEmpty,
@@ -808,6 +828,7 @@ object DmlStatements {
       "INSERT must be `INSERT INTO <table> [BY NAME] [(cols)] <source> [RETURNING …]`")
     val (rawTable, afterT) = identifierAt(stmt, intoPos + "into".length)
     val table = resolveTarget(spark, rawTable)
+    checkNotAttached(spark, table, "INSERT")
     require(spark.catalog.tableExists(table), s"INSERT target '$table' does not exist")
     val fields = spark.table(table).schema.fields.toSeq
     var p = nextCode(stmt, sc, afterT)
@@ -1229,7 +1250,27 @@ object DmlStatements {
     (stmt.substring(i, j), j)
   }
 
-  private[psql] def checkTarget(spark: SparkSession, name: String): Unit = {
+  /** DuckDB's read-only-attached refusal (probed 1.0 wording), thrown for
+    * any write statement whose target lives in an ATTACH-created
+    * namespace. Attachments are read-only by construction here (external
+    * tables over the user's files); without this guard a plain INSERT
+    * would ride Spark's native path and append files into the attached
+    * directory.
+    */
+  private[psql] def checkNotAttached(spark: SparkSession, table: String,
+      stmtType: String): Unit = {
+    val db =
+      if (table.contains('.')) table.substring(0, table.lastIndexOf('.'))
+      else spark.catalog.currentDatabase
+    if (AttachStatement.isAttached(spark, db))
+      throw new IllegalArgumentException(
+        s"""Cannot execute statement of type "$stmtType" on database """ +
+          s""""$db" which is attached in read-only mode!""")
+  }
+
+  private[psql] def checkTarget(spark: SparkSession, name: String,
+      stmtType: String = "UPDATE"): Unit = {
+    checkNotAttached(spark, name, stmtType)
     // callers resolve through resolveTarget first: at most db.table here,
     // and a kept qualifier names a real database
     require(spark.catalog.tableExists(name), s"DML target '$name' does not exist")

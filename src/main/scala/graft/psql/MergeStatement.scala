@@ -231,7 +231,7 @@ object MergeStatement {
       srcRel: String, sA: String, onCond: String,
       clauses: Seq[Clause]): DataFrame = {
     // ---- semantic checks and schema capture -------------------------------
-    DmlStatements.checkTarget(spark, table)
+    DmlStatements.checkTarget(spark, table, "MERGE")
     val psql = Psql(spark)
     val fields = spark.table(table).schema.fields.toSeq
     fields.foreach(f => require(isIdent(f.name) && !f.name.startsWith("__graft"),

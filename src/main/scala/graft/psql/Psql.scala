@@ -45,6 +45,33 @@ class Psql(val spark: SparkSession) {
     finally ftsViews.foreach(spark.catalog.dropTempView(_))
   }
 
+  /** Execute a multi-statement SCRIPT: statements split on top-level `;`
+    * (string-literal/comment-safe — the same scan [[Psql.sql]]'s
+    * multi-statement guard uses), run in order, the LAST statement's
+    * DataFrame returned. This is the entry point for DuckDB's own script
+    * artifacts — an EXPORT DATABASE `schema.sql` + `load.sql` pair runs
+    * verbatim. A failing statement reports its 1-based index and leading
+    * text, wrapping the original error (state from the preceding
+    * statements persists, exactly like feeding a script to any SQL shell).
+    */
+  def runScript(script: String): DataFrame = {
+    val stmts = Psql.splitStatements(script)
+    require(stmts.nonEmpty, "runScript: no statements in input")
+    var last: DataFrame = spark.emptyDataFrame
+    stmts.zipWithIndex.foreach { case (s, ix) =>
+      try last = sql(s)
+      catch {
+        case e: Throwable =>
+          val head = s.linesIterator.find(_.trim.nonEmpty).getOrElse("").trim
+          throw new IllegalArgumentException(
+            s"runScript: statement ${ix + 1} of ${stmts.length} failed " +
+              s"(${head.take(80)}${if (head.length > 80) "…" else ""}): " +
+              s"${e.getMessage}", e)
+      }
+    }
+    last
+  }
+
   private def sqlAfterFtsRewrite(q2: String): DataFrame = {
     val t = q2.trim
     // DuckDB `SUMMARIZE <table|'path'|query>` — DuckDB's exact statement
@@ -535,6 +562,32 @@ object Psql {
     * handle explicitly. We reject instead: a top-level `;` with content after
     * it is an error (a trailing semicolon stays legal, `psql.test:22-23`).
     */
+  /** Split a script into statements at top-level `;` boundaries (the
+    * SqlScanner is string-literal- and comment-safe); empty pieces (blank
+    * lines between statements, trailing `;`) are dropped. Line comments
+    * between statements travel with the FOLLOWING statement's text, where
+    * the scanner already ignores them.
+    */
+  private[psql] def splitStatements(script: String): Seq[String] = {
+    val sc = SqlScanner.scan(script)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < script.length) {
+      if (sc.topLevel(i) && script.charAt(i) == ';') {
+        out += script.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out += script.substring(start)
+    out.toSeq.map(_.trim).filter { s =>
+      // drop pieces that are empty or comments-only
+      val ssc = SqlScanner.scan(s)
+      SqlScanner.nextCode(s, ssc, 0) >= 0
+    }
+  }
+
   private def rejectMultiStatement(query: String): Unit = {
     val sc = SqlScanner.scan(query)
     var i = 0

@@ -30,9 +30,10 @@ import SqlScanner.{matchesWord, nextCode, scan}
   * serialize the scan). Those statements THROW with the scalable recipe
   * (row_number() over an explicit ordering + the sequence's start/step)
   * instead of silently handing every row the same bind-time literal.
-  * Inlining happens at bind time, so EXPLAIN of a nextval statement also
-  * advances the sequence (documented divergence; DuckDB's EXPLAIN does
-  * not execute).
+  * Inlining happens at bind time, but EXPLAIN is a READ: an EXPLAIN
+  * statement inlines from a non-advancing PEEK, so EXPLAIN-then-nextval
+  * dispenses the same value DuckDB would (EXPLAIN ANALYZE executes in
+  * both engines and dispenses normally).
   *
   * PREPARE bodies and macro definitions are exempt from inlining — their
   * text must evaluate at EXECUTE/call time, and both re-enter
@@ -69,6 +70,29 @@ object SequenceStatements {
         s"currval: sequence '$name' has not been used yet in this session " +
           "(call nextval first — DuckDB's rule)"))
     }
+    /** The value nextval WOULD dispense, WITHOUT advancing — the EXPLAIN
+      * path (a plan is a read; DuckDB's EXPLAIN does not execute). Never
+      * throws: an exhausted non-cycling sequence peeks its boundary (the
+      * plan's literal is never observed as data).
+      */
+    def peekNextval: Long = synchronized {
+      last match {
+        case None => start
+        case Some(l) =>
+          val n =
+            try Math.addExact(l, increment)
+            catch { case _: ArithmeticException =>
+              if (increment > 0) maxV else minV }
+          if (increment > 0 && (n > maxV || n < l)) { if (cycle) minV else maxV }
+          else if (increment < 0 && (n < minV || n > l)) { if (cycle) maxV else minV }
+          else n
+      }
+    }
+    /** currval for the EXPLAIN path: the start value before first use
+      * (plan-only literal; the executed statement would error, but EXPLAIN
+      * must not).
+      */
+    def peekCurrval: Long = synchronized { last.getOrElse(start) }
   }
 
   /** Per-SparkSession sequence state. `everCreated` is what the inline()
@@ -216,6 +240,13 @@ object SequenceStatements {
     val first = nextCode(stmt, sc, 0)
     if (first >= 0 && matchesWord(stmt, first, "prepare")) return stmt
     if (isMacroDef(stmt)) return stmt
+    // EXPLAIN is a READ: inline from a PEEK so the plan shows the literal
+    // without advancing session state (probed: DuckDB's EXPLAIN does not
+    // execute). EXPLAIN ANALYZE executes in both engines — it dispenses.
+    val isExplain = first >= 0 && matchesWord(stmt, first, "explain") && {
+      val n = nextCode(stmt, sc, first + "explain".length)
+      !(n >= 0 && matchesWord(stmt, n, "analyze"))
+    }
     val calls = findCalls(stmt, sc)
     if (calls.isEmpty) return stmt
     // per-row guard: a relation-introducing FROM means occurrences would
@@ -227,7 +258,7 @@ object SequenceStatements {
     // those functions.
     val hasFrom = Iterator.range(0, stmt.length).exists(i =>
       sc.code(i) && matchesWord(stmt, i, "from") && !SqlScanner.fnArgFrom(stmt, sc, i))
-    if (hasFrom)
+    if (hasFrom && !isExplain)
       throw new IllegalArgumentException(
         "nextval/currval inside a query with a FROM clause evaluates once per " +
           "ROW in DuckDB — that does not distribute (the counter is session " +
@@ -240,7 +271,9 @@ object SequenceStatements {
       sb.append(stmt.substring(pos, s))
       val st = Option(ss.registry.get(key(name))).getOrElse(throw
         new IllegalArgumentException(s"Sequence with name $name does not exist!"))
-      val v = if (fn == "nextval") st.nextval(name) else st.currval(name)
+      val v =
+        if (fn == "nextval") { if (isExplain) st.peekNextval else st.nextval(name) }
+        else { if (isExplain) st.peekCurrval else st.currval(name) }
       sb.append(v).append('L')
       pos = e
     }

@@ -120,7 +120,19 @@ object TableConstraints {
 
     val (colDefs, cons) = parseDefs(body, enumsView(spark))
     if (colDefs.isEmpty) return None
-    if (cons.isEmpty && !orReplace) return None // native DDL is strictly better
+    // native DDL is strictly better — UNLESS the def list spells types in
+    // DuckDB's dialect Spark's parser rejects (bare VARCHAR, int4/int8,
+    // float8, …): an exported schema.sql must replay VERBATIM through
+    // runScript, so those lower here even without constraints
+    val duckTypeSpelling = {
+      val words = Set("varchar", "text", "int4", "int8", "int2", "int1",
+        "signed", "float4", "float8", "ubigint", "uinteger", "usmallint",
+        "utinyint", "logical")
+      val bsc = scan(body)
+      Iterator.range(0, body.length).exists(i =>
+        bsc.code(i) && words.exists(matchesWord(body, i, _)))
+    }
+    if (cons.isEmpty && !orReplace && !duckTypeSpelling) return None
 
     val name = DmlStatements.resolveTarget(spark, rawName)
     cons.primaryKey.foreach(c => require(

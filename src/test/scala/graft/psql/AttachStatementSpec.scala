@@ -44,11 +44,13 @@ class AttachStatementSpec extends SparkSpec {
     psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_b")
     assert(psql.sql("from graft_att_b.tiny |> select count() as n")
       .collect()(0).getLong(0) == 2L)
-    // attached tables are EXTERNAL → the DML guard refuses them
+    // attached namespaces are read-only → DuckDB's exact wording (probed
+    // 1.0 against a (READ_ONLY) attach)
     val e = intercept[IllegalArgumentException] {
       psql.sql("delete from graft_att_b.tiny where id = 1")
     }
-    assert(e.getMessage.contains("qualified") || e.getMessage.contains("MANAGED"),
+    assert(e.getMessage.contains(
+      """Cannot execute statement of type "DELETE" on database "graft_att_b" which is attached in read-only mode!"""),
       e.getMessage)
     psql.sql("detach graft_att_b")
     assert(!spark.catalog.databaseExists("graft_att_b"))
@@ -92,6 +94,40 @@ class AttachStatementSpec extends SparkSpec {
     val e2 = intercept[Exception](
       psql.sql(s"attach '${f.getAbsolutePath}' as graft_att_d"))
     assert(e2.getMessage.contains("EXPORT DATABASE"), e2.getMessage)
+  }
+
+  test("every write statement type refuses an attached namespace with DuckDB's wording") {
+    val dir = Files.createTempDirectory("graft_att_ro").toFile
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "t").getAbsolutePath)
+    psql.sql("detach if exists graft_att_ro")
+    psql.sql(s"attach '${dir.getAbsolutePath}' as graft_att_ro")
+    def refused(stmt: String, tpe: String): Unit = {
+      // exception CLASS varies by path (a lowering running inside Spark
+      // analysis surfaces as AnalysisException) — the CONTRACT is the text
+      val e = intercept[Exception](psql.sql(stmt))
+      assert(e.getMessage.contains(
+        s"""Cannot execute statement of type "$tpe" on database "graft_att_ro" which is attached in read-only mode!"""),
+        s"$stmt → ${e.getMessage}")
+    }
+    // plain INSERT previously fell through to Spark's NATIVE path, which
+    // would append part files into the user's attached directory
+    refused("insert into graft_att_ro.t values (3, 'z')", "INSERT")
+    refused("insert into graft_att_ro.t select id + 9, s from graft_att_ro.t", "INSERT")
+    refused("insert or ignore into graft_att_ro.t values (1, 'x')", "INSERT")
+    refused("update graft_att_ro.t set s = 'q' where id = 1", "UPDATE")
+    refused("delete from graft_att_ro.t", "DELETE")
+    refused("truncate graft_att_ro.t", "DELETE")
+    refused("""merge into graft_att_ro.t using (select 1 as id, 'm' as s) src
+      |on graft_att_ro.t.id = src.id when matched then update set s = src.s""".stripMargin,
+      "MERGE")
+    refused("alter table graft_att_ro.t add column extra int", "ALTER")
+    refused(s"copy graft_att_ro.t from '${dir.getAbsolutePath}/t'", "INSERT")
+    // the data is byte-untouched and still scans
+    assert(psql.sql("from graft_att_ro.t |> select count(*) as n")
+      .collect()(0).getLong(0) == 2L)
+    psql.sql("detach graft_att_ro")
   }
 
   test("a DIRECTORY named like a database file attaches normally") {

@@ -63,6 +63,49 @@ class ExportStatementSpec extends SparkSpec {
     }
   }
 
+  test("runScript replays an EXPORT's schema.sql + load.sql verbatim") {
+    val dir = Files.createTempDirectory("graft_rs").toFile.getAbsolutePath
+    spark.sql("DROP DATABASE IF EXISTS graft_rsdb CASCADE")
+    spark.sql("CREATE DATABASE graft_rsdb")
+    spark.sql("DROP DATABASE IF EXISTS graft_rsdb2 CASCADE")
+    spark.sql("CREATE DATABASE graft_rsdb2")
+    val prev = spark.catalog.currentDatabase
+    try {
+      spark.catalog.setCurrentDatabase("graft_rsdb")
+      Seq((1L, "a;b"), (2L, "c'; drop") // literals with ; and ' must not split
+        ).toDF("id", "s").write.format("parquet").saveAsTable("rs_t")
+      psql.sql(s"export database '$dir'")
+      val schema = Files.readString(new java.io.File(dir, "schema.sql").toPath)
+      val load = Files.readString(new java.io.File(dir, "load.sql").toPath)
+      // replay into a FRESH database — the DuckDB import workflow by hand
+      spark.catalog.setCurrentDatabase("graft_rsdb2")
+      psql.runScript(schema)
+      psql.runScript(load)
+      assert(spark.table("rs_t").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        == Seq((1L, "a;b"), (2L, "c'; drop")))
+      // one combined script works too, and returns the LAST statement's df
+      spark.sql("DROP DATABASE IF EXISTS graft_rsdb3 CASCADE")
+      spark.sql("CREATE DATABASE graft_rsdb3")
+      spark.catalog.setCurrentDatabase("graft_rsdb3")
+      val last = psql.runScript(
+        schema + "\n" + load + "\nfrom rs_t |> select count(*) as n;")
+      assert(last.collect()(0).getLong(0) == 2L)
+      // a mid-script failure reports the 1-BASED statement index and text
+      val e = intercept[IllegalArgumentException] {
+        psql.runScript(
+          """create or replace table rs_ok (i bigint) using parquet;
+            |insert into rs_ok values (1);
+            |insert into rs_missing values (2);
+            |insert into rs_ok values (3)""".stripMargin)
+      }
+      assert(e.getMessage.contains("statement 3 of 4"), e.getMessage)
+      assert(e.getMessage.contains("rs_missing"), e.getMessage)
+      // statements BEFORE the failure executed (script-shell semantics)
+      assert(spark.table("rs_ok").count() == 1L)
+    } finally spark.catalog.setCurrentDatabase(prev)
+  }
+
   test("constraint metadata rides schema.sql through EXPORT → IMPORT (r15)") {
     val prev = spark.catalog.currentDatabase
     try {

@@ -24,6 +24,32 @@ class SequenceStatementsSpec extends SparkSpec {
     assert(c.getLong(0) == 12L)
   }
 
+  test("EXPLAIN is a READ: it peeks, never advances (DuckDB's EXPLAIN does not execute)") {
+    psql.sql("create or replace sequence s_ex start 5 increment 3")
+    // EXPLAIN of a nextval statement must not move the counter …
+    psql.sql("explain select nextval('s_ex') as v").collect()
+    psql.sql("explain select nextval('s_ex') as v, nextval('s_ex') as w").collect()
+    // … so the first real nextval still dispenses START
+    assert(psql.sql("select nextval('s_ex') as v").collect()(0).getLong(0) == 5L)
+    // EXPLAIN between dispenses peeks the NEXT value without advancing
+    psql.sql("explain select nextval('s_ex') as v").collect()
+    assert(psql.sql("select nextval('s_ex') as v").collect()(0).getLong(0) == 8L)
+    // EXPLAIN of currval works even before first use (plan-only literal)
+    psql.sql("create or replace sequence s_ex2 start 42")
+    psql.sql("explain select currval('s_ex2') as v").collect()
+    // … and the executed form still errors, per DuckDB's rule
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("select currval('s_ex2') as v")
+    }
+    assert(e.getMessage.contains("has not been used yet"), e.getMessage)
+    // EXPLAIN of a per-row FROM statement explains instead of throwing
+    // (the executed form keeps the row_number() recipe error)
+    psql.sql("explain select nextval('s_ex') as v from range(3)").collect()
+    assert(psql.sql("select nextval('s_ex') as v").collect()(0).getLong(0) == 11L)
+    psql.sql("drop sequence s_ex")
+    psql.sql("drop sequence s_ex2")
+  }
+
   test("VALUES rows each advance their own occurrence — the surrogate-key insert") {
     psql.sql("create or replace sequence s_b start 1")
     graft.operators.Bucketing.dropTableAndLocation(spark, "graft_seq_t")

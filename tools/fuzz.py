@@ -751,6 +751,77 @@ def constraints_script(name):
     return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 
+def fkenforce_script(name):
+    """FK-enforcement-ON family (r17): the spark side SETs
+    graft_enforce_foreign_keys (DuckDB enforces always-on, so its script
+    just omits the SET), builds a literal parent + an orders-derived child
+    under a recorded FK, and mixes VALID child inserts/updates/deletes and
+    parent non-key/unreferenced-key writes with REJECTED statements —
+    orphan inserts/updates, referenced-parent DELETE and key UPDATE —
+    marked `--expect-error` so BOTH engines must throw (FuzzRun and the
+    duck loop each fail a query whose expected error does not fire). The
+    final dump unions both tables' surviving state."""
+    t = f"fz_{name}"
+    K = rnd.randrange(8, 14)          # parent keys 0..K-1
+    par_vals = ", ".join(f"({i}, '{chr(97 + i % 26)}')" for i in range(K))
+    spark = ["set graft_enforce_foreign_keys = true"]
+    duck = []
+    both = []  # statements shared verbatim
+
+    both.append(f"create or replace table {t}_par (k bigint primary key, seg varchar)")
+    both.append(f"insert into {t}_par values {par_vals}")
+    # child WITHOUT a PRIMARY KEY: DuckDB 1.0's documented ART limitation
+    # rejects any UPDATE of a PK+FK table with a spurious duplicate-key
+    # error, and the family needs child UPDATEs to run
+    both.append(f"create or replace table {t}_chi (id bigint, "
+                f"fk bigint references {t}_par (k), q bigint)")
+    max_m = 2
+    for _ in range(rnd.randrange(1, 3)):
+        p = rnd.choice([3, 5, 7])
+        m = rnd.randrange(2, K - 1)
+        max_m = max(max_m, m)
+        both.append(f"insert into {t}_chi select o_orderkey, o_orderkey % {m}, "
+                    f"cast(o_totalprice as bigint) from orders "
+                    f"where o_orderkey % {p} = 0")
+    # NULL FK passes (MATCH SIMPLE, probed)
+    both.append(f"insert into {t}_chi values (900000099, null, 1)")
+    for _ in range(rnd.randrange(1, 4)):
+        kind = rnd.randrange(5)
+        if kind == 0:      # child update to a VALID parent (stay < max_m so
+            x = rnd.randrange(0, max_m)  # the unreferenced-delete below holds)
+            both.append(f"update {t}_chi set fk = {x} "
+                        f"where id % {rnd.randrange(5, 11)} = 1")
+        elif kind == 1:    # child update to NULL passes
+            both.append(f"update {t}_chi set fk = null "
+                        f"where id % {rnd.randrange(7, 13)} = 2")
+        elif kind == 2:    # child delete always passes
+            both.append(f"delete from {t}_chi where id % {rnd.randrange(6, 12)} = 3")
+        elif kind == 3:    # parent NON-key update passes even on referenced rows
+            both.append(f"update {t}_par set seg = seg || 'z' "
+                        f"where k % {rnd.randrange(2, 5)} = 0")
+        else:              # orphan child insert REJECTED in both engines
+            both.append(f"--expect-error\ninsert into {t}_chi values "
+                        f"(900000077, {K + rnd.randrange(3, 40)}, 1)")
+    # a row guaranteed to reference parent k=1 pins the rejected
+    # parent-side writes below
+    both.append(f"insert into {t}_chi values (900000088, 1, 5)")
+    both.append(f"--expect-error\nupdate {t}_chi set fk = -3 where id = 900000088")
+    both.append(f"--expect-error\ndelete from {t}_par where k = 1")
+    both.append(f"--expect-error\nupdate {t}_par set k = k + 1000 where k = 1")
+    if rnd.randrange(2) == 0:  # parent keys >= max_m are never referenced
+        both.append(f"delete from {t}_par where k >= {max_m}")
+    spark += both
+    duck += both
+    dump = (f"select 'c' as src, c.id as a, c.fk as b, p.seg as s, c.q as q "
+            f"from {t}_chi c left join {t}_par p on p.k = c.fk "
+            f"union all "
+            f"select 'p', k, cast(null as bigint), seg, cast(null as bigint) "
+            f"from {t}_par order by all")
+    spark.append(dump)
+    duck.append(dump)
+    return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
+
+
 def dml_script(name):
     """Statement-script family: CREATE OR REPLACE TABLE seed, then random
     DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
@@ -775,6 +846,8 @@ def dml_script(name):
         return recursive_script(name)
     if r0 < 0.68:
         return enumorder_script(name)
+    if r0 < 0.76:
+        return fkenforce_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
@@ -1150,7 +1223,20 @@ def main():
         try:
             if "duck_script" in q:
                 for s in q["duck_script"][:-1]:
-                    con.execute(s)
+                    if s.startswith("--expect-error"):
+                        # FK-enforcement family: DuckDB must ALSO reject
+                        body = s[len("--expect-error"):].strip()
+                        ok = False
+                        try:
+                            con.execute(body)
+                        except Exception:
+                            ok = True
+                        if not ok:
+                            raise RuntimeError(
+                                "oracle: expected error but statement "
+                                "succeeded: " + body[:120])
+                    else:
+                        con.execute(s)
                 cur = con.execute(q["duck_script"][-1])
             else:
                 cur = con.execute(ref_sql)
