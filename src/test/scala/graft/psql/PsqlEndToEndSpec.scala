@@ -621,6 +621,30 @@ class PsqlEndToEndSpec extends SparkSpec {
         |from t |> where n > 2 |> select sum(n) as s""".stripMargin).collect()
     assert(out.length == 1 && out(0).getLong(0) == 52L, out.toSeq) // 3+4+...+10
   }
+
+  test("recursive steps must be TYPE-STABLE (documented divergence from DuckDB)") {
+    // DuckDB casts each recursive step to the ANCHOR's column types;
+    // Spark requires exact types across the recursion — `x / 2` widens
+    // BIGINT to DOUBLE and fails analysis. Pinned so the divergence (and
+    // its explicit-cast fix) stays documented behavior, not a surprise.
+    val e = intercept[Exception] {
+      psql.sql(
+        """with recursive c(i, x) as (select 0 as i, cast(21 as bigint) as x
+          |union all select i + 1, case when x % 2 = 0 then x / 2
+          |  else 3 * x + 1 end from c where x > 1 and i < 40)
+          |select i, x from c order by i""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("INCOMPATIBLE") || e.getMessage.contains("DOUBLE"),
+      e.getMessage)
+    // the explicit-cast form runs and matches DuckDB's orbit exactly
+    val orbit = psql.sql(
+      """with recursive c(i, x) as (select 0 as i, cast(21 as bigint) as x
+        |union all select i + 1, case when x % 2 = 0 then cast(x / 2 as bigint)
+        |  else 3 * x + 1 end from c where x > 1 and i < 40)
+        |select i, x from c order by i""".stripMargin)
+      .collect().map(_.getLong(1)).toSeq
+    assert(orbit == Seq(21L, 64L, 32L, 16L, 8L, 4L, 2L, 1L), orbit)
+  }
 }
 
 /** Spark 4 NATIVE pipe syntax through the PSQL entry point (q65's seam):

@@ -780,8 +780,10 @@ def fkenforce_script(name):
         p = rnd.choice([3, 5, 7])
         m = rnd.randrange(2, K - 1)
         max_m = max(max_m, m)
+        # payload stays integer-exact: a double->bigint cast would test the
+        # documented pass-through cast divergence, not FK enforcement
         both.append(f"insert into {t}_chi select o_orderkey, o_orderkey % {m}, "
-                    f"cast(o_totalprice as bigint) from orders "
+                    f"(o_orderkey * 7) % 1000 from orders "
                     f"where o_orderkey % {p} = 0")
     # NULL FK passes (MATCH SIMPLE, probed)
     both.append(f"insert into {t}_chi values (900000099, null, 1)")
@@ -824,7 +826,9 @@ def fkenforce_script(name):
 
 def dml_script(name):
     """Statement-script family: CREATE OR REPLACE TABLE seed, then random
-    DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump. The
+    DELETE/UPDATE/INSERT/MERGE statements, final ORDER BY ALL dump.
+    FUZZ_FAMILY=fk forces every query onto the FK-enforcement family (the
+    dedicated seed runs); unset, the families rotate. The
     spark side executes the script through the front-end (graft.FuzzRun
     splits on `;;` lines); DuckDB executes the SAME statements — except
     MERGE (absent in 1.0), which gets the documented-equivalent
@@ -833,6 +837,8 @@ def dml_script(name):
     differential covers MERGE semantics, not just its parsing.
     The script families rotate: INSERT … ON CONFLICT, session state
     (sequences/variables), and the r15 constraint surface."""
+    if os.environ.get("FUZZ_FAMILY", "") == "fk":
+        return fkenforce_script(name)
     r0 = rnd.random()
     if r0 < 0.13:
         return onconflict_script(name)
@@ -1160,9 +1166,13 @@ def recursive_script(name):
         duck.append(q)
         return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
     start = rnd.randrange(7, 28)
+    # the step stays TYPE-STABLE (explicit cast): DuckDB casts recursive
+    # steps to the anchor's types, Spark requires exact types across the
+    # recursion (documented divergence, pinned in PsqlEndToEndSpec) —
+    # x / 2 is DOUBLE in both engines, exact for even x, so the cast agrees
     q = (f"with recursive c(i, x) as (select 0 as i, cast({start} as bigint) as x "
          f"union all select i + 1, "
-         f"case when x % 2 = 0 then x / 2 else 3 * x + 1 end "
+         f"case when x % 2 = 0 then cast(x / 2 as bigint) else 3 * x + 1 end "
          f"from c where x > 1 and i < 40) "
          f"select i, x from c order by i")
     return {"name": name, "psql": q, "duck_script": [q]}
