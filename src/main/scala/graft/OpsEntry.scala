@@ -6383,9 +6383,12 @@ object OpsEntry {
           require(updThrew, "an orphan FK update must fail the statement")
           // parent non-key UPDATE passes even on referenced rows (probed)
           psql.sql("update graft_b23_par set seg = 'Z' where k % 100 = 7")
-          // parent DELETE of unreferenced keys passes (both engines)
-          psql.sql("""delete from graft_b23_par where k not in
-            |(select k from graft_b23_chi where k is not null)""".stripMargin)
+          // parent DELETE of unreferenced keys passes (both engines).
+          // NOT EXISTS, not NOT IN: Spark plans NOT-IN as a null-aware
+          // anti join (BroadcastNestedLoop); the correlated NOT EXISTS is
+          // a plain broadcast-hash anti join on k
+          psql.sql("""delete from graft_b23_par where not exists
+            |(select 1 from graft_b23_chi c2 where c2.k = graft_b23_par.k)""".stripMargin)
           // parent DELETE of a referenced key fails, nothing deleted
           val delThrew =
             try { psql.sql("delete from graft_b23_par where k = 1"); false }
@@ -6416,8 +6419,8 @@ object OpsEntry {
         |INSERT INTO graft_b23_chi VALUES (999999988, NULL, 1.0);
         |UPDATE graft_b23_chi SET k = 1 WHERE id % 35 = 0;
         |UPDATE graft_b23_par SET seg = 'Z' WHERE k % 100 = 7;
-        |DELETE FROM graft_b23_par WHERE k NOT IN
-        |  (SELECT k FROM graft_b23_chi WHERE k IS NOT NULL);
+        |DELETE FROM graft_b23_par WHERE NOT EXISTS
+        |  (SELECT 1 FROM graft_b23_chi c2 WHERE c2.k = graft_b23_par.k);
         |SELECT c.id, c.k, p.seg, c.total
         |FROM graft_b23_chi c LEFT JOIN graft_b23_par p ON p.k = c.k
         |ORDER BY c.id""".stripMargin)),

@@ -176,6 +176,7 @@ object TableConstraints {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES (${
         props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+    if (full.foreignKeys.nonEmpty) noteFkTable(spark, name)
     // record declared member lists for the ORDER BY declaration-order
     // rewrite (the catalog property only carries the TYPE name)
     if (full.enumCols.nonEmpty) {
@@ -1014,6 +1015,7 @@ object TableConstraints {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
         props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+    if (cons.foreignKeys.nonEmpty) noteFkTable(spark, table)
   }
 
   // ------------------------------------------------- ALTER column migration
@@ -1155,6 +1157,7 @@ object TableConstraints {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
         props.map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }.mkString(", ")})")
+    if (next.foreignKeys.nonEmpty) noteFkTable(spark, table)
   }
 
   // ---------------------------------------------------------- enforcement
@@ -1330,34 +1333,75 @@ object TableConstraints {
     }
   }
 
+  /** Session-scoped set of fully-qualified tables that MAY record FOREIGN
+    * KEYs. The parent-side enforcement probes iterate THIS set instead of
+    * sweeping the whole catalog per statement (a long session accumulates
+    * hundreds of tables; listTables × getTableMetadata per DELETE was a
+    * measured 9× regression on the b23 bench row). Seeded LAZILY with ONE
+    * full catalog sweep per session — so FKs recorded by an EARLIER
+    * session are still found — then maintained on every FK-recording
+    * write; entries verify live via [[load]] at use, so drops and
+    * constraint-free re-creates fall out.
+    */
+  private final class FkTables {
+    val names: java.util.Set[String] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var seeded = false
+  }
+  private val fkTableRegistries =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, FkTables]())
+  private def fkTables(spark: SparkSession): FkTables =
+    fkTableRegistries.synchronized {
+      var r = fkTableRegistries.get(spark)
+      if (r == null) { r = new FkTables; fkTableRegistries.put(spark, r) }
+      r
+    }
+  private def noteFkTable(spark: SparkSession, table: String): Unit =
+    fkTables(spark).names.add(fqName(spark, table))
+
   /** Every recorded FK in the catalog that references `table`:
-    * (childTable, childCols, referencedCols). A metadata-only sweep of the
-    * session catalog (listDatabases × listTables × table properties) — it
-    * runs per parent-side DELETE/UPDATE only while the FK-enforcement
-    * opt-in is set, and never touches data.
+    * (childTable, childCols, referencedCols). Metadata-only: one lazy
+    * catalog sweep per session seeds the [[FkTables]] registry; each call
+    * then loads ONLY the registered FK-bearing tables' properties.
     */
   private[psql] def referencingForeignKeys(spark: SparkSession, table: String)
       : Seq[(String, Seq[String], Seq[String])] = {
-    val cat = spark.sessionState.catalog
-    val target = fqName(spark, table)
-    cat.listDatabases().flatMap { db =>
-      cat.listTables(db).filter(_.database.isDefined).flatMap { ti =>
-        val child =
-          if (ti.database.exists(_.equalsIgnoreCase(spark.catalog.currentDatabase)))
-            ti.table
-          else s"${ti.database.get}.${ti.table}"
-        load(spark, child).foreignKeys.flatMap(parseForeignKey).flatMap {
-          case (cols, refT0, refColsOpt) =>
-            val resolved =
-              try Some(DmlStatements.resolveTarget(spark, refT0))
-              catch { case _: IllegalArgumentException => None }
-            resolved.filter(fqName(spark, _) == target).flatMap { refT =>
-              val refCols = refColsOpt.getOrElse(load(spark, refT).primaryKey)
-              if (refCols.size == cols.size && refCols.nonEmpty)
-                Some((child, cols, refCols))
-              else None
-            }
+    val reg = fkTables(spark)
+    if (!reg.seeded) reg.synchronized {
+      if (!reg.seeded) {
+        val cat = spark.sessionState.catalog
+        cat.listDatabases().foreach { db =>
+          cat.listTables(db).filter(_.database.isDefined).foreach { ti =>
+            val child =
+              if (ti.database.exists(_.equalsIgnoreCase(spark.catalog.currentDatabase)))
+                ti.table
+              else s"${ti.database.get}.${ti.table}"
+            if (load(spark, child).foreignKeys.nonEmpty)
+              reg.names.add(fqName(spark, child))
+          }
         }
+        reg.seeded = true
+      }
+    }
+    val target = fqName(spark, table)
+    import scala.jdk.CollectionConverters._
+    reg.names.asScala.toSeq.flatMap { child =>
+      val fks =
+        if (spark.catalog.tableExists(child)) load(spark, child).foreignKeys
+        else Nil
+      if (fks.isEmpty) { reg.names.remove(child); Nil }
+      else fks.flatMap(parseForeignKey).flatMap {
+        case (cols, refT0, refColsOpt) =>
+          val resolved =
+            try Some(DmlStatements.resolveTarget(spark, refT0))
+            catch { case _: IllegalArgumentException => None }
+          resolved.filter(fqName(spark, _) == target).flatMap { refT =>
+            val refCols = refColsOpt.getOrElse(load(spark, refT).primaryKey)
+            if (refCols.size == cols.size && refCols.nonEmpty)
+              Some((child, cols, refCols))
+            else None
+          }
       }
     }
   }
