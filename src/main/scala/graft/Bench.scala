@@ -142,7 +142,15 @@ object Bench {
         else times((times.size - 1) / 2)
       BenchResult(d.name, sec, times, runs = times.size, warmOk = warmOk)
     }
-    val firstPass = SparkEntry.defs.map(timeOne)
+    // SPARK_GRAFT_ONLY=name,name — time a subset (the before/after loop
+    // for a single-row investigation); the full-run artifact machinery
+    // below still works, it just covers fewer rows
+    val onlyNames = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchDefs = onlyNames
+      .map(ns => SparkEntry.defs.filter(d => ns.contains(d.name)))
+      .getOrElse(SparkEntry.defs)
+    val firstPass = benchDefs.map(timeOne)
     // Retry pass: a pathological spread means at least one run hit a stall
     // that is not the query's cost (GC storm, CPU steal, page cache purge).
     // Re-time once the full pass has completed — by then the transient load
@@ -277,9 +285,12 @@ object Bench {
     // Full artifact: one entry per query with the spread, so a contended run
     // (min<<max) is self-evident and BASELINE.md can quote it.
     val roundN = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
-      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (rs.isEmpty) 0 else rs.max + 1
+      if (onlyNames.isDefined) 99 // subset runs park at the scratch slot
+      else {                      // (bench_r99.json is excluded from history)
+        val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (rs.isEmpty) 0 else rs.max + 1
+      }
     }
     val artifactPath = f"artifacts/bench_r$roundN%02d.json"
     val wallSec = (System.nanoTime() - wall0) / 1e9

@@ -1149,23 +1149,37 @@ object Dedup {
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .localCheckpoint(true)
-      // pointer jumping: follow component → that node's component
-      val next = stepped.as("a")
-        .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
-          col("a.component") === col("jid"))
-        .select(col("a.id").as("id"),
-          least(col("a.component"), col("jcomp")).as("component"), col("a.old").as("old"))
-        .localCheckpoint(true)
-      // labels only ever decrease, so ANY change this round shows up as
-      // component < old — no join needed, and limit(1) short-circuits
-      val changed = next.where(col("component") < col("old")).limit(1).count()
-      labels.unpersist()
-      stepped.unpersist()
-      // keep the checkpointed frame itself as `labels` (a projection would
-      // not release the underlying storage on unpersist); the stray `old`
-      // column is dropped by the explicit selects that consume it
-      labels = next
-      converged = changed == 0
+      // labels only ever decrease, so ANY propagate change shows up as
+      // component < old — a local scan of the checkpointed frame, and
+      // limit(1) short-circuits
+      val changed = stepped.where(col("component") < col("old")).limit(1).count()
+      if (changed == 0) {
+        // a propagate FIXED POINT over SYMMETRIC edges is already
+        // component-constant: c(u) ≤ c(v) holds across every edge in both
+        // directions, hence c(u) = c(v) — the pointer jump is provably a
+        // no-op, so the final round skips its join + checkpoint (the
+        // dominant per-call fixed cost on small-diameter near-dup graphs,
+        // which converge in 2 rounds: minimize, then verify)
+        labels.unpersist()
+        labels = stepped
+        converged = true
+      } else {
+        // pointer jumping: follow component → that node's component
+        // (halves chain depth per round; no convergence count needed here,
+        // the NEXT round's propagate scan decides)
+        val next = stepped.as("a")
+          .join(stepped.select(col("id").as("jid"), col("component").as("jcomp")),
+            col("a.component") === col("jid"))
+          .select(col("a.id").as("id"),
+            least(col("a.component"), col("jcomp")).as("component"), col("a.old").as("old"))
+          .localCheckpoint(true)
+        labels.unpersist()
+        stepped.unpersist()
+        // keep the checkpointed frame itself as `labels` (a projection would
+        // not release the underlying storage on unpersist); the stray `old`
+        // column is dropped by the explicit selects that consume it
+        labels = next
+      }
       iter += 1
     }
     sym.unpersist()
