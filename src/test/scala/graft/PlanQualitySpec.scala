@@ -980,6 +980,47 @@ class PlanQualitySpec extends SparkSpec {
     assert(spark.table("graft_plan_fkc").count() == 2L)
   }
 
+  test("parent-side FK probe: child scan pruned to its FK column, semi-join shape") {
+    val psql = graft.psql.Psql(spark)
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_psp")
+    graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_psc")
+    psql.sql("create table graft_plan_psp (k bigint primary key, seg varchar)")
+    psql.sql("insert into graft_plan_psp values (1, 'a'), (2, 'b'), (3, 'c')")
+    psql.sql("create table graft_plan_psc (id bigint, " +
+      "k bigint references graft_plan_psp (k), pad1 varchar, pad2 double)")
+    psql.sql("insert into graft_plan_psc values (10, 1, 'x', 0.5)")
+    psql.sql("set graft_enforce_foreign_keys = true")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // an UNREFERENCED parent key deletes fine — the probe still runs
+      psql.sql("delete from graft_plan_psp where k = 3")
+      Thread.sleep(500)
+      val all = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        plans.iterator()).asScala.toList
+      val probe = all.filter(p => p.contains("LeftSemi") && p.contains("graft_plan_psc"))
+      assert(probe.nonEmpty, "no semi-join parent-side FK probe executed:\n" +
+        all.mkString("\n----\n").take(1500))
+      // the CHILD is scanned on its FK column only — never id or payloads
+      val read = probe.flatMap(_.linesIterator.filter(l =>
+        l.contains("ReadSchema") && l.contains("graft_plan_psc")))
+      assert(read.exists(l => l.contains("k:bigint") && !l.contains("pad1") &&
+        !l.contains("pad2") && !l.contains("id:")),
+        s"parent-side probe must read only the child's FK column:\n${read.mkString("\n")}")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      psql.sql("reset graft_enforce_foreign_keys")
+    }
+    assert(spark.table("graft_plan_psp").count() == 2L)
+  }
+
   test("PK probe broadcast is size-guarded: bulk batches take the unhinted plan") {
     val psql = graft.psql.Psql(spark)
     graft.operators.Bucketing.dropTableAndLocation(spark, "graft_plan_pk2")
