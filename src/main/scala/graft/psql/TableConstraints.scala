@@ -415,9 +415,10 @@ object TableConstraints {
   // DuckDB ([[enumOrderRewrite]] wraps qualifying sort items in an
   // array_position key); output aliases shadow the rewrite the way they
   // shadow resolution in both engines. Remaining edges (documented in
-  // README): a subquery that casts the enum away under an outer ORDER BY,
-  // and tables created in ANOTHER session (the member list lives with the
-  // session's type registry) — both sort lexically there.
+  // subquery projections resolve per nesting level (cast-away → lexical,
+  // bare passthrough → declaration). Remaining edge (README): tables
+  // created in ANOTHER session sort lexically (the member list lives with
+  // the session's type registry).
   private val enumRegistries =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
@@ -478,9 +479,12 @@ object TableConstraints {
     *    the property never rewrites).
     *
     * NULL ordering is unchanged: array_position(…, NULL) is NULL exactly
-    * where the column is. Remaining edge (README): a SUBQUERY that casts
-    * the enum away with an ORDER BY outside it — the outer list cannot
-    * see through the inner projection.
+    * where the column is. Subquery projections resolve too (one pass per
+    * nesting level): `SELECT * FROM (SELECT cast(e AS varchar) AS e …)
+    * ORDER BY e` stays lexical, a bare passthrough (incl. `select *`)
+    * keeps declaration order, and subquery-ALIAS-qualified items
+    * (`… ) s ORDER BY s.e`) resolve through the subquery's select list —
+    * all probed on DuckDB 1.0.
     */
   def enumOrderRewrite(spark: SparkSession, stmt: String): String = {
     val reg = enumTables(spark)
@@ -497,6 +501,8 @@ object TableConstraints {
       "values", "as", "positional", "set", "when", "returning", "for",
       "tablesample", "pivot", "unpivot")
     val rels = scala.collection.mutable.ListBuffer.empty[(String, Option[String])]
+    // aliased parenthesized sources: lower alias -> (openParen, closeParen)
+    val subqSources = scala.collection.mutable.Map.empty[String, (Int, Int)]
     locally {
       var i = 0
       while (i < stmt.length) {
@@ -506,12 +512,25 @@ object TableConstraints {
           var p = nextCode(stmt, sc, i + 4)
           var more = true
           while (more && p >= 0 && p < stmt.length &&
-              (Character.isLetter(stmt.charAt(p)) || stmt.charAt(p) == '_')) {
+              (Character.isLetter(stmt.charAt(p)) || stmt.charAt(p) == '_' ||
+                stmt.charAt(p) == '(')) {
             more = false
             var e = p
-            while (e < stmt.length &&
-                (SqlScanner.isWordChar(stmt.charAt(e)) || stmt.charAt(e) == '.')) e += 1
-            val rn = stmt.substring(p, e)
+            var rn = ""
+            var parens: Option[(Int, Int)] = None
+            if (stmt.charAt(p) == '(') {
+              var c2 = p + 1
+              while (c2 < stmt.length &&
+                  !(sc.code(c2) && sc.depth(c2) == sc.depth(p) && stmt.charAt(c2) == ')'))
+                c2 += 1
+              if (c2 >= stmt.length) more = false
+              parens = Some((p, c2))
+              e = c2 + 1
+            } else {
+              while (e < stmt.length &&
+                  (SqlScanner.isWordChar(stmt.charAt(e)) || stmt.charAt(e) == '.')) e += 1
+              rn = stmt.substring(p, e)
+            }
             var q = nextCode(stmt, sc, e)
             var alias: Option[String] = None
             if (q >= 0 && matchesWord(stmt, q, "as")) {
@@ -533,7 +552,12 @@ object TableConstraints {
                 q = nextCode(stmt, sc, a1)
               }
             }
-            if (!stopWords.contains(lc(rn))) rels += ((rn, alias))
+            parens match {
+              case Some((o, c2)) =>
+                alias.foreach(a => subqSources(lc(a)) = (o, c2))
+              case None =>
+                if (rn.nonEmpty && !stopWords.contains(lc(rn))) rels += ((rn, alias))
+            }
             // comma-separated FROM list continues with another relation
             if (q >= 0 && stmt.charAt(q) == ',') {
               val n = nextCode(stmt, sc, q + 1)
@@ -544,7 +568,7 @@ object TableConstraints {
         i += 1
       }
     }
-    if (rels.isEmpty) return stmt
+    if (rels.isEmpty && subqSources.isEmpty) return stmt
     // enum tables among the scoped relations (catalog marker verified),
     // keyed by their effective qualifier (alias when given, bare name else)
     import scala.jdk.CollectionConverters._
@@ -633,26 +657,78 @@ object TableConstraints {
     }
     // a bare [qual.]col reference (the shape whose alias keeps enum order)
     val bareRefRe = "(?i)^(?:[A-Za-z_][A-Za-z0-9_$]*\\.)?([A-Za-z_][A-Za-z0-9_$]*)$".r
-    def membersFor(colName: String, qualifier: Option[String],
-        aliases: Map[String, String]): Option[Seq[String]] = qualifier match {
-      case Some(q) =>
-        // qualified: resolves to the INPUT relation in both engines
-        qualCols.get(lc(q)).flatMap(_.get(lc(colName)))
-      case None =>
-        aliases.get(lc(colName)) match {
-          case Some(expr) => bareRefRe.findFirstMatchIn(expr.trim) match {
-            // alias of a bare enum-column reference keeps the enum through
-            // the projection (probed: `e AS raw … ORDER BY raw` is
-            // declaration-ordered); anything else is the output
-            // expression's own type — lexical for our string lowering
-            case Some(m) =>
-              val under = m.group(1)
-              byCol.get(lc(under))
-            case None => None
+    // the aliased expression for `cLower` defined by a parenthesized
+    // FROM/JOIN source in (start, limit) at `depth` — nested subqueries
+    // recurse (a `select *` middle layer passes the search through), so
+    // `SELECT * FROM (SELECT cast(e AS varchar) AS e FROM t) ORDER BY e`
+    // resolves to the cast at ANY nesting depth, matching DuckDB (probed:
+    // one- and two-level forms sort lexically)
+    def innerAliasFor(cLower: String, start: Int, limit: Int,
+        depth: Int): Option[String] = {
+      var found: Option[String] = None
+      var j = math.max(start, 0)
+      while (j < limit && found.isEmpty) {
+        if (sc.code(j) && sc.depth(j) == depth &&
+            (matchesWord(stmt, j, "from") || matchesWord(stmt, j, "join")) &&
+            !SqlScanner.fnArgFrom(stmt, sc, j)) {
+          val p = nextCode(stmt, sc, j + 4)
+          if (p >= 0 && p < limit && stmt.charAt(p) == '(') {
+            var c2 = p + 1
+            while (c2 < stmt.length &&
+                !(sc.code(c2) && sc.depth(c2) == sc.depth(p) && stmt.charAt(c2) == ')'))
+              c2 += 1
+            if (c2 < limit) {
+              found = outputAliases(c2, depth + 1).get(cLower)
+                .orElse(innerAliasFor(cLower, p + 1, c2, depth + 1))
+            }
           }
-          case None => byCol.get(lc(colName))
         }
+        j += 1
+      }
+      found
     }
+    // the declaration members (or None = lexical) an aliased EXPRESSION
+    // carries: a bare enum-column reference keeps the enum through the
+    // projection; anything else (cast, function) is the output
+    // expression's own type — lexical for our string lowering
+    def exprMembers(expr: String): Option[Seq[String]] =
+      bareRefRe.findFirstMatchIn(expr.trim) match {
+        case Some(m) => byCol.get(lc(m.group(1)))
+        case None    => None
+      }
+    def membersFor(colName: String, qualifier: Option[String],
+        aliases: Map[String, String], obPos: Int, d0: Int): Option[Seq[String]] =
+      qualifier match {
+        case Some(q) =>
+          // a direct enum relation's name/alias resolves to the INPUT
+          // column; a SUBQUERY alias resolves through ITS select list
+          // (probed: `(select id, e from t) s ORDER BY s.e` keeps
+          // declaration order, `cast(…) AS e` inside goes lexical,
+          // `select *` passes the enum through)
+          qualCols.get(lc(q)).flatMap(_.get(lc(colName))).orElse {
+            subqSources.get(lc(q)).flatMap { case (o, c2) =>
+              outputAliases(c2, sc.depth(o) + 1).get(lc(colName)) match {
+                case Some(expr) => exprMembers(expr)
+                case None =>
+                  innerAliasFor(lc(colName), o + 1, c2, sc.depth(o) + 1) match {
+                    case Some(expr) => exprMembers(expr)
+                    case None       => byCol.get(lc(colName))
+                  }
+              }
+            }
+          }
+        case None =>
+          aliases.get(lc(colName)) match {
+            case Some(expr) => exprMembers(expr)
+            case None =>
+              // no output alias in the visible list: a subquery source may
+              // still shadow the name one or more levels down
+              innerAliasFor(lc(colName), 0, obPos, d0) match {
+                case Some(expr) => exprMembers(expr)
+                case None       => byCol.get(lc(colName))
+              }
+          }
+      }
     // locate every ORDER BY and rewrite its item list
     val sb = new StringBuilder
     var i = 0
@@ -700,7 +776,7 @@ object TableConstraints {
           if (!firstItem) sb.append(',')
           firstItem = false
           sb.append(rewriteSortItem(stmt.substring(a, b),
-            (c, q) => membersFor(c, q, aliases)))
+            (c, q) => membersFor(c, q, aliases, i, d0)))
         }
         last = end
         i = end

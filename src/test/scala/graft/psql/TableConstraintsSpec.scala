@@ -606,6 +606,32 @@ class TableConstraintsSpec extends SparkSpec {
       ||> order by e""".stripMargin) == Seq(1, 3, 2))
     // 9. pipe ORDER BY before any projection keeps declaration order
     assert(ids("from graft_ct_esc |> order by e |> select i") == Seq(2, 3, 1))
+    // 10. a SUBQUERY that casts the enum away shadows the outer ORDER BY
+    //     (probed DuckDB: lexical), explicit and implicit alias forms
+    assert(ids("select i from (select i, cast(e as string) as e from graft_ct_esc) order by e")
+      == Seq(1, 3, 2))
+    assert(ids("select i from (select i, cast(e as string) e from graft_ct_esc) order by e")
+      == Seq(1, 3, 2))
+    // 11. a bare passthrough subquery keeps declaration order (probed)
+    assert(ids("select i from (select i, e from graft_ct_esc) order by e")
+      == Seq(2, 3, 1))
+    // 12. two-level nesting: the shadow resolves through a `select *`
+    //     middle layer (probed DuckDB: lexical)
+    assert(ids("""select i from (select * from
+      |(select i, cast(e as string) as e from graft_ct_esc)) order by e""".stripMargin)
+      == Seq(1, 3, 2))
+    // 13. subquery-ALIAS-qualified items resolve through the subquery's
+    //     select list (probed: plain → declaration, cast → lexical,
+    //     star-passthrough → declaration)
+    assert(ids("select i from (select i, e from graft_ct_esc) s order by s.e")
+      == Seq(2, 3, 1))
+    assert(ids("select i from (select i, cast(e as string) as e from graft_ct_esc) s order by s.e")
+      == Seq(1, 3, 2))
+    assert(ids("select i from (select * from graft_ct_esc) s order by s.e")
+      == Seq(2, 3, 1))
+    // 14. renamed bare ref through a subquery keeps declaration order
+    assert(ids("select i from (select i, e as raw from graft_ct_esc) s order by s.raw")
+      == Seq(2, 3, 1))
     psql.sql("drop table graft_ct_esc")
     psql.sql("drop table graft_ct_esco")
     psql.sql("drop type graft_esc_mood")
