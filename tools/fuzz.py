@@ -839,6 +839,8 @@ def dml_script(name):
     (sequences/variables), and the r15 constraint surface."""
     if os.environ.get("FUZZ_FAMILY", "") == "fk":
         return fkenforce_script(name)
+    if os.environ.get("FUZZ_FAMILY", "") == "enum":
+        return enumorder_script(name)
     r0 = rnd.random()
     if r0 < 0.13:
         return onconflict_script(name)
@@ -1047,8 +1049,6 @@ def enumorder_script(name):
         f"insert into main.{t} (k, fl) select l_orderkey, min(l_returnflag) "
         f"from lineitem where l_orderkey % {p} = 0 group by l_orderkey",
         f"update main.{t} set q = q + 1 where k % {m} = 0",
-        f"from {t} |> order by fl, k |> limit {lim} "
-        f"|> select k, cast(fl as varchar) as fl, q |> order by k",
     ]
     duck = [
         f"DROP TABLE IF EXISTS {t}",
@@ -1058,9 +1058,33 @@ def enumorder_script(name):
         f"INSERT INTO main.{t} (k, fl) SELECT l_orderkey, min(l_returnflag) "
         f"FROM lineitem WHERE l_orderkey % {p} = 0 GROUP BY l_orderkey",
         f"UPDATE main.{t} SET q = q + 1 WHERE k % {m} = 0",
-        f"SELECT k, cast(fl AS VARCHAR) AS fl, q "
-        f"FROM (SELECT * FROM {t} ORDER BY fl, k LIMIT {lim}) ORDER BY k",
     ]
+    # final-probe VARIANTS (all content-visible: the LIMIT lands inside
+    # different member groups under declaration vs lexical order). r17:
+    # alias-shadow and subquery-projection scoping probed on DuckDB 1.0.
+    v = rnd.randrange(4)
+    if v == 0:   # declaration-order pipe sort (the r16 shape)
+        spark.append(f"from {t} |> order by fl, k |> limit {lim} "
+                     f"|> select k, cast(fl as varchar) as fl, q |> order by k")
+        duck.append(f"SELECT k, cast(fl AS VARCHAR) AS fl, q "
+                    f"FROM (SELECT * FROM {t} ORDER BY fl, k LIMIT {lim}) ORDER BY k")
+    elif v == 1:  # same-named OUTPUT ALIAS shadows the enum → lexical
+        spark.append(f"from {t} |> select k, cast(fl as varchar) as fl, q "
+                     f"|> order by fl, k |> limit {lim} |> order by k")
+        duck.append(f"SELECT * FROM (SELECT k, cast(fl AS VARCHAR) AS fl, q "
+                    f"FROM {t} ORDER BY fl, k LIMIT {lim}) ORDER BY k")
+    elif v == 2:  # SUBQUERY casts the enum away → lexical outer sort
+        # bare table name: the main. spelling resolves for DML TARGETS
+        # (resolveTarget), not inside read queries
+        spark.append(f"select k, fl, q from (select k, cast(fl as string) as fl, q "
+                     f"from {t}) order by fl, k limit {lim}")
+        duck.append(f"SELECT k, fl, q FROM (SELECT k, cast(fl AS VARCHAR) AS fl, q "
+                    f"FROM {t}) ORDER BY fl, k LIMIT {lim}")
+    else:        # subquery-ALIAS-qualified passthrough → declaration order
+        spark.append(f"select k, cast(fl as string) as flv, q from "
+                     f"(select * from {t}) s order by s.fl, s.k limit {lim}")
+        duck.append(f"SELECT k, cast(fl AS VARCHAR) AS flv, q FROM "
+                    f"(SELECT * FROM {t}) s ORDER BY s.fl, s.k LIMIT {lim}")
     return {"name": name, "psql": "\n;;\n".join(spark), "duck_script": duck}
 
 def fts_script(name):
