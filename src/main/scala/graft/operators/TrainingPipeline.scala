@@ -494,11 +494,17 @@ object TrainingPipeline {
   }
 
   /** [[curate]]'s near-dup pair graph over the materialized stage:
-    * MinHash-LSH pairs, optionally unioned with winnowing substring edges
-    * (distinct — a pair can be both a near-dup and share fingerprints, and
-    * duplicate edges would double-count in nothing but cost). Factored
-    * package-private so the plan-quality spec pins the join shapes on the
-    * exact frame curate feeds the closure.
+    * MinHash-LSH pairs, optionally unioned with winnowing substring edges.
+    * The union is NOT deduplicated here: each generator is
+    * distinct-by-construction (both end in a groupBy), only cross-set
+    * duplicates exist (a pair that is both a near-dup and shares
+    * fingerprints), and every consumer dedups anyway — the closure's
+    * symmetrized edge set runs one distinct, the non-cluster loser path
+    * runs its own — so a union-level distinct was a pure extra shuffle of
+    * the whole edge stream (measured 1.9 s of p03 at sf0.1; at 100 TB one
+    * full exchange of the pair graph). Factored package-private so the
+    * plan-quality spec pins the join shapes on the exact frame curate
+    * feeds the closure.
     */
   private[graft] def curatePairs(
       base: DataFrame,
@@ -516,7 +522,6 @@ object TrainingPipeline {
       nearPairs.union(
         Dedup.winnowingPairs(base, idCol, textCol, winnowK, winnowW, minSharedFp)
           .select("id_a", "id_b"))
-        .distinct()
     else nearPairs
   }
 

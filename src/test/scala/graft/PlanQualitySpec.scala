@@ -373,6 +373,16 @@ class PlanQualitySpec extends SparkSpec {
       val pp = plan(pairs)
       assert(pp.contains("ShuffledHashJoin"), pp)
       assert(!pp.contains("CartesianProduct") && !pp.contains("NestedLoop"), pp)
+      // contract 3: no union-level distinct — both generators end in a
+      // groupBy (distinct-by-construction) and every consumer dedups (the
+      // closure's symmetrized edge set, the non-cluster loser path), so an
+      // aggregate above the union would re-shuffle the whole edge stream
+      // for nothing (1.9 s of p03 at sf0.1; one full pair-graph exchange
+      // at 100 TB)
+      assert(!pairs.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Aggregate],
+        "union-level distinct reappeared above curatePairs:\n" +
+          pairs.queryExecution.optimizedPlan.toString)
     }
   }
 
