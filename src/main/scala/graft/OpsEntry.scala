@@ -5153,6 +5153,73 @@ object OpsEntry {
         |SELECT k, anc_k, depth FROM anc ORDER BY k, depth""".stripMargin)),
 
     QueryDef(
+      "q109_plain_dialect",
+      withTables { (s, _) =>
+        // the DuckDB expression dialect on a PLAIN (non-pipe) statement:
+        // in the reference plain SQL executes on DuckDB itself, so
+        // `count()`, `^` (power, Spark would XOR), `//`, SIMILAR TO,
+        // 1-based subscripts and GROUP BY ALL all carry DuckDB semantics
+        // without pipes. The library path routes query-headed statements
+        // through the same shims pipe stages get (Psql.rewriteOnly) —
+        // this row pins the routed path with the IDENTICAL text as oracle.
+        // Decimal-exact sum so the ^0.5 double is cross-engine stable.
+        graft.psql.Psql(s).sql("""SELECT o_orderpriority,
+          |  count() AS n,
+          |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double) ^ 0.5, 6) AS root_rev,
+          |  (string_split(min(o_orderpriority), '-'))[1] AS prio_code,
+          |  min(o_orderkey) // 2 AS half_key
+          |FROM orders
+          |WHERE o_orderpriority SIMILAR TO '[123].*'
+          |GROUP BY ALL
+          |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+        |  count() AS n,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double) ^ 0.5, 6) AS root_rev,
+        |  (string_split(min(o_orderpriority), '-'))[1] AS prio_code,
+        |  min(o_orderkey) // 2 AS half_key
+        |FROM orders
+        |WHERE o_orderpriority SIMILAR TO '[123].*'
+        |GROUP BY ALL
+        |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "q110_plain_distinct_on",
+      withTables { (s, _) =>
+        // plain-statement DISTINCT ON (Postgres pick semantics, which
+        // DuckDB follows): first row per group under the statement's ORDER
+        // BY, ties broken deterministically by c_custkey — restructured by
+        // PsqlRewriter.plainSelectRewrite into the same row_number lowering
+        // the pipe stage uses; oracle is the IDENTICAL text.
+        graft.psql.Psql(s).sql("""SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal
+          |FROM customer
+          |WHERE c_acctbal > 0
+          |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin)
+      },
+      Some("""SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > 0
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q111_plain_qualify",
+      withTables { (s, _) =>
+        // QUALIFY as a plain-statement clause (DuckDB clause order: after
+        // HAVING, before ORDER BY), lowered to the hidden-column filter the
+        // pipe stage uses; oracle is the IDENTICAL text.
+        graft.psql.Psql(s).sql("""SELECT c_mktsegment, c_custkey, c_acctbal,
+          |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+          |FROM customer
+          |QUALIFY rn <= 3
+          |ORDER BY c_mktsegment, rn""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer
+        |QUALIFY rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

@@ -389,15 +389,33 @@ object Psql {
     false
   }
 
+  /** Statement heads that get the full DuckDB expression dialect on the
+    * LIBRARY path ([[Psql.sql]]) even without pipe tokens: in the reference,
+    * plain SQL executes on DuckDB itself, so a reference user's plain
+    * `SELECT x[1], 2 ^ 3 …` carries DuckDB semantics (1-based subscripts,
+    * `^` = power, `* EXCLUDE`, comprehensions, `{…}` structs, SIMILAR
+    * TO/GLOB, COLUMNS('re'), DISTINCT ON …). Routing these heads through
+    * the same expression shims pipe stages get keeps the two spellings of
+    * the same query identical. The INJECTED PARSER deliberately keeps its
+    * narrower strictly-additive contract (pipes / FROM-first / COPY only):
+    * there, plain SQL is the host session's own dialect — exactly the
+    * reference's pass-through posture (`psql_extension.cpp:76-79`) with
+    * Spark as the host — and Spark-internal SQL (view text, generated
+    * statements) must never be re-dialected behind the user's back.
+    */
+  private val dialectHeads = Seq("select", "values", "table", "with", "create")
+
   private[psql] def rewriteOnly(query: String): String = {
     if (PsqlRewriter.isPsql(query)) PsqlRewriter.rewrite(query)
     else {
       val t = query.trim
       // normalize bare FROM-first queries (with or without a plain-paren
-      // CTE prefix) and COPY sinks (DuckDB-isms) even without pipes
+      // CTE prefix), COPY sinks, and query-headed plain statements
+      // (DuckDB-isms) even without pipes
       if (t.nonEmpty &&
           (SqlScanner.matchesWord(t, 0, "from") || PsqlRewriter.isFromFirstWith(t) ||
-            PsqlRewriter.isCopy(t)))
+            PsqlRewriter.isCopy(t) ||
+            dialectHeads.exists(h => SqlScanner.matchesWord(t, 0, h))))
         PsqlRewriter.rewrite(t)
       else t
     }

@@ -300,7 +300,22 @@ object PsqlRewriter {
           val sc = scan(frag)
           val st = nextCode(frag, sc, 0)
           if (st >= 0 && matchesWord(frag, st, "from")) assembleStage(None, frag)
-          else shims(frag)
+          else {
+            // table-position series calls (FROM range(n) / generate_series)
+            // must become exploded subqueries BEFORE the shims alias map
+            // would rewrite them to their scalar graft_* forms (the stage
+            // path does this per-fromSuffix; the plain path owns the whole
+            // statement text)
+            val f2 = rewriteSeriesFns(frag)
+            splitWithPrefix(f2) match {
+              // plain-statement DISTINCT ON / * REPLACE / QUALIFY (with or
+              // without a CTE prefix) restructure like their pipe-stage
+              // counterparts; everything else keeps the expression shims
+              case Some((wp, rest)) =>
+                plainSelectRewrite(rest).map(r => shims(wp) + " " + r).getOrElse(shims(f2))
+              case None => plainSelectRewrite(f2).getOrElse(shims(f2))
+            }
+          }
       }
     }
   }
@@ -524,6 +539,107 @@ object PsqlRewriter {
       s"$name = $expr"
     }
     Some(assigns.mkString(", "))
+  }
+
+  /** Plain-statement (non-pipe) forms of DuckDB's `SELECT DISTINCT ON`,
+    * `SELECT * REPLACE`, and the QUALIFY clause — the same rewrites
+    * [[assembleStage]] applies to pipe stages, restated over a statement
+    * whose FROM sits mid-text. In
+    * the reference these spellings run on DuckDB directly; the library path
+    * routes query-headed plain statements here so both spellings of the
+    * same query behave identically. Returns None when the statement has
+    * neither form (the caller falls back to the expression shims), and
+    * mirrors the stage errors when GROUP BY/HAVING/QUALIFY/WINDOW share
+    * the statement (restructuring around aggregation is ambiguous — the
+    * user splits into a subquery, exactly like the stage contract).
+    * Limitation (documented): only the OUTERMOST select block is
+    * restructured — DISTINCT ON inside a CTE body or subquery still needs
+    * the pipe spelling.
+    */
+  private[psql] def plainSelectRewrite(frag0: String): Option[String] = {
+    val frag = stripTrailingSemicolon(frag0.trim)
+    val sc = scan(frag)
+    val st = nextCode(frag, sc, 0)
+    if (st < 0 || !matchesWord(frag, st, "select")) return None
+    val fromPos = topLevelKeyword(frag, sc, Seq("from")).headOption.getOrElse(return None)
+    val sel = frag.substring(st + "select".length, fromPos).trim
+    val distinctOn = splitDistinctOn(sel)
+    val starReplace = if (distinctOn.isEmpty) splitStarReplace(sel) else None
+    val tail = frag.substring(fromPos)
+    val tsc = scan(tail)
+    val qualifyPos = topLevelKeyword(tail, tsc, Seq("qualify")).headOption
+    if (distinctOn.isEmpty && starReplace.isEmpty && qualifyPos.isEmpty) return None
+    // a top-level set operation owns the trailing ORDER BY — restructuring
+    // around it would re-scope the sort; not this pass's statement shape
+    if (Seq("union", "intersect", "except").exists(w =>
+        topLevelKeyword(tail, tsc, Seq(w)).nonEmpty)) return None
+    if (distinctOn.nonEmpty || starReplace.nonEmpty)
+      for (kw <- Seq(Seq("group", "by"), Seq("having"), Seq("qualify"), Seq("window")))
+        if (topLevelKeyword(tail, tsc, kw).nonEmpty)
+          throw new IllegalArgumentException(
+            s"${if (distinctOn.nonEmpty) "DISTINCT ON" else "* REPLACE"} cannot be combined with " +
+              "GROUP BY/HAVING/QUALIFY/WINDOW in one statement — aggregate in a subquery first")
+    // a DISTINCT select with QUALIFY would need the distinct applied AFTER
+    // the window filter — not this pass's shape, leave for Spark's error
+    if (qualifyPos.nonEmpty && matchesWord(sel, 0, "distinct")) return None
+    // split the trailing QUALIFY / ORDER BY / LIMIT / OFFSET off the core
+    // (for QUALIFY the core keeps its GROUP BY/HAVING/WINDOW — the filter
+    // wraps the aggregated select, exactly like the pipe-stage lowering)
+    val obPos = topLevelKeyword(tail, tsc, Seq("order", "by")).headOption.getOrElse(tail.length)
+    val limPos = topLevelKeyword(tail, tsc, Seq("limit")).headOption.getOrElse(tail.length)
+    val offPos = topLevelKeyword(tail, tsc, Seq("offset")).headOption.getOrElse(tail.length)
+    val positions = (Seq(obPos, limPos, offPos) ++ qualifyPos.toSeq)
+      .filter(_ < tail.length).sorted
+    def segEnd(p: Int): Int = positions.find(_ > p).getOrElse(tail.length)
+    val cut = positions.headOption.getOrElse(tail.length)
+    val core = shims(tail.substring(0, cut).trim)
+    val orderByText =
+      if (obPos >= tail.length) None
+      else {
+        // text after the BY keyword, up to the next trailing clause
+        val afterBy = nextCode(tail, tsc, obPos + "order".length) + "by".length
+        Some(shims(tail.substring(afterBy, segEnd(obPos)).trim))
+      }
+    val limit = if (limPos >= tail.length) None
+      else Some(tail.substring(limPos + "limit".length, segEnd(limPos)).trim)
+    val offset = if (offPos >= tail.length) None
+      else Some(tail.substring(offPos + "offset".length, segEnd(offPos)).trim)
+    distinctOn match {
+      case Some((onExprs, rest)) =>
+        val pickOrder = orderByText.getOrElse(shims(onExprs))
+        val pred = s"row_number() OVER (PARTITION BY ${shims(onExprs)} ORDER BY $pickOrder) = 1"
+        val inner = s"SELECT *, ($pred) AS __distinct_on__ $core"
+        val proj = if (rest.isEmpty) "* EXCEPT (__distinct_on__)" else shims(rest)
+        val out = new StringBuilder(s"SELECT $proj FROM ( $inner ) WHERE __distinct_on__")
+        orderByText.foreach(o => out.append(s" ORDER BY $o"))
+        limit.foreach(l => out.append(s" LIMIT $l"))
+        offset.foreach(o => out.append(s" OFFSET $o"))
+        Some(out.toString)
+      case None if starReplace.nonEmpty =>
+        val assigns = starReplace.get
+        val inner = s"SELECT * $core |> SET ${shims(assigns)}"
+        if (orderByText.isEmpty && limit.isEmpty && offset.isEmpty) Some(inner)
+        else {
+          val out = new StringBuilder(s"SELECT * FROM ( $inner )")
+          orderByText.foreach(o => out.append(s" ORDER BY $o"))
+          limit.foreach(l => out.append(s" LIMIT $l"))
+          offset.foreach(o => out.append(s" OFFSET $o"))
+          Some(out.toString)
+        }
+      case None =>
+        // plain-statement QUALIFY: materialize the predicate as a hidden
+        // column inside the (possibly aggregated) select, filter, drop —
+        // the same lowering the pipe-stage path uses
+        val qp = qualifyPos.get
+        val pred = shims(tail.substring(qp + "qualify".length, segEnd(qp)).trim)
+        val inner = s"SELECT ${shims(sel)}, ($pred) AS __qualify__ $core"
+        val out = new StringBuilder(
+          s"SELECT * EXCEPT (__qualify__) FROM ( $inner ) WHERE __qualify__")
+        orderByText.foreach(o => out.append(s" ORDER BY $o"))
+        limit.foreach(l => out.append(s" LIMIT $l"))
+        offset.foreach(o => out.append(s" OFFSET $o"))
+        Some(out.toString)
+    }
   }
 
   /** Assemble one stage into SELECT-first SQL over `prev` (None for a head
@@ -1020,7 +1136,11 @@ object PsqlRewriter {
       var p = pos
       while (p > 0 && Character.isWhitespace(text.charAt(p - 1))) p -= 1
       val prevCh = if (p > 0) text.charAt(p - 1) else ' '
-      val postfix = p > 0 && sc.code(p - 1) &&
+      // a '[' directly after a string literal's closing quote subscripts
+      // the literal ('hello'[2:4] — DuckDB character slicing); the closing
+      // quote is non-code in the scan, so it needs its own detection
+      val afterStringLit = p > 0 && prevCh == '\'' && !sc.code(p - 1)
+      val postfix = afterStringLit || (p > 0 && sc.code(p - 1) &&
         (Character.isLetterOrDigit(prevCh) || prevCh == '_' || prevCh == '$' ||
           prevCh == ')' || prevCh == ']') && {
           if (prevCh == ')' || prevCh == ']') true
@@ -1030,7 +1150,7 @@ object PsqlRewriter {
               text.charAt(st - 1) == '_' || text.charAt(st - 1) == '$')) st -= 1
             !preBracketKeywords.contains(text.substring(st, p).toLowerCase)
           }
-        }
+        })
       if (postfix && content.trim.isEmpty) {
         // `int[]` / `cast(x as varchar[])` typed-array syntax: an EMPTY
         // postfix bracket is a TYPE, not a subscript. Spark spells the
@@ -1067,7 +1187,14 @@ object PsqlRewriter {
         var continueChain = true
         while (continueChain && b > 0) {
           val c = text.charAt(b - 1)
-          if (sc.code(b - 1) && (Character.isLetterOrDigit(c) || c == '_' ||
+          if (c == '\'' && !sc.code(b - 1)) {
+            // string literal: jump to its opening quote (the only quote the
+            // scan marks as code — '' escapes stay non-code) and stop; a
+            // literal can only START a postfix chain
+            var k = b - 2
+            while (k >= 0 && !(sc.code(k) && text.charAt(k) == '\'')) k -= 1
+            if (k < 0) continueChain = false else { b = k; continueChain = false }
+          } else if (sc.code(b - 1) && (Character.isLetterOrDigit(c) || c == '_' ||
               c == '$' || c == '.')) b -= 1
           else if (sc.code(b - 1) && (c == ')' || c == ']')) {
             // jump over the balanced group

@@ -42,7 +42,10 @@ class MacrosSpec extends SparkSpec {
 
   test("table macro expands to a FROM-able subquery; PSQL pipelines work inside") {
     val p = freshPsql
-    p.sql("CREATE MACRO nums_t5(n) AS TABLE SELECT id AS r FROM range(n)")
+    // DuckDB column naming: range(n)'s table-form column is `range` (the
+    // plain-statement dialect routing makes the body behave as DuckDB
+    // would — `id` is Spark's TVF column and resolves in neither engine)
+    p.sql("CREATE MACRO nums_t5(n) AS TABLE SELECT range AS r FROM range(n)")
     assert(p.sql("SELECT count(*) AS c FROM nums_t5(3)").collect().toSeq == Seq(Row(3L)))
     p.sql("CREATE MACRO piped_t5(n) AS TABLE (from range(n) |> select range * 2 as d)")
     assert(p.sql("from piped_t5(2) |> select cast(sum(d) as int) as s").collect().toSeq ==
