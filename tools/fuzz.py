@@ -841,6 +841,8 @@ def dml_script(name):
         return fkenforce_script(name)
     if os.environ.get("FUZZ_FAMILY", "") == "enum":
         return enumorder_script(name)
+    if os.environ.get("FUZZ_FAMILY", "") == "plain":
+        return plaindialect_script(name)
     r0 = rnd.random()
     if r0 < 0.13:
         return onconflict_script(name)
@@ -856,6 +858,8 @@ def dml_script(name):
         return enumorder_script(name)
     if r0 < 0.76:
         return fkenforce_script(name)
+    if r0 < 0.84:
+        return plaindialect_script(name)
     t = f"fz_{name}"
     p = rnd.choice([3, 5, 7])
     seed_sel = (f"select l_orderkey as k, l_linenumber as ln, "
@@ -1199,6 +1203,81 @@ def recursive_script(name):
          f"case when x % 2 = 0 then cast(x / 2 as bigint) else 3 * x + 1 end "
          f"from c where x > 1 and i < 40) "
          f"select i, x from c order by i")
+    return {"name": name, "psql": q, "duck_script": [q]}
+
+
+def plaindialect_script(name):
+    """Plain-statement dialect family (r17): NON-pipe statements carrying
+    DuckDB-only expression forms — 1-based subscripts/slices, `//` and `^`
+    (power), zero-arg count(), SIMILAR TO, struct literals + dot access,
+    list comprehensions, DISTINCT ON, QUALIFY, star EXCLUDE/REPLACE,
+    GROUP BY ALL — with IDENTICAL text in BOTH engines: graft routes
+    query-headed plain statements through the pipe-stage shims
+    (Psql.rewriteOnly / PsqlRewriter.plainSelectRewrite); DuckDB executes
+    the text natively. (l_orderkey, l_linenumber) is unique, so every
+    pick/tiebreak below is fully deterministic."""
+    v = rnd.randrange(5)
+    if v == 0:
+        # expression battery
+        k = rnd.choice([1, 2, -1])
+        d = rnd.randrange(2, 9)
+        m = rnd.randrange(2, 5)
+        p = rnd.randrange(2, 7)
+        q = ("SELECT l_orderkey, l_linenumber, "
+             f"(string_split(l_returnflag || '-' || l_linestatus, '-'))[{k}] AS part, "
+             f"l_orderkey // {d} AS q1, "
+             "cast(l_linenumber ^ 2 as bigint) AS p2, "
+             f"('LN' || l_linenumber)[1:{m}] AS sl, "
+             "{'a': l_orderkey % 7, 'b': l_linenumber}.a AS fa, "
+             "([x * 2 for x in [l_linenumber, 2, 3] if x > 1])[1] AS lc "
+             "FROM lineitem "
+             f"WHERE l_returnflag SIMILAR TO '[ANR]' AND l_orderkey % {p} = 0 "
+             "ORDER BY ALL LIMIT 40")
+    elif v == 1:
+        # DISTINCT ON with a deterministic full-tiebreak pick order
+        on = rnd.choice(["l_returnflag", "l_returnflag, l_linestatus"])
+        g = rnd.randrange(5, 45)
+        n = rnd.randrange(3, 12)
+        mid = rnd.choice(["l_quantity DESC, ", "l_quantity, ", ""])
+        q = (f"SELECT DISTINCT ON ({on}) {on}, l_orderkey, l_linenumber, l_quantity "
+             f"FROM lineitem WHERE l_quantity > {g} "
+             f"ORDER BY {on}, {mid}l_orderkey, l_linenumber LIMIT {n}")
+    elif v == 2:
+        # QUALIFY: plain window filter, or over a GROUP BY ALL aggregate
+        k = rnd.randrange(1, 5)
+        if rnd.randrange(2) == 0:
+            p = rnd.randrange(2, 7)
+            q = ("SELECT l_returnflag, l_orderkey, l_linenumber, "
+                 "row_number() OVER (PARTITION BY l_returnflag "
+                 "ORDER BY l_orderkey, l_linenumber) AS rn "
+                 f"FROM lineitem WHERE l_orderkey % {p} = 0 "
+                 f"QUALIFY rn <= {k} ORDER BY l_returnflag, rn")
+        else:
+            # explicit keys: DuckDB 1.0 rejects QUALIFY + GROUP BY ALL
+            # ("not supported yet")
+            q = ("SELECT l_returnflag, l_linestatus, count() AS c "
+                 "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+                 "QUALIFY row_number() OVER (ORDER BY count(*) DESC, "
+                 f"l_returnflag, l_linestatus) <= {k} ORDER BY ALL")
+    elif v == 3:
+        # GROUP BY ALL + decimal-exact aggregates + //
+        d = rnd.randrange(2, 9)
+        ds = rnd.choice(DATES)
+        q = ("SELECT l_returnflag, l_linestatus, count() AS c, "
+             "cast(sum(cast(l_quantity as decimal(18,2))) as double) AS s, "
+             f"min(l_orderkey) // {d} AS mk "
+             f"FROM lineitem WHERE l_shipdate >= date '{ds}' "
+             "GROUP BY ALL ORDER BY ALL")
+    else:
+        # star EXCLUDE / star REPLACE over a derived table
+        p = rnd.randrange(2, 7)
+        inner = ("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity "
+                 f"FROM lineitem WHERE l_orderkey % {p} = 0")
+        if rnd.randrange(2) == 0:
+            q = (f"SELECT * REPLACE (lower(l_returnflag) AS l_returnflag) "
+                 f"FROM ({inner}) ORDER BY ALL LIMIT 30")
+        else:
+            q = f"SELECT * EXCLUDE (l_quantity) FROM ({inner}) ORDER BY ALL LIMIT 30"
     return {"name": name, "psql": q, "duck_script": [q]}
 
 
