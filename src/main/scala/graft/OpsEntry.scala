@@ -5220,6 +5220,36 @@ object OpsEntry {
         |ORDER BY c_mktsegment, rn""".stripMargin)),
 
     QueryDef(
+      "q112_at_time_zone",
+      withTables { (s, _) =>
+        // DuckDB `AT TIME ZONE` + timezone() (rewriteAtTimeZone): the
+        // engine's type model makes the operand dispatch decidable from
+        // text (parquet timestamps are naive; awareness = TIMESTAMPTZ
+        // literal or a chain-produced instant), so the wall-to-wall
+        // conversion chain and the function spelling both land on
+        // from/to_utc_timestamp with DuckDB's exact semantics — DST
+        // transitions included (events spans a year of timestamps).
+        // Oracle is the IDENTICAL text. Every column ends on a WALL
+        // conversion (naive in both engines): a bare instant column would
+        // be TIMESTAMPTZ in DuckDB and the driver canon is type-faithful
+        // (the +00:00 offset rides into the hash).
+        graft.psql.Psql(s).sql("""SELECT event_id,
+          |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_wall,
+          |  timezone('Asia/Kolkata', timezone('UTC', ts)) AS kolkata_wall
+          |FROM events
+          |WHERE event_id % 199 = 0
+          |ORDER BY event_id
+          |LIMIT 200""".stripMargin)
+      },
+      Some("""SELECT event_id,
+        |  ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_wall,
+        |  timezone('Asia/Kolkata', timezone('UTC', ts)) AS kolkata_wall
+        |FROM events
+        |WHERE event_id % 199 = 0
+        |ORDER BY event_id
+        |LIMIT 200""".stripMargin)),
+
+    QueryDef(
       "q65_native_pipe",
       withTables { (s, _) =>
         // Spark 4's NATIVE pipe syntax through the PSQL entry point: the

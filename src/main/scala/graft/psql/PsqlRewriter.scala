@@ -2761,8 +2761,8 @@ object PsqlRewriter {
         }
       }
     }
-    rewriteColonCasts(rewriteCasts(rewriteArith(rewriteDotCalls(
-      rewriteBraces(rewriteBrackets(rewriteReaderFns(rewriteIgnoreNulls(sb.toString))))))))
+    rewriteAtTimeZone(rewriteColonCasts(rewriteCasts(rewriteArith(rewriteDotCalls(
+      rewriteBraces(rewriteBrackets(rewriteReaderFns(rewriteIgnoreNulls(sb.toString)))))))))
   }
 
   /** DuckDB spells the window null-treatment modifier INSIDE the call —
@@ -2776,6 +2776,197 @@ object PsqlRewriter {
     * OVER …` or an aggregate modifier nested in another call like
     * `coalesce(0, first(x) ignore nulls)`).
     */
+  /** DuckDB `expr AT TIME ZONE 'tz'` and its function spelling
+    * `timezone('tz', expr)` — Spark has neither syntax. DuckDB dispatches
+    * on the operand TYPE (probed on 1.0 + bundled ICU, session UTC):
+    *
+    *   - naive TIMESTAMP → interpret the wall time IN tz, yield the
+    *     instant (TIMESTAMPTZ): Spark `to_utc_timestamp(expr, tz)`
+    *   - TIMESTAMPTZ → render the instant AS wall time in tz (naive):
+    *     Spark `from_utc_timestamp(expr, tz)`
+    *
+    * In this engine's type model the dispatch is decidable from TEXT:
+    * parquet/catalog timestamps are all modeled naive (Spark session UTC —
+    * the q99 convention), so an operand is "aware" exactly when it is a
+    * `TIMESTAMPTZ '…'` literal or a chain-produced instant (a
+    * `to_utc_timestamp(…)` wrap from the PREVIOUS link — which makes the
+    * ubiquitous wall-to-wall conversion `ts AT TIME ZONE 'a' AT TIME ZONE
+    * 'b'` alternate correctly: leftmost-first rewriting turns link one
+    * into to_utc, so link two sees an aware operand and emits from_utc).
+    * A `TIMESTAMPTZ '…'` literal operand rewrites its keyword to Spark's
+    * `TIMESTAMP '…'` (offset strings parse identically; same instant).
+    */
+  private[psql] def rewriteAtTimeZone(text0: String): String = {
+    var text = rewriteTimezoneFn(text0)
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val sc = scan(text)
+      // first top-level-code AT TIME ZONE at or after the offset
+      var i = from
+      var atPos = -1
+      var zoneEnd = -1
+      while (atPos < 0 && i < text.length) {
+        if (sc.code(i) && matchesWord(text, i, "at")) {
+          val t1 = nextCode(text, sc, i + 2)
+          if (t1 >= 0 && matchesWord(text, t1, "time")) {
+            val t2 = nextCode(text, sc, t1 + 4)
+            if (t2 >= 0 && matchesWord(text, t2, "zone")) { atPos = i; zoneEnd = t2 + 4 }
+          }
+        }
+        if (atPos < 0) i += 1
+      }
+      if (atPos < 0) return text
+      // the zone must be a string literal (DuckDB accepts expressions; the
+      // overwhelmingly common literal form is what rewrites — anything
+      // else is left for Spark's own parse error)
+      val q1 = nextCode(text, sc, zoneEnd)
+      if (q1 < 0 || text.charAt(q1) != '\'') { from = zoneEnd; }
+      else {
+        var q2 = q1 + 1
+        var end = -1
+        while (end < 0 && q2 < text.length) {
+          if (text.charAt(q2) == '\'') {
+            if (q2 + 1 < text.length && text.charAt(q2 + 1) == '\'') q2 += 2 else end = q2
+          } else q2 += 1
+        }
+        if (end < 0) return text
+        val tzLit = text.substring(q1, end + 1)
+        // operand: maximal primary chain ending just before AT — identifier
+        // segments, balanced (…)/[…] groups, a trailing string literal
+        // (TIMESTAMP '…' / TIMESTAMPTZ '…' literals), never crossing a
+        // binary operator
+        var p = atPos
+        while (p > 0 && Character.isWhitespace(text.charAt(p - 1))) p -= 1
+        var b = p
+        var continueChain = true
+        while (continueChain && b > 0) {
+          val c = text.charAt(b - 1)
+          if (c == '\'' && !sc.code(b - 1)) {
+            var k = b - 2
+            while (k >= 0 && !(sc.code(k) && text.charAt(k) == '\'')) k -= 1
+            if (k < 0) continueChain = false
+            else {
+              b = k
+              // a type keyword directly before the literal joins the chain
+              var w = b
+              while (w > 0 && Character.isWhitespace(text.charAt(w - 1))) w -= 1
+              var ws = w
+              while (ws > 0 && sc.code(ws - 1) && isWordChar(text.charAt(ws - 1))) ws -= 1
+              val word = text.substring(ws, w).toLowerCase
+              if (Set("timestamp", "timestamptz", "date").contains(word)) b = ws
+              continueChain = false
+            }
+          } else if (sc.code(b - 1) && (Character.isLetterOrDigit(c) || c == '_' ||
+              c == '$' || c == '.')) b -= 1
+          else if (sc.code(b - 1) && (c == ')' || c == ']')) {
+            var k = b - 2
+            var d = 1
+            val openCh = if (c == ')') '(' else '['
+            while (d > 0 && k >= 0) {
+              if (sc.code(k)) {
+                if (text.charAt(k) == c) d += 1
+                else if (text.charAt(k) == openCh) d -= 1
+              }
+              if (d > 0) k -= 1
+            }
+            if (k < 0) continueChain = false else b = k
+          } else continueChain = false
+        }
+        if (b >= p) { from = end + 1 }
+        else {
+          val operand = text.substring(b, p).trim
+          val osc = scan(operand)
+          val s0 = nextCode(operand, osc, 0)
+          val aware = s0 >= 0 && (matchesWord(operand, s0, "timestamptz") ||
+            matchesWord(operand, s0, "to_utc_timestamp"))
+          val fn = if (aware) "from_utc_timestamp" else "to_utc_timestamp"
+          val opOut =
+            if (s0 >= 0 && matchesWord(operand, s0, "timestamptz"))
+              operand.substring(0, s0) + "timestamp" + operand.substring(s0 + "timestamptz".length)
+            else operand
+          text = text.substring(0, b) + s"$fn($opOut, $tzLit)" + text.substring(end + 1)
+          from = 0
+        }
+      }
+    }
+    throw new IllegalArgumentException(
+      "rewriteAtTimeZone: rewrite guard exhausted (>200 AT TIME ZONE links)")
+  }
+
+  /** `timezone('tz', expr)` → the same from/to_utc_timestamp dispatch as
+    * [[rewriteAtTimeZone]] (DuckDB's function spelling; note the REVERSED
+    * argument order vs Spark's functions).
+    */
+  private def rewriteTimezoneFn(text0: String): String = {
+    var text = text0
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val sc = scan(text)
+      var i = from
+      var hit = -1
+      while (hit < 0 && i < text.length) {
+        if (sc.code(i) && matchesWord(text, i, "timezone") && {
+            val j = nextCode(text, sc, i + 8)
+            j >= 0 && text.charAt(j) == '('
+          }) hit = i
+        else i += 1
+      }
+      if (hit < 0) return text
+      val open = nextCode(text, sc, hit + 8)
+      var k = open + 1
+      var d = 1
+      var comma = -1
+      while (d > 0 && k < text.length) {
+        if (sc.code(k)) {
+          if (text.charAt(k) == '(') d += 1
+          else if (text.charAt(k) == ')') d -= 1
+          else if (text.charAt(k) == ',' && d == 1 && comma < 0) comma = k
+        }
+        k += 1
+      }
+      if (d > 0 || comma < 0) { from = open + 1 }
+      else {
+        val tz = text.substring(open + 1, comma).trim
+        val operand = text.substring(comma + 1, k - 1).trim
+        val osc = scan(operand)
+        // nested timezone() rewrites INNERMOST-first: the inner call's
+        // rewrite (to/from_utc_timestamp) is the outer call's awareness
+        // marker — skip an outer hit whose operand still holds one
+        val hasInner = {
+          var j = 0
+          var found = false
+          while (!found && j < operand.length) {
+            if (osc.code(j) && matchesWord(operand, j, "timezone") && {
+                val o2 = nextCode(operand, osc, j + 8)
+                o2 >= 0 && operand.charAt(o2) == '('
+              }) found = true
+            else j += 1
+          }
+          found
+        }
+        if (hasInner) { from = hit + 8 }
+        else {
+        val s0 = nextCode(operand, osc, 0)
+        val aware = s0 >= 0 && (matchesWord(operand, s0, "timestamptz") ||
+          matchesWord(operand, s0, "to_utc_timestamp"))
+        val fn = if (aware) "from_utc_timestamp" else "to_utc_timestamp"
+        val opOut =
+          if (s0 >= 0 && matchesWord(operand, s0, "timestamptz"))
+            operand.substring(0, s0) + "timestamp" + operand.substring(s0 + "timestamptz".length)
+          else operand
+        text = text.substring(0, hit) + s"$fn($opOut, $tz)" + text.substring(k)
+        from = 0
+        }
+      }
+    }
+    throw new IllegalArgumentException(
+      "rewriteTimezoneFn: rewrite guard exhausted (>200 timezone() calls)")
+  }
+
   private[psql] def rewriteIgnoreNulls(text0: String): String = {
     var text = text0
     var steps = 0

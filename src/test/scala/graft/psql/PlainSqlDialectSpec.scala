@@ -134,6 +134,36 @@ class PlainSqlDialectSpec extends SparkSpec {
     spark.catalog.dropTempView("plain_dialect_v")
   }
 
+  test("AT TIME ZONE + timezone(): DuckDB's type-dispatched conversions") {
+    // all values pinned against DuckDB 1.0 (bundled ICU), session UTC
+    def one(q: String): String =
+      psql.sql(q).collect().head.getTimestamp(0).toString
+    // naive → instant: interpret the wall time IN the zone
+    assert(one("SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'America/New_York' AS t")
+      == "2024-01-01 05:00:00.0")
+    // TIMESTAMPTZ literal → wall time in the zone (naive)
+    assert(one("SELECT TIMESTAMPTZ '2024-01-01 05:00:00+00' AT TIME ZONE 'America/New_York' AS t")
+      == "2024-01-01 00:00:00.0")
+    // the chained wall-to-wall conversion alternates to/from (mid-DST-gap
+    // instant: 06:30 UTC on the US spring-forward day is 01:30 EST)
+    assert(one("SELECT TIMESTAMP '2024-03-10 06:30:00' AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS t")
+      == "2024-03-10 01:30:00.0")
+    // function spelling dispatches identically (REVERSED arg order vs Spark)
+    assert(one("SELECT timezone('America/New_York', TIMESTAMP '2024-01-01 00:00:00') AS t")
+      == "2024-01-01 05:00:00.0")
+    assert(one("SELECT timezone('America/New_York', TIMESTAMPTZ '2024-01-01 05:00:00+00') AS t")
+      == "2024-01-01 00:00:00.0")
+    // non-literal operand (cast chain), pipe spelling
+    assert(one("from range(1) |> select TIMESTAMP '2024-07-01 12:00:00' AT TIME ZONE 'Europe/Berlin' as t")
+      == "2024-07-01 10:00:00.0")
+    assert(one("SELECT cast('2024-01-01 00:00:00' as timestamp) AT TIME ZONE 'Asia/Tokyo' AS t")
+      == "2023-12-31 15:00:00.0")
+    // nested function spelling rewrites innermost-first (the inner wrap is
+    // the outer call's awareness marker): Kolkata wall = ts + 5:30
+    assert(one("SELECT timezone('Asia/Kolkata', timezone('UTC', TIMESTAMP '2024-01-01 00:00:00')) AS t")
+      == "2024-01-01 05:30:00.0")
+  }
+
   test("the injected parser keeps plain SQL in HOST dialect (strictly additive)") {
     // library path: 1-based; vanilla spark.sql: the same text is Spark's
     // 0-based GetArrayItem — proving the routing is the library's, not a
