@@ -431,6 +431,48 @@ object OpsEntry {
         |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
 
     QueryDef(
+      "a24_asof_statement",
+      withTables { (s, _) =>
+        // the STATEMENT spelling of a04 (r17): `SELECT … FROM X ASOF JOIN
+        // Y ON …` without pipes, lowered by AsofSql.lowerStatement onto
+        // the same union+window plan. Loudness contract rides along:
+        // before r17 Spark would parse ASOF as a relation alias and
+        // theta-join every match silently.
+        s.table("events").where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+          .withColumnRenamed("ts", "pts")
+          .createOrReplaceTempView("purchases_a24")
+        graft.psql.Psql(s).sql(
+          """SELECT event_id, purchase_value
+            |FROM events ASOF JOIN purchases_a24 p
+            |  ON events.user_id = p.user_id AND events.ts >= p.pts
+            |ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, p.purchase_value
+        |FROM events e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts
+        |ORDER BY e.event_id""".stripMargin)),
+
+    QueryDef(
+      "a25_positional_statement",
+      withTables { (s, _) =>
+        // the STATEMENT spelling of a05 (r17): parenthesized ordered left,
+        // bare-view right (its ORDER BY survives the single-stage scan,
+        // the a05 contract) — before r17 this statement silently
+        // CROSS-joined (POSITIONAL parsed as an alias)
+        s.table("orders").select("o_orderkey").orderBy(col("o_orderkey").desc).limit(100)
+          .createOrReplaceTempView("pos_r_a25")
+        graft.psql.Psql(s).sql(
+          """SELECT c_custkey, o_orderkey
+            |FROM (select c_custkey from customer order by c_custkey limit 100)
+            |POSITIONAL JOIN pos_r_a25""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+        |FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100)
+        |POSITIONAL JOIN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 100)""".stripMargin)),
+
+    QueryDef(
       "a03_range_join",
       withTables { (s, _) =>
         // events landing inside the 10-minute window after each purchase,

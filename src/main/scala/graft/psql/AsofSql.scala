@@ -40,13 +40,27 @@ object AsofSql {
     * the normal path.
     */
   def tryPipeline(spark: SparkSession, query: String): Option[DataFrame] = {
-    if (!PsqlRewriter.isPsql(query)) return None
     // a DDL-headed statement must NOT take this path: the prefix would be
     // executed eagerly (running the DDL with the wrong contents) before the
     // join stage even resolves — let the normal rewrite path fail cleanly
     if (!Psql.isQueryHead(query)) return None
     val q = PsqlRewriter.stripTrailingSemicolon(query)
-    val stages = splitPipes(q)
+    if (!PsqlRewriter.isPsql(q))
+      // statement forms (no pipes): `FROM X ASOF|POSITIONAL JOIN …` and
+      // plain `SELECT s FROM X ASOF|POSITIONAL JOIN Y …` lower onto the
+      // pipe machinery. CRITICAL loudness contract: without this, Spark
+      // parses the join keyword as a relation ALIAS and silently
+      // cross-joins (positional) or theta-joins every match (asof) — so a
+      // statement that names the join but cannot be lowered THROWS the
+      // pipe recipe instead of falling through to a wrong answer.
+      return lowerStatement(q).map { lowered =>
+        tryPipeline(spark, lowered).getOrElse(throw new IllegalArgumentException(
+          "could not execute the ASOF/POSITIONAL JOIN statement — spell it as a " +
+            "pipeline (`from <left> |> asof join <rel> on …` / " +
+            "`from <left> |> positional join <rel>`); lowered form was: " +
+            lowered.take(200)))
+      }
+    val stages = splitEmbeddedHead(splitPipes(q))
     if (stages.length < 2) return None
     val hit = stages.indices.drop(1).flatMap { i =>
       matchStage(stages(i)).map(st => (i, () => {
@@ -66,6 +80,81 @@ object AsofSql {
         joined.pipe(rest.mkString(" |> "))
       }
     }
+  }
+
+  /** Position of the first top-level ASOF/POSITIONAL join keyword that is
+    * actually followed by `[LEFT] JOIN` — a column or alias merely NAMED
+    * `asof`/`positional` (not followed by JOIN) never matches.
+    */
+  private def joinKwPos(text: String): Option[Int] = {
+    val sc = scan(text)
+    (topLevelKeyword(text, sc, Seq("asof")) ++
+      topLevelKeyword(text, sc, Seq("positional"))).sorted.find { p =>
+      val isAsof = matchesWord(text, p, "asof")
+      var i = nextCode(text, sc, p + (if (isAsof) 4 else "positional".length))
+      if (isAsof && i >= 0 && matchesWord(text, i, "left")) i = nextCode(text, sc, i + 4)
+      i >= 0 && matchesWord(text, i, "join")
+    }
+  }
+
+  /** A pipe chain whose HEAD fragment embeds the join (`from X asof join Y
+    * on … |> select …`) splits into the stage shape the matcher expects.
+    */
+  private def splitEmbeddedHead(stages: Seq[String]): Seq[String] =
+    stages.headOption.flatMap(h => joinKwPos(h).filter(_ > 0).map { p =>
+      Seq(h.substring(0, p).trim, h.substring(p).trim) ++ stages.tail
+    }).getOrElse(stages)
+
+  /** Lower the pipe-less statement spellings onto the stage machinery:
+    * `FROM X <join> …[trailing]` and `SELECT s FROM X <join> Y …[trailing]`
+    * (plus their WITH-prefixed forms) become
+    * `from X |> <join stage> |> [select s] [trailing]`. The left side must
+    * be a single relation (optionally aliased/parenthesized) — a composite
+    * left (commas, other joins) throws the pipeline recipe rather than
+    * guessing at scoping.
+    */
+  private def lowerStatement(q: String): Option[String] = {
+    val sc = scan(q)
+    val st = nextCode(q, sc, 0)
+    if (st < 0) return None
+    if (matchesWord(q, st, "with"))
+      return PsqlRewriter.splitWithPrefix(q).flatMap { case (wp, rest) =>
+        lowerStatement(rest.trim).map(l => s"$wp $l")
+      }
+    val kw = joinKwPos(q).getOrElse(return None)
+    def simpleLeft(x0: String): String = {
+      val xs = x0.trim
+      val xsc = scan(xs)
+      val bad = xs.isEmpty ||
+        xs.indices.exists(i => xsc.topLevel(i) && xs.charAt(i) == ',') ||
+        topLevelKeyword(xs, xsc, Seq("join")).nonEmpty
+      if (bad) throw new IllegalArgumentException(
+        "ASOF/POSITIONAL JOIN with a composite left side in statement form — " +
+          "spell the left side as its own pipeline: from <left> |> asof join …")
+      xs
+    }
+    val trailing = Seq(Seq("where"), Seq("group", "by"), Seq("having"),
+      Seq("qualify"), Seq("window"), Seq("order", "by"), Seq("limit"), Seq("offset"))
+    def cutJoin(tail: String): (String, String) = {
+      val tsc = scan(tail)
+      val cutC = trailing.flatMap(w => topLevelKeyword(tail, tsc, w).headOption)
+      val cut = if (cutC.isEmpty) tail.length else cutC.min
+      (tail.substring(0, cut).trim, tail.substring(cut).trim)
+    }
+    if (matchesWord(q, st, "from")) {
+      if (kw <= st) return None
+      val x = simpleLeft(q.substring(st + 4, kw))
+      val (join, rest) = cutJoin(q.substring(kw))
+      Some(if (rest.isEmpty) s"from $x |> $join" else s"from $x |> $join |> $rest")
+    } else if (matchesWord(q, st, "select")) {
+      val fromPos = topLevelKeyword(q, sc, Seq("from")).headOption.getOrElse(return None)
+      if (fromPos > kw) return None
+      val sel = q.substring(st + "select".length, fromPos).trim
+      val x = simpleLeft(q.substring(fromPos + 4, kw))
+      val (join, rest) = cutJoin(q.substring(kw))
+      val selStage = if (rest.isEmpty) s"select $sel" else s"select $sel $rest"
+      Some(s"from $x |> $join |> $selStage")
+    } else None
   }
 
   /** DuckDB `POSITIONAL JOIN <rel>` stage (row-by-row zip; Spark has no

@@ -606,10 +606,19 @@ object PsqlRewriter {
       else Some(tail.substring(offPos + "offset".length, segEnd(offPos)).trim)
     distinctOn match {
       case Some((onExprs, rest)) =>
-        val pickOrder = orderByText.getOrElse(shims(onExprs))
-        val pred = s"row_number() OVER (PARTITION BY ${shims(onExprs)} ORDER BY $pickOrder) = 1"
-        val inner = s"SELECT *, ($pred) AS __distinct_on__ $core"
         val proj = if (rest.isEmpty) "* EXCEPT (__distinct_on__)" else shims(rest)
+        // the window's partition/pick run INSIDE the select (against the
+        // unprojected rows), but DuckDB resolves their bare references
+        // through the OUTPUT aliases first — substitute `alias` → `(expr)`
+        // so `DISTINCT ON (par) … ORDER BY par` works when par is a
+        // select-list alias (the outer ORDER BY keeps the alias text; the
+        // projection is in scope there)
+        val aliasMap = selectAliases(proj)
+        val pickOrder = substituteAliases(
+          orderByText.getOrElse(shims(onExprs)), aliasMap)
+        val onKey = substituteAliases(shims(onExprs), aliasMap)
+        val pred = s"row_number() OVER (PARTITION BY $onKey ORDER BY $pickOrder) = 1"
+        val inner = s"SELECT *, ($pred) AS __distinct_on__ $core"
         val out = new StringBuilder(s"SELECT $proj FROM ( $inner ) WHERE __distinct_on__")
         orderByText.foreach(o => out.append(s" ORDER BY $o"))
         limit.foreach(l => out.append(s" LIMIT $l"))
@@ -640,6 +649,55 @@ object PsqlRewriter {
         offset.foreach(o => out.append(s" OFFSET $o"))
         Some(out.toString)
     }
+  }
+
+  /** Explicit `expr AS name` aliases of a select list (top-level commas,
+    * last top-level AS per item; bare or implicit aliases don't count).
+    */
+  private def selectAliases(sel: String): Map[String, String] = {
+    val sc = scan(sel)
+    val items = scala.collection.mutable.ListBuffer.empty[String]
+    var start = 0
+    for (i <- 0 until sel.length)
+      if (sc.topLevel(i) && sel.charAt(i) == ',') { items += sel.substring(start, i); start = i + 1 }
+    items += sel.substring(start)
+    items.iterator.flatMap { item =>
+      val isc = scan(item)
+      topLevelKeyword(item, isc, Seq("as")).lastOption.flatMap { asPos =>
+        val name = item.substring(asPos + 2).trim
+        val expr = item.substring(0, asPos).trim
+        if (name.nonEmpty && name.forall(isWordChar) && expr.nonEmpty) Some(name.toLowerCase -> expr)
+        else None
+      }
+    }.toMap
+  }
+
+  /** Replace bare, unqualified, non-call references to the alias names with
+    * their parenthesized expressions (DuckDB's output-alias resolution for
+    * sort/partition items).
+    */
+  private def substituteAliases(txt: String, aliases: Map[String, String]): String = {
+    if (aliases.isEmpty) return txt
+    val sc = scan(txt)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < txt.length) {
+      val hit = aliases.find { case (n, _) =>
+        sc.code(i) && matchesWord(txt, i, n) && {
+          val j = nextCode(txt, sc, i + n.length)
+          !(j >= 0 && txt.charAt(j) == '(')
+        } && {
+          var k = i - 1
+          while (k >= 0 && Character.isWhitespace(txt.charAt(k))) k -= 1
+          !(k >= 0 && txt.charAt(k) == '.')
+        }
+      }
+      hit match {
+        case Some((n, e)) => sb.append('(').append(e).append(')'); i += n.length
+        case None         => sb.append(txt.charAt(i)); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Assemble one stage into SELECT-first SQL over `prev` (None for a head
@@ -1422,7 +1480,11 @@ object PsqlRewriter {
   private[psql] def rewriteSeriesFns(text0: String): String = {
     var text = text0
     var guard = 0
-    val seriesFns = Seq("generate_series" -> "graft_series", "range" -> "graft_range")
+    // unnest's "target" is empty: `FROM unnest(e)` explodes e directly
+    // (DuckDB's table-form column is named `unnest`); the scalar-position
+    // occurrences are covered by the functionAliases unnest→explode entry
+    val seriesFns = Seq("generate_series" -> "graft_series", "range" -> "graft_range",
+      "unnest" -> "")
     while (guard < 100) {
       guard += 1
       val sc = scan(text)
@@ -1463,8 +1525,9 @@ object PsqlRewriter {
       }
       if (d > 0) return text
       val args = text.substring(open + 1, k - 1)
+      val inner = if (hitTarget.isEmpty) args else s"$hitTarget($args)"
       text = text.substring(0, hit) +
-        s"(select explode($hitTarget($args)) as $hitName)" +
+        s"(select explode($inner) as $hitName)" +
         text.substring(k)
     }
     // partially rewritten text would silently change series semantics —
@@ -2376,6 +2439,11 @@ object PsqlRewriter {
     // only on `range(`, so RANGE window frames (never parenthesized after
     // the keyword) and columns named range are untouched
     "range" -> "graft_range",
+    // select-list unnest over a LIST ≡ Spark's explode generator (row per
+    // element, other select items repeat per row — both engines); the
+    // FROM-position table form is rewritten in rewriteSeriesFns. DuckDB's
+    // struct-unnest (field flattening) is not covered — lists only.
+    "unnest" -> "explode",
     // DuckDB argmax family ≡ Spark max_by/min_by (same arg order/semantics)
     "arg_max" -> "max_by",
     "argmax" -> "max_by",
@@ -2400,7 +2468,26 @@ object PsqlRewriter {
     val sb = new StringBuilder
     var i = 0
     while (i < text.length) {
-      if (sc.code(i) && matchesWord(text, i, "count")) {
+      if (sc.code(i) && text.charAt(i) == '0' && i + 2 < text.length &&
+          (text.charAt(i + 1) == 'x' || text.charAt(i + 1) == 'X' ||
+            text.charAt(i + 1) == 'b' || text.charAt(i + 1) == 'B') &&
+          (i == 0 || !SqlScanner.isWordChar(text.charAt(i - 1))) && {
+            // DuckDB hex/binary integer literals (0xFF / 0b1010) → decimal
+            // (Spark has neither form; its x'FF' is a BYTES literal)
+            val radix = if (text.charAt(i + 1) == 'x' || text.charAt(i + 1) == 'X') 16 else 2
+            var e = i + 2
+            while (e < text.length && Character.digit(text.charAt(e), radix) >= 0) e += 1
+            val ok = e > i + 2 && (e >= text.length || !SqlScanner.isWordChar(text.charAt(e)))
+            if (ok) {
+              try {
+                sb.append(java.lang.Long.parseLong(text.substring(i + 2, e), radix).toString)
+                i = e
+              } catch { case _: NumberFormatException => sb.append(text.charAt(i)); i += 1 }
+            }
+            ok
+          }) {
+        // handled in the guard (append + advance happen there)
+      } else if (sc.code(i) && matchesWord(text, i, "count")) {
         // check for count ( )
         val open = nextCode(text, sc, i + 5)
         if (open >= 0 && text.charAt(open) == '(') {

@@ -164,6 +164,56 @@ class PlainSqlDialectSpec extends SparkSpec {
       == "2024-01-01 05:30:00.0")
   }
 
+  test("unnest over lists: select-list generator and FROM-position table form") {
+    assert(rows("SELECT unnest([1,2,3]) AS u") == Seq(Seq(1), Seq(2), Seq(3)))
+    assert(rows("SELECT u FROM unnest([10,20]) AS t(u)") == Seq(Seq(10), Seq(20)))
+    // other select items repeat per generated row (both engines)
+    val r = rows("from region |> select r_name, unnest([1,2]) as u |> order by r_name, u limit 4")
+    assert(r == Seq(Seq("AFRICA", 1), Seq("AFRICA", 2), Seq("AMERICA", 1), Seq("AMERICA", 2)))
+  }
+
+  test("hex and binary integer literals") {
+    assert(rows("SELECT 0xFF AS v, 0b1010 AS b") == Seq(Seq(255L, 10L)))
+    assert(rows("SELECT r_name FROM region WHERE r_regionkey = 0x03") == Seq(Seq("EUROPE")))
+    // word-boundary guarded: an identifier containing 0x is untouched
+    assert(rows("SELECT 10 AS a0xb") == Seq(Seq(10)))
+  }
+
+  test("DISTINCT ON resolves output aliases in the pick/partition (DuckDB rule)") {
+    // both pinned against DuckDB 1.0
+    assert(rows("select distinct on (r_regionkey % 2) r_regionkey % 2 as par, r_name " +
+      "from region order by par, r_name") == Seq(Seq(0, "AFRICA"), Seq(1, "AMERICA")))
+    assert(rows("select distinct on (par) r_regionkey % 2 as par, r_name " +
+      "from region order by par, r_name desc") == Seq(Seq(0, "MIDDLE EAST"), Seq(1, "EUROPE")))
+  }
+
+  test("ASOF/POSITIONAL JOIN statement spellings lower onto the operator plans") {
+    spark.sql("SELECT * FROM (VALUES (1, 10.0), (1, 20.0), (2, 30.0)) v(k, ts)")
+      .createOrReplaceTempView("asof_lft")
+    spark.sql("SELECT * FROM (VALUES (1, 0.0, 'a'), (1, 15.0, 'b'), (2, 25.0, 'c')) v(k, rts, tag)")
+      .createOrReplaceTempView("asof_rgt")
+    // backward asof per key — DuckDB-pinned: each left row takes the
+    // latest right row at-or-before its ts
+    val asof = psql.sql("SELECT * FROM asof_lft l ASOF JOIN asof_rgt r " +
+      "ON l.k = r.k AND l.ts >= r.rts ORDER BY ts").collect()
+    assert(asof.map(_.getString(3)).toSeq == Seq("a", "b", "c"))
+    // positional statement form: row-by-row zip, not a cross join (before
+    // r17 Spark parsed POSITIONAL as an alias and silently cross-joined)
+    val pos = psql.sql("SELECT r_regionkey, n_name FROM region POSITIONAL JOIN nation LIMIT 3")
+      .collect()
+    assert(pos.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "NATION_0"), (1, "NATION_1"), (2, "NATION_2")))
+    // from-first spelling, with a trailing stage
+    assert(psql.sql("from region positional join nation |> limit 2").count() == 2)
+  }
+
+  test("unloworable join statements THROW instead of silently mis-joining") {
+    val e = intercept[IllegalArgumentException] {
+      psql.sql("SELECT * FROM region, nation POSITIONAL JOIN region")
+    }
+    assert(e.getMessage.contains("composite left side"), e.getMessage)
+  }
+
   test("the injected parser keeps plain SQL in HOST dialect (strictly additive)") {
     // library path: 1-based; vanilla spark.sql: the same text is Spark's
     // 0-based GetArrayItem — proving the routing is the library's, not a
