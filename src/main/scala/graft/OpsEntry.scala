@@ -5250,13 +5250,13 @@ object OpsEntry {
         // HAVING, before ORDER BY), lowered to the hidden-column filter the
         // pipe stage uses; oracle is the IDENTICAL text.
         graft.psql.Psql(s).sql("""SELECT c_mktsegment, c_custkey, c_acctbal,
-          |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+          |  cast(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) as bigint) AS rn
           |FROM customer
           |QUALIFY rn <= 3
           |ORDER BY c_mktsegment, rn""".stripMargin)
       },
       Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
-        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  cast(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) as bigint) AS rn
         |FROM customer
         |QUALIFY rn <= 3
         |ORDER BY c_mktsegment, rn""".stripMargin)),
