@@ -1215,8 +1215,48 @@ def plaindialect_script(name):
     query-headed plain statements through the pipe-stage shims
     (Psql.rewriteOnly / PsqlRewriter.plainSelectRewrite); DuckDB executes
     the text natively. (l_orderkey, l_linenumber) is unique, so every
-    pick/tiebreak below is fully deterministic."""
-    v = rnd.randrange(5)
+    pick/tiebreak below is fully deterministic. r17b adds AT TIME ZONE
+    conversion chains (every output ends NAIVE — a TIMESTAMPTZ cell would
+    canon with its offset) and the ASOF/POSITIONAL statement spellings
+    (before r17 those silently cross-/theta-joined)."""
+    v = rnd.randrange(8)
+    if v == 5:
+        tzs = ["America/New_York", "Europe/Berlin", "Asia/Kolkata",
+               "Australia/Sydney", "Asia/Tokyo"]
+        tz1, tz2 = rnd.sample(tzs, 2)
+        p = rnd.randrange(50, 400)
+        q = (f"SELECT event_id, ts AT TIME ZONE 'UTC' AT TIME ZONE '{tz1}' AS w1, "
+             f"timezone('{tz2}', timezone('UTC', ts)) AS w2 "
+             f"FROM events WHERE event_id % {p} = 0 ORDER BY event_id LIMIT 150")
+        return {"name": name, "psql": q, "duck_script": [q]}
+    if v == 6:
+        # POSITIONAL statement form: both sides built as ordered tables
+        # (TakeOrderedAndProject writes a single in-order file; DuckDB temp
+        # tables preserve insertion order) — the zip is then deterministic
+        t = f"fz_{name}"
+        n = rnd.randrange(20, 80)
+        lsel = (f"select l_orderkey as k, l_linenumber as ln from lineitem "
+                f"order by l_orderkey, l_linenumber limit {n}")
+        rsel = f"select o_orderkey from orders order by o_orderkey desc limit {n}"
+        stmt = f"SELECT k, ln, o_orderkey FROM {t}_l POSITIONAL JOIN {t}_r"
+        return {"name": name,
+                "psql": "\n;;\n".join([f"create or replace table {t}_l as {lsel}",
+                                       f"create or replace table {t}_r as {rsel}", stmt]),
+                "duck_script": [f"CREATE OR REPLACE TEMP TABLE {t}_l AS {lsel}",
+                                f"CREATE OR REPLACE TEMP TABLE {t}_r AS {rsel}", stmt]}
+    if v == 7:
+        # ASOF statement form (the a24 shape): unique (key, time) right side
+        t = f"fz_{name}"
+        p = rnd.randrange(2, 6)
+        op = rnd.choice([">=", ">"])
+        rsel = ("select user_id, ts as pts, max(value) as pv from events "
+                "where event_type = 'purchase' group by user_id, ts")
+        stmt = (f"SELECT event_id, pv FROM events ASOF JOIN {t}_r "
+                f"ON events.user_id = {t}_r.user_id AND events.ts {op} {t}_r.pts "
+                f"WHERE event_id % {p} = 0 ORDER BY event_id")
+        return {"name": name,
+                "psql": "\n;;\n".join([f"create or replace table {t}_r as {rsel}", stmt]),
+                "duck_script": [f"CREATE OR REPLACE TEMP TABLE {t}_r AS {rsel}", stmt]}
     if v == 0:
         # expression battery
         k = rnd.choice([1, 2, -1])
