@@ -798,11 +798,15 @@ object PsqlRewriter {
           throw new IllegalArgumentException(
             "DISTINCT ON cannot be combined with GROUP BY/HAVING/QUALIFY/WINDOW in one stage — " +
               "split the pipeline into separate stages")
-        val pickOrder = orderBy.getOrElse(shims(onExprs))
-        val pred = s"row_number() OVER (PARTITION BY ${shims(onExprs)} ORDER BY $pickOrder) = 1"
+        val proj = if (rest.isEmpty) "* EXCEPT (__distinct_on__)" else shims(rest)
+        // output aliases resolve in the pick/partition (DuckDB's rule) —
+        // same substitution as the plain-statement path
+        val aliasMap = selectAliases(proj)
+        val pickOrder = substituteAliases(orderBy.getOrElse(shims(onExprs)), aliasMap)
+        val onKey = substituteAliases(shims(onExprs), aliasMap)
+        val pred = s"row_number() OVER (PARTITION BY $onKey ORDER BY $pickOrder) = 1"
         val inner = new StringBuilder(s"SELECT *, ($pred) AS __distinct_on__ FROM $fromWithSample")
         where.foreach(w => inner.append(s" WHERE $w"))
-        val proj = if (rest.isEmpty) "* EXCEPT (__distinct_on__)" else shims(rest)
         val outer = new StringBuilder(
           s"SELECT $proj FROM ( ${inner.toString} ) WHERE __distinct_on__")
         orderBy.foreach(o => outer.append(s" ORDER BY $o"))
@@ -2414,6 +2418,14 @@ object PsqlRewriter {
     "regexp_matches" -> "regexp_like",
     "string_split" -> "split",
     "str_split" -> "split",
+    "string_to_array" -> "split",
+    // strpos(str, sub) ≡ Spark instr(str, substr) — same 1-based, same
+    // arg order (Spark's position/locate REVERSE the args; instr doesn't)
+    "strpos" -> "instr",
+    "starts_with" -> "startswith",
+    "prefix" -> "startswith",
+    "ends_with" -> "endswith",
+    "suffix" -> "endswith",
     "strlen" -> "length",
     // printf-style formatting: identical % codes in both engines
     "printf" -> "format_string",
@@ -2544,6 +2556,37 @@ object PsqlRewriter {
             i = end + 1
           } else { sb.append(text.charAt(i)); i += 1 }
         } else { sb.append(text.charAt(i)); i += 1 }
+      } else if (sc.code(i) &&
+          (matchesWord(text, i, "list_reverse_sort") || matchesWord(text, i, "list_unique")) && {
+          val w = if (matchesWord(text, i, "list_reverse_sort")) "list_reverse_sort".length
+                  else "list_unique".length
+          val open = nextCode(text, sc, i + w)
+          open >= 0 && text.charAt(open) == '('
+        }) {
+        // list_reverse_sort(l) → sort_array(l, false) (both engines put
+        // NULLs last in descending order — probed); list_unique(l) → the
+        // COUNT of distinct NON-NULL elements (DuckDB returns a count,
+        // not a list, and excludes NULL — probed on 1.0)
+        val isRev = matchesWord(text, i, "list_reverse_sort")
+        val word = if (isRev) "list_reverse_sort" else "list_unique"
+        val open = nextCode(text, sc, i + word.length)
+        var k = open + 1
+        var d = 1
+        while (d > 0 && k < text.length) {
+          if (sc.code(k)) {
+            if (text.charAt(k) == '(') d += 1
+            else if (text.charAt(k) == ')') d -= 1
+          }
+          k += 1
+        }
+        if (d > 0) { sb.append(text.charAt(i)); i += 1 }
+        else {
+          val inner = shims(text.substring(open + 1, k - 1))
+          if (isRev) sb.append("sort_array(").append(inner).append(", false)")
+          else sb.append("size(filter(array_distinct(").append(inner)
+            .append("), __lu -> __lu is not null))")
+          i = k
+        }
       } else if (sc.code(i) &&
           (matchesWord(text, i, "strftime") || matchesWord(text, i, "strptime") ||
             matchesWord(text, i, "epoch")) && {

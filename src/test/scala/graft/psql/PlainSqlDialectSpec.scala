@@ -172,6 +172,19 @@ class PlainSqlDialectSpec extends SparkSpec {
     assert(r == Seq(Seq("AFRICA", 1), Seq("AFRICA", 2), Seq("AMERICA", 1), Seq("AMERICA", 2)))
   }
 
+  test("string/list function aliases (all DuckDB-1.0-pinned)") {
+    assert(rows("SELECT strpos('hello', 'll') AS p") == Seq(Seq(3)))
+    assert(rows("SELECT starts_with('hello','he') AS s, ends_with('hello','lo') AS e, " +
+      "suffix('hello','lo') AS sf, prefix('hello','he') AS pf")
+      == Seq(Seq(true, true, true, true)))
+    assert(psql.sql("SELECT string_to_array('a,b', ',') AS l")
+      .collect().head.getSeq[String](0) == Seq("a", "b"))
+    assert(psql.sql("SELECT list_reverse_sort([1,3,2]) AS r")
+      .collect().head.getSeq[Int](0) == Seq(3, 2, 1))
+    // list_unique is a COUNT of distinct non-NULL elements in DuckDB
+    assert(rows("SELECT list_unique([1,1,2]) AS n") == Seq(Seq(2)))
+  }
+
   test("hex and binary integer literals") {
     assert(rows("SELECT 0xFF AS v, 0b1010 AS b") == Seq(Seq(255L, 10L)))
     assert(rows("SELECT r_name FROM region WHERE r_regionkey = 0x03") == Seq(Seq("EUROPE")))
@@ -185,6 +198,9 @@ class PlainSqlDialectSpec extends SparkSpec {
       "from region order by par, r_name") == Seq(Seq(0, "AFRICA"), Seq(1, "AMERICA")))
     assert(rows("select distinct on (par) r_regionkey % 2 as par, r_name " +
       "from region order by par, r_name desc") == Seq(Seq(0, "MIDDLE EAST"), Seq(1, "EUROPE")))
+    // the pipe-STAGE spelling resolves the same way
+    assert(rows("from region |> select distinct on (par) r_regionkey % 2 as par, r_name " +
+      "order by par, r_name desc") == Seq(Seq(0, "MIDDLE EAST"), Seq(1, "EUROPE")))
   }
 
   test("ASOF/POSITIONAL JOIN statement spellings lower onto the operator plans") {
