@@ -17,6 +17,17 @@ object OpsEntry {
   private def withTables(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { Tables.register(s, dir); f(s, dir) }
 
+  /** The documents table, spread across the session's cores before the
+    * per-row CPU-heavy text batteries (regex profiling, token scoring):
+    * the testdata corpus is one single-row-group parquet file, so without
+    * this every map-side battery ran in ONE task ([[operators.Spread]]
+    * scaladoc; a well-split corpus makes it a no-op). Used by the rows
+    * whose dominant cost is map-side text work — thin projections don't
+    * bother.
+    */
+  private def spreadDocs(s: SparkSession): DataFrame =
+    Spread.spread(s.table("documents"), "doc_id")
+
   /** Trained centroids for the fixed-centroid oracle-parity family
     * (d21/d22), cached per sfDir: the SAME doubles must reach the Spark
     * query and the generated DuckDB SQL, and training is deterministic
@@ -1635,11 +1646,11 @@ object OpsEntry {
       "q50_percentiles_scale",
       withTables { (s, _) =>
         val li = s.table("lineitem")
-        val qty = Percentiles.exactByGroup(li, "l_returnflag", "l_quantity",
-          Seq("p50" -> 0.5, "p95" -> 0.95))
-        val price = Percentiles.exactByGroup(li, "l_returnflag", "l_extendedprice",
-          Seq("p25_price" -> 0.25))
-        qty.join(price, Seq("l_returnflag")).orderBy("l_returnflag")
+        // one multi-column distributed-selection pass (r17) — the q37 note
+        Percentiles.exactByGroupMulti(li, "l_returnflag", Seq(
+            "l_quantity" -> Seq("p50" -> 0.5, "p95" -> 0.95),
+            "l_extendedprice" -> Seq("p25_price" -> 0.25)))
+          .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
         |  cast(quantile_cont(l_quantity, 0.5) as double) AS p50,
@@ -1650,7 +1661,7 @@ object OpsEntry {
     QueryDef(
       "t01_langid",
       withTables { (s, _) =>
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
           .orderBy("doc_id")
       },
@@ -1660,7 +1671,7 @@ object OpsEntry {
       "t02_quality_score",
       withTables { (s, _) =>
         val stats = TextFunctions.qualityStats(col("text"))
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
           .orderBy("doc_id")
       },
@@ -1680,7 +1691,7 @@ object OpsEntry {
       "t03_token_counts",
       withTables { (s, _) =>
         val counts = TextFunctions.tokenCounts(col("text"))
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id") +: counts.map { case (n, c) => c.as(n) }: _*)
           .orderBy("doc_id")
       },
@@ -1692,7 +1703,7 @@ object OpsEntry {
     QueryDef(
       "t04_fingerprint",
       withTables { (s, _) =>
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id")
       },
@@ -1708,6 +1719,9 @@ object OpsEntry {
     QueryDef(
       "t05_heavy_hitters",
       withTables { (s, _) =>
+        // NOT spread: topK is a SpaceSaving sketch UDAF — its merge path is
+        // sensitive to how partial sketches split, so the input layout stays
+        // exactly as scanned
         val tokens = s.table("documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
         tokens.groupBy("lang")
@@ -1967,7 +1981,7 @@ object OpsEntry {
         val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or +1 555 0100 from 10.0."),
           (col("doc_id") % 256).cast("string"), lit(".7 ok"))
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"), TextFunctions.redactPii(aug).as("clean"))
           .orderBy("doc_id")
       },
@@ -1988,7 +2002,7 @@ object OpsEntry {
         // is plain text), identically in both engines
         val aug = concat(lit("<div class=\"post\"><p>**"), col("text"),
           lit("**</p>&nbsp;<br/># footer_"), col("doc_id").cast("string"), lit("</div>"))
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"), TextFunctions.stripMarkup(aug).as("clean"))
           .orderBy("doc_id")
       },
@@ -2013,7 +2027,7 @@ object OpsEntry {
         // hash-checked. The fold is ORDERED on both engines (list
         // arithmetic, not a GROUP BY sum).
         val (v, oov) = fixedUnigramLm(dir)
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"),
             TextFunctions.lmScore(col("text"), v.toMap, oov).as("lm_nll"))
           .orderBy("doc_id")
@@ -2028,7 +2042,7 @@ object OpsEntry {
     QueryDef(
       "t08_repetition_ratio",
       withTables { (s, _) =>
-        s.table("documents")
+        spreadDocs(s)
           .select(col("doc_id"), TextFunctions.repetitionRatio(col("text"), 3).as("rep_ratio"))
           .orderBy("doc_id")
       },
@@ -2761,7 +2775,7 @@ object OpsEntry {
         // the shortest-round-trip doubles of 1/3 and 2/3, spelled
         // identically in the oracle.
         val (v, oov) = fixedUnigramLm(dir)
-        val scored = s.table("documents").select(col("doc_id"),
+        val scored = spreadDocs(s).select(col("doc_id"),
           graft.functions.TextFunctions.lmScore(col("text"), v.toMap, oov).as("lm_nll"))
         val cuts = graft.operators.Percentiles.exactByGroup(
           scored.withColumn("__one", lit(1)), "__one", "lm_nll",
@@ -2793,7 +2807,7 @@ object OpsEntry {
         // metrics + the combined verdict from one map-side pass
         val cols = graft.functions.TextFunctions.gopherQuality(col("text"))
           .map { case (n, c) => c.as(n) }
-        s.table("documents")
+        spreadDocs(s)
           .select((col("doc_id") +: cols): _*)
           .orderBy("doc_id")
       },
@@ -2852,7 +2866,7 @@ object OpsEntry {
             array(lit("thanks for reading"))), "\n")
         val cols = graft.functions.TextFunctions.c4Clean(col("__aug"))
           .map { case (n, c) => c.as(n) }
-        s.table("documents")
+        spreadDocs(s)
           .withColumn("__aug", aug)
           .select((col("doc_id") +: cols): _*)
           .orderBy("doc_id")

@@ -487,11 +487,13 @@ object SparkEntry {
         Tables.register(s, dir)
         import org.apache.spark.sql.functions.col
         val li = s.table("lineitem")
-        val qty = operators.Percentiles.exactByGroup(li, "l_returnflag", "l_quantity",
-          Seq("p50" -> 0.5, "p95" -> 0.95))
-        val price = operators.Percentiles.exactByGroup(li, "l_returnflag", "l_extendedprice",
-          Seq("p25_price" -> 0.25))
-        qty.join(price, Seq("l_returnflag")).orderBy("l_returnflag")
+        // both value columns in ONE distributed-selection pass (r17): one
+        // global sort + one row-index job + one rank-pick join instead of
+        // a full pipeline per column joined at the end — same exact values
+        operators.Percentiles.exactByGroupMulti(li, "l_returnflag", Seq(
+            "l_quantity" -> Seq("p50" -> 0.5, "p95" -> 0.95),
+            "l_extendedprice" -> Seq("p25_price" -> 0.25)))
+          .orderBy("l_returnflag")
           .select(col("l_returnflag"), col("p50"), col("p95"), col("p25_price"))
       },
       Some("""SELECT l_returnflag,

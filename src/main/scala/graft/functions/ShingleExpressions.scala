@@ -26,6 +26,61 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleHash {
 
+  /** `|distinct(a) ∩ b|` for long arrays — open-addressed primitive hash
+    * sets, no boxing, no result array; called from [[IntersectCountExpr]]
+    * codegen. Equals `size(array_intersect(a, b))` including NULL-element
+    * semantics (a NULL present in both sides counts once) — persisted
+    * index tables read their hash arrays back as containsNull=true, so the
+    * kernel cannot assume null-free input.
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0
+    // power-of-two capacity ≥ 2n keeps load factor ≤ 0.5
+    def cap(n: Int): Int = Integer.highestOneBit(math.max(4, n) * 2 - 1) << 1
+    def slot(v: Long, mask: Int): Int =
+      (((v ^ (v >>> 32)).toInt * 0x9E3779B1) >>> 1) & mask
+    val bCap = cap(nb); val bMask = bCap - 1
+    val bTab = new Array[Long](bCap)
+    val bUsed = new Array[Boolean](bCap)
+    var bHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        var j = slot(v, bMask)
+        while (bUsed(j) && bTab(j) != v) j = (j + 1) & bMask
+        if (!bUsed(j)) { bUsed(j) = true; bTab(j) = v }
+      }
+      i += 1
+    }
+    // dedup matched elements of a (array_intersect counts duplicates once)
+    val sCap = cap(math.min(na, nb)); val sMask = sCap - 1
+    val sTab = new Array[Long](sCap)
+    val sUsed = new Array[Boolean](sCap)
+    var seenNull = false
+    var cnt = 0
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !seenNull) { seenNull = true; cnt += 1 }
+      } else {
+        val v = a.getLong(i)
+        var j = slot(v, bMask)
+        while (bUsed(j) && bTab(j) != v) j = (j + 1) & bMask
+        if (bUsed(j)) { // v ∈ b; count once
+          var k = slot(v, sMask)
+          while (sUsed(k) && sTab(k) != v) k = (k + 1) & sMask
+          if (!sUsed(k)) { sUsed(k) = true; sTab(k) = v; cnt += 1 }
+        }
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** First band (rowsPerBand consecutive positions) where the two MinHash
     * signatures agree elementwise, -1 if none — early-exit primitive loop,
     * called from [[FirstAgreeingBandExpr]] codegen.
@@ -758,6 +813,43 @@ case class FirstAgreeingBandExpr(left: Expression, right: Expression, rowsPerBan
     copy(left = newLeft, right = newRight)
 }
 
+/** `|distinct(a) ∩ b|` over two `array<bigint>` columns — the
+  * count `size(array_intersect(a, b))` computes, without materializing the
+  * intersection ARRAY the generic expression builds per row (a
+  * GenericArrayData of boxed results that exists only to be counted and
+  * discarded). Every dedup verify stage evaluates this once per candidate
+  * pair over 100s-long hash arrays, so the allocation-free primitive loop
+  * is the difference between the verify stage being intersection-bound and
+  * join-bound (optimization guide: eliminate non-codegen/allocating
+  * expressions in the hot path). Distinct-of-a semantics match
+  * array_intersect exactly (duplicates in `a` count once), though every
+  * caller passes distinct-by-construction sets anyway.
+  */
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    // containsNull is allowed: persisted index tables round-trip hash
+    // arrays through parquet as containsNull=true, and the kernel
+    // implements array_intersect's NULL-element rule directly
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<bigint>, array<bigint>), got $other")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleHash.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleHash.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleFunctions {
   /** Hashed word n-gram shingles of a text column, in document order. */
   def shingleHashes(text: Column, n: Int): Column =
@@ -787,6 +879,14 @@ object ShingleFunctions {
     */
   def ophSignature(hashes: Column, k: Int, c: Long): Column =
     ColumnBridge.column(OphSigExpr(ColumnBridge.expression(hashes), k, c))
+
+  /** `|distinct(a) ∩ b|` ≡ `size(array_intersect(a, b))` for long arrays
+    * (incl. NULL elements), without materializing the intersection
+    * (verify-stage hot path).
+    */
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** First band where two MinHash signatures agree elementwise, -1 if none
     * (st09's exactly-once emission test).

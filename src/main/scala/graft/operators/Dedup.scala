@@ -34,7 +34,7 @@ object Dedup {
     * MIN-based consumers don't care, set consumers dedup in the array.
     */
   def hashedShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Spread.spread(df, col(idCol), col(textCol)).select(col(idCol).as("id"),
       explode(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("h"))
 
   /** Per-doc hashed shingle sets: (id, hs array<long>, sz). Entirely
@@ -44,7 +44,7 @@ object Dedup {
     * every sz is >= 1, so downstream Jaccard denominators never hit 0/0.
     */
   def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
         array_distinct(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("hs"))
       .where(size(col("hs")) > 0)
       .select(col("id"), col("hs"), size(col("hs")).as("sz"))
@@ -161,7 +161,8 @@ object Dedup {
         Seq("id_a"))
       .join(sorted.select(col("id").as("id_b"), col("hs").as("sh_b"), col("sz").as("sz_b")),
         Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -243,7 +244,7 @@ object Dedup {
       k: Int = 5,
       w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: got k=$k w=$w")
-    df.where(col(textCol).isNotNull)
+    Spread.spread(df, col(idCol)).where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
       .where(size(col("__w")) >= k + w - 1) // guards sequence() against negative bounds too
       .select(col("id"),
@@ -359,7 +360,7 @@ object Dedup {
     val rows = numHashes / bands
     val (a, b) = hashParams(numHashes)
     def banded(df: DataFrame): DataFrame = {
-      val sig = df.select(col(idCol).as("id"),
+      val sig = Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
           graft.functions.ShingleFunctions.minhashSignature(
             graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
             .as("sig"))
@@ -394,7 +395,8 @@ object Dedup {
     val setsB = hashedShingleSets(reference, idCol, textCol, shingleSize)
       .select(col("id").as("rid"), col("hs").as("sh_b"))
     val losers = cand.join(setsA, Seq("id")).join(setsB, Seq("rid"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .where(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= threshold)
       .select(col("id").as(idCol)).distinct()
@@ -461,7 +463,7 @@ object Dedup {
     // Duplicate shingles in the array are harmless: MIN over a multiset
     // equals MIN over its set.
     val (a, b) = hashParams(numHashes)
-    val sig = df.select(col(idCol).as("id"),
+    val sig = Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
         graft.functions.ShingleFunctions.minhashSignature(
           graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
           .as("sig"))
@@ -500,7 +502,8 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -542,7 +545,7 @@ object Dedup {
     import graft.functions.ShingleFunctions.{md5ShingleHashes, minhashSignature}
     val w = split(col(textCol), " ")
     val keep = keepCols.map(col)
-    df.where(size(w) >= shingleSize)
+    Spread.spread(df, col(idCol)).where(size(w) >= shingleSize)
       .select((Seq(col(idCol).as("id"),
         md5ShingleHashes(col(textCol), shingleSize).as("hs")) ++ keep): _*)
       .select((Seq(col("id"), col("hs"),
@@ -595,7 +598,8 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", round(
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .where(col("jaccard") >= threshold)
@@ -710,7 +714,8 @@ object Dedup {
     val losers = cand
       .join(fa.select(col("id"), col("hs").as("sh_a")), Seq("id"))
       .join(fb.select(col("id").as("rid"), col("hs").as("sh_b")), Seq("rid"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("j", round(
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .where(col("j") >= threshold)
@@ -866,7 +871,8 @@ object Dedup {
       .join(frame.select(col("id"), col("hs").as("sh_a")), Seq("id"))
       .join(spark.table(s"${table}_docs").select(col("id").as("rid"), col("hs").as("sh_b")),
         Seq("rid"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.ShingleFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("j", round(
         col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .where(col("j") >= threshold)
@@ -1001,7 +1007,8 @@ object Dedup {
     // the component node set, the representative ranking) — materialize the
     // assignment once (lazy local checkpoint, the curate lesson) instead of
     // re-running the centroid scan per consumer
-    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = Spread.spread(df, col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("cid", element_at(topCentroids(col("v"), cents, 1), 1))
       .join(broadcast(centDf), Seq("cid"))
       .withColumn("cent_sim", round(Similarity.cosine(col("v"), col("cent")), 6))
@@ -1227,7 +1234,7 @@ object Dedup {
     val fp =
       if (md5Tokens) graft.functions.ShingleFunctions.simhashMd5(col(textCol))
       else graft.functions.ShingleFunctions.simhash64(col(textCol))
-    df.select(col(idCol).as("id"), fp.as("simhash"))
+    Spread.spread(df, col(idCol)).select(col(idCol).as("id"), fp.as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: LSH-block the 64-bit fingerprints so that
@@ -1395,7 +1402,7 @@ object Dedup {
     require(spanTokens > 0 && minDocs >= 2,
       s"dedupSpansKeepFirst: need spanTokens > 0, minDocs >= 2")
     // NULL text = empty doc (the dedupLines guard rationale)
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = Spread.spread(docs, col(idCol)).select(col(idCol).as("doc_id"),
       filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
     val spans = tok.where(size(col("w")) >= spanTokens)
       .select(col("doc_id"),
@@ -1438,7 +1445,7 @@ object Dedup {
     require(spanWords > 0 && minDocs >= 2, s"need spanWords > 0, minDocs >= 2")
     // NULL text = empty doc (size(null) is -1, which would slip past the
     // zero-span guard and corrupt n_removed)
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = Spread.spread(docs, col(idCol)).select(col(idCol).as("doc_id"),
       filter(split(coalesce(col(textCol), lit("")), " "), t => length(t) > lit(0)).as("w"))
     val nSpans = // ceil(|w| / spanWords), guarded so empty docs yield 0 spans
       floor((size(col("w")) + lit(spanWords - 1)).cast("double") / lit(spanWords)).cast("long")
@@ -1474,7 +1481,7 @@ object Dedup {
     */
   private def md5Grams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
         filter(split(coalesce(col(textCol), lit("")), " "),
           w => length(w) > lit(0)).as("__w"))
       .where(size(col("__w")) > 0)

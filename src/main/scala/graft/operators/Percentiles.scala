@@ -38,25 +38,54 @@ object Percentiles {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
-    val sorted = df
-      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      ps: Seq[(String, Double)]): DataFrame =
+    exactByGroupMulti(df, groupCol, Seq(valueCol -> ps))
+
+  /** [[exactByGroup]] over SEVERAL value columns in ONE pass (r17): the
+    * columns union into (columnId, group, value) rows so the whole request
+    * costs one global sort + one row-index pass + one rank-pick join
+    * instead of one full pipeline per column — same distributed-selection
+    * plan, same exact values, sort volume Σ|columns| either way. Output:
+    * one row per group carrying every requested percentile alias (aliases
+    * must be globally unique).
+    *
+    * @param specs (valueColumn, (outputColumn, fraction) pairs) per column
+    */
+  def exactByGroupMulti(
+      df: DataFrame,
+      groupCol: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall(_._2.nonEmpty))
+    val ps = specs.flatMap(_._2)
+    require(ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    require(ps.map(_._1).distinct.size == ps.size,
+      "exactByGroupMulti: output aliases must be unique across columns")
+    val sorted = specs.zipWithIndex.map { case ((valueCol, _), ci) =>
+        df.select(lit(ci).as("__c"), col(groupCol).as("__g"),
+          col(valueCol).cast("double").as("__v"))
+      }.reduce(_.unionAll(_))
       .where(col("__v").isNotNull)
-      .orderBy("__g", "__v")
+      .orderBy("__c", "__g", "__v")
     // the indexed data feeds the group aggregation and both rank-pick joins;
     // Spark's shuffle-stage reuse means those three consumers re-read the
     // sort's shuffle files (sequential scans) rather than re-sorting — no
     // checkpoint needed, and measured faster than an eager materialization
     val indexed = PositionalJoin.withRowIndex(sorted, "__idx")
-    val groups = indexed.groupBy("__g")
+    val groups = indexed.groupBy("__c", "__g")
       .agg(min("__idx").as("__off"), count(lit(1)).as("__n"))
     // one target row per (group, percentile) from a SINGLE pass over the
-    // group aggregates: explode a literal (name, fraction) array rather
-    // than unioning one aggregation subplan per percentile
-    val psLit = array(ps.map { case (name, p) =>
-      struct(lit(name).as("name"), lit(p).as("p"))
-    }: _*)
+    // group aggregates: explode a literal (name, fraction) array — picked
+    // per column id — rather than unioning one aggregation subplan per
+    // percentile
+    val psByCol = specs.zipWithIndex.map { case ((_, cps), ci) =>
+      ci -> array(cps.map { case (name, p) =>
+        struct(lit(name).as("name"), lit(p).as("p"))
+      }: _*)
+    }
+    val psLit = psByCol.tail.foldLeft(
+      when(col("__c") === psByCol.head._1, psByCol.head._2)) {
+      case (acc, (ci, arr)) => acc.when(col("__c") === ci, arr)
+    }
     val pos = col("pp.p") * (col("__n") - 1).cast("double")
     val targets = groups
       .select(col("__g"), col("__off"), col("__n"), explode(psLit).as("pp"))

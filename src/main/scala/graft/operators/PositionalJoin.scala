@@ -26,10 +26,28 @@ object PositionalJoin {
     l.join(r, Seq("__pos"), "full_outer").sort("__pos").drop("__pos")
   }
 
+  /** Contiguous global row index appended in Tungsten format (r17): the
+    * earlier `df.rdd.zipWithIndex` deserialized every field to external Scala
+    * objects and `createDataFrame` re-encoded them — two full per-row
+    * conversions that exist only to carry one extra long. This version zips
+    * the INTERNAL row stream and re-projects to unsafe rows in place; the
+    * index values and schema are identical.
+    */
   def withRowIndex(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
     val spark = df.sparkSession
     val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
+    val rdd: org.apache.spark.rdd.RDD[InternalRow] =
+      df.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+        val joined = new JoinedRow
+        val idxRow = new SpecificInternalRow(Seq(LongType))
+        val proj = UnsafeProjection.create(schema)
+        it.map { case (row, i) =>
+          idxRow.setLong(0, i)
+          proj(joined(row, idxRow)) // buffer reuse is safe: consumers copy on buffer
+        }
+      }
+    org.apache.spark.sql.graftbridge.ColumnBridge.internalDataFrame(spark, rdd, schema)
   }
 }

@@ -232,10 +232,11 @@ object TimeSeries {
     * population variance of the PRECEDING `lookback` observations (current
     * row excluded — the score is out-of-sample); rows with `|z| > threshold`
     * and a warm history (`n ≥ minObs`) are flagged. Mean and variance come
-    * from ordered left-folds over the frame array (sum seeded with the
-    * first element, sum-of-squares over the squared array), so both engines
-    * add the identical doubles in the identical order — with IEEE-exact
-    * ±·/·sqrt that makes z bit-stable, and the threshold comparison with it.
+    * from sliding-window SUM/COUNT aggregates whose in-frame-order adds are
+    * bit-identical to the ordered left-folds the oracle states (see the
+    * inline note), so both engines add the identical doubles in the
+    * identical order — with IEEE-exact ±·/·sqrt that makes z bit-stable,
+    * and the threshold comparison with it.
     *
     * Scale shape: one hash exchange on the group key, one sort, bounded
     * K-element frame buffer per row; the anomaly filter is map-side after
@@ -259,28 +260,33 @@ object TimeSeries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("g").orderBy(col("t"), col("tb"))
       .rowsBetween(-lookback, -1)
-    val n = size(col("arr")).cast("double")
-    // ordered left-folds: sum seeded with arr[0] (DuckDB list_reduce
-    // semantics); sum of squares folds the squared array the same way —
-    // squares are non-negative, so the ±0.0 seeding pitfall can't bite.
-    // Null-safe `get` seeds (not element_at): Catalyst may evaluate these
-    // before the warm-up size filter, and the first row per group has an
-    // EMPTY preceding frame — a null seed just yields a null that the
-    // filter drops, where element_at would throw.
-    val sum1 = aggregate(slice(col("arr"), lit(2), lit(lookback)),
-      get(col("arr"), lit(0)), (a, x) => a + x)
-    val sq = transform(col("arr"), x => x * x)
-    val sum2 = aggregate(slice(sq, lit(2), lit(lookback)),
-      get(sq, lit(0)), (a, x) => a + x)
+    // Plain sliding-window SUM/COUNT aggregates instead of the earlier
+    // collect_list array + interpreted left-folds (optimization round 17):
+    // Spark re-evaluates a sliding frame's Sum by adding the frame's values
+    // IN FRAME ORDER from a 0.0-initialized buffer, and 0.0 + x == x
+    // bit-exactly for every non-(-0.0) double, so sum(v) over the frame is
+    // the SAME IEEE add sequence as the fold seeded with the frame's first
+    // element (DuckDB list_reduce) — identical bits, without materializing
+    // a lookback-sized array copy + two lambda folds per row. (-0.0 cannot
+    // change any OUTPUT here: a frame summing to ±0.0 yields sigma == 0,
+    // which the sigma > 0 filter drops either way.) The empty-frame NULL
+    // seed the old `get(arr, 0)` provided is now Sum's own NULL-on-empty.
+    val n = count(col("v")).over(w).cast("double")
+    val sum1 = sum(col("v")).over(w)
+    val sum2 = sum(col("v") * col("v")).over(w)
     df.select(col(groupCol).as("g"), col(tsCol).as("t"), col(tiebreakCol).as("tb"),
         col(valCol).cast("double").as("v"))
-      // collect_list drops NULLs (DuckDB array_agg keeps them) — dropping
-      // the rows up front keeps the frame arrays identical cross-engine.
+      // NULL rows dropped up front (DuckDB array_agg kept them in the old
+      // array formulation; the frame contents stay identical cross-engine).
       .where(col("v").isNotNull)
-      .withColumn("arr", collect_list(col("v")).over(w))
-      .where(size(col("arr")) >= minObs)
-      .withColumn("mu", sum1 / n)
-      .withColumn("sigma", sqrt(sum2 / n - col("mu") * col("mu")))
+      // all three frame aggregates BEFORE the warm-up filter (one Window
+      // exec; a window evaluated after the filter would see pruned frames)
+      .withColumn("__n", n)
+      .withColumn("__s1", sum1)
+      .withColumn("__s2", sum2)
+      .where(col("__n") >= minObs)
+      .withColumn("mu", col("__s1") / col("__n"))
+      .withColumn("sigma", sqrt(col("__s2") / col("__n") - col("mu") * col("mu")))
       .withColumn("z", (col("v") - col("mu")) / col("sigma"))
       .where(col("sigma") > 0.0 && abs(col("z")) > threshold)
       .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
@@ -448,10 +454,12 @@ object TimeSeries {
         expr(s"cast(sum(cast($valCol as decimal(18,2))) as double)").as("sv"))
       .withColumn("m", col("sv") / col("n"))
     val w = Window.partitionBy("g").orderBy("b").rowsBetween(-11, 12)
+    // window SUM/COUNT instead of collect_list + interpreted fold: Spark's
+    // sliding Sum adds the frame's values in frame order from a
+    // 0.0-initialized buffer — the IDENTICAL IEEE add sequence as the
+    // 0.0-seeded fold this replaces, with no per-row array copy (r17)
     val tr = hourly
-      .withColumn("arr", collect_list(col("m")).over(w))
-      .withColumn("trend",
-        expr("aggregate(arr, cast(0.0 as double), (a, x) -> a + x)") / size(col("arr")))
+      .withColumn("trend", sum(col("m")).over(w) / count(col("m")).over(w))
       .withColumn("dtr", col("m") - col("trend"))
       .withColumn("ds",
         floor((col("m") - col("trend")) * lit(1000000.0) + lit(0.5)).cast("bigint"))

@@ -392,7 +392,7 @@ object TrainingPipeline {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens: got chunkTokens=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    df.where(col(textCol).isNotNull)
+    Spread.spread(df, col(idCol)).where(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__w"))
       .select(col(idCol), col("__w"),
         posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
@@ -455,7 +455,10 @@ object TrainingPipeline {
       minSharedFp: Long = 2L,
       materialize: Materialize = Materialize.Checkpoint): DataFrame = {
     val stats = TextFunctions.qualityStats(col(textCol))
-    val annotated = docs
+    // annotation (langid + quality regexes) is the pipeline's per-row CPU
+    // floor and runs fused into the scan stage — spread an under-split
+    // input first (Spread scaladoc; no-op at scale)
+    val annotated = Spread.spread(docs, col(idCol))
       .withColumn("pred_lang", TextFunctions.langId(col(textCol)))
       .withColumns(stats.map { case (n, c) => n -> c }.toMap)
     val filtered = annotated.where(col("quality_score") >= minQuality)
@@ -625,7 +628,8 @@ object TrainingPipeline {
     // NULL text = empty doc (the dedupLines guard rationale)
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(coalesce(c, lit("")), " "), t => length(t) > lit(0))
-    val tok = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+    val tok = Spread.spread(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
     def spans(df: DataFrame, w: String) =
       df.where(size(col(w)) >= n).select(col("*"),
         posexplode(transform(
@@ -831,7 +835,7 @@ object TrainingPipeline {
     val logit = round(
       graft.functions.ShingleFunctions.dsirWeight(col(textCol), weights) /
         (lit(2.0) * nToks - lit(1.0)) + lit(bias), 6)
-    df.select(col(idCol), logit.as("quality_logit"))
+    Spread.spread(df, col(idCol)).select(col(idCol), logit.as("quality_logit"))
       .withColumn("keep", col("quality_logit") >= 0.0)
   }
 

@@ -119,7 +119,11 @@ object FtsIndex {
     val tokens =
       if (opts.isExact) tokensOf(textOne)
       else ColumnBridge.column(FtsTokenizeExpr(ColumnBridge.expression(textOne), opts))
-    val tok = src.select(col(idCol).as("__id"), tokens.as("__w"))
+    // the tokenizer (and under the default pipeline, the stemmer chain) is
+    // the build's CPU floor and runs fused into the scan stage — spread an
+    // under-split corpus across the cores first (no-op at scale)
+    val tok = graft.operators.Spread.spread(src, col(idCol))
+      .select(col(idCol).as("__id"), tokens.as("__w"))
       .withColumn("dl", size(col("__w")).cast("long"))
     val posting = tok.select(col("__id"), col("dl"), explode(col("__w")).as("term"))
       .groupBy("term", "__id", "dl").agg(count(lit(1)).as("tf"))

@@ -221,7 +221,7 @@ object DocumentStreams {
     // re-evaluated per joined candidate and benched 3x slower.
     val firstBand = graft.functions.ShingleFunctions.firstAgreeingBand(
       col("a.sig"), col("b.sig"), rows)
-    val inter = size(array_intersect(col("a.hs"), col("b.hs")))
+    val inter = graft.functions.ShingleFunctions.intersectCount(col("a.hs"), col("b.hs"))
     banded.as("a").join(banded.as("b"), pairCond)
       .where(col("a.band") === firstBand)
       .withColumn("jaccard", round(inter.cast("double") /

@@ -21,6 +21,19 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `SparkSession.internalCreateDataFrame` is likewise `private[sql]`: the
+    * sanctioned way to rebuild a DataFrame from an `RDD[InternalRow]`
+    * WITHOUT the external-Row round trip (`df.rdd` deserializes every field
+    * to Scala objects and `createDataFrame` re-encodes them — pure overhead
+    * when the rows never leave Tungsten format, e.g. a row-index append).
+    */
+  def internalDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** The session's SQL parser without analysis (`sessionState` is
     * `private[sql]`): needed when a hand-built plan must be grafted into a
     * parsed-but-unresolved tree before the analyzer runs.

@@ -25,4 +25,16 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** `df` rebuilt over an RDD pre-split across the session's cores — the
+    * at-scale input shape for plan-shape pins: a real corpus scan arrives
+    * in ≥ cores splits, so the operators' conditional input spread
+    * (graft.operators.Spread, r17) is a no-op and no repartition Exchange
+    * enters the measured plan. The split happens at the RDD layer
+    * precisely so the SQL plan under test doesn't see an extra Exchange
+    * from the test harness itself.
+    */
+  def wellSplit(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      df.rdd.repartition(spark.sparkContext.defaultParallelism), df.schema)
 }

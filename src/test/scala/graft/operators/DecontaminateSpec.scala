@@ -42,7 +42,9 @@ class DecontaminateSpec extends SparkSpec {
   }
 
   test("scale shape: the benchmark gram set broadcasts; no corpus-sized exchange") {
-    val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+    // pre-split input: the at-scale shape this pin asserts (a well-split
+    // corpus makes the r17 Spread guard a no-op, like any real corpus scan)
+    val plan = Dedup.decontaminate(wellSplit(corpus), wellSplit(bench), "doc_id", "text", n = 3)
       .queryExecution.executedPlan.toString
     // the benchmark gram set broadcasts — the corpus side never takes part
     // in a shuffle JOIN

@@ -198,7 +198,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("winnowingFingerprints: density below shingle count, map-side, short-doc safe") {
-    val documents = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // wellSplit: at-scale input shape — the r17 conditional spread no-ops,
+    // so the zero-Exchange pin measures the operator itself
+    val documents = wellSplit(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val fp = Dedup.winnowingFingerprints(documents, "doc_id", "text", k = 3, w = 4)
     // winnowed index must be a strict fraction of the full shingle index
     // (expected density 2/(w+1) = 0.4; allow generous slack for structure)
@@ -1424,8 +1426,9 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rebuilt == (1 to 25).map(i => s"t$i"))
     // short doc → one partial chunk
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, "a b")))
-    // map-side only: the chunking itself must not shuffle
-    val plan = TrainingPipeline.chunkDocuments(docs, "doc_id", "text", 10, 4)
+    // map-side only: the chunking itself must not shuffle (wellSplit —
+    // the r17 conditional input spread no-ops on an at-scale input)
+    val plan = TrainingPipeline.chunkDocuments(wellSplit(docs), "doc_id", "text", 10, 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
