@@ -75,6 +75,12 @@ object GraphOps {
     val n = nodes.count()          // the one driver scalar (a single long)
     require(n > 0, "pageRank: empty graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint(false)
+    // NOTE (r17): pre-folding outdeg into the edge frame (e ⋈ outdeg once,
+    // checkpointed) to save the per-round outdeg join MEASURED ~2x SLOWER
+    // at sf0.1 — AQE already broadcasts the tiny outdeg side each round,
+    // while the prefolded frame's checkpoint re-materialized the whole
+    // edge set and its per-round join lost the broadcast shape. Reverted;
+    // kept as a warning against "obvious" loop-invariant hoisting here.
     val base = (scale * (100 - dampingPct) / 100) / n   // exact integer, same in the oracle
 
     var ranks = nodes.withColumn("rank", lit(scale / n))
@@ -290,16 +296,25 @@ object GraphOps {
     // round-i surviving set — so the unrolled oracle is unchanged.
     var deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
       .localCheckpoint(false)
-    for (i <- 2 to rounds) {
+    var fixpoint = false
+    for (i <- 2 to rounds if !fixpoint) {
       val removed = deg.where(col("degree") < k).select("node")
         .localCheckpoint(false) // used twice: reduction join + anti-join
-      val red = und
-        .join(removed.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__r"))
-      deg = deg.join(removed, Seq("node"), "left_anti")
-        .join(red, Seq("node"), "left_outer")
-        .select(col("node"), (col("degree") - coalesce(col("__r"), lit(0L))).as("degree"))
-        .localCheckpoint(false)
+      // an empty removed set is the peeling FIXPOINT: every later round
+      // peels the same empty frontier, leaving deg bit-identical — the
+      // fixed `rounds` contract is a BOUND, not a cost (r17; the
+      // weightedPaths convergence probe applied here). limit-1 over the
+      // checkpointed frame, no recompute.
+      if (removed.isEmpty) fixpoint = true
+      else {
+        val red = und
+          .join(removed.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(count(lit(1)).as("__r"))
+        deg = deg.join(removed, Seq("node"), "left_anti")
+          .join(red, Seq("node"), "left_outer")
+          .select(col("node"), (col("degree") - coalesce(col("__r"), lit(0L))).as("degree"))
+          .localCheckpoint(false)
+      }
     }
     deg.where(col("degree") >= k)
   }
@@ -350,7 +365,8 @@ object GraphOps {
     var prevFrontier: DataFrame = null
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
       frontier.withColumn("dist", lit(0L)))
-    for (h <- 1 to maxHops) {
+    var exhausted = false
+    for (h <- 1 to maxHops if !exhausted) {
       var disc = und
         .join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"))
@@ -359,9 +375,16 @@ object GraphOps {
       if (prevFrontier != null)
         disc = disc.join(prevFrontier, Seq("node"), "left_anti")
       disc = disc.localCheckpoint(false)
-      prevFrontier = frontier
-      frontier = disc
-      levels += frontier.withColumn("dist", lit(h.toLong))
+      // empty frontier = the reachable set is exhausted: every later level
+      // is empty and contributes zero rows — skip the dead rounds (r17;
+      // the weightedPaths convergence probe). limit-1 over the
+      // checkpointed frame, no recompute.
+      if (disc.isEmpty) exhausted = true
+      else {
+        prevFrontier = frontier
+        frontier = disc
+        levels += frontier.withColumn("dist", lit(h.toLong))
+      }
     }
     levels.reduce(_.unionByName(_))
   }
