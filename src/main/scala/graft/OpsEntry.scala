@@ -5662,8 +5662,14 @@ object OpsEntry {
         // the scan's PartitionFilters prune 77/80 directories at planning
         // time (pinned). The oracle states the same filter over the raw
         // table: the layout changes the PLAN, never the answer.
+        // hash-cluster on the partition column before the write (guide §6
+        // write distribution, r17): each task owns whole months and writes
+        // one file per directory IN PARALLEL — the unclustered form wrote
+        // all 80 directories from the scan's single task. Layout per
+        // directory: 1 file either way; the answer never changes.
         val ord = s.table("orders")
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("o_month"))
         Bucketing.writePartitioned(s, ord, "graft_b02_orders", "o_month")
           .where(col("o_month").between("1995-03", "1995-05"))
           .groupBy("o_orderpriority")

@@ -33,8 +33,11 @@ object Dedup {
     * the entire token stream. May contain duplicate (id, h) rows;
     * MIN-based consumers don't care, set consumers dedup in the array.
     */
+  // NOT spread (r17, measured): this feeds map-only broadcast-semi-join
+  // pipelines (decontaminate c01/c06) whose gram compute is cheap next to
+  // the exchange a spread would add — c01 read +0.3 s, c06 +0.5 s with it.
   def hashedShingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    Spread.spread(df, col(idCol), col(textCol)).select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       explode(graft.functions.ShingleFunctions.shingleHashes(col(textCol), n)).as("h"))
 
   /** Per-doc hashed shingle sets: (id, hs array<long>, sz). Entirely
@@ -360,7 +363,9 @@ object Dedup {
     val rows = numHashes / bands
     val (a, b) = hashParams(numHashes)
     def banded(df: DataFrame): DataFrame = {
-      val sig = Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
+      // not spread — the minhashLshPairs signature-pass rationale (r17:
+      // d13 measured +1.1 s with it)
+      val sig = df.select(col(idCol).as("id"),
           graft.functions.ShingleFunctions.minhashSignature(
             graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
             .as("sig"))
@@ -463,7 +468,12 @@ object Dedup {
     // Duplicate shingles in the array are harmless: MIN over a multiset
     // equals MIN over its set.
     val (a, b) = hashParams(numHashes)
-    val sig = Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
+    // signature pass NOT spread (r17, measured +0.6 s on d02): the xxhash
+    // production kernel is fast enough at this fan-in that the spread's
+    // exchange costs more than the parallelism buys; the md5 parity family
+    // (md5MinhashFrame) keeps its spread — its per-token md5 chain is an
+    // order of magnitude heavier
+    val sig = df.select(col(idCol).as("id"),
         graft.functions.ShingleFunctions.minhashSignature(
           graft.functions.ShingleFunctions.shingleHashes(col(textCol), shingleSize), a, b)
           .as("sig"))
@@ -788,7 +798,11 @@ object Dedup {
       buckets: Int = 16): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val frame = md5MinhashFrame(increment, idCol, textCol, shingleSize, numHashes)
-    frame.write.mode(org.apache.spark.sql.SaveMode.Append)
+    // cluster on the bucket hash first: one appended file per bucket per
+    // wave regardless of the increment's partitioning (the writeBucketed
+    // file-count invariant, r17 — tasks×buckets files otherwise)
+    frame.repartition(buckets, pmod(hash(col("id")), lit(buckets)))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${table}_docs")
     // band rows derive from the JUST-WRITTEN docs rows (read back, pruned
@@ -801,7 +815,8 @@ object Dedup {
         spark.table(s"${table}_docs").join(newIds, Seq("id"), "left_semi"),
         bands, numHashes / bands)
       .select(concat_ws(":", col("band"), col("bucket")).as("bkey"), col("id"))
-    banded.write.mode(org.apache.spark.sql.SaveMode.Append)
+    banded.repartition(buckets, pmod(hash(col("bkey")), lit(buckets)))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").bucketBy(buckets, "bkey").sortBy("bkey")
       .saveAsTable(s"${table}_bands")
   }
@@ -1479,9 +1494,11 @@ object Dedup {
     * rule). Entirely map-side — gram construction is a per-row transform
     * over the token array, no shuffle.
     */
+  // NOT spread (r17): same rationale as hashedShingleRows — map-only
+  // broadcast pipeline, gram transform cheaper than the added exchange
   private def md5Grams(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    Spread.spread(df, col(idCol)).select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         filter(split(coalesce(col(textCol), lit("")), " "),
           w => length(w) > lit(0)).as("__w"))
       .where(size(col("__w")) > 0)

@@ -279,11 +279,11 @@ object TimeSeries {
       // NULL rows dropped up front (DuckDB array_agg kept them in the old
       // array formulation; the frame contents stay identical cross-engine).
       .where(col("v").isNotNull)
-      // all three frame aggregates BEFORE the warm-up filter (one Window
-      // exec; a window evaluated after the filter would see pruned frames)
-      .withColumn("__n", n)
-      .withColumn("__s1", sum1)
-      .withColumn("__s2", sum2)
+      // all three frame aggregates BEFORE the warm-up filter, in ONE select
+      // (a window evaluated after the filter would see pruned frames; one
+      // projection keeps Catalyst extracting a single Window exec — the
+      // withColumn chain split them into two)
+      .select(col("*"), n.as("__n"), sum1.as("__s1"), sum2.as("__s2"))
       .where(col("__n") >= minObs)
       .withColumn("mu", col("__s1") / col("__n"))
       .withColumn("sigma", sqrt(col("__s2") / col("__n") - col("mu") * col("mu")))

@@ -392,7 +392,9 @@ object TrainingPipeline {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens: got chunkTokens=$chunkTokens overlap=$overlap")
     val stride = chunkTokens - overlap
-    Spread.spread(df, col(idCol)).where(col(textCol).isNotNull)
+    // not spread (r17, measured +0.17 s): the slice/join transform is
+    // cheaper than the exchange a spread adds on an under-split input
+    df.where(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__w"))
       .select(col(idCol), col("__w"),
         posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
