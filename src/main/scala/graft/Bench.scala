@@ -113,7 +113,29 @@ object Bench {
     }
     val gc0 = gcMs
     val wall0 = System.nanoTime()
-    val timedRuns = 3
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
+    // Wall-clock self-defense (r17 post-mortem): BOTH driver bench runs that
+    // round died rc=124 — the three retry tiers re-timed 82/288 queries on a
+    // contended host (~a second full pass) with no global budget, and the
+    // driver killed the JVM before the one-line JSON printed. A bench that
+    // only proves its numbers when the driver never sees them is broken in
+    // practice, so:
+    //   - SPARK_GRAFT_TIMED_RUNS overrides the per-query timed-run count
+    //     (driver/debug escape hatch: a 1-run pass always fits any timeout);
+    //   - retries are only attempted while wall < SPARK_GRAFT_BENCH_BUDGET_S
+    //     (default 1500 s; r16's clean full driver run took 1325 s and the
+    //     r17 kill landed past ~2200 s). Skipped retries are recorded in
+    //     _meta.retries_skipped — the numbers stay honest, just unretried;
+    //   - if the MAIN pass itself overruns mainBudget (3/4 of the wall
+    //     budget), remaining queries drop to 1 timed run (never 0: a query
+    //     missing from the artifact reads as dropped). Each row's true run
+    //     count is already recorded per query (`runs`).
+    val timedRuns = sys.env.get("SPARK_GRAFT_TIMED_RUNS").flatMap(_.toIntOption)
+      .filter(n => n >= 1 && n <= 9).getOrElse(3)
+    val wallBudgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").flatMap(_.toDoubleOption)
+      .filter(_ > 0).getOrElse(1500.0)
+    val mainBudgetS = wallBudgetS * 0.75
+    var mainDegraded = false
     def timeOne(d: SparkEntry.QueryDef): BenchResult = {
       val warmOk =
         try { d.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -122,7 +144,16 @@ object Bench {
             System.err.println(s"[bench] ${d.name} warm-up FAILED: $e")
             false
         }
-      val times = (1 to timedRuns).flatMap { _ =>
+      val runsNow =
+        if (elapsedS <= mainBudgetS) timedRuns
+        else {
+          if (!mainDegraded) System.err.println(
+            f"[bench] wall $elapsedS%.0f s past main budget $mainBudgetS%.0f s — " +
+              "remaining queries timed once (runs per row recorded in the artifact)")
+          mainDegraded = true
+          1
+        }
+      val times = (1 to runsNow).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           d.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -161,7 +192,17 @@ object Bench {
     def pathological(r: BenchResult): Boolean =
       r.runs >= 2 && r.times.head > 0.1 && r.times.last / r.times.head > spreadLimit
     val byName = SparkEntry.defs.map(d => d.name -> d).toMap
+    // Retry wall budget (r17): every retimed() call first checks the global
+    // wall clock. Past the budget the candidate keeps its main-pass result
+    // and is listed in _meta.retries_skipped instead — the final line MUST
+    // print before any external timeout, whatever the host is doing.
+    val retriesSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     def retimed(r: BenchResult, why: String): BenchResult = {
+      if (elapsedS > wallBudgetS) {
+        if (!retriesSkipped.contains(r.name)) retriesSkipped += r.name
+        System.err.println(f"[bench] ${r.name}: $why — retry SKIPPED (wall $elapsedS%.0f s > budget $wallBudgetS%.0f s)")
+        return r
+      }
       System.err.println(f"[bench] ${r.name}: $why — re-timing")
       val retry = timeOne(byName(r.name))
       val best = if (retry.median >= 0 && (r.median < 0 || retry.median < r.median)) retry else r
@@ -335,12 +376,20 @@ object Bench {
     val bestKnownJson = bestKnown.map { case (js, tot) =>
       s""","best_known_total":${num(tot)},"best_known":$js"""
     }.getOrElse("")
+    val budgetJson = s""","timed_runs":$timedRuns,"wall_budget_s":${num(wallBudgetS)},"main_degraded":$mainDegraded,"retry_budget_exhausted":${retriesSkipped.nonEmpty},"retries_skipped":${retriesSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullJson = perQuery +
-      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${regressionChecked.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")}$bestKnownJson}\n}"""
-    new java.io.File("artifacts").mkdirs()
-    java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[bench] full per-query results written to $artifactPath")
+      s"""  "_meta":{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"n_queries":${regressionChecked.size},"wall_s":${num(wallSec)},"contended":$contended,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"still_pathological":${stillPathological.map("\"" + _ + "\"").mkString("[", ",", "]")},"elevated":${stillElevated.map("\"" + _ + "\"").mkString("[", ",", "]")},"cost_changed":${costChanged.map("\"" + _ + "\"").mkString("[", ",", "]")},"regressed":${regressed.map("\"" + _ + "\"").mkString("[", ",", "]")}$budgetJson$bestKnownJson}\n}"""
+    // The final stdout line must print even if the artifact write throws
+    // (full disk, read-only checkout): the driver's record of the round is
+    // that ONE line, so nothing between here and the println may be fatal.
+    try {
+      new java.io.File("artifacts").mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifactPath),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query results written to $artifactPath")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] artifact write FAILED (continuing): $e")
+    }
 
     // Compact FINAL line (<1 KB): total first, then the five slowest medians.
     // This is what a 2 KB tail capture keeps, so the headline always parses.
@@ -349,7 +398,7 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + num(r.median)).mkString("{", ",", "}")
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bestKnownTotal = bestKnown.map { case (_, tot) => s""","best_known_total":${num(tot)}""" }.getOrElse("")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"contended":$contended$bestKnownTotal,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"n_queries":${regressionChecked.size},"slowest5":$slowest,"degraded":$degradedJson,"artifact":"$artifactPath"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","protocol":"$protocol","host":"$hostFp","gc_ms":$gcTotal,"contended":$contended$bestKnownTotal,"n_retried":${regressionChecked.count(_.firstPass.isDefined)},"n_retries_skipped":${retriesSkipped.size},"n_queries":${regressionChecked.size},"slowest5":$slowest,"degraded":$degradedJson,"artifact":"$artifactPath"}""")
     spark.stop()
   }
 

@@ -2027,7 +2027,12 @@ object OpsEntry {
         // hash-checked. The fold is ORDERED on both engines (list
         // arithmetic, not a GROUP BY sum).
         val (v, oov) = fixedUnigramLm(dir)
-        spreadDocs(s)
+        // NO spreadDocs here (r18 retraction): unigram NLL scoring is a
+        // cheap map-lookup per token — the row ran 0.12 s single-task, and
+        // r17's added exchange cost ~3x more than the parallelism bought
+        // (the only confirmed _meta.cost_changed regression of that round).
+        // Same reasoning as the c01/c03/c06 retractions.
+        s.table("documents")
           .select(col("doc_id"),
             TextFunctions.lmScore(col("text"), v.toMap, oov).as("lm_nll"))
           .orderBy("doc_id")

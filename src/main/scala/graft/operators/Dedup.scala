@@ -238,7 +238,8 @@ object Dedup {
     * the whole operator is oracle-checkable; at 100 TB the md5-vs-xxhash
     * cost difference is dwarfed by the (w+1)/2-fold index shrink. Docs
     * shorter than `k + w - 1` words emit no fingerprints.
-    * Output: (id, fp) — fp is the 32-hex md5 of a selected k-gram.
+    * Output: (id, fp) — fp is the raw 16-byte md5 digest of a selected
+    * k-gram (BinaryType; hex-equivalent ordering, see the body note).
     */
   def winnowingFingerprints(
       df: DataFrame,
@@ -247,11 +248,21 @@ object Dedup {
       k: Int = 5,
       w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: got k=$k w=$w")
+    // fp is the RAW 16-byte digest (`unhex(md5(...))`), not the 32-char hex
+    // string (r18, guide §2.3 "narrower types"): fingerprints are the join
+    // and shuffle key of every consumer, and the binary form halves the key
+    // bytes. Selection is unchanged — BinaryType orders by unsigned
+    // byte comparison, and for equal-length lowercase-hex the hex string's
+    // lexicographic order IS nibble-by-nibble unsigned byte order ('0'<'9'
+    // <'a'<'f' monotone in ASCII), so `array_min` picks the same k-gram and
+    // equality/distinctness are bijection-preserved. The oracle states hex
+    // strings; fingerprints never appear in any declared output, only the
+    // pair ids/counts derived from them, which are bit-identical.
     Spread.spread(df, col(idCol)).where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
       .where(size(col("__w")) >= k + w - 1) // guards sequence() against negative bounds too
       .select(col("id"),
-        expr(s"transform(sequence(0, size(__w) - $k), i -> md5(array_join(slice(__w, i + 1, $k), ' ')))")
+        expr(s"transform(sequence(0, size(__w) - $k), i -> unhex(md5(array_join(slice(__w, i + 1, $k), ' '))))")
           .as("__mds"))
       .select(col("id"),
         explode(expr(
@@ -1154,27 +1165,61 @@ object Dedup {
     // localCheckpoint (not cache): each round's frame must TRUNCATE lineage,
     // or the nested logical plan doubles per iteration and the driver dies
     // building plan strings long before any data is large
-    var labels = sym.select(col("src").as("id")).distinct()
-      .join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("id").as("component"))
+    // ROUND 1 FUSED INTO THE SEED (r18; guide §1.2 "remove passes"): seed
+    // labels are the identity (component = id), so round 1's neighbor-min
+    // join against them reduces to min(dst) per src — one aggregate straight
+    // off the (cached) edge frame, replacing seed checkpoint + round-1 join.
+    // The dst semi-join preserves the ids-not-in-`nodes` contract (a dst
+    // outside `nodes` is outside the seed label set, so round 1 must not
+    // read it); a node whose EVERY neighbor is outside drops out of the
+    // iteration entirely, which is identical by the isolated-node stitch at
+    // the end (its component is provably itself: nothing labeled can reach
+    // it). Round 1's changed-count action is also skipped — any edge u<v
+    // changes v, so with maxIter ≥ 2 the first convergence check that can
+    // say "done" is round 2's (the fused round costs one job, not three).
+    var labels = sym
+      .join(nodes.select(col(idCol).as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col(idCol).as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("id")).agg(min("dst").as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("component"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
+    if (maxIter == 1) {
+      // degenerate budget: the fused round skipped its changed check, so
+      // run it here (self-loop-only graphs legitimately converge in round 1)
+      converged = labels.where(col("component") < col("id")).limit(1).count() == 0
+    } else {
+      // round 1 always pointer-jumps (see above: it converged only in the
+      // self-loop/edge-less degenerate cases, where the jump is an identity
+      // pass over a frame this small by construction)
+      val next = labels.as("a")
+        .join(labels.select(col("id").as("jid"), col("component").as("jcomp")),
+          col("a.component") === col("jid"))
+        .select(col("a.id").as("id"),
+          least(col("a.component"), col("jcomp")).as("component"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
     while (iter < maxIter && !converged) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("component").as("nbr"))
-      // checkpoint the propagate step: it feeds BOTH sides of the jump join
-      // and would otherwise run its join+aggregate twice per round. The
-      // pre-propagate label rides along as `old` so convergence below is a
-      // local scan of the checkpointed frame, not another labels join.
+      // LAZY checkpoint (r18): the changed-count below is a full aggregate —
+      // it computes EVERY partition, so it materializes the checkpoint as a
+      // side effect: one job per round where eager-checkpoint-then-count was
+      // two. (A limit(1) short-circuit would be unsafe here: it computes
+      // only some partitions, and a lazily-checkpointed RDD whose lineage is
+      // truncated after a partial action cannot rebuild the missing ones.)
+      // The checkpointed frame still feeds BOTH sides of the jump join and
+      // carries the pre-propagate label as `old`, as before.
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // labels only ever decrease, so ANY propagate change shows up as
-      // component < old — a local scan of the checkpointed frame, and
-      // limit(1) short-circuits
-      val changed = stepped.where(col("component") < col("old")).limit(1).count()
+      // component < old
+      val changed = stepped.where(col("component") < col("old")).count()
       if (changed == 0) {
         // a propagate FIXED POINT over SYMMETRIC edges is already
         // component-constant: c(u) ≤ c(v) holds across every edge in both

@@ -219,12 +219,15 @@ object TimeSeries {
       .withColumn("arr", collect_list(col("v")).over(w))
       .select(col("g").as(groupCol), col("t").as(tsCol), col("tb").as(tiebreakCol),
         col("v").as("value"),
-        // Null-safe `get` seed (not element_at, which throws on an empty
-        // array under ANSI mode); Fp.grid6 — not round() — so the 6-decimal
-        // grid point is the identical double in both engines.
-        Fp.grid6(aggregate(slice(col("arr"), lit(2), lit(lookback)),
-          get(col("arr"), lit(0)),
-          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha))).as("ewma"))
+        // Codegen fold kernel (r18): replaces the interpreted
+        // `aggregate(slice(arr,2,lookback), arr[0], acc*(1-α)+x*α)` HOF
+        // with the bit-identical IEEE sequence inside whole-stage codegen
+        // (EwmaFold scaladoc has the equivalence argument; EwmaFoldSpec
+        // pins it against the old expression on random frames). Fp.grid6 —
+        // not round() — so the 6-decimal grid point is the identical
+        // double in both engines.
+        Fp.grid6(graft.functions.EwmaFold.ewmaFold(col("arr"), alpha, lookback))
+          .as("ewma"))
   }
 
   /** Rolling z-score anomaly detection — per group, ordered by the unique

@@ -1133,9 +1133,18 @@ object PsqlRewriter {
     val seed = if (a.length == 3) a(2) else "42"
     require(seed.matches("[0-9]+"), s"hash sample seed must be a number literal, got: $seed")
     // top 28 md5 bits as uniform [0,1): exact integer / exact power of two,
-    // bit-identical in any engine with md5 (the c11 oracle formula)
+    // bit-identical in any engine with md5 (the c11 oracle formula).
+    // DOUBLE arithmetic on purpose (r18): a bare `/ 268435456.0` parses as
+    // DECIMAL in Spark — the division then runs per row in Decimal (the
+    // q75 filter's dominant per-row cost) AND diverges from the convention
+    // everywhere else (TrainingPipeline's sampleFraction and the DuckDB
+    // oracles both divide as double). x / 2^28 is EXACT in double (x <
+    // 2^28, power-of-two divisor), so the kept row set is unchanged for
+    // any percent-style frac: the nearest attainable quotient sits ≥
+    // 4e-10 from a ≤6-decimal-digit threshold while double division here
+    // has zero rounding error.
     Some(s"cast(conv(substring(md5(concat('$seed-', cast((${a(1)}) as string))), 1, 7), 16, 10) as bigint)" +
-      s" / 268435456.0 < $fracText")
+      s" / cast(268435456.0 as double) < cast(($fracText) as double)")
   }
 
   /** SQL keywords that can directly precede a `[` only when it opens a

@@ -597,6 +597,22 @@ class DedupSpec extends SparkSpec {
       s"mismatch on ${got.count { case (k, v) => want(k) != v }} nodes")
   }
 
+  test("connectedComponents fused first round keeps every contract") {
+    // exercises the r18 seed+round-1 fusion edge cases in one graph:
+    //   - a 10-node path (multiple propagate rounds + pointer jumps)
+    //   - a self-loop-only node (fixpoint in round 1)
+    //   - an edge whose dst is NOT in `nodes` (edge-only ids don't take part;
+    //     the node keeps itself as component)
+    //   - an isolated node (stitched back as itself)
+    val nodes = (Seq.range(0L, 10L) ++ Seq(20L, 30L, 40L)).toDF("id")
+    val edges = (Seq.range(0L, 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 20L), (30L, 99L))).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges).as[(Long, Long)].collect().toMap
+    val want = Seq.range(0L, 10L).map(_ -> 0L).toMap ++
+      Map(20L -> 20L, 30L -> 30L, 40L -> 40L)
+    assert(got == want, got.toString)
+  }
+
   test("simhashPairs: exact dup is hamming 0; unrelated text is not paired") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").collect()
