@@ -911,8 +911,20 @@ object DmlStatements {
         case i  => s"cast(__graft_c$i as ${f.dataType.sql}) as ${f.name}"
       }
     }
+    // ONE evaluation: every consumer sees the same rows. LAZY (r18): each
+    // caller's FIRST action is a full pre-mutation pass over the batch
+    // (plain INSERT counts it at `nRows`; both conflict forms run the
+    // duplicate-key guard aggregate, whose shuffle map stage computes every
+    // partition) — that action materializes the checkpoint as a side
+    // effect, so the eager variant's separate up-front job was a whole
+    // extra pass over the batch per INSERT statement. Must any new caller
+    // consume `proj` first through a partial action (limit/take) or only
+    // after mutating the target, restore the eager checkpoint: a partial
+    // first action leaves uncomputed partitions unrecoverable behind the
+    // truncated lineage, and a post-mutation first action would re-read
+    // the REWRITTEN table.
     val proj = psql.sql(s"from $view |> select ${sel.mkString(", ")}")
-      .localCheckpoint(true) // ONE evaluation: every consumer sees the same rows
+      .localCheckpoint(false)
     spark.catalog.dropTempView(view)
     (table, fields, names, proj)
   }
